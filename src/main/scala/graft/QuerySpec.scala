@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One contract entry (SURVEY.md §2): a named query plus, when the
+  * semantics are expressible in DuckDB 1.0.0 SQL, the oracle text the
+  * driver hash-compares against.
+  *
+  * Authoring rules (SURVEY §2.13 — violating any silently zeroes t2):
+  * total ORDER BY with tie-break ids in BOTH texts; every double
+  * aggregate wrapped in round(); NULLS FIRST/LAST spelled explicitly in
+  * the DuckDB text; never output timestamp/decimal/array/map columns;
+  * events/embeddings only via [[Tables]]; identical output column names
+  * on both sides (the driver sorts columns by name before hashing).
+  */
+final case class QuerySpec(
+    name: String,
+    oracle: Option[String],
+    df: (SparkSession, String) => DataFrame
+)
+
+object QuerySpec {
+  def sql(name: String, oracle: String)(
+      df: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, Some(oracle.stripMargin.trim), df)
+
+  /** Implemented + benchmarked, but no DuckDB-expressible oracle
+    * (approx sketches, LSH candidate generation, ...). */
+  def noOracle(name: String)(
+      df: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, None, df)
+}
