@@ -7,7 +7,8 @@ package graft
   */
 object Registry {
   lazy val all: Seq[QuerySpec] = Seq(
-    ops.Relational.specs
+    ops.Relational.specs,
+    ops.Joins.specs
   ).flatten
 
   lazy val byName: Map[String, QuerySpec] = {

@@ -1,16 +1,19 @@
 package graft.ops
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Relational core: scans, projection/filter, aggregation (SURVEY §2.1,
-  * §2.2, §2.4). Declarative DataFrame plans throughout so Catalyst gets
-  * predicate pushdown, column pruning and partial aggregation for free —
-  * at 100 TB every query here is a single scan + single shuffle (or no
-  * shuffle at all for the pushdown-only ones).
+/** Relational core: scans, projection/filter, aggregation, sort/top-k,
+  * set ops (SURVEY §2.1, §2.2, §2.4, §2.6, §2.7). Declarative DataFrame
+  * plans throughout so Catalyst gets predicate pushdown, column pruning
+  * and partial (map-side) aggregation for free — at 100 TB every query
+  * here is a single pruned scan + at most one shuffle.
   */
 object Relational {
+
+  private def q(name: String, oracle: String)(
+      df: (SparkSession, String) => DataFrame) = QuerySpec.sql(name, oracle)(df)
 
   /** Flagship: TPC-H-Q1-shaped pricing summary (Q-AGG-GROUP, rehearsed
     * SURVEY §8.3-QA). One scan, map-side partial HashAggregate, 6-group
@@ -50,6 +53,320 @@ object Relational {
     """
 
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec.sql("q_agg_group", flagshipOracle)(flagship)
+
+    // ---- §2.1 scans -----------------------------------------------------
+
+    q("q_scan_parquet",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""") { (s, d) =>
+      Tables.nation(s, d).orderBy("n_nationkey")
+    },
+
+    // Projection + predicate reach the parquet scan (PushedFilters /
+    // ReadSchema) — asserted in PlanShapeSpec.
+    q("q_scan_prune",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- §2.2 filter / project -----------------------------------------
+
+    q("q_filter_pred",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE (o_orderstatus = 'F' AND o_totalprice > 150000)
+        |   OR (NOT o_orderpriority = '1-URGENT' AND o_totalprice < 2000)
+        |ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .filter((col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+          || (!(col("o_orderpriority") === "1-URGENT")
+            && col("o_totalprice") < 2000))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    q("q_filter_in_between_like",
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |  AND c_acctbal BETWEEN 100 AND 5000
+        |  AND c_name LIKE '%1%'
+        |ORDER BY c_custkey""") { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+          && col("c_acctbal").between(100, 5000)
+          && col("c_name").like("%1%"))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // IS NULL on outer-join output + null-safe equality (<=> / IS NOT
+    // DISTINCT FROM).
+    q("q_filter_nullsafe",
+      """SELECT c_custkey,
+        |  (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL)
+        |    AS seg_is_building
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NULL
+        |ORDER BY c_custkey""") { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .filter(col("o_orderkey").isNull)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING"))
+            .eqNullSafe(lit(null)).as("seg_is_building"))
+        .orderBy("c_custkey")
+    },
+
+    q("q_project_expr",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+        |  l_quantity * 2 AS double_qty,
+        |  concat(l_returnflag, '/', l_linestatus) AS flag_status
+        |FROM lineitem
+        |WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("net_price"),
+          (col("l_quantity") * 2).as("double_qty"),
+          concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
+            .as("flag_status"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- §2.4 aggregation -----------------------------------------------
+
+    q("q_agg_group", flagshipOracle)(flagship),
+
+    q("q_agg_global",
+      """SELECT count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price,
+        |  round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem""") { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(avg("l_extendedprice"), 2).as("avg_price"))
+    },
+
+    q("q_agg_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    q("q_agg_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+    },
+
+    q("q_agg_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") {
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+    },
+
+    q("q_agg_gsets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") {
+      (s, d) =>
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_gsets")
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority,
+            CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+            count(*) AS n
+          FROM graft_orders_gsets
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY g_status, g_prio,
+            o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    },
+
+    q("q_agg_stats",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("covar_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
+    q("q_agg_pctl",
+      """SELECT l_linestatus,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"))
+        .orderBy("l_linestatus")
+    },
+
+    q("q_agg_collect",
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""") { (s, d) =>
+      Tables.region(s, d)
+        .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+          .as("nations"))
+        .orderBy("r_name")
+    },
+
+    // HyperLogLog sketch — different sketch than DuckDB's, so no oracle
+    // (⚠️ Q-AGG-APPROX); accuracy is property-tested vs the exact count.
+    QuerySpec.noOracle("q_agg_approx") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- §2.6 sort / top-k ----------------------------------------------
+
+    q("q_sort_multi",
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_nn,
+        |  o_totalprice
+        |FROM orders
+        |ORDER BY status_nn ASC NULLS FIRST, o_totalprice DESC,
+        |  o_orderkey ASC
+        |LIMIT 500""") { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("status_nn"),
+          col("o_totalprice"))
+        .orderBy(col("status_nn").asc_nulls_first,
+          col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(500)
+    },
+
+    // Global top-k: planned as TakeOrderedAndProject — no global sort of
+    // the full table, each partition keeps k rows, the driver merges.
+    q("q_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(100)
+    },
+
+    // ---- §2.7 set operations ---------------------------------------------
+
+    q("q_union_all",
+      """SELECT 'bldg' AS tag, c_custkey, c_acctbal FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT 'rich' AS tag, c_custkey, c_acctbal FROM customer
+        |  WHERE c_acctbal > 5000
+        |ORDER BY tag, c_custkey""") { (s, d) =>
+      val c = Tables.customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .select(lit("bldg").as("tag"), col("c_custkey"), col("c_acctbal"))
+        .unionByName(
+          c.filter(col("c_acctbal") > 5000)
+            .select(lit("rich").as("tag"), col("c_custkey"), col("c_acctbal")))
+        .orderBy("tag", "c_custkey")
+    },
+
+    q("q_union_dist",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""") { (s, d) =>
+      val c = Tables.customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+        .distinct()
+        .orderBy("c_custkey")
+    },
+
+    q("q_intersect",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""") { (s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    },
+
+    q("q_except",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""") { (s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    }
   )
 }
