@@ -8,7 +8,9 @@ package graft
 object Registry {
   lazy val all: Seq[QuerySpec] = Seq(
     ops.Relational.specs,
-    ops.Joins.specs
+    ops.Joins.specs,
+    ops.Windows.specs,
+    ops.Scalars.specs
   ).flatten
 
   lazy val byName: Map[String, QuerySpec] = {

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY §2.5). Each query shuffles once on its
+  * partition key and sorts within partitions — the same plan shape at
+  * any scale; no per-row self-joins. Frames are always over a TOTAL
+  * order (tie-break on event_id) so ntile/rank are deterministic
+  * cross-engine.
+  */
+object Windows {
+
+  private def q(name: String, oracle: String)(
+      df: (SparkSession, String) => DataFrame) = QuerySpec.sql(name, oracle)(df)
+
+  private def byUserTsRows = Window.partitionBy("user_id")
+    .orderBy(col("ts"), col("event_id"))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    q("q_win_rank",
+      """SELECT user_id, event_id,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS nt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |ORDER BY user_id, rn""") { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("nt"))
+        .orderBy("user_id", "rn")
+    },
+
+    q("q_win_laglead",
+      """SELECT user_id, event_id,
+        |  lag(value, 1, CAST(-1.0 AS DOUBLE)) OVER w AS prev_value,
+        |  lead(value, 1, CAST(-1.0 AS DOUBLE)) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""") { (s, d) =>
+      val w = byUserTsRows
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          lag(col("value"), 1, -1.0).over(w).as("prev_value"),
+          lead(col("value"), 1, -1.0).over(w).as("next_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    q("q_win_frame_rows",
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_sum,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS sliding_avg
+        |FROM events
+        |ORDER BY user_id, event_id""") { (s, d) =>
+      val w = byUserTsRows
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6)
+            .as("running_sum"),
+          round(avg("value").over(w.rowsBetween(-3, Window.currentRow)), 6)
+            .as("sliding_avg"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Time-range frame: SQL form in both engines (the DSL rangeBetween
+    // only takes longs; the parser accepts calendar intervals).
+    q("q_win_frame_range",
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w AS cnt_1h,
+        |  round(sum(value) OVER w, 6) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""") { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("graft_events_range")
+      s.sql("""
+        SELECT user_id, event_id, unix_micros(ts) AS ts_us,
+          count(*) OVER w AS cnt_1h,
+          round(sum(value) OVER w, 6) AS sum_1h
+        FROM graft_events_range
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")
+    },
+
+    // Top-k per group: row_number + filter — partial TopK per partition,
+    // never a global sort of the fact table.
+    q("q_win_topk_grp",
+      """SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3
+        |ORDER BY user_id, rn""") { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("user_id", "rn")
+    }
+  )
+}
