@@ -10,7 +10,9 @@ object Registry {
     ops.Relational.specs,
     ops.Joins.specs,
     ops.Windows.specs,
-    ops.Scalars.specs
+    ops.Scalars.specs,
+    ops.TextSim.specs,
+    ops.Sketches.specs
   ).flatten
 
   lazy val byName: Map[String, QuerySpec] = {

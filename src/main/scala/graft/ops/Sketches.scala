@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based dedup / ANN — the sub-quadratic scale paths (SURVEY
+  * Q-DEDUP-MINHASH + the LLM-pipeline extensions). No DuckDB oracle
+  * (hash functions are engine-specific); results are deterministic and
+  * property-tested against the exact kernels in TextSimSpec.
+  *
+  * At 100 TB these are the operators that replace the blocked/brute
+  * kernels in TextSim: candidate generation is groupBy-on-signature —
+  * shuffle-bounded by data size, never O(n²).
+  */
+object Sketches {
+
+  private val NumHashes = 16
+  private val Bands = 4 // 4 rows per band
+
+  /** Distinct word-3-grams per document. */
+  private def grams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(
+        "explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0))," +
+          " i -> array_join(slice(split(text, ' '), i, 3), ' ')))").as("gram"))
+      .distinct()
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // MinHash-LSH candidate pairs: 16 hash functions, 4 bands x 4 rows.
+    // Candidates = pairs sharing >= 1 band bucket. Recall vs exact
+    // 3-gram Jaccard (q_dedup_ngram) is property-tested.
+    QuerySpec.noOracle("q_dedup_minhash") { (s, d) =>
+      val g = grams(s, d)
+      val mhCols = (0 until NumHashes)
+        .map(i => min(xxhash64(lit(i), col("gram"))).as(s"mh$i"))
+      val sig = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val bandCols = (0 until Bands).map { b =>
+        xxhash64((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)
+      }
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      bands.toDF("ida", "band_a", "bh_a")
+        .join(bands.toDF("idb", "band_b", "bh_b"),
+          col("band_a") === col("band_b") && col("bh_a") === col("bh_b")
+            && col("ida") < col("idb"))
+        .groupBy("ida", "idb")
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("ida", "idb")
+    },
+
+    // SimHash near-dup: 64-bit signature from token hashes (majority
+    // vote per bit), 4 x 16-bit bands for candidate generation, exact
+    // Hamming distance <= 12 as the verify step.
+    QuerySpec.noOracle("q_dedup_simhash") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"), xxhash64(col("word")).as("h"))
+      val bitSums = (0 until 64).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"s$j"))
+      val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until 64)
+        .map(j => when(col(s"s$j") > 0, shiftleft(lit(1L), j))
+          .otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _)
+      val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+      val bands = sig.select(col("doc_id"), col("simhash"), posexplode(
+        array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bh")))
+      bands.select(col("doc_id").as("ida"), col("simhash").as("sim_a"),
+        col("band").as("band_a"), col("bh").as("bh_a"))
+        .join(bands.select(col("doc_id").as("idb"), col("simhash").as("sim_b"),
+          col("band").as("band_b"), col("bh").as("bh_b")),
+          col("band_a") === col("band_b") && col("bh_a") === col("bh_b")
+            && col("ida") < col("idb"))
+        .select(col("ida"), col("idb"),
+          expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 12)
+        .orderBy("ida", "idb")
+    },
+
+    // IVF-style ANN: deterministic centroid subset (vec_id % 100 == 0),
+    // assign every vector to its nearest centroid (N x C, C small), then
+    // search only within the query's cell. Brute-force recall is
+    // property-tested. At scale: C = sqrt(N) centroids, the assign stage
+    // broadcasts centroids, and the search stage shuffles by cell.
+    QuerySpec.noOracle("q_sim_ann_ivf") { (s, d) =>
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding"),
+        sqrt(expr("aggregate(embedding, 0D, (acc, x) -> acc + x * x)"))
+          .as("norm"))
+      val cents = base.filter(col("vec_id") % 100 === 0)
+        .toDF("cid", "cv", "cn")
+      def cos(v1: String, v2: String, n1: Column, n2: Column): Column =
+        expr(s"aggregate(zip_with($v1, $v2," +
+          " (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (n1 * n2)
+      // assign: nearest centroid per vector
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(cos("embedding", "cv",
+          col("norm"), col("cn")), 9))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          col("cid").as("cell"))
+      val queries = assigned.filter(col("vec_id") % 97 === 0)
+        .toDF("qid", "qv", "qn", "qcell")
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      queries.join(assigned, col("qcell") === col("cell")
+        && col("qid") =!= col("vec_id"))
+        .withColumn("cos", round(cos("qv", "embedding",
+          col("qn"), col("norm")), 6))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rn"))
+        .orderBy("qid", "rn")
+    }
+  )
+}

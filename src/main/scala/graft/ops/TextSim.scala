@@ -1,0 +1,374 @@
+package graft.ops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analytics, deduplication and similarity search (SURVEY §2.9 plus
+  * the LLM-pipeline extensions: language ID, quality scoring, token
+  * counting, fingerprinting, n-gram near-dup).
+  *
+  * Scale design:
+  *  - token/n-gram pipelines are explode -> groupBy (one shuffle each,
+  *    map-side combined) — the inverted-index formulation; never an
+  *    all-pairs loop over documents;
+  *  - n-gram near-dup joins documents THROUGH the shared-gram index
+  *    (pairs are generated only for docs sharing a gram), the exact
+  *    counterpart of MinHash-LSH candidate generation;
+  *  - edit-distance/char-set near-dup use blocking keys
+  *    (lang, n_chars bucket) so the quadratic stage is bounded per block;
+  *  - vector similarity prunes to (id, vec, norm) before the pair stage
+  *    and precomputes norms once.
+  */
+object TextSim {
+
+  private def q(name: String, oracle: String)(
+      df: (SparkSession, String) => DataFrame) = QuerySpec.sql(name, oracle)(df)
+
+  /** words of `text`, split on single spaces (fixture texts are clean). */
+  private val words: Column = split(col("text"), " ")
+
+  /** Pairwise cosine kernel over embeddings: (ida, idb, cos) for
+    * ida < idb. Norms computed once per vector before the cross join.
+    */
+  private def cosinePairs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"), col("embedding"),
+      sqrt(expr(
+        "aggregate(embedding, 0D, (acc, x) -> acc + x * x)")).as("norm"))
+    val a = base.toDF("ida", "label_a", "va", "na")
+    val b = base.toDF("idb", "label_b", "vb", "nb")
+    a.crossJoin(b).filter(col("ida") < col("idb"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D," +
+          " (acc, x) -> acc + x)") / (col("na") * col("nb")), 6))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- text analytics --------------------------------------------------
+
+    q("q_text_tokens",
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM documents) t
+        |GROUP BY word
+        |ORDER BY n DESC, word""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(words).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+    },
+
+    q("q_text_tfidf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, word),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |  round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        |FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+        |ORDER BY tfidf DESC, tf.doc_id, tf.word
+        |LIMIT 1000""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(words).as("word"))
+      val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(df, "word")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("word"))
+        .limit(1000)
+    },
+
+    q("q_text_stats",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(avg(length(text)), 6) AS avg_len,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          round(avg(length(col("text"))), 6).as("avg_len"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    },
+
+    // Language ID by signature-vocabulary hits (n-gram heuristic shape);
+    // argmax with alphabetical tie-break, spelled identically in both
+    // engines.
+    q("q_text_langid",
+      """WITH h AS (SELECT doc_id, lang,
+        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |    ['filter', 'column', 'query']))) AS h_de,
+        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |    ['scan', 'fast', 'table']))) AS h_en,
+        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |    ['hash', 'value', 'batch']))) AS h_es,
+        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |    ['join', 'merge', 'row']))) AS h_fr,
+        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |    ['window', 'order', 'data']))) AS h_zh
+        |  FROM documents)
+        |SELECT doc_id, lang, h_de, h_en, h_es, h_fr, h_zh,
+        |  CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+        |            AND h_de >= h_zh THEN 'de'
+        |       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+        |       WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+        |       WHEN h_fr >= h_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM h
+        |ORDER BY doc_id""") { (s, d) =>
+      def hits(ws: Seq[String]): Column = size(array_distinct(
+        array_intersect(words, array(ws.map(lit): _*))))
+      val h = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        hits(Seq("filter", "column", "query")).as("h_de"),
+        hits(Seq("scan", "fast", "table")).as("h_en"),
+        hits(Seq("hash", "value", "batch")).as("h_es"),
+        hits(Seq("join", "merge", "row")).as("h_fr"),
+        hits(Seq("window", "order", "data")).as("h_zh"))
+      h.withColumn("pred_lang",
+        when(col("h_de") >= col("h_en") && col("h_de") >= col("h_es")
+          && col("h_de") >= col("h_fr") && col("h_de") >= col("h_zh"), "de")
+          .when(col("h_en") >= col("h_es") && col("h_en") >= col("h_fr")
+            && col("h_en") >= col("h_zh"), "en")
+          .when(col("h_es") >= col("h_fr") && col("h_es") >= col("h_zh"), "es")
+          .when(col("h_fr") >= col("h_zh"), "fr")
+          .otherwise("zh"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: type-token ratio, word-length, length saturation.
+    q("q_text_quality",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  round(len(list_distinct(string_split(text, ' ')))
+        |    / len(string_split(text, ' ')), 6) AS ttr,
+        |  round(length(replace(text, ' ', ''))
+        |    / len(string_split(text, ' ')), 6) AS avg_word_len,
+        |  round(0.6 * (len(list_distinct(string_split(text, ' ')))
+        |      / len(string_split(text, ' ')))
+        |    + 0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0), 6)
+        |    AS quality
+        |FROM documents
+        |ORDER BY doc_id""") { (s, d) =>
+      val nWords = size(words)
+      val nDistinct = size(array_distinct(words))
+      val ttr = nDistinct / nWords
+      Tables.documents(s, d).select(col("doc_id"),
+        nWords.as("n_words"),
+        nDistinct.as("n_distinct"),
+        round(ttr, 6).as("ttr"),
+        round(length(regexp_replace(col("text"), " ", "")) / nWords, 6)
+          .as("avg_word_len"),
+        round(ttr * 0.6 + least(nWords / lit(50.0), lit(1.0)) * 0.4, 6)
+          .as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish regex chunking.
+    q("q_text_tokcount",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+        |  len(regexp_extract_all(text, '[a-z]{1,4}')) AS bpe_tokens,
+        |  round(length(text) / len(regexp_extract_all(text, '[a-z]{1,4}')), 6)
+        |    AS chars_per_tok
+        |FROM documents
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(words).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)"))
+          .as("alpha_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)"))
+          .as("bpe_tokens"),
+        round(length(col("text")) /
+          size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")), 6)
+          .as("chars_per_tok"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: min MD5 over sliding char 8-grams (winnowing
+    // shape). MD5 hex is identical cross-engine, unlike hash()/xxhash64.
+    q("q_text_fingerprint",
+      """SELECT doc_id,
+        |  list_min([md5(substr(text, CAST(i AS INT), 8))
+        |    for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS fp,
+        |  md5(text) AS full_md5
+        |FROM documents
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1))," +
+          " i -> md5(substring(text, i, 8))))").as("fp"),
+        md5(col("text")).as("full_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- deduplication ---------------------------------------------------
+
+    q("q_dedup_exact",
+      """SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n,
+        |  min(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+        .select(md5(col("text")).as("text_md5"), col("n"), col("keep_id"))
+        .orderBy("keep_id")
+    },
+
+    // Edit-distance near-dup within (lang, length-bucket) blocks — the
+    // quadratic stage is bounded per block, never all-pairs.
+    q("q_dedup_lev",
+      """SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND (a.n_chars // 10) = (b.n_chars // 10)
+        |  AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 20
+        |ORDER BY ida, idb""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("blk", expr("n_chars div 10"))
+      val a = docs.select(col("doc_id").as("ida"), col("lang").as("lang_a"),
+        col("blk").as("blk_a"), col("text").as("text_a"))
+      val b = docs.select(col("doc_id").as("idb"), col("lang").as("lang_b"),
+        col("blk").as("blk_b"), col("text").as("text_b"))
+      a.join(b, col("lang_a") === col("lang_b")
+        && col("blk_a") === col("blk_b") && col("ida") < col("idb"))
+        .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+        .filter(col("dist") <= 20)
+        .select("ida", "idb", "dist")
+        .orderBy("ida", "idb")
+    },
+
+    // Char-set Jaccard (DuckDB's jaccard() semantics) within blocks.
+    q("q_dedup_jaccard",
+      """SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |  round(jaccard(a.text, b.text), 6) AS jac
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND (a.n_chars // 100) = (b.n_chars // 100)
+        |  AND a.doc_id < b.doc_id
+        |WHERE round(jaccard(a.text, b.text), 6) >= 0.9
+        |ORDER BY ida, idb""") { (s, d) =>
+      val chars = array_distinct(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+      val docs = Tables.documents(s, d)
+        .withColumn("blk", expr("n_chars div 100"))
+        .withColumn("cs", chars)
+      val a = docs.select(col("doc_id").as("ida"), col("lang").as("lang_a"),
+        col("blk").as("blk_a"), col("cs").as("cs_a"))
+      val b = docs.select(col("doc_id").as("idb"), col("lang").as("lang_b"),
+        col("blk").as("blk_b"), col("cs").as("cs_b"))
+      a.join(b, col("lang_a") === col("lang_b")
+        && col("blk_a") === col("blk_b") && col("ida") < col("idb"))
+        .withColumn("jac", round(
+          size(array_intersect(col("cs_a"), col("cs_b"))).cast("double") /
+            size(array_union(col("cs_a"), col("cs_b"))), 6))
+        .filter(col("jac") >= 0.9)
+        .select("ida", "idb", "jac")
+        .orderBy("ida", "idb")
+    },
+
+    // Word-3-gram Jaccard through the shared-gram inverted index: pairs
+    // exist only for documents sharing a gram — the exact-counting
+    // counterpart of MinHash-LSH, and the formulation that scales (two
+    // shuffles, no all-pairs).
+    q("q_dedup_ngram",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |      FROM w),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id)
+        |SELECT ida, idb, round(c / (sa.n + sb.n - c), 6) AS jac
+        |FROM p JOIN sz sa ON p.ida = sa.doc_id
+        |       JOIN sz sb ON p.idb = sb.doc_id
+        |WHERE round(c / (sa.n + sb.n - c), 6) >= 0.1
+        |ORDER BY ida, idb""") { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), expr(
+          "explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0))," +
+            " i -> array_join(slice(split(text, ' '), i, 3), ' ')))").as("gram"))
+        .distinct()
+      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = g.toDF("ida", "gram")
+        .join(g.toDF("idb", "gram2"),
+          col("gram") === col("gram2") && col("ida") < col("idb"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
+      pairs
+        .join(sz.toDF("ida", "na"), "ida")
+        .join(sz.toDF("idb", "nb"), "idb")
+        .withColumn("jac", round(
+          col("c") / (col("na") + col("nb") - col("c")), 6))
+        .filter(col("jac") >= 0.1)
+        .select("ida", "idb", "jac")
+        .orderBy("ida", "idb")
+    },
+
+    // ---- vector similarity ----------------------------------------------
+
+    q("q_sim_norm",
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])), 6) AS dot_self,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))), 6) AS norm
+        |FROM embeddings
+        |ORDER BY vec_id""") { (s, d) =>
+      val dot = expr("aggregate(embedding, 0D, (acc, x) -> acc + x * x)")
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(dot, 6).as("dot_self"),
+        round(sqrt(dot), 6).as("norm"))
+        .orderBy("vec_id")
+    },
+
+    // Brute-force cosine top-k over all pairs (rehearsed SURVEY §8.3-QC)
+    // — the exactness baseline; the LSH/IVF variants are the scale path.
+    q("q_sim_cosine_knn",
+      """SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |ORDER BY cos DESC, ida, idb
+        |LIMIT 100""") { (s, d) =>
+      cosinePairs(s, d)
+        .select("ida", "idb", "cos")
+        .orderBy(col("cos").desc, col("ida"), col("idb"))
+        .limit(100)
+    },
+
+    q("q_sim_threshold",
+      """SELECT a.label AS label_a, b.label AS label_b, count(*) AS n
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        |GROUP BY a.label, b.label
+        |ORDER BY label_a, label_b""") { (s, d) =>
+      cosinePairs(s, d)
+        .filter(col("cos") >= 0.4)
+        .groupBy("label_a", "label_b")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label_a", "label_b")
+    }
+  )
+}
