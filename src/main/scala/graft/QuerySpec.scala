@@ -20,6 +20,14 @@ final case class QuerySpec(
 )
 
 object QuerySpec {
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-invocation unique temp-view name, so queries that go through
+    * `spark.sql` never race on a shared view name if the harness ever
+    * runs them concurrently in one session. */
+  def uniqueView(prefix: String): String =
+    s"${prefix}_${viewCounter.incrementAndGet()}"
+
   def sql(name: String, oracle: String)(
       df: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, Some(oracle.stripMargin.trim), df)

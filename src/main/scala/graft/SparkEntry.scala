@@ -9,12 +9,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.Relational.flagship(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Derived from
+    * [[Registry.byName]] so its duplicate-name `require` runs on the
+    * production path (a colliding name fails fast instead of silently
+    * dropping a query from the driver contract). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Registry.all.map(q => q.name -> q.df).toMap
+    Registry.byName.map { case (n, q) => n -> q.df }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Registry.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+    Registry.byName.flatMap { case (n, q) => q.oracle.map(n -> _) }
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** Sketch-based dedup / ANN — the sub-quadratic scale paths (SURVEY
   * Q-DEDUP-MINHASH + the LLM-pipeline extensions). No DuckDB oracle
   * (hash functions are engine-specific); results are deterministic and
-  * property-tested against the exact kernels in TextSimSpec.
+  * property-tested against the exact kernels in SketchesSpec
+  * (src/test/scala/graft/SketchesSpec.scala).
   *
   * At 100 TB these are the operators that replace the blocked/brute
   * kernels in TextSim: candidate generation is groupBy-on-signature —
@@ -18,12 +19,11 @@ object Sketches {
   private val NumHashes = 16
   private val Bands = 4 // 4 rows per band
 
-  /** Distinct word-3-grams per document. */
+  /** Distinct word-3-grams per document (short-doc-safe, see
+    * [[TextSim.wordGrams3]]). */
   private def grams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), expr(
-        "explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0))," +
-          " i -> array_join(slice(split(text, ' '), i, 3), ' ')))").as("gram"))
+      .select(col("doc_id"), explode(TextSim.wordGrams3).as("gram"))
       .distinct()
 
   val specs: Seq[QuerySpec] = Seq(

@@ -28,6 +28,20 @@ object TextSim {
   /** words of `text`, split on single spaces (fixture texts are clean). */
   private val words: Column = split(col("text"), " ")
 
+  /** Word-3-grams of `text` as an array (possibly empty). Guarded for
+    * <3-word documents: `sequence(1, n-2)` with n<=2 would produce the
+    * DESCENDING sequence [1,0] (Spark defaults step=-1 when start>stop)
+    * and `slice(ws, 0, 3)` then throws; the guard returns an empty array
+    * instead, matching DuckDB's empty `range(1,1)`.
+    */
+  val wordGrams3: Column = {
+    val n = size(split(col("text"), " "))
+    when(n >= 3, expr(
+      "transform(sequence(1, size(split(text, ' ')) - 2)," +
+        " i -> array_join(slice(split(text, ' '), i, 3), ' '))"))
+      .otherwise(expr("CAST(array() AS array<string>)"))
+  }
+
   /** Pairwise cosine kernel over embeddings: (ida, idb, cos) for
     * ida < idb. Norms computed once per vector before the cross join.
     */
@@ -302,9 +316,7 @@ object TextSim {
         |WHERE round(c / (sa.n + sb.n - c), 6) >= 0.1
         |ORDER BY ida, idb""") { (s, d) =>
       val g = Tables.documents(s, d)
-        .select(col("doc_id"), expr(
-          "explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0))," +
-            " i -> array_join(slice(split(text, ' '), i, 3), ' ')))").as("gram"))
+        .select(col("doc_id"), explode(TextSim.wordGrams3).as("gram"))
         .distinct()
       val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = g.toDF("ida", "gram")

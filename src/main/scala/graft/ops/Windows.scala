@@ -85,12 +85,13 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""") { (s, d) =>
-      Tables.events(s, d).createOrReplaceTempView("graft_events_range")
-      s.sql("""
+      val v = QuerySpec.uniqueView("graft_events_range")
+      Tables.events(s, d).createOrReplaceTempView(v)
+      s.sql(s"""
         SELECT user_id, event_id, unix_micros(ts) AS ts_us,
           count(*) OVER w AS cnt_1h,
           round(sum(value) OVER w, 6) AS sum_1h
-        FROM graft_events_range
+        FROM $v
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         ORDER BY user_id, event_id""")
