@@ -12,7 +12,9 @@ object Registry {
     ops.Windows.specs,
     ops.Scalars.specs,
     ops.TextSim.specs,
-    ops.Sketches.specs
+    ops.Sketches.specs,
+    ops.Events.specs,
+    ops.Udx.specs
   ).flatten
 
   lazy val byName: Map[String, QuerySpec] = {

@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time queries over the `events` table (SURVEY §2.10) — the batch
+  * forms of the windowed-aggregation surface. The same logical queries
+  * run under Structured Streaming (see streaming.StreamDemos and
+  * StreamingSpec); here they are oracle-checked as batch.
+  *
+  * Determinism rules (SURVEY §2.13): events are loaded only via
+  * [[Tables.events]] (ns-timestamp recipe), and no query emits a raw
+  * timestamp or window struct — window identities are `epoch_us` BIGINTs.
+  *
+  * Scale design: tumble/slide are single-shuffle hash aggregations whose
+  * key count grows with time span, not row count; session uses one
+  * shuffle on user_id + an in-partition sort (the standard distributed
+  * sessionization shape). Late-arrival replays the arrival sequence to
+  * reconstruct the watermark — inherently sequential, kept as a bounded
+  * diagnostic (its output is a per-type summary, its input one sorted
+  * pass).
+  */
+object Events {
+
+  private def q(name: String, oracle: String)(
+      df: (SparkSession, String) => DataFrame) = QuerySpec.sql(name, oracle)(df)
+
+  /** 30-minute session gap / lateness threshold, in microseconds. */
+  private val GapUs = 30L * 60 * 1000 * 1000
+  /** 15-minute slide, in microseconds. */
+  private val SlideUs = 15L * 60 * 1000 * 1000
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Tumbling 1-hour windows (Q-EV-TUMBLE, rehearsed SURVEY §8.3-QB).
+    // Spark's window() buckets are epoch-aligned, identical to
+    // date_trunc('hour') in UTC; the window identity is emitted as
+    // unix_micros(window.start).
+    q("q_ev_tumble",
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_us,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY win_us""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("win_us")
+    },
+
+    // Sliding windows: 1 hour long, every 15 minutes (Q-EV-SLIDE). Each
+    // event lands in exactly ceil(60/15)=4 windows. The oracle derives
+    // the same 4 epoch-aligned starts per event with integer µs math
+    // (floor-division == truncation for the positive fixture epochs).
+    q("q_ev_slide",
+      s"""WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |w AS (SELECT ((us // $SlideUs) * $SlideUs)
+        |               - CAST(k AS BIGINT) * $SlideUs AS win_us,
+        |             value
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+        |SELECT win_us, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM w
+        |GROUP BY win_us
+        |ORDER BY win_us""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("win_us")
+    },
+
+    // Session windows, 30-minute inactivity gap (Q-EV-SESSION): the
+    // lag+sum break-flag idiom (probed identical in both engines, SURVEY
+    // §8.2 — user 0 has 60 sessions at sf0.001). One shuffle on user_id.
+    q("q_ev_session",
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |           FROM events),
+        |f AS (SELECT *, CASE WHEN us - lag(us) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_id) > $GapUs
+        |        THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |      FROM f)
+        |SELECT user_id, sess AS session_id, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  round(sum(value), 2) AS sum_value
+        |FROM s
+        |GROUP BY user_id, sess
+        |ORDER BY user_id, session_id""") { (s, d) =>
+      val byU = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("brk",
+          when(col("us") - lag("us", 1).over(byU) > GapUs, 1).otherwise(0))
+        .withColumn("session_id", sum("brk").over(
+          byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("us").as("start_us"), max("us").as("end_us"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Late-arrival accounting (Q-EV-LATEARRIVAL): replay the arrival
+    // sequence (event_id is the ingestion order), reconstruct the
+    // watermark as the running max event time over all PRIOR arrivals,
+    // and count rows whose event time lags it by more than the 30-minute
+    // threshold — the rows a streaming watermark would have dropped
+    // (CAP-STREAM-WM's batch twin; asserted equal in StreamingSpec).
+    q("q_ev_latearrival",
+      s"""WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |w AS (SELECT *, max(us) OVER (ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |      FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN wm - us > $GapUs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(max(CASE WHEN wm - us > $GapUs THEN wm - us ELSE 0 END)
+        |    AS BIGINT) AS max_late_us
+        |FROM w
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, d) =>
+      val arrival = Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val late = col("wm") - col("us") > GapUs
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("wm", max("us").over(arrival))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(late, 1L).otherwise(0L)).as("n_late"),
+          max(when(late, col("wm") - col("us")).otherwise(0L))
+            .as("max_late_us"))
+        .orderBy("event_type")
+    }
+  )
+}
