@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.graftnative.VectorNative
+
+/** Public Column-API entry points for the native vector kernels (the
+  * codegen expressions themselves live in
+  * org.apache.spark.sql.graftnative — see that file for why).
+  */
+object VectorFunctions {
+  /** Dot product of two array<double> columns (whole-stage codegen). */
+  def dot(a: Column, b: Column): Column = VectorNative.dot(a, b)
+
+  /** L2 norm of an array<double> column (codegen'd self-dot). */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+}

