@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent checks of the event-time queries (SURVEY §2.10) against
+  * values recomputed from first principles on sf0.001 — not against the
+  * DuckDB oracle (the driver does that), but against a driver-free
+  * Scala recomputation, so a shared misreading of the semantics would
+  * still be caught.
+  */
+class EventsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val GapUs = 30L * 60 * 1000 * 1000
+  private lazy val events = Tables.events(spark, sf)
+    .select(col("event_id"), unix_micros(col("ts")).as("us"),
+      col("user_id"), col("value"))
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("tumbling windows partition all events, hour-aligned") {
+    val rows = q("q_ev_tumble").collect()
+    assert(rows.map(_.getLong(1)).sum === events.length)
+    assert(rows.forall(_.getLong(0) % 3_600_000_000L == 0))
+    val expectedWindows = events.map(_._2 / 3_600_000_000L).distinct.length
+    assert(rows.length === expectedWindows)
+  }
+
+  test("sliding windows put each event in exactly 4 windows, slide-aligned") {
+    val rows = q("q_ev_slide").collect()
+    assert(rows.map(_.getLong(1)).sum === 4L * events.length)
+    assert(rows.forall(_.getLong(0) % 900_000_000L == 0))
+  }
+
+  test("sessionization matches a first-principles gap scan per user") {
+    // Recompute session counts independently: sort each user's events by
+    // (time, event_id), count gaps > 30 min.
+    val expected = events.groupBy(_._3).map { case (u, es) =>
+      val ts = es.sortBy(e => (e._2, e._1)).map(_._2)
+      u -> (1 + ts.sliding(2).count(w => w.length == 2 && w(1) - w(0) > GapUs))
+    }
+    val got = q("q_ev_session").groupBy("user_id")
+      .agg(max("session_id").as("n"), sum("n_events").as("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet === expected.keySet)
+    // session_id is a running break count starting at 0, so the session
+    // count per user is max(session_id) + 1.
+    got.foreach { case (u, maxSessionId, total) =>
+      assert(maxSessionId + 1 === expected(u).toLong, s"user $u")
+      assert(total === events.count(_._3 == u).toLong, s"user $u event total")
+    }
+    // Pinned probe value (recomputed via DuckDB independently): user 0
+    // has 58 sessions at sf0.001 with a 30-minute gap.
+    assert(got.find(_._1 == 0L).get._2 === 57L)
+  }
+
+  test("late-arrival accounting matches a sequential watermark replay") {
+    // Replay arrivals in event_id order, tracking the running max event
+    // time over PRIOR rows; late = watermark - ts > 30 min.
+    var wm = Long.MinValue
+    var nLate = 0
+    events.sortBy(_._1).foreach { case (_, us, _, _) =>
+      if (wm != Long.MinValue && wm - us > GapUs) nLate += 1
+      wm = math.max(wm, us)
+    }
+    val rows = q("q_ev_latearrival").collect()
+    assert(rows.map(_.getLong(1)).sum === events.length)
+    assert(rows.map(_.getLong(2)).sum === nLate.toLong)
+    rows.foreach { r =>
+      if (r.getLong(2) == 0) assert(r.getLong(3) === 0L)
+      else assert(r.getLong(3) > GapUs)
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY §5.2 layer 2 / §4.2): the contract
+  * queries must not merely return correct rows — they must carry the
+  * plan shapes that survive a 100 TB scale-up. Covers Q-AGG-PARTIAL
+  * (partial+final aggregation is observable only via the plan).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("q_scan_prune pushes predicate and projection into the parquet scan") {
+    val p = plan("q_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"predicate not pushed to scan:\n$p")
+    // Column pruning: the scan schema must carry only the 4 referenced
+    // columns, not all 11 lineitem columns.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q_join_bcast plans a broadcast hash join, not a shuffle join") {
+    val p = plan("q_join_bcast")
+    assert(p.contains("BroadcastHashJoin"), s"no BroadcastHashJoin:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
+  }
+
+  test("q_topk fuses into TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+  }
+
+  test("q_agg_group aggregates partial (map-side) then final — Q-AGG-PARTIAL") {
+    val p = plan("q_agg_group")
+    val nAggs = "HashAggregate".r.findAllIn(p).length
+    assert(nAggs >= 2, s"expected partial+final HashAggregate, got $nAggs:\n$p")
+  }
+
+  test("q_sim_cosine_knn uses the native dot-product expression") {
+    val p = plan("q_sim_cosine_knn")
+    assert(p.contains("graft_dot"), s"native kernel missing from plan:\n$p")
+    // The expression implements doGenCode (not CodegenFallback), so its
+    // presence in a Project is a codegen'd tight loop; cross-check that
+    // the generated code computes exactly what the interpreted
+    // higher-order-function formulation does (same summation order).
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val both = emb.select(
+      graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))
+        .as("native"),
+      expr("aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0D," +
+        " (acc, x) -> acc + x)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0L)
+  }
+}

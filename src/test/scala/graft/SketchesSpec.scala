@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the no-oracle sketch operators (SURVEY §5.2 layer
+  * 3): each approximate/sketch path is measured against its exact
+  * counterpart on sf0.001, so "deterministic" also means "actually
+  * close to the exact answer".
+  */
+class SketchesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def pairSet(name: String, minJac: Double = -1): Set[(Long, Long)] = {
+    val df = if (minJac >= 0) q(name).filter(col("jac") >= minJac) else q(name)
+    df.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("MinHash-LSH candidates recall >= 0.9 of exact Jaccard >= 0.8 pairs") {
+    val exact = pairSet("q_dedup_ngram", 0.8)
+    assert(exact.nonEmpty, "vacuous recall test — no exact near-dup pairs")
+    val cand = pairSet("q_dedup_minhash")
+    val recall = exact.intersect(cand).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("SimHash candidates recall >= 0.8 of exact Jaccard >= 0.9 pairs") {
+    val exact = pairSet("q_dedup_ngram", 0.9)
+    assert(exact.nonEmpty, "vacuous recall test — no exact near-dup pairs")
+    val cand = pairSet("q_dedup_simhash")
+    val recall = exact.intersect(cand).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("IVF ANN finds a meaningful fraction of brute-force top-3 neighbors") {
+    // Brute force: exact top-3 cosine neighbors for the IVF query set.
+    val base = Tables.embeddings(spark, sf).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+    val qs = base.filter(col("vec_id") % 97 === 0).toDF("qid", "qv", "qn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val exact = qs.join(base, col("qid") =!= col("vec_id"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
+          / (col("qn") * col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = q("q_sim_ann_ivf").select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    // The deterministic vec_id%100 centroids are a placeholder codebook;
+    // the property pinned here is that per-cell search still finds a
+    // nontrivial share of true neighbors, and never a wrong cosine order
+    // within a cell (rn ordering is exact inside the cell).
+    assert(recall >= 0.2, s"IVF recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("approx_count_distinct is within 10% of the exact distinct count") {
+    val approx = q("q_agg_approx").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n) <= 0.1 * n, s"flag $k: approx $a vs exact $n")
+    }
+  }
+
+  test("top-k via TakeOrderedAndProject is identical to global sort + limit") {
+    val topk = q("q_topk").collect().map(_.toSeq)
+    val sorted = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(100).collect().map(_.toSeq)
+    assert(topk.toSeq === sorted.toSeq)
+  }
+
+  test("dedup is idempotent: re-deduping the survivors changes nothing") {
+    val survivors = q("q_dedup_exact").select("keep_id")
+    val docs = Tables.documents(spark, sf)
+    val kept = docs.join(survivors, docs("doc_id") === survivors("keep_id"))
+    val rededup = kept.groupBy("text").agg(min("doc_id").as("keep_id"))
+    assert(rededup.count() === kept.count())
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent checks of the UDF/UDAF/UDTF queries (SURVEY §2.11): the
+  * custom code paths are re-derived with built-ins or plain Scala.
+  */
+class UdxSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("scalar UDF: distinct char-3-gram count matches plain Scala") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = q("q_udf_scalar").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got.keySet === docs.keySet)
+    docs.foreach { case (id, t) =>
+      val expected = if (t.length < 3) 0 else t.sliding(3).toSet.size
+      assert(got(id) === expected, s"doc $id")
+    }
+  }
+
+  test("UDAF geometric mean equals the exp(avg(ln)) identity via built-ins") {
+    val expected = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(round(exp(avg(log(col("l_quantity")))), 6).as("geo"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val got = q("q_udaf_agg").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got === expected)
+  }
+
+  test("UDAF plans partial+final aggregation like a built-in") {
+    val p = q("q_udaf_agg").queryExecution.executedPlan.toString
+    assert("Aggregate".r.findAllIn(p).length >= 2,
+      s"typed Aggregator did not get two-phase aggregation:\n$p")
+  }
+
+  test("UDTF generator fans out one row per char-3-gram position") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expectedRows = docs.map { case (_, t) => math.max(t.length - 2, 0) }.sum
+    val got = q("q_udtf_gen").collect()
+    assert(got.length === expectedRows)
+    // Spot-check the first document's first and last grams.
+    val (id0, t0) = docs.minBy(_._1)
+    val mine = got.filter(_.getLong(0) == id0)
+    assert(mine.head.getString(2) === t0.substring(0, 3))
+    assert(mine.last.getString(2) === t0.substring(t0.length - 3))
+  }
+}
