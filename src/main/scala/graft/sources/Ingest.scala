@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Non-parquet ingestion surface (SURVEY §2.1 CAP-SRC-TEXT/CSV/JSON/
+  * BINARY, CAP-SINK-PART). FileMap is line-of-text native: a dataset is
+  * a directory tree of files and a record is a line (or a whole file
+  * for binary operators). These helpers are the schema-on-read
+  * normalization layer in front of the relational engine; SourcesSpec
+  * round-trips each one through tmp directories.
+  */
+object Ingest {
+
+  /** Line-oriented text (FileMap's native record model): one row per
+    * line, tagged with the file it came from — the lineage needed for
+    * per-file map semantics and incremental re-runs. */
+  def lines(spark: SparkSession, glob: String): DataFrame =
+    spark.read.text(glob)
+      .select(input_file_name().as("path"), col("value").as("line"))
+
+  /** Delimited files with header + schema inference (the `awk -F,`
+    * idiom). */
+  def csv(spark: SparkSession, glob: String, delimiter: String = ","): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("delimiter", delimiter)
+      .csv(glob)
+
+  /** Newline-delimited JSON with schema inference (the `jq` idiom). */
+  def jsonLines(spark: SparkSession, glob: String): DataFrame =
+    spark.read.json(glob)
+
+  /** Whole-file records for binary/multimodal data: (path, length,
+    * modificationTime, content). Pair with ops.Multimodal for the
+    * decode/feature pipelines. */
+  def binaryFiles(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+
+  /** Hive-style partitioned parquet sink (output tree mirrors the
+    * partition columns — FileMap's output-tree model, and the
+    * prerequisite for static + dynamic partition pruning on re-read). */
+  def writePartitioned(df: DataFrame, dir: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(dir)
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming counterparts of the batch event queries
+  * (CAP-STREAM-WM / CAP-STREAM-STATE; FileMap analogue = incremental
+  * re-run over a growing file tree, SURVEY §0.1 P6).
+  *
+  * The streaming queries are the SAME logical plans as ops.Events —
+  * `readStream` over a parquet directory instead of `read` — which is
+  * the point: new files arriving in the directory are processed
+  * exactly once, with the watermark bounding both state and lateness.
+  * StreamingSpec asserts stream ≡ batch on the fixtures
+  * (Trigger.AvailableNow, never wall-clock-dependent).
+  */
+object StreamDemos {
+
+  /** Raw events schema as stored (ts = parquet TIMESTAMP(NANOS), read
+    * as BIGINT nanos under the nanosAsLong flag; streaming sources
+    * require an explicit schema). */
+  val rawEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over an events-shaped parquet directory, with the
+    * same ns→µs recipe the batch loader applies (Tables.events). */
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(rawEventsSchema)
+    val r = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+    r.parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming twin of q_ev_tumble: hourly tumbling counts/sums with a
+    * 30-minute watermark. Append mode emits a window only once the
+    * watermark passes its end — the exactly-once incremental shape. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Run a streaming DataFrame to a memory sink with AvailableNow
+    * (process everything currently in the directory, then stop) and
+    * return the sink's contents. Deterministic: no wall-clock triggers.
+    */
+  def runAvailableNow(spark: SparkSession, df: DataFrame, mode: String,
+      name: String, checkpoint: Option[String] = None): DataFrame = {
+    val writer = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+    val query = checkpoint
+      .map(c => writer.option("checkpointLocation", c)).getOrElse(writer)
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Run a streaming DataFrame to a parquet sink (append mode — the
+    * only mode file sinks support) with AvailableNow, recovering from
+    * `checkpoint` if it exists. This is the restart-and-catch-up path:
+    * the watermark and source offsets come back from the checkpoint, so
+    * a second run processes only new files and drops data behind the
+    * restored watermark — FileMap's memoized incremental re-run,
+    * exactly-once. */
+  def runAvailableNowToParquet(spark: SparkSession, df: DataFrame,
+      out: String, checkpoint: String): Unit = {
+    val query = df.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Per-user running state for CAP-STREAM-STATE: event count and max
+    * event time via mapGroupsWithState — the arbitrary-stateful-
+    * processing hook (the streaming analogue of a reducer that keeps
+    * its own accumulator). */
+  case class UserState(n: Long, maxUs: Long)
+  case class UserCount(user_id: Long, n_events: Long, max_us: Long)
+
+  def statefulUserCounts(spark: SparkSession, events: DataFrame): Dataset[UserCount] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserCount](GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            UserState(acc.n + 1, math.max(acc.maxUs, r._2))
+          }
+          state.update(next)
+          UserCount(user, next.n, next.maxUs)
+      }
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamDemos
+
+/** Structured Streaming capability demos (CAP-STREAM-WM /
+  * CAP-STREAM-STATE), asserted by batch equivalence on fixed fixtures —
+  * Trigger.AvailableNow only, nothing wall-clock-dependent.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  /** The fixture events table as a DIRECTORY (the file-stream source
+    * monitors directories; the fixture is a single parquet file). */
+  private lazy val eventsDir: String = {
+    val d = tmpDir("graft_stream_src")
+    Files.copy(java.nio.file.Paths.get(sf + "/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  /** Write rows (rawEventsSchema) as ONE parquet file named `name` in
+    * `dir`, with a controlled modification time so the file source's
+    * oldest-first ordering is deterministic. */
+  private def writeEventsFile(dir: Path, name: String, mtime: Long,
+      rows: Seq[Row]): Unit = {
+    val stage = tmpDir("graft_stage")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), StreamDemos.rawEventsSchema)
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString + "/out")
+    val part = new java.io.File(stage.toString + "/out").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    val target = dir.resolve(name)
+    Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+    target.toFile.setLastModified(mtime)
+  }
+
+  private def ns(hours: Double): Long = (hours * 3600d * 1e9).toLong
+
+  private def ev(id: Long, tsNs: Long, user: Long = 1L): Row =
+    Row(id, tsNs, user, "click", 1.0, """{"k": 1}""")
+
+  test("CAP-STREAM-WM: streaming tumble over the fixture tree == batch q_ev_tumble") {
+    // Stream the same parquet the batch query reads.
+    val src = StreamDemos.eventsStream(spark, eventsDir)
+    val got = StreamDemos.runAvailableNow(spark,
+      StreamDemos.tumblingHourly(src), "complete", "graft_stream_tumble")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = q("q_ev_tumble")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
+  test("CAP-STREAM-WM: append mode drops data later than the watermark") {
+    val dir = tmpDir("graft_stream_wm")
+    val ckpt = tmpDir("graft_stream_ckpt").toString
+    val out = tmpDir("graft_stream_out").toString + "/agg"
+    def run(): Map[Long, Long] = {
+      StreamDemos.runAvailableNowToParquet(spark,
+        StreamDemos.tumblingHourly(StreamDemos.eventsStream(spark, dir.toString)),
+        out, ckpt)
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    // Run 1: three events in hour 0 and one in hour 2. After the run the
+    // checkpointed watermark is 02:00 - 30min = 01:30, and the hour-0
+    // window (end 01:00 <= watermark) is finalized and emitted.
+    writeEventsFile(dir, "f1.parquet", mtime = 1_000_000L, rows = Seq(
+      ev(1, ns(0.10)), ev(2, ns(0.20)), ev(3, ns(0.30)), ev(4, ns(2.0))))
+    assert(run() === Map(0L -> 3L))
+    // Run 2 recovers the checkpoint (watermark restored at 01:30) and
+    // sees only the new file: a late event back in hour 0 — its window
+    // is already finalized, so the watermark DROPS it — plus a fresh
+    // event in hour 10, which advances the watermark and finalizes the
+    // hour-2 window. The hour-0 row must still read exactly 3.
+    writeEventsFile(dir, "f2.parquet", mtime = 2_000_000L, rows = Seq(
+      ev(5, ns(0.75)), ev(6, ns(10.0))))
+    assert(run() === Map(0L -> 3L, 7_200_000_000L -> 1L),
+      "late event must not resurrect the closed hour-0 window")
+  }
+
+  test("CAP-STREAM-STATE: mapGroupsWithState running counts == batch groupBy") {
+    val src = StreamDemos.eventsStream(spark, eventsDir)
+    val counts = StreamDemos.statefulUserCounts(spark, src)
+    val got = StreamDemos.runAvailableNow(spark, counts.toDF(), "update",
+      "graft_stream_state")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === batch)
+  }
+}
