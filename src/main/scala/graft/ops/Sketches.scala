@@ -83,29 +83,46 @@ object Sketches {
         .orderBy("ida", "idb")
     },
 
-    // IVF-style ANN: deterministic centroid subset (vec_id % 100 == 0),
-    // assign every vector to its nearest centroid (N x C, C small), then
-    // search only within the query's cell. Brute-force recall is
-    // property-tested. At scale: C = sqrt(N) centroids, the assign stage
-    // broadcasts centroids, and the search stage shuffles by cell.
+    // IVF-style ANN: deterministic seed centroids (vec_id % 100 == 0)
+    // refined by ONE Lloyd iteration — per-cell means summed as scaled
+    // longs, so floating-point accumulation order cannot jitter the
+    // codebook across runs (results stay bit-deterministic). Every
+    // vector is assigned to its nearest refined centroid (N x C, C
+    // small, centroids broadcast), then search touches only the query's
+    // cell. Brute-force recall is property-tested. At scale: C =
+    // sqrt(N) centroids, the search stage shuffles by cell.
     QuerySpec.noOracle("q_sim_ann_ivf") { (s, d) =>
       val base = Tables.embeddings(s, d).select(
         col("vec_id"), col("embedding"),
         graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
-      val cents = base.filter(col("vec_id") % 100 === 0)
-        .toDF("cid", "cv", "cn")
       def cos(v1: String, v2: String, n1: Column, n2: Column): Column =
         graft.functions.VectorFunctions.dot(col(v1), col(v2)) / (n1 * n2)
-      // assign: nearest centroid per vector
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-      val assigned = base.crossJoin(broadcast(cents))
-        .withColumn("ccos", round(cos("embedding", "cv",
-          col("norm"), col("cn")), 9))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("norm"),
-          col("cid").as("cell"))
+      def assignTo(cents: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+        base.crossJoin(broadcast(cents))
+          .withColumn("ccos", round(cos("embedding", "cv",
+            col("norm"), col("cn")), 9))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("norm"),
+            col("cid").as("cell"))
+      }
+      val seeds = base.filter(col("vec_id") % 100 === 0)
+        .toDF("cid", "cv", "cn")
+      // Lloyd step: mean vector per seed cell, exact integer summation
+      // (x * 1e9 as long) -> order-independent, hence deterministic.
+      val refined = assignTo(seeds)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum((col("x") * 1e9).cast("long")) /
+          (count(lit(1)) * 1e9)).as("cx"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
+          " p -> p.cx)").as("cv"))
+        .select(col("cell").as("cid"), col("cv"),
+          graft.functions.VectorFunctions.l2norm(col("cv")).as("cn"))
+      val assigned = assignTo(refined)
       val queries = assigned.filter(col("vec_id") % 97 === 0)
         .toDF("qid", "qv", "qn", "qcell")
       val wq = org.apache.spark.sql.expressions.Window
