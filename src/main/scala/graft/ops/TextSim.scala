@@ -418,6 +418,31 @@ object TextSim {
         .limit(100)
     },
 
+    // Embedding-cosine near-dup: canonical representative per vector =
+    // the smallest vec_id among its above-threshold neighbors (one-hop
+    // single-link, not transitive closure — deterministic and
+    // oracle-expressible). θ=0.4 is fixture-calibrated so duplicate
+    // groups are non-trivial on the synthetic vectors.
+    q("q_dedup_cosine",
+      """SELECT e.vec_id,
+        |  coalesce(min(a.vec_id), e.vec_id) AS keep_id,
+        |  count(a.vec_id) AS n_nbrs
+        |FROM embeddings e LEFT JOIN embeddings a
+        |  ON a.vec_id < e.vec_id
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(e.embedding AS DOUBLE[])), 6) >= 0.4
+        |GROUP BY e.vec_id
+        |ORDER BY e.vec_id""") { (s, d) =>
+      val nbrs = cosinePairs(s, d).filter(col("cos") >= 0.4)
+        .select(col("ida"), col("idb"))
+      Tables.embeddings(s, d).select(col("vec_id"))
+        .join(nbrs, col("vec_id") === col("idb"), "left")
+        .groupBy("vec_id")
+        .agg(coalesce(min("ida"), col("vec_id")).as("keep_id"),
+          count(col("ida")).as("n_nbrs"))
+        .orderBy("vec_id")
+    },
+
     q("q_sim_threshold",
       """SELECT a.label AS label_a, b.label AS label_b, count(*) AS n
         |FROM embeddings a, embeddings b
