@@ -151,10 +151,14 @@ object Joins {
         |     AND o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderkey
         |ORDER BY o_orderkey""") { (s, d) =>
+      // Precompute the interval endpoint on the tiny build side, so the
+      // 15M-pair nested-loop predicate is two timestamp compares and no
+      // per-pair interval arithmetic.
       val o = Tables.orders(s, d).filter(col("o_orderkey") < 100)
+        .withColumn("o_end", col("o_orderdate") + expr("INTERVAL 30 DAY"))
       Tables.lineitem(s, d)
-        .join(broadcast(o), col("l_shipdate").between(col("o_orderdate"),
-          col("o_orderdate") + expr("INTERVAL 30 DAY")))
+        .join(broadcast(o),
+          col("l_shipdate").between(col("o_orderdate"), col("o_end")))
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_shipped"))
         .orderBy("o_orderkey")

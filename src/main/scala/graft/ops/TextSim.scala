@@ -50,8 +50,14 @@ object TextSim {
     * same shuffle key the pair join needs anyway.
     */
   def gramIndex(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    // Grams are 64-bit-hashed immediately after generation: every
+    // downstream shuffle, distinct, and self-join keys on an 8-byte long
+    // instead of a ~20-char string. Collisions across ~4e5 distinct
+    // grams are ~1e-8-probable — far below any other source of error —
+    // and the gram text itself is never part of any query output.
     val g0 = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextSim.wordGrams3).as("gram"))
+      .select(col("doc_id"), explode(TextSim.wordGrams3).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gram"))
       .distinct()
     val ok = g0.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
