@@ -19,10 +19,11 @@ object Sketches {
   private val NumHashes = 16
   private val Bands = 4 // 4 rows per band
 
-  /** Distinct word-3-grams per document, with the same stop-gram
-    * document-frequency cap as the exact kernels ([[TextSim.gramIndex]])
-    * — a band bucket shared by k docs emits k²/2 candidate pairs, so
-    * high-df grams must not dominate the signatures. */
+  /** Distinct (hashed) word-3-grams per document, with the same
+    * stop-gram document-frequency cap as the exact kernels
+    * ([[TextSim.gramIndex]]) — a band bucket shared by k docs emits
+    * k²/2 candidate pairs, so high-df grams must not dominate the
+    * signatures. */
   private def grams(s: SparkSession, d: String): DataFrame =
     TextSim.gramIndex(s, d, TextSim.DfCap)
 

@@ -28,19 +28,22 @@ object TextSim {
   /** words of `text`, split on single spaces (fixture texts are clean). */
   private val words: Column = split(col("text"), " ")
 
-  /** Word-3-grams of `text` as an array (possibly empty). Guarded for
-    * <3-word documents: `sequence(1, n-2)` with n<=2 would produce the
-    * DESCENDING sequence [1,0] (Spark defaults step=-1 when start>stop)
-    * and `slice(ws, 0, 3)` then throws; the guard returns an empty array
-    * instead, matching DuckDB's empty `range(1,1)`.
+  /** Word-3-grams over a pre-split word-array column `ws` (possibly
+    * empty result). Two subtleties:
+    *  - the <3-word guard: `sequence(1, n-2)` with n<=2 would produce
+    *    the DESCENDING sequence [1,0] (Spark defaults step=-1 when
+    *    start>stop) and `slice(ws, 0, 3)` then throws; the guard
+    *    returns an empty array instead, matching DuckDB's `range(1,1)`;
+    *  - `ws` must be a MATERIALIZED column, not an inline
+    *    `split(text)`: an inline split is re-evaluated inside the
+    *    transform lambda for every gram index — O(words²) splits per
+    *    document, which was 4 s of the sf0.1 gram-index build.
     */
-  val wordGrams3: Column = {
-    val n = size(split(col("text"), " "))
-    when(n >= 3, expr(
-      "transform(sequence(1, size(split(text, ' ')) - 2)," +
-        " i -> array_join(slice(split(text, ' '), i, 3), ' '))"))
+  def wordGrams3(ws: String): Column =
+    when(size(col(ws)) >= 3, expr(
+      s"transform(sequence(1, size($ws) - 2)," +
+        s" i -> array_join(slice($ws, i, 3), ' '))"))
       .otherwise(expr("CAST(array() AS array<string>)"))
-  }
 
   /** Distinct word-3-grams per document with a stop-gram cap: grams
     * whose document frequency exceeds `dfCap` are dropped BEFORE any
@@ -56,7 +59,8 @@ object TextSim {
     // grams are ~1e-8-probable — far below any other source of error —
     // and the gram text itself is never part of any query output.
     val g0 = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextSim.wordGrams3).as("g"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(TextSim.wordGrams3("ws")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gram"))
       .distinct()
     val ok = g0.groupBy("gram").agg(count(lit(1)).as("df"))
