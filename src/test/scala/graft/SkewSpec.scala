@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salted join: identical rows to the plain join, with the salt
+  * actually present in the shuffle key (the skew-spreading mechanism).
+  */
+class SkewSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.ops.Skew
+
+  // lineitem.l_returnflag has 3 values (~2000 rows each at sf0.001) —
+  // a deliberately hot join key.
+  private lazy val probe = Tables.lineitem(spark, sf)
+    .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+  private lazy val build = spark.createDataFrame(Seq(
+    ("A", "returned"), ("N", "normal"), ("R", "refused"))).toDF("l_returnflag", "label")
+
+  test("salted join returns exactly the plain join's rows") {
+    val plain = probe.join(build, "l_returnflag")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "label")
+    val salted = Skew.saltedJoin(probe, build, "l_returnflag", buckets = 8)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "label")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0L)
+    assert(plain.except(salted).count() === 0L)
+  }
+
+  test("the shuffle key includes the salt, spreading the hot key") {
+    val salted = Skew.saltedJoin(probe, build, "l_returnflag", buckets = 8)
+    val plan = salted.queryExecution.executedPlan.toString
+    // Either a shuffle join keyed on (key, salt), or — for this small
+    // build side — a broadcast join whose join key still carries the
+    // salt; both show __salt in the plan's join keys.
+    assert(plan.contains("__salt"), s"salt not in the physical plan:\n$plan")
+    // And the salt values actually spread the hot key across buckets.
+    val spread = Skew.saltedJoin(probe, build, "l_returnflag", buckets = 8)
+    val perKey = probe.withColumn("__salt",
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        lit(8L)))
+      .groupBy("l_returnflag").agg(countDistinct(col("__salt")).as("nsalts"))
+      .collect().map(_.getLong(1))
+    assert(perKey.forall(_ === 8L), "hot keys did not spread over all buckets")
+  }
+}

@@ -56,6 +56,17 @@ class SourcesSpec extends AnyFunSuite {
       .head().getInt(0) === 2)
   }
 
+  test("CAP-SRC-TEXT: compression-transparent input (gzip)") {
+    // FileMap pillar P8: zcat-in-the-pipeline; Spark's text source
+    // decompresses by extension with no reader changes.
+    val dir = tmpDir("graft_gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("a.txt.gz")))
+    gz.write("packed\nlines\n".getBytes("UTF-8")); gz.close()
+    val df = Ingest.lines(spark, dir.toString + "/*.txt.gz")
+    assert(df.collect().map(_.getString(1)).toSet === Set("packed", "lines"))
+  }
+
   test("CAP-SRC-BINARY: whole-file records carry exact bytes") {
     val dir = tmpDir("graft_bin")
     val payload = Array[Byte](1, 2, 3, 4, 5)
