@@ -7,9 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_warehouse")
+    wh.toFile.deleteOnExit()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .config("spark.sql.warehouse.dir", wh.toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
