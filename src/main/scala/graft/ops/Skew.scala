@@ -30,9 +30,13 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       buckets: Int): DataFrame = {
     require(buckets > 0)
+    // Salt from the non-key columns; a key-only probe has nothing to
+    // hash, so it degenerates to a single bucket (correct, no spread).
     val saltSrc = probe.columns.filter(_ != key).map(col).toSeq
-    val salted = probe.withColumn("__salt",
-      pmod(xxhash64(saltSrc: _*), lit(buckets.toLong)))
+    val saltExpr =
+      if (saltSrc.isEmpty) lit(0L)
+      else pmod(xxhash64(saltSrc: _*), lit(buckets.toLong))
+    val salted = probe.withColumn("__salt", saltExpr)
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
