@@ -112,6 +112,29 @@ object Events {
         .orderBy("user_id", "session_id")
     },
 
+    // Pivot / cross-tabulation: event counts per user × event_type. The
+    // pivot value list is explicit (no extra distinct-scan, and the
+    // output schema is fixed — the only scale-safe way to pivot).
+    q("q_pivot",
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pivoted.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    },
+
     // Late-arrival accounting (Q-EV-LATEARRIVAL): replay the arrival
     // sequence (event_id is the ingestion order), reconstruct the
     // watermark as the running max event time over all PRIOR arrivals,

@@ -287,6 +287,21 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Quantile sketch (Greenwald-Khanna / KLL-style approx_percentile):
+    // fixed-size mergeable state where the exact percentile needs a
+    // sort — the 100 TB path for quantiles. Engine sketches differ, so
+    // no oracle; accuracy is property-tested vs exact percentile.
+    QuerySpec.noOracle("q_agg_approx_pctl") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+          .as("p50_approx"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)")
+            .as("p99_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- §2.6 sort / top-k ----------------------------------------------
 
     q("q_sort_multi",

@@ -261,6 +261,28 @@ object TextSim {
         .orderBy("doc_id")
     },
 
+    // Deterministic hash-based stratified sampling — the reproducible
+    // train/eval-split idiom for training-data pipelines: membership
+    // depends only on the stable doc_id (md5 is identical cross-engine,
+    // unlike either engine's RNG), so the sample is stable under
+    // repartitioning, re-runs, and engine changes. Rates per stratum:
+    // en 25% (first two hex chars < '40'), other languages ~10% (< '1a').
+    q("q_sample_stratified",
+      """SELECT doc_id, lang,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |  < CASE WHEN lang = 'en' THEN '40' ELSE '1a' END
+        |ORDER BY doc_id""") { (s, d) =>
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables.documents(s, d)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") <
+          when(col("lang") === "en", "40").otherwise("1a"))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    },
+
     // ---- deduplication ---------------------------------------------------
 
     q("q_dedup_exact",

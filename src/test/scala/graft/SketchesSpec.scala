@@ -74,6 +74,38 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile is within 5% of the exact percentile") {
+    val approx = q("q_agg_approx_pctl").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= 0.05 * e, s"flag $k: ${approx(k)} vs $e")
+    }
+  }
+
+  test("hash-based stratified sample hits its per-stratum rates") {
+    val sampled = q("q_sample_stratified").groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val totals = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    totals.foreach { case (lang, n) =>
+      val target = if (lang == "en") 64.0 / 256 else 26.0 / 256
+      val got = sampled.getOrElse(lang, 0L).toDouble / n
+      // 3-sigma binomial tolerance for the ~100-doc strata.
+      val tol = 3 * math.sqrt(target * (1 - target) / n)
+      assert(math.abs(got - target) <= tol,
+        s"$lang: sampled $got, target $target +- $tol over $n docs")
+    }
+    // Reproducibility: membership is a pure function of doc_id, so a
+    // rerun returns the identical id set.
+    val a = q("q_sample_stratified").collect().map(_.getLong(0)).toSeq
+    val b = q("q_sample_stratified").collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
+
   test("top-k via TakeOrderedAndProject is identical to global sort + limit") {
     val topk = q("q_topk").collect().map(_.toSeq)
     val sorted = Tables.lineitem(spark, sf)
