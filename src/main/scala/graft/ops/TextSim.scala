@@ -73,6 +73,27 @@ object TextSim {
     * (spelled identically in their DuckDB oracles). */
   val DfCap = 100
 
+  /** Word-3-gram Jaccard pairs (ida < idb, jac rounded to 6) with
+    * jac >= minJac, through the capped shared-gram inverted index —
+    * the exact-counting pair kernel behind q_dedup_ngram and the
+    * cluster assignment. */
+  private def ngramJaccardPairs(s: SparkSession, d: String,
+      minJac: Double): DataFrame = {
+    val g = gramIndex(s, d, DfCap)
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = g.toDF("ida", "gram")
+      .join(g.toDF("idb", "gram2"),
+        col("gram") === col("gram2") && col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
+    pairs
+      .join(sz.toDF("ida", "na"), "ida")
+      .join(sz.toDF("idb", "nb"), "idb")
+      .withColumn("jac", round(
+        col("c") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jac") >= minJac)
+      .select("ida", "idb", "jac")
+  }
+
   /** Pairwise cosine kernel over embeddings: (ida, idb, cos) for
     * ida < idb. Norms computed once per vector before the cross join;
     * the per-pair kernel is the native codegen [[functions.DotProduct]]
@@ -399,20 +420,59 @@ object TextSim {
         |       JOIN sz sb ON p.idb = sb.doc_id
         |WHERE round(c / (sa.n + sb.n - c), 6) >= 0.1
         |ORDER BY ida, idb""") { (s, d) =>
-      val g = gramIndex(s, d, DfCap)
-      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = g.toDF("ida", "gram")
-        .join(g.toDF("idb", "gram2"),
-          col("gram") === col("gram2") && col("ida") < col("idb"))
-        .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
-      pairs
-        .join(sz.toDF("ida", "na"), "ida")
-        .join(sz.toDF("idb", "nb"), "idb")
-        .withColumn("jac", round(
-          col("c") / (col("na") + col("nb") - col("c")), 6))
-        .filter(col("jac") >= 0.1)
-        .select("ida", "idb", "jac")
-        .orderBy("ida", "idb")
+      ngramJaccardPairs(s, d, 0.1).orderBy("ida", "idb")
+    },
+
+    // Transitive dedup clusters: min-label propagation over the
+    // jac >= 0.5 near-dup graph, unrolled to a FIXED two rounds so the
+    // plan is static and both engines run the identical computation
+    // (one-hop canonicalization — q_dedup_cosine — doesn't close
+    // chains; two rounds close every path of length <= 4, which covers
+    // the fixture clusters; at scale the same round is iterated to a
+    // fixpoint with a driver loop over cached frames).
+    q("q_dedup_cluster",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |      FROM w),
+        |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
+        |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id),
+        |j AS (SELECT ida, idb
+        |      FROM p JOIN sz sa ON p.ida = sa.doc_id
+        |             JOIN sz sb ON p.idb = sb.doc_id
+        |      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
+        |e AS (SELECT ida AS a, idb AS b FROM j
+        |      UNION ALL SELECT idb, ida FROM j),
+        |l1 AS (SELECT d.doc_id,
+        |         least(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
+        |       FROM documents d LEFT JOIN e ON e.a = d.doc_id
+        |       GROUP BY d.doc_id),
+        |l2 AS (SELECT v.doc_id,
+        |         least(v.l, coalesce(min(u.l), v.l)) AS cluster
+        |       FROM l1 v LEFT JOIN e ON e.a = v.doc_id
+        |                 LEFT JOIN l1 u ON u.doc_id = e.b
+        |       GROUP BY v.doc_id, v.l)
+        |SELECT doc_id, cluster FROM l2
+        |ORDER BY doc_id""") { (s, d) =>
+      val j = ngramJaccardPairs(s, d, 0.5).select("ida", "idb")
+      val e = j.toDF("a", "b").unionByName(
+        j.select(col("idb").as("a"), col("ida").as("b")))
+      val docs = Tables.documents(s, d).select("doc_id")
+      def propagate(labels: DataFrame): DataFrame =
+        labels.join(e, labels("doc_id") === e("a"), "left")
+          .join(labels.toDF("u_id", "u_l"), col("b") === col("u_id"), "left")
+          .groupBy(labels("doc_id"), labels("l"))
+          .agg(least(col("l"), coalesce(min(col("u_l")), col("l"))).as("nl"))
+          .select(col("doc_id"), col("nl").as("l"))
+      val l0 = docs.select(col("doc_id"), col("doc_id").as("l"))
+      val l2 = propagate(propagate(l0))
+      l2.select(col("doc_id"), col("l").as("cluster")).orderBy("doc_id")
     },
 
     // ---- vector similarity ----------------------------------------------

@@ -116,6 +116,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(topk.toSeq === sorted.toSeq)
   }
 
+  test("cluster assignment reached its fixpoint on the fixture graph") {
+    // Every near-dup edge must connect two docs in the SAME cluster —
+    // i.e. the two unrolled propagation rounds were enough to close all
+    // fixture chains (if this ever fails, the fixture grew longer
+    // chains and the query needs another round).
+    val cluster = q("q_dedup_cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = pairSet("q_dedup_ngram", 0.5)
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"edge ($a,$b) spans clusters")
+    }
+    // And each cluster's label is its smallest member id.
+    cluster.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min === label)
+    }
+  }
+
   test("dedup is idempotent: re-deduping the survivors changes nothing") {
     val survivors = q("q_dedup_exact").select("keep_id")
     val docs = Tables.documents(spark, sf)
