@@ -461,6 +461,10 @@ object TextSim {
         |SELECT doc_id, cluster FROM l2
         |ORDER BY doc_id""") { (s, d) =>
       val j = ngramJaccardPairs(s, d, 0.5).select("ida", "idb")
+      // The edge set is referenced four times across the unrolled
+      // rounds; ReusedExchange dedupes the underlying gram-pair
+      // pipeline (measured: an explicit localCheckpoint here changes
+      // nothing), so the query stays fully declarative.
       val e = j.toDF("a", "b").unionByName(
         j.select(col("idb").as("a"), col("ida").as("b")))
       val docs = Tables.documents(s, d).select("doc_id")
