@@ -78,8 +78,9 @@ object Events {
     },
 
     // Session windows, 30-minute inactivity gap (Q-EV-SESSION): the
-    // lag+sum break-flag idiom (probed identical in both engines, SURVEY
-    // §8.2 — user 0 has 60 sessions at sf0.001). One shuffle on user_id.
+    // lag+sum break-flag idiom (probed identical in both engines; user 0
+    // has 58 sessions at sf0.001, pinned in EventsSpec — SURVEY §8.2's
+    // "60" was a stale probe note). One shuffle on user_id.
     q("q_ev_session",
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
         |           FROM events),

@@ -77,15 +77,22 @@ object TextSim {
     * jac >= minJac, through the capped shared-gram inverted index —
     * the exact-counting pair kernel behind q_dedup_ngram and the
     * cluster assignment. */
-  private def ngramJaccardPairs(s: SparkSession, d: String,
-      minJac: Double): DataFrame = {
+  /** Shared-gram pair counts (ida < idb, c = number of shared capped
+    * grams) — the single candidate-generation kernel behind the n-gram
+    * Jaccard, cluster, and Levenshtein-verify queries. */
+  private def sharedGramPairCounts(s: SparkSession, d: String): DataFrame = {
     val g = gramIndex(s, d, DfCap)
-    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = g.toDF("ida", "gram")
+    g.toDF("ida", "gram")
       .join(g.toDF("idb", "gram2"),
         col("gram") === col("gram2") && col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
-    pairs
+  }
+
+  private def ngramJaccardPairs(s: SparkSession, d: String,
+      minJac: Double): DataFrame = {
+    val sz = gramIndex(s, d, DfCap)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sharedGramPairCounts(s, d)
       .join(sz.toDF("ida", "na"), "ida")
       .join(sz.toDF("idb", "nb"), "idb")
       .withColumn("jac", round(
@@ -343,12 +350,7 @@ object TextSim {
         |JOIN documents db ON cand.idb = db.doc_id
         |WHERE levenshtein(da.text, db.text) <= 20
         |ORDER BY ida, idb""") { (s, d) =>
-      val g = gramIndex(s, d, DfCap)
-      val cand = g.toDF("ida", "gram")
-        .join(g.toDF("idb", "gram2"),
-          col("gram") === col("gram2") && col("ida") < col("idb"))
-        .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 3)
+      val cand = sharedGramPairCounts(s, d).filter(col("c") >= 3)
       val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
       cand
         .join(texts.toDF("ida", "text_a"), "ida")
@@ -425,11 +427,12 @@ object TextSim {
 
     // Transitive dedup clusters: min-label propagation over the
     // jac >= 0.5 near-dup graph, unrolled to a FIXED two rounds so the
-    // plan is static and both engines run the identical computation
-    // (one-hop canonicalization — q_dedup_cosine — doesn't close
-    // chains; two rounds close every path of length <= 4, which covers
-    // the fixture clusters; at scale the same round is iterated to a
-    // fixpoint with a driver loop over cached frames).
+    // plan is static and both engines run the identical computation.
+    // Two rounds converge a component iff every node is within 2 hops
+    // of its minimum-id node — true for the fixture graph (asserted as
+    // a fixpoint check in SketchesSpec); deeper components need more
+    // rounds, so at scale the same round is iterated to a fixpoint with
+    // a driver loop over cached frames (log-diameter rounds).
     q("q_dedup_cluster",
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),

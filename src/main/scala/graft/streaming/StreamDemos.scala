@@ -33,6 +33,10 @@ object StreamDemos {
     * same ns→µs recipe the batch loader applies (Tables.events). */
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // Same defensive conf as Tables.events: without it, reading the
+    // TIMESTAMP(NANOS) parquet throws at the first micro-batch on any
+    // session that didn't set the flag at build time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream.schema(rawEventsSchema)
     val r = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)

@@ -18,9 +18,14 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * the generated Java is a tight primitive loop over the two ArrayData
   * buffers — no allocation, no virtual calls per element.
   *
-  * Summation is left-to-right, the same order as the HOF formulation,
-  * so results are bit-identical to it (and to DuckDB's
-  * list_dot_product after the double cast).
+  * Summation is left-to-right, so on EQUAL-LENGTH arrays with
+  * NON-NULL elements — which the embeddings loader guarantees via its
+  * double cast — results are bit-identical to the HOF formulation (and
+  * to DuckDB's list_dot_product after the double cast); PlanShapeSpec
+  * asserts this. Outside that contract the semantics diverge: ragged
+  * inputs truncate to the shorter array (the HOF would return NULL via
+  * zip_with's null padding) and null ELEMENTS read as 0.0 — callers
+  * with ragged/nullable vectors must validate first.
   *
   * This file lives under the org.apache.spark.sql namespace because the
   * expression-extension points (AbstractDataType, ExpressionUtils) are

@@ -26,7 +26,7 @@ object Golden {
       val line = (0 until r.length).map { i =>
         val v = r.get(i)
         if (v == null) "NULL" else v.toString
-      }.mkString("") + "\n"
+      }.mkString("\u0001") + "\n"
       md.update(line.getBytes(StandardCharsets.UTF_8))
     }
     (rows.length, md.digest().map("%02x".format(_)).mkString)

@@ -35,7 +35,12 @@ class ShellPipeSpec extends AnyFunSuite {
       .select(explode(split(col("text"), " ")).as("w"))
     val merged = ShellPipe.pipe(words, "sort | uniq -c")
       .collect()
-      .map { l => val Array(n, w) = l.trim.split("\\s+", 2); (w, n.toLong) }
+      .map { l =>
+        // uniq -c prints "  <count> <word>"; a blank word (possible if
+        // texts ever gain doubled spaces) yields only the count field.
+        val parts = l.trim.split("\\s+", 2)
+        (if (parts.length > 1) parts(1) else "", parts(0).toLong)
+      }
       .groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }
     val native = words.groupBy("w").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

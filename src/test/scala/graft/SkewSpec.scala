@@ -35,7 +35,6 @@ class SkewSpec extends AnyFunSuite {
     // salt; both show __salt in the plan's join keys.
     assert(plan.contains("__salt"), s"salt not in the physical plan:\n$plan")
     // And the salt values actually spread the hot key across buckets.
-    val spread = Skew.saltedJoin(probe, build, "l_returnflag", buckets = 8)
     val perKey = probe.withColumn("__salt",
       pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
         lit(8L)))
