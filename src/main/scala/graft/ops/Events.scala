@@ -113,6 +113,58 @@ object Events {
         .orderBy("user_id", "session_id")
     },
 
+    // Resample + forward-fill (gap filling): every user gets a value at
+    // every point of an hourly grid — the last observed value at or
+    // before the grid point, -1 before a user's first event. The grid
+    // is derived from the data's own hour-truncated bounds; events sort
+    // before grid points at equal timestamps so an exactly-aligned
+    // observation is picked up. One union + one windowed pass per user:
+    // the standard distributed ffill (no per-grid-point joins).
+    q("q_ev_resample",
+      """WITH b AS (SELECT epoch_us(date_trunc('hour', min(ts))) AS lo,
+        |                  epoch_us(date_trunc('hour', max(ts))) AS hi
+        |           FROM events),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (SELECT u.user_id,
+        |           unnest(generate_series(b.lo, b.hi, 3600000000)) AS us
+        |         FROM u CROSS JOIN b),
+        |obs AS (SELECT user_id, epoch_us(ts) AS us, value,
+        |          0 AS src, event_id FROM events),
+        |gr AS (SELECT user_id, us, CAST(NULL AS DOUBLE) AS value,
+        |         1 AS src, CAST(NULL AS BIGINT) AS event_id FROM grid),
+        |f AS (SELECT user_id, us, src,
+        |        last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY us, src, event_id NULLS LAST
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+        |      FROM (SELECT * FROM obs UNION ALL SELECT * FROM gr))
+        |SELECT user_id, us AS grid_us,
+        |  round(coalesce(lv, -1.0), 6) AS value_ffill
+        |FROM f WHERE src = 1
+        |ORDER BY user_id, grid_us""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val b = ev.agg(
+        unix_micros(date_trunc("hour", min(col("ts")))).as("lo"),
+        unix_micros(date_trunc("hour", max(col("ts")))).as("hi"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(broadcast(b))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3_600_000_000L))).as("us"))
+      val obs = ev.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"), lit(0).as("src"), col("event_id"))
+      val gr = grid.select(col("user_id"), col("us"),
+        lit(null).cast("double").as("value"), lit(1).as("src"),
+        lit(null).cast("bigint").as("event_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("src"), col("event_id").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      obs.unionByName(gr)
+        .withColumn("lv", last(col("value"), ignoreNulls = true).over(w))
+        .filter(col("src") === 1)
+        .select(col("user_id"), col("us").as("grid_us"),
+          round(coalesce(col("lv"), lit(-1.0)), 6).as("value_ffill"))
+        .orderBy("user_id", "grid_us")
+    },
+
     // Pivot / cross-tabulation: event counts per user × event_type. The
     // pivot value list is explicit (no extra distinct-scan, and the
     // output schema is fixed — the only scale-safe way to pivot).
