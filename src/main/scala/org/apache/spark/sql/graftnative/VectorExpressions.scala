@@ -79,3 +79,23 @@ object VectorNative {
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
+
+/** SparkSessionExtensions hook: registers the native expressions as SQL
+  * functions, so `SELECT graft_dot(a, b)` parses in any session built
+  * with `.withExtensions(new GraftExtensions)` (or via the
+  * spark.sql.extensions conf on a real cluster). The Column API
+  * (graft.functions.VectorFunctions) works without this; the hook is
+  * for SQL-text users.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getCanonicalName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

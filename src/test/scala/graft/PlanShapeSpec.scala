@@ -56,5 +56,8 @@ class PlanShapeSpec extends AnyFunSuite {
       expr("aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0D," +
         " (acc, x) -> acc + x)").as("hof"))
     assert(both.filter(col("native") =!= col("hof")).count() === 0L)
+    // And the SessionExtensions registration makes it SQL-callable.
+    assert(spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0) === 11.0)
   }
 }

@@ -10,6 +10,7 @@ object TestSpark {
     val wh = java.nio.file.Files.createTempDirectory("graft_warehouse")
     wh.toFile.deleteOnExit()
     val s = SparkSession.builder()
+      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.warehouse.dir", wh.toString)
