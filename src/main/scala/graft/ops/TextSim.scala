@@ -161,6 +161,56 @@ object TextSim {
         .limit(1000)
     },
 
+    // BM25 retrieval scoring for a fixed term set (k1=1.2, b=0.75) —
+    // the standard relevance ranking over the same inverted index
+    // tf-idf uses: per-term tf per doc, global df and average doc
+    // length, all joined back broadcast-style. Constants and the idf
+    // form (ln(1 + (N-df+0.5)/(df+0.5))) are spelled identically in
+    // both engines; scores rounded to 6.
+    q("q_text_bm25",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, avg(len) AS avg_len
+        |       FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('window', 'filter', 'hash') GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |sc AS (SELECT tf.doc_id,
+        |         sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |           * tf.tf * 2.2
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / st.avg_len)))
+        |           AS score
+        |       FROM tf JOIN df ON tf.w = df.w
+        |               JOIN dl ON tf.doc_id = dl.doc_id
+        |               CROSS JOIN st
+        |       GROUP BY tf.doc_id)
+        |SELECT doc_id, round(score, 6) AS bm25
+        |FROM sc
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 50""") { (s, d) =>
+      val terms = Seq("window", "filter", "hash")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words).as("w"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
+      val tf = tok.filter(col("w").isin(terms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .groupBy("doc_id")
+        .agg(sum(
+          log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avg_len"))))
+          .as("score"))
+        .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+    },
+
     q("q_text_stats",
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
