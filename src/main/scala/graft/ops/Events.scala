@@ -188,6 +188,38 @@ object Events {
         .orderBy("user_id")
     },
 
+    // Funnel conversion: of the users who ever clicked, how many later
+    // purchased (strictly after their first click)? One grouped
+    // conditional-aggregate pass — the sequence-analytics shape that
+    // needs no self-join at any scale.
+    q("q_ev_funnel",
+      """WITH u AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |    AS first_click,
+        |  max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |    AS last_purchase
+        |FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN first_click IS NOT NULL
+        |    AND last_purchase > first_click THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_converted
+        |FROM u""") { (s, d) =>
+      val us = unix_micros(col("ts"))
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "click", us)).as("first_click"),
+          max(when(col("event_type") === "purchase", us)).as("last_purchase"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("first_click").isNotNull, 1L).otherwise(0L))
+            .as("n_click"),
+          sum(when(col("first_click").isNotNull
+            && col("last_purchase") > col("first_click"), 1L).otherwise(0L))
+            .as("n_converted"))
+    },
+
     // Late-arrival accounting (Q-EV-LATEARRIVAL): replay the arrival
     // sequence (event_id is the ingestion order), reconstruct the
     // watermark as the running max event time over all PRIOR arrivals,
