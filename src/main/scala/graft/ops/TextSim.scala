@@ -52,6 +52,13 @@ object TextSim {
     * one dead executor). The cap costs one extra groupBy on gram, the
     * same shuffle key the pair join needs anyway.
     */
+  // Note on memoization: four near-dup queries derive this same index,
+  // and persisting it per session (FileMap's P6 stage cache) was
+  // measured — it moves cost into whichever query materializes first
+  // and saves nothing net at sf0.1, because eager persistence defeats
+  // the per-query pruning Catalyst applies to the lazy lineage. At
+  // 100 TB the equivalent is materializing the index to storage once
+  // (the partitioned-sink path), not pinning it in executor memory.
   def gramIndex(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     // Grams are 64-bit-hashed immediately after generation: every
     // downstream shuffle, distinct, and self-join keys on an 8-byte long
