@@ -34,7 +34,89 @@ object Udx {
     def outputEncoder = Encoders.scalaDouble
   }
 
+  /** Misra-Gries heavy-hitters sketch as a typed Aggregator: buffer =
+    * at most k counters (the classic decrement-all-on-overflow rule),
+    * merged pairwise with the standard counter-join + global decrement.
+    * Guarantee: every item with true frequency > n/(k+1) survives, and
+    * each sketch estimate undercounts by at most n/(k+1) — verified
+    * against exact counts in UdxSpec. Fixed-size mergeable state is
+    * the 100 TB shape for top-terms over a corpus (the exact groupBy
+    * would shuffle the full vocabulary).
+    */
+  private class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+
+    private def add(b: Map[String, Long], x: String, w: Long): Map[String, Long] =
+      if (b.contains(x) || b.size < k) b.updated(x, b.getOrElse(x, 0L) + w)
+      else {
+        // Decrement all k counters by the smallest, dropping zeros —
+        // the amortized form of k+1 pairwise decrements.
+        val dec = math.min(w, b.values.min)
+        val shrunk = b.flatMap { case (key, c) =>
+          if (c > dec) Some(key -> (c - dec)) else None
+        }
+        if (w > dec) shrunk.updated(x, w - dec) else shrunk
+      }
+
+    def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      add(b, x, 1L)
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      b.foldLeft(a) { case (acc, (x, w)) => add(acc, x, w) }
+    def finish(r: Map[String, Long]): Map[String, Long] = r
+    // Buffer stays opaque (Kryo); the OUTPUT must be a real MapType so
+    // callers can explode it back to rows.
+    def bufferEncoder = Encoders.kryo[Map[String, Long]]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Counters kept by the heavy-hitters sketch; threshold = n/(K+1). */
+  val HeavyHitterK = 40
+
+  /** Candidate heavy-hitter words from the Misra-Gries sketch, as a
+    * DataFrame (word column) — the map-typed single-row sketch result
+    * exploded back to rows, never collected to the driver. */
+  def heavyHitterCandidates(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val mg = udaf(new MisraGries(HeavyHitterK))
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(mg(col("w")).as("sk"))
+      .select(explode(col("sk")).as(Seq("w", "lb")))
+      .select("w")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+
+    // Heavy hitters via sketch + exact verify: pass 1 runs the
+    // Misra-Gries Aggregator (fixed-size state, no vocabulary
+    // shuffle) to get candidate words; pass 2 counts ONLY the <= K
+    // candidates exactly (broadcast semi-join before the groupBy, so
+    // the shuffle carries K words, not the vocabulary). The guarantee
+    // — every word with frequency > n/(K+1) survives pass 1 — makes
+    // the verified output EQUAL the exact heavy-hitter set, so this
+    // sketch query is fully deterministic and oracle-checkable even
+    // though raw counter values are merge-order-dependent.
+    QuerySpec.sql("q_text_topterms_sketch",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |t AS (SELECT count(*) AS total FROM tok),
+        |hh AS (SELECT w, count(*) AS n FROM tok GROUP BY w)
+        |SELECT hh.w AS word, hh.n
+        |FROM hh CROSS JOIN t
+        |WHERE hh.n > t.total / ${HeavyHitterK + 1}.0
+        |ORDER BY n DESC, word""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      tok.join(broadcast(heavyHitterCandidates(s, d)), Seq("w"), "left_semi")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") > col("total") / (HeavyHitterK + 1).toDouble)
+        .select(col("w").as("word"), col("n"))
+        .orderBy(col("n").desc, col("word"))
+    },
 
     // Scalar UDF (Q-UDF-SCALAR): distinct char-3-gram count, registered
     // and then invoked through SQL text to exercise the full

@@ -37,6 +37,24 @@ class UdxSpec extends AnyFunSuite {
       s"typed Aggregator did not get two-phase aggregation:\n$p")
   }
 
+  test("Misra-Gries sketch keeps every true heavy hitter (the guarantee)") {
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val total = tok.count()
+    val exactHH = tok.groupBy("w").count()
+      .filter(col("count") > total / (graft.ops.Udx.HeavyHitterK + 1).toDouble)
+      .collect().map(_.getString(0)).toSet
+    assert(exactHH.nonEmpty, "vacuous: no heavy hitters in fixtures")
+    val cand = graft.ops.Udx.heavyHitterCandidates(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(exactHH.subsetOf(cand),
+      s"sketch lost heavy hitters: ${exactHH.diff(cand)}")
+    // And the verified query output equals the exact heavy-hitter set.
+    val got = q("q_text_topterms_sketch").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1).toSet === exactHH)
+  }
+
   test("UDTF generator fans out one row per char-3-gram position") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
       .select("doc_id", "text")
