@@ -188,35 +188,44 @@ object Events {
         .orderBy("user_id")
     },
 
-    // Funnel conversion: of the users who ever clicked, how many later
-    // purchased (strictly after their first click)? One grouped
-    // conditional-aggregate pass — the sequence-analytics shape that
-    // needs no self-join at any scale.
+    // Funnel conversion: of the users who ever clicked, how many made
+    // their first purchase STRICTLY AFTER the first click and within a
+    // 24-hour window? One scan + per-user window + grouped conditional
+    // aggregate — the sequence-analytics shape that needs no self-join
+    // at any scale. The 24 h window is fixture-discriminating (3/15
+    // users convert at sf0.001, 67/150 at sf0.01), so the strict-after
+    // and window conditions are actually exercised by the oracle —
+    // an any-time formulation was vacuously all-users-convert.
     q("q_ev_funnel",
-      """WITH u AS (SELECT user_id,
-        |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
-        |    AS first_click,
-        |  max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
-        |    AS last_purchase
-        |FROM events GROUP BY user_id)
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |           FROM events),
+        |f AS (SELECT *, min(CASE WHEN event_type = 'click' THEN us END)
+        |        OVER (PARTITION BY user_id) AS fc FROM e),
+        |u AS (SELECT user_id, max(fc) AS fc,
+        |        min(CASE WHEN event_type = 'purchase' AND us > fc
+        |            THEN us END) AS fp
+        |      FROM f GROUP BY user_id)
         |SELECT count(*) AS n_users,
-        |  CAST(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_click,
-        |  CAST(sum(CASE WHEN first_click IS NOT NULL
-        |    AND last_purchase > first_click THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_converted
+        |  CAST(sum(CASE WHEN fp IS NOT NULL AND fp - fc <= 86400000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM u""") { (s, d) =>
-      val us = unix_micros(col("ts"))
+      val DayUs = 24L * 3600 * 1000 * 1000
+      val w = Window.partitionBy("user_id")
       Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .withColumn("fc",
+          min(when(col("event_type") === "click", col("us"))).over(w))
         .groupBy("user_id")
-        .agg(
-          min(when(col("event_type") === "click", us)).as("first_click"),
-          max(when(col("event_type") === "purchase", us)).as("last_purchase"))
+        .agg(max("fc").as("fc"),
+          min(when(col("event_type") === "purchase"
+            && col("us") > col("fc"), col("us"))).as("fp"))
         .agg(count(lit(1)).as("n_users"),
-          sum(when(col("first_click").isNotNull, 1L).otherwise(0L))
-            .as("n_click"),
-          sum(when(col("first_click").isNotNull
-            && col("last_purchase") > col("first_click"), 1L).otherwise(0L))
+          sum(when(col("fc").isNotNull, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("fp").isNotNull
+            && col("fp") - col("fc") <= DayUs, 1L).otherwise(0L))
             .as("n_converted"))
     },
 

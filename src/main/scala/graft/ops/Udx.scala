@@ -74,30 +74,32 @@ object Udx {
   /** Counters kept by the heavy-hitters sketch; threshold = n/(K+1). */
   val HeavyHitterK = 40
 
-  /** Candidate heavy-hitter words from the Misra-Gries sketch, as a
-    * DataFrame (word column) — the map-typed single-row sketch result
+  /** Pass 1 of heavy hitters: one corpus scan producing BOTH the
+    * Misra-Gries sketch and the exact token total (same aggregate), as
+    * (w, total) candidate rows — the map-typed single-row sketch
     * exploded back to rows, never collected to the driver. */
   def heavyHitterCandidates(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, split}
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
     val mg = udaf(new MisraGries(HeavyHitterK))
     Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
-      .agg(mg(col("w")).as("sk"))
-      .select(explode(col("sk")).as(Seq("w", "lb")))
-      .select("w")
+      .agg(mg(col("w")).as("sk"), count(lit(1)).as("total"))
+      .select(explode(col("sk")).as(Seq("w", "lb")), col("total"))
+      .select("w", "total")
   }
 
   val specs: Seq[QuerySpec] = Seq(
 
-    // Heavy hitters via sketch + exact verify: pass 1 runs the
-    // Misra-Gries Aggregator (fixed-size state, no vocabulary
-    // shuffle) to get candidate words; pass 2 counts ONLY the <= K
-    // candidates exactly (broadcast semi-join before the groupBy, so
-    // the shuffle carries K words, not the vocabulary). The guarantee
-    // — every word with frequency > n/(K+1) survives pass 1 — makes
-    // the verified output EQUAL the exact heavy-hitter set, so this
-    // sketch query is fully deterministic and oracle-checkable even
-    // though raw counter values are merge-order-dependent.
+    // Heavy hitters via sketch + exact verify, two corpus passes: pass
+    // 1 runs the Misra-Gries Aggregator AND the token total in one
+    // aggregate (fixed-size state, no vocabulary shuffle); pass 2
+    // counts ONLY the <= K candidates exactly (broadcast join before
+    // the groupBy, so the shuffle carries K words, not the
+    // vocabulary). The guarantee — every word with frequency > n/(K+1)
+    // survives pass 1 — makes the verified output EQUAL the exact
+    // heavy-hitter set, so this sketch query is fully deterministic
+    // and oracle-checkable even though raw counter values are
+    // merge-order-dependent.
     QuerySpec.sql("q_text_topterms_sketch",
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
         |             FROM documents),
@@ -107,12 +109,11 @@ object Udx {
         |FROM hh CROSS JOIN t
         |WHERE hh.n > t.total / ${HeavyHitterK + 1}.0
         |ORDER BY n DESC, word""") { (s, d) =>
-      val tok = Tables.documents(s, d)
+      val cand = heavyHitterCandidates(s, d)
+      Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
-      val total = tok.agg(count(lit(1)).as("total"))
-      tok.join(broadcast(heavyHitterCandidates(s, d)), Seq("w"), "left_semi")
-        .groupBy("w").agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(total))
+        .join(broadcast(cand), "w")
+        .groupBy("w", "total").agg(count(lit(1)).as("n"))
         .filter(col("n") > col("total") / (HeavyHitterK + 1).toDouble)
         .select(col("w").as("word"), col("n"))
         .orderBy(col("n").desc, col("word"))

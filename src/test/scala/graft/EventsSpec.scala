@@ -56,6 +56,32 @@ class EventsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 0L).get._2 === 57L)
   }
 
+  test("funnel conversion matches a first-principles per-user replay") {
+    val DayUs = 24L * 3600 * 1000 * 1000
+    val byType = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    val perUser = byType.toSeq.map { case (_, es) =>
+      val clicks = es.filter(_._3 == "click").map(_._2)
+      if (clicks.isEmpty) (false, false)
+      else {
+        val fc = clicks.min
+        val fp = es.filter(e => e._3 == "purchase" && e._2 > fc).map(_._2)
+        (true, fp.nonEmpty && fp.min - fc <= DayUs)
+      }
+    }
+    val row = q("q_ev_funnel").head()
+    assert(row.getLong(0) === byType.size.toLong)
+    assert(row.getLong(1) === perUser.count(_._1).toLong)
+    assert(row.getLong(2) === perUser.count(_._2).toLong)
+    // Discriminating on fixtures: some clickers do NOT convert, so the
+    // strict-after and 24h-window conditions are actually exercised.
+    assert(row.getLong(2) < row.getLong(1))
+    assert(row.getLong(2) > 0)
+  }
+
   test("late-arrival accounting matches a sequential watermark replay") {
     // Replay arrivals in event_id order, tracking the running max event
     // time over PRIOR rows; late = watermark - ts > 30 min.

@@ -46,7 +46,7 @@ class UdxSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(exactHH.nonEmpty, "vacuous: no heavy hitters in fixtures")
     val cand = graft.ops.Udx.heavyHitterCandidates(spark, sf)
-      .collect().map(_.getString(0)).toSet
+      .select("w").collect().map(_.getString(0)).toSet
     assert(exactHH.subsetOf(cand),
       s"sketch lost heavy hitters: ${exactHH.diff(cand)}")
     // And the verified query output equals the exact heavy-hitter set.
