@@ -108,6 +108,31 @@ object TextSim {
       .select("ida", "idb", "jac")
   }
 
+  /** Cluster label per document: min-label propagation over the
+    * jac >= 0.5 near-dup graph, two unrolled rounds (converges for
+    * components whose nodes are within 2 hops of their min — asserted
+    * on the fixtures in SketchesSpec). Shared by q_dedup_cluster and
+    * the curation pipeline. The edge set is referenced four times
+    * across the rounds; ReusedExchange dedupes the underlying
+    * gram-pair pipeline (measured: an explicit localCheckpoint changes
+    * nothing), so it stays fully declarative.
+    */
+  def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val j = ngramJaccardPairs(s, d, 0.5).select("ida", "idb")
+    val e = j.toDF("a", "b").unionByName(
+      j.select(col("idb").as("a"), col("ida").as("b")))
+    val docs = Tables.documents(s, d).select("doc_id")
+    def propagate(labels: DataFrame): DataFrame =
+      labels.join(e, labels("doc_id") === e("a"), "left")
+        .join(labels.toDF("u_id", "u_l"), col("b") === col("u_id"), "left")
+        .groupBy(labels("doc_id"), labels("l"))
+        .agg(least(col("l"), coalesce(min(col("u_l")), col("l"))).as("nl"))
+        .select(col("doc_id"), col("nl").as("l"))
+    val l0 = docs.select(col("doc_id"), col("doc_id").as("l"))
+    propagate(propagate(l0))
+      .select(col("doc_id"), col("l").as("cluster"))
+  }
+
   /** Pairwise cosine kernel over embeddings: (ida, idb, cos) for
     * ida < idb. Norms computed once per vector before the cross join;
     * the per-pair kernel is the native codegen [[functions.DotProduct]]
@@ -520,23 +545,69 @@ object TextSim {
         |       GROUP BY v.doc_id, v.l)
         |SELECT doc_id, cluster FROM l2
         |ORDER BY doc_id""") { (s, d) =>
-      val j = ngramJaccardPairs(s, d, 0.5).select("ida", "idb")
-      // The edge set is referenced four times across the unrolled
-      // rounds; ReusedExchange dedupes the underlying gram-pair
-      // pipeline (measured: an explicit localCheckpoint here changes
-      // nothing), so the query stays fully declarative.
-      val e = j.toDF("a", "b").unionByName(
-        j.select(col("idb").as("a"), col("ida").as("b")))
-      val docs = Tables.documents(s, d).select("doc_id")
-      def propagate(labels: DataFrame): DataFrame =
-        labels.join(e, labels("doc_id") === e("a"), "left")
-          .join(labels.toDF("u_id", "u_l"), col("b") === col("u_id"), "left")
-          .groupBy(labels("doc_id"), labels("l"))
-          .agg(least(col("l"), coalesce(min(col("u_l")), col("l"))).as("nl"))
-          .select(col("doc_id"), col("nl").as("l"))
-      val l0 = docs.select(col("doc_id"), col("doc_id").as("l"))
-      val l2 = propagate(propagate(l0))
-      l2.select(col("doc_id"), col("l").as("cluster")).orderBy("doc_id")
+      clusterLabels(s, d).orderBy("doc_id")
+    },
+
+    // End-to-end curation pipeline — the library's purpose in one
+    // declarative plan: score document quality, keep only each
+    // near-dup cluster's representative (cluster label == own id),
+    // apply the quality floor, and attach the embedding-table label —
+    // text analytics + transitive dedup + multimodal join composed,
+    // every stage the same operator the standalone queries use.
+    q("q_curate",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |      FROM w),
+        |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
+        |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id),
+        |j AS (SELECT ida, idb
+        |      FROM p JOIN sz sa ON p.ida = sa.doc_id
+        |             JOIN sz sb ON p.idb = sb.doc_id
+        |      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
+        |e AS (SELECT ida AS a, idb AS b FROM j
+        |      UNION ALL SELECT idb, ida FROM j),
+        |l1 AS (SELECT d.doc_id,
+        |         least(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
+        |       FROM documents d LEFT JOIN e ON e.a = d.doc_id
+        |       GROUP BY d.doc_id),
+        |l2 AS (SELECT v.doc_id,
+        |         least(v.l, coalesce(min(u.l), v.l)) AS cluster
+        |       FROM l1 v LEFT JOIN e ON e.a = v.doc_id
+        |                 LEFT JOIN l1 u ON u.doc_id = e.b
+        |       GROUP BY v.doc_id, v.l),
+        |q AS (SELECT doc_id, lang,
+        |        round(0.6 * (len(list_distinct(string_split(text, ' ')))
+        |            / len(string_split(text, ' ')))
+        |          + 0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0), 6)
+        |          AS quality
+        |      FROM documents)
+        |SELECT q.doc_id, q.lang, q.quality, emb.label
+        |FROM q
+        |JOIN l2 ON q.doc_id = l2.doc_id AND l2.cluster = q.doc_id
+        |JOIN embeddings emb ON q.doc_id = emb.vec_id
+        |WHERE q.quality >= 0.62
+        |ORDER BY q.doc_id""") { (s, d) =>
+      val nWords = size(words)
+      val nDistinct = size(array_distinct(words))
+      val quality = round((nDistinct / nWords) * 0.6
+        + least(nWords / lit(50.0), lit(1.0)) * 0.4, 6)
+      val reps = clusterLabels(s, d)
+        .filter(col("cluster") === col("doc_id")).select("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), quality.as("quality"))
+        .filter(col("quality") >= 0.62)
+        .join(reps, "doc_id")
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("quality"), col("label"))
+        .orderBy("doc_id")
     },
 
     // ---- vector similarity ----------------------------------------------
