@@ -1,0 +1,35 @@
+package graft
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Queries must be safe to run concurrently in ONE SparkSession (the
+  * advisor flagged shared temp-view names and session-conf mutation as
+  * races). Runs a mixed batch — including both spark.sql queries that
+  * create temp views, the events loader that sets the nanos conf, and
+  * a UDF-registering query — three times in parallel and asserts every
+  * run matches the serial result.
+  */
+class ConcurrencySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val names = Seq("q_agg_gsets", "q_win_frame_range", "q_ev_tumble",
+    "q_udf_scalar", "q_agg_group", "q_text_tokens")
+
+  test("a mixed query batch is stable under concurrent execution") {
+    val serial: Map[String, Seq[Seq[Any]]] =
+      names.map(n => n -> q(n).collect().toSeq.map(_.toSeq)).toMap
+    val runs = Future.traverse(1 to 3) { _ =>
+      Future.traverse(names) { n =>
+        Future(n -> q(n).collect().toSeq.map(_.toSeq))
+      }
+    }
+    Await.result(runs, 10.minutes).foreach { run =>
+      run.foreach { case (n, rows) =>
+        assert(rows === serial(n), s"concurrent run diverged for $n")
+      }
+    }
+  }
+}
