@@ -90,6 +90,42 @@ class StreamingSpec extends AnyFunSuite {
       "late event must not resurrect the closed hour-0 window")
   }
 
+  test("CAP-STREAM-DEDUP: exactly-once ingestion dedup by event_id") {
+    val dir = tmpDir("graft_stream_dedup")
+    // Duplicate event 2 within the first file, and re-deliver event 1
+    // in the second file (the at-least-once redelivery case).
+    writeEventsFile(dir, "f1.parquet", mtime = 1_000_000L, rows = Seq(
+      ev(1, ns(0.1)), ev(2, ns(0.2)), ev(2, ns(0.2)), ev(3, ns(0.3))))
+    writeEventsFile(dir, "f2.parquet", mtime = 2_000_000L, rows = Seq(
+      ev(1, ns(0.1)), ev(4, ns(0.4))))
+    val src = StreamDemos.eventsStream(spark, dir.toString,
+      maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val got = StreamDemos.runAvailableNow(spark, src.select("event_id"),
+      "append", "graft_stream_dedup")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("CAP-STREAM-JOIN: stream-static dimension join == batch join") {
+    val dim = spark.createDataFrame(Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"),
+      ("error", "ops"))).toDF("event_type", "category")
+    val src = StreamDemos.eventsStream(spark, eventsDir)
+      .join(dim, "event_type")
+      .groupBy("category").agg(count(lit(1)).as("n"))
+    val got = StreamDemos.runAvailableNow(spark, src, "complete",
+      "graft_stream_join")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = Tables.events(spark, sf).join(dim, "event_type")
+      .groupBy("category").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === batch)
+    assert(got.values.sum === 1000L)
+  }
+
   test("CAP-STREAM-STATE: mapGroupsWithState running counts == batch groupBy") {
     val src = StreamDemos.eventsStream(spark, eventsDir)
     val counts = StreamDemos.statefulUserCounts(spark, src)
