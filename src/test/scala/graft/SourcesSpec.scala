@@ -77,6 +77,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.getAs[Array[Byte]](1).toSeq === payload.toSeq)
   }
 
+  test("CAP-SINK-CSV/JSON: non-parquet sinks round-trip") {
+    val dir = tmpDir("graft_sinks")
+    val df = Tables.nation(spark, sf)
+    df.write.mode("overwrite").option("header", "true")
+      .csv(dir.toString + "/csv")
+    df.write.mode("overwrite").json(dir.toString + "/json")
+    val backCsv = Ingest.csv(spark, dir.toString + "/csv")
+    val backJson = Ingest.jsonLines(spark, dir.toString + "/json")
+    assert(backCsv.count() === 25L && backJson.count() === 25L)
+    assert(backCsv.select("n_name").collect().map(_.getString(0)).toSet
+      === df.select("n_name").collect().map(_.getString(0)).toSet)
+  }
+
+  test("parquet schema evolution: mergeSchema unions file schemas") {
+    val dir = tmpDir("graft_evolve").toString + "/t"
+    spark.range(3).selectExpr("id", "id * 2 AS a")
+      .write.mode("append").parquet(dir)
+    spark.range(3, 6).selectExpr("id", "id * 10 AS b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("a", "b", "id"))
+    assert(merged.count() === 6L)
+    // Files lacking a column read it as null, not as an error.
+    assert(merged.filter(col("a").isNull).count() === 3L)
+  }
+
+  test("explicit bucket-count control: repartition(n, col) shapes the plan") {
+    val df = Tables.lineitem(spark, sf).repartition(7, col("l_orderkey"))
+    assert(df.rdd.getNumPartitions === 7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(l_orderkey"), plan)
+    // All rows of one key land in one partition (the co-location
+    // guarantee downstream joins/aggs rely on).
+    val spread = df.select(col("l_orderkey"))
+      .withColumn("p", spark_partition_id())
+      .groupBy("l_orderkey").agg(countDistinct(col("p")).as("np"))
+      .filter(col("np") > 1).count()
+    assert(spread === 0L)
+  }
+
   test("CAP-SINK-PART: partitioned parquet layout enables partition pruning") {
     val dir = tmpDir("graft_part").toString + "/docs"
     val docs = Tables.documents(spark, sf)
