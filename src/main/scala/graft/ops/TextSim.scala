@@ -28,6 +28,16 @@ object TextSim {
   /** words of `text`, split on single spaces (fixture texts are clean). */
   private val words: Column = split(col("text"), " ")
 
+  /** Document quality score, 6-dp: 0.6 × type-token ratio + 0.4 ×
+    * length saturation at 50 words. Single definition shared by
+    * q_text_quality and the curation pipeline (q_curate's 0.62 floor is
+    * calibrated against exactly this formula). */
+  private val qualityScore: Column = {
+    val nWords = size(words)
+    val ttr = size(array_distinct(words)) / nWords
+    round(ttr * 0.6 + least(nWords / lit(50.0), lit(1.0)) * 0.4, 6)
+  }
+
   /** Word-3-grams over a pre-split word-array column `ws` (possibly
     * empty result). Two subtleties:
     *  - the <3-word guard: `sequence(1, n-2)` with n<=2 would produce
@@ -328,8 +338,7 @@ object TextSim {
         round(ttr, 6).as("ttr"),
         round(length(regexp_replace(col("text"), " ", "")) / nWords, 6)
           .as("avg_word_len"),
-        round(ttr * 0.6 + least(nWords / lit(50.0), lit(1.0)) * 0.4, 6)
-          .as("quality"))
+        qualityScore.as("quality"))
         .orderBy("doc_id")
     },
 
@@ -594,14 +603,10 @@ object TextSim {
         |JOIN embeddings emb ON q.doc_id = emb.vec_id
         |WHERE q.quality >= 0.62
         |ORDER BY q.doc_id""") { (s, d) =>
-      val nWords = size(words)
-      val nDistinct = size(array_distinct(words))
-      val quality = round((nDistinct / nWords) * 0.6
-        + least(nWords / lit(50.0), lit(1.0)) * 0.4, 6)
       val reps = clusterLabels(s, d)
         .filter(col("cluster") === col("doc_id")).select("doc_id")
       Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), quality.as("quality"))
+        .select(col("doc_id"), col("lang"), qualityScore.as("quality"))
         .filter(col("quality") >= 0.62)
         .join(reps, "doc_id")
         .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),

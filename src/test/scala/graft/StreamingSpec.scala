@@ -98,10 +98,14 @@ class StreamingSpec extends AnyFunSuite {
       ev(1, ns(0.1)), ev(2, ns(0.2)), ev(2, ns(0.2)), ev(3, ns(0.3))))
     writeEventsFile(dir, "f2.parquet", mtime = 2_000_000L, rows = Seq(
       ev(1, ns(0.1)), ev(4, ns(0.4))))
+    // dropDuplicatesWithinWatermark: dedup state for a key is EVICTED
+    // once the watermark passes its event time + delay — bounded state,
+    // unlike dropDuplicates(key) where a non-event-time key set keeps
+    // state forever.
     val src = StreamDemos.eventsStream(spark, dir.toString,
       maxFilesPerTrigger = Some(1))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
     val got = StreamDemos.runAvailableNow(spark, src.select("event_id"),
       "append", "graft_stream_dedup")
       .collect().map(_.getLong(0)).sorted
