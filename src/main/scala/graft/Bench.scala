@@ -19,15 +19,24 @@ object Bench {
       ops.Relational.flagship(spark, sfDir).count()
       Tables.events(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    // (name, seconds, ok): a query that throws is recorded as -1 in the
+    // per-query map and listed in "errors" — never as a fast success.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"bench: $name failed: ${e.getMessage}"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-dp times keep the one-line JSON short enough that a fixed-size
+    // tail capture of stdout cannot truncate the leading per-query data.
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_errors":${results.count(!_._3)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

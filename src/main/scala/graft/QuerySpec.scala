@@ -28,6 +28,19 @@ object QuerySpec {
   def uniqueView(prefix: String): String =
     s"${prefix}_${viewCounter.incrementAndGet()}"
 
+  /** Register `df` under a unique temp view, build a DataFrame from the
+    * view name, then DROP the view before returning. `spark.sql`
+    * analyzes eagerly (the plan resolves the view at call time), so the
+    * returned frame survives the drop — and long-lived sessions (bench
+    * loops, concurrent harness runs) no longer accumulate one catalog
+    * entry per query invocation. */
+  def withTempView(s: SparkSession, prefix: String,
+      df: DataFrame)(body: String => DataFrame): DataFrame = {
+    val v = uniqueView(prefix)
+    df.createOrReplaceTempView(v)
+    try body(v) finally s.catalog.dropTempView(v)
+  }
+
   def sql(name: String, oracle: String)(
       df: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, Some(oracle.stripMargin.trim), df)

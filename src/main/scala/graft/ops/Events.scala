@@ -92,7 +92,7 @@ object Events {
         |        ORDER BY us, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
         |      FROM f)
-        |SELECT user_id, sess AS session_id, count(*) AS n_events,
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_id, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us,
         |  round(sum(value), 2) AS sum_value
         |FROM s

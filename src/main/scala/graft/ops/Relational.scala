@@ -215,17 +215,17 @@ object Relational {
         |ORDER BY g_status, g_prio,
         |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") {
       (s, d) =>
-        val v = QuerySpec.uniqueView("graft_orders_gsets")
-        Tables.orders(s, d).createOrReplaceTempView(v)
-        s.sql(s"""
-          SELECT o_orderstatus, o_orderpriority,
-            CAST(grouping(o_orderstatus) AS INT) AS g_status,
-            CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-            count(*) AS n
-          FROM $v
-          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-          ORDER BY g_status, g_prio,
-            o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+        QuerySpec.withTempView(s, "graft_orders_gsets", Tables.orders(s, d)) {
+          v => s.sql(s"""
+            SELECT o_orderstatus, o_orderpriority,
+              CAST(grouping(o_orderstatus) AS INT) AS g_status,
+              CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+              count(*) AS n
+            FROM $v
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            ORDER BY g_status, g_prio,
+              o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+        }
     },
 
     q("q_agg_stats",

@@ -21,18 +21,32 @@ object Skew {
   /** Equi-join `probe` (large, possibly skewed on `key`) with `build`
     * (small) on `key`, salted over `buckets` sub-keys.
     *
-    * The salt is a deterministic hash of the probe row's other columns
-    * (never random — results must be reproducible), so a hot key's rows
-    * spread uniformly over `buckets` shuffle partitions; the build side
-    * is replicated `buckets`×, which is the explicit cost knob: pick
+    * The salt is a deterministic hash of `saltCols` (never random —
+    * results must be reproducible), so a hot key's rows spread
+    * uniformly over `buckets` shuffle partitions; the build side is
+    * replicated `buckets`×, which is the explicit cost knob: pick
     * buckets ≈ (hot-key rows / target partition rows).
+    *
+    * Pass a near-unique `saltCols` (an event_id, a file offset) when
+    * one exists. The default — all non-key columns — DEGENERATES when a
+    * hot key's rows are byte-identical (common in log data): identical
+    * rows hash to one bucket and nothing spreads. There is no
+    * deterministic spread for truly identical rows (any pure function
+    * of the row is constant over them), so callers in that situation
+    * must supply a distinguishing column.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-      buckets: Int): DataFrame = {
+      buckets: Int, saltCols: Seq[String] = Nil): DataFrame = {
     require(buckets > 0)
-    // Salt from the non-key columns; a key-only probe has nothing to
-    // hash, so it degenerates to a single bucket (correct, no spread).
-    val saltSrc = probe.columns.filter(_ != key).map(col).toSeq
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it first")
+    saltCols.foreach(c => require(probe.columns.contains(c),
+      s"salt column $c not in probe columns ${probe.columns.mkString(",")}"))
+    // Default salt source: the non-key columns; a key-only probe has
+    // nothing to hash, so it degenerates to a single bucket (correct,
+    // no spread).
+    val saltSrc = (if (saltCols.nonEmpty) saltCols
+      else probe.columns.filter(_ != key).toSeq).map(col)
     val saltExpr =
       if (saltSrc.isEmpty) lit(0L)
       else pmod(xxhash64(saltSrc: _*), lit(buckets.toLong))

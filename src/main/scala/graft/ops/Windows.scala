@@ -85,16 +85,16 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""") { (s, d) =>
-      val v = QuerySpec.uniqueView("graft_events_range")
-      Tables.events(s, d).createOrReplaceTempView(v)
-      s.sql(s"""
-        SELECT user_id, event_id, unix_micros(ts) AS ts_us,
-          count(*) OVER w AS cnt_1h,
-          round(sum(value) OVER w, 6) AS sum_1h
-        FROM $v
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
-          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        ORDER BY user_id, event_id""")
+      QuerySpec.withTempView(s, "graft_events_range", Tables.events(s, d)) {
+        v => s.sql(s"""
+          SELECT user_id, event_id, unix_micros(ts) AS ts_us,
+            count(*) OVER w AS cnt_1h,
+            round(sum(value) OVER w, 6) AS sum_1h
+          FROM $v
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          ORDER BY user_id, event_id""")
+      }
     },
 
     // Top-k per group: row_number + filter — partial TopK per partition,

@@ -22,10 +22,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * NON-NULL elements — which the embeddings loader guarantees via its
   * double cast — results are bit-identical to the HOF formulation (and
   * to DuckDB's list_dot_product after the double cast); PlanShapeSpec
-  * asserts this. Outside that contract the semantics diverge: ragged
-  * inputs truncate to the shorter array (the HOF would return NULL via
-  * zip_with's null padding) and null ELEMENTS read as 0.0 — callers
-  * with ragged/nullable vectors must validate first.
+  * asserts this. Outside that contract the expression returns NULL —
+  * matching the HOF formulation, where zip_with null-pads ragged
+  * arrays and `acc + null` poisons the sum — so SQL-text users who
+  * only see `graft_dot(a, b)` get the same answers as the reference
+  * formulation on ragged or null-element inputs, not a silently
+  * truncated dot product. The length check is O(1); the per-element
+  * null check is a predictable branch kept inside the codegen loop.
   *
   * This file lives under the org.apache.spark.sql namespace because the
   * expression-extension points (AbstractDataType, ExpressionUtils) are
@@ -40,13 +43,17 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -59,12 +66,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

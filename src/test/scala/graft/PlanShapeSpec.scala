@@ -60,4 +60,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .head().getDouble(0) === 11.0)
   }
+
+  test("graft_dot matches the HOF formulation on ragged and null inputs") {
+    // Ragged arrays and null elements return NULL — the same answer the
+    // zip_with/aggregate formulation gives — in both the interpreted
+    // eval and the generated code, so SQL-text users see one contract.
+    val rows = spark.sql("""
+      SELECT graft_dot(array(1.0D, 2.0D), array(3.0D)) AS ragged,
+             graft_dot(array(1.0D, CAST(NULL AS DOUBLE)),
+                       array(3.0D, 4.0D)) AS null_elem,
+             graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS null_arr,
+             aggregate(zip_with(array(1.0D, 2.0D), array(3.0D),
+               (x, y) -> x * y), 0D, (acc, x) -> acc + x) AS hof_ragged
+      """).head()
+    assert(rows.isNullAt(0), "ragged arrays must yield NULL")
+    assert(rows.isNullAt(1), "null elements must yield NULL")
+    assert(rows.isNullAt(2), "null array must yield NULL")
+    assert(rows.isNullAt(3), "HOF reference check: ragged is NULL there too")
+  }
 }

@@ -42,4 +42,34 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(perKey.forall(_ === 8L), "hot keys did not spread over all buckets")
   }
+
+  test("identical hot-key rows spread when a unique salt column is supplied") {
+    import spark.implicits._
+    // The degenerate shape from log data: one hot key whose payload rows
+    // are byte-identical. The default content-hash salt cannot spread
+    // them (documented); an explicit near-unique column can.
+    val hot = (1L to 1000L).map(i => (i, "hot", "same-payload"))
+      .toDF("event_id", "k", "payload")
+    val dim = Seq(("hot", "label")).toDF("k", "v")
+    val spreadDefault = hot.drop("event_id")
+      .withColumn("__s", pmod(xxhash64(col("payload")), lit(8L)))
+      .agg(countDistinct(col("__s"))).head.getLong(0)
+    assert(spreadDefault === 1L, "identical rows should hash to one bucket")
+    val salted = Skew.saltedJoin(hot, dim, "k", buckets = 8,
+      saltCols = Seq("event_id"))
+    assert(salted.count() === 1000L)
+    val spread = hot
+      .withColumn("__s", pmod(xxhash64(col("event_id")), lit(8L)))
+      .agg(countDistinct(col("__s"))).head.getLong(0)
+    assert(spread === 8L, s"unique salt column spread only $spread/8 buckets")
+  }
+
+  test("saltedJoin rejects inputs that already carry a __salt column") {
+    import spark.implicits._
+    val bad = Seq((1L, "a", 0L)).toDF("id", "k", "__salt")
+    val dim = Seq(("a", "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(bad, dim, "k", buckets = 2)
+    }
+  }
 }
