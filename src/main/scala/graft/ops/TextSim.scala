@@ -118,30 +118,77 @@ object TextSim {
       .select("ida", "idb", "jac")
   }
 
+  /** One min-label propagation round: each doc's label becomes the min
+    * of its own and its neighbors' labels. `e` is the symmetrized edge
+    * list (a, b). */
+  private def propagateOnce(labels: DataFrame, e: DataFrame): DataFrame =
+    labels.join(e, labels("doc_id") === e("a"), "left")
+      .join(labels.toDF("u_id", "u_l"), col("b") === col("u_id"), "left")
+      .groupBy(labels("doc_id"), labels("l"))
+      .agg(least(col("l"), coalesce(min(col("u_l")), col("l"))).as("nl"))
+      .select(col("doc_id"), col("nl").as("l"))
+
+  /** `rounds` unrolled propagation rounds over (doc_id) nodes and
+    * (ida, idb) edges — a static plan, usable as an oracle query. */
+  def propagateRounds(docs: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("ida").as("a"), col("idb").as("b")).unionByName(
+      edges.select(col("idb").as("a"), col("ida").as("b")))
+    val l0 = docs.select(col("doc_id"), col("doc_id").as("l"))
+    (1 to rounds).foldLeft(l0)((l, _) => propagateOnce(l, e))
+      .select(col("doc_id"), col("l").as("cluster"))
+  }
+
+  /** Min-label propagation to a FIXPOINT — the production form for
+    * corpora whose near-dup chains are deeper than any fixed unroll.
+    * A driver loop iterates the same round over persisted frames until
+    * the label sum stops changing: labels only ever DECREASE (least),
+    * so an unchanged sum means no label moved — an exact, one-long
+    * convergence check (summed as decimal(38) so 100 TB id sums cannot
+    * overflow). Rounds needed = the graph diameter's order — near-dup
+    * components are shallow in practice; `maxRounds` bounds pathology.
+    * Each round `localCheckpoint`s its labels: persistence alone is not
+    * enough here, because every round's LOGICAL plan would embed the
+    * previous round's (and the edge pipeline's) plan twice — the plan
+    * tree doubles per round and planning itself OOMs long before data
+    * does. Checkpointing makes each round's plan a constant-size scan
+    * of the previous round's materialized partitions — the standard
+    * iterate-on-Spark shape (GraphX/ML do the same).
+    */
+  def clusterLabelsFixpoint(docs: DataFrame, edges: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col("ida").as("a"), col("idb").as("b")).unionByName(
+      edges.select(col("idb").as("a"), col("ida").as("b")))
+      .localCheckpoint(true)
+    def labelSum(l: DataFrame): BigDecimal =
+      BigDecimal(l.agg(sum(col("l").cast("decimal(38,0)"))).head.getDecimal(0))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("l"))
+      .localCheckpoint(true)
+    var s = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = propagateOnce(labels, e).localCheckpoint(true)
+      val ns = labelSum(next)
+      converged = ns == s
+      labels = next
+      s = ns
+      round += 1
+    }
+    labels.select(col("doc_id"), col("l").as("cluster"))
+  }
+
   /** Cluster label per document: min-label propagation over the
     * jac >= 0.5 near-dup graph, two unrolled rounds (converges for
     * components whose nodes are within 2 hops of their min — asserted
-    * on the fixtures in SketchesSpec). Shared by q_dedup_cluster and
-    * the curation pipeline. The edge set is referenced four times
-    * across the rounds; ReusedExchange dedupes the underlying
-    * gram-pair pipeline (measured: an explicit localCheckpoint changes
-    * nothing), so it stays fully declarative.
+    * on the fixtures in SketchesSpec, and cross-checked there against
+    * [[clusterLabelsFixpoint]], the driver-loop form that handles
+    * arbitrary depth). Shared by q_dedup_cluster and the curation
+    * pipeline.
     */
-  def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val j = ngramJaccardPairs(s, d, 0.5).select("ida", "idb")
-    val e = j.toDF("a", "b").unionByName(
-      j.select(col("idb").as("a"), col("ida").as("b")))
-    val docs = Tables.documents(s, d).select("doc_id")
-    def propagate(labels: DataFrame): DataFrame =
-      labels.join(e, labels("doc_id") === e("a"), "left")
-        .join(labels.toDF("u_id", "u_l"), col("b") === col("u_id"), "left")
-        .groupBy(labels("doc_id"), labels("l"))
-        .agg(least(col("l"), coalesce(min(col("u_l")), col("l"))).as("nl"))
-        .select(col("doc_id"), col("nl").as("l"))
-    val l0 = docs.select(col("doc_id"), col("doc_id").as("l"))
-    propagate(propagate(l0))
-      .select(col("doc_id"), col("l").as("cluster"))
-  }
+  def clusterLabels(s: SparkSession, d: String): DataFrame =
+    propagateRounds(Tables.documents(s, d).select("doc_id"),
+      ngramJaccardPairs(s, d, 0.5).select("ida", "idb"), 2)
 
   /** Pairwise cosine kernel over embeddings: (ida, idb, cos) for
     * ida < idb. Norms computed once per vector before the cross join;

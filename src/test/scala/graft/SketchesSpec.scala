@@ -11,53 +11,65 @@ import org.scalatest.funsuite.AnyFunSuite
 class SketchesSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def pairSet(name: String, minJac: Double = -1): Set[(Long, Long)] = {
-    val df = if (minJac >= 0) q(name).filter(col("jac") >= minJac) else q(name)
+  /** Recall properties run at TWO fixture tiers — sf0.001 and sf0.01 —
+    * so a sketch that only works on a 50-doc corpus cannot pass. */
+  private val tiers = Seq(sf, "/root/testdata/sf0.01")
+
+  private def qAt(name: String, dir: String) = Registry.byName(name).df(spark, dir)
+
+  private def pairSet(name: String, minJac: Double = -1,
+      dir: String = sf): Set[(Long, Long)] = {
+    val df0 = qAt(name, dir)
+    val df = if (minJac >= 0) df0.filter(col("jac") >= minJac) else df0
     df.select("ida", "idb").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
   test("MinHash-LSH candidates recall >= 0.9 of exact Jaccard >= 0.8 pairs") {
-    val exact = pairSet("q_dedup_ngram", 0.8)
-    assert(exact.nonEmpty, "vacuous recall test — no exact near-dup pairs")
-    val cand = pairSet("q_dedup_minhash")
-    val recall = exact.intersect(cand).size.toDouble / exact.size
-    assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
+    tiers.foreach { dir =>
+      val exact = pairSet("q_dedup_ngram", 0.8, dir)
+      assert(exact.nonEmpty, s"vacuous recall test at $dir — no exact pairs")
+      val cand = pairSet("q_dedup_minhash", dir = dir)
+      val recall = exact.intersect(cand).size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall $recall over ${exact.size} pairs at $dir")
+    }
   }
 
   test("SimHash candidates recall >= 0.8 of exact Jaccard >= 0.9 pairs") {
-    val exact = pairSet("q_dedup_ngram", 0.9)
-    assert(exact.nonEmpty, "vacuous recall test — no exact near-dup pairs")
-    val cand = pairSet("q_dedup_simhash")
-    val recall = exact.intersect(cand).size.toDouble / exact.size
-    assert(recall >= 0.8, s"recall $recall over ${exact.size} exact pairs")
+    tiers.foreach { dir =>
+      val exact = pairSet("q_dedup_ngram", 0.9, dir)
+      assert(exact.nonEmpty, s"vacuous recall test at $dir — no exact pairs")
+      val cand = pairSet("q_dedup_simhash", dir = dir)
+      val recall = exact.intersect(cand).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall over ${exact.size} pairs at $dir")
+    }
   }
 
-  test("IVF ANN finds a meaningful fraction of brute-force top-3 neighbors") {
-    // Brute force: exact top-3 cosine neighbors for the IVF query set.
-    val base = Tables.embeddings(spark, sf).select(
-      col("vec_id"), col("embedding"),
-      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
-    val qs = base.filter(col("vec_id") % 97 === 0).toDF("qid", "qv", "qn")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    val exact = qs.join(base, col("qid") =!= col("vec_id"))
-      .withColumn("cos",
-        graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
-          / (col("qn") * col("norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("qid", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = q("q_sim_ann_ivf").select("qid", "nid").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty)
-    val recall = exact.intersect(got).size.toDouble / exact.size
-    // The deterministic vec_id%100 centroids are a placeholder codebook;
-    // the property pinned here is that per-cell search still finds a
-    // nontrivial share of true neighbors, and never a wrong cosine order
-    // within a cell (rn ordering is exact inside the cell).
-    assert(recall >= 0.2, s"IVF recall $recall over ${exact.size} exact pairs")
+  test("IVF ANN recall >= 0.8 of brute-force top-3 neighbors, both tiers") {
+    tiers.foreach { dir =>
+      // Brute force: exact top-3 cosine neighbors for the IVF query set.
+      val base = Tables.embeddings(spark, dir).select(
+        col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+      val qs = base.filter(col("vec_id") % 97 === 0).toDF("qid", "qv", "qn")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = qs.join(base, col("qid") =!= col("vec_id"))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
+            / (col("qn") * col("norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = qAt("q_sim_ann_ivf", dir).select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty)
+      val recall = exact.intersect(got).size.toDouble / exact.size
+      // sqrt(N) hash-seeded codebook + 3 Lloyd rounds + 2-probe search:
+      // the honest ANN bar for semantic dedup, at both corpus sizes.
+      assert(recall >= 0.8, s"IVF recall $recall over ${exact.size} at $dir")
+    }
   }
 
   test("approx_count_distinct is within 10% of the exact distinct count") {
@@ -132,6 +144,39 @@ class SketchesSpec extends AnyFunSuite {
     cluster.groupBy(_._2).foreach { case (label, members) =>
       assert(members.keys.min === label)
     }
+  }
+
+  test("fixpoint propagation closes chains deeper than the 2-round unroll") {
+    import spark.implicits._
+    import graft.ops.TextSim
+    // A 13-node path graph 0-1-2-...-12: the min label needs 12 rounds
+    // to reach the far end, so the fixed 2-round unroll provably cannot
+    // converge it — exactly the shape the driver-loop form exists for.
+    val docs = (0L to 12L).toDF("doc_id")
+    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val twoRounds = TextSim.propagateRounds(docs, edges, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(twoRounds.values.toSet.size > 1,
+      "chain fixture too shallow — 2 rounds already converged it")
+    val fixed = TextSim.clusterLabelsFixpoint(docs, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fixed.values.forall(_ === 0L),
+      s"fixpoint did not collapse the chain to one cluster: $fixed")
+  }
+
+  test("fixpoint clustering agrees with the 2-round oracle on the fixtures") {
+    // The fixture near-dup graph converges within 2 rounds (previous
+    // test family), so the driver-loop form must produce the identical
+    // labeling — the production path and the oracle path agree.
+    import graft.ops.TextSim
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val edges = q("q_dedup_ngram").filter(col("jac") >= 0.5)
+      .select("ida", "idb")
+    val fixed = TextSim.clusterLabelsFixpoint(docs, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val oracle = q("q_dedup_cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fixed === oracle)
   }
 
   test("dedup is idempotent: re-deduping the survivors changes nothing") {
