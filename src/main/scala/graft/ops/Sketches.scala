@@ -119,25 +119,28 @@ object Sketches {
       val c = math.ceil(math.sqrt(base.count().toDouble)).toInt.max(2)
       def cos(v1: String, v2: String, n1: Column, n2: Column): Column =
         graft.functions.VectorFunctions.dot(col(v1), col(v2)) / (n1 * n2)
-      // Nearest `probes` centroids per vector (ties broken by cid).
-      def assignTo(cents: DataFrame, probes: Int): DataFrame = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-        base.crossJoin(broadcast(cents))
+      def withCcos(src: DataFrame, cents: DataFrame): DataFrame =
+        src.crossJoin(broadcast(cents))
           .withColumn("ccos", round(cos("embedding", "cv",
             col("norm"), col("cn")), 9))
-          .withColumn("crn", row_number().over(w))
-          .filter(col("crn") <= probes)
-          .select(col("vec_id"), col("embedding"), col("norm"),
-            col("cid").as("cell"))
-      }
+      // Nearest centroid per vector as a max_by AGGREGATION — a hash
+      // aggregate over the N x C product, no per-vector sort (the
+      // row_number formulation paid a sort shuffle per Lloyd round).
+      // Ties break to the smallest cid via the (ccos, -cid) order key.
+      def assign1(src: DataFrame, cents: DataFrame): DataFrame =
+        withCcos(src, cents)
+          .groupBy("vec_id")
+          .agg(expr("max_by(struct(embedding, norm, cid)," +
+            " struct(ccos, -cid))").as("b"))
+          .select(col("vec_id"), col("b.embedding").as("embedding"),
+            col("b.norm").as("norm"), col("b.cid").as("cell"))
       val seeds = base
         .orderBy(xxhash64(col("vec_id")))
         .limit(c)
         .toDF("cid", "cv", "cn")
       // Lloyd step: mean vector per cell via exact integer summation.
       def lloyd(cents: DataFrame): DataFrame =
-        assignTo(cents, 1)
+        assign1(base, cents)
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
           .agg((sum((col("x") * 1e9).cast("long")) /
@@ -147,12 +150,22 @@ object Sketches {
             " p -> p.cx)").as("cv"))
           .select(col("cell").as("cid"), col("cv"),
             graft.functions.VectorFunctions.l2norm(col("cv")).as("cn"))
+      // The codebook is C rows — materialize it eagerly so the three
+      // nested Lloyd plans run once, not once per downstream reference
+      // (assignment + probe each re-derive `refined` otherwise).
       val refined = (1 to 3).foldLeft(seeds: DataFrame)((cc, _) => lloyd(cc))
-      val assigned = assignTo(refined, 1)
+        .localCheckpoint(true)
+      val assigned = assign1(base, refined)
       val nprobe = math.ceil(0.7 * c).toInt.max(2)
-      val queries = assignTo(refined, nprobe)
-        .filter(col("vec_id") % 97 === 0)
-        .toDF("qid", "qv", "qn", "qcell")
+      // Probe-cell ranking runs on the QUERY subset only (the r2 shape
+      // ranked every vector's probe cells, then threw 99% away).
+      val wq0 = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val queries = withCcos(base.filter(col("vec_id") % 97 === 0), refined)
+        .withColumn("crn", row_number().over(wq0))
+        .filter(col("crn") <= nprobe)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("norm").as("qn"), col("cid").as("qcell"))
       val wq = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       queries.join(assigned, col("qcell") === col("cell")
