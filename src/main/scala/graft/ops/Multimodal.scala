@@ -8,15 +8,18 @@ import scala.util.hashing.MurmurHash3
   * round 1): images/audio/video travel as opaque `binary` columns with
   * typed metadata alongside, decoded/featurized in batch per partition.
   *
-  * The DECODE KERNELS ARE STUBS — this container ships no image/audio
-  * codecs, so each kernel is a clearly-marked deterministic fake
-  * derived from the content bytes. Everything around the kernel is
-  * real and tested (MultimodalSpec): the binaryFile source schema, the
-  * typed Dataset plumbing, the per-partition batch iterator shape
-  * (mapPartitions — the JVM analogue of mapInPandas: one iterator per
-  * batch, amortizing any per-batch model/codec setup), the fan-out of
-  * frame sampling, and the handoff of stub embeddings into the real
-  * similarity kernels (functions.VectorFunctions).
+  * Decode kernels: BMP (uncompressed DIB) and WAV (RIFF/PCM) are
+  * REAL pure-JVM parsers — header fields decoded from the bytes, pixel
+  * and sample payloads located and featurized. Formats that need
+  * codecs this container doesn't ship (JPEG, PNG, MP4, ...) fall back
+  * to a clearly-marked deterministic fake derived from the content
+  * bytes, so the pipeline shape stays exercised end-to-end for every
+  * file. Everything around the kernels is real and tested
+  * (MultimodalSpec): the binaryFile source schema, the typed Dataset
+  * plumbing, the per-partition batch iterator shape (mapPartitions —
+  * the JVM analogue of mapInPandas: one iterator per batch, amortizing
+  * per-batch codec setup), the frame fan-out, and the handoff of media
+  * embeddings into the real similarity kernels.
   *
   * At 100 TB: binary payloads stay in the files until the decode stage;
   * metadata-only plans (path/length filters, partition pruning) never
@@ -24,6 +27,68 @@ import scala.util.hashing.MurmurHash3
   * repartitionable by size to balance skew from large media files.
   */
 object Multimodal {
+
+  // ---- real header/payload parsers (pure JVM, no codec deps) ----------
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def isBmp(c: Array[Byte]): Boolean =
+    c.length >= 54 && c(0) == 'B' && c(1) == 'M'
+  private def isWav(c: Array[Byte]): Boolean =
+    c.length >= 44 && tag(c, 0) == "RIFF" && tag(c, 8) == "WAVE"
+
+  /** BITMAPINFOHEADER fields: width @18, height @22 (negative =
+    * top-down), bits-per-pixel @28. A still image: duration 0. */
+  private def bmpMeta(path: String, c: Array[Byte]): MediaMeta =
+    MediaMeta(path, c.length, "bmp",
+      width = le32(c, 18), height = math.abs(le32(c, 22)),
+      channels = math.max(1, le16(c, 28) / 8), duration_ms = 0L)
+
+  /** RIFF chunk walk: `fmt ` gives channels and byte rate, `data`
+    * gives the PCM payload length; duration = payload / byte rate. */
+  private def wavMeta(path: String, c: Array[Byte]): MediaMeta = {
+    var off = 12
+    var channels = 0
+    var byteRate = 0
+    var dataLen = 0L
+    while (off + 8 <= c.length) {
+      val sz = le32(c, off + 4)
+      tag(c, off) match {
+        case "fmt " if off + 20 <= c.length =>
+          channels = le16(c, off + 10)
+          byteRate = le32(c, off + 16)
+        case "data" => dataLen = sz.toLong & 0xFFFFFFFFL
+        case _ => ()
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    MediaMeta(path, c.length, "wav", width = 0, height = 0,
+      channels = channels,
+      duration_ms = if (byteRate > 0) dataLen * 1000L / byteRate else 0L)
+  }
+
+  /** The decoded payload region: BMP pixel array (from the data-offset
+    * header field) or WAV PCM data chunk; None for fallback formats. */
+  private def payloadRegion(c: Array[Byte]): Option[(Int, Int)] =
+    if (isBmp(c)) {
+      val off = le32(c, 10)
+      if (off >= 54 && off < c.length) Some((off, c.length - off)) else None
+    } else if (isWav(c)) {
+      var off = 12
+      while (off + 8 <= c.length) {
+        val sz = le32(c, off + 4)
+        if (tag(c, off) == "data")
+          return Some((off + 8, math.min(sz, c.length - off - 8)))
+        off += 8 + sz + (sz & 1)
+      }
+      None
+    } else None
 
   /** One whole-file record as produced by the binaryFile source. */
   case class MediaFile(path: String, length: Long, content: Array[Byte])
@@ -45,37 +110,71 @@ object Multimodal {
       .as[MediaFile]
   }
 
-  /** STUB KERNEL — deterministic fake "decode": derives plausible
-    * dimensions from a hash of the content bytes. Replace the body of
-    * the `map` with a real codec call; the partition-iterator shape
-    * (open codec once per partition, stream files through it) is the
-    * production shape and stays unchanged. */
+  /** Decode kernel: REAL header parsing for BMP and WAV (dispatched on
+    * magic bytes, not file extension); other formats fall back to the
+    * deterministic content-hash fake (codecs absent in this
+    * container). The partition-iterator shape (open codec state once
+    * per partition, stream files through it) is the production shape. */
   def decodeMeta(ds: Dataset[MediaFile]): Dataset[MediaMeta] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaMeta]
     ds.mapPartitions { files =>
-      // Real decoder setup would happen HERE, once per partition/batch.
+      // Per-partition decoder setup would happen HERE.
       files.map { f =>
-        val h = MurmurHash3.bytesHash(f.content, seed = 42)
-        val format = f.path.replaceAll(".*\\.", "").toLowerCase
-        MediaMeta(f.path, f.length, format,
-          width = 64 + math.floorMod(h, 1856),
-          height = 64 + math.floorMod(h >> 8, 1016),
-          channels = if (math.floorMod(h, 7) == 0) 1 else 3,
-          duration_ms = 1000L + math.floorMod(h.toLong, 9000L))
+        if (isBmp(f.content)) bmpMeta(f.path, f.content)
+        else if (isWav(f.content)) wavMeta(f.path, f.content)
+        else {
+          // FALLBACK STUB — deterministic fake for codec-less formats.
+          val h = MurmurHash3.bytesHash(f.content, seed = 42)
+          val format = f.path.replaceAll(".*\\.", "").toLowerCase
+          MediaMeta(f.path, f.length, format,
+            width = 64 + math.floorMod(h, 1856),
+            height = 64 + math.floorMod(h >> 8, 1016),
+            channels = if (math.floorMod(h, 7) == 0) 1 else 3,
+            duration_ms = 1000L + math.floorMod(h.toLong, 9000L))
+        }
       }
     }
   }
 
-  /** STUB KERNEL — deterministic fake "feature extraction": an 8-dim
-    * embedding hashed from content. Output feeds the REAL vector
-    * kernels (cosine via the codegen DotProduct). */
+  /** Feature extraction: for BMP/WAV the 8-dim vector is computed from
+    * the DECODED payload — an amplitude histogram over int16 PCM
+    * samples for WAV, a byte-value histogram over the pixel array for
+    * BMP — normalized to sum 1. Codec-less formats fall back to the
+    * content-hash fake. Output feeds the REAL vector kernels (cosine
+    * via the codegen DotProduct). */
   def embed(ds: Dataset[MediaFile]): Dataset[MediaEmbedding] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaEmbedding]
     ds.mapPartitions { files =>
       files.map { f =>
-        val vec = Array.tabulate(8) { i =>
-          val h = MurmurHash3.bytesHash(f.content, seed = i)
-          (h.toDouble / Int.MaxValue)
+        val vec = payloadRegion(f.content) match {
+          case Some((off, len)) if len > 0 =>
+            val h = new Array[Double](8)
+            if (isWav(f.content)) {
+              var i = off
+              val end = off + len - 1
+              var n = 0
+              while (i < end) { // decode LE int16 samples, bin amplitude
+                val s = (le16(f.content, i).toShort).toInt
+                h((s + 32768) >> 13) += 1.0
+                i += 2
+                n += 1
+              }
+              if (n > 0) { var j = 0; while (j < 8) { h(j) /= n; j += 1 } }
+            } else {
+              var i = off
+              while (i < off + len) {
+                h((f.content(i) & 0xFF) >> 5) += 1.0
+                i += 1
+              }
+              var j = 0
+              while (j < 8) { h(j) /= len; j += 1 }
+            }
+            h
+          case _ =>
+            // FALLBACK STUB — deterministic fake for codec-less formats.
+            Array.tabulate(8) { i =>
+              MurmurHash3.bytesHash(f.content, seed = i).toDouble / Int.MaxValue
+            }
         }
         MediaEmbedding(f.path, vec)
       }
@@ -85,11 +184,15 @@ object Multimodal {
   /** Frame sampling: fan each media row out to one row per sampled
     * frame index (every `everyMs` milliseconds of its duration) — a
     * pure Spark generator, no kernel involved; the decoded frame fetch
-    * would be a second mapPartitions over (path, frame_idx). */
+    * would be a second mapPartitions over (path, frame_idx). Stills
+    * (duration 0 — e.g. decoded BMPs) emit exactly one frame at 0; the
+    * greatest() guard keeps sequence() from going descending, which
+    * would throw at runtime. */
   def sampleFrames(meta: Dataset[MediaMeta], everyMs: Long): DataFrame =
     meta.toDF()
       .withColumn("frame_ms",
-        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
+        explode(sequence(lit(0L),
+          greatest(col("duration_ms") - 1, lit(0L)), lit(everyMs))))
       .select(col("path"), col("frame_ms"))
 
   /** Pairwise cosine over the stub embeddings — demonstrates the

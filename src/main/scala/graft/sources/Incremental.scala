@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental re-run over a GROWN input tree — FileMap's P6 identity
+  * (re-run the pipeline, recompute only what's new) re-expressed on
+  * partition-tree mechanics:
+  *
+  *  - the input is a Hive-partitioned tree (`part=value/` dirs);
+  *  - the output is a partitioned sink whose directory names record
+  *    which input partitions have been processed — the memo IS the
+  *    output tree, no side-channel state;
+  *  - a re-run lists both trees (metadata-only: directory names, no
+  *    data files opened), diffs them, and processes ONLY the new
+  *    partitions — the filter on the partition column becomes a
+  *    Catalyst PartitionFilter, so already-processed data is never
+  *    even scanned (IncrementalSpec asserts the plan).
+  *
+  * At 100 TB this is the shape that makes daily re-runs O(new data):
+  * ingest lands `date=.../source=...` partitions, the derivation
+  * appends matching output partitions, and the diff is a listing of
+  * two directory levels. Mid-write crash tolerance is the one thing
+  * this demo does not add — production would write via a transactional
+  * table layer or stage-and-rename; the pruning-driven delta mechanics
+  * are identical.
+  */
+object Incremental {
+
+  /** Partition values (`col=value` directory names) present under
+    * `dir` — a filesystem listing, no data read. */
+  def partitionValues(spark: SparkSession, dir: String,
+      partCol: String): Set[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(partCol + "="))
+      .map(_.stripPrefix(partCol + "="))
+      .toSet
+  }
+
+  /** Bring `outDir` up to date with `inDir`: apply `derive` to the
+    * input partitions that have no output partition yet and append
+    * them. `derive` must be partition-wise (its result for a partition
+    * depends only on that partition's rows) and must preserve
+    * `partCol` in its output. Returns the partition values processed
+    * this run — empty when the output is already current.
+    */
+  def syncPartitioned(spark: SparkSession, inDir: String, outDir: String,
+      partCol: String)(derive: DataFrame => DataFrame): Set[String] = {
+    val todo = partitionValues(spark, inDir, partCol) --
+      partitionValues(spark, outDir, partCol)
+    if (todo.nonEmpty) {
+      val fresh = spark.read.parquet(inDir)
+        .filter(col(partCol).isin(todo.toSeq.sorted: _*))
+      derive(fresh)
+        .write.mode("append").partitionBy(partCol).parquet(outDir)
+    }
+    todo
+  }
+}
