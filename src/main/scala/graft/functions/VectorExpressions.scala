@@ -14,4 +14,9 @@ object VectorFunctions {
 
   /** L2 norm of an array<double> column (codegen'd self-dot). */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** `bits`-bit random-hyperplane LSH signature (cosine family) of an
+    * array<double> column; `seed` selects the hyperplane table. */
+  def lshSig(a: Column, bits: Int, seed: Int): Column =
+    VectorNative.lshSig(a, bits, seed)
 }

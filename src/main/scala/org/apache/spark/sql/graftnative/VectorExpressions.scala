@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the dense dot product of two
   * `array<double>` columns (CAP-EXPR-CUSTOM, SURVEY §4.3.1).
@@ -85,11 +85,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH signature of an `array<double>` vector: bit j
+  * of the result is the sign of the vector's projection onto a
+  * Rademacher (+1/-1) hyperplane derived deterministically from
+  * (seed, j, element index) by an integer mixer — no stored
+  * hyperplane matrix, so the expression is a pure function usable on
+  * any executor with zero broadcast state. sign-of-projection is the
+  * classic cosine-LSH family: P[bit match] = 1 - angle/pi, so vectors
+  * at small angles collide in b-bit signatures with probability
+  * (1 - angle/pi)^b. Used by q_sim_ann_lsh with one signature per
+  * table (seed = table index) and 1-bit multiprobe on the query side.
+  *
+  * Codegen delegates to [[sigOf]] (a reference call, one virtual
+  * dispatch per ROW): the hot loop is bits x dim multiply-adds in
+  * compiled Scala, which beats inlining a 640-step unrolled loop into
+  * generated Java.
+  */
+case class HyperplaneSig(child: Expression, bits: Int, seed: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(bits > 0 && bits <= 63, "bits must be in [1, 63]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_sig"
+
+  /** Final-avalanche integer mixer (murmur3 fmix32 shape) — the sign
+    * source for hyperplane element (j, i) under this seed. */
+  private def mix(j: Int, i: Int): Int = {
+    var h = seed * 0x9E3779B9 + j * 0x85EBCA6B + i * 0xC2B2AE35
+    h ^= h >>> 16; h *= 0x85EBCA6B
+    h ^= h >>> 13; h *= 0xC2B2AE35
+    h ^= h >>> 16
+    h
+  }
+
+  def sigOf(a: ArrayData): Long = {
+    val d = a.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val x = a.getDouble(i)
+        acc += (if ((mix(j, i) & 1) == 0) x else -x)
+        i += 1
+      }
+      if (acc > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(a: Any): Any = sigOf(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshSig", this, classOf[HyperplaneSig].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.sigOf($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
 /** Bridge from the private[sql] expression world to public Columns. */
 object VectorNative {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def lshSig(a: Column, bits: Int, seed: Int): Column =
+    ExpressionUtils.column(
+      HyperplaneSig(ExpressionUtils.expression(a), bits, seed))
 }
 
 /** SparkSessionExtensions hook: registers the native expressions as SQL

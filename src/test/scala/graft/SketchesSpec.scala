@@ -45,30 +45,53 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute-force exact top-3 cosine neighbors for the % 97 query set. */
+  private def exactTop3(dir: String): Set[(Long, Long)] = {
+    val base = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+    val qs = base.filter(col("vec_id") % 97 === 0).toDF("qid", "qv", "qn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    qs.join(base, col("qid") =!= col("vec_id"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
+          / (col("qn") * col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
   test("IVF ANN recall >= 0.8 of brute-force top-3 neighbors, both tiers") {
     tiers.foreach { dir =>
-      // Brute force: exact top-3 cosine neighbors for the IVF query set.
-      val base = Tables.embeddings(spark, dir).select(
-        col("vec_id"), col("embedding"),
-        graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
-      val qs = base.filter(col("vec_id") % 97 === 0).toDF("qid", "qv", "qn")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-      val exact = qs.join(base, col("qid") =!= col("vec_id"))
-        .withColumn("cos",
-          graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
-            / (col("qn") * col("norm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select("qid", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = exactTop3(dir)
       val got = qAt("q_sim_ann_ivf", dir).select("qid", "nid").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(exact.nonEmpty)
       val recall = exact.intersect(got).size.toDouble / exact.size
-      // sqrt(N) hash-seeded codebook + 3 Lloyd rounds + 2-probe search:
+      // sqrt(N) hash-seeded codebook + 3 Lloyd rounds + multi-probe:
       // the honest ANN bar for semantic dedup, at both corpus sizes.
       assert(recall >= 0.8, s"IVF recall $recall over ${exact.size} at $dir")
+    }
+  }
+
+  test("LSH ANN recall >= 0.8 at a sub-scan candidate fraction, both tiers") {
+    tiers.foreach { dir =>
+      val exact = exactTop3(dir)
+      val got = qAt("q_sim_ann_lsh", dir).select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty)
+      val recall = exact.intersect(got).size.toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} at $dir")
+      // The approximation must BUY something: candidate pairs well
+      // below the brute-force pair count (isotropic worst case).
+      val n = Tables.embeddings(spark, dir).count()
+      val nq = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 97 === 0).count()
+      val cand = graft.ops.Sketches.lshCandidates(spark, dir).count()
+      val frac = cand.toDouble / (nq * (n - 1))
+      assert(frac < 0.6, s"LSH candidate fraction $frac not sub-scan at $dir")
     }
   }
 
