@@ -499,6 +499,97 @@ object TextSim {
         .orderBy("doc_id")
     },
 
+    // Intra-document repetition (the Gopher-style quality filter):
+    // duplicate word-3-gram fraction per document — high repetition is
+    // the classic low-quality-text signal. Raw (non-distinct) grams.
+    q("q_text_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
+        |        for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |      FROM w),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |        CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
+        |      FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_distinct,
+        |  round(1 - n_distinct / CAST(n_grams AS DOUBLE), 6) AS rep_ratio
+        |FROM r
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(wordGrams3("ws")).as("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("gram")).as("n_distinct"))
+        .withColumn("rep_ratio",
+          round(lit(1) - col("n_distinct") / col("n_grams"), 6))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination — the training-pipeline step that
+    // removes eval-set leakage: source 'src0' plays the held-out
+    // benchmark; a training doc is contaminated when it shares >= 3
+    // distinct word-3-grams with ANY benchmark doc. Runs through the
+    // shared-gram inverted index (train grams hash-join the benchmark
+    // gram set — grams 64-bit-hashed on the Spark side so the shuffle
+    // keys are fixed-width; the oracle joins the strings, same result).
+    q("q_text_decontaminate",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |      FROM w),
+        |d AS (SELECT doc_id, source FROM documents),
+        |ev AS (SELECT DISTINCT g0.gram FROM g0
+        |       JOIN d ON g0.doc_id = d.doc_id WHERE d.source = 'src0'),
+        |tr AS (SELECT g0.doc_id, g0.gram FROM g0
+        |       JOIN d ON g0.doc_id = d.doc_id WHERE d.source <> 'src0'),
+        |c AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM tr JOIN ev ON tr.gram = ev.gram GROUP BY tr.doc_id)
+        |SELECT doc_id, n_shared,
+        |  CAST(CASE WHEN n_shared >= 3 THEN 1 ELSE 0 END AS INT)
+        |    AS contaminated
+        |FROM c
+        |ORDER BY doc_id""") { (s, d) =>
+      val g0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("source"),
+          explode(wordGrams3("ws")).as("g"))
+        .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gram"))
+        .distinct()
+      val ev = g0.filter(col("source") === "src0").select("gram").distinct()
+      g0.filter(col("source") =!= "src0")
+        .join(ev, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("contaminated",
+          when(col("n_shared") >= 3, 1).otherwise(0))
+        .orderBy("doc_id")
+    },
+
+    // Domain mixing weights: per-source document and token counts with
+    // the token-share sampling weight — the corpus-mixing table every
+    // training-data pipeline derives before sampling.
+    q("q_mix_weights",
+      """WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens) AS total FROM t)
+        |SELECT source, n_docs, n_tokens,
+        |  round(n_tokens / CAST(total AS DOUBLE), 6) AS weight
+        |FROM t CROSS JOIN tot
+        |ORDER BY source""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(size(words)).as("n_tokens"))
+      t.crossJoin(broadcast(t.agg(sum("n_tokens").as("total"))))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens") / col("total"), 6).as("weight"))
+        .orderBy("source")
+    },
+
     // ---- deduplication ---------------------------------------------------
 
     q("q_dedup_exact",

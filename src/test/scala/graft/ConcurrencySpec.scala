@@ -15,18 +15,25 @@ import org.scalatest.funsuite.AnyFunSuite
 class ConcurrencySpec extends AnyFunSuite {
   import TestSpark._
 
+  // q_dedup_cluster + q_curate both race to build the session stage
+  // cache (gram index + edge list) on first touch — computeIfAbsent
+  // must make exactly one build win and everyone read it.
   private val names = Seq("q_agg_gsets", "q_win_frame_range", "q_ev_tumble",
-    "q_udf_scalar", "q_agg_group", "q_text_tokens")
+    "q_udf_scalar", "q_agg_group", "q_text_tokens",
+    "q_dedup_cluster", "q_curate")
 
   test("a mixed query batch is stable under concurrent execution") {
-    val serial: Map[String, Seq[Seq[Any]]] =
-      names.map(n => n -> q(n).collect().toSeq.map(_.toSeq)).toMap
+    // Concurrent phase FIRST: the stage cache is cold, so the
+    // cluster/curate futures race its first build.
     val runs = Future.traverse(1 to 3) { _ =>
       Future.traverse(names) { n =>
         Future(n -> q(n).collect().toSeq.map(_.toSeq))
       }
     }
-    Await.result(runs, 10.minutes).foreach { run =>
+    val concurrent = Await.result(runs, 10.minutes)
+    val serial: Map[String, Seq[Seq[Any]]] =
+      names.map(n => n -> q(n).collect().toSeq.map(_.toSeq)).toMap
+    concurrent.foreach { run =>
       run.foreach { case (n, rows) =>
         assert(rows === serial(n), s"concurrent run diverged for $n")
       }
