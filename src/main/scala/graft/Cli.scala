@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FileMap's command-line surface — `fm <inputs> <map-cmd> [n-buckets]
+  * <reduce-cmd> <out>` — on the Spark engine: the migration path for a
+  * user whose pipelines are shell one-liners, not DataFrames.
+  *
+  *   graft.Cli <input-glob> <out-dir> <map-cmd> [<reduce-cmd> [buckets]]
+  *
+  * Semantics mirror the reference model stage for stage:
+  *  - map: every input LINE streams through `map-cmd` (one process per
+  *    Spark partition — FileMap's per-file fork, amortized);
+  *  - shuffle: mapper output lines HASH into `buckets` partitions
+  *    (FileMap's bucket files), so all occurrences of a line land in
+  *    one reducer;
+  *  - reduce: each bucket streams through `reduce-cmd` (sort inside
+  *    the command if it needs ordered input — same contract as piping
+  *    a bucket file);
+  *  - output: one text part per bucket under `out-dir`.
+  *
+  * Everything around the exec boundaries is the declarative engine, so
+  * a glob over a partitioned tree still prunes, retries and locality
+  * come from Spark, and the same run scales from a laptop to a
+  * cluster unchanged.
+  */
+object Cli {
+
+  def run(spark: SparkSession, glob: String, outDir: String,
+      mapCmd: String, reduceCmd: Option[String] = None,
+      buckets: Int = 32): Unit = {
+    val lines = sources.Ingest.lines(spark, glob).select("line")
+    val mapped = sources.ShellPipe.pipe(lines, mapCmd)
+    val out = reduceCmd match {
+      case Some(r) =>
+        val bucketed = mapped.toDF("line")
+          .repartition(buckets, col("line"))
+        sources.ShellPipe.pipe(bucketed, r)
+      case None => mapped
+    }
+    out.toDF("line").write.mode("overwrite").text(outDir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: graft.Cli <input-glob> <out-dir> <map-cmd> [<reduce-cmd> [buckets]]")
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1), args(2),
+      if (args.length > 3) Some(args(3)) else None,
+      if (args.length > 4) args(4).toInt else 32)
+    spark.stop()
+  }
+}
