@@ -68,7 +68,65 @@ object Sketches {
       .distinct()
   }
 
+  /** ALL-PAIRS LSH candidates (ida < idb): postings list per (table,
+    * signature) self-joined against the 1-bit-multiprobe probe list —
+    * the symmetric variant of [[lshCandidates]] for dedup (every
+    * vector is a query). Collision probability for a cos 0.4 pair
+    * under 48 tables x 10 bits with 1-bit probing is ~0.97 vs ~0.38
+    * without probing — the probe explosion is what makes the family
+    * usable at dedup thresholds. */
+  def lshPairCandidates(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.lshSig
+    val sigCols = (0 until LshTables)
+      .map(t => lshSig(col("embedding"), LshBits, t).as(s"s$t"))
+    val sigs = Tables.embeddings(s, d)
+      .select(col("vec_id") +: sigCols: _*)
+    val tbl = sigs.select(col("vec_id"), posexplode(
+      array((0 until LshTables).map(t => col(s"s$t")): _*))
+      .as(Seq("t", "sig")))
+    val probeCols = (0 until LshTables).flatMap { t =>
+      val s0 = col(s"s$t")
+      struct(lit(t).as("t"), s0.as("sig")) +:
+        (0 until LshBits).map(j =>
+          struct(lit(t).as("t"), s0.bitwiseXOR(lit(1L << j)).as("sig")))
+    }
+    val probes = sigs
+      .select(col("vec_id").as("ida"), explode(array(probeCols: _*)).as("p"))
+      .select(col("ida"), col("p.t").as("t"), col("p.sig").as("sig"))
+    probes.join(tbl, Seq("t", "sig"))
+      .filter(col("ida") < col("vec_id"))
+      .select(col("ida"), col("vec_id").as("idb"))
+      .distinct()
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+
+    // Embedding-cosine near-dup, LSH SCALE PATH: the same keep-id
+    // canonicalization as the exact q_dedup_cosine, but neighbor pairs
+    // come from the hyperplane-signature buckets instead of the n²
+    // cross join — the formulation that replaces the brute baseline at
+    // 100 TB. Property-tested against the exact output (SketchesSpec):
+    // candidate recall makes the keep-id map agree on >= 90% of
+    // flagged duplicates on the fixtures.
+    QuerySpec.noOracle("q_dedup_cosine_lsh") { (s, d) =>
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+      val nbrs = lshPairCandidates(s, d)
+        .join(base.toDF("ida", "va", "na"), "ida")
+        .join(base.toDF("idb", "vb", "nb"), "idb")
+        .withColumn("cos", round(
+          graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+            / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.4)
+        .select("ida", "idb")
+      base.select(col("vec_id"))
+        .join(nbrs, col("vec_id") === col("idb"), "left")
+        .groupBy("vec_id")
+        .agg(coalesce(min("ida"), col("vec_id")).as("keep_id"),
+          count(col("ida")).as("n_nbrs"))
+        .orderBy("vec_id")
+    },
 
     // LSH ANN: hyperplane-signature buckets + multiprobe generate the
     // candidates (see lshCandidates), then the exact codegen cosine

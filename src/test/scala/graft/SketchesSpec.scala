@@ -169,6 +169,30 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH cosine dedup agrees with the exact brute-force dedup") {
+    tiers.foreach { dir =>
+      val exact = qAt("q_dedup_cosine", dir).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val lsh = qAt("q_dedup_cosine_lsh", dir).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(lsh.keySet === exact.keySet, s"vector set differs at $dir")
+      val dups = exact.filter { case (v, (keep, _)) => keep != v }
+      assert(dups.nonEmpty, s"vacuous dedup comparison at $dir")
+      // Flagged-duplicate recall: the LSH path must flag (and agree on
+      // the canonical keeper for) >= 90% of the true duplicates.
+      val agree = dups.count { case (v, (keep, _)) => lsh(v)._1 == keep }
+      val recall = agree.toDouble / dups.size
+      assert(recall >= 0.9,
+        s"LSH dedup keep-id agreement $recall over ${dups.size} at $dir")
+      // And it never invents a duplicate the exact kernel rejects
+      // (candidates are verified by exact cosine before flagging).
+      lsh.foreach { case (v, (keep, _)) =>
+        if (keep != v)
+          assert(exact(v)._1 != v, s"LSH flagged non-duplicate $v at $dir")
+      }
+    }
+  }
+
   test("fixpoint propagation closes chains deeper than the 2-round unroll") {
     import spark.implicits._
     import graft.ops.TextSim
