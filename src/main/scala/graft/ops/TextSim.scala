@@ -30,9 +30,10 @@ object TextSim {
 
   /** Document quality score, 6-dp: 0.6 × type-token ratio + 0.4 ×
     * length saturation at 50 words. Single definition shared by
-    * q_text_quality and the curation pipeline (q_curate's 0.62 floor is
-    * calibrated against exactly this formula). */
-  private val qualityScore: Column = {
+    * q_text_quality, the curation pipeline (q_curate's 0.62 floor is
+    * calibrated against exactly this formula), and the streaming
+    * curation demo. */
+  private[graft] val qualityScore: Column = {
     val nWords = size(words)
     val ttr = size(array_distinct(words)) / nWords
     round(ttr * 0.6 + least(nWords / lit(50.0), lit(1.0)) * 0.4, 6)
@@ -83,7 +84,13 @@ object TextSim {
     val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d|$stage"
     val path = stageCache.computeIfAbsent(key, _ => {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_$stage")
-      dir.toFile.deleteOnExit()
+      // deleteOnExit cannot remove non-empty dirs — sweep recursively.
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir.toFile)
+      }))
       val p = dir.resolve("data").toString
       build.write.mode("overwrite").parquet(p)
       p

@@ -92,6 +92,31 @@ object StreamDemos {
     query.awaitTermination()
   }
 
+  /** Documents schema as stored (streaming sources need it explicit). */
+  val rawDocumentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming curation — the LLM-pipeline ingest filter as a stream:
+    * quality-score every arriving document (the SAME qualityScore
+    * definition q_text_quality and q_curate use), keep those above the
+    * curation floor, and drop exact-content duplicates EXACTLY ONCE
+    * across micro-batches (dropDuplicates state keyed by content
+    * hash; in production bound it with a TTL/watermark — here the
+    * demo runs AvailableNow). The near-dup/cluster stages stay in the
+    * periodic batch pass; this is the front half that must keep up
+    * with ingest. */
+  def curatedDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawDocumentsSchema).parquet(dir)
+      .withColumn("quality", graft.ops.TextSim.qualityScore)
+      .filter(col("quality") >= 0.62)
+      .withColumn("text_md5", md5(col("text")))
+      .dropDuplicates("text_md5")
+      .select("doc_id", "lang", "quality", "text_md5")
+
   /** Per-user running state for CAP-STREAM-STATE: event count and max
     * event time via mapGroupsWithState — the arbitrary-stateful-
     * processing hook (the streaming analogue of a reducer that keeps

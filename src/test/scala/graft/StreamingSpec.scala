@@ -130,6 +130,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.sum === 1000L)
   }
 
+  test("CAP-STREAM-CURATE: streaming quality filter + content dedup == batch") {
+    // Documents fixture as a watched directory.
+    val d = tmpDir("graft_stream_docs")
+    Files.copy(java.nio.file.Paths.get(sf + "/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val got = StreamDemos.runAvailableNow(spark,
+      StreamDemos.curatedDocuments(spark, d.toString),
+      mode = "append", name = "curated_docs")
+    // Batch equivalent: same quality floor, one survivor per content
+    // hash. The stream keeps the FIRST arrival per hash (arbitrary
+    // within a batch file), so compare the hash set and per-hash
+    // quality, not survivor doc_ids.
+    val batch = Tables.documents(spark, sf)
+      .withColumn("quality", graft.ops.TextSim.qualityScore)
+      .filter(col("quality") >= 0.62)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(first("quality").as("quality"))
+    val gotPairs = got.select("text_md5", "quality").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val wantPairs = batch.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(gotPairs === wantPairs)
+    assert(gotPairs.nonEmpty)
+    // Exactly one surviving row per content hash.
+    assert(got.count() === got.select("text_md5").distinct().count())
+  }
+
   test("CAP-STREAM-STATE: mapGroupsWithState running counts == batch groupBy") {
     val src = StreamDemos.eventsStream(spark, eventsDir)
     val counts = StreamDemos.statefulUserCounts(spark, src)
