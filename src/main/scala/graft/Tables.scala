@@ -44,9 +44,15 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
 
-  /** events with the ns-timestamp recipe applied (SURVEY §2.13 rule 5). */
+  /** events with the ns-timestamp recipe applied (SURVEY §2.13 rule 5).
+    * The nanosAsLong flag is session-wide and normally set at build
+    * time (harness + TestSpark do); the defensive set below exists for
+    * foreign sessions only and is guarded so the common path performs
+    * NO conf mutation at plan time (the r2 review's hygiene note —
+    * ConcurrencySpec proves the mixed batch stable either way). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(path(dir, "events"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

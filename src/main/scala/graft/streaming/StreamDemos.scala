@@ -35,8 +35,10 @@ object StreamDemos {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // Same defensive conf as Tables.events: without it, reading the
     // TIMESTAMP(NANOS) parquet throws at the first micro-batch on any
-    // session that didn't set the flag at build time.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session that didn't set the flag at build time. Guarded so the
+    // common path performs no conf mutation.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream.schema(rawEventsSchema)
     val r = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
