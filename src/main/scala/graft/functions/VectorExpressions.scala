@@ -19,4 +19,8 @@ object VectorFunctions {
     * array<double> column; `seed` selects the hyperplane table. */
   def lshSig(a: Column, bits: Int, seed: Int): Column =
     VectorNative.lshSig(a, bits, seed)
+
+  /** Hashed word-3-grams of an array<string> column, one pass, no
+    * string materialization (see graftnative.WordGramHashes). */
+  def wordGramHashes(ws: Column): Column = VectorNative.wordGramHashes(ws)
 }

@@ -102,15 +102,20 @@ object TextSim {
     memoized(s, d, s"gram$dfCap")(buildGramIndex(s, d, dfCap))
 
   private def buildGramIndex(s: SparkSession, d: String, dfCap: Int): DataFrame = {
-    // Grams are 64-bit-hashed immediately after generation: every
-    // downstream shuffle, distinct, and self-join keys on an 8-byte long
-    // instead of a ~20-char string. Collisions across ~4e5 distinct
-    // grams are ~1e-8-probable — far below any other source of error —
-    // and the gram text itself is never part of any query output.
+    // Grams exist only as 64-bit hashes, computed by the native
+    // one-pass [[graftnative.WordGramHashes]] kernel — no gram string
+    // is ever materialized (the old transform/slice/array_join HOF
+    // pipeline was ~70% of this build at sf0.1), and every downstream
+    // shuffle, distinct, and self-join keys on an 8-byte long.
+    // Collisions across ~4e5 distinct grams are ~1e-8-probable — far
+    // below any other source of error — and the gram text itself is
+    // never part of any query output (oracles count string grams on
+    // the DuckDB side; only the counts must agree).
     val g0 = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(TextSim.wordGrams3("ws")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gram"))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
+          .as("gram"))
       .distinct()
     val ok = g0.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
@@ -563,8 +568,8 @@ object TextSim {
         .select(col("doc_id"), col("source"),
           split(col("text"), " ").as("ws"))
         .select(col("doc_id"), col("source"),
-          explode(wordGrams3("ws")).as("g"))
-        .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gram"))
+          explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
+            .as("gram"))
         .distinct()
       val ev = g0.filter(col("source") === "src0").select("gram").distinct()
       g0.filter(col("source") =!= "src0")
