@@ -39,8 +39,12 @@ object TextSim {
     round(ttr * 0.6 + least(nWords / lit(50.0), lit(1.0)) * 0.4, 6)
   }
 
-  /** Word-3-grams over a pre-split word-array column `ws` (possibly
-    * empty result). Two subtleties:
+  /** STRING word-3-grams over a pre-split word-array column `ws`
+    * (possibly empty result). Used where the gram TEXT itself matters
+    * (q_text_repetition's raw-gram counts); the dedup family uses the
+    * native hashed kernel ([[graftnative.WordGramHashes]]) instead —
+    * this interpreted HOF allocates per gram and measured 4.4x slower.
+    * Two subtleties:
     *  - the <3-word guard: `sequence(1, n-2)` with n<=2 would produce
     *    the DESCENDING sequence [1,0] (Spark defaults step=-1 when
     *    start>stop) and `slice(ws, 0, 3)` then throws; the guard
