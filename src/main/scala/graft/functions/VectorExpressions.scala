@@ -23,4 +23,8 @@ object VectorFunctions {
   /** Hashed word-3-grams of an array<string> column, one pass, no
     * string materialization (see graftnative.WordGramHashes). */
   def wordGramHashes(ws: Column): Column = VectorNative.wordGramHashes(ws)
+
+  /** All (lo, hi) pairs from an array<long> of ids (see
+    * graftnative.SortedIdPairs) — the pair-expansion kernel. */
+  def sortedIdPairs(ids: Column): Column = VectorNative.sortedIdPairs(ids)
 }

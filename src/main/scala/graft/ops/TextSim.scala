@@ -154,13 +154,13 @@ object TextSim {
   /** Shared-gram pair counts (ida < idb, c = number of shared capped
     * grams) — the single candidate-generation kernel behind the n-gram
     * Jaccard, cluster, and Levenshtein-verify queries. */
-  private def sharedGramPairCounts(s: SparkSession, d: String): DataFrame = {
-    val g = gramIndex(s, d, DfCap)
-    g.toDF("ida", "gram")
-      .join(g.toDF("idb", "gram2"),
-        col("gram") === col("gram2") && col("ida") < col("idb"))
+  private def sharedGramPairCounts(s: SparkSession, d: String): DataFrame =
+    gramIndex(s, d, DfCap)
+      .groupBy("gram").agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(
+        graft.functions.VectorFunctions.sortedIdPairs(col("ids"))).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
-  }
 
   private def ngramJaccardPairs(s: SparkSession, d: String,
       minJac: Double): DataFrame = {

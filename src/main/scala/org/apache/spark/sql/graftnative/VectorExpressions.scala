@@ -207,6 +207,59 @@ case class WordGramHashes(child: Expression)
     copy(child = newChild)
 }
 
+/** All ordered pairs (ida < idb) from an `array<long>` of ids — the
+  * pair-expansion kernel behind the shared-gram candidate generator.
+  * Replaces the gram-index SELF-JOIN: `groupBy(gram).collect_list` +
+  * this explode does ONE shuffle of the postings where the join
+  * shuffled them twice and sorted both sides. Group size is bounded by
+  * the stop-gram df cap (<= 100 ids -> <= 4950 pairs), so the output
+  * array is small by construction; ids are sorted first so every pair
+  * comes out (lo, hi) without a comparator downstream.
+  */
+case class SortedIdPairs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ida", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("idb", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_sorted_id_pairs"
+
+  def pairsOf(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = a.getLong(i); i += 1 }
+    java.util.Arrays.sort(ids)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ids(i), ids(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = pairsOf(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("idPairs", this, classOf[SortedIdPairs].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.pairsOf($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedIdPairs =
+    copy(child = newChild)
+}
+
 /** Bridge from the private[sql] expression world to public Columns. */
 object VectorNative {
   def dot(a: Column, b: Column): Column =
@@ -219,6 +272,9 @@ object VectorNative {
 
   def wordGramHashes(ws: Column): Column =
     ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(ws)))
+
+  def sortedIdPairs(ids: Column): Column =
+    ExpressionUtils.column(SortedIdPairs(ExpressionUtils.expression(ids)))
 }
 
 /** SparkSessionExtensions hook: registers the native expressions as SQL
