@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage-backed stage memo (FileMap's P6 stage cache): derived
+  * frames shared by several queries are written to parquet ONCE per
+  * (session, data dir, stage) and every later query reads the
+  * materialization instead of re-deriving the pipeline. An in-memory
+  * persist() was measured a net loss (eager pinning defeats per-query
+  * pruning); a columnar materialization keeps pruning AND removes the
+  * rebuild — at 100 TB this is a partitioned table the pipeline
+  * maintains, here a session temp dir. Keyed by session identity so
+  * fixture edits between sessions cannot serve stale stages;
+  * computeIfAbsent makes concurrent first access build exactly once
+  * (ConcurrencySpec races it). Temp dirs are swept recursively on JVM
+  * exit.
+  */
+object StageCache {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def memoized(s: SparkSession, d: String, stage: String)(
+      build: => DataFrame): DataFrame = {
+    val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d|$stage"
+    val path = cache.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$stage")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir.toFile)
+      }))
+      val p = dir.resolve("data").toString
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+}

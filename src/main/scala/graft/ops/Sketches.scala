@@ -247,15 +247,17 @@ object Sketches {
             col("norm"), col("cn")), 9))
       // Nearest centroid per vector as a max_by AGGREGATION — a hash
       // aggregate over the N x C product, no per-vector sort (the
-      // row_number formulation paid a sort shuffle per Lloyd round).
-      // Ties break to the smallest cid via the (ccos, -cid) order key.
+      // row_number formulation paid a sort shuffle per Lloyd round),
+      // and the aggregate carries ONLY (vec_id, cell): shuffling the
+      // 64-double embedding through every Lloyd round was ~20x the
+      // bytes for data the (tiny) base scan can re-supply with a
+      // narrow join. Ties break to the smallest cid.
       def assign1(src: DataFrame, cents: DataFrame): DataFrame =
         withCcos(src, cents)
           .groupBy("vec_id")
-          .agg(expr("max_by(struct(embedding, norm, cid)," +
-            " struct(ccos, -cid))").as("b"))
-          .select(col("vec_id"), col("b.embedding").as("embedding"),
-            col("b.norm").as("norm"), col("b.cid").as("cell"))
+          .agg(expr("max_by(cid, struct(ccos, -cid))").as("cell"))
+          .join(src, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
       val seeds = base
         .orderBy(xxhash64(col("vec_id")))
         .limit(c)

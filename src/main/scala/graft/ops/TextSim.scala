@@ -67,43 +67,12 @@ object TextSim {
     * one dead executor). The cap costs one extra groupBy on gram, the
     * same shuffle key the pair join needs anyway.
     */
-  /** Stage cache (FileMap's P6 memo, storage-backed): derived frames
-    * shared by several queries are written to parquet ONCE per
-    * (session, data dir, stage) and every later query reads the
-    * materialization instead of re-deriving the pipeline. This is the
-    * storage-path memo the r2 note at the gram index promised: an
-    * in-memory persist() was measured a net loss (eager pinning
-    * defeats per-query pruning), but a columnar materialization keeps
-    * pruning AND removes the rebuild — at 100 TB this is a partitioned
-    * table the pipeline maintains, here a session temp dir. Keyed by
-    * session identity so fixture edits between sessions cannot serve
-    * stale stages; computeIfAbsent makes concurrent first access build
-    * exactly once (ConcurrencySpec exercises this).
-    */
-  private val stageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def memoized(s: SparkSession, d: String, stage: String)(
-      build: => DataFrame): DataFrame = {
-    val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d|$stage"
-    val path = stageCache.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_$stage")
-      // deleteOnExit cannot remove non-empty dirs — sweep recursively.
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(dir.toFile)
-      }))
-      val p = dir.resolve("data").toString
-      build.write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-
+  /** The gram index is stage-cached ([[graft.StageCache]] — FileMap's
+    * P6 memo): four dedup queries derive it, the build runs once per
+    * session. */
   def gramIndex(s: SparkSession, d: String, dfCap: Int): DataFrame =
-    memoized(s, d, s"gram$dfCap")(buildGramIndex(s, d, dfCap))
+    graft.StageCache.memoized(s, d, s"gram$dfCap")(
+      buildGramIndex(s, d, dfCap))
 
   private def buildGramIndex(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     // Grams exist only as 64-bit hashes, computed by the native
@@ -253,7 +222,7 @@ object TextSim {
     * gram->pair->jaccard pipeline runs once per session, not once per
     * reference. */
   private def nearDupEdges(s: SparkSession, d: String): DataFrame =
-    memoized(s, d, "edges05")(
+    graft.StageCache.memoized(s, d, "edges05")(
       ngramJaccardPairs(s, d, 0.5).select("ida", "idb"))
 
   /** Pairwise cosine kernel over embeddings: (ida, idb, cos) for
