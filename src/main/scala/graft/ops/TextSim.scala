@@ -124,12 +124,13 @@ object TextSim {
     * grams) — the single candidate-generation kernel behind the n-gram
     * Jaccard, cluster, and Levenshtein-verify queries. */
   private def sharedGramPairCounts(s: SparkSession, d: String): DataFrame =
-    gramIndex(s, d, DfCap)
-      .groupBy("gram").agg(collect_list(col("doc_id")).as("ids"))
-      .select(explode(
-        graft.functions.VectorFunctions.sortedIdPairs(col("ids"))).as("p"))
-      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
+    graft.StageCache.memoized(s, d, "paircounts")(
+      gramIndex(s, d, DfCap)
+        .groupBy("gram").agg(collect_list(col("doc_id")).as("ids"))
+        .select(explode(
+          graft.functions.VectorFunctions.sortedIdPairs(col("ids"))).as("p"))
+        .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("c")))
 
   private def ngramJaccardPairs(s: SparkSession, d: String,
       minJac: Double): DataFrame = {

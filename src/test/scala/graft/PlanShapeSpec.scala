@@ -61,6 +61,24 @@ class PlanShapeSpec extends AnyFunSuite {
       .head().getDouble(0) === 11.0)
   }
 
+  test("hot-path plans run inside whole-stage codegen") {
+    // The flagship aggregation and the native-kernel cosine query must
+    // both execute in generated code, not interpreted operators — the
+    // native expressions implement doGenCode precisely so they stay
+    // inside the codegen stages.
+    Seq("q_agg_group", "q_sim_cosine_knn", "q_filter_pred").foreach { n =>
+      // AQE prints codegen stages only in the FINAL plan — execute
+      // THIS frame (count() would execute a different plan), then
+      // inspect.
+      val df = q(n)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // Codegen stages print as "*(n) Operator" in the final plan.
+      assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+        s"$n has no codegen span:\n$p")
+    }
+  }
+
   test("graft_dot matches the HOF formulation on ragged and null inputs") {
     // Ragged arrays and null elements return NULL — the same answer the
     // zip_with/aggregate formulation gives — in both the interpreted
