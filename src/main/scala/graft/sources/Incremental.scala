@@ -61,4 +61,62 @@ object Incremental {
     }
     todo
   }
+
+  /** Content fingerprint of one input partition: a hash over its file
+    * names, lengths, and modification times — the staleness signal,
+    * computed from the LISTING alone (no data read; FileMap's memo key
+    * is the same (file, stage) identity). */
+  def partitionFingerprint(spark: SparkSession, dir: String,
+      partCol: String, value: String): Long = {
+    val p = new Path(s"$dir/$partCol=$value")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
+      .sorted
+      .foldLeft(17L)((h, s) => h * 31L + s.hashCode)
+  }
+
+  private def fingerprintFile(outDir: String) =
+    java.nio.file.Paths.get(outDir, "_graft_fingerprints.tsv")
+
+  private def loadFingerprints(outDir: String): Map[String, Long] = {
+    val f = fingerprintFile(outDir)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(v, fp) = l.split('\t'); v -> fp.toLong
+      }.toMap
+  }
+
+  /** Full FileMap-P6 semantics: re-run processes partitions that are
+    * NEW **or whose input files changed** since the recorded
+    * fingerprint. Changed partitions are rewritten in place via
+    * dynamic partition overwrite (only the touched `partCol=v` dirs
+    * are replaced); fingerprints persist as a sidecar in the output
+    * tree, so the memo travels with the data. Returns the processed
+    * partition values.
+    */
+  def syncChanged(spark: SparkSession, inDir: String, outDir: String,
+      partCol: String)(derive: DataFrame => DataFrame): Set[String] = {
+    val seen = loadFingerprints(outDir)
+    val current = partitionValues(spark, inDir, partCol)
+      .map(v => v -> partitionFingerprint(spark, inDir, partCol, v)).toMap
+    val todo = current.collect {
+      case (v, fp) if !seen.get(v).contains(fp) => v
+    }.toSet
+    if (todo.nonEmpty) {
+      val fresh = spark.read.parquet(inDir)
+        .filter(col(partCol).isin(todo.toSeq.sorted: _*))
+      derive(fresh)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(outDir)
+      val merged = seen ++ todo.map(v => v -> current(v))
+      java.nio.file.Files.write(fingerprintFile(outDir),
+        merged.toSeq.sorted.map { case (v, fp) => s"$v\t$fp" }
+          .mkString("\n").getBytes("UTF-8"))
+    }
+    todo
+  }
 }

@@ -62,6 +62,39 @@ class IncrementalSpec extends AnyFunSuite {
     assert(incremental.nonEmpty)
   }
 
+  test("changed input partitions are reprocessed in place (P6 staleness)") {
+    val docs = Tables.documents(spark, sf)
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    val inDir = tmp("graft_chg_in")
+    val outDir = tmp("graft_chg_out")
+    docs.write.mode("append").partitionBy("lang").parquet(inDir)
+    // First run processes everything; a re-run with nothing changed is
+    // a no-op.
+    assert(Incremental.syncChanged(spark, inDir, outDir, "lang")(derive)
+      === langs.toSet)
+    assert(Incremental.syncChanged(spark, inDir, outDir, "lang")(derive)
+      === Set.empty)
+    // Grow ONE input partition (new file lands in lang=<first>): only
+    // that partition is stale, and its output is rewritten in place.
+    val extra = docs.filter(col("lang") === langs.head)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    extra.write.mode("append").partitionBy("lang").parquet(inDir)
+    val run3 = Incremental.syncChanged(spark, inDir, outDir, "lang")(derive)
+    assert(run3 === Set(langs.head))
+    // The refreshed output equals a full recompute of the grown tree.
+    val incremental = spark.read.parquet(outDir)
+      .select("doc_id", "lang", "n_words", "n_chars_out")
+      .collect().map(_.toSeq).toSet
+    val full = derive(spark.read.parquet(inDir))
+      .collect().map(_.toSeq).toSet
+    assert(incremental === full)
+    // And the changed partition's rows were not duplicated by the
+    // rewrite (dynamic overwrite replaced the dir, not appended).
+    assert(incremental.count(_(1) == langs.head)
+      === full.count(_(1) == langs.head))
+  }
+
   test("the delta read prunes processed partitions at plan time") {
     val docs = Tables.documents(spark, sf)
     val langs = docs.select("lang").distinct()
