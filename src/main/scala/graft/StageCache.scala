@@ -17,13 +17,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StageCache {
 
+  /** One materialization slot per (session, dir, stage). The BUILD
+    * runs inside the slot's own lock, NEVER inside the map's
+    * computeIfAbsent: stage builds nest (the edge list derives the
+    * pair counts derives the gram index), and nested computeIfAbsent
+    * on one ConcurrentHashMap is documented undefined behavior — it
+    * throws IllegalStateException("Recursive update") whenever the
+    * keys land in colliding bins, which made cluster/curate fail
+    * intermittently depending on the session's identity hash. The map
+    * operation now only creates the (empty) slot; a failed build
+    * leaves the slot empty, so the next caller retries. */
+  private final class Slot {
+    @volatile private var path: String = _
+    def get(build: => String): String = {
+      if (path == null) synchronized { if (path == null) path = build }
+      path
+    }
+  }
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Slot]()
 
   def memoized(s: SparkSession, d: String, stage: String)(
       build: => DataFrame): DataFrame = {
     val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d|$stage"
-    val path = cache.computeIfAbsent(key, _ => {
+    val slot = cache.computeIfAbsent(key, _ => new Slot)
+    val path = slot.get {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_$stage")
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
@@ -34,7 +53,7 @@ object StageCache {
       val p = dir.resolve("data").toString
       build.write.mode("overwrite").parquet(p)
       p
-    })
+    }
     s.read.parquet(path)
   }
 }
