@@ -79,6 +79,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("no registry query gains an undeclared cartesian or nested-loop join") {
+    // The scale contract: product-shaped joins appear ONLY where they
+    // are the declared design —
+    //  * brute-force exactness baselines (the LSH/IVF paths are the
+    //    scale formulations): q_dedup_cosine, q_sim_cosine_knn,
+    //    q_sim_threshold;
+    //  * inherently non-equi / product demos: q_join_cross,
+    //    q_join_selfpair, q_join_theta;
+    //  * broadcast singletons or the sqrt(N) codebook (a 1-to-few-row
+    //    build side broadcast to every partition — scale-safe):
+    //    q_ev_resample, q_mix_weights, q_text_bm25, q_text_tfidf,
+    //    q_sim_ann_ivf.
+    // Any OTHER query acquiring one is a scale regression.
+    val declared = Set(
+      "q_dedup_cosine", "q_sim_cosine_knn", "q_sim_threshold",
+      "q_join_cross", "q_join_selfpair", "q_join_theta",
+      "q_ev_resample", "q_mix_weights", "q_text_bm25", "q_text_tfidf",
+      "q_sim_ann_ivf")
+    val offenders = Registry.all.map(_.name).filterNot(declared).filter { n =>
+      val p = plan(n)
+      p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+    }
+    assert(offenders.isEmpty,
+      s"undeclared product joins in: ${offenders.mkString(", ")}")
+  }
+
   test("graft_dot matches the HOF formulation on ragged and null inputs") {
     // Ragged arrays and null elements return NULL — the same answer the
     // zip_with/aggregate formulation gives — in both the interpreted
