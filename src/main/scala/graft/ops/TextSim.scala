@@ -512,6 +512,37 @@ object TextSim {
         .orderBy("doc_id")
     },
 
+    // Character-level Shannon entropy per document — the cheap
+    // perplexity proxy: gibberish and boilerplate sit at the entropy
+    // extremes. One explode + two grouped aggregations; the final
+    // round absorbs summation-order ulp drift (§2.13 rule 2).
+    q("q_text_entropy",
+      """WITH c AS (SELECT doc_id,
+        |    unnest([substr(text, CAST(i AS INT), 1)
+        |      for i in range(1, length(text) + 1)]) AS ch
+        |  FROM documents),
+        |f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
+        |t AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM f GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  round(-sum((f.n / CAST(t.tot AS DOUBLE))
+        |    * log2(f.n / CAST(t.tot AS DOUBLE))), 6) AS entropy
+        |FROM f JOIN t ON f.doc_id = t.doc_id
+        |GROUP BY f.doc_id
+        |ORDER BY f.doc_id""") { (s, d) =>
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
+      val t = f.groupBy("doc_id").agg(sum("n").as("tot"))
+      f.join(t, "doc_id")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_chars"),
+          round(-sum((col("n") / col("tot"))
+            * log2(col("n") / col("tot"))), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination — the training-pipeline step that
     // removes eval-set leakage: source 'src0' plays the held-out
     // benchmark; a training doc is contaminated when it shares >= 3
