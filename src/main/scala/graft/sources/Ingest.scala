@@ -43,4 +43,14 @@ object Ingest {
     * prerequisite for static + dynamic partition pruning on re-read). */
   def writePartitioned(df: DataFrame, dir: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(dir)
+
+  /** ORC source — the second columnar format Spark ships natively;
+    * same pushdown/pruning surface as parquet (predicate pushdown via
+    * ORC's SearchArguments). */
+  def orc(spark: SparkSession, glob: String): DataFrame =
+    spark.read.orc(glob)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
 }
