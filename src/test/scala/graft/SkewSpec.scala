@@ -64,6 +64,48 @@ class SkewSpec extends AnyFunSuite {
     assert(spread === 8L, s"unique salt column spread only $spread/8 buckets")
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    import spark.implicits._
+    // The Skew scaladoc claims AQE's OptimizeSkewedJoin handles the
+    // shuffle-join case without salting — demonstrate it: one hot key
+    // floods a partition; with broadcast disabled (to force the
+    // sort-merge shape a big build side would take at scale) and
+    // test-sized skew thresholds, the final plan must mark the join
+    // skew=true (the partition was split into parallel sub-joins).
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // 90% of probe rows share key 0 (computed, so Catalyst cannot
+      // constant-fold the join condition away); the build side has one
+      // row per key.
+      val probe = spark.range(200000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+          col("id"), lpad(col("id").cast("string"), 32, "x").as("pad"))
+      val build = spark.range(200000)
+        .select(col("id").as("k"), col("id").as("bid"))
+      val joined = probe.join(build, "k")
+      // Execute THIS frame (count() would run a different plan and
+      // leave this one's AQE un-finalized).
+      assert(joined.collect().length === 200000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("saltedJoin rejects inputs that already carry a __salt column") {
     import spark.implicits._
     val bad = Seq((1L, "a", 0L)).toDF("id", "k", "__salt")
