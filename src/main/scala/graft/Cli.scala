@@ -29,17 +29,28 @@ object Cli {
 
   def run(spark: SparkSession, glob: String, outDir: String,
       mapCmd: String, reduceCmd: Option[String] = None,
+      buckets: Int = 32): Unit =
+    runStages(spark, glob, outDir, Seq(mapCmd), reduceCmd, buckets)
+
+  /** Multi-stage form: FileMap chains map stages (each stage's output
+    * tree feeds the next); here the stages COMPOSE on the executors —
+    * one process per stage per partition, records streaming through
+    * without an intermediate tree (the same fusion a shell gets from
+    * `cmd1 | cmd2`, but per partition with retries). */
+  def runStages(spark: SparkSession, glob: String, outDir: String,
+      mapCmds: Seq[String], reduceCmd: Option[String] = None,
       buckets: Int = 32): Unit = {
+    require(mapCmds.nonEmpty, "at least one map stage")
     val lines = sources.Ingest.lines(spark, glob).select("line")
-    val mapped = sources.ShellPipe.pipe(lines, mapCmd)
+    val mapped = mapCmds.foldLeft(lines)((df, cmd) =>
+      sources.ShellPipe.pipe(df, cmd).toDF("line"))
     val out = reduceCmd match {
       case Some(r) =>
-        val bucketed = mapped.toDF("line")
-          .repartition(buckets, col("line"))
-        sources.ShellPipe.pipe(bucketed, r)
+        val bucketed = mapped.repartition(buckets, col("line"))
+        sources.ShellPipe.pipe(bucketed, r).toDF("line")
       case None => mapped
     }
-    out.toDF("line").write.mode("overwrite").text(outDir)
+    out.write.mode("overwrite").text(outDir)
   }
 
   def main(args: Array[String]): Unit = {

@@ -42,6 +42,29 @@ class CliSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("chained map stages compose like a shell pipeline") {
+    val in = tmp("graft_cli_in3")
+    val out = tmp("graft_cli_out3")
+    Tables.documents(spark, sf).select("text").limit(50)
+      .write.mode("overwrite").text(in)
+    // Stage 1 tokenizes, stage 2 uppercases, reduce counts — the
+    // fm-style multi-stage chain, fused per partition.
+    Cli.runStages(spark, in + "/*.txt", out,
+      mapCmds = Seq("tr ' ' '\\n'", "tr 'a-z' 'A-Z'"),
+      reduceCmd = Some("sort | uniq -c"), buckets = 4)
+    val got = spark.read.text(out)
+      .collect().map { r =>
+        val parts = r.getString(0).trim.split("\\s+", 2)
+        (if (parts.length > 1) parts(1) else "", parts(0).toLong)
+      }.toMap
+    val want = spark.read.text(in)
+      .select(explode(split(upper(col("value")), " ")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("map-only run streams every line through the command") {
     val in = tmp("graft_cli_in2")
     val out = tmp("graft_cli_out2")
