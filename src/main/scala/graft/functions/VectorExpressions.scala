@@ -27,4 +27,10 @@ object VectorFunctions {
   /** All (lo, hi) pairs from an array<long> of ids (see
     * graftnative.SortedIdPairs) — the pair-expansion kernel. */
   def sortedIdPairs(ids: Column): Column = VectorNative.sortedIdPairs(ids)
+
+  /** Aggregate: distinct long ids as a sorted array, NULL once a group
+    * exceeds `cap` distinct values — buffer bounded at cap+1 entries
+    * (see graftnative.CappedIdSet; the postings-build kernel). */
+  def cappedIdSet(ids: Column, cap: Int): Column =
+    org.apache.spark.sql.graftnative.CappedIdSet.cappedIdSet(ids, cap)
 }

@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * At 100 TB these are the operators that replace the blocked/brute
   * kernels in TextSim: candidate generation is groupBy-on-signature —
   * shuffle-bounded by data size, never O(n²).
+  *
+  * The ANN entry points ([[lshCandidates]], [[ivfSearch]]) take a
+  * CALLER-SUPPLIED query frame `(qid: long, qv: array<double>)` — a
+  * real user brings their own query vectors; the registry queries are
+  * thin wrappers that instantiate them with the fixture query set
+  * ([[defaultQueries]]).
   */
 object Sketches {
 
@@ -27,46 +33,81 @@ object Sketches {
   private def grams(s: SparkSession, d: String): DataFrame =
     TextSim.gramIndex(s, d, TextSim.DfCap)
 
-  /** LSH-bucketed ANN candidate pairs (qid, vec_id): 48 tables of
-    * 10-bit random-hyperplane signatures (the native codegen
+  /** (vec_id, embedding, norm) — the indexed corpus. */
+  private def embBase(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+
+  /** The fixture ANN query set: every 97th vector, as the (qid, qv)
+    * frame the operator APIs contract on. Registry queries and goldens
+    * are pinned on this instantiation; SketchesSpec additionally runs
+    * the same operators on HELD-OUT query vectors. */
+  def defaultQueries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  /** LSH-bucketed ANN candidates: 48 tables of 10-bit random-hyperplane
+    * signatures (the native codegen
     * [[graft.functions.VectorFunctions.lshSig]]), with 1-BIT MULTIPROBE
     * on the query side — each query probes its own bucket plus the b
     * one-bit-flip buckets per table, the standard trick that buys the
     * recall of many more tables for b extra probes of existing ones.
-    * Public so the property test can measure candidate selectivity
-    * directly. Scale shape: signatures are one narrow (vec_id, t, sig)
+    * Scale shape: corpus signatures are one narrow (vec_id, t, sig)
     * shuffle; candidate generation is a hash join on (t, sig) — never
-    * an all-pairs product. On this measured-isotropic fixture the
-    * (bits, tables) point was tuned to recall >= 0.8 at ~0.45
-    * candidate fraction — better than any cell partitioning achieves
-    * here (see the IVF note); clustered real corpora get far sharper
-    * selectivity from the identical pipeline. */
+    * an all-pairs product. Because the signature is a pure function of
+    * the vector (zero broadcast state), EXTERNAL query vectors sign
+    * themselves identically — no re-indexing to serve a new query set.
+    * On this measured-isotropic fixture the (bits, tables) point was
+    * tuned to recall >= 0.8 at ~0.45 candidate fraction — better than
+    * any cell partitioning achieves here (see the IVF note); clustered
+    * real corpora get far sharper selectivity from the identical
+    * pipeline. */
   val LshTables = 48
   val LshBits = 10
 
-  def lshCandidates(s: SparkSession, d: String): DataFrame = {
+  /** Per-table signatures of the indexed corpus: (vec_id, t, sig). */
+  private def sigTable(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.lshSig
     val sigCols = (0 until LshTables)
       .map(t => lshSig(col("embedding"), LshBits, t).as(s"s$t"))
-    val sigs = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select(col("vec_id") +: sigCols: _*)
-    val tbl = sigs.select(col("vec_id"), posexplode(
-      array((0 until LshTables).map(t => col(s"s$t")): _*))
-      .as(Seq("t", "sig")))
-    val probeCols = (0 until LshTables).flatMap { t =>
+      .select(col("vec_id"), posexplode(
+        array((0 until LshTables).map(t => col(s"s$t")): _*))
+        .as(Seq("t", "sig")))
+  }
+
+  /** The 1-bit-multiprobe probe structs for signature columns s0..sN:
+    * per table, the exact bucket plus the LshBits one-bit-flip buckets. */
+  private def probeStructs: Seq[Column] =
+    (0 until LshTables).flatMap { t =>
       val s0 = col(s"s$t")
       struct(lit(t).as("t"), s0.as("sig")) +:
         (0 until LshBits).map(j =>
           struct(lit(t).as("t"), s0.bitwiseXOR(lit(1L << j)).as("sig")))
     }
-    val qprobes = sigs.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("qid"), explode(array(probeCols: _*)).as("p"))
+
+  /** Candidate (qid, vec_id) pairs for an arbitrary query frame
+    * `(qid, qv)`. A query whose qid equals a corpus vec_id is treated
+    * as that vector querying the rest (self-match excluded). */
+  def lshCandidates(s: SparkSession, d: String, queries: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.lshSig
+    val qsigs = queries.select(col("qid") +: (0 until LshTables)
+      .map(t => lshSig(col("qv"), LshBits, t).as(s"s$t")): _*)
+    val qprobes = qsigs
+      .select(col("qid"), explode(array(probeStructs: _*)).as("p"))
       .select(col("qid"), col("p.t").as("t"), col("p.sig").as("sig"))
-    qprobes.join(tbl, Seq("t", "sig"))
+    qprobes.join(sigTable(s, d), Seq("t", "sig"))
       .filter(col("qid") =!= col("vec_id"))
       .select("qid", "vec_id")
       .distinct()
   }
+
+  /** Fixture-query instantiation (kept for the registry + the
+    * selectivity property test). */
+  def lshCandidates(s: SparkSession, d: String): DataFrame =
+    lshCandidates(s, d, defaultQueries(s, d))
 
   /** ALL-PAIRS LSH candidates (ida < idb): postings list per (table,
     * signature) self-joined against the 1-bit-multiprobe probe list —
@@ -84,19 +125,134 @@ object Sketches {
     val tbl = sigs.select(col("vec_id"), posexplode(
       array((0 until LshTables).map(t => col(s"s$t")): _*))
       .as(Seq("t", "sig")))
-    val probeCols = (0 until LshTables).flatMap { t =>
-      val s0 = col(s"s$t")
-      struct(lit(t).as("t"), s0.as("sig")) +:
-        (0 until LshBits).map(j =>
-          struct(lit(t).as("t"), s0.bitwiseXOR(lit(1L << j)).as("sig")))
-    }
     val probes = sigs
-      .select(col("vec_id").as("ida"), explode(array(probeCols: _*)).as("p"))
+      .select(col("vec_id").as("ida"), explode(array(probeStructs: _*)).as("p"))
       .select(col("ida"), col("p.t").as("t"), col("p.sig").as("sig"))
     probes.join(tbl, Seq("t", "sig"))
       .filter(col("ida") < col("vec_id"))
       .select(col("ida"), col("vec_id").as("idb"))
       .distinct()
+  }
+
+  // ---- IVF --------------------------------------------------------------
+
+  private def cosCol(v1: String, v2: String, n1: Column, n2: Column): Column =
+    graft.functions.VectorFunctions.dot(col(v1), col(v2)) / (n1 * n2)
+
+  private def withCcos(src: DataFrame, cents: DataFrame): DataFrame =
+    src.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosCol("embedding", "cv",
+        col("norm"), col("cn")), 9))
+
+  /** Nearest centroid per vector as a max_by AGGREGATION — a hash
+    * aggregate over the N x C product, no per-vector sort (the
+    * row_number formulation paid a sort shuffle per Lloyd round), and
+    * the aggregate carries ONLY (vec_id, cell): shuffling the
+    * 64-double embedding through every Lloyd round was ~20x the bytes
+    * for data the (tiny) base scan can re-supply with a narrow join.
+    * Ties break to the smallest cid. */
+  private def assign1(src: DataFrame, cents: DataFrame): DataFrame =
+    withCcos(src, cents)
+      .groupBy("vec_id")
+      .agg(expr("max_by(cid, struct(ccos, -cid))").as("cell"))
+      .join(src, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+
+  /** The IVF codebook (cid, cv, cn), STAGE-CACHED per (session, dir):
+    * the 3-round Lloyd refinement is deterministic for a given corpus,
+    * so it is a one-time build the searches read back — at 100 TB a
+    * maintained table next to the index, exactly like the gram
+    * postings. Derivation (the r2 vec_id%100 seeding was a
+    * placeholder):
+    *  1. codebook size C = ceil(sqrt(N)) — one count() sizes it (the
+    *     same two-pass shape AQE uses: a cheap stats pass, then the
+    *     plan). Seeds are the C vectors with the smallest
+    *     xxhash64(vec_id) — a deterministic hash-seeded sample, so the
+    *     initial centroids are real data points spread independently
+    *     of id order or storage layout.
+    *  2. THREE Lloyd rounds, each summing per-cell coordinates as
+    *     scaled longs (x * 1e9 as long) — order-independent integer
+    *     addition, so the codebook is bit-deterministic across runs
+    *     and partitionings (and parquet round-trips doubles exactly,
+    *     so caching does not perturb it).
+    */
+  def ivfCodebook(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "ivfcb") {
+      val base = embBase(s, d)
+      val c = math.ceil(math.sqrt(base.count().toDouble)).toInt.max(2)
+      val seeds = base
+        .orderBy(xxhash64(col("vec_id")))
+        .limit(c)
+        .toDF("cid", "cv", "cn")
+      // Lloyd step: mean vector per cell via exact integer summation.
+      def lloyd(cents: DataFrame): DataFrame =
+        assign1(base, cents)
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum((col("x") * 1e9).cast("long")) /
+            (count(lit(1)) * 1e9)).as("cx"))
+          .groupBy("cell")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
+            " p -> p.cx)").as("cv"))
+          .select(col("cell").as("cid"), col("cv"),
+            graft.functions.VectorFunctions.l2norm(col("cv")).as("cn"))
+      (1 to 3).foldLeft(seeds: DataFrame)((cc, _) => lloyd(cc))
+    }
+
+  /** Cell assignment of the indexed corpus (vec_id, cell) — also
+    * stage-cached: the N x C broadcast assignment is per-corpus work,
+    * not per-query work (at 100 TB the cell id is a column of the
+    * index table, maintained on ingest). */
+  def ivfAssignments(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "ivfassign")(
+      assign1(embBase(s, d), ivfCodebook(s, d)).select("vec_id", "cell"))
+
+  /** MULTI-PROBE IVF search for an arbitrary query frame `(qid, qv)`:
+    * each query ranks the C centroids (broadcast product), scans its
+    * `nprobe(C)` nearest cells, and exact-cosine reranks candidates to
+    * top-k. Multi-probe is what lifts recall over the cell-boundary
+    * losses a single-probe IVF suffers; cost per query is
+    * nprobe * N/C candidate dots.
+    *
+    * `nprobe` is the caller's recall/cost knob, a FUNCTION of the
+    * codebook size. Real clustered embedding corpora run nprobe 2–8;
+    * the fixture call site supplies ceil(0.7 * C) because the fixture
+    * vectors are measured-isotropic (same-label and cross-label cosine
+    * both ~0.00) — on structureless data every directional
+    * partitioning has recall ~ scan fraction, so no codebook default
+    * can be both honest here and sensible at scale. */
+  def ivfSearch(s: SparkSession, d: String, queries: DataFrame,
+      nprobe: Int => Int, k: Int = 3): DataFrame = {
+    val cents = ivfCodebook(s, d)
+    val np = math.max(1, nprobe(cents.count().toInt))
+    val qs = queries.select(col("qid").as("vec_id"), col("qv").as("embedding"),
+      graft.functions.VectorFunctions.l2norm(col("qv")).as("norm"))
+    val wq0 = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val probes = withCcos(qs, cents)
+      .withColumn("crn", row_number().over(wq0))
+      .filter(col("crn") <= np)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("cid").as("qcell"))
+    val indexed = ivfAssignments(s, d).join(embBase(s, d), "vec_id")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(indexed, col("qcell") === col("cell")
+      && col("qid") =!= col("vec_id"))
+      .withColumn("cos", round(cosCol("qv", "embedding",
+        col("qn"), col("norm")), 6))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Force-build the ANN stage-cached artifacts (codebook, then the
+    * corpus cell assignment, which chains through it). See
+    * [[TextSim.warmStages]] for why Bench calls this up front. */
+  def warmStages(s: SparkSession, d: String): Unit = {
+    ivfAssignments(s, d).count()
+    ()
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -109,9 +265,7 @@ object Sketches {
     // candidate recall makes the keep-id map agree on >= 90% of
     // flagged duplicates on the fixtures.
     QuerySpec.noOracle("q_dedup_cosine_lsh") { (s, d) =>
-      val base = Tables.embeddings(s, d).select(
-        col("vec_id"), col("embedding"),
-        graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+      val base = embBase(s, d)
       val nbrs = lshPairCandidates(s, d)
         .join(base.toDF("ida", "va", "na"), "ida")
         .join(base.toDF("idb", "vb", "nb"), "idb")
@@ -132,14 +286,13 @@ object Sketches {
     // candidates (see lshCandidates), then the exact codegen cosine
     // reranks candidates to top-3 per query — the second scale path
     // for similarity search next to IVF, and the better one on
-    // unclustered data.
+    // unclustered data. Thin wrapper: fixture query set over the
+    // general (qid, qv) API.
     QuerySpec.noOracle("q_sim_ann_lsh") { (s, d) =>
-      val base = Tables.embeddings(s, d).select(
-        col("vec_id"), col("embedding"),
-        graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+      val base = embBase(s, d)
       val wq = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-      lshCandidates(s, d)
+      lshCandidates(s, d, defaultQueries(s, d))
         .join(base.toDF("qid", "qv", "qn"), "qid")
         .join(base.toDF("vec_id", "v", "n"), "vec_id")
         .withColumn("cos", round(
@@ -206,100 +359,17 @@ object Sketches {
         .orderBy("ida", "idb")
     },
 
-    // IVF ANN with a DATA-DEPENDENT codebook (the r2 vec_id%100 seeding
-    // was a placeholder):
-    //  1. codebook size C = ceil(sqrt(N)) — one count() sizes it (the
-    //     same two-pass shape AQE uses: a cheap stats pass, then the
-    //     plan). Seeds are the C vectors with the smallest
-    //     xxhash64(vec_id) — a deterministic hash-seeded sample, so the
-    //     initial centroids are real data points spread independently
-    //     of id order or storage layout.
-    //  2. THREE Lloyd rounds, each summing per-cell coordinates as
-    //     scaled longs (x * 1e9 as long) — order-independent integer
-    //     addition, so the codebook is bit-deterministic across runs
-    //     and partitionings.
-    //  3. MULTI-PROBE search: each query scans its nprobe nearest
-    //     cells, which is what lifts recall over the cell-boundary
-    //     losses a single-probe IVF suffers.
+    // IVF ANN over the stage-cached codebook + assignment (see
+    // ivfCodebook / ivfSearch). Thin wrapper: fixture query set, with
+    // the fixture-tuned nprobe = ceil(0.7 * C) supplied HERE (not as an
+    // operator default) — the isotropic fixture needs a ~70% scan
+    // fraction to hit the 0.8 recall bar, while the operator's real
+    // knob on clustered corpora is 2–8 (see the ivfSearch scaladoc).
     // Recall >= 0.8 vs brute-force top-3 is property-tested at two
-    // tiers (SketchesSpec). At 100 TB: centroids stay broadcast-sized
-    // (C = sqrt(N)), assignment is the N x C broadcast product, search
-    // shuffles by cell — cost per query is nprobe * N/C candidate dots.
-    //
-    // nprobe default: ceil(0.7 * C), tuned against THIS fixture, whose
-    // vectors are measured-isotropic (same-label and cross-label cosine
-    // both ~0.00; top-3 neighbors sit at cos ~0.4 in d=64). On
-    // structureless data every directional partitioning has recall ~
-    // scan fraction — no codebook can beat that bound — so the 0.8 bar
-    // costs a large nprobe here. On real embedding corpora (which
-    // cluster hard) the identical pipeline runs nprobe 2-8; nprobe is
-    // the standard IVF recall/cost knob, not part of the structure.
+    // tiers (SketchesSpec), for this wrapper AND for held-out queries.
     QuerySpec.noOracle("q_sim_ann_ivf") { (s, d) =>
-      val base = Tables.embeddings(s, d).select(
-        col("vec_id"), col("embedding"),
-        graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
-      val c = math.ceil(math.sqrt(base.count().toDouble)).toInt.max(2)
-      def cos(v1: String, v2: String, n1: Column, n2: Column): Column =
-        graft.functions.VectorFunctions.dot(col(v1), col(v2)) / (n1 * n2)
-      def withCcos(src: DataFrame, cents: DataFrame): DataFrame =
-        src.crossJoin(broadcast(cents))
-          .withColumn("ccos", round(cos("embedding", "cv",
-            col("norm"), col("cn")), 9))
-      // Nearest centroid per vector as a max_by AGGREGATION — a hash
-      // aggregate over the N x C product, no per-vector sort (the
-      // row_number formulation paid a sort shuffle per Lloyd round),
-      // and the aggregate carries ONLY (vec_id, cell): shuffling the
-      // 64-double embedding through every Lloyd round was ~20x the
-      // bytes for data the (tiny) base scan can re-supply with a
-      // narrow join. Ties break to the smallest cid.
-      def assign1(src: DataFrame, cents: DataFrame): DataFrame =
-        withCcos(src, cents)
-          .groupBy("vec_id")
-          .agg(expr("max_by(cid, struct(ccos, -cid))").as("cell"))
-          .join(src, "vec_id")
-          .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
-      val seeds = base
-        .orderBy(xxhash64(col("vec_id")))
-        .limit(c)
-        .toDF("cid", "cv", "cn")
-      // Lloyd step: mean vector per cell via exact integer summation.
-      def lloyd(cents: DataFrame): DataFrame =
-        assign1(base, cents)
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg((sum((col("x") * 1e9).cast("long")) /
-            (count(lit(1)) * 1e9)).as("cx"))
-          .groupBy("cell")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
-            " p -> p.cx)").as("cv"))
-          .select(col("cell").as("cid"), col("cv"),
-            graft.functions.VectorFunctions.l2norm(col("cv")).as("cn"))
-      // The codebook is C rows — materialize it eagerly so the three
-      // nested Lloyd plans run once, not once per downstream reference
-      // (assignment + probe each re-derive `refined` otherwise).
-      val refined = (1 to 3).foldLeft(seeds: DataFrame)((cc, _) => lloyd(cc))
-        .localCheckpoint(true)
-      val assigned = assign1(base, refined)
-      val nprobe = math.ceil(0.7 * c).toInt.max(2)
-      // Probe-cell ranking runs on the QUERY subset only (the r2 shape
-      // ranked every vector's probe cells, then threw 99% away).
-      val wq0 = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-      val queries = withCcos(base.filter(col("vec_id") % 97 === 0), refined)
-        .withColumn("crn", row_number().over(wq0))
-        .filter(col("crn") <= nprobe)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("norm").as("qn"), col("cid").as("qcell"))
-      val wq = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-      queries.join(assigned, col("qcell") === col("cell")
-        && col("qid") =!= col("vec_id"))
-        .withColumn("cos", round(cos("qv", "embedding",
-          col("qn"), col("norm")), 6))
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= 3)
-        .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rn"))
-        .orderBy("qid", "rn")
+      ivfSearch(s, d, defaultQueries(s, d),
+        nprobe = c => math.ceil(0.7 * c).toInt.max(2))
     }
   )
 }

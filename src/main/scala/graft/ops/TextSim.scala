@@ -67,34 +67,50 @@ object TextSim {
     * one dead executor). The cap costs one extra groupBy on gram, the
     * same shuffle key the pair join needs anyway.
     */
-  /** The gram index is stage-cached ([[graft.StageCache]] — FileMap's
-    * P6 memo): four dedup queries derive it, the build runs once per
-    * session. */
-  def gramIndex(s: SparkSession, d: String, dfCap: Int): DataFrame =
-    graft.StageCache.memoized(s, d, s"gram$dfCap")(
-      buildGramIndex(s, d, dfCap))
+  /** Capped gram POSTINGS (gram, ids: sorted array<long>) — the primary
+    * stage-cached artifact of the dedup family; the (doc_id, gram)
+    * index and the shared-gram pair counts both derive from it by a
+    * cheap explode over the materialization.
+    *
+    * ONE aggregation builds it: raw hashed grams (with per-doc
+    * repeats) group straight to postings via the native
+    * [[graftnative.CappedIdSet]] aggregate, which dedups ids AND
+    * applies the stop-gram df cap in the same shuffle — a group that
+    * exceeds the cap returns NULL and is filtered. The r3 build spent
+    * three shuffles on the same result (distinct on (doc_id, gram),
+    * groupBy(gram) df count, join the surviving grams back); the
+    * paircounts stage then paid a FOURTH shuffle re-grouping the index
+    * by gram to recover exactly these postings lists. The capped
+    * buffer (cap+1 longs, map-side and final) is what makes the fuse
+    * safe at 100 TB: a boilerplate gram shared by 1e9 docs costs 101
+    * buffer entries, not a multi-GB collect_set before the filter.
+    */
+  def gramPostings(s: SparkSession, d: String, dfCap: Int): DataFrame =
+    graft.StageCache.memoized(s, d, s"postings$dfCap")(
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
+            .as("gram"))
+        .groupBy("gram")
+        .agg(graft.functions.VectorFunctions
+          .cappedIdSet(col("doc_id"), dfCap).as("ids"))
+        .filter(col("ids").isNotNull))
 
-  private def buildGramIndex(s: SparkSession, d: String, dfCap: Int): DataFrame = {
-    // Grams exist only as 64-bit hashes, computed by the native
-    // one-pass [[graftnative.WordGramHashes]] kernel — no gram string
-    // is ever materialized (the old transform/slice/array_join HOF
-    // pipeline was ~70% of this build at sf0.1), and every downstream
-    // shuffle, distinct, and self-join keys on an 8-byte long.
-    // Collisions across ~4e5 distinct grams are ~1e-8-probable — far
-    // below any other source of error — and the gram text itself is
-    // never part of any query output (oracles count string grams on
-    // the DuckDB side; only the counts must agree).
-    val g0 = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
-        explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
-          .as("gram"))
-      .distinct()
-    val ok = g0.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select("gram")
-    g0.join(ok, "gram").select("doc_id", "gram")
-  }
+  /** Distinct (doc_id, gram) over the capped gram space — a derived
+    * VIEW of [[gramPostings]] (explode of the materialized postings
+    * parquet, no extra stage or shuffle of its own).
+    *
+    * Grams exist only as 64-bit hashes, computed by the native
+    * one-pass [[graftnative.WordGramHashes]] kernel — no gram string
+    * is ever materialized, and every downstream shuffle and join keys
+    * on an 8-byte long. Collisions across ~4e5 distinct grams are
+    * ~1e-8-probable — far below any other source of error — and the
+    * gram text itself is never part of any query output (oracles count
+    * string grams on the DuckDB side; only the counts must agree). */
+  def gramIndex(s: SparkSession, d: String, dfCap: Int): DataFrame =
+    gramPostings(s, d, dfCap)
+      .select(explode(col("ids")).as("doc_id"), col("gram"))
 
   /** Stop-gram document-frequency cap used by the near-dup queries
     * (spelled identically in their DuckDB oracles). */
@@ -125,8 +141,8 @@ object TextSim {
     * Jaccard, cluster, and Levenshtein-verify queries. */
   private def sharedGramPairCounts(s: SparkSession, d: String): DataFrame =
     graft.StageCache.memoized(s, d, "paircounts")(
-      gramIndex(s, d, DfCap)
-        .groupBy("gram").agg(collect_list(col("doc_id")).as("ids"))
+      gramPostings(s, d, DfCap)
+        .filter(size(col("ids")) >= 2)
         .select(explode(
           graft.functions.VectorFunctions.sortedIdPairs(col("ids"))).as("p"))
         .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
@@ -225,6 +241,17 @@ object TextSim {
   private def nearDupEdges(s: SparkSession, d: String): DataFrame =
     graft.StageCache.memoized(s, d, "edges05")(
       ngramJaccardPairs(s, d, 0.5).select("ida", "idb"))
+
+  /** Force-build the dedup family's stage-cached artifacts (postings →
+    * pair counts → jac ≥ 0.5 edges — the edge build chains through the
+    * other two). Bench calls this BEFORE the timed loop and reports the
+    * duration as its own `stage_build` line, so per-query times measure
+    * the warm operator and stop depending on which query alphabetically
+    * hits the cold cache first. */
+  def warmStages(s: SparkSession, d: String): Unit = {
+    nearDupEdges(s, d).count()
+    ()
+  }
 
   /** Pairwise cosine kernel over embeddings: (ida, idb, cos) for
     * ida < idb. Norms computed once per vector before the cross join;
