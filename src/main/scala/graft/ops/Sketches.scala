@@ -220,7 +220,13 @@ object Sketches {
     * vectors are measured-isotropic (same-label and cross-label cosine
     * both ~0.00) — on structureless data every directional
     * partitioning has recall ~ scan fraction, so no codebook default
-    * can be both honest here and sensible at scale. */
+    * can be both honest here and sensible at scale.
+    *
+    * The C handed to `nprobe` is the REALIZED codebook size — the
+    * post-Lloyd row count, which can be smaller than the seeded
+    * ceil(sqrt(N)) when refinement empties cells — so `nprobe` always
+    * expresses a fraction of cells that actually exist (ceil(0.7 * C)
+    * scans ~70% of real cells regardless of how many emptied). */
   def ivfSearch(s: SparkSession, d: String, queries: DataFrame,
       nprobe: Int => Int, k: Int = 3): DataFrame = {
     val cents = ivfCodebook(s, d)

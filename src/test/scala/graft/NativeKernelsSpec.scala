@@ -50,4 +50,111 @@ class NativeKernelsSpec extends AnyFunSuite {
       .head().getInt(0)
     assert(empty === 0)
   }
+
+  // ---- CappedIdSet: the postings-build aggregate's unit contract ------
+  // A wrongly-dropped group (spurious NULL) only SHRINKS candidate sets
+  // downstream, which the oracle cannot see — so the cap boundary,
+  // merge, and serde paths get direct pins here.
+
+  test("CappedIdSet equals array_sort(collect_set) with a size filter") {
+    import spark.implicits._
+    val cap = 5
+    // Group sizes straddle the cap: 1=under, 2=exactly at, 3=one over;
+    // 4 is at-cap only AFTER dedup (duplicates must not count twice);
+    // 5 holds a single id repeated many times.
+    val rows =
+      (1L to 4L).map(i => (1L, i)) ++
+      (1L to 5L).map(i => (2L, i)) ++
+      (1L to 6L).map(i => (3L, i)) ++
+      (1L to 5L).flatMap(i => Seq((4L, i), (4L, i))) ++
+      Seq.fill(20)((5L, 42L))
+    val df = rows.toDF("g", "id").repartition(7, col("id"))
+    val got = df.groupBy("g")
+      .agg(VectorFunctions.cappedIdSet(col("id"), cap).as("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    val want = df.groupBy("g")
+      .agg(when(size(collect_set(col("id"))) <= cap,
+        array_sort(collect_set(col("id")))).as("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(got === want)
+    assert(got(3L) === null, "one-over-cap group must be NULL")
+    assert(got(2L) === Seq(1L, 2L, 3L, 4L, 5L), "at-cap group must survive, sorted")
+    assert(got(4L) === Seq(1L, 2L, 3L, 4L, 5L), "duplicates must not overflow")
+    assert(got(5L) === Seq(42L))
+  }
+
+  test("CappedIdSet overflow is detected across partial buffers at merge") {
+    import spark.implicits._
+    val cap = 10
+    // 16 distinct ids spread over 8 partitions (2 per partition): every
+    // map-side partial is far under the cap, so ONLY the merge path can
+    // detect the overflow. Control group: the same id in every
+    // partition — cross-partition duplicates must not overflow.
+    val over = (1L to 16L).map(i => (1L, i))
+    val dupes = (1L to 16L).map(i => (2L, 7L))
+    val df = (over ++ dupes).toDF("g", "id").repartition(8, col("id"))
+    val got = df.groupBy("g")
+      .agg(VectorFunctions.cappedIdSet(col("id"), cap).as("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(got(1L) === null, "merge of under-cap partials must still overflow")
+    assert(got(2L) === Seq(7L))
+  }
+
+  test("CappedIdSet skips null inputs; all-null and empty groups differ from overflow") {
+    import spark.implicits._
+    val cap = 3
+    val df = Seq((1L, Some(5L)), (1L, None), (1L, Some(5L)), (2L, None))
+      .toDF("g", "id")
+    val got = df.groupBy("g")
+      .agg(VectorFunctions.cappedIdSet(col("id"), cap).as("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(got(1L) === Seq(5L), "nulls must be skipped, not counted")
+    // An all-null group yields the EMPTY set (like collect_set), not
+    // NULL — NULL is reserved for overflow.
+    assert(got(2L) === Seq())
+  }
+
+  test("CappedIdSet buffer: cap boundary, merge both orders, serde round-trip") {
+    import org.apache.spark.sql.graftnative.CappedIdSet
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val cap = 4
+    def buf(ids: Long*): CappedIdSet.Buffer = {
+      val b = new CappedIdSet.Buffer(cap)
+      ids.foreach(b.add)
+      b
+    }
+    // Exactly at the cap: clean. One more distinct: overflowed. A
+    // duplicate at the cap: still clean.
+    assert(!buf(1L, 2L, 3L, 4L).overflowed)
+    assert(buf(1L, 2L, 3L, 4L, 5L).overflowed)
+    assert(!buf(1L, 2L, 3L, 4L, 4L).overflowed)
+    // Merge in both directions: overflowed absorbing clean and clean
+    // absorbing overflowed must both stay/become overflowed …
+    val o1 = buf(1L, 2L, 3L, 4L, 5L); o1.absorb(buf(9L))
+    assert(o1.overflowed)
+    val c1 = buf(9L); c1.absorb(buf(1L, 2L, 3L, 4L, 5L))
+    assert(c1.overflowed)
+    // … and two clean buffers overflow iff their UNION exceeds the cap
+    // (overlapping ids must not double-count).
+    val u = buf(1L, 2L); u.absorb(buf(2L, 3L, 4L))
+    assert(!u.overflowed)
+    assert(u.toArray.sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    val v = buf(1L, 2L, 3L); v.absorb(buf(4L, 5L))
+    assert(v.overflowed)
+    // Serde round-trips BOTH buffer states through the aggregate's
+    // serializer (the spill/exchange path).
+    val agg = CappedIdSet(Literal(1L), cap)
+    val clean2 = agg.deserialize(agg.serialize(buf(3L, 1L, 2L)))
+    assert(!clean2.overflowed)
+    assert(clean2.toArray.sorted.toSeq === Seq(1L, 2L, 3L))
+    val over2 = agg.deserialize(agg.serialize(buf(1L, 2L, 3L, 4L, 5L)))
+    assert(over2.overflowed)
+    // A deserialized overflowed buffer keeps poisoning merges.
+    val c2 = buf(7L); c2.absorb(over2)
+    assert(c2.overflowed)
+  }
 }

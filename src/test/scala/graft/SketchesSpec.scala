@@ -95,6 +95,104 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- held-out queries: the external-query ANN contract --------------
+  // The (qid, qv) entry points exist so a user can bring query vectors
+  // that are NOT in the corpus; these tests hold the same recall bar
+  // for exactly that case.
+
+  /** HELD-OUT query frame: fixture vectors deterministically perturbed
+    * per coordinate (so no query vector exists in the corpus), qids
+    * offset far above every corpus vec_id (so no accidental
+    * self-exclusion can inflate recall). */
+  private def heldOutQueries(dir: String) =
+    Tables.embeddings(spark, dir).filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + 10000000L).as("qid"),
+        expr("transform(embedding, (x, i) ->" +
+          " x + 0.02 * sin(CAST(i AS DOUBLE) + CAST(vec_id % 7 AS DOUBLE)))")
+          .as("qv"))
+
+  /** Brute-force exact top-3 corpus neighbors for an arbitrary
+    * (qid, qv) query frame. */
+  private def exactTop3For(queries: org.apache.spark.sql.DataFrame,
+      dir: String): Set[(Long, Long)] = {
+    val base = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+    val qs = queries.select(col("qid"), col("qv"),
+      graft.functions.VectorFunctions.l2norm(col("qv")).as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    qs.crossJoin(base)
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
+          / (col("qn") * col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("IVF ANN serves HELD-OUT queries (vectors not in the corpus) at recall >= 0.8") {
+    tiers.foreach { dir =>
+      val hq = heldOutQueries(dir)
+      val exact = exactTop3For(hq, dir)
+      assert(exact.nonEmpty)
+      val got = graft.ops.Sketches.ivfSearch(spark, dir, hq,
+        nprobe = c => math.ceil(0.7 * c).toInt.max(2))
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // The qids must round-trip verbatim (they are foreign keys the
+      // caller owns — never remapped to corpus ids).
+      assert(got.forall(_._1 >= 10000000L))
+      val recall = exact.intersect(got).size.toDouble / exact.size
+      assert(recall >= 0.8,
+        s"held-out IVF recall $recall over ${exact.size} at $dir")
+    }
+  }
+
+  test("LSH ANN serves HELD-OUT queries at recall >= 0.8") {
+    tiers.foreach { dir =>
+      val hq = heldOutQueries(dir)
+      val exact = exactTop3For(hq, dir)
+      assert(exact.nonEmpty)
+      val base = Tables.embeddings(spark, dir).select(
+        col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val got = graft.ops.Sketches.lshCandidates(spark, dir, hq)
+        .join(hq, "qid")
+        .join(base, "vec_id")
+        .withColumn("cos",
+          graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
+            / (graft.functions.VectorFunctions.l2norm(col("qv")) * col("norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.forall(_._1 >= 10000000L))
+      val recall = exact.intersect(got).size.toDouble / exact.size
+      assert(recall >= 0.8,
+        s"held-out LSH recall $recall over ${exact.size} at $dir")
+    }
+  }
+
+  test("a qid colliding with a corpus vec_id self-excludes, per the API contract") {
+    // Documented semantics: a query whose qid equals a corpus vec_id is
+    // that vector querying the REST — the corpus row with the same id
+    // never appears among its own results, in either entry point.
+    val colliding = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ivf = graft.ops.Sketches.ivfSearch(spark, sf, colliding,
+      nprobe = c => c) // full probe: every corpus vector is a candidate
+    assert(ivf.count() > 0)
+    assert(ivf.filter(col("qid") === col("nid")).count() === 0L)
+    val lsh = graft.ops.Sketches.lshCandidates(spark, sf, colliding)
+    assert(lsh.count() > 0)
+    assert(lsh.filter(col("qid") === col("vec_id")).count() === 0L)
+  }
+
   test("approx_count_distinct is within 10% of the exact distinct count") {
     val approx = q("q_agg_approx").collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
