@@ -116,20 +116,41 @@ object TextSim {
     * (spelled identically in their DuckDB oracles). */
   val DfCap = 100
 
-  /** (doc_id, lang, blk, cm): each document's 27-bit character-set
-    * mask (bit 0 = space, bits 1..26 = a..z — the fixture alphabet)
-    * plus its (lang, n_chars/100) blocking keys. The mask is the unit
-    * the de-blocked char-set Jaccard pairs over. */
+  /** The fast-path alphabet of the char-set mask: space + a..z. Chosen
+    * to cover the fixture corpus, but NOT assumed — documents with any
+    * other character are flagged and take the exact set-op branch. */
+  private val MaskAlphabet: Seq[Char] = ' ' +: ('a' to 'z')
+
+  /** (doc_id, lang, blk, cs, cm, clean): each document's DISTINCT
+    * character set plus its (lang, n_chars/100) blocking keys.
+    *
+    *  - `cs` is the character set itself, canonicalized (distinct
+    *    chars, sorted, joined) — EXACT for any alphabet: digits,
+    *    uppercase, Unicode all survive. It is the dedup key.
+    *  - `cm` is the 27-bit mask over [[MaskAlphabet]] (bit 0 = space,
+    *    bits 1..26 = a..z) — a popcount fast path, meaningful only
+    *    when `clean`.
+    *  - `clean` marks cs ⊆ MaskAlphabet (checked by `translate`
+    *    deleting the alphabet and testing emptiness). A pair of clean
+    *    docs compares by popcount(and)/popcount(or); any pair touching
+    *    a non-clean doc takes the exact array_intersect/array_union
+    *    branch — so out-of-alphabet characters are never silently
+    *    dropped (the r3/r4 correctness trap).
+    */
   def charMaskDocs(s: SparkSession, d: String): DataFrame = {
-    val mask = (Seq(' ') ++ ('a' to 'z')).zipWithIndex
+    val mask = MaskAlphabet.zipWithIndex
       .map { case (c, b) =>
-        when(col("text").contains(c.toString), lit(1L << b)).otherwise(0L)
+        when(col("cs").contains(c.toString), lit(1L << b)).otherwise(0L)
       }
       .reduce(_ bitwiseOR _)
     Tables.documents(s, d)
       .withColumn("blk", expr("n_chars div 100"))
+      .withColumn("cs",
+        array_join(array_sort(array_distinct(split(col("text"), ""))), ""))
       .withColumn("cm", mask)
-      .select("doc_id", "lang", "blk", "cm")
+      .withColumn("clean",
+        length(translate(col("cs"), MaskAlphabet.mkString, "")) === 0)
+      .select("doc_id", "lang", "blk", "cs", "cm", "clean")
   }
 
   /** Word-3-gram Jaccard pairs (ida < idb, jac rounded to 6) with
@@ -685,23 +706,27 @@ object TextSim {
     },
 
     // Char-set Jaccard (DuckDB's jaccard() semantics) within blocks.
-    // The fixture alphabet is {space, a..z} (verified: 25 distinct chars
-    // at sf0.1), so each document's character SET is a 27-bit mask in
-    // one long: bit 0 = space, bits 1..26 = a..z. Jaccard becomes
-    // popcount(and)/popcount(or).
     //
-    // The pair stage runs over DISTINCT (lang, block, mask) triples,
+    // The pair stage runs over DISTINCT (lang, block, charset) triples,
     // not documents: the r2 formulation paired documents within each
     // block, and block populations grow linearly with the corpus —
     // pairs quadratically, the last structurally all-pairs stage in the
-    // dedup family. Distinct masks are bounded by 2^27 regardless of
-    // corpus size (a few thousand in practice), so the quadratic join
-    // is over a capped key space and documents fan back in via two
-    // hash joins keyed on their (lang, block, mask). Orientation: for
-    // cm_a < cm_b each unordered doc pair appears exactly once (one doc
-    // matched each side); for cm_a = cm_b the ida < idb filter keeps
-    // one of the two orderings. [[MaskDedupSpec]] pins equality with
-    // the direct all-pairs form and the distinct-mask compression rate.
+    // dedup family. Distinct char SETS are bounded by the alphabet's
+    // power set regardless of corpus size (a few thousand in practice),
+    // so the quadratic join is over a capped key space and documents
+    // fan back in via two hash joins keyed on their (lang, block, cs).
+    //
+    // Per-pair similarity is alphabet-general (charMaskDocs): pairs of
+    // {space, a..z}-only docs compare by 27-bit-mask popcounts (the
+    // codegen fast path — the whole fixture corpus); any pair touching
+    // an out-of-alphabet doc computes exact set ops on the canonical
+    // charset string, so digits/uppercase/Unicode are never silently
+    // dropped. Orientation: for cs_a < cs_b each unordered doc pair
+    // appears exactly once (one doc matched each side); for
+    // cs_a = cs_b the ida < idb filter keeps one of the two orderings.
+    // [[MaskDedupSpec]] pins equality with the direct all-pairs exact
+    // form (fixtures AND a mixed-alphabet fixture) and the distinct-
+    // charset compression rate.
     q("q_dedup_jaccard",
       """SELECT a.doc_id AS ida, b.doc_id AS idb,
         |  round(jaccard(a.text, b.text), 6) AS jac
@@ -711,22 +736,30 @@ object TextSim {
         |WHERE round(jaccard(a.text, b.text), 6) >= 0.9
         |ORDER BY ida, idb""") { (s, d) =>
       val docs = charMaskDocs(s, d)
-      val masks = docs.select("lang", "blk", "cm").distinct()
-      val maskPairs = masks.toDF("lang", "blk", "cm_a")
-        .join(masks.toDF("lang_b", "blk_b", "cm_b"),
+      val keys = docs.select("lang", "blk", "cs", "cm", "clean").distinct()
+      val maskJac =
+        bit_count(col("cm_a").bitwiseAND(col("cm_b"))).cast("double") /
+          bit_count(col("cm_a").bitwiseOR(col("cm_b")))
+      val exactJac =
+        size(array_intersect(split(col("cs_a"), ""), split(col("cs_b"), "")))
+          .cast("double") /
+          size(array_union(split(col("cs_a"), ""), split(col("cs_b"), "")))
+      val csPairs = keys.toDF("lang", "blk", "cs_a", "cm_a", "clean_a")
+        .join(keys.toDF("lang_b", "blk_b", "cs_b", "cm_b", "clean_b"),
           col("lang") === col("lang_b") && col("blk") === col("blk_b")
-            && col("cm_a") <= col("cm_b"))
+            && col("cs_a") <= col("cs_b"))
         .withColumn("jac", round(
-          bit_count(col("cm_a").bitwiseAND(col("cm_b"))).cast("double") /
-            bit_count(col("cm_a").bitwiseOR(col("cm_b"))), 6))
+          when(col("clean_a") && col("clean_b"), maskJac)
+            .otherwise(exactJac), 6))
         .filter(col("jac") >= 0.9)
-        .select("lang", "blk", "cm_a", "cm_b", "jac")
-      maskPairs
-        .join(docs.toDF("ida", "lang", "blk", "cm_a"),
-          Seq("lang", "blk", "cm_a"))
-        .join(docs.toDF("idb", "lang", "blk", "cm_b"),
-          Seq("lang", "blk", "cm_b"))
-        .filter(col("cm_a") < col("cm_b") || col("ida") < col("idb"))
+        .select("lang", "blk", "cs_a", "cs_b", "jac")
+      val slim = docs.select("doc_id", "lang", "blk", "cs")
+      csPairs
+        .join(slim.toDF("ida", "lang", "blk", "cs_a"),
+          Seq("lang", "blk", "cs_a"))
+        .join(slim.toDF("idb", "lang", "blk", "cs_b"),
+          Seq("lang", "blk", "cs_b"))
+        .filter(col("cs_a") < col("cs_b") || col("ida") < col("idb"))
         .select(least(col("ida"), col("idb")).as("ida"),
           greatest(col("ida"), col("idb")).as("idb"), col("jac"))
         .orderBy("ida", "idb")
