@@ -53,6 +53,54 @@ object Cli {
     out.write.mode("overwrite").text(outDir)
   }
 
+  /** P6-MEMOIZED fm pipeline over a partitioned text tree
+    * (`inDir/<partCol>=v/` line files) — FileMap's defining feature
+    * (re-run recomputes only what changed) on its defining surface
+    * (the shell pipeline):
+    *
+    *  - map stages are per-line, hence per-partition independent, so
+    *    they memoize: a re-run pipes ONLY new-or-changed input
+    *    partitions (fingerprint diff over the file listing —
+    *    [[sources.Incremental.syncChangedEach]]), overwriting just
+    *    those `outDir/map/<partCol>=v` dirs; untouched partitions'
+    *    outputs are not rewritten, their lines never re-piped;
+    *  - the bucket-shuffle reduce consumes every mapper's output by
+    *    construction (all occurrences of a line must meet in one
+    *    bucket), so it re-runs as a whole — but only when some map
+    *    partition changed (or its output doesn't exist yet);
+    *  - the memo sidecar lives in the map output tree, so the state
+    *    travels with the data — no external bookkeeping, same as the
+    *    parquet P6 path.
+    *
+    * Output: map tree at `outDir/map/<partCol>=v/`, reduce result (if
+    * any) at `outDir/reduce/`. Returns the partition values re-piped
+    * this run (empty = fully memoized no-op). */
+  def runStagesMemoized(spark: SparkSession, inDir: String, outDir: String,
+      partCol: String, mapCmds: Seq[String],
+      reduceCmd: Option[String] = None, buckets: Int = 32): Set[String] = {
+    require(mapCmds.nonEmpty, "at least one map stage")
+    val mapDir = s"$outDir/map"
+    val changed = sources.Incremental.syncChangedEach(
+      spark, inDir, mapDir, partCol) { v =>
+      val lines = spark.read.textFile(s"$inDir/$partCol=$v").toDF("line")
+      val mapped = mapCmds.foldLeft(lines)((df, cmd) =>
+        sources.ShellPipe.pipe(df, cmd).toDF("line"))
+      mapped.write.mode("overwrite").text(s"$mapDir/$partCol=$v")
+    }
+    reduceCmd.foreach { r =>
+      val reduceDir = s"$outDir/reduce"
+      val rp = new org.apache.hadoop.fs.Path(reduceDir)
+      val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (changed.nonEmpty || !fs.exists(rp)) {
+        val all = spark.read.textFile(s"$mapDir/$partCol=*").toDF("line")
+        val bucketed = all.repartition(buckets, col("line"))
+        sources.ShellPipe.pipe(bucketed, r).toDF("line")
+          .write.mode("overwrite").text(reduceDir)
+      }
+    }
+    changed
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println(

@@ -89,6 +89,28 @@ object Incremental {
       }.toMap
   }
 
+  private def saveFingerprints(outDir: String,
+      merged: Map[String, Long]): Unit = {
+    java.nio.file.Files.write(fingerprintFile(outDir),
+      merged.toSeq.sorted.map { case (v, fp) => s"$v\t$fp" }
+        .mkString("\n").getBytes("UTF-8"))
+    ()
+  }
+
+  /** The P6 staleness diff: (recorded memo, current input fingerprints,
+    * partitions that are new or changed). */
+  private def stalePartitions(spark: SparkSession, inDir: String,
+      outDir: String, partCol: String)
+      : (Map[String, Long], Map[String, Long], Set[String]) = {
+    val seen = loadFingerprints(outDir)
+    val current = partitionValues(spark, inDir, partCol)
+      .map(v => v -> partitionFingerprint(spark, inDir, partCol, v)).toMap
+    val todo = current.collect {
+      case (v, fp) if !seen.get(v).contains(fp) => v
+    }.toSet
+    (seen, current, todo)
+  }
+
   /** Full FileMap-P6 semantics: re-run processes partitions that are
     * NEW **or whose input files changed** since the recorded
     * fingerprint. Changed partitions are rewritten in place via
@@ -99,12 +121,7 @@ object Incremental {
     */
   def syncChanged(spark: SparkSession, inDir: String, outDir: String,
       partCol: String)(derive: DataFrame => DataFrame): Set[String] = {
-    val seen = loadFingerprints(outDir)
-    val current = partitionValues(spark, inDir, partCol)
-      .map(v => v -> partitionFingerprint(spark, inDir, partCol, v)).toMap
-    val todo = current.collect {
-      case (v, fp) if !seen.get(v).contains(fp) => v
-    }.toSet
+    val (seen, current, todo) = stalePartitions(spark, inDir, outDir, partCol)
     if (todo.nonEmpty) {
       val fresh = spark.read.parquet(inDir)
         .filter(col(partCol).isin(todo.toSeq.sorted: _*))
@@ -112,10 +129,25 @@ object Incremental {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol).parquet(outDir)
-      val merged = seen ++ todo.map(v => v -> current(v))
-      java.nio.file.Files.write(fingerprintFile(outDir),
-        merged.toSeq.sorted.map { case (v, fp) => s"$v\t$fp" }
-          .mkString("\n").getBytes("UTF-8"))
+      saveFingerprints(outDir, seen ++ todo.map(v => v -> current(v)))
+    }
+    todo
+  }
+
+  /** Format-agnostic P6 memo for pipelines that must process each
+    * partition as its own unit (the CLI shell path: one process chain
+    * per partition, text in / text out — [[graft.Cli.runStagesMemoized]]).
+    * Same staleness diff and sidecar as [[syncChanged]]; `process`
+    * receives each stale partition VALUE and must overwrite that
+    * partition's output itself. Fingerprints are recorded only after
+    * every stale partition processed, so a failed run retries all of
+    * them. Returns the processed partition values. */
+  def syncChangedEach(spark: SparkSession, inDir: String, outDir: String,
+      partCol: String)(process: String => Unit): Set[String] = {
+    val (seen, current, todo) = stalePartitions(spark, inDir, outDir, partCol)
+    if (todo.nonEmpty) {
+      todo.toSeq.sorted.foreach(process)
+      saveFingerprints(outDir, seen ++ todo.map(v => v -> current(v)))
     }
     todo
   }

@@ -65,6 +65,66 @@ class CliSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  /** Parse `sort | uniq -c` output into word -> count. */
+  private def parseCounts(dir: String): Map[String, Long] =
+    spark.read.text(dir).collect().map { r =>
+      val parts = r.getString(0).trim.split("\\s+", 2)
+      (if (parts.length > 1) parts(1) else "", parts(0).toLong)
+    }.toMap
+
+  /** Declarative recompute of the full pipeline over the whole tree. */
+  private def fullRecompute(inGlob: String): Map[String, Long] =
+    spark.read.text(inGlob)
+      .select(explode(split(upper(col("value")), " ")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+  /** (file name -> mtime) for every data file under `dir`, recursive. */
+  private def mtimes(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir)).map(f => f.getPath -> f.lastModified).toMap
+  }
+
+  test("memoized fm re-run re-pipes only new/changed partitions (P6)") {
+    val in = tmp("graft_cli_p6_in")
+    val out = tmp("graft_cli_p6_out")
+    val docs = Tables.documents(spark, sf)
+    def slice(m: Int) = docs.filter(col("doc_id") % 3 === m).select("text")
+    slice(0).write.mode("overwrite").text(s"$in/src=a")
+    slice(1).write.mode("overwrite").text(s"$in/src=b")
+    val mapCmds = Seq("tr ' ' '\\n'", "tr 'a-z' 'A-Z'")
+
+    // Run 1 processes both partitions; output equals a full recompute.
+    val run1 = Cli.runStagesMemoized(spark, in, out, "src", mapCmds,
+      reduceCmd = Some("sort | uniq -c"), buckets = 4)
+    assert(run1 === Set("a", "b"))
+    assert(parseCounts(s"$out/reduce") === fullRecompute(s"$in/src=*"))
+    val mapA = mtimes(s"$out/map/src=a")
+    assert(mapA.nonEmpty)
+
+    // The tree grows: a NEW partition lands and an existing one gets
+    // an extra file. The re-run pipes ONLY those two — partition a's
+    // mapped output is untouched on disk (its lines never re-piped) —
+    // and the reduce output still equals a full recompute.
+    slice(2).write.mode("overwrite").text(s"$in/src=c")
+    slice(1).limit(5).write.mode("append").text(s"$in/src=b")
+    val run2 = Cli.runStagesMemoized(spark, in, out, "src", mapCmds,
+      reduceCmd = Some("sort | uniq -c"), buckets = 4)
+    assert(run2 === Set("b", "c"))
+    assert(mtimes(s"$out/map/src=a") === mapA,
+      "unchanged partition's mapped output was rewritten")
+    assert(parseCounts(s"$out/reduce") === fullRecompute(s"$in/src=*"))
+
+    // A third run is a fully-memoized no-op: nothing re-piped, nothing
+    // rewritten (map OR reduce).
+    val reduceBefore = mtimes(s"$out/reduce")
+    assert(Cli.runStagesMemoized(spark, in, out, "src", mapCmds,
+      reduceCmd = Some("sort | uniq -c"), buckets = 4) === Set.empty)
+    assert(mtimes(s"$out/reduce") === reduceBefore)
+  }
+
   test("map-only run streams every line through the command") {
     val in = tmp("graft_cli_in2")
     val out = tmp("graft_cli_out2")
