@@ -87,15 +87,22 @@ object TextSim {
     */
   def gramPostings(s: SparkSession, d: String, dfCap: Int): DataFrame =
     graft.StageCache.memoized(s, d, s"postings$dfCap")(
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"),
-          explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
-            .as("gram"))
-        .groupBy("gram")
-        .agg(graft.functions.VectorFunctions
-          .cappedIdSet(col("doc_id"), dfCap).as("ids"))
-        .filter(col("ids").isNotNull))
+      gramPostingsFrame(s, d, dfCap))
+
+  /** The postings BUILD pipeline as a plannable frame — exposed so
+    * PlanShapeSpec can pin the fuse's whole point: exactly ONE
+    * Exchange (the memoized read-back would hide the build plan). */
+  private[graft] def gramPostingsFrame(s: SparkSession, d: String,
+      dfCap: Int): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
+          .as("gram"))
+      .groupBy("gram")
+      .agg(graft.functions.VectorFunctions
+        .cappedIdSet(col("doc_id"), dfCap).as("ids"))
+      .filter(col("ids").isNotNull)
 
   /** Distinct (doc_id, gram) over the capped gram space — a derived
     * VIEW of [[gramPostings]] (explode of the materialized postings
@@ -631,8 +638,11 @@ object TextSim {
             .as("gram"))
         .distinct()
       val ev = g0.filter(col("source") === "src0").select("gram").distinct()
+      // The benchmark gram set is the small side BY CONSTRUCTION (eval
+      // sets are fixed-size; the training corpus is the 100 TB side) —
+      // broadcast it so decontamination never shuffles the corpus.
       g0.filter(col("source") =!= "src0")
-        .join(ev, "gram")
+        .join(broadcast(ev), "gram")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
         .withColumn("contaminated",

@@ -105,6 +105,53 @@ class PlanShapeSpec extends AnyFunSuite {
       s"undeclared product joins in: ${offenders.mkString(", ")}")
   }
 
+  test("the fused gram-postings build plans exactly ONE Exchange") {
+    // The whole point of the CappedIdSet fuse: raw hashed grams group
+    // straight to capped postings in a single aggregation — one
+    // shuffle. A second Exchange appearing here means the build
+    // regressed to the r3 multi-shuffle shape.
+    val p = graft.ops.TextSim
+      .gramPostingsFrame(spark, sf, graft.ops.TextSim.DfCap)
+      .queryExecution.executedPlan.toString
+    val nExchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(nExchanges === 1, s"expected 1 Exchange, got $nExchanges:\n$p")
+    // And the single shuffle's aggregate is the bounded native kernel,
+    // partial (map-side) as well as final.
+    assert(p.contains("graft_capped_id_set"), s"native aggregate missing:\n$p")
+    assert(p.contains("partial_graft_capped_id_set"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q_dedup_jaccard joins key on the charset triples, never on doc ids") {
+    // The de-blocked formulation's contract: every join keys on the
+    // bounded (lang, blk, cs) space; a join keyed on doc_id/ida/idb
+    // would mean the quadratic stage regressed to pairing documents.
+    // (Key lists are the first two [...] groups a join line prints;
+    // the pair-dedup condition legitimately references ida/idb, so
+    // only the KEYS are pinned.)
+    val joinLines = plan("q_dedup_jaccard").linesIterator
+      .filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty, "no joins found in q_dedup_jaccard plan")
+    val keyGroups = joinLines.map(l =>
+      "\\[[^\\]]*\\]".r.findAllIn(l).take(2).mkString(" "))
+    keyGroups.foreach { k =>
+      assert(!k.contains("doc_id") && !k.contains("ida#") && !k.contains("idb#"),
+        s"join keyed on document ids: $k")
+    }
+    assert(keyGroups.exists(k => k.contains("cs_a#") || k.contains("cs_b#")),
+      s"no join keyed on the charset:\n${joinLines.mkString("\n")}")
+  }
+
+  test("q_text_decontaminate broadcasts the benchmark gram set") {
+    // The eval-set side is fixed-size by construction; the training
+    // corpus is the 100 TB side. The contamination join must therefore
+    // be a broadcast hash join — a shuffle here drags the whole corpus
+    // gram index through an Exchange.
+    val p = plan("q_text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"no BroadcastHashJoin:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-shuffling join:\n$p")
+  }
+
   test("graft_dot matches the HOF formulation on ragged and null inputs") {
     // Ragged arrays and null elements return NULL — the same answer the
     // zip_with/aggregate formulation gives — in both the interpreted
