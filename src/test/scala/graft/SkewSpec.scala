@@ -106,6 +106,97 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("decision demo: when AQE skew-splitting suffices and when to salt") {
+    import spark.implicits._
+    // The decision tree this pins, with measured partition sizes:
+    //  1. A free-standing skewed shuffle join: AQE's OptimizeSkewedJoin
+    //     splits the flooded partition — salting buys nothing. Use AQE.
+    //  2. The SAME join feeding a same-key aggregation: AQE declines to
+    //     split (splitting would break the hash partitioning the agg
+    //     reuses, and adding a shuffle back is not free), so the hot
+    //     partition survives. Either opt into
+    //     spark.sql.adaptive.forceOptimizeSkewedJoin (extra shuffle for
+    //     the agg) or salt — the salt spreads the JOIN while the agg
+    //     still absorbs its own skew via map-side partial aggregation.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val hotRows = 180000
+      val probe = spark.range(200000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+          col("id"), lpad(col("id").cast("string"), 32, "x").as("pad"))
+      val build = spark.range(200000)
+        .select(col("id").as("k"), col("id").as("bid"))
+      def maxPartRows(df: org.apache.spark.sql.DataFrame): Int =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect().max
+
+      // Case 1: free-standing join — AQE splits, measured: no partition
+      // anywhere near the hot key's row count.
+      val plain = probe.join(build, "k")
+      plain.collect()
+      assert(plain.queryExecution.executedPlan.toString.contains("skew=true"))
+      val mpPlain = maxPartRows(probe.join(build, "k"))
+      assert(mpPlain < hotRows / 3,
+        s"AQE split ineffective: max partition $mpPlain of $hotRows hot rows")
+
+      // Case 2: join feeding a same-key agg — AQE declines the split
+      // (no skew=true), because it would break the agg's partitioning.
+      val agged = probe.join(build, "k")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      agged.collect()
+      assert(!agged.queryExecution.executedPlan.toString.contains("skew=true"),
+        "expected AQE to decline the skew split under a same-key agg")
+
+      // Case 2, option A: forceOptimizeSkewedJoin opts into the split
+      // at the cost of an extra shuffle before the agg.
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val forced = probe.join(build, "k")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      forced.collect()
+      assert(forced.queryExecution.executedPlan.toString.contains("skew=true"),
+        "forceOptimizeSkewedJoin did not re-enable the split")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+
+      // Case 2, option B: salting — the join spreads over (k, salt)
+      // regardless of what consumes it; the same-key agg's own skew is
+      // absorbed by partial aggregation. Measured against the flooded
+      // baseline (skew split off): the hot partition at least halves.
+      // (With only 4 test shuffle partitions several of the 8 salt
+      // buckets co-hash into one partition, capping the local spread;
+      // at scale partitions >> buckets and the spread approaches
+      // hotRows/buckets.)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val mpFlooded = maxPartRows(probe.join(build, "k"))
+      spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+      assert(mpFlooded >= hotRows,
+        s"baseline not flooded: max partition $mpFlooded")
+      val salted = Skew.saltedJoin(probe, build, "k", buckets = 8,
+        saltCols = Seq("id"))
+      val mpSalted = maxPartRows(salted)
+      assert(mpSalted < mpFlooded / 2,
+        s"salting ineffective: max partition $mpSalted vs flooded $mpFlooded")
+      val saltedAgg = salted.groupBy("k").agg(count(lit(1)).as("n"))
+      assert(saltedAgg.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        === probe.join(build, "k").groupBy("k").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap,
+        "salted join + agg changed the aggregate result")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("saltedJoin rejects inputs that already carry a __salt column") {
     import spark.implicits._
     val bad = Seq((1L, "a", 0L)).toDF("id", "k", "__salt")
