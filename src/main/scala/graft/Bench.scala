@@ -35,6 +35,7 @@ object Bench {
       import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(Future.sequence(Seq(
         Future(ops.TextSim.warmStages(spark, sfDir)),
+        Future(ops.TextSim.warmMaskStage(spark, sfDir)),
         Future(ops.Sketches.warmStages(spark, sfDir)))), 30.minutes)
       (System.nanoTime() - tStage0) / 1e9
     } catch { case e: Throwable =>

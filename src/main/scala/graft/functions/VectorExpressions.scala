@@ -33,4 +33,9 @@ object VectorFunctions {
     * (see graftnative.CappedIdSet; the postings-build kernel). */
   def cappedIdSet(ids: Column, cap: Int): Column =
     org.apache.spark.sql.graftnative.CappedIdSet.cappedIdSet(ids, cap)
+
+  /** Canonical distinct-char-set string of a text column (one pass,
+    * code-point order — see graftnative.CharSetString; the char-set
+    * Jaccard dedup key). */
+  def charSet(text: Column): Column = VectorNative.charSet(text)
 }

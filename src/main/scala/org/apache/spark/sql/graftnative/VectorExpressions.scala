@@ -260,6 +260,74 @@ case class SortedIdPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** The DISTINCT character set of a string, canonicalized: code points,
+  * deduplicated, ascending, re-joined as a string — the char-set
+  * Jaccard dedup key (TextSim.charMaskDocs). Replaces the interpreted
+  * `array_join(array_sort(array_distinct(split(text, ""))))` pipeline,
+  * which allocated a one-char UTF8String per CHARACTER and then
+  * hashed/sorted them — measured ~0.8 s of the sf0.1 q_dedup_jaccard
+  * run vs one pass here. Ascending code-point order equals the old
+  * formulation's binary string sort (UTF-8 byte order is code-point
+  * order), so the canonical key is unchanged; code-point iteration
+  * additionally keeps supplementary characters whole where a
+  * `split(text, "")` splits them into surrogate halves.
+  *
+  * ASCII (the overwhelming case) dedups in two bitmap longs with no
+  * allocation; non-ASCII code points fall back to a sorted set.
+  */
+case class CharSetString(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_char_set"
+
+  def charSetOf(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    var lo = 0L
+    var hi = 0L
+    var nonAscii: java.util.TreeSet[Integer] = null
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp < 64) lo |= 1L << cp
+      else if (cp < 128) hi |= 1L << (cp - 64)
+      else {
+        if (nonAscii == null) nonAscii = new java.util.TreeSet[Integer]()
+        nonAscii.add(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    val sb = new java.lang.StringBuilder(
+      java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi)
+        + (if (nonAscii == null) 0 else nonAscii.size))
+    var c = 0
+    while (c < 64) { if (((lo >>> c) & 1L) == 1L) sb.append(c.toChar); c += 1 }
+    while (c < 128) {
+      if (((hi >>> (c - 64)) & 1L) == 1L) sb.append(c.toChar)
+      c += 1
+    }
+    if (nonAscii != null) {
+      val it = nonAscii.iterator()
+      while (it.hasNext) sb.appendCodePoint(it.next())
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    charSetOf(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charSet", this, classOf[CharSetString].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.charSetOf($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharSetString =
+    copy(child = newChild)
+}
+
 /** Bridge from the private[sql] expression world to public Columns. */
 object VectorNative {
   def dot(a: Column, b: Column): Column =
@@ -275,6 +343,9 @@ object VectorNative {
 
   def sortedIdPairs(ids: Column): Column =
     ExpressionUtils.column(SortedIdPairs(ExpressionUtils.expression(ids)))
+
+  def charSet(text: Column): Column =
+    ExpressionUtils.column(CharSetString(ExpressionUtils.expression(text)))
 }
 
 /** SparkSessionExtensions hook: registers the native expressions as SQL

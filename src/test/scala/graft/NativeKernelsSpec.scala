@@ -51,6 +51,31 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(empty === 0)
   }
 
+  test("CharSetString equals the interpreted distinct/sort/join formulation") {
+    // The canonical charset key must be byte-identical to the
+    // interpreted pipeline it replaced (binary string sort == ascending
+    // code-point order) — pinned on the fixture corpus and on edge
+    // literals (duplicates, digits, uppercase, non-ASCII, single char).
+    val onFixture = Tables.documents(spark, sf)
+      .select(
+        VectorFunctions.charSet(col("text")).as("native"),
+        array_join(array_sort(array_distinct(split(col("text"), ""))), "")
+          .as("interpreted"))
+    assert(onFixture.filter(col("native") =!= col("interpreted")).count() === 0L)
+    assert(onFixture.count() > 0)
+    import spark.implicits._
+    val edge = Seq("abba", "ABC abc 123", "привет мир", "z", "  ")
+      .toDF("t")
+      .select(
+        VectorFunctions.charSet(col("t")).as("native"),
+        array_join(array_sort(array_distinct(split(col("t"), ""))), "")
+          .as("interpreted"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    edge.foreach { case (n, i) => assert(n === i, s"charSet mismatch: $n != $i") }
+    assert(edge.head._1 === "ab")
+    assert(edge(4)._1 === " ")
+  }
+
   // ---- CappedIdSet: the postings-build aggregate's unit contract ------
   // A wrongly-dropped group (spurious NULL) only SHRINKS candidate sets
   // downstream, which the oracle cannot see — so the cap boundary,
