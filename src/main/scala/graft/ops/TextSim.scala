@@ -123,6 +123,18 @@ object TextSim {
     * (spelled identically in their DuckDB oracles). */
   val DfCap = 100
 
+  /** PII patterns as one alternation: email, IPv4, SSN-shaped, and
+    * card-shaped digit runs. Restricted to the regex subset (ASCII
+    * classes, \b, \d, bounded repetition, alternation) that Java regex
+    * and DuckDB's RE2 interpret identically; interpolated verbatim
+    * into both engines' texts by q_text_redact, and pinned on
+    * synthetic PII rows in RedactSpec. */
+  val PiiRegex: String =
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" +
+      "|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" +
+      "|\\b\\d{3}-\\d{2}-\\d{4}\\b" +
+      "|\\b\\d{13,19}\\b"
+
   /** The fast-path alphabet of the char-set mask: space + a..z. Chosen
     * to cover the fixture corpus, but NOT assumed — documents with any
     * other character are flagged and take the exact set-op branch. */
@@ -683,6 +695,78 @@ object TextSim {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           round(col("n_tokens") / col("total"), 6).as("weight"))
         .orderBy("source")
+    },
+
+    // PII redaction — the scrub step every training pipeline runs
+    // before anything else: emails, IPv4s, SSN-shaped and card-shaped
+    // digit runs replaced by a sentinel, with the hit count per doc.
+    // One alternation regex, applied once per document — a pure narrow
+    // map, no shuffle at any scale. The regex subset (char classes,
+    // \b, \d, bounded repetition, alternation) behaves identically in
+    // Java regex and DuckDB's RE2; the clean fixture corpus contains
+    // no PII (clean_md5 == md5(text), n_pii == 0 — the oracle pins the
+    // pass-through parity), and RedactSpec pins the actual redaction
+    // behavior on synthetic PII rows.
+    q("q_text_redact",
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$PiiRegex')) AS INT) AS n_pii,
+        |  md5(regexp_replace(text, '$PiiRegex', '<pii>', 'g')) AS clean_md5
+        |FROM documents
+        |ORDER BY doc_id""") { (s, d) =>
+      // Column-form regex calls only: an expr() string literal would
+      // re-interpret the pattern's backslashes in the SQL parser.
+      Tables.documents(s, d).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(PiiRegex), lit(0)))
+          .as("n_pii"),
+        md5(regexp_replace(col("text"), PiiRegex, "<pii>")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Chunk-level dedup — line/paragraph dedup for a corpus whose docs
+    // are single-line: deterministic 10-word chunks stand in for lines.
+    // An occurrence is a duplicate when an earlier occurrence of the
+    // SAME chunk text exists anywhere in the corpus (earlier = smaller
+    // (doc_id, idx), encoded as doc_id*1e6+idx). Per doc: chunk count,
+    // duplicated-chunk count, duplicated fraction — the Gopher/C4-style
+    // boilerplate signal, and the removal map for chunk-level cleaning.
+    // Scale shape: one explode + one groupBy on the chunk key + one
+    // hash join back — at 100 TB the group key would be the chunk's
+    // 128-bit hash rather than its text, same plan.
+    q("q_dedup_chunks",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |c0 AS (SELECT doc_id, unnest([{'idx': i - 1,
+        |         'chunk': array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ')}
+        |         for i in range(1, CAST(ceil(len(ws) / 10.0) AS BIGINT) + 1)])
+        |         AS u
+        |       FROM w),
+        |c AS (SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM c0),
+        |k AS (SELECT chunk, min(doc_id * 1000000 + idx) AS keep_key
+        |      FROM c GROUP BY chunk)
+        |SELECT c.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN c.doc_id * 1000000 + c.idx <> k.keep_key
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(sum(CASE WHEN c.doc_id * 1000000 + c.idx <> k.keep_key
+        |    THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+        |FROM c JOIN k ON c.chunk = k.chunk
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""") { (s, d) =>
+      val chunked = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1)," +
+            " i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"))
+          .as(Seq("idx", "chunk")))
+      val posKey = col("doc_id") * 1000000L + col("idx")
+      val keeper = chunked.groupBy("chunk")
+        .agg(min(posKey).as("keep_key"))
+      chunked.join(keeper, "chunk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(posKey =!= col("keep_key"), 1).otherwise(0)).as("n_dup"))
+        .withColumn("dup_frac", round(col("n_dup") / col("n_chunks"), 6))
+        .orderBy("doc_id")
     },
 
     // ---- deduplication ---------------------------------------------------
