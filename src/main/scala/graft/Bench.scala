@@ -36,7 +36,8 @@ object Bench {
       Await.result(Future.sequence(Seq(
         Future(ops.TextSim.warmStages(spark, sfDir)),
         Future(ops.TextSim.warmMaskStage(spark, sfDir)),
-        Future(ops.Sketches.warmStages(spark, sfDir)))), 30.minutes)
+        Future(ops.Sketches.warmStages(spark, sfDir)),
+        Future(ops.Sketches.warmSigStage(spark, sfDir)))), 30.minutes)
       (System.nanoTime() - tStage0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"bench: stage build failed: ${e.getMessage}"); -1.0 }

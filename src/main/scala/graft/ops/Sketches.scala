@@ -66,17 +66,23 @@ object Sketches {
   val LshTables = 48
   val LshBits = 10
 
-  /** Per-table signatures of the indexed corpus: (vec_id, t, sig). */
-  private def sigTable(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.VectorFunctions.lshSig
-    val sigCols = (0 until LshTables)
-      .map(t => lshSig(col("embedding"), LshBits, t).as(s"s$t"))
-    Tables.embeddings(s, d)
-      .select(col("vec_id") +: sigCols: _*)
-      .select(col("vec_id"), posexplode(
-        array((0 until LshTables).map(t => col(s"s$t")): _*))
-        .as(Seq("t", "sig")))
-  }
+  /** Per-table signatures of the indexed corpus: (vec_id, t, sig) —
+    * STAGE-CACHED like the IVF artifacts: the 48 × N signature
+    * computation is per-corpus work (at 100 TB, a maintained signature
+    * index next to the embeddings; new vectors sign themselves on
+    * ingest). Queries sign themselves fresh — signatures are pure
+    * functions of the vector. */
+  private def sigTable(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "lshsigs") {
+      import graft.functions.VectorFunctions.lshSig
+      val sigCols = (0 until LshTables)
+        .map(t => lshSig(col("embedding"), LshBits, t).as(s"s$t"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: sigCols: _*)
+        .select(col("vec_id"), posexplode(
+          array((0 until LshTables).map(t => col(s"s$t")): _*))
+          .as(Seq("t", "sig")))
+    }
 
   /** The 1-bit-multiprobe probe structs for signature columns s0..sN:
     * per table, the exact bucket plus the LshBits one-bit-flip buckets. */
@@ -117,17 +123,15 @@ object Sketches {
     * without probing — the probe explosion is what makes the family
     * usable at dedup thresholds. */
   def lshPairCandidates(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.VectorFunctions.lshSig
-    val sigCols = (0 until LshTables)
-      .map(t => lshSig(col("embedding"), LshBits, t).as(s"s$t"))
-    val sigs = Tables.embeddings(s, d)
-      .select(col("vec_id") +: sigCols: _*)
-    val tbl = sigs.select(col("vec_id"), posexplode(
-      array((0 until LshTables).map(t => col(s"s$t")): _*))
-      .as(Seq("t", "sig")))
-    val probes = sigs
-      .select(col("vec_id").as("ida"), explode(array(probeStructs: _*)).as("p"))
-      .select(col("ida"), col("p.t").as("t"), col("p.sig").as("sig"))
+    // Both sides derive from the cached narrow signature table: the
+    // probe list is each (vec, t) row fanned to its exact bucket plus
+    // the LshBits one-bit flips — identical probe set to the wide
+    // probeStructs form, without re-signing the corpus.
+    val tbl = sigTable(s, d)
+    val probes = tbl
+      .select(col("vec_id").as("ida"), col("t"), explode(array(
+        col("sig") +: (0 until LshBits)
+          .map(j => col("sig").bitwiseXOR(lit(1L << j))): _*)).as("sig"))
     probes.join(tbl, Seq("t", "sig"))
       .filter(col("ida") < col("vec_id"))
       .select(col("ida"), col("vec_id").as("idb"))
@@ -253,11 +257,18 @@ object Sketches {
       .orderBy("qid", "rn")
   }
 
-  /** Force-build the ANN stage-cached artifacts (codebook, then the
+  /** Force-build the IVF stage-cached artifacts (codebook, then the
     * corpus cell assignment, which chains through it). See
     * [[TextSim.warmStages]] for why Bench calls this up front. */
   def warmStages(s: SparkSession, d: String): Unit = {
     ivfAssignments(s, d).count()
+    ()
+  }
+
+  /** Force-build the LSH signature index — independent of the IVF
+    * chain, so Bench builds it on its own thread. */
+  def warmSigStage(s: SparkSession, d: String): Unit = {
+    sigTable(s, d).count()
     ()
   }
 
