@@ -752,16 +752,22 @@ object TextSim {
         |FROM c JOIN k ON c.chunk = k.chunk
         |GROUP BY c.doc_id
         |ORDER BY c.doc_id""") { (s, d) =>
+      // The chunk text never reaches the output (only counts do), so
+      // the group/join key is its 64-bit hash — fixed-width shuffle
+      // keys instead of 10-word strings, the same argument as the
+      // hashed gram keys (collision odds ~1e-7 at 3e6 chunks, far
+      // below any other error source; the oracle groups the strings).
       val chunked = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1)," +
             " i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"))
           .as(Seq("idx", "chunk")))
+        .select(col("doc_id"), col("idx"), xxhash64(col("chunk")).as("ck"))
       val posKey = col("doc_id") * 1000000L + col("idx")
-      val keeper = chunked.groupBy("chunk")
+      val keeper = chunked.groupBy("ck")
         .agg(min(posKey).as("keep_key"))
-      chunked.join(keeper, "chunk")
+      chunked.join(keeper, "ck")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(posKey =!= col("keep_key"), 1).otherwise(0)).as("n_dup"))
