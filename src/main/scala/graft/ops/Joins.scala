@@ -191,6 +191,43 @@ object Joins {
         .orderBy("user_id", "event_id")
     },
 
+    // Large-LARGE range join — the shape q_join_theta cannot take when the
+    // interval side is too big to broadcast. Day-bucket both sides: each
+    // interval explodes to the (bounded: 3) day buckets it covers, each
+    // point carries its one bucket, and the pairing becomes an EQUI join
+    // on the bucket followed by the exact range filter. A point's bucket
+    // is covered by a qualifying interval exactly once, so no dedup stage
+    // is needed. At 100 TB both sides shuffle-partition on the bucket and
+    // the per-bucket fan-out stays |intervals covering that day| — never a
+    // nested loop over the cross product (PlanShapeSpec pins the plan to
+    // an equi join, no BroadcastNestedLoop/CartesianProduct).
+    q("q_join_range",
+      """SELECT o_orderkey, count(*) AS n_shipped
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 3 DAY
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""") { (s, d) =>
+      val day0 = lit("1995-01-01").cast("date")
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"),
+          datediff(col("l_shipdate").cast("date"), day0).as("b"))
+      val iv = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAY")).as("o_end"))
+        .withColumn("b", explode(sequence(
+          datediff(col("o_orderdate").cast("date"), day0),
+          datediff(col("o_orderdate").cast("date"), day0) + lit(2))))
+      pts.join(iv, pts("b") === iv("b")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") < col("o_end"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"))
+        .orderBy("o_orderkey")
+    },
+
     // Self cross-pair with id inequality — the basis of all pairwise
     // similarity ops (§2.9). Columns are pruned to (id, label) BEFORE the
     // cross join so the quadratic stage carries 12 bytes/row, not vectors.

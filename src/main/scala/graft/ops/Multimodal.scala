@@ -181,6 +181,73 @@ object Multimodal {
     }
   }
 
+  /** A resized image: a spec-valid 24-bpp BMP payload (re-decodable by
+    * [[decodeMeta]]) plus its output dimensions. */
+  case class ResizedImage(path: String, width: Int, height: Int,
+      bmp: Array[Byte])
+
+  /** Resize kernel — the remaining verb of the decode / featurize /
+    * resize / frame-sample quartet. REAL nearest-neighbor resample of
+    * the decoded BMP pixel grid: handles bottom-up (positive height)
+    * and top-down (negative height) row order and the 4-byte row
+    * stride, and emits a valid bottom-up 24-bpp BMP. Files that are
+    * not 24-bpp BMPs are dropped (their resize needs codecs this
+    * container doesn't ship — the decode-stub caveat applies).
+    *
+    * Per-partition batch shape like the other kernels; each output row
+    * is O(outW*outH) regardless of input size, so a resize-to-thumbnail
+    * stage SHRINKS the data in flight — at 100 TB, resize early, carry
+    * thumbnails, join the full payload back by path only where needed.
+    */
+  def resizeBmp(ds: Dataset[MediaFile], outW: Int, outH: Int): Dataset[ResizedImage] = {
+    require(outW > 0 && outH > 0, "output dimensions must be positive")
+    implicit val enc = org.apache.spark.sql.Encoders.product[ResizedImage]
+    ds.mapPartitions { files =>
+      files.flatMap { f =>
+        val c = f.content
+        if (!isBmp(c) || le16(c, 28) != 24) None
+        else {
+          val w = le32(c, 18)
+          val rawH = le32(c, 22)
+          val h = math.abs(rawH)
+          val bottomUp = rawH > 0
+          val dataOff = le32(c, 10)
+          val strideIn = ((w * 3 + 3) / 4) * 4
+          if (w <= 0 || h == 0 || dataOff < 54 ||
+              dataOff + strideIn.toLong * h > c.length) None
+          else {
+            val strideOut = ((outW * 3 + 3) / 4) * 4
+            val out = java.nio.ByteBuffer.allocate(54 + strideOut * outH)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            out.put('B'.toByte).put('M'.toByte).putInt(54 + strideOut * outH)
+              .putInt(0).putInt(54)
+            out.putInt(40).putInt(outW).putInt(outH).putShort(1).putShort(24)
+            out.putInt(0).putInt(strideOut * outH).putInt(2835).putInt(2835)
+              .putInt(0).putInt(0)
+            val arr = out.array()
+            var yImg = 0 // output row, image space (top to bottom)
+            while (yImg < outH) {
+              val syImg = yImg * h / outH
+              val rIn = if (bottomUp) h - 1 - syImg else syImg
+              val rOut = outH - 1 - yImg // output is bottom-up
+              var x = 0
+              while (x < outW) {
+                val src = dataOff + rIn * strideIn + (x * w / outW) * 3
+                val dst = 54 + rOut * strideOut + x * 3
+                arr(dst) = c(src)
+                arr(dst + 1) = c(src + 1)
+                arr(dst + 2) = c(src + 2)
+                x += 1
+              }
+              yImg += 1
+            }
+            Some(ResizedImage(f.path, outW, outH, arr))
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling: fan each media row out to one row per sampled
     * frame index (every `everyMs` milliseconds of its duration) — a
     * pure Spark generator, no kernel involved; the decoded frame fetch

@@ -119,6 +119,33 @@ object StreamDemos {
       .dropDuplicates("text_md5")
       .select("doc_id", "lang", "quality", "text_md5")
 
+  /** Stream-STREAM join (CAP-STREAM-SSJOIN): each purchase pairs with
+    * the same user's clicks from the preceding hour — attribution,
+    * with BOTH sides unbounded. Spark buffers each side in join state,
+    * and the state stays bounded precisely because the condition gives
+    * the engine an eviction rule: with watermarks on both sides and a
+    * time-interval predicate, a buffered click is dropped once the
+    * purchase-side watermark passes `c_ts + 1 hour` (and vice versa) —
+    * the at-scale contract for a join that never sees "all" of either
+    * input. Inner join, so matches emit as soon as both rows arrive;
+    * append mode needs no window finalization. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "30 minutes")
+    purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
+        unix_micros(col("p_ts")).as("p_us"))
+  }
+
   /** Per-user running state for CAP-STREAM-STATE: event count and max
     * event time via mapGroupsWithState — the arbitrary-stateful-
     * processing hook (the streaming analogue of a reducer that keeps

@@ -87,6 +87,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(w(0) === 0.0 && w(7) === 0.0 && w.sum > 0.99)
   }
 
+  test("resizeBmp: real nearest-neighbor resample emits a re-decodable BMP") {
+    import spark.implicits._
+    // Downscale the 3×2 fixture to 2×1; the WAV must be dropped (no codec).
+    val resized = Multimodal
+      .resizeBmp(Multimodal.media(spark, realDir + "/*"), outW = 2, outH = 1)
+      .collect()
+    assert(resized.length === 1)
+    val r = resized.head
+    assert(r.path.endsWith("img.bmp") && r.width === 2 && r.height === 1)
+    // Round-trip: the emitted bytes are a spec-valid BMP that the real
+    // decoder re-decodes with the new dimensions.
+    val meta = Multimodal
+      .decodeMeta(Seq(Multimodal.MediaFile(r.path, r.bmp.length, r.bmp)).toDS())
+      .collect().head
+    assert(meta.format === "bmp" && meta.width === 2 && meta.height === 1)
+    assert(meta.channels === 3)
+    // Pixel correctness. Input 3×2 bottom-up, strideIn=12, pixels
+    // (i*31).toByte over the region after the 54-byte header; output
+    // image row 0 maps to input image row 0 = file row 1 (bytes 12..),
+    // sx ∈ {0*3/2, 1*3/2} = {0, 1}.
+    val expected = Seq(12, 13, 14, 15, 16, 17).map(i => (i * 31).toByte)
+    assert(r.bmp.slice(54, 60).toSeq === expected)
+    // Upscale round-trips too (nearest-neighbor repeats source pixels).
+    val up = Multimodal
+      .resizeBmp(Multimodal.media(spark, realDir + "/*.bmp"), outW = 6, outH = 4)
+      .collect().head
+    val upMeta = Multimodal
+      .decodeMeta(Seq(Multimodal.MediaFile(up.path, up.bmp.length, up.bmp)).toDS())
+      .collect().head
+    assert(upMeta.width === 6 && upMeta.height === 4)
+    // Image-space (0,0) is preserved: input image row 0 = file row 1 at
+    // byte 54+12; output image row 0 = file row 3 (bottom-up, stride 20).
+    assert(up.bmp(54 + 3 * 20) === (12 * 31).toByte)
+  }
+
   private lazy val dir: Path = {
     val p = Files.createTempDirectory("graft_media")
     p.toFile.deleteOnExit()

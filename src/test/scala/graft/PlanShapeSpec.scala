@@ -142,6 +142,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no join keyed on the charset:\n${joinLines.mkString("\n")}")
   }
 
+  test("q_join_range pairs through a day-bucket EQUI join, not a nested loop") {
+    // The large-large range join's contract: bucketing turns the
+    // non-equi interval predicate into an equi join on the bucket (plus
+    // an exact filter), so the plan must carry a hash or sort-merge
+    // join keyed on b — never the BroadcastNestedLoopJoin Spark gives a
+    // raw BETWEEN condition.
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join regressed to a product join:\n$p")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")).getOrElse("")
+    assert(joinLine.contains("b#"), s"equi join not keyed on the bucket:\n$p")
+  }
+
   test("q_text_decontaminate broadcasts the benchmark gram set") {
     // The eval-set side is fixed-size by construction; the training
     // corpus is the 100 TB side. The contamination join must therefore

@@ -130,6 +130,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.sum === 1000L)
   }
 
+  test("CAP-STREAM-SSJOIN: watermarked stream-stream interval join == batch") {
+    // BOTH join sides are streams (a self-join split of the event
+    // stream); the watermark + interval condition is what bounds the
+    // buffered state. Inner join → every match emits in append mode.
+    val got = StreamDemos.runAvailableNow(spark,
+      StreamDemos.clickPurchaseJoin(StreamDemos.eventsStream(spark, eventsDir)),
+      "append", "graft_stream_ssjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val batch = p.join(c,
+        col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user"), col("p_id"), col("c_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty, "fixture must contain click→purchase pairs")
+  }
+
   test("CAP-STREAM-CURATE: streaming quality filter + content dedup == batch") {
     // Documents fixture as a watched directory.
     val d = tmpDir("graft_stream_docs")
