@@ -45,9 +45,15 @@ object Bench {
     // below then include whichever query first rebuilt the cold stages,
     // so they are not comparable to a warm run's.
     val warm = stageBuild >= 0
+    // Optional comma-separated allowlist for isolating queries while
+    // profiling (SPARK_GRAFT_ONLY=q_a,q_b). Absent → the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // (name, seconds, ok): a query that throws is recorded as -1 in the
     // per-query map and listed in "errors" — never as a fast success.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>

@@ -294,6 +294,26 @@ object Sketches {
     ()
   }
 
+  /** Mergeable distinct-count sketch table (CAP-SKETCH-HLL): one
+    * DataSketches HLL sketch per language over hashed document text.
+    * The at-scale shape for COUNT(DISTINCT) on 100 TB: each partition
+    * or ingest batch persists a few-KB sketch row instead of its raw
+    * ids, and any slice's cardinality is answered by `hll_union_agg`
+    * over the relevant sketch rows — no rescan of history. Merging is
+    * set-semantic: re-unioning data already absorbed never
+    * double-counts, which is what lets maintenance absorb replayed
+    * batches. It is NOT bit-exact across merge orders — DataSketches'
+    * coupon/gadget promotion makes the estimate wobble by a hair with
+    * arrival order, and a merged estimate can likewise differ a hair
+    * from a monolithic rebuild's — so the pinned contract
+    * (SketchTableSpec) is tolerance-based: ≤0.5% spread across merge
+    * orders, ≤2% vs rebuild, ±5% vs exact counts.
+    * lgK=12 → ~1.6% relative standard error at ≤4 KB each. */
+  def hllSketchTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(hll_sketch_agg(xxhash64(col("text")), 12).as("sketch"))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Embedding-cosine near-dup, LSH SCALE PATH: the same keep-id
@@ -400,6 +420,23 @@ object Sketches {
     QuerySpec.noOracle("q_sim_ann_ivf") { (s, d) =>
       ivfSearch(s, d, defaultQueries(s, d),
         nprobe = c => math.ceil(0.7 * c).toInt.max(2))
+    },
+
+    // Distinct-document estimates served from the per-lang HLL sketch
+    // table: one row per language plus the '*all*' row obtained purely
+    // by MERGING the per-lang sketches — the documents table is never
+    // re-touched for the rollup, which is the whole point of a
+    // maintained sketch table at 100 TB. No DuckDB oracle (DataSketches
+    // register state is engine-specific); SketchTableSpec pins merge
+    // order-insensitivity, rebuild agreement, and accuracy vs exact.
+    QuerySpec.noOracle("q_sketch_hll") { (s, d) =>
+      val per = hllSketchTable(s, d)
+      per.select(col("lang"),
+          hll_sketch_estimate(col("sketch")).as("est_distinct"))
+        .unionAll(per.agg(hll_union_agg(col("sketch")).as("u"))
+          .select(lit("*all*").as("lang"),
+            hll_sketch_estimate(col("u")).as("est_distinct")))
+        .orderBy("lang")
     }
   )
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CAP-SKETCH-HLL: the per-lang HLL sketch table
+  * ([[ops.Sketches.hllSketchTable]]) is a faithful MERGEABLE summary.
+  * DataSketches' union is set-semantic (replayed data never
+  * double-counts) but measurably NOT bit-exact across merge orders —
+  * coupon/gadget promotion lets the estimate wobble by ±1 with
+  * arrival order — so the contract pinned here is tolerance-based:
+  * merge orders agree within 0.5% of each other, merge vs rebuild
+  * within 2%, and everything within HLL's error envelope of the true
+  * distinct counts.
+  */
+class SketchTableSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def est(df: DataFrame): Long = df
+    .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+    .head().getLong(0)
+
+  private def sketchOf(df: DataFrame): DataFrame = df
+    .agg(hll_sketch_agg(xxhash64(col("text")), 12).as("sketch"))
+
+  test("merged per-lang sketches agree with a monolithic rebuild within 2%") {
+    val merged = est(ops.Sketches.hllSketchTable(spark, sf))
+    val direct = sketchOf(Tables.documents(spark, sf))
+      .select(hll_sketch_estimate(col("sketch"))).head().getLong(0)
+    assert(math.abs(merged - direct) <= math.max(1L, (0.02 * direct).toLong),
+      s"merged=$merged direct=$direct")
+  }
+
+  test("estimates within 5% of exact distinct counts, per lang and overall") {
+    val exact = Tables.documents(spark, sf)
+      .groupBy("lang").agg(countDistinct(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.documents(spark, sf)
+      .agg(countDistinct(col("text")).as("n")).head().getLong(0)
+    val got = q("q_sketch_hll")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === exact.keySet + "*all*")
+    (exact + ("*all*" -> exactAll)).foreach { case (lang, n) =>
+      val e = got(lang)
+      assert(math.abs(e - n) <= math.max(1L, (0.05 * n).toLong),
+        s"lang=$lang exact=$n est=$e")
+    }
+  }
+
+  test("incremental maintenance: merge orders agree within 0.5%; replay never double-counts") {
+    // Three 'ingest batches' (doc_id mod 3), each sketched
+    // INDEPENDENTLY as separate jobs would at 100 TB, then merged in
+    // three different orders/groupings. DataSketches unions are not
+    // bit-exact across orders (observed ±1 on this fixture), so pin a
+    // tight spread rather than equality.
+    val docs = Tables.documents(spark, sf)
+    val batches = (0 until 3)
+      .map(p => sketchOf(docs.filter(col("doc_id") % 3 === p)))
+    val fwd = est(batches.reduce(_ unionAll _))
+    val rev = est(batches.reverse.reduce(_ unionAll _))
+    val nested = est(batches(2).unionAll(batches(0)).unionAll(batches(1)))
+    val spread = Seq(fwd, rev, nested)
+    assert(spread.max - spread.min <= math.max(1L, (0.005 * fwd).toLong),
+      s"orders disagree: $spread")
+    // Replay safety: merging a batch AGAIN (duplicate delivery) must
+    // not inflate the estimate beyond the same hair-width wobble —
+    // set semantics, not additive ones.
+    val replay = est((batches :+ batches(1)).reduce(_ unionAll _))
+    assert(math.abs(replay - fwd) <= math.max(1L, (0.005 * fwd).toLong),
+      s"replayed batch moved the estimate: $replay vs $fwd")
+    // And the merged batches track the full rebuild within 2%.
+    val rebuild = sketchOf(docs)
+      .select(hll_sketch_estimate(col("sketch"))).head().getLong(0)
+    assert(math.abs(fwd - rebuild) <= math.max(1L, (0.02 * rebuild).toLong),
+      s"merged=$fwd rebuild=$rebuild")
+  }
+}
