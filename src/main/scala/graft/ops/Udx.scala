@@ -44,29 +44,34 @@ object Udx {
     * would shuffle the full vocabulary).
     */
   private class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
-    def zero: Map[String, Long] = Map.empty
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+        Map[String, Long]] {
+    private type Buf = scala.collection.mutable.HashMap[String, Long]
+    def zero: Buf = scala.collection.mutable.HashMap.empty
 
-    private def add(b: Map[String, Long], x: String, w: Long): Map[String, Long] =
-      if (b.contains(x) || b.size < k) b.updated(x, b.getOrElse(x, 0L) + w)
+    // The buffer is MUTATED in place — an Aggregator owns its buffer
+    // between calls, and the hot path runs once per token, so the
+    // persistent-Map version's per-token allocation was pure GC load.
+    private def add(b: Buf, x: String, w: Long): Buf = {
+      if (b.contains(x) || b.size < k) b.update(x, b.getOrElse(x, 0L) + w)
       else {
         // Decrement all k counters by the smallest, dropping zeros —
         // the amortized form of k+1 pairwise decrements.
         val dec = math.min(w, b.values.min)
-        val shrunk = b.flatMap { case (key, c) =>
-          if (c > dec) Some(key -> (c - dec)) else None
-        }
-        if (w > dec) shrunk.updated(x, w - dec) else shrunk
+        b.mapValuesInPlace((_, c) => c - dec)
+        b.filterInPlace((_, c) => c > 0)
+        if (w > dec) b.update(x, w - dec)
       }
+      b
+    }
 
-    def reduce(b: Map[String, Long], x: String): Map[String, Long] =
-      add(b, x, 1L)
-    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    def reduce(b: Buf, x: String): Buf = add(b, x, 1L)
+    def merge(a: Buf, b: Buf): Buf =
       b.foldLeft(a) { case (acc, (x, w)) => add(acc, x, w) }
-    def finish(r: Map[String, Long]): Map[String, Long] = r
+    def finish(r: Buf): Map[String, Long] = r.toMap
     // Buffer stays opaque (Kryo); the OUTPUT must be a real MapType so
     // callers can explode it back to rows.
-    def bufferEncoder = Encoders.kryo[Map[String, Long]]
+    def bufferEncoder = Encoders.kryo[Buf]
     def outputEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
