@@ -119,6 +119,23 @@ object StreamDemos {
       .dropDuplicates("text_md5")
       .select("doc_id", "lang", "quality", "text_md5")
 
+  /** Bounded-state streaming dedup (CAP-STREAM-DEDUP-WM): exactly-once
+    * row identity on an at-least-once transport. Plain dropDuplicates
+    * (curatedDocuments) keeps every key ever seen — correct, but its
+    * state grows with the corpus; this variant keys state on event_id
+    * and lets the watermark EVICT an entry once no duplicate of it can
+    * still arrive. That matches how duplication actually happens at
+    * scale — replayed ingest batches redeliver a row within the
+    * transport's replay horizon (30 min of event time here) — and
+    * keeps state O(events per watermark window), not O(all events
+    * ever): the only dedup shape that survives an unbounded stream. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+
   /** Stream-STREAM join (CAP-STREAM-SSJOIN): each purchase pairs with
     * the same user's clicks from the preceding hour — attribution,
     * with BOTH sides unbounded. Spark buffers each side in join state,

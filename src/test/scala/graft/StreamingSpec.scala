@@ -155,6 +155,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must contain click→purchase pairs")
   }
 
+  test("CAP-STREAM-DEDUP-WM: replayed rows drop while dedup state stays watermark-bounded") {
+    // An at-least-once transport: micro-batch 2 redelivers ALL of
+    // micro-batch 1 (plus one genuinely new event). The watermark-
+    // bounded dedup must emit each event exactly once — and unlike
+    // plain dropDuplicates it holds state only for events newer than
+    // the watermark, so the replayed rows are dropped either by the
+    // dedup state (not yet evicted) or as late data (behind the
+    // watermark); both paths mean "already delivered".
+    val d = tmpDir("graft_stream_dedup")
+    val batch1 = Seq(ev(1, ns(1.0)), ev(2, ns(1.2)), ev(3, ns(1.4)))
+    writeEventsFile(d, "b1.parquet", 1000000L, batch1)
+    writeEventsFile(d, "b2.parquet", 2000000L,
+      batch1 :+ ev(4, ns(1.6)))
+    val got = StreamDemos.runAvailableNow(spark,
+      StreamDemos.dedupedEvents(StreamDemos.eventsStream(spark, d.toString,
+        maxFilesPerTrigger = Some(1))),
+      "append", "graft_stream_dedupwm")
+      .collect().map(_.getLong(0))
+    assert(got.length === 4, s"expected exactly-once delivery, got ${got.toSeq}")
+    assert(got.toSet === Set(1L, 2L, 3L, 4L))
+  }
+
   test("CAP-STREAM-CURATE: streaming quality filter + content dedup == batch") {
     // Documents fixture as a watched directory.
     val d = tmpDir("graft_stream_docs")
