@@ -262,7 +262,133 @@ object Sketches {
     * [[TextSim.warmStages]] for why Bench calls this up front. */
   def warmStages(s: SparkSession, d: String): Unit = {
     ivfAssignments(s, d).count()
+    pqCodes(s, d).count()
     ()
+  }
+
+  // ---- PQ (product quantization) ----------------------------------------
+
+  /** PQ geometry: 64-dim vectors split into [[PqM]]=8 subvectors, each
+    * quantized to one of [[PqK]]=32 learned centroids — a vector
+    * compresses to 8 five-bit codes (5 bytes of index payload; stored
+    * here as 8 ints). The compressed-domain scan then scores EVERY
+    * corpus vector per query from the codes alone (ADC), and only a
+    * small rerank pool ever touches the real embeddings. */
+  val PqM = 8
+  val PqK = 32
+
+  /** Unit-normalized subvector rows (vec_id, m, sv). PQ for cosine
+    * encodes the NORMALIZED vectors, so the additive approximation
+    * Σ_m dot(q_m, c_{m,code_m}) approximates the cosine itself. */
+  private def pqSubvectors(src: DataFrame): DataFrame =
+    src.select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, $PqM - 1),
+         |  m -> slice(transform(embedding, x -> x / norm),
+         |             m * (size(embedding) div $PqM) + 1,
+         |             size(embedding) div $PqM))""".stripMargin))
+      .as(Seq("m", "sv")))
+
+  /** Per-subspace assignment: argmin-L2 over that subspace's centroids
+    * expressed as max_by(dot - ||c||²/2) (the ||sv||² term is constant
+    * per row), ties to the smallest cid. `cb` must be (m, cid, cv, cn2)
+    * and is broadcast — K*M rows. */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), "m")
+      .withColumn("score", round(
+        graft.functions.VectorFunctions.dot(col("sv"), col("cv"))
+          - col("cn2") / 2, 9))
+      .groupBy("vec_id", "m")
+      .agg(expr("max_by(cid, struct(score, -cid))").as("cid"))
+
+  private def withCn2(cb: DataFrame): DataFrame =
+    cb.withColumn("cn2", expr(
+      "aggregate(cv, 0d, (acc, x) -> acc + x * x)"))
+
+  /** The PQ codebook (m, cid, cv, cn2), STAGE-CACHED per (session,
+    * dir) like [[ivfCodebook]] and derived the same way: hash-seeded
+    * real data points (the same PqK vectors seed every subspace), then
+    * three Lloyd rounds per subspace with scaled-long integer sums so
+    * the result is bit-deterministic across partitionings. All M
+    * subspaces train in ONE plan per round — the per-m grouping rides
+    * the same shuffles. */
+  def pqCodebook(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "pqcb") {
+      val sv = pqSubvectors(embBase(s, d))
+      val wSeed = org.apache.spark.sql.expressions.Window
+        .orderBy("h", "vec_id")
+      val seedIds = embBase(s, d)
+        .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
+        .orderBy("h").limit(PqK)
+        .select(col("vec_id"), (row_number().over(wSeed) - 1).as("cid"))
+      val seeds = withCn2(sv.join(broadcast(seedIds), "vec_id")
+        .select(col("m"), col("cid"), col("sv").as("cv")))
+      def lloyd(cb: DataFrame): DataFrame =
+        withCn2(pqAssign(sv, cb)
+          .join(sv, Seq("vec_id", "m"))
+          .select(col("m"), col("cid"),
+            posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("m", "cid", "pos")
+          .agg((sum((col("x") * 1e9).cast("long")) /
+            (count(lit(1)) * 1e9)).as("cx"))
+          .groupBy("m", "cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
+            " p -> p.cx)").as("cv")))
+      (1 to 3).foldLeft(seeds: DataFrame)((cb, _) => lloyd(cb))
+    }
+
+  /** The compressed corpus (vec_id, m, cid) — 8 ints per vector,
+    * stage-cached: at 100 TB this IS the ANN index's scan payload
+    * (5 bytes a vector instead of 256), maintained on ingest. */
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "pqcodes")(
+      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d)))
+
+  /** Flat-PQ ANN for an arbitrary query frame `(qid, qv)`: the query
+    * builds its per-subspace distance table (Q×M×K dots against the
+    * broadcast codebook), the ADC scan scores every corpus vector by
+    * joining the 8-int codes against the broadcast table and summing —
+    * the embeddings themselves are never touched until the exact
+    * rerank of the top-`rerank` pool. Scale shape: the scan's input is
+    * the compressed codes (≤2% of the raw bytes), the only shuffle
+    * carries (qid, vec_id, partial sums), and the rerank joins real
+    * vectors for rerank·Q rows only. Like the other ANN entry points,
+    * signatures are pure functions of the vector, so held-out queries
+    * serve with zero re-indexing; `rerank` is the caller's recall/cost
+    * knob, a FUNCTION of the corpus size — sized by one count() of the
+    * base, the same cheap stats-pass shape as [[ivfSearch]]'s nprobe
+    * (the fixture call site uses a ~17% pool — isotropic fixture
+    * caveat, see [[ivfSearch]]). */
+  def pqSearch(s: SparkSession, d: String, queries: DataFrame,
+      rerank: Long => Int, k: Int = 3): DataFrame = {
+    val pool0 = math.max(k, rerank(embBase(s, d).count()))
+    val qn = queries.select(col("qid"), col("qv"),
+      graft.functions.VectorFunctions.l2norm(col("qv")).as("norm"))
+    val dtable = pqSubvectors(qn.select(col("qid").as("vec_id"),
+        col("qv").as("embedding"), col("norm")))
+      .join(broadcast(pqCodebook(s, d)), "m")
+      .select(col("vec_id").as("qid"), col("m"), col("cid"),
+        graft.functions.VectorFunctions.dot(col("sv"), col("cv")).as("pdot"))
+    val approx = pqCodes(s, d)
+      .join(broadcast(dtable), Seq("m", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(round(sum("pdot"), 9).as("adc"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    val pool = approx
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= pool0)
+      .select("qid", "vec_id")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    pool.join(embBase(s, d), "vec_id")
+      .join(qn.select(col("qid"), col("qv"), col("norm").as("qn")), "qid")
+      .withColumn("cos", round(cosCol("qv", "embedding",
+        col("qn"), col("norm")), 6))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rn"))
+      .orderBy("qid", "rn")
   }
 
   /** Per-document 64-bit SimHash signatures (doc_id, simhash) —
@@ -429,6 +555,17 @@ object Sketches {
     // maintained sketch table at 100 TB. No DuckDB oracle (DataSketches
     // register state is engine-specific); SketchTableSpec pins merge
     // order-insensitivity, rebuild agreement, and accuracy vs exact.
+    // Flat-PQ ANN over the stage-cached per-subspace codebook and the
+    // 8-int compressed codes (see pqSearch): ADC-score everything from
+    // codes, exact-rerank a ~17%-of-corpus pool (the isotropic-fixture
+    // caveat — clustered corpora run 1-2% pools). Recall >= 0.8 vs
+    // brute-force top-3 is property-tested at two tiers (SketchesSpec),
+    // for the fixture query set and for held-out queries.
+    QuerySpec.noOracle("q_sim_ann_pq") { (s, d) =>
+      pqSearch(s, d, defaultQueries(s, d),
+        rerank = n => math.max(32, (n / 6).toInt))
+    },
+
     QuerySpec.noOracle("q_sketch_hll") { (s, d) =>
       val per = hllSketchTable(s, d)
       per.select(col("lang"),

@@ -95,6 +95,26 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN recall >= 0.8 of brute-force top-3 neighbors, both tiers") {
+    tiers.foreach { dir =>
+      val exact = exactTop3(dir)
+      val got = qAt("q_sim_ann_pq", dir).select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty)
+      val recall = exact.intersect(got).size.toDouble / exact.size
+      // ADC over 8x32 codebooks + exact rerank of a ~17% pool: the
+      // compressed-domain scan must preserve the ANN bar.
+      assert(recall >= 0.8, s"PQ recall $recall over ${exact.size} at $dir")
+      // And the compression is real: the scanned index is exactly
+      // PqM ints per vector, codes within the 5-bit codebook range.
+      val n = Tables.embeddings(spark, dir).count()
+      val codes = graft.ops.Sketches.pqCodes(spark, dir)
+      assert(codes.count() === n * graft.ops.Sketches.PqM)
+      assert(codes.filter(col("cid") < 0
+        || col("cid") >= graft.ops.Sketches.PqK).count() === 0L)
+    }
+  }
+
   // ---- held-out queries: the external-query ANN contract --------------
   // The (qid, qv) entry points exist so a user can bring query vectors
   // that are NOT in the corpus; these tests hold the same recall bar
@@ -174,6 +194,22 @@ class SketchesSpec extends AnyFunSuite {
       val recall = exact.intersect(got).size.toDouble / exact.size
       assert(recall >= 0.8,
         s"held-out LSH recall $recall over ${exact.size} at $dir")
+    }
+  }
+
+  test("PQ ANN serves HELD-OUT queries at recall >= 0.8") {
+    tiers.foreach { dir =>
+      val hq = heldOutQueries(dir)
+      val exact = exactTop3For(hq, dir)
+      assert(exact.nonEmpty)
+      val got = graft.ops.Sketches.pqSearch(spark, dir, hq,
+        rerank = n => math.max(32, (n / 6).toInt))
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.forall(_._1 >= 10000000L))
+      val recall = exact.intersect(got).size.toDouble / exact.size
+      assert(recall >= 0.8,
+        s"held-out PQ recall $recall over ${exact.size} at $dir")
     }
   }
 
