@@ -70,4 +70,53 @@ class SortedLayoutSpec extends AnyFunSuite {
     assert(scannedSorted < n / 10,
       s"sorted layout did not prune: $scannedSorted of $n")
   }
+
+  /** Bit-interleave two `bits`-bit columns into their Morton (Z-order)
+    * code — plain codegen'd shifts/ors, no UDF. */
+  private def morton(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map(i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)))
+      .reduce(_ bitwiseOR _)
+
+  test("Z-order layout prunes row groups on BOTH columns; single-column sort only on its own") {
+    // The multi-dimensional version of the lesson above: when two
+    // columns are both hot filters, sorting on one leaves the other
+    // unprunable, while sorting on the MORTON INTERLEAVE of the two
+    // clusters row groups in (a, b) space — each dimension keeps
+    // enough locality that selective filters on EITHER column skip
+    // most row groups. This is the layout decision for a 100 TB table
+    // with two independent access paths (no second copy of the data).
+    val n = 400000L
+    val base = spark.range(n).select(col("id"),
+      pmod(xxhash64(col("id")), lit(256L)).as("a"),
+      pmod(xxhash64(col("id"), lit(7L)), lit(256L)).as("b"))
+    val byA = tmp("graft_layout_bya")
+    val byZ = tmp("graft_layout_byz")
+    base.orderBy("a").coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024).parquet(byA)
+    base.withColumn("z", morton(col("a"), col("b"), 8))
+      .orderBy("z").drop("z").coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024).parquet(byZ)
+
+    // Selective range probe on each column (8/256 of the value space).
+    def probe(dir: String, c: String): Long =
+      scanRows(spark.read.parquet(dir).filter(col(c) < 8))
+    val matched = base.filter(col("b") < 8).count()
+    assert(matched > 0 && matched < n / 16,
+      s"probe not selective: $matched of $n")
+
+    // Sorted-by-a: prunes a, cannot prune b.
+    assert(probe(byA, "a") < n / 10,
+      "a-sorted layout did not prune its own column")
+    assert(probe(byA, "b") > n / 2,
+      "a-sorted layout unexpectedly pruned the other column")
+    // Z-order: prunes BOTH (coarser than a dedicated sort on one
+    // column, but available to each dimension simultaneously).
+    assert(probe(byZ, "a") < n / 4,
+      s"z-order layout did not prune on a: ${probe(byZ, "a")} of $n")
+    assert(probe(byZ, "b") < n / 4,
+      s"z-order layout did not prune on b: ${probe(byZ, "b")} of $n")
+  }
 }
