@@ -193,11 +193,16 @@ object Joins {
 
     // Large-LARGE range join — the shape q_join_theta cannot take when the
     // interval side is too big to broadcast. Day-bucket both sides: each
-    // interval explodes to the (bounded: 3) day buckets it covers, each
-    // point carries its one bucket, and the pairing becomes an EQUI join
-    // on the bucket followed by the exact range filter. A point's bucket
-    // is covered by a qualifying interval exactly once, so no dedup stage
-    // is needed. At 100 TB both sides shuffle-partition on the bucket and
+    // interval explodes to the (bounded: ≤4) day buckets its endpoints
+    // span, each point carries its one bucket, and the pairing becomes an
+    // EQUI join on the bucket followed by the exact range filter. A
+    // point's bucket is covered by a qualifying interval exactly once, so
+    // no dedup stage is needed. The bucket range runs day(start) through
+    // day(END) — computed from the endpoint, NOT day(start) + 2, so a
+    // timestamp with a time-of-day component (whose 3-day interval spans
+    // four calendar days) still meets every point it qualifies against;
+    // the fixture is midnight-aligned, where the 4th bucket just pairs
+    // nothing. At 100 TB both sides shuffle-partition on the bucket and
     // the per-bucket fan-out stays |intervals covering that day| — never a
     // nested loop over the cross product (PlanShapeSpec pins the plan to
     // an equi join, no BroadcastNestedLoop/CartesianProduct).
@@ -211,7 +216,7 @@ object Joins {
         |ORDER BY o_orderkey""") { (s, d) =>
       val day0 = lit("1995-01-01").cast("date")
       val pts = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_shipdate"),
+        .select(col("l_shipdate"),
           datediff(col("l_shipdate").cast("date"), day0).as("b"))
       val iv = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
@@ -219,7 +224,7 @@ object Joins {
           (col("o_orderdate") + expr("INTERVAL 3 DAY")).as("o_end"))
         .withColumn("b", explode(sequence(
           datediff(col("o_orderdate").cast("date"), day0),
-          datediff(col("o_orderdate").cast("date"), day0) + lit(2))))
+          datediff(col("o_end").cast("date"), day0))))
       pts.join(iv, pts("b") === iv("b")
           && col("l_shipdate") >= col("o_orderdate")
           && col("l_shipdate") < col("o_end"))

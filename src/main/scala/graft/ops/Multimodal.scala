@@ -212,27 +212,38 @@ object Multimodal {
           val h = math.abs(rawH)
           val bottomUp = rawH > 0
           val dataOff = le32(c, 10)
-          val strideIn = ((w * 3 + 3) / 4) * 4
+          // All size math in Long: a crafted header (w near 2^31/3) or
+          // a large-but-valid grid times a large output must DROP or
+          // fail cleanly, never wrap an Int into an out-of-bounds copy.
+          val strideInL = ((w.toLong * 3 + 3) / 4) * 4
+          val strideOutL = ((outW.toLong * 3 + 3) / 4) * 4
+          val outBytesL = 54L + strideOutL * outH
           if (w <= 0 || h == 0 || dataOff < 54 ||
-              dataOff + strideIn.toLong * h > c.length) None
+              strideInL > Int.MaxValue ||
+              dataOff + strideInL * h > c.length ||
+              outBytesL > Int.MaxValue) None
           else {
-            val strideOut = ((outW * 3 + 3) / 4) * 4
-            val out = java.nio.ByteBuffer.allocate(54 + strideOut * outH)
+            val strideIn = strideInL.toInt
+            val strideOut = strideOutL.toInt
+            val outBytes = outBytesL.toInt
+            val out = java.nio.ByteBuffer.allocate(outBytes)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            out.put('B'.toByte).put('M'.toByte).putInt(54 + strideOut * outH)
+            out.put('B'.toByte).put('M'.toByte).putInt(outBytes)
               .putInt(0).putInt(54)
             out.putInt(40).putInt(outW).putInt(outH).putShort(1).putShort(24)
-            out.putInt(0).putInt(strideOut * outH).putInt(2835).putInt(2835)
+            out.putInt(0).putInt(outBytes - 54).putInt(2835).putInt(2835)
               .putInt(0).putInt(0)
             val arr = out.array()
             var yImg = 0 // output row, image space (top to bottom)
             while (yImg < outH) {
-              val syImg = yImg * h / outH
+              // Long products: yImg*h and x*w overflow Int on
+              // million-row/column grids that are otherwise valid.
+              val syImg = (yImg.toLong * h / outH).toInt
               val rIn = if (bottomUp) h - 1 - syImg else syImg
               val rOut = outH - 1 - yImg // output is bottom-up
               var x = 0
               while (x < outW) {
-                val src = dataOff + rIn * strideIn + (x * w / outW) * 3
+                val src = dataOff + rIn * strideIn + (x.toLong * w / outW).toInt * 3
                 val dst = 54 + rOut * strideOut + x * 3
                 arr(dst) = c(src)
                 arr(dst + 1) = c(src + 1)

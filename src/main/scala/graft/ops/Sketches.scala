@@ -148,6 +148,23 @@ object Sketches {
       .withColumn("ccos", round(cosCol("embedding", "cv",
         col("norm"), col("cn")), 9))
 
+  /** Deterministic mean vector per group — the Lloyd-step kernel BOTH
+    * codebook builds share: per-position sums of scaled longs
+    * (x * 1e9 as long — order-independent integer addition, so the
+    * result is bit-deterministic across runs and partitionings, and
+    * parquet round-trips it exactly), reassembled in position order. */
+  private def meanVectors(rows: DataFrame, vecCol: String,
+      groupCols: String*): DataFrame =
+    rows
+      .select(groupCols.map(col) :+
+        posexplode(col(vecCol)).as(Seq("pos", "x")): _*)
+      .groupBy((groupCols :+ "pos").map(col): _*)
+      .agg((sum((col("x") * 1e9).cast("long")) /
+        (count(lit(1)) * 1e9)).as("cx"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
+        " p -> p.cx)").as("cv"))
+
   /** Nearest centroid per vector as a max_by AGGREGATION — a hash
     * aggregate over the N x C product, no per-vector sort (the
     * row_number formulation paid a sort shuffle per Lloyd round), and
@@ -190,14 +207,7 @@ object Sketches {
         .toDF("cid", "cv", "cn")
       // Lloyd step: mean vector per cell via exact integer summation.
       def lloyd(cents: DataFrame): DataFrame =
-        assign1(base, cents)
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg((sum((col("x") * 1e9).cast("long")) /
-            (count(lit(1)) * 1e9)).as("cx"))
-          .groupBy("cell")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
-            " p -> p.cx)").as("cv"))
+        meanVectors(assign1(base, cents), "embedding", "cell")
           .select(col("cell").as("cid"), col("cv"),
             graft.functions.VectorFunctions.l2norm(col("cv")).as("cn"))
       (1 to 3).foldLeft(seeds: DataFrame)((cc, _) => lloyd(cc))
@@ -323,16 +333,8 @@ object Sketches {
       val seeds = withCn2(sv.join(broadcast(seedIds), "vec_id")
         .select(col("m"), col("cid"), col("sv").as("cv")))
       def lloyd(cb: DataFrame): DataFrame =
-        withCn2(pqAssign(sv, cb)
-          .join(sv, Seq("vec_id", "m"))
-          .select(col("m"), col("cid"),
-            posexplode(col("sv")).as(Seq("pos", "x")))
-          .groupBy("m", "cid", "pos")
-          .agg((sum((col("x") * 1e9).cast("long")) /
-            (count(lit(1)) * 1e9)).as("cx"))
-          .groupBy("m", "cid")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
-            " p -> p.cx)").as("cv")))
+        withCn2(meanVectors(
+          pqAssign(sv, cb).join(sv, Seq("vec_id", "m")), "sv", "m", "cid"))
       (1 to 3).foldLeft(seeds: DataFrame)((cb, _) => lloyd(cb))
     }
 
@@ -548,13 +550,6 @@ object Sketches {
         nprobe = c => math.ceil(0.7 * c).toInt.max(2))
     },
 
-    // Distinct-document estimates served from the per-lang HLL sketch
-    // table: one row per language plus the '*all*' row obtained purely
-    // by MERGING the per-lang sketches — the documents table is never
-    // re-touched for the rollup, which is the whole point of a
-    // maintained sketch table at 100 TB. No DuckDB oracle (DataSketches
-    // register state is engine-specific); SketchTableSpec pins merge
-    // order-insensitivity, rebuild agreement, and accuracy vs exact.
     // Flat-PQ ANN over the stage-cached per-subspace codebook and the
     // 8-int compressed codes (see pqSearch): ADC-score everything from
     // codes, exact-rerank a ~17%-of-corpus pool (the isotropic-fixture
@@ -566,6 +561,14 @@ object Sketches {
         rerank = n => math.max(32, (n / 6).toInt))
     },
 
+    // Distinct-document estimates served from the per-lang HLL sketch
+    // table: one row per language plus the '*all*' row obtained purely
+    // by MERGING the per-lang sketches — the documents table is never
+    // re-touched for the rollup, which is the whole point of a
+    // maintained sketch table at 100 TB. No DuckDB oracle (DataSketches
+    // register state is engine-specific); SketchTableSpec pins the
+    // tolerance-based merge contract (≤0.5% spread across merge orders,
+    // replay safety, ≤2% vs rebuild) and ±5% accuracy vs exact.
     QuerySpec.noOracle("q_sketch_hll") { (s, d) =>
       val per = hllSketchTable(s, d)
       per.select(col("lang"),
