@@ -18,12 +18,14 @@ class ConcurrencySpec extends AnyFunSuite {
   // q_dedup_cluster + q_curate both race to build the session stage
   // cache (gram index + edge list) on first touch — computeIfAbsent
   // must make exactly one build win and everyone read it. The jaccard/
-  // LSH/SimHash queries race the OTHER stage-cached artifacts
-  // (charmask, lshsigs, simhash) the same way.
+  // LSH/SimHash/IVF/PQ queries race the OTHER stage-cached artifacts
+  // (charmask, lshsigs, simhash, ivfcb/ivfassign, pqcb/pqcodes — the
+  // PQ pair is chained: codes build through the codebook) the same way.
   private val names = Seq("q_agg_gsets", "q_win_frame_range", "q_ev_tumble",
     "q_udf_scalar", "q_agg_group", "q_text_tokens",
     "q_dedup_cluster", "q_curate",
-    "q_dedup_jaccard", "q_sim_ann_lsh", "q_dedup_simhash")
+    "q_dedup_jaccard", "q_sim_ann_lsh", "q_dedup_simhash",
+    "q_sim_ann_ivf", "q_sim_ann_pq")
 
   test("a mixed query batch is stable under concurrent execution") {
     // Concurrent phase FIRST: the stage cache is cold, so the
