@@ -76,6 +76,84 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(edge(4)._1 === " ")
   }
 
+  // ---- seeded-random generative sweeps --------------------------------
+  // Property-style coverage without wall-clock flake: a FIXED seed
+  // drives a few hundred random cases per kernel through Spark in one
+  // job each, compared against the interpreted reference formulation
+  // (or an in-JVM reference for the pair expansion). Catches the edge
+  // geometry example-based cases miss — empty inputs, duplicates,
+  // multi-byte characters, adversarial orderings.
+
+  test("charSet matches the interpreted formulation on random mixed-alphabet strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // BMP alphabet with 1-, 2- and 3-byte UTF-8 characters, repeats,
+    // separators; lengths 0-39 (length 0 exercises the empty string).
+    val alphabet = "abcxyz XYZ019.,;-_éжü§€"
+    val cases = (1 to 300).map { _ =>
+      val len = rnd.nextInt(40)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val bad = cases.toDF("t")
+      .select(col("t"),
+        VectorFunctions.charSet(col("t")).as("native"),
+        array_join(array_sort(array_distinct(split(col("t"), ""))), "")
+          .as("interpreted"))
+      .filter(col("native") =!= col("interpreted"))
+      .collect()
+    assert(bad.isEmpty,
+      s"charSet diverged on: ${bad.take(3).map(_.getString(0)).mkString("|")}")
+  }
+
+  test("wordGramHashes tracks the string formulation on random word arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // Vocabulary honors the producer contract: `ws` always comes from
+    // split(text, " "), so a word can never CONTAIN a space. (The sweep
+    // originally included "a a" and caught the two formulations
+    // diverging there — the string form's space-join collapses
+    // ["a a","a"] with ["a","a a"], while the hash kernel keeps word
+    // boundaries distinct. Out of contract, so excluded; the kernel's
+    // boundary-aware behavior is the safer of the two.)
+    val vocab = Vector("a", "bb", "ccc", "dd", "é9", "", "xyz", "LONGword9")
+    val cases = (1 to 300).map { _ =>
+      val n = rnd.nextInt(9) // 0-8 words: below, at, above the gram window
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+    }
+    val bad = cases.toDF("ws")
+      .select(col("ws"),
+        size(array_distinct(VectorFunctions.wordGramHashes(col("ws"))))
+          .as("nh"),
+        size(array_distinct(graft.ops.TextSim.wordGrams3("ws"))).as("ns"))
+      .filter(col("nh") =!= col("ns"))
+      .collect()
+    assert(bad.isEmpty,
+      s"gram counts diverged on: ${bad.take(3).map(_.getSeq[String](0)).mkString("|")}")
+  }
+
+  test("sortedIdPairs matches the sort-then-position-pairs reference on random arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(44)
+    // Small value range FORCES duplicates: the kernel's contract on
+    // them is positional (a duplicated id pairs with itself), pinned
+    // here against the in-JVM reference.
+    val cases = (1 to 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(8)).map(_ => (rnd.nextInt(11) - 5).toLong))
+    }
+    def ref(ids: Seq[Long]): Seq[(Long, Long)] = {
+      val s = ids.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }
+    val got = cases.toDF("case_id", "ids")
+      .select(col("case_id"), VectorFunctions.sortedIdPairs(col("ids")).as("ps"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getLong(1)))).toMap
+    cases.foreach { case (id, ids) =>
+      assert(got(id) === ref(ids), s"pairs diverged for input $ids")
+    }
+  }
+
   // ---- CappedIdSet: the postings-build aggregate's unit contract ------
   // A wrongly-dropped group (spurious NULL) only SHRINKS candidate sets
   // downstream, which the oracle cannot see — so the cap boundary,
