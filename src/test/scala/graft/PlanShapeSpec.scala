@@ -156,6 +156,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joinLine.contains("b#"), s"equi join not keyed on the bucket:\n$p")
   }
 
+  test("q_sim_ann_pq scores from codes via a broadcast ADC table, never a product join") {
+    // The PQ contract: the corpus side of the ADC scan is the 8-int
+    // code table joined against the BROADCAST per-query distance table
+    // on (m, cid) — small side shipped to the codes, embeddings only
+    // touched by the rerank join. A cartesian or nested-loop anywhere
+    // means the compressed-domain scan regressed to a brute product.
+    val p = plan("q_sim_ann_pq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ scan regressed to a product join:\n$p")
+    val adcJoin = p.linesIterator.find(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cid#")).getOrElse("")
+    assert(adcJoin.nonEmpty, s"ADC join not a broadcast hash join on the codes:\n$p")
+  }
+
   test("q_text_decontaminate broadcasts the benchmark gram set") {
     // The eval-set side is fixed-size by construction; the training
     // corpus is the 100 TB side. The contamination join must therefore
