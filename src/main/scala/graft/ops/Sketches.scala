@@ -210,7 +210,14 @@ object Sketches {
         meanVectors(assign1(base, cents), "embedding", "cell")
           .select(col("cell").as("cid"), col("cv"),
             graft.functions.VectorFunctions.l2norm(col("cv")).as("cn"))
-      (1 to 3).foldLeft(seeds: DataFrame)((cc, _) => lloyd(cc))
+      // Each round is eagerly localCheckpoint'ed: round r's assignment
+      // broadcasts round r-1's centroids, and without truncation that
+      // broadcast subquery re-executes every earlier round's plan (the
+      // 3-round lineage ran ~2x the jobs it needed). The checkpointed
+      // frame is a few-KB centroid table; losing it just fails the
+      // one-time build, which the stage cache would simply re-run.
+      (1 to 3).foldLeft(seeds: DataFrame)((cc, _) =>
+        lloyd(cc).localCheckpoint(true))
     }
 
   /** Cell assignment of the indexed corpus (vec_id, cell) — also
@@ -270,10 +277,25 @@ object Sketches {
   /** Force-build the IVF stage-cached artifacts (codebook, then the
     * corpus cell assignment, which chains through it). See
     * [[TextSim.warmStages]] for why Bench calls this up front. */
-  def warmStages(s: SparkSession, d: String): Unit = {
+  def warmIvfStage(s: SparkSession, d: String): Unit = {
     ivfAssignments(s, d).count()
+    ()
+  }
+
+  /** Force-build the PQ artifacts (per-subspace codebook, then the
+    * compressed code table). Independent of the IVF chain — Bench runs
+    * the two on separate threads. */
+  def warmPqStage(s: SparkSession, d: String): Unit = {
     pqCodes(s, d).count()
     ()
+  }
+
+  /** Both vector-index families, serially (kept for callers that are
+    * not wall-clock-sensitive; Bench uses the per-family entry points
+    * concurrently). */
+  def warmStages(s: SparkSession, d: String): Unit = {
+    warmIvfStage(s, d)
+    warmPqStage(s, d)
   }
 
   // ---- PQ (product quantization) ----------------------------------------
@@ -335,7 +357,11 @@ object Sketches {
       def lloyd(cb: DataFrame): DataFrame =
         withCn2(meanVectors(
           pqAssign(sv, cb).join(sv, Seq("vec_id", "m")), "sv", "m", "cid"))
-      (1 to 3).foldLeft(seeds: DataFrame)((cb, _) => lloyd(cb))
+      // Same per-round lineage truncation as [[ivfCodebook]]: the M x K
+      // codebook is tiny, and an un-truncated round-3 plan re-runs the
+      // round-1/2 subplans inside its broadcast subquery.
+      (1 to 3).foldLeft(seeds: DataFrame)((cb, _) =>
+        lloyd(cb).localCheckpoint(true))
     }
 
   /** The compressed corpus (vec_id, m, cid) — 8 ints per vector,
@@ -413,13 +439,24 @@ object Sketches {
       sums.select(col("doc_id"), simhash.as("simhash"))
     }
 
-  /** Force-build the signature indexes (hyperplane LSH + SimHash) —
-    * independent of the IVF chain, so Bench builds them on their own
-    * thread. */
-  def warmSigStage(s: SparkSession, d: String): Unit = {
+  /** Force-build the hyperplane-LSH signature index. Independent of
+    * every other stage — its own Bench thread. */
+  def warmLshSigStage(s: SparkSession, d: String): Unit = {
     sigTable(s, d).count()
+    ()
+  }
+
+  /** Force-build the SimHash signature table. Independent of every
+    * other stage — its own Bench thread. */
+  def warmSimhashStage(s: SparkSession, d: String): Unit = {
     simhashSigs(s, d).count()
     ()
+  }
+
+  /** Both signature indexes, serially (see [[warmStages]]). */
+  def warmSigStage(s: SparkSession, d: String): Unit = {
+    warmLshSigStage(s, d)
+    warmSimhashStage(s, d)
   }
 
   /** Mergeable distinct-count sketch table (CAP-SKETCH-HLL): one

@@ -29,10 +29,15 @@ object StageBuildTime {
       graft.ops.TextSim.gramPostings(spark, dir, graft.ops.TextSim.DfCap).count()
     }
     t("paircounts+edges") { graft.ops.TextSim.warmStages(spark, dir) }
-    t("ivf cb+assign") { graft.ops.Sketches.warmStages(spark, dir) }
+    t("charset attrs") { graft.ops.TextSim.warmMaskStage(spark, dir) }
+    t("ivf cb+assign") { graft.ops.Sketches.warmIvfStage(spark, dir) }
+    t("pq cb+codes") { graft.ops.Sketches.warmPqStage(spark, dir) }
+    t("lsh sig table") { graft.ops.Sketches.warmLshSigStage(spark, dir) }
+    t("simhash sigs") { graft.ops.Sketches.warmSimhashStage(spark, dir) }
     t("all warm re-run") {
       graft.ops.TextSim.warmStages(spark, dir)
       graft.ops.Sketches.warmStages(spark, dir)
+      graft.ops.Sketches.warmSigStage(spark, dir)
     }
     spark.stop()
   }
