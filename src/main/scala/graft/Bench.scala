@@ -68,7 +68,8 @@ object Bench {
         Future(ops.Sketches.warmIvfStage(spark, sfDir)),
         Future(ops.Sketches.warmPqStage(spark, sfDir)),
         Future(ops.Sketches.warmLshSigStage(spark, sfDir)),
-        Future(ops.Sketches.warmSimhashStage(spark, sfDir)))), 30.minutes)
+        Future(ops.Sketches.warmSimhashStage(spark, sfDir)),
+        Future(ops.Sketches.warmMinhashStage(spark, sfDir)))), 30.minutes)
       (System.nanoTime() - tStage0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"bench: stage build failed: ${e.getMessage}"); -1.0 }

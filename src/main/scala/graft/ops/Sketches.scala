@@ -459,6 +459,111 @@ object Sketches {
     warmSimhashStage(s, d)
   }
 
+  // ---- Incremental dedup against a maintained index ----------------------
+
+  /** MinHash band signatures (id, band, bh) for ANY (`idCol`, text)
+    * frame — a pure function of the text: UNCAPPED word-3-gram hashes
+    * (the native one-pass [[graftnative.WordGramHashes]] kernel, no
+    * gram strings materialized), [[NumHashes]] min-hashes, banded
+    * [[Bands]] x 4. Pure-function signing is the whole design: a NEW
+    * document computes its own bands with zero index state, so
+    * incremental ingest never rebuilds anything. min() is
+    * duplicate-insensitive, so the per-doc gram distinct is free —
+    * the signature costs ONE map-side-combining shuffle on the id.
+    * Docs under 3 words have no grams, hence no bands: they never
+    * match (by construction they have no 3-gram Jaccard evidence).
+    *
+    * Uncapped on purpose, unlike the all-pairs path: the df cap
+    * guards the k²-per-bucket pair blowup of SELF-joins, while index
+    * probes cost k per batch row and aggregate straight to min/count
+    * with map-side partials — so the index keeps full-fidelity
+    * signatures. */
+  private def minhashBands(docs: DataFrame, idCol: String): DataFrame = {
+    val g = docs
+      .select(col(idCol), split(col("text"), " ").as("ws"))
+      .select(col(idCol),
+        explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
+          .as("gram"))
+    val mhCols = (0 until NumHashes)
+      .map(i => min(xxhash64(lit(i), col("gram"))).as(s"mh$i"))
+    val sig = g.groupBy(idCol).agg(mhCols.head, mhCols.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)
+    }
+    sig.select(col(idCol), posexplode(array(bandCols: _*))
+      .as(Seq("band", "bh")))
+  }
+
+  /** [[minhashBands]] over a (doc_id, text) frame — test-visible so the
+    * incremental ≡ full-recompute equality can rebuild signatures from
+    * scratch over a grown corpus. */
+  private[graft] def bandsOf(docs: DataFrame): DataFrame =
+    minhashBands(docs, "doc_id")
+
+  /** The corpus's MinHash band table (doc_id, band, bh), STAGE-CACHED:
+    * at 100 TB this IS the dedup index — a maintained (band, bh) →
+    * doc_id table that each ingest batch probes, appending its own
+    * rows after admission. Nothing about the corpus text is ever
+    * touched at probe time. */
+  def minhashBandTable(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "mhbands")(
+      minhashBands(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id"))
+
+  /** Force-build the MinHash band index — independent of every other
+    * stage, its own Bench thread. */
+  def warmMinhashStage(s: SparkSession, d: String): Unit = {
+    minhashBandTable(s, d).count()
+    ()
+  }
+
+  /** Candidate (doc_id, corpus_id) hits of a NEW batch (doc_id, text)
+    * against the maintained band index: the batch signs itself
+    * ([[minhashBands]]) and hash-joins the index on (band, bh) —
+    * never a product, never a corpus rescan. Work is O(batch), not
+    * O(corpus): the defining shape of daily-crawl dedup at 100 TB.
+    * Re-submitting an already-indexed id does not match itself, so
+    * re-ingesting an indexed partition is harmless. */
+  def indexHitPairs(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+    minhashBands(batch, "doc_id")
+      .join(minhashBandTable(s, d)
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .select("doc_id", "corpus_id")
+      .distinct()
+
+  /** Incremental near-dup admission for a NEW batch: each batch doc is
+    * either flagged as a near-duplicate of an indexed doc (dup_of =
+    * smallest matching corpus id; n_dups = how many indexed docs it
+    * collided with) or admitted. Exact copies of indexed text are
+    * flagged DETERMINISTICALLY (identical gram set ⇒ identical
+    * signature ⇒ every band matches); near-dups probabilistically by
+    * the MinHash collision curve; property-tested in SketchesSpec,
+    * with incremental ≡ full-recompute equality pinned. */
+  def dedupAgainstIndex(s: SparkSession, d: String, batch: DataFrame): DataFrame = {
+    val hits = indexHitPairs(s, d, batch)
+      .groupBy("doc_id")
+      .agg(min("corpus_id").as("dup_of"),
+        count(lit(1)).cast("long").as("n_dups"))
+    batch.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixture ingest batch for the registry query: every 7th corpus doc
+    * re-submitted under a fresh id (+1e6) — even ids verbatim (the
+    * deterministic-catch case), odd ids with their word order reversed
+    * (reversal destroys almost every 3-gram: the novel case). */
+  def defaultBatch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat_ws(" ", reverse(split(col("text"), " "))))
+          .as("text"))
+
   /** Mergeable distinct-count sketch table (CAP-SKETCH-HLL): one
     * DataSketches HLL sketch per language over hashed document text.
     * The at-scale shape for COUNT(DISTINCT) on 100 TB: each partition
@@ -548,6 +653,15 @@ object Sketches {
         .groupBy("ida", "idb")
         .agg(count(lit(1)).as("n_bands"))
         .orderBy("ida", "idb")
+    },
+
+    // Incremental dedup against the maintained band index (see
+    // dedupAgainstIndex): the fixture re-submits every 7th corpus doc
+    // under a fresh id — verbatim copies are deterministically flagged,
+    // word-reversed ones admitted. The daily-crawl shape: O(batch)
+    // probe work against a stage-cached index, no corpus rescan.
+    QuerySpec.noOracle("q_dedup_incremental") { (s, d) =>
+      dedupAgainstIndex(s, d, defaultBatch(s, d))
     },
 
     // SimHash near-dup: 64-bit signature from token hashes (majority

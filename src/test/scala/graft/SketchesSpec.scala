@@ -367,4 +367,49 @@ class SketchesSpec extends AnyFunSuite {
     val rededup = kept.groupBy("text").agg(min("doc_id").as("keep_id"))
     assert(rededup.count() === kept.count())
   }
+
+  test("incremental dedup flags every verbatim copy, admits most reversed docs, both tiers") {
+    tiers.foreach { dir =>
+      val out = ops.Sketches.dedupAgainstIndex(spark, dir,
+          ops.Sketches.defaultBatch(spark, dir))
+        .select(col("doc_id"), col("is_dup")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(out.nonEmpty, s"empty fixture batch at $dir")
+      // Even original ids were re-submitted verbatim: identical text =>
+      // identical gram set => identical signature => every band
+      // matches. Deterministic, not probabilistic.
+      val copies = out.filter { case (id, _) => (id - 1000000L) % 2 == 0 }
+      assert(copies.nonEmpty && copies.values.forall(identity),
+        s"a verbatim copy escaped the index at $dir")
+      // Word-reversed docs share almost no 3-gram with their source;
+      // admission is probabilistic (band collisions), so a rate bound.
+      val novel = out.filter { case (id, _) => (id - 1000000L) % 2 != 0 }
+      val admitted = novel.values.count(!_).toDouble / novel.size.max(1)
+      assert(admitted >= 0.7,
+        s"only $admitted of reversed docs admitted at $dir")
+    }
+  }
+
+  test("incremental index probe == full recompute over the grown corpus, both tiers") {
+    // THE P6 property of the dedup index: probing the maintained band
+    // table with a new batch yields exactly the cross-side collision
+    // pairs a from-scratch signature build over corpus+batch yields —
+    // signatures are pure per-doc functions, so incremental and full
+    // agree EXACTLY, not approximately.
+    tiers.foreach { dir =>
+      val batch = ops.Sketches.defaultBatch(spark, dir)
+      val inc = ops.Sketches.indexHitPairs(spark, dir, batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val union = Tables.documents(spark, dir).select("doc_id", "text")
+        .unionByName(batch)
+      val full = ops.Sketches.bandsOf(union)
+      val cross = full.toDF("ida", "band", "bh")
+        .join(full.toDF("idb", "band", "bh"), Seq("band", "bh"))
+        .filter(col("ida") >= 1000000L && col("idb") < 1000000L)
+        .select(col("ida").as("doc_id"), col("idb").as("corpus_id"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inc === cross, s"incremental != full recompute at $dir")
+    }
+  }
 }

@@ -34,6 +34,7 @@ object StageBuildTime {
     t("pq cb+codes") { graft.ops.Sketches.warmPqStage(spark, dir) }
     t("lsh sig table") { graft.ops.Sketches.warmLshSigStage(spark, dir) }
     t("simhash sigs") { graft.ops.Sketches.warmSimhashStage(spark, dir) }
+    t("minhash bands") { graft.ops.Sketches.warmMinhashStage(spark, dir) }
     t("all warm re-run") {
       graft.ops.TextSim.warmStages(spark, dir)
       graft.ops.Sketches.warmStages(spark, dir)
