@@ -419,6 +419,71 @@ object Sketches {
       .orderBy("qid", "rn")
   }
 
+  /** IVF+PQ composed ANN — the 100 TB architecture (coarse cells to
+    * prune the corpus, compressed codes to score what survives): each
+    * query ranks the broadcast centroids and probes its `nprobe(C)`
+    * nearest cells ([[ivfCodebook]]/[[ivfAssignments]]); ONLY vectors
+    * assigned to probed cells are ADC-scored from the 8-int
+    * [[pqCodes]] against the query's broadcast distance table; the
+    * top-`rerank` pool per query is exact-reranked to top-k. Against
+    * flat PQ, the scan covers nprobe/C of the code table instead of
+    * all of it; against plain IVF, the surviving candidates are
+    * scored from ≤2% of the raw vector bytes. At 100 TB the code
+    * table is clustered BY cell (cell = partition key), so the
+    * candidate restriction is a partition prune, not a join — here
+    * the (qid, vec_id) candidate join stands in for that prune.
+    * All four artifacts are stage-cached maintained tables; queries
+    * sign themselves, so held-out queries serve with zero
+    * re-indexing. Both knobs keep their component meanings
+    * ([[ivfSearch]]'s nprobe, [[pqSearch]]'s rerank); the fixture
+    * call site opens both wide (isotropic-fixture caveat, see
+    * [[ivfSearch]]) — clustered real corpora run nprobe 2–8 with
+    * single-digit-percent pools. */
+  def ivfpqSearch(s: SparkSession, d: String, queries: DataFrame,
+      nprobe: Int => Int, rerank: Long => Int, k: Int = 3): DataFrame = {
+    val cents = ivfCodebook(s, d)
+    val np = math.max(1, nprobe(cents.count().toInt))
+    val pool0 = math.max(k, rerank(embBase(s, d).count()))
+    val qn = queries.select(col("qid"), col("qv"),
+      graft.functions.VectorFunctions.l2norm(col("qv")).as("norm"))
+    val wq0 = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val probes = withCcos(qn.select(col("qid").as("vec_id"),
+        col("qv").as("embedding"), col("norm")), cents)
+      .withColumn("crn", row_number().over(wq0))
+      .filter(col("crn") <= np)
+      .select(col("vec_id").as("qid"), col("cid").as("qcell"))
+    val cand = probes.join(ivfAssignments(s, d),
+        col("qcell") === col("cell") && col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id")
+    val dtable = pqSubvectors(qn.select(col("qid").as("vec_id"),
+        col("qv").as("embedding"), col("norm")))
+      .join(broadcast(pqCodebook(s, d)), "m")
+      .select(col("vec_id").as("qid"), col("m"), col("cid"),
+        graft.functions.VectorFunctions.dot(col("sv"), col("cv")).as("pdot"))
+    val approx = cand
+      .join(pqCodes(s, d), "vec_id")
+      .join(broadcast(dtable), Seq("qid", "m", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(round(sum("pdot"), 9).as("adc"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    val pool = approx
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= pool0)
+      .select("qid", "vec_id")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    pool.join(embBase(s, d), "vec_id")
+      .join(qn.select(col("qid"), col("qv"), col("norm").as("qn")), "qid")
+      .withColumn("cos", round(cosCol("qv", "embedding",
+        col("qn"), col("norm")), 6))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Per-document 64-bit SimHash signatures (doc_id, simhash) —
     * stage-cached per corpus: the tokenize + 64-column majority-vote
     * aggregation is per-corpus work (a maintained signature table at
@@ -710,6 +775,18 @@ object Sketches {
     QuerySpec.noOracle("q_sim_ann_pq") { (s, d) =>
       pqSearch(s, d, defaultQueries(s, d),
         rerank = n => math.max(32, (n / 6).toInt))
+    },
+
+    // IVF+PQ composed (see ivfpqSearch): probe cells, ADC-score only
+    // the probed cells' codes, exact-rerank the pool. Both fixture
+    // knobs open wide — the two pruning stages' misses COMPOUND on
+    // isotropic data (≈0.85 x 0.95 here), so each must run looser than
+    // it would alone; clustered real corpora run nprobe 2-8 with
+    // single-digit-percent pools.
+    QuerySpec.noOracle("q_sim_ann_ivfpq") { (s, d) =>
+      ivfpqSearch(s, d, defaultQueries(s, d),
+        nprobe = c => math.ceil(0.8 * c).toInt.max(2),
+        rerank = n => math.max(32, (n / 3).toInt))
     },
 
     // Distinct-document estimates served from the per-lang HLL sketch

@@ -213,6 +213,36 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF+PQ composed ANN recall >= 0.8 of brute-force top-3, both tiers") {
+    tiers.foreach { dir =>
+      val exact = exactTop3(dir)
+      val got = qAt("q_sim_ann_ivfpq", dir).select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty)
+      val recall = exact.intersect(got).size.toDouble / exact.size
+      // The two pruning stages' misses compound, so the composed
+      // operator must hold the family bar with BOTH stages active.
+      assert(recall >= 0.8, s"IVF+PQ recall $recall over ${exact.size} at $dir")
+    }
+  }
+
+  test("IVF+PQ serves HELD-OUT queries at recall >= 0.8") {
+    tiers.foreach { dir =>
+      val hq = heldOutQueries(dir)
+      val exact = exactTop3For(hq, dir)
+      assert(exact.nonEmpty)
+      val got = graft.ops.Sketches.ivfpqSearch(spark, dir, hq,
+        nprobe = c => math.ceil(0.8 * c).toInt.max(2),
+        rerank = n => math.max(32, (n / 3).toInt))
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.forall(_._1 >= 10000000L))
+      val recall = exact.intersect(got).size.toDouble / exact.size
+      assert(recall >= 0.8,
+        s"held-out IVF+PQ recall $recall over ${exact.size} at $dir")
+    }
+  }
+
   test("a qid colliding with a corpus vec_id self-excludes, per the API contract") {
     // Documented semantics: a query whose qid equals a corpus vec_id is
     // that vector querying the REST — the corpus row with the same id
