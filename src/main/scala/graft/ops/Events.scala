@@ -262,6 +262,54 @@ object Events {
           max(when(late, col("wm") - col("us")).otherwise(0L))
             .as("max_late_us"))
         .orderBy("event_type")
+    },
+
+    // Cohort retention: users grouped by their first-active day; each
+    // cohort's active-user count per day offset, plus the retained
+    // fraction. Scale shape: the raw stream reduces FIRST to distinct
+    // (user_id, day) — the only pass over the fact table — then the
+    // per-user cohort min is a window over that already-small frame, and
+    // because (user_id, day) rows are unique, per-cell activity is a
+    // plain count(*), never a count-distinct over raw events. No
+    // self-join at any scale. Day identities are epoch-day BIGINTs
+    // (§2.13: no raw dates/timestamps in output).
+    q("q_ev_retention",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, day,
+        |        min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |      FROM days),
+        |g AS (SELECT cohort_day, day - cohort_day AS day_offset,
+        |        count(*) AS n_active
+        |      FROM c GROUP BY 1, 2),
+        |r AS (SELECT cohort_day, day_offset, n_active,
+        |        max(CASE WHEN day_offset = 0 THEN n_active END)
+        |          OVER (PARTITION BY cohort_day) AS n_cohort
+        |      FROM g)
+        |SELECT cohort_day, day_offset, n_active, n_cohort,
+        |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS pct
+        |FROM r
+        |ORDER BY cohort_day, day_offset""") { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .distinct()
+      val wU = Window.partitionBy("user_id")
+      val wC = Window.partitionBy("cohort_day")
+      days
+        .withColumn("cohort_day", min("day").over(wU))
+        .withColumn("day_offset", col("day") - col("cohort_day"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .withColumn("n_cohort",
+          max(when(col("day_offset") === 0, col("n_active"))).over(wC))
+        .withColumn("pct",
+          round(col("n_active").cast("double") / col("n_cohort"), 6))
+        .orderBy("cohort_day", "day_offset")
     }
   )
 }

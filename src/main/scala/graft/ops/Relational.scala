@@ -383,6 +383,33 @@ object Relational {
         .select("c_custkey")
         .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
         .orderBy("c_custkey")
+    },
+
+    // ---- melt / unpivot ---------------------------------------------------
+
+    // Wide-to-long reshape: Dataset.unpivot is a narrow per-row explode
+    // (each input row emits its 3 measure rows in place — no shuffle, no
+    // join, output 3N rows). The DuckDB text spells the same reshape as
+    // the portable UNION ALL; column pruning still reaches the scan (only
+    // the 2 id + 3 measure columns are read).
+    q("q_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |    round(l_quantity, 6) AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+        |    round(l_extendedprice, 6) AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount' AS metric,
+        |    round(l_discount, 6) AS val FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          round(col("val"), 6).as("val"))
+        .orderBy("l_orderkey", "l_linenumber", "metric")
     }
   )
 }

@@ -114,6 +114,27 @@ object Windows {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("user_id", "rn")
+    },
+
+    // Distribution ranks: percent_rank/cume_dist are rank arithmetic
+    // over the same single per-key sort as q_win_rank — one shuffle on
+    // user_id, no second pass for the partition size (the window
+    // operator knows it). The total order (value DESC, event_id) makes
+    // both fractions deterministic cross-engine; round(6) per §2.13.
+    q("q_win_dist",
+      """SELECT user_id, event_id,
+        |  round(percent_rank() OVER w, 6) AS prk,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |ORDER BY user_id, event_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("user_id", "event_id")
     }
   )
 }
