@@ -14,7 +14,8 @@ object Registry {
     ops.TextSim.specs,
     ops.Sketches.specs,
     ops.Events.specs,
-    ops.Udx.specs
+    ops.Udx.specs,
+    ops.Graph.specs
   ).flatten
 
   lazy val byName: Map[String, QuerySpec] = {

@@ -649,6 +649,37 @@ object Sketches {
       .groupBy("lang")
       .agg(hll_sketch_agg(xxhash64(col("text")), 12).as("sketch"))
 
+  /** CMS parameters shared by build, merge, and the spec: eps 0.001 ->
+    * width 2000, confidence 0.99 -> depth 7 (~112 KB per sketch row —
+    * fixed regardless of token count), seed 42. */
+  val CmsEps = 0.001
+  val CmsConf = 0.99
+  val CmsSeed = 42
+
+  /** Fixed probe vocabulary for the CMS lookups: frequent fixture
+    * words + one never-present word (its estimate shows the pure
+    * collision overcount, bounded by eps * total tokens). */
+  val CmsProbes: Seq[String] =
+    Seq("scan", "column", "window", "join", "spark", "zzz_absent")
+
+  /** Per-language Count-Min FREQUENCY sketch table over word tokens —
+    * the how-many-times companion to [[hllSketchTable]]'s how-many-
+    * distinct: one ~112 KB binary row per language summarizes every
+    * token occurrence, and any word's frequency is answered from the
+    * sketch row alone (estimate >= exact, overcount <= eps * tokens
+    * with probability >= confidence). Built by Spark's native
+    * `count_min_sketch` aggregate — one shuffle of K sketch buffers,
+    * never a words table. Unlike HLL, CMS rows merge by EXACT counter
+    * addition ([[org.apache.spark.sql.graftnative.CmsMergeAgg]]), so
+    * per-partition sketch rows roll up deterministically — the
+    * maintained-table shape at 100 TB (sketch new partitions, add). */
+  def cmsSketchTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang")
+      .agg(count_min_sketch(col("word"),
+        lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("cms"))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Embedding-cosine near-dup, LSH SCALE PATH: the same keep-id
@@ -805,6 +836,31 @@ object Sketches {
           .select(lit("*all*").as("lang"),
             hll_sketch_estimate(col("u")).as("est_distinct")))
         .orderBy("lang")
+    },
+
+    // Word-frequency estimates from the CMS table: per-lang rows plus
+    // the *all* rollup merged by exact counter addition — documents are
+    // never re-touched for probes OR rollup. No DuckDB oracle (the
+    // sketch binary is Spark's format); SketchTableSpec pins
+    // estimate >= exact for every probe, overcount <= eps * tokens,
+    // the absent word's estimate within the same envelope, and
+    // merge == monolithic rebuild EXACTLY (CMS, unlike HLL, is
+    // merge-order-invariant bit-for-bit).
+    QuerySpec.noOracle("q_sketch_cms") { (s, d) =>
+      val probes = array(CmsProbes.map(lit): _*)
+      val per = cmsSketchTable(s, d)
+      val all = per
+        .agg(graft.functions.SketchFunctions
+          .cmsMerge(col("cms"), CmsEps, CmsConf, CmsSeed).as("cms"))
+        .select(lit("*all*").as("lang"), col("cms"))
+      per.unionByName(all)
+        .select(col("lang"), explode(arrays_zip(
+          probes.as("word"),
+          graft.functions.SketchFunctions.cmsEstimates(col("cms"), probes)
+            .as("est_count"))).as("z"))
+        .select(col("lang"), col("z.word").as("word"),
+          col("z.est_count").as("est_count"))
+        .orderBy("lang", "word")
     }
   )
 }

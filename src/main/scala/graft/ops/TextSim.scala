@@ -302,6 +302,19 @@ object TextSim {
     graft.StageCache.memoized(s, d, "edges05")(
       ngramJaccardPairs(s, d, 0.5).select("ida", "idb"))
 
+  /** The jac >= `minJac` document-similarity graph: documents as
+    * nodes, meaningful 3-gram overlap as edges — the substrate for
+    * graph analytics ([[Graph.pagerank]]). A threshold matters
+    * structurally, not just for size: the UNthresholded shared-gram
+    * pair table is near-clique (sf0.1: 1.13M pairs over 5k docs,
+    * mean degree 452, one boilerplate gram linking whole sources),
+    * which drowns centrality in noise AND makes every per-round join
+    * scan 20x the data. Reads the same stage-cached pair-stats
+    * parquet the dedup family shares; no extra build. */
+  def similarityEdges(s: SparkSession, d: String,
+      minJac: Double = 0.1): DataFrame =
+    ngramJaccardPairs(s, d, minJac).select("ida", "idb")
+
   /** Force-build the dedup family's stage-cached artifacts (postings →
     * pair stats → jac ≥ 0.5 edges — the edge build chains through the
     * other two). Bench calls this BEFORE the timed loop and reports the

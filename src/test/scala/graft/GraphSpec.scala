@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[ops.Graph.pagerank]]: the distributed integer recurrence must be
+  * EXACTLY the single-threaded one — scaled-long arithmetic makes the
+  * contribution sums commute, so this is equality, not tolerance — and
+  * bit-stable under a different edge partitioning.
+  */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val Scale = 1000000000L
+
+  /** The identical recurrence, single-threaded: long division for
+    * contributions, (15*base + 85*sum)/100 damping, dangling nodes
+    * keep only the teleport term. */
+  private def reference(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val deg = adj.map { case (k, vs) => k -> vs.length.toLong }
+    val base = Scale / nodes.length
+    var r = nodes.map(_ -> base).toMap
+    (0 until iters).foreach { _ =>
+      val c = r.collect { case (u, ru) if deg.contains(u) => u -> ru / deg(u) }
+      val inSum = nodes.map { v =>
+        v -> adj.getOrElse(v, Nil).map(u => c.getOrElse(u, 0L)).sum
+      }.toMap
+      r = nodes.map(v => v -> (15L * base + 85L * inSum(v)) / 100L).toMap
+    }
+    r
+  }
+
+  test("distributed PageRank equals the integer reference EXACTLY") {
+    val nodes = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val edges = ops.TextSim.similarityEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = reference(nodes, edges, iters = 10)
+    val got = ops.Graph.pagerank(
+        Tables.documents(spark, sf).select("doc_id"),
+        ops.TextSim.similarityEdges(spark, sf), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet === want.keySet)
+    val diffs = want.collect {
+      case (id, w) if got(id) != w => (id, w, got(id)) }
+    assert(diffs.isEmpty, s"ranks diverge (id, want, got): ${diffs.take(5)}")
+  }
+
+  test("bit-stable under a different edge partitioning") {
+    val nodes = Tables.documents(spark, sf).select("doc_id")
+    val e = ops.TextSim.similarityEdges(spark, sf)
+    def run(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      ops.Graph.pagerank(nodes, edges, iters = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(run(e) === run(e.repartition(7, col("idb"))))
+  }
+
+  test("rank mass is conserved up to integer truncation; hubs outrank leaves") {
+    val out = q("q_graph_pagerank")
+    val n = out.count()
+    // Mass can only DECAY (integer truncation + the dropped-dangling
+    // variant): the ceiling is the full scale. The floor is the
+    // teleport term every node retains each round regardless of the
+    // graph — isolated nodes hold EXACTLY it, so on a sparse graph
+    // total mass sits near 0.15 + 0.85 * connectedFraction, not 1.0.
+    val total = out.agg(sum((col("rank") * 1e9).cast("long"))).head().getLong(0)
+    val base = Scale / n
+    assert(total <= Scale)
+    assert(total >= n * (15L * base / 100L), s"below teleport floor: $total")
+    // The most-connected node must outrank the least-connected one
+    // (ties broken by the graph being non-regular on the fixture).
+    val byDeg = out.orderBy(col("deg").desc).head()
+    val loner = out.filter(col("deg") === 0)
+    if (loner.count() > 0)
+      assert(byDeg.getAs[Double]("rank") > loner.head().getAs[Double]("rank"))
+  }
+}

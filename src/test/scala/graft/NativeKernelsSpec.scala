@@ -260,4 +260,37 @@ class NativeKernelsSpec extends AnyFunSuite {
     val c2 = buf(7L); c2.absorb(over2)
     assert(c2.overflowed)
   }
+
+  test("CmsMergeAgg: serde round-trip, empty-group identity, incompatible shapes rejected") {
+    import org.apache.spark.sql.graftnative.CmsMergeAgg
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.CountMinSketch
+    val agg = CmsMergeAgg(Literal.create(null, BinaryType), 0.01, 0.9, 7)
+    // serialize/deserialize round-trips counts (the spill path).
+    val s1 = CountMinSketch.create(0.01, 0.9, 7)
+    s1.addBinary("alpha".getBytes("UTF-8"))
+    s1.addBinary("alpha".getBytes("UTF-8"))
+    val rt = agg.deserialize(agg.serialize(s1))
+    assert(rt.estimateCount("alpha".getBytes("UTF-8")) === 2L)
+    // Merging an EMPTY (all-zero) buffer is the identity.
+    val merged = agg.merge(rt, agg.createAggregationBuffer())
+    assert(merged.estimateCount("alpha".getBytes("UTF-8")) === 2L)
+    // A sketch with a different shape must be REJECTED, not mis-added.
+    val wrong = CountMinSketch.create(0.1, 0.9, 7)
+    intercept[Exception] { agg.merge(rt, wrong) }
+  }
+
+  test("CmsEstimates probes hash exactly like count_min_sketch ingestion") {
+    import graft.functions.SketchFunctions
+    // One known multiset through the REAL aggregate, probed back: the
+    // estimate of a word that appears k times in a collision-free
+    // sketch (eps tiny, 9 tokens) is exactly k, and the absent word 0.
+    val words = Seq("a", "a", "a", "b", "b", "c", "c", "c", "c")
+    val df = spark.createDataFrame(words.map(Tuple1(_))).toDF("w")
+      .agg(count_min_sketch(col("w"), lit(0.001), lit(0.99), lit(5)).as("cms"))
+      .select(SketchFunctions.cmsEstimates(col("cms"),
+        array(lit("a"), lit("b"), lit("c"), lit("zz"))).as("est"))
+    assert(df.head().getSeq[Long](0) === Seq(3L, 2L, 4L, 0L))
+  }
 }

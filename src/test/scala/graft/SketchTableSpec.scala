@@ -75,4 +75,65 @@ class SketchTableSpec extends AnyFunSuite {
     assert(math.abs(fwd - rebuild) <= math.max(1L, (0.02 * rebuild).toLong),
       s"merged=$fwd rebuild=$rebuild")
   }
+
+  // ---- CMS frequency-sketch table (q_sketch_cms) ------------------------
+
+  private def words = Tables.documents(spark, sf)
+    .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+
+  test("CMS estimates are >= exact counts and overcount <= eps * tokens") {
+    import ops.Sketches.{CmsEps, CmsProbes}
+    val exact = words
+      .filter(col("word").isin(CmsProbes: _*))
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    val exactAll = CmsProbes.map(w =>
+      ("*all*", w) -> exact.collect {
+        case ((_, `w`), n) => n }.sum).toMap
+    val tokens = words.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tokensAll = tokens.values.sum
+    val got = q("q_sketch_cms")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got.keySet.map(_._1) === tokens.keySet + "*all*")
+    (exact ++ exactAll).foreach { case ((lang, w), n) =>
+      val e = got((lang, w))
+      val budget = CmsEps * (if (lang == "*all*") tokensAll else tokens(lang))
+      assert(e >= n, s"CMS under-counted $lang/$w: est=$e exact=$n")
+      assert(e - n <= math.max(1L, budget.toLong),
+        s"$lang/$w overcount ${e - n} > eps budget $budget")
+    }
+    // The never-present probe's estimate is pure collision overcount,
+    // bounded by the same envelope.
+    assert(got(("*all*", "zzz_absent")) <= math.max(1L, (CmsEps * tokensAll).toLong))
+  }
+
+  test("CMS merge is EXACT: any merge order is byte-identical to a rebuild") {
+    import ops.Sketches.{CmsEps, CmsConf, CmsSeed}
+    import graft.functions.SketchFunctions.cmsMerge
+    def sk(df: DataFrame): Array[Byte] = df.head().getAs[Array[Byte]](0)
+    // Three 'ingest batch' sketches (doc_id mod 3), merged in two
+    // different orders, vs one sketch built over everything at once.
+    // CMS counters ADD, so all three byte arrays must be identical —
+    // the property that makes the sketch table incrementally
+    // maintainable with no drift (contrast the HLL wobble above).
+    val batches = (0 until 3).map { p =>
+      Tables.documents(spark, sf).filter(col("doc_id") % 3 === p)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .agg(count_min_sketch(col("word"),
+          lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("cms"))
+    }
+    val fwd = sk(batches.reduce(_ unionAll _)
+      .agg(cmsMerge(col("cms"), CmsEps, CmsConf, CmsSeed).as("cms")))
+    val rev = sk(batches.reverse.reduce(_ unionAll _)
+      .agg(cmsMerge(col("cms"), CmsEps, CmsConf, CmsSeed).as("cms")))
+    val rebuild = sk(words
+      .agg(count_min_sketch(col("word"),
+        lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("cms")))
+    assert(java.util.Arrays.equals(fwd, rev), "merge order changed the sketch")
+    assert(java.util.Arrays.equals(fwd, rebuild),
+      "merged batches differ from a monolithic rebuild")
+  }
 }
