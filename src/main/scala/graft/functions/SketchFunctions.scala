@@ -20,4 +20,13 @@ object SketchFunctions {
     * deserialize per row. */
   def cmsEstimates(sketch: Column, probes: Column): Column =
     CmsKernels.cmsEstimates(sketch, probes)
+
+  /** Aggregate: Catalyst's own Bloom filter over a long key column
+    * (`items` expected keys, `bits` bits). */
+  def bloomAgg(key: Column, items: Long, bits: Long): Column =
+    org.apache.spark.sql.graftnative.BloomKernels.bloomAgg(key, items, bits)
+
+  /** Bloom membership probe: false is definite absence. */
+  def bloomMightContain(bloom: Column, key: Column): Column =
+    org.apache.spark.sql.graftnative.BloomKernels.mightContain(bloom, key)
 }

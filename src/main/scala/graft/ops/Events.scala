@@ -310,6 +310,50 @@ object Events {
         .withColumn("pct",
           round(col("n_active").cast("double") / col("n_cohort"), 6))
         .orderBy("cohort_day", "day_offset")
+    },
+
+    // Gaps and islands: each user's maximal runs of CONSECUTIVE active
+    // days. The textbook day - row_number() window form costs two
+    // shuffles (distinct on (user, day), then re-partition by user);
+    // here the per-user day set is collected in ONE aggregation —
+    // collect_set gives map-side distinct for free — and the runs are
+    // computed inside the row with array functions over the sorted set
+    // (a start is a day whose predecessor is absent, an end one whose
+    // successor is absent; the k-th start pairs with the k-th end).
+    // Per-user state is bounded by CALENDAR DAYS, not events — a
+    // 10-year history is ~3.7k longs — so the aggregate buffer holds
+    // at any corpus scale; the oracle keeps the window spelling.
+    q("q_ev_islands",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id
+        |          ORDER BY day) AS grp
+        |      FROM days)
+        |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        |  count(*) AS len
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_day""") { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("day"))).as("ds"))
+        .select(col("user_id"), explode(expr("""
+          zip_with(
+            filter(transform(ds, (d, i) -> struct(d AS day, i + 1 AS pos)),
+              p -> p.pos = 1 OR element_at(ds, p.pos - 1) <> p.day - 1),
+            filter(transform(ds, (d, i) -> struct(d AS day, i + 1 AS pos)),
+              p -> p.pos = size(ds) OR element_at(ds, p.pos + 1) <> p.day + 1),
+            (s, e) -> struct(s.day AS start_day, e.day AS end_day,
+              e.day - s.day + 1 AS len))""")).as("isl"))
+        .select(col("user_id"), col("isl.start_day").as("start_day"),
+          col("isl.end_day").as("end_day"), col("isl.len").as("len"))
+        .orderBy("user_id", "start_day")
     }
   )
 }

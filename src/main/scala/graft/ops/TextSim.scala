@@ -689,6 +689,69 @@ object TextSim {
         .orderBy("doc_id")
     },
 
+    // Bloom-pruned decontamination — the same computation when the
+    // benchmark gram SET is too big to broadcast raw (at 10 bits/key a
+    // 10^9-gram eval suite is a ~1.2 GB filter vs an 8+ GB exact set):
+    // the corpus probes a broadcast Bloom filter of the eval grams
+    // (might_contain false = definitely clean, so candidate docs are a
+    // SUPERSET — zero false negatives by construction), and only the
+    // surviving sliver takes the exact shuffle join that removes the
+    // false positives. Deliberately NOT a broadcast on the verify join:
+    // pruning before the shuffle is the whole point at scale. The
+    // filter reaches the probe as a SCALAR SUBQUERY (might_contain
+    // requires a constant/subquery filter side — the same shape the
+    // runtime-filter rule injects, Dataset.scalar()). The output is
+    // therefore IDENTICAL to q_text_decontaminate — same oracle text,
+    // and the same-result equality is also pinned in PlanShapeSpec
+    // along with the plan shape (bloom probe before the exchange).
+    q("q_text_decontam_bloom",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |      FROM w),
+        |d AS (SELECT doc_id, source FROM documents),
+        |ev AS (SELECT DISTINCT g0.gram FROM g0
+        |       JOIN d ON g0.doc_id = d.doc_id WHERE d.source = 'src0'),
+        |tr AS (SELECT g0.doc_id, g0.gram FROM g0
+        |       JOIN d ON g0.doc_id = d.doc_id WHERE d.source <> 'src0'),
+        |c AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM tr JOIN ev ON tr.gram = ev.gram GROUP BY tr.doc_id)
+        |SELECT doc_id, n_shared,
+        |  CAST(CASE WHEN n_shared >= 3 THEN 1 ELSE 0 END AS INT)
+        |    AS contaminated
+        |FROM c
+        |ORDER BY doc_id""") { (s, d) =>
+      val g0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
+            .as("gram"))
+        .distinct()
+      // ev is referenced twice (Bloom build + exact verify) and there
+      // is no cross-subtree sharing — checkpoint it so the eval-set
+      // gram build runs once, not once per reference.
+      val ev = g0.filter(col("source") === "src0").select("gram").distinct()
+        .localCheckpoint(true)
+      // Sized for ~1M grams at 8 bits/key (1 MB serialized — a fixed
+      // pipeline constant, NOT data-dependent; at 10^9 grams this knob
+      // is what grows, never the exact set's broadcast).
+      val bloom = ev.agg(graft.functions.SketchFunctions
+        .bloomAgg(col("gram"), 1L << 20, 1L << 23).as("bf")).scalar()
+      g0.filter(col("source") =!= "src0")
+        .filter(graft.functions.SketchFunctions
+          .bloomMightContain(bloom, col("gram")))
+        .select("doc_id", "gram")
+        .join(ev, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("contaminated",
+          when(col("n_shared") >= 3, 1).otherwise(0))
+        .orderBy("doc_id")
+    },
+
     // Domain mixing weights: per-source document and token counts with
     // the token-share sampling weight — the corpus-mixing table every
     // training-data pipeline derives before sampling.

@@ -181,6 +181,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-shuffling join:\n$p")
   }
 
+  test("q_text_decontam_bloom probes the Bloom filter and matches the exact query") {
+    // The Bloom path must carry the might_contain probe (pruning the
+    // corpus BEFORE any exchange — the shape for an eval gram set too
+    // big to broadcast raw), and because the exact verify join removes
+    // every false positive while false negatives are impossible by
+    // construction, its rows must equal the broadcast-exact query's
+    // EXACTLY.
+    val p = plan("q_text_decontam_bloom")
+    assert(p.contains("might_contain"), s"no Bloom probe in plan:\n$p")
+    val bloomRows = q("q_text_decontam_bloom").collect().toSeq
+    val exactRows = q("q_text_decontaminate").collect().toSeq
+    assert(bloomRows === exactRows)
+  }
+
   test("graft_dot matches the HOF formulation on ragged and null inputs") {
     // Ragged arrays and null elements return NULL — the same answer the
     // zip_with/aggregate formulation gives — in both the interpreted
