@@ -643,6 +643,41 @@ object TextSim {
         .orderBy("doc_id")
     },
 
+    // Unigram-LM quality score — the cheapest LM-based filter a
+    // training pipeline runs: each document's mean negative log2
+    // probability of its words under the CORPUS unigram distribution
+    // (MLE; every probe word exists in the corpus by construction
+    // since the corpus defines it). Boilerplate scores low, rare-word
+    // gibberish high. Scale shape: the vocabulary table is one hash
+    // aggregation; scoring joins tokens to it ON THE WORD KEY — a
+    // shuffle join by design, since a real vocabulary outgrows
+    // broadcast — and the grand-total token count rides in as a
+    // broadcast singleton. log2 cross-engine parity is established by
+    // q_text_entropy (§2.13 rehearsal).
+    q("q_text_unigram_nll",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |            FROM documents),
+        |f AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+        |      FROM tok GROUP BY word),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(-log2(CAST(n AS DOUBLE) / total)), 6) AS avg_nll
+        |FROM tok JOIN f USING (word) CROSS JOIN t
+        |GROUP BY doc_id
+        |ORDER BY doc_id""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words).as("word"))
+      val f = tok.groupBy("word").agg(count(lit(1)).as("n"))
+      val t = f.agg(sum("n").as("total"))
+      tok.join(f, "word")
+        .crossJoin(broadcast(t))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log2(col("n").cast("double") / col("total"))), 6)
+            .as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination — the training-pipeline step that
     // removes eval-set leakage: source 'src0' plays the held-out
     // benchmark; a training doc is contaminated when it shares >= 3
