@@ -57,6 +57,27 @@ object StreamDemos {
       .select(unix_micros(col("window.start")).as("win_us"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming twin of q_ev_session (CAP-STREAM-SESSION): per-user
+    * `session_window` aggregation with a 30-minute gap — the engine
+    * MERGES windows whose events fall within the gap and closes a
+    * session once the watermark passes its end, so state is bounded by
+    * the open-session set, never the history. Boundary semantics: the
+    * session interval is half-open [start, last + gap), so an event at
+    * EXACTLY last + gap starts a new session, where the batch
+    * lag-formulation's strict `> gap` break keeps it — distinguishable
+    * only by a gap equal to the threshold to the microsecond (absent
+    * from the fixtures; StreamingSpec pins stream ≡ the batch
+    * session_window form exactly, and the session COUNTS against
+    * q_ev_session). */
+  def sessionizedUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("sum_value"))
+
   /** Run a streaming DataFrame to a memory sink with AvailableNow
     * (process everything currently in the directory, then stop) and
     * return the sink's contents. Deterministic: no wall-clock triggers.

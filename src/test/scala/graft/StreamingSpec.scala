@@ -62,6 +62,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("CAP-STREAM-SESSION: streaming session_window == batch session_window; session counts == q_ev_session") {
+    import graft.streaming.StreamDemos
+    val src = StreamDemos.eventsStream(spark, eventsDir)
+    val got = StreamDemos.runAvailableNow(spark,
+      StreamDemos.sessionizedUsers(src), "complete", "graft_stream_sess")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // Same aggregation in BATCH mode — identical function, so exact
+    // set equality is required, not tolerance.
+    val batch = StreamDemos.sessionizedUsers(Tables.events(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+    // And the session STRUCTURE agrees with the oracle-checked batch
+    // lag/sum formulation: same number of sessions per user (boundary
+    // semantics can differ only on an exact-gap tie, absent here).
+    val nPerUser = got.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val oracle = q("q_ev_session").collect()
+      .map(r => r.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(nPerUser === oracle)
+  }
+
   test("CAP-STREAM-WM: append mode drops data later than the watermark") {
     val dir = tmpDir("graft_stream_wm")
     val ckpt = tmpDir("graft_stream_ckpt").toString
