@@ -114,6 +114,75 @@ object Graph {
           lit(15L * base / 100L).as("rank_scaled")))
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * rounds — the O(log n)-round algorithm, vs min-label propagation's
+    * O(diameter) (TextSim.clusterLabelsFixpoint): every round HALVES
+    * long path structures by rewiring nodes directly toward their
+    * component minimum, so a 10^6-hop chain needs ~20 rounds, not
+    * 10^6. Skew note: a hot vertex's fan-in lands on its component
+    * min via per-node min AGGREGATIONS (map-side combinable), never a
+    * per-key list — the same defense CappedIdSet gives the postings
+    * build.
+    *
+    * Round shape (each a bounded shuffle pair over the canonical
+    * (hi, lo) edge set, checkpointed — each round's set is referenced
+    * by symmetrize + two grouped mins, and plans must not re-inline):
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m = least(u, min N(u));
+    *  - small-star: every node hi links its smaller neighbors and
+    *    itself to m = min of those.
+    * Fixpoint (edge checksum stable — count + sum of pair hashes;
+    * collision odds ~2^-64, and a collision could only END the loop a
+    * round early, never corrupt edges) is a star forest rooted at each
+    * component's MINIMUM id — the same labels the propagation fixpoint
+    * yields, asserted equal in GraphSpec on two graphs. Nodes absent
+    * from the edge set are their own singleton components. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+    def checksum(e: DataFrame): (Long, BigDecimal) = {
+      // Decimal sum: long hashes overflow an ANSI-mode long sum (same
+      // fix as clusterLabelsFixpoint's labelSum).
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    var e = canon(edges.select(col("ida").as("a"), col("idb").as("b")))
+      .localCheckpoint(true)
+    var sum0 = checksum(e)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val minsL = sym.groupBy("u")
+        .agg(least(min("v"), col("u")).as("m"))
+      val e1 = canon(sym.join(minsL, "u").filter(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b")))
+        .localCheckpoint(true)
+      val minsS = e1.groupBy("hi").agg(min("lo").as("m"))
+      val e2 = canon(e1.join(minsS, "hi")
+          .select(col("lo").as("a"), col("m").as("b"))
+          .unionByName(minsS.select(col("hi").as("a"), col("m").as("b"))))
+        .localCheckpoint(true)
+      val sum2 = checksum(e2)
+      done = sum2 == sum0
+      e = e2
+      sum0 = sum2
+      round += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxRounds rounds")
+    nodes.select(col("doc_id"))
+      .join(e.select(col("hi").as("doc_id"), col("lo").as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Document centrality on the shared-gram graph: 10 deterministic
@@ -127,6 +196,19 @@ object Graph {
         .select(col("doc_id"), col("deg"),
           round(col("rank_scaled") / 1e9, 6).as("rank"))
         .orderBy(col("rank").desc, col("doc_id"))
+    },
+
+    // True connected components over the jac >= 0.5 near-dup graph —
+    // the O(log n) alternative to q_dedup_cluster's propagation (same
+    // oracle text: both label every doc with its component MIN, and
+    // the oracle's two unrolled rounds are exact on graphs whose
+    // components converge within 2 hops of the min — the fixtures, per
+    // SketchesSpec; GraphSpec pins CC ≡ the general fixpoint besides).
+    QuerySpec.sql("q_graph_cc", graft.ops.TextSim.ClusterOracleSql) {
+      (s, d) =>
+        connectedComponents(Tables.documents(s, d).select("doc_id"),
+            graft.ops.TextSim.similarityEdges(s, d, minJac = 0.5))
+          .orderBy("doc_id")
     }
   )
 }

@@ -123,6 +123,42 @@ object TextSim {
     * (spelled identically in their DuckDB oracles). */
   val DfCap = 100
 
+  /** The cluster-label oracle, shared by q_dedup_cluster (two unrolled
+    * propagation rounds) and q_graph_cc (true connected components —
+    * equal on any graph whose components converge within 2 rounds of
+    * the min, which SketchesSpec asserts for the fixtures; beyond
+    * that, GraphSpec pins CC ≡ the general propagation FIXPOINT). */
+  val ClusterOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |g0 AS (SELECT DISTINCT doc_id,
+      |        unnest([array_to_string(ws[i:i+2], ' ')
+      |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+      |      FROM w),
+      |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
+      |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |      GROUP BY a.doc_id, b.doc_id),
+      |j AS (SELECT ida, idb
+      |      FROM p JOIN sz sa ON p.ida = sa.doc_id
+      |             JOIN sz sb ON p.idb = sb.doc_id
+      |      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
+      |e AS (SELECT ida AS a, idb AS b FROM j
+      |      UNION ALL SELECT idb, ida FROM j),
+      |l1 AS (SELECT d.doc_id,
+      |         least(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
+      |       FROM documents d LEFT JOIN e ON e.a = d.doc_id
+      |       GROUP BY d.doc_id),
+      |l2 AS (SELECT v.doc_id,
+      |         least(v.l, coalesce(min(u.l), v.l)) AS cluster
+      |       FROM l1 v LEFT JOIN e ON e.a = v.doc_id
+      |                 LEFT JOIN l1 u ON u.doc_id = e.b
+      |       GROUP BY v.doc_id, v.l)
+      |SELECT doc_id, cluster FROM l2
+      |ORDER BY doc_id""".stripMargin
+
   /** PII patterns as one alternation: email, IPv4, SSN-shaped, and
     * card-shaped digit runs. Restricted to the regex subset (ASCII
     * classes, \b, \d, bounded repetition, alternation) that Java regex
@@ -1032,36 +1068,7 @@ object TextSim {
     // a fixpoint check in SketchesSpec); deeper components need more
     // rounds, so at scale the same round is iterated to a fixpoint with
     // a driver loop over cached frames (log-diameter rounds).
-    q("q_dedup_cluster",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |           FROM documents),
-        |g0 AS (SELECT DISTINCT doc_id,
-        |        unnest([array_to_string(ws[i:i+2], ' ')
-        |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
-        |      FROM w),
-        |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
-        |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
-        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |      GROUP BY a.doc_id, b.doc_id),
-        |j AS (SELECT ida, idb
-        |      FROM p JOIN sz sa ON p.ida = sa.doc_id
-        |             JOIN sz sb ON p.idb = sb.doc_id
-        |      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
-        |e AS (SELECT ida AS a, idb AS b FROM j
-        |      UNION ALL SELECT idb, ida FROM j),
-        |l1 AS (SELECT d.doc_id,
-        |         least(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
-        |       FROM documents d LEFT JOIN e ON e.a = d.doc_id
-        |       GROUP BY d.doc_id),
-        |l2 AS (SELECT v.doc_id,
-        |         least(v.l, coalesce(min(u.l), v.l)) AS cluster
-        |       FROM l1 v LEFT JOIN e ON e.a = v.doc_id
-        |                 LEFT JOIN l1 u ON u.doc_id = e.b
-        |       GROUP BY v.doc_id, v.l)
-        |SELECT doc_id, cluster FROM l2
-        |ORDER BY doc_id""") { (s, d) =>
+    q("q_dedup_cluster", TextSim.ClusterOracleSql) { (s, d) =>
       clusterLabels(s, d).orderBy("doc_id")
     },
 

@@ -58,6 +58,39 @@ class GraphSpec extends AnyFunSuite {
     assert(run(e) === run(e.repartition(7, col("idb"))))
   }
 
+  test("large-star/small-star CC equals the propagation fixpoint on both graphs") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    // The denser jac >= 0.1 graph AND the near-dup jac >= 0.5 graph:
+    // both must yield the exact component-min labels the general
+    // min-label propagation fixpoint computes.
+    for (minJac <- Seq(0.1, 0.5)) {
+      val e = ops.TextSim.similarityEdges(spark, sf, minJac)
+      val cc = ops.Graph.connectedComponents(docs, e)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fix = ops.TextSim.clusterLabelsFixpoint(docs, e)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc === fix, s"labels diverge at minJac=$minJac")
+    }
+  }
+
+  test("CC handles chains, singletons, and merge-order: synthetic graphs") {
+    import spark.implicits._
+    val nodes = (1L to 12L).toDF("doc_id")
+    // A 6-chain (collapses only via repeated halving — the O(log n)
+    // property under test), a triangle, one pair, and singletons.
+    val edges = Seq(
+      (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L),
+      (7L, 8L), (8L, 9L), (9L, 7L),
+      (10L, 11L)).toDF("ida", "idb")
+    val got = ops.Graph.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 12L)
+    assert(got === want)
+  }
+
   test("rank mass is conserved up to integer truncation; hubs outrank leaves") {
     val out = q("q_graph_pagerank")
     val n = out.count()
