@@ -91,6 +91,37 @@ class GraphSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("CC matches union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 10
+      val nodes = (1L to n.toLong).toDF("doc_id")
+      val raw = Seq.fill(n) {
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1)
+      }.filter(e => e._1 != e._2)
+      // Union-find reference with path compression; component label
+      // normalized to the MIN member to match the operator's contract.
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = ops.Graph.connectedComponents(nodes,
+          raw.toDF("ida", "idb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial (n=$n) diverged from union-find")
+    }
+  }
+
   test("rank mass is conserved up to integer truncation; hubs outrank leaves") {
     val out = q("q_graph_pagerank")
     val n = out.count()

@@ -24,6 +24,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan not pruned: $readSchema")
   }
 
+  test("q_unpivot prunes the scan to the 2 id + 3 measure columns") {
+    // The melt is a narrow per-row explode; the lineitem scan must
+    // read exactly the referenced 5 columns, not all 11 — Expand must
+    // not defeat column pruning.
+    val p = plan("q_unpivot")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_discount"),
+      s"measures missing from scan: $readSchema")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      s"scan not pruned: $readSchema")
+    // And no shuffle before the sort: Expand is the only row-growing op.
+    assert(p.contains("Expand"), s"no Expand (unpivot not planned as melt):\n$p")
+  }
+
   test("q_join_bcast plans a broadcast hash join, not a shuffle join") {
     val p = plan("q_join_bcast")
     assert(p.contains("BroadcastHashJoin"), s"no BroadcastHashJoin:\n$p")
