@@ -248,6 +248,49 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Fixed-width histogram per group: one hash aggregation whose key
+    // count is bounded by (value range / bin width) x groups — never by
+    // row count — so the result stays small at any scale.
+    q("q_agg_hist",
+      """SELECT l_returnflag,
+        |  CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, bin
+        |ORDER BY l_returnflag, bin""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") / 10000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag", "bin")
+    },
+
+    // Mode (most frequent value) per group, with the tie-break SPELLED
+    // (count desc, value asc): engine-native mode() functions break
+    // ties arbitrarily, which can never hash-match cross-engine — the
+    // count+argmax spelling is deterministic in both. Two bounded hash
+    // aggregations + a per-group top-1, no sort of the fact table.
+    q("q_agg_mode",
+      """SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity) t
+        |WHERE rn = 1
+        |ORDER BY l_returnflag""") { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("n").desc, col("l_quantity"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n"))
+        .orderBy("l_returnflag")
+    },
+
     q("q_agg_pctl",
       """SELECT l_linestatus,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
