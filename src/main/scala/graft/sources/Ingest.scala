@@ -32,6 +32,23 @@ object Ingest {
   def jsonLines(spark: SparkSession, glob: String): DataFrame =
     spark.read.json(glob)
 
+  /** Newline-delimited JSON with QUARANTINE semantics for a dirty
+    * feed: PERMISSIVE mode parses what it can and routes every
+    * unparseable line, VERBATIM, into the `_corrupt` column (good rows
+    * carry NULL there) — so one pass splits a crawl batch into clean
+    * rows and a quarantine stream for reprocessing, instead of either
+    * crashing the job (FAILFAST) or silently dropping data
+    * (DROPMALFORMED). At 100 TB bad lines are a certainty, not an
+    * edge case; a narrow per-line operation, no shuffle. */
+  def jsonLinesQuarantine(spark: SparkSession, glob: String,
+      schemaDdl: String): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        schemaDdl + ", _corrupt STRING"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(glob)
+
   /** Whole-file records for binary/multimodal data: (path, length,
     * modificationTime, content). Pair with ops.Multimodal for the
     * decode/feature pipelines. */

@@ -56,6 +56,32 @@ class SourcesSpec extends AnyFunSuite {
       .head().getInt(0) === 2)
   }
 
+  test("CAP-SRC-JSON-QUARANTINE: bad lines route to _corrupt verbatim, good rows parse") {
+    val dir = tmpDir("graft_jsonq")
+    Files.writeString(dir.resolve("t.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": oops not json
+        |{"id": 3, "v": "fine"}
+        |{"id": "wrongtype", "v": "kept-null-id"}
+        |""".stripMargin)
+    val df = Ingest.jsonLinesQuarantine(spark, dir.toString + "/*.json",
+      "id BIGINT, v STRING").cache()
+    // Clean rows parse with NULL _corrupt; the syntactically-broken
+    // line lands verbatim in quarantine; the type-mismatched row keeps
+    // its parsable fields (PERMISSIVE null-fill) and is ALSO flagged.
+    val clean = df.filter(col("_corrupt").isNull)
+    assert(clean.count() === 2)
+    assert(clean.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    val quarantined = df.filter(col("_corrupt").isNotNull)
+      .select("_corrupt").collect().map(_.getString(0))
+    assert(quarantined.length === 2)
+    assert(quarantined.exists(_.contains("oops not json")))
+    assert(quarantined.exists(_.contains("wrongtype")))
+    // Nothing dropped: every input line is in exactly one of the sets.
+    assert(df.count() === 4)
+    df.unpersist()
+  }
+
   test("CAP-SRC-TEXT: compression-transparent input (gzip)") {
     // FileMap pillar P8: zcat-in-the-pipeline; Spark's text source
     // decompresses by extension with no reader changes.
