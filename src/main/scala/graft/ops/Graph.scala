@@ -183,6 +183,30 @@ object Graph {
         coalesce(col("root"), col("doc_id")).as("cluster"))
   }
 
+  /** Per-node triangle participation counts over a CANONICAL
+    * (ida < idb) edge list — the ordered-wedge algorithm: wedges
+    * a<b<c form from two oriented edges (a,b),(b,c), and a semi-join
+    * against the edge set keeps the closed ones, counting every
+    * triangle exactly once with no double-count dedup pass. Here
+    * edges orient by ID (keeps the DuckDB oracle expressible); the
+    * at-scale refinement is identical plans with (degree, id)
+    * orientation, which bounds every node's out-degree to O(sqrt(m))
+    * and with it the wedge fan-out of hot vertices. Nodes in no
+    * triangle are absent from the output (count 0). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // Referenced three times (two wedge sides + the closing
+    // semi-join); checkpoint so the upstream edge pipeline runs once.
+    val e = edges.select(col("ida"), col("idb")).localCheckpoint(true)
+    val wedges = e.select(col("ida").as("a"), col("idb").as("b"))
+      .join(e.select(col("ida").as("b"), col("idb").as("c")), "b")
+    val tri = wedges.join(
+      e.select(col("ida").as("a"), col("idb").as("c")),
+      Seq("a", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      .orderBy("doc_id")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Document centrality on the shared-gram graph: 10 deterministic
@@ -209,6 +233,40 @@ object Graph {
         connectedComponents(Tables.documents(s, d).select("doc_id"),
             graft.ops.TextSim.similarityEdges(s, d, minJac = 0.5))
           .orderBy("doc_id")
+    },
+
+    // Triangle participation per document on the jac >= 0.1 similarity
+    // graph — the clustering-coefficient numerator; near-dup cliques
+    // surface as high counts. Oracle spells the identical ordered-wedge
+    // + closing-join computation over the same gram-built edge set.
+    QuerySpec.sql("q_graph_triangles",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |      FROM w),
+        |ok AS (SELECT gram FROM g0 GROUP BY gram
+        |       HAVING count(*) <= ${graft.ops.TextSim.DfCap}),
+        |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id),
+        |j AS (SELECT ida, idb
+        |      FROM p JOIN sz sa ON p.ida = sa.doc_id
+        |             JOIN sz sb ON p.idb = sb.doc_id
+        |      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.1),
+        |t AS (SELECT e1.ida AS a, e1.idb AS b, e2.idb AS c
+        |      FROM j e1 JOIN j e2 ON e1.idb = e2.ida
+        |      JOIN j e3 ON e3.ida = e1.ida AND e3.idb = e2.idb),
+        |corners AS (SELECT a AS doc_id FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM corners GROUP BY doc_id
+        |ORDER BY doc_id""") { (s, d) =>
+      triangleCounts(graft.ops.TextSim.similarityEdges(s, d, minJac = 0.1))
     }
   )
 }

@@ -91,6 +91,36 @@ class GraphSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("triangle counts: synthetic clique, open wedge, and brute-force on random graphs") {
+    import spark.implicits._
+    // K4 on {1..4}: every node is in C(3,2)=3 triangles. The open
+    // wedge 5-6-7 and the pendant edge 8-9 contribute none.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (8L, 9L)).toDF("ida", "idb")
+    val got = ops.Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // Random graphs vs an O(n^3) brute-force reference.
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 2) {
+      val n = 15
+      val es = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong)).toSeq
+      val set = es.toSet
+      val want = (for {
+        a <- 1 to n; b <- (a + 1) to n; c <- (b + 1) to n
+        if set((a.toLong, b.toLong)) && set((b.toLong, c.toLong)) &&
+          set((a.toLong, c.toLong))
+      } yield Seq(a.toLong, b.toLong, c.toLong)).flatten
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val g = ops.Graph.triangleCounts(es.toDF("ida", "idb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(g === want, s"trial $trial diverged from brute force")
+    }
+  }
+
   test("CC matches union-find on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
