@@ -184,25 +184,50 @@ object Graph {
   }
 
   /** Per-node triangle participation counts over a CANONICAL
-    * (ida < idb) edge list — the ordered-wedge algorithm: wedges
-    * a<b<c form from two oriented edges (a,b),(b,c), and a semi-join
-    * against the edge set keeps the closed ones, counting every
-    * triangle exactly once with no double-count dedup pass. Here
-    * edges orient by ID (keeps the DuckDB oracle expressible); the
-    * at-scale refinement is identical plans with (degree, id)
-    * orientation, which bounds every node's out-degree to O(sqrt(m))
-    * and with it the wedge fan-out of hot vertices. Nodes in no
-    * triangle are absent from the output (count 0). */
+    * (ida < idb) edge list — ordered-wedge counting with the
+    * (degree, id) DEGREE ORIENTATION: every edge points from its
+    * lower-(degree, id) endpoint to the higher one, wedges form from
+    * a node's out-neighbor pairs, and a semi-join against the
+    * oriented edges keeps the closed ones. Degree orientation is the
+    * at-scale load-bearing choice: it bounds EVERY node's out-degree
+    * to O(sqrt(m)) — a celebrity vertex with 10^7 neighbors builds
+    * wedges only from the few high-degree nodes above it, not 10^14
+    * neighbor pairs — while counting each triangle exactly once from
+    * its lowest-ordered corner. The output (who is in how many
+    * triangles) is orientation-invariant, so the DuckDB oracle spells
+    * the simpler ID-ordered form and GraphSpec brute-forces random
+    * graphs. Nodes in no triangle are absent (count 0). */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // Referenced three times (two wedge sides + the closing
-    // semi-join); checkpoint so the upstream edge pipeline runs once.
-    val e = edges.select(col("ida"), col("idb")).localCheckpoint(true)
-    val wedges = e.select(col("ida").as("a"), col("idb").as("b"))
-      .join(e.select(col("ida").as("b"), col("idb").as("c")), "b")
+    val canon = edges.select(col("ida"), col("idb"))
+    val deg = canon
+      .select(explode(array(col("ida"), col("idb"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    // Orient by (degree, id); carry the destination's key so wedge
+    // pairs (v, w) can be ordered without re-joining degrees. The
+    // oriented list is referenced three times (two wedge sides + the
+    // closing semi-join) — checkpoint it.
+    val out = canon
+      .join(deg.select(col("id").as("ida"), col("dg").as("da")), "ida")
+      .join(deg.select(col("id").as("idb"), col("dg").as("db")), "idb")
+      .select(
+        when(struct(col("da"), col("ida")) < struct(col("db"), col("idb")),
+          col("ida")).otherwise(col("idb")).as("src"),
+        when(struct(col("da"), col("ida")) < struct(col("db"), col("idb")),
+          col("idb")).otherwise(col("ida")).as("dst"),
+        // Field names must match for the CASE branches to share a
+        // struct type — alias both sides to (d, i).
+        when(struct(col("da"), col("ida")) < struct(col("db"), col("idb")),
+          struct(col("db").as("d"), col("idb").as("i")))
+          .otherwise(struct(col("da").as("d"), col("ida").as("i"))).as("dk"))
+      .localCheckpoint(true)
+    val wedges = out.select(col("src"), col("dst").as("v"), col("dk").as("vk"))
+      .join(out.select(col("src"), col("dst").as("w"), col("dk").as("wk")),
+        "src")
+      .filter(col("vk") < col("wk"))
     val tri = wedges.join(
-      e.select(col("ida").as("a"), col("idb").as("c")),
-      Seq("a", "c"), "left_semi")
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      out.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    tri.select(explode(array(col("src"), col("v"), col("w"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
       .orderBy("doc_id")
   }
