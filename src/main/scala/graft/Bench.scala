@@ -85,27 +85,35 @@ object Bench {
     // invocations), which swamps real per-query deltas; min-of-2
     // measures the query, not the noise. `total` is the sum of the
     // reported (min) times.
+    // A query that fails SOME runs but succeeds at least once still
+    // reports its min time, but is listed in "flaky" so a transient
+    // failure is never silently laundered into a clean success; a
+    // query with NO successful run stays -1 in "errors" as before.
     val Runs = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to Runs).flatMap { _ =>
+      val attempts = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"bench: $name failed: ${e.getMessage}"); None }
       }
-      (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)
+      val times = attempts.flatten
+      (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty,
+        times.length < attempts.length && times.nonEmpty)
     }
     // 3-dp times keep the one-line JSON short enough that a fixed-size
     // tail capture of stdout cannot truncate the leading per-query data.
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"warm":$warm,"runs":$Runs,"n_errors":${results.count(!_._3)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val flaky = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"warm":$warm,"runs":$Runs,"n_errors":${results.count(!_._3)},"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

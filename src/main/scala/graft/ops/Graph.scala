@@ -44,8 +44,9 @@ object Graph {
     * previous ranks exactly ONCE (ranks' = conn ⨝ agg(ranks ⨝ eDeg)),
     * so the logical plan grows LINEARLY with iters — the whole
     * iteration compiles to one job of chained shuffle stages with no
-    * per-round checkpoint barriers (measured 15 s -> ~1 s at sf0.1 for
-    * 10 rounds vs the checkpoint-per-round formulation). Only the edge
+    * per-round checkpoint barriers (measured 15 s -> 2.8 s at sf0.1
+    * for 10 rounds vs the checkpoint-per-round formulation — the same
+    * figure as the loop comment and SURVEY §2.11e). Only the edge
     * frame is checkpointed: every round references it, and its build
     * pipeline must not inline iters times. Production periodic
     * checkpointing (lineage bound for fault recovery on a real
@@ -77,6 +78,7 @@ object Graph {
     // N is a driver-side count of the NODE table (same documented
     // stats-pass family as the codebook sizing counts).
     val n = nodes.count()
+    require(n > 0, "pagerank needs a non-empty node frame")
     val base = Scale / n
     var ranks = conn.select(col("doc_id"), lit(base).as("r"))
     var round = 0

@@ -349,7 +349,12 @@ object TextSim {
     * parquet the dedup family shares; no extra build. */
   def similarityEdges(s: SparkSession, d: String,
       minJac: Double = 0.1): DataFrame =
-    ngramJaccardPairs(s, d, minJac).select("ida", "idb")
+    // The 0.5 threshold IS the near-dup edge list the dedup family
+    // stage-caches — route it to the memoized frame so graph callers
+    // (q_graph_cc, GraphSpec) and dedup callers share one artifact
+    // instead of materializing drift-prone duplicates.
+    if (minJac == 0.5) nearDupEdges(s, d)
+    else ngramJaccardPairs(s, d, minJac).select("ida", "idb")
 
   /** Force-build the dedup family's stage-cached artifacts (postings →
     * pair stats → jac ≥ 0.5 edges — the edge build chains through the

@@ -100,22 +100,25 @@ case class CmsEstimates(left: Expression, right: Expression)
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(BinaryType, ArrayType(StringType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_cms_estimates"
 
   override protected def nullSafeEval(sketchBytes: Any, probes: Any): Any = {
     val cms = CountMinSketch.readFrom(new ByteArrayInputStream(
       sketchBytes.asInstanceOf[Array[Byte]]))
     val arr = probes.asInstanceOf[ArrayData]
-    val out = new Array[Long](arr.numElements())
+    val out = new Array[Any](arr.numElements())
     var i = 0
     while (i < out.length) {
       // count_min_sketch over a string column adds UTF8String BYTES
       // (addBinary), so probe with the same bytes — probing with a
       // java.lang.String would hash differently and break the
-      // estimate >= exact guarantee.
-      out(i) = cms.estimateCount(
-        arr.getUTF8String(i).asInstanceOf[UTF8String].getBytes)
+      // estimate >= exact guarantee. A NULL probe element (the
+      // aggregate skips nulls, so no sketch contains one) estimates
+      // to NULL rather than NPE-ing the task.
+      out(i) = if (arr.isNullAt(i)) null
+        else java.lang.Long.valueOf(cms.estimateCount(
+          arr.getUTF8String(i).asInstanceOf[UTF8String].getBytes))
       i += 1
     }
     new GenericArrayData(out)

@@ -292,5 +292,13 @@ class NativeKernelsSpec extends AnyFunSuite {
       .select(SketchFunctions.cmsEstimates(col("cms"),
         array(lit("a"), lit("b"), lit("c"), lit("zz"))).as("est"))
     assert(df.head().getSeq[Long](0) === Seq(3L, 2L, 4L, 0L))
+    // A NULL probe element estimates to NULL (no sketch contains one —
+    // the building aggregate skips nulls), never an executor NPE.
+    val withNull = spark.createDataFrame(words.map(Tuple1(_))).toDF("w")
+      .agg(count_min_sketch(col("w"), lit(0.001), lit(0.99), lit(5)).as("cms"))
+      .select(SketchFunctions.cmsEstimates(col("cms"),
+        array(lit("a"), lit(null).cast("string"))).as("est"))
+      .head().getSeq[Any](0)
+    assert(withNull === Seq(3L, null))
   }
 }
