@@ -265,6 +265,29 @@ object Relational {
         .orderBy("l_returnflag", "bin")
     },
 
+    // Outlier detection by per-group z-score: the group mean/stddev
+    // ride along as window aggregates over the SAME partition key the
+    // row already lives in — one shuffle, no join of a stats table
+    // back onto the fact table. The z>2 survivors are a tiny result.
+    q("q_agg_outliers",
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  round((l_extendedprice - avg(l_extendedprice) OVER w)
+        |    / stddev_samp(l_extendedprice) OVER w, 6) AS z
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag)
+        |QUALIFY abs(z) > 2
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""") { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .withColumn("z", round(
+          (col("l_extendedprice") - avg("l_extendedprice").over(w))
+            / stddev_samp(col("l_extendedprice")).over(w), 6))
+        .filter(abs(col("z")) > 2)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "z")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    },
+
     // Mode (most frequent value) per group, with the tie-break SPELLED
     // (count desc, value asc): engine-native mode() functions break
     // ties arbitrarily, which can never hash-match cross-engine — the
