@@ -57,18 +57,40 @@ object Graph {
     * rank is exactly the teleport term — they are appended at the end,
     * never iterated; and the sender's degree is joined into the edge
     * list ONCE, so a round is one join + one aggregation + one join. */
-  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  /** Scale of edge weights inside the integer recurrence: weight 1.0
+    * == 1e6 units, so r * w <= 1e9 * 1e6 = 1e15 stays under the 2^53
+    * double-exactness bound the truncating casts rely on. */
+  private val WScale = 1000000L
+
+  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // Checkpoint the caller's edge list FIRST: symmetrize + degree
     // reference it four times, and each reference would otherwise
     // re-run the upstream edge pipeline (4 scans of the pair-stats
     // parquet, the bulk of the fixed setup cost).
-    val eIn = edges.localCheckpoint(true)
-    // Symmetrize, attach sender degree, checkpoint — the one frame
-    // every round scans.
-    val sym = eIn.select(col("ida").as("a"), col("idb").as("b"))
-      .unionByName(eIn.select(col("idb").as("a"), col("ida").as("b")))
-    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    //
+    // Weighted mode: a (0, 1]-valued weight column (e.g. the pair
+    // jaccard) scales each contribution by w / sum-of-sender-weights
+    // instead of 1 / degree — similar documents pass more rank mass.
+    // Weights enter as scaled longs, so the recurrence stays pure
+    // integer arithmetic and bit-deterministic; with uniform weights
+    // the rationals (r*w)/(deg*w) == r/deg are IDENTICAL before
+    // truncation, so unweighted results are unchanged (pinned in
+    // GraphSpec).
+    val eIn = (weightCol match {
+      case Some(wc) => edges.select(col("ida"), col("idb"),
+        (col(wc) * WScale).cast("long").as("w"))
+      case None => edges.select(col("ida"), col("idb"),
+        lit(WScale).as("w"))
+    }).localCheckpoint(true)
+    // Symmetrize, attach sender degree + total weight, checkpoint —
+    // the one frame every round scans.
+    val sym = eIn.select(col("ida").as("a"), col("idb").as("b"), col("w"))
+      .unionByName(
+        eIn.select(col("idb").as("a"), col("ida").as("b"), col("w")))
+    val deg = sym.groupBy("a")
+      .agg(count(lit(1)).as("deg"), sum("w").as("tw"))
     val eDeg = sym.join(deg, "a").localCheckpoint(true)
     // conn is referenced by EVERY round's rank rebuild (and there is no
     // cross-plan subtree sharing), so without its own checkpoint the
@@ -85,8 +107,9 @@ object Graph {
     while (round < iters) {
       // Column./ is DOUBLE division; the truncating casts restore
       // integer-division semantics exactly (every value here is a
-      // non-negative integer < 2^53 — bounded by 85x the total rank
-      // mass of 1e9 scale units — so the double quotient is exact).
+      // non-negative integer < 2^53: r * w <= 1e9 * 1e6 = 1e15, and
+      // the damping numerator <= 85x the 1e9 total rank mass — so the
+      // double quotient is exact).
       // The graph is UNDIRECTED, so every connected node appears as a
       // destination b of some edge whose sender has a rank row —
       // contribs covers EXACTLY the connected node set every round.
@@ -101,7 +124,8 @@ object Graph {
       // edge-list checkpoints, 10 rounds run in ~2.8 s total).
       val contribs = ranks
         .join(eDeg, ranks("doc_id") === eDeg("a"))
-        .select(col("b"), (col("r") / col("deg")).cast("long").as("c"))
+        .select(col("b"),
+          ((col("r") * col("w")) / col("tw")).cast("long").as("c"))
         .groupBy(col("b").as("doc_id"))
         .agg(((lit(15L) * base + lit(85L) * sum("c")) / 100L).cast("long")
           .as("r"))

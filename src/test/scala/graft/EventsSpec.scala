@@ -99,4 +99,49 @@ class EventsSpec extends AnyFunSuite {
       else assert(r.getLong(3) > GapUs)
     }
   }
+
+  test("islands in-row run computation matches a sequential reference on random day sets") {
+    // q_ev_islands computes maximal consecutive-day runs INSIDE the
+    // row from a sorted day array (the one-shuffle formulation); guard
+    // its filter/zip_with logic against a plain sequential fold over
+    // random day sets — duplicates included, since the aggregation
+    // dedups via collect_set.
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(1331)
+    val rows = for {
+      u <- 1L to 25L
+      _ <- 1 to (5 + rnd.nextInt(40))
+    } yield (u, (rnd.nextInt(60) + 1).toLong)
+    def refIslands(days: Seq[Long]): Seq[(Long, Long, Long)] = {
+      val ds = days.distinct.sorted
+      ds.foldLeft(Vector.empty[(Long, Long, Long)]) {
+        case (acc :+ ((s0, e0, n0)), d) if d == e0 + 1 =>
+          acc :+ ((s0, d, n0 + 1))
+        case (acc, d) => acc :+ ((d, d, 1L))
+      }
+    }
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      refIslands(rs.map(_._2)).map { case (s0, e0, n) => (u, s0, e0, n) }
+    }.sortBy(t => (t._1, t._2))
+    // Same HOF pipeline as the registry query, on the synthetic frame.
+    val got = rows.toDF("user_id", "day")
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("day"))).as("ds"))
+      .select(col("user_id"), explode(expr("""
+        zip_with(
+          filter(transform(ds, (d, i) -> struct(d AS day, i + 1 AS pos)),
+            p -> p.pos = 1 OR element_at(ds, p.pos - 1) <> p.day - 1),
+          filter(transform(ds, (d, i) -> struct(d AS day, i + 1 AS pos)),
+            p -> p.pos = size(ds) OR element_at(ds, p.pos + 1) <> p.day + 1),
+          (s, e) -> struct(s.day AS start_day, e.day AS end_day,
+            e.day - s.day + 1 AS len))""")).as("isl"))
+      .select(col("user_id"), col("isl.start_day"), col("isl.end_day"),
+        col("isl.len"))
+      .orderBy("user_id", "start_day")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === want)
+  }
 }

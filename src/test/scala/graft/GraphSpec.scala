@@ -49,6 +49,50 @@ class GraphSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"ranks diverge (id, want, got): ${diffs.take(5)}")
   }
 
+  test("weighted PageRank: uniform weights equal unweighted EXACTLY; skewed weights match a weighted reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nodes = (1L to 8L).toDF("doc_id")
+    val edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.2), (3L, 4L, 0.7),
+      (1L, 4L, 0.5), (4L, 5L, 1.0), (6L, 7L, 0.3))
+      .toDF("ida", "idb", "jac")
+    // Uniform weights: the per-edge rationals (r*w)/(deg*w) == r/deg
+    // are identical before truncation, so the scaled ranks must be
+    // bit-equal to the unweighted run.
+    val uni = ops.Graph.pagerank(nodes,
+        edges.withColumn("one", lit(1.0)), 8, weightCol = Some("one"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val plain = ops.Graph.pagerank(nodes, edges, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uni === plain)
+    // Skewed weights: replay the same integer recurrence with scaled
+    // weights single-threaded and require exact equality.
+    val WS = 1000000L
+    val w = Seq((1L, 2L, (0.9 * WS).toLong), (2L, 3L, (0.2 * WS).toLong),
+      (3L, 4L, (0.7 * WS).toLong), (1L, 4L, (0.5 * WS).toLong),
+      (4L, 5L, (1.0 * WS).toLong), (6L, 7L, (0.3 * WS).toLong))
+    val adj = (w ++ w.map(e => (e._2, e._1, e._3)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(v => (v._2, v._3)) }
+    val tw = adj.map { case (k, vs) => k -> vs.map(_._2).sum }
+    val base = Scale / 8
+    var r = adj.keys.map(_ -> base).toMap
+    (0 until 8).foreach { _ =>
+      val in = adj.keys.map { v =>
+        v -> adj(v).map { case (u, wq) => r(u) * wq / tw(u) }.sum
+      }.toMap
+      r = adj.keys.map(v => v -> (15L * base + 85L * in(v)) / 100L).toMap
+    }
+    val got = ops.Graph.pagerank(nodes, edges, 8, weightCol = Some("jac"))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    r.foreach { case (id, want) =>
+      assert(got(id) === want, s"weighted rank diverged for node $id")
+    }
+    // And the weights actually moved something: the distribution must
+    // differ from the unweighted run on the connected nodes.
+    assert(r.keys.exists(id => got(id) != plain(id)),
+      "skewed weights changed no rank")
+  }
+
   test("bit-stable under a different edge partitioning") {
     val nodes = Tables.documents(spark, sf).select("doc_id")
     val e = ops.TextSim.similarityEdges(spark, sf)
