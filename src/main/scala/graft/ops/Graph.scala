@@ -258,6 +258,44 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** k-core: the maximal subgraph in which every node keeps degree
+    * >= k, by iterative peeling — drop under-degree nodes, restrict
+    * the edge list to survivors, repeat until stable. The classic
+    * graph-side quality filter (spam/link farms and boilerplate
+    * near-dup rings live in shallow cores; densely-corroborated
+    * content survives deep ones). Each round is two bounded shuffles
+    * (degree count + edge restriction); rounds = the peeling depth —
+    * real graphs peel in a handful, a worst-case path peels O(n/2)
+    * (maxRounds guards pathology loudly). Returns the surviving
+    * (doc_id, core_deg) — degree WITHIN the core, >= k by
+    * construction. Empty result when no k-core exists. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var e = edges.select(col("ida"), col("idb"))
+      .filter(col("ida") =!= col("idb")).distinct().localCheckpoint(true)
+    var nPrev = -1L
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val deg = e.select(explode(array(col("ida"), col("idb"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select("id").localCheckpoint(true)
+      val n = keep.count()
+      if (n == nPrev) done = true // node set only shrinks: same count = same set
+      else {
+        e = e.join(keep.select(col("id").as("ida")), "ida")
+          .join(keep.select(col("id").as("idb")), "idb")
+          .select("ida", "idb").localCheckpoint(true)
+        nPrev = n
+      }
+      rounds += 1
+    }
+    require(done, s"kCore did not stabilize in $maxRounds rounds")
+    e.select(explode(array(col("ida"), col("idb"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("core_deg"))
+      .orderBy("doc_id")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Document centrality on the shared-gram graph: 10 deterministic

@@ -165,6 +165,46 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("k-core peeling matches a sequential reference; synthetic K4-with-tail") {
+    import spark.implicits._
+    // K4 {1..4} with a tail 4-5-6: the 3-core is exactly the K4 (tail
+    // peels off over two rounds); the 2-core keeps K4 only (the open
+    // tail has endpoints of degree 1 peeling back to node 4); k=4 is
+    // empty (K4 nodes have degree 3).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("ida", "idb")
+    def run(k: Int): Map[Long, Long] = ops.Graph.kCore(edges, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(3) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(run(2).keySet === Set(1L, 2L, 3L, 4L))
+    assert(run(4) === Map.empty)
+    // Random graphs vs sequential peeling.
+    val rnd = new scala.util.Random(909)
+    def refKCore(es: Set[(Long, Long)], k: Int): Map[Long, Long] = {
+      var cur = es
+      var stable = false
+      while (!stable) {
+        val dg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (x, v) => x -> v.length }
+        val keep = dg.filter(_._2 >= k).keySet
+        val nxt = cur.filter(e => keep(e._1) && keep(e._2))
+        stable = nxt == cur
+        cur = nxt
+      }
+      cur.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (x, v) => x -> v.length.toLong }
+    }
+    for (trial <- 1 to 2; k <- Seq(2, 3)) {
+      val n = 18
+      val es = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)).toSet
+      val got = ops.Graph.kCore(es.toSeq.toDF("ida", "idb"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === refKCore(es, k), s"trial $trial k=$k diverged")
+    }
+  }
+
   test("CC matches union-find on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
