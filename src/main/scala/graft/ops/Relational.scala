@@ -52,6 +52,27 @@ object Relational {
     |ORDER BY l_returnflag, l_linestatus
     """
 
+  /** Per-group z-score outlier filter: mean/stddev ride along as window
+    * aggregates over the partition key the row already lives in — ONE
+    * shuffle, no stats-table join back onto the fact table. Shared by
+    * q_agg_outliers and the synthetic-outlier unit contract
+    * (RelationalSpec), so the arithmetic pinned there is the arithmetic
+    * the registry runs.
+    */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    // try_divide: a constant group has stddev 0 and must yield NO
+    // outliers, not an ANSI DIVIDE_BY_ZERO error (null z > threshold is
+    // false, so such rows drop out). Values are identical to plain "/"
+    // whenever the divisor is non-zero, which is always true on the
+    // oracle fixtures.
+    df.withColumn("z", round(
+        try_divide(col(valueCol) - avg(valueCol).over(w),
+          stddev_samp(col(valueCol)).over(w)), 6))
+      .filter(abs(col("z")) > threshold)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- §2.1 scans -----------------------------------------------------
@@ -104,16 +125,21 @@ object Relational {
     },
 
     // IS NULL on outer-join output + null-safe equality (<=> / IS NOT
-    // DISTINCT FROM).
+    // DISTINCT FROM). The right side is restricted to >400k orders so
+    // unmatched customers EXIST at every scale factor (~10% of
+    // customers have no such order; the unrestricted join left 0 rows
+    // below sf0.1 and attested the null semantics only trivially).
     q("q_filter_nullsafe",
       """SELECT c_custkey,
         |  (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL)
         |    AS seg_is_building
-        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
         |WHERE o_orderkey IS NULL
         |ORDER BY c_custkey""") { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d),
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
           col("c_custkey") === col("o_custkey"), "left")
         .filter(col("o_orderkey").isNull)
         .select(col("c_custkey"),
@@ -268,24 +294,27 @@ object Relational {
     // Outlier detection by per-group z-score: the group mean/stddev
     // ride along as window aggregates over the SAME partition key the
     // row already lives in — one shuffle, no join of a stats table
-    // back onto the fact table. The z>2 survivors are a tiny result.
+    // back onto the fact table. Threshold 1.5, not the textbook 2: on a
+    // uniform distribution max |z| = sqrt(3) ~ 1.732, so |z| > 2 is
+    // unsatisfiable on this data and would make the query vacuous;
+    // 1.5 keeps the tail non-empty at every scale factor. The
+    // arithmetic itself is pinned against hand-computed z-scores on a
+    // constructed-outlier fixture in RelationalSpec.
     q("q_agg_outliers",
       """SELECT l_returnflag, l_orderkey, l_linenumber,
         |  round((l_extendedprice - avg(l_extendedprice) OVER w)
         |    / stddev_samp(l_extendedprice) OVER w, 6) AS z
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_returnflag)
-        |QUALIFY abs(z) > 2
-        |ORDER BY l_returnflag, l_orderkey, l_linenumber""") { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_returnflag")
-      Tables.lineitem(s, d)
-        .withColumn("z", round(
-          (col("l_extendedprice") - avg("l_extendedprice").over(w))
-            / stddev_samp(col("l_extendedprice")).over(w), 6))
-        .filter(abs(col("z")) > 2)
+        |QUALIFY abs(z) > 1.5
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, z""") { (s, d) =>
+      // z is the final tiebreaker: the synthetic lineitem contains
+      // duplicate (orderkey, linenumber) pairs, so without it the sort
+      // is nondeterministic and cross-engine row order diverges.
+      zScoreOutliers(Tables.lineitem(s, d),
+          "l_returnflag", "l_extendedprice", threshold = 1.5)
         .select("l_returnflag", "l_orderkey", "l_linenumber", "z")
-        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "z")
     },
 
     // Mode (most frequent value) per group, with the tie-break SPELLED
@@ -440,15 +469,22 @@ object Relational {
         .orderBy("c_custkey")
     },
 
+    // Orderkeys under 200 whose order never crossed 150k total — the
+    // probe side is deliberately chosen so a remainder SURVIVES at
+    // every scale factor (~60 rows; the earlier customer-minus-orders
+    // spelling returned 0 rows below sf0.1, attesting EXCEPT only
+    // trivially).
     q("q_except",
-      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      """SELECT l_orderkey FROM lineitem WHERE l_orderkey < 200
         |EXCEPT
-        |SELECT o_custkey AS c_custkey FROM orders
-        |ORDER BY c_custkey""") { (s, d) =>
-      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-        .select("c_custkey")
-        .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
-        .orderBy("c_custkey")
+        |SELECT o_orderkey AS l_orderkey FROM orders
+        |WHERE o_totalprice > 150000
+        |ORDER BY l_orderkey""") { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 200)
+        .select("l_orderkey")
+        .except(Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+          .select(col("o_orderkey").as("l_orderkey")))
+        .orderBy("l_orderkey")
     },
 
     // ---- melt / unpivot ---------------------------------------------------
