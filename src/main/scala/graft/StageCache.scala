@@ -38,11 +38,11 @@ object StageCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Slot]()
 
-  def memoized(s: SparkSession, d: String, stage: String)(
-      build: => DataFrame): DataFrame = {
+  private def pathFor(s: SparkSession, d: String, stage: String)(
+      build: => DataFrame): String = {
     val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d|$stage"
     val slot = cache.computeIfAbsent(key, _ => new Slot)
-    val path = slot.get {
+    slot.get {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_$stage")
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
@@ -54,6 +54,22 @@ object StageCache {
       build.write.mode("overwrite").parquet(p)
       p
     }
-    s.read.parquet(path)
   }
+
+  def memoized(s: SparkSession, d: String, stage: String)(
+      build: => DataFrame): DataFrame =
+    s.read.parquet(pathFor(s, d, stage)(build))
+
+  /** Append rows to a stage's materialization — the maintained-index
+    * UPSERT path: ensures the stage is built (building it if this is
+    * the first touch), then writes `extra` as additional parquet files
+    * under the same directory. O(extra) work, never a rebuild; the
+    * local analogue of a dynamic-partition append to the maintained
+    * table at 100 TB. Readers created BEFORE the append keep their
+    * file-listing snapshot; a fresh memoized() read sees the appended
+    * rows.
+    */
+  def appendTo(s: SparkSession, d: String, stage: String)(
+      build: => DataFrame)(extra: DataFrame): Unit =
+    extra.write.mode("append").parquet(pathFor(s, d, stage)(build))
 }

@@ -565,13 +565,21 @@ object Sketches {
   private[graft] def bandsOf(docs: DataFrame): DataFrame =
     minhashBands(docs, "doc_id")
 
+  /** Stage key of a named band-index instance. Name "" is the shared
+    * registry instance (q_dedup_incremental, warmMinhashStage); any
+    * other name is an independent index seeded from the same corpus —
+    * tests and multi-tenant pipelines upsert into their OWN instance so
+    * mutation never leaks into the shared one. */
+  private def bandStage(name: String): String =
+    if (name.isEmpty) "mhbands" else s"mhbands@$name"
+
   /** The corpus's MinHash band table (doc_id, band, bh), STAGE-CACHED:
     * at 100 TB this IS the dedup index — a maintained (band, bh) →
     * doc_id table that each ingest batch probes, appending its own
-    * rows after admission. Nothing about the corpus text is ever
-    * touched at probe time. */
-  def minhashBandTable(s: SparkSession, d: String): DataFrame =
-    graft.StageCache.memoized(s, d, "mhbands")(
+    * rows after admission ([[upsertIntoBandIndex]]). Nothing about the
+    * corpus text is ever touched at probe time. */
+  def minhashBandTable(s: SparkSession, d: String, name: String = ""): DataFrame =
+    graft.StageCache.memoized(s, d, bandStage(name))(
       minhashBands(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id"))
 
@@ -589,9 +597,10 @@ object Sketches {
     * O(corpus): the defining shape of daily-crawl dedup at 100 TB.
     * Re-submitting an already-indexed id does not match itself, so
     * re-ingesting an indexed partition is harmless. */
-  def indexHitPairs(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+  def indexHitPairs(s: SparkSession, d: String, batch: DataFrame,
+      name: String = ""): DataFrame =
     minhashBands(batch, "doc_id")
-      .join(minhashBandTable(s, d)
+      .join(minhashBandTable(s, d, name)
         .select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("doc_id") =!= col("corpus_id"))
@@ -606,8 +615,9 @@ object Sketches {
     * signature ⇒ every band matches); near-dups probabilistically by
     * the MinHash collision curve; property-tested in SketchesSpec,
     * with incremental ≡ full-recompute equality pinned. */
-  def dedupAgainstIndex(s: SparkSession, d: String, batch: DataFrame): DataFrame = {
-    val hits = indexHitPairs(s, d, batch)
+  def dedupAgainstIndex(s: SparkSession, d: String, batch: DataFrame,
+      name: String = ""): DataFrame = {
+    val hits = indexHitPairs(s, d, batch, name)
       .groupBy("doc_id")
       .agg(min("corpus_id").as("dup_of"),
         count(lit(1)).cast("long").as("n_dups"))
@@ -616,6 +626,36 @@ object Sketches {
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("dup_of").isNotNull.as("is_dup"))
       .orderBy("doc_id")
+  }
+
+  /** Close the maintained-index loop (the other half of
+    * [[dedupAgainstIndex]]): sign the ADMITTED (doc_id, text) rows —
+    * a pure function of their text, so the appended rows are
+    * bit-identical to what a from-scratch rebuild over the grown
+    * corpus would produce — and APPEND them to the index
+    * materialization. O(batch) work; day-2's probe then sees day-1's
+    * admissions with no rebuild. At 100 TB this is a dynamic-partition
+    * append to the maintained band table. */
+  def upsertIntoBandIndex(s: SparkSession, d: String, admitted: DataFrame,
+      name: String = ""): Unit =
+    graft.StageCache.appendTo(s, d, bandStage(name))(
+      minhashBands(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id"))(
+      minhashBands(admitted.select("doc_id", "text"), "doc_id"))
+
+  /** One daily-crawl step: dedup `batch` against the named index, then
+    * upsert the admissions so the NEXT batch sees them. Returns the
+    * batch's dedup verdicts (computed against the index as of batch
+    * start — the probe's file listing is snapshotted before the
+    * append, so a verdict re-evaluation cannot see the batch's own
+    * rows). SketchesSpec pins the sequence ≡ rebuild equality. */
+  def ingestBatch(s: SparkSession, d: String, batch: DataFrame,
+      name: String = ""): DataFrame = {
+    val verdicts = dedupAgainstIndex(s, d, batch, name)
+    val admitted = batch.join(
+      verdicts.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"))
+    upsertIntoBandIndex(s, d, admitted, name)
+    verdicts
   }
 
   /** Fixture ingest batch for the registry query: every 7th corpus doc

@@ -442,4 +442,44 @@ class SketchesSpec extends AnyFunSuite {
       assert(inc === cross, s"incremental != full recompute at $dir")
     }
   }
+
+  test("upserted index: two-batch sequence == one rebuilt index; day-2 sees day-1, both tiers") {
+    // THE maintained-index loop, now closed: day-1's ADMITTED docs are
+    // upserted into a named index instance, and day-2's probe of that
+    // instance must agree EXACTLY with a from-scratch rebuild over
+    // corpus + day-1 admissions (signatures are pure per-doc
+    // functions). Without the upsert, day-2 copies of day-1 admissions
+    // would sail through — the final assertion catches exactly that.
+    tiers.foreach { dir =>
+      val name = s"ups${dir.replaceAll("[^0-9]", "")}"
+      val corpus = Tables.documents(spark, dir).select("doc_id", "text")
+      val b1 = ops.Sketches.defaultBatch(spark, dir)
+      val v1 = ops.Sketches.ingestBatch(spark, dir, b1, name)
+      val admitted1 = b1.join(
+        v1.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"))
+      // Day 2: every day-1 doc re-submitted verbatim under a fresh id.
+      val b2 = b1.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      val seq = ops.Sketches.indexHitPairs(spark, dir, b2, name)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Reference: from-scratch signatures over the grown corpus.
+      val full = ops.Sketches.bandsOf(corpus.unionByName(admitted1))
+      val ref = ops.Sketches.bandsOf(b2).toDF("ida", "band", "bh")
+        .join(full.toDF("idb", "band", "bh"), Seq("band", "bh"))
+        .select(col("ida").as("doc_id"), col("idb").as("corpus_id"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(seq === ref, s"sequence != rebuilt index at $dir")
+      // Day-2 visibility: every verbatim copy of a day-1 admission is
+      // caught VIA ITS DAY-1 ID (identical text => identical signature
+      // => deterministic catch) — impossible without the upsert.
+      val admittedIds = admitted1.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(admittedIds.nonEmpty, s"day-1 admitted nothing at $dir")
+      admittedIds.foreach { id =>
+        assert(seq.contains((id + 1000000L, id)),
+          s"day-1 admission $id invisible to day-2 at $dir")
+      }
+    }
+  }
 }
