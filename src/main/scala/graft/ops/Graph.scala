@@ -311,6 +311,31 @@ object Graph {
         .orderBy(col("rank").desc, col("doc_id"))
     },
 
+    // Edge-weighted centrality: the pair jaccard scales each
+    // contribution, so similar documents pass more rank mass. Same
+    // integer recurrence and stage-cached pair-stats read as the
+    // unweighted query; GraphSpec pins weighted ≡ the single-threaded
+    // weighted reference and that uniform weights leave ranks
+    // bit-unchanged; goldens pin the fixture output.
+    QuerySpec.noOracle("q_graph_pagerank_w") { (s, d) =>
+      pagerank(Tables.documents(s, d).select("doc_id"),
+          graft.ops.TextSim.similarityEdgesWeighted(s, d), iters = 10,
+          weightCol = Some("jac"))
+        .select(col("doc_id"), col("deg"),
+          round(col("rank_scaled") / 1e9, 6).as("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+    },
+
+    // 2-core of the jac >= 0.1 similarity graph: documents that stay
+    // mutually corroborated after shallow tendrils peel away —
+    // boilerplate rings and one-off matches drop out. No DuckDB oracle
+    // (iterative peeling); GraphSpec pins K4-with-tail peeling at
+    // k=2/3/4 and equality to sequential peeling; goldens pin the
+    // fixture output.
+    QuerySpec.noOracle("q_graph_kcore") { (s, d) =>
+      kCore(graft.ops.TextSim.similarityEdges(s, d, minJac = 0.1), k = 2)
+    },
+
     // True connected components over the jac >= 0.5 near-dup graph —
     // the O(log n) alternative to q_dedup_cluster's propagation (same
     // oracle text: both label every doc with its component MIN, and

@@ -123,6 +123,12 @@ object TextSim {
     * (spelled identically in their DuckDB oracles). */
   val DfCap = 100
 
+  /** The near-dup jaccard threshold — the ONE constant behind the
+    * stage-cached edges05 artifact. [[similarityEdges]] routes to the
+    * cached frame by comparing against this same value; change it here
+    * and build + router move together. */
+  val NearDupJac = 0.5
+
   /** The cluster-label oracle, shared by q_dedup_cluster (two unrolled
     * propagation rounds) and q_graph_cc (true connected components —
     * equal on any graph whose components converge within 2 rounds of
@@ -336,7 +342,7 @@ object TextSim {
     * reference. */
   private def nearDupEdges(s: SparkSession, d: String): DataFrame =
     graft.StageCache.memoized(s, d, "edges05")(
-      ngramJaccardPairs(s, d, 0.5).select("ida", "idb"))
+      ngramJaccardPairs(s, d, NearDupJac).select("ida", "idb"))
 
   /** The jac >= `minJac` document-similarity graph: documents as
     * nodes, meaningful 3-gram overlap as edges — the substrate for
@@ -349,12 +355,23 @@ object TextSim {
     * parquet the dedup family shares; no extra build. */
   def similarityEdges(s: SparkSession, d: String,
       minJac: Double = 0.1): DataFrame =
-    // The 0.5 threshold IS the near-dup edge list the dedup family
-    // stage-caches — route it to the memoized frame so graph callers
-    // (q_graph_cc, GraphSpec) and dedup callers share one artifact
-    // instead of materializing drift-prone duplicates.
-    if (minJac == 0.5) nearDupEdges(s, d)
+    // The NearDupJac threshold IS the near-dup edge list the dedup
+    // family stage-caches — route it to the memoized frame so graph
+    // callers (q_graph_cc, GraphSpec) and dedup callers share one
+    // artifact instead of materializing drift-prone duplicates. The
+    // router and nearDupEdges compare against the SAME named constant,
+    // so the two can't silently desynchronize.
+    if (minJac == NearDupJac) nearDupEdges(s, d)
     else ngramJaccardPairs(s, d, minJac).select("ida", "idb")
+
+  /** [[similarityEdges]] keeping the jaccard as an edge WEIGHT column
+    * (ida, idb, jac) — the input shape of weighted PageRank
+    * ([[Graph.pagerank]] with weightCol): similar documents pass more
+    * rank mass. Same stage-cached pair-stats read as the unweighted
+    * edges; the weight column is already sitting in that parquet. */
+  def similarityEdgesWeighted(s: SparkSession, d: String,
+      minJac: Double = 0.1): DataFrame =
+    ngramJaccardPairs(s, d, minJac)
 
   /** Force-build the dedup family's stage-cached artifacts (postings →
     * pair stats → jac ≥ 0.5 edges — the edge build chains through the
