@@ -113,7 +113,17 @@ object Bench {
     val flaky = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"warm":$warm,"runs":$Runs,"n_errors":${results.count(!_._3)},"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"warm":$warm,"runs":$Runs,"n_errors":${results.count(!_._3)},"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: a fixed-size tail capture of stdout
+    // truncated BENCH_r05 mid-line and lost the headline totals — the
+    // file copy makes the stdout capture redundant.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write target/bench.json: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -39,7 +39,17 @@ object Ingest {
     * rows and a quarantine stream for reprocessing, instead of either
     * crashing the job (FAILFAST) or silently dropping data
     * (DROPMALFORMED). At 100 TB bad lines are a certainty, not an
-    * edge case; a narrow per-line operation, no shuffle. */
+    * edge case; a narrow per-line operation, no shuffle.
+    *
+    * The returned frame is cache()d before returning, and that is
+    * LOAD-BEARING, not an optimization: Spark refuses (by
+    * AnalysisException) any query that selects/filters ONLY the
+    * corrupt-record column of a raw PERMISSIVE json read — the
+    * quarantine split (`df.filter(col("_corrupt").isNotNull)
+    * .select("_corrupt")`) is exactly that shape. Caching first lifts
+    * the restriction, so the split usage shown in SourcesSpec is safe
+    * by default. Callers splitting a one-pass read pay the cache
+    * anyway; callers who don't can unpersist(). */
   def jsonLinesQuarantine(spark: SparkSession, glob: String,
       schemaDdl: String): DataFrame =
     spark.read
@@ -48,6 +58,7 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(glob)
+      .cache()
 
   /** Whole-file records for binary/multimodal data: (path, length,
     * modificationTime, content). Pair with ops.Multimodal for the
