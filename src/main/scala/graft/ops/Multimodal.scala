@@ -8,13 +8,14 @@ import scala.util.hashing.MurmurHash3
   * round 1): images/audio/video travel as opaque `binary` columns with
   * typed metadata alongside, decoded/featurized in batch per partition.
   *
-  * Decode kernels: BMP (uncompressed DIB) and WAV (RIFF/PCM) are
-  * REAL pure-JVM parsers — header fields decoded from the bytes, pixel
-  * and sample payloads located and featurized. Formats that need
-  * codecs this container doesn't ship (JPEG, PNG, MP4, ...) fall back
-  * to a clearly-marked deterministic fake derived from the content
-  * bytes, so the pipeline shape stays exercised end-to-end for every
-  * file. Everything around the kernels is real and tested
+  * Decode kernels: BMP (uncompressed DIB), WAV (RIFF/PCM), and PNG
+  * (chunk walk + java.util.zip Inflater + all five scanline filters)
+  * are REAL pure-JVM parsers — header fields decoded from the bytes,
+  * pixel and sample payloads located/decompressed and featurized.
+  * Formats that need codecs this container doesn't ship (JPEG, MP4,
+  * ...) fall back to a clearly-marked deterministic fake derived from
+  * the content bytes, so the pipeline shape stays exercised end-to-end
+  * for every file. Everything around the kernels is real and tested
   * (MultimodalSpec): the binaryFile source schema, the typed Dataset
   * plumbing, the per-partition batch iterator shape (mapPartitions —
   * the JVM analogue of mapInPandas: one iterator per batch, amortizing
@@ -42,6 +43,131 @@ object Multimodal {
     c.length >= 54 && c(0) == 'B' && c(1) == 'M'
   private def isWav(c: Array[Byte]): Boolean =
     c.length >= 44 && tag(c, 0) == "RIFF" && tag(c, 8) == "WAVE"
+
+  // ---- PNG (real decode: chunk walk + Inflater + defilter) ------------
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Signature + a leading IHDR (mandatory first chunk per the spec). */
+  private def isPng(c: Array[Byte]): Boolean =
+    c.length >= 33 && PngSig.indices.forall(i => c(i) == PngSig(i)) &&
+      tag(c, 12) == "IHDR"
+
+  /** A decoded PNG: defiltered pixel bytes, row-major, `channels`
+    * bytes per pixel (gray 1 / RGB 3 / RGBA 4, PNG channel order). */
+  case class PngImage(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  /** Decompression-bomb guard: a 33-byte header can declare a raw
+    * image of any size, so the decoder refuses to allocate more than
+    * this many defiltered bytes (64 MB ~ a 4600x4600 RGB still —
+    * far above any thumbnail-stage input; at 100 TB the decode stage
+    * DROPS pathological files loudly rather than OOMing an executor). */
+  private val MaxPngRawBytes = 64L << 20
+
+  /** REAL pure-JVM PNG decode — no codec dependency: big-endian chunk
+    * walk, every IDAT concatenated (encoders split the zlib stream at
+    * arbitrary chunk boundaries), `java.util.zip.Inflater` for the
+    * DEFLATE payload, and per-scanline inverse filtering for all five
+    * spec filters (None/Sub/Up/Average/Paeth). Supported: 8-bit
+    * depth, color types 0/2/6, non-interlaced — the shapes a curation
+    * pipeline actually meets; everything else (palette, 16-bit, Adam7)
+    * returns None and flows to the documented fallback. */
+  def decodePng(c: Array[Byte]): Option[PngImage] = {
+    if (!isPng(c)) return None
+    val w = be32(c, 16)
+    val h = be32(c, 20)
+    val depth = c(24)
+    val colorType = c(25)
+    val interlace = c(28)
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case _ => return None
+    }
+    if (depth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
+    val stride = w.toLong * channels
+    val rawLen = h.toLong * (stride + 1) // +1 filter byte per scanline
+    if (rawLen > MaxPngRawBytes) return None
+    // Chunk walk: concatenate IDAT payloads until IEND.
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8
+    var done = false
+    while (!done && off + 8 <= c.length) {
+      val len = be32(c, off)
+      val typ = tag(c, off + 4)
+      if (len < 0 || off + 12L + len > c.length) return None
+      if (typ == "IDAT") idat.write(c, off + 8, len)
+      if (typ == "IEND") done = true
+      off += 12 + len // len + type + data + CRC
+    }
+    if (idat.size() == 0) return None
+    // Inflate the joined zlib stream to exactly rawLen bytes.
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // Inverse scanline filters. a = left, b = up, c = up-left (spec
+    // names); arithmetic mod 256 on unsigned bytes.
+    val bpp = channels
+    val rowB = stride.toInt
+    val out = new Array[Byte]((h.toLong * stride).toInt)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (rowB + 1)) & 0xFF
+      val src = y * (rowB + 1) + 1
+      val dst = y * rowB
+      if (ft > 4) return None
+      var x = 0
+      while (x < rowB) {
+        val cur = raw(src + x) & 0xFF
+        val a = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
+        val b = if (y > 0) out(dst - rowB + x) & 0xFF else 0
+        val cc = if (y > 0 && x >= bpp) out(dst - rowB + x - bpp) & 0xFF else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + ((a + b) >> 1)
+          case 4 => // Paeth predictor
+            val p = a + b - cc
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - cc)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+        }
+        out(dst + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngImage(w, h, channels, out))
+  }
+
+  /** IHDR-only PNG metadata (no inflate — metadata queries must stay
+    * cheap; the pixel decode happens in [[embed]]/[[pngAsBmp]]). */
+  private def pngMeta(path: String, c: Array[Byte]): MediaMeta =
+    MediaMeta(path, c.length, "png",
+      width = be32(c, 16), height = be32(c, 20),
+      channels = c(25) match { case 0 => 1; case 2 => 3; case 6 => 4
+        case _ => 0 },
+      duration_ms = 0L)
 
   /** BITMAPINFOHEADER fields: width @18, height @22 (negative =
     * top-down), bits-per-pixel @28. A still image: duration 0. */
@@ -122,6 +248,7 @@ object Multimodal {
       files.map { f =>
         if (isBmp(f.content)) bmpMeta(f.path, f.content)
         else if (isWav(f.content)) wavMeta(f.path, f.content)
+        else if (isPng(f.content)) pngMeta(f.path, f.content)
         else {
           // FALLBACK STUB — deterministic fake for codec-less formats.
           val h = MurmurHash3.bytesHash(f.content, seed = 42)
@@ -146,7 +273,21 @@ object Multimodal {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaEmbedding]
     ds.mapPartitions { files =>
       files.map { f =>
-        val vec = payloadRegion(f.content) match {
+        val pngPixels =
+          if (isPng(f.content)) decodePng(f.content).map(_.pixels) else None
+        val vec = pngPixels match {
+          // PNG: histogram over the DEFILTERED pixel bytes — the same
+          // 8-bin byte histogram the BMP branch takes over its pixel
+          // array, but on genuinely decoded (inflated + unfiltered)
+          // data.
+          case Some(px) if px.length > 0 =>
+            val h = new Array[Double](8)
+            var i = 0
+            while (i < px.length) { h((px(i) & 0xFF) >> 5) += 1.0; i += 1 }
+            var j = 0
+            while (j < 8) { h(j) /= px.length; j += 1 }
+            h
+          case _ => payloadRegion(f.content) match {
           case Some((off, len)) if len > 0 =>
             val h = new Array[Double](8)
             if (isWav(f.content)) {
@@ -175,6 +316,7 @@ object Multimodal {
             Array.tabulate(8) { i =>
               MurmurHash3.bytesHash(f.content, seed = i).toDouble / Int.MaxValue
             }
+          }
         }
         MediaEmbedding(f.path, vec)
       }
@@ -253,6 +395,62 @@ object Multimodal {
               yImg += 1
             }
             Some(ResizedImage(f.path, outW, outH, arr))
+          }
+        }
+      }
+    }
+  }
+
+  /** PNG -> 24-bpp BMP bridge: decode each PNG ([[decodePng]]) and
+    * re-emit it as a spec-valid bottom-up 24-bpp BMP MediaFile (same
+    * path), so the whole existing BMP pipeline — [[resizeBmp]],
+    * [[decodeMeta]], the pixel-histogram embed — composes with PNG
+    * inputs unchanged. Channel mapping: PNG is RGB order, BMP is BGR;
+    * gray replicates to all three; RGBA drops alpha. Non-PNG rows and
+    * undecodable PNGs are dropped (flatMap), mirroring resizeBmp's
+    * drop-don't-crash contract. */
+  def pngAsBmp(ds: Dataset[MediaFile]): Dataset[MediaFile] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
+    ds.mapPartitions { files =>
+      files.flatMap { f =>
+        if (!isPng(f.content)) None
+        else decodePng(f.content).flatMap { img =>
+          val w = img.width
+          val h = img.height
+          val ch = img.channels
+          val strideOutL = ((w.toLong * 3 + 3) / 4) * 4
+          val outBytesL = 54L + strideOutL * h
+          if (outBytesL > Int.MaxValue) None
+          else {
+            val strideOut = strideOutL.toInt
+            val out = java.nio.ByteBuffer.allocate(outBytesL.toInt)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            out.put('B'.toByte).put('M'.toByte).putInt(outBytesL.toInt)
+              .putInt(0).putInt(54)
+            out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+            out.putInt(0).putInt(outBytesL.toInt - 54).putInt(2835)
+              .putInt(2835).putInt(0).putInt(0)
+            val arr = out.array()
+            var y = 0
+            while (y < h) {
+              val rOut = h - 1 - y // PNG rows top-down, BMP bottom-up
+              var x = 0
+              while (x < w) {
+                val src = (y.toLong * w + x).toInt * ch
+                val dst = 54 + rOut * strideOut + x * 3
+                val (r, g, b) =
+                  if (ch == 1) {
+                    val v = img.pixels(src); (v, v, v)
+                  } else (img.pixels(src), img.pixels(src + 1),
+                    img.pixels(src + 2))
+                arr(dst) = b // BGR
+                arr(dst + 1) = g
+                arr(dst + 2) = r
+                x += 1
+              }
+              y += 1
+            }
+            Some(MediaFile(f.path, arr.length.toLong, arr))
           }
         }
       }

@@ -177,4 +177,154 @@ class MultimodalSpec extends AnyFunSuite {
       .map(_.split('/').last) === Set("a.jpg", "c.jpg"))
     assert(best.getDouble(2) === 1.0)
   }
+
+  // ---- PNG: spec-compliant encoder built HERE (forward filtering +
+  // Deflater + CRC32 chunks), decoded by the main-side inverse path —
+  // encoder and decoder share no code, so a round-trip pins both the
+  // chunk walk and every filter's math.
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(12 + data.length)
+    b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII"))
+    crc.update(data)
+    b.putInt(crc.getValue.toInt)
+    b.array()
+  }
+
+  /** Encode `pixels` (row-major, top-down, `ch` bytes/pixel) as a PNG,
+    * FORWARD-filtering row y with filters(y % filters.length), and
+    * splitting the deflated stream into `idatParts` IDAT chunks. */
+  private def pngBytes(w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+      filters: Seq[Int], idatParts: Int = 1): Array[Byte] = {
+    val ch = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    val stride = w * ch
+    val raw = new Array[Byte](h * (stride + 1))
+    def px(y: Int, x: Int): Int =
+      if (y < 0 || x < 0) 0 else pixels(y * stride + x) & 0xFF
+    for (y <- 0 until h) {
+      val ft = filters(y % filters.length)
+      raw(y * (stride + 1)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = px(y, x)
+        val a = px(y, x - ch)
+        val b = px(y - 1, x)
+        val c = px(y - 1, x - ch)
+        val filtered = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val (pa, pb, pc) =
+              (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (stride + 1) + 1 + x) = (filtered & 0xFF).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 128)
+    val zLen = defl.deflate(buf)
+    defl.end()
+    val z = buf.take(zLen)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    out.write(pngChunk("IHDR", ihdr))
+    val per = math.max(1, (z.length + idatParts - 1) / idatParts)
+    z.grouped(per).foreach(part => out.write(pngChunk("IDAT", part)))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  test("PNG decode: filter-0 RGB round-trips pixel-exact") {
+    val pixels = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 17).toByte)
+    val png = pngBytes(3, 2, colorType = 2, pixels, filters = Seq(0))
+    val img = Multimodal.decodePng(png).get
+    assert(img.width === 3 && img.height === 2 && img.channels === 3)
+    assert(img.pixels.toSeq === pixels.toSeq)
+  }
+
+  test("PNG decode: all five filters and split IDAT round-trip exactly") {
+    val rnd = new scala.util.Random(42)
+    val pixels = Array.fill[Byte](16 * 9 * 3)(rnd.nextInt(256).toByte)
+    // Rows cycle None/Sub/Up/Average/Paeth; zlib stream split into 3
+    // IDAT chunks (encoders do this — the decoder must concatenate).
+    val png = pngBytes(16, 9, colorType = 2, pixels,
+      filters = Seq(0, 1, 2, 3, 4), idatParts = 3)
+    val img = Multimodal.decodePng(png).get
+    assert(img.pixels.toSeq === pixels.toSeq)
+  }
+
+  test("PNG decode: gray and RGBA color types; rejects what it can't parse") {
+    val gray = Array.tabulate[Byte](4 * 3)(i => (i * 19).toByte)
+    val g = Multimodal.decodePng(
+      pngBytes(4, 3, colorType = 0, gray, filters = Seq(1, 4))).get
+    assert(g.channels === 1 && g.pixels.toSeq === gray.toSeq)
+    val rgba = Array.tabulate[Byte](2 * 2 * 4)(i => (i * 23).toByte)
+    val r = Multimodal.decodePng(
+      pngBytes(2, 2, colorType = 6, rgba, filters = Seq(4))).get
+    assert(r.channels === 4 && r.pixels.toSeq === rgba.toSeq)
+    // 16-bit depth: refused (None), not mis-decoded.
+    val deep = pngBytes(2, 2, colorType = 2,
+      Array.fill[Byte](12)(1), filters = Seq(0))
+    deep(24) = 16 // depth byte inside IHDR
+    assert(Multimodal.decodePng(deep).isEmpty)
+    // Decompression bomb: header claims 100k x 100k — refused by the
+    // raw-size guard before any allocation.
+    val bomb = pngBytes(2, 2, colorType = 2,
+      Array.fill[Byte](12)(1), filters = Seq(0))
+    val bb = java.nio.ByteBuffer.wrap(bomb)
+    bb.putInt(16, 100000).putInt(20, 100000)
+    assert(Multimodal.decodePng(bomb).isEmpty)
+  }
+
+  private lazy val pngDir: Path = {
+    val p = Files.createTempDirectory("graft_media_png")
+    p.toFile.deleteOnExit()
+    val pixels = Array.tabulate[Byte](5 * 4 * 3)(i => (i * 13).toByte)
+    Files.write(p.resolve("real.png"),
+      pngBytes(5, 4, colorType = 2, pixels, filters = Seq(0, 1, 2, 3, 4)))
+    p
+  }
+
+  test("PNG flows through the pipeline: real meta, decoded-pixel histogram, resize") {
+    val files = Multimodal.media(spark, pngDir + "/*")
+    val meta = Multimodal.decodeMeta(files).collect().head
+    assert(meta.format === "png" && meta.width === 5 && meta.height === 4)
+    assert(meta.channels === 3 && meta.duration_ms === 0L)
+    // Embedding = 8-bin histogram over the DEFILTERED pixels — computed
+    // independently here from the known pixel array.
+    val pixels = Array.tabulate[Byte](5 * 4 * 3)(i => (i * 13).toByte)
+    val expected = new Array[Double](8)
+    pixels.foreach(b => expected((b & 0xFF) >> 5) += 1.0 / pixels.length)
+    val emb = Multimodal.embed(files).collect().head.embedding
+    assert(emb.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      s"histogram mismatch: ${emb.toSeq} vs ${expected.toSeq}")
+    // PNG -> BMP bridge -> existing resize kernel -> re-decodable BMP.
+    val resized = Multimodal
+      .resizeBmp(Multimodal.pngAsBmp(files), outW = 2, outH = 2).collect()
+    assert(resized.length === 1)
+    import spark.implicits._
+    val rMeta = Multimodal.decodeMeta(
+      Seq(Multimodal.MediaFile("r.bmp", resized.head.bmp.length,
+        resized.head.bmp)).toDS()).collect().head
+    assert(rMeta.format === "bmp" && rMeta.width === 2 && rMeta.height === 2)
+    // Pixel spot-check through the whole chain: BMP bottom-up + BGR vs
+    // PNG top-down + RGB. Output (0,0) image-space samples input (0,0):
+    // PNG pixel (r,g,b) = (0, 13, 26); the BMP row is the LAST row in
+    // the file, stored b,g,r.
+    val b = resized.head.bmp
+    val stride = ((2 * 3 + 3) / 4) * 4
+    val lastRow = 54 + stride * 1
+    assert((b(lastRow) & 0xFF) === 26 && (b(lastRow + 1) & 0xFF) === 13 &&
+      (b(lastRow + 2) & 0xFF) === 0)
+  }
 }
