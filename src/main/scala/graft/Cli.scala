@@ -101,6 +101,40 @@ object Cli {
     changed
   }
 
+  /** fm put: ingest a glob of line files into an explicitly-bucketed
+    * text tree (`treeDir/bucket=<b>/`). Lines HASH into `buckets`
+    * partitions — the same co-location contract as the reduce shuffle
+    * (every occurrence of a line lands in ONE bucket), so downstream
+    * per-bucket work (get, reduce, dedup) never needs a second
+    * shuffle. The explicit bucket count is FileMap's bucket knob on
+    * the put path. `append` adds a batch to an existing tree (same
+    * hash ⇒ same buckets, so co-location survives appends); default
+    * overwrites the tree. */
+  def put(spark: SparkSession, glob: String, treeDir: String,
+      buckets: Int = 32, append: Boolean = false): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    sources.Ingest.lines(spark, glob).select("line")
+      .withColumn("bucket", pmod(xxhash64(col("line")), lit(buckets)))
+      // One shuffle task per bucket dir: without this, every shuffle
+      // partition writes a sliver file into every bucket.
+      .repartition(buckets, col("bucket"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("bucket").text(treeDir)
+  }
+
+  /** fm get: read lines back out of a [[put]] tree as (line, bucket).
+    * A non-empty `onlyBuckets` list turns into a PARTITION PRUNE —
+    * only the named `bucket=` directories are listed and scanned
+    * (CliSpec pins this via inputFiles), the tree-scale analogue of
+    * fetching one bucket file. */
+  def get(spark: SparkSession, treeDir: String,
+      onlyBuckets: Seq[Int] = Nil): DataFrame = {
+    val all = spark.read.text(treeDir)
+      .select(col("value").as("line"), col("bucket").cast("int").as("bucket"))
+    if (onlyBuckets.isEmpty) all
+    else all.filter(col("bucket").isin(onlyBuckets: _*))
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println(

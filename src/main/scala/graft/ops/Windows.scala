@@ -135,6 +135,38 @@ object Windows {
           round(percent_rank().over(w), 6).as("prk"),
           round(cume_dist().over(w), 6).as("cdist"))
         .orderBy("user_id", "event_id")
+    },
+
+    // Quartile bucketing + positional picks: ntile REQUIRES the bare
+    // ordered window (ranking functions reject explicit frames), while
+    // first_value/nth_value need the UNBOUNDED frame to read the whole
+    // partition — hence two window specs over the SAME single sort:
+    // one shuffle on c_mktsegment, both spellings. The (acctbal,
+    // custkey) order is total, so quartile edges are deterministic
+    // cross-engine.
+    q("q_win_ntile",
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  round(first_value(c_acctbal) OVER wf, 2) AS seg_min,
+        |  round(nth_value(c_acctbal, 2) OVER wf, 2) AS seg_2nd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal, c_custkey),
+        |  wf AS (PARTITION BY c_mktsegment
+        |         ORDER BY c_acctbal, c_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_custkey""") { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(first_value(col("c_acctbal")).over(wf), 2).as("seg_min"),
+          round(nth_value(col("c_acctbal"), 2).over(wf), 2).as("seg_2nd"))
+        .orderBy("c_mktsegment", "c_custkey")
     }
   )
 }

@@ -136,4 +136,48 @@ class CliSpec extends AnyFunSuite {
       .select(upper(col("value"))).collect().map(_.getString(0)).sorted
     assert(got.toSeq === want.toSeq)
   }
+
+  test("put/get round-trip a bucketed tree; bucket get partition-prunes") {
+    val in = tmp("graft_put_in")
+    val tree = tmp("graft_put_tree")
+    Tables.documents(spark, sf).select("text").limit(60)
+      .coalesce(2).write.mode("overwrite").text(in)
+    Cli.put(spark, in + "/*.txt", tree, buckets = 8)
+    // Round-trip: the multiset of lines survives put + get.
+    val got = Cli.get(spark, tree).select("line")
+      .collect().map(_.getString(0)).sorted
+    val want = spark.read.text(in).collect().map(_.getString(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    // Co-location: every occurrence of a line lives in exactly ONE
+    // bucket (the same contract as the reduce shuffle).
+    val spread = Cli.get(spark, tree)
+      .groupBy("line").agg(countDistinct("bucket").as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(spread === 0L)
+    // Bucket get: only the named bucket=dir's files are scanned
+    // (partition prune, pinned via the scan's numFiles metric).
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get
+    }
+    val filesIn3 = new java.io.File(tree, "bucket=3").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    val one = Cli.get(spark, tree, onlyBuckets = Seq(3))
+    assert(scannedFiles(one) === filesIn3.toLong,
+      "bucket get scanned beyond bucket=3")
+    assert(scannedFiles(Cli.get(spark, tree)) > filesIn3.toLong)
+    assert(one.collect().forall(_.getInt(1) === 3))
+    // Append: a second batch joins the tree without disturbing the
+    // first; identical lines land in their existing buckets.
+    Cli.put(spark, in + "/*.txt", tree, buckets = 8, append = true)
+    val doubled = Cli.get(spark, tree).count()
+    assert(doubled === got.length * 2L)
+    assert(Cli.get(spark, tree)
+      .groupBy("line").agg(countDistinct("bucket").as("nb"))
+      .filter(col("nb") > 1).count() === 0L)
+  }
 }
