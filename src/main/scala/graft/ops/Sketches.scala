@@ -39,6 +39,17 @@ object Sketches {
       col("vec_id"), col("embedding"),
       graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
 
+  /** The vector STORE of a named ANN index instance: the corpus
+    * embeddings plus every batch [[upsertIntoAnnIndex]] admitted.
+    * Name "" is the shared immutable registry instance and reads the
+    * corpus parquet directly (no extra materialization); any other
+    * name is an independent, appendable store seeded from the corpus —
+    * the searches' exact-rerank stage reads it, so upserted vectors
+    * are first-class search TARGETS, not just assignment rows. */
+  private def embStore(s: SparkSession, d: String, name: String): DataFrame =
+    if (name.isEmpty) embBase(s, d)
+    else graft.StageCache.memoized(s, d, s"embstore@$name")(embBase(s, d))
+
   /** The fixture ANN query set: every 97th vector, as the (qid, qv)
     * frame the operator APIs contract on. Registry queries and goldens
     * are pinned on this instantiation; SketchesSpec additionally runs
@@ -224,9 +235,16 @@ object Sketches {
     * stage-cached: the N x C broadcast assignment is per-corpus work,
     * not per-query work (at 100 TB the cell id is a column of the
     * index table, maintained on ingest). */
-  def ivfAssignments(s: SparkSession, d: String): DataFrame =
-    graft.StageCache.memoized(s, d, "ivfassign")(
-      assign1(embBase(s, d), ivfCodebook(s, d)).select("vec_id", "cell"))
+  def ivfAssignments(s: SparkSession, d: String, name: String = ""): DataFrame =
+    // The build closure reads the CORPUS (embBase), not the named
+    // store: upserts append to store + assignments + codes in
+    // lockstep, so a first-touch build must cover exactly the corpus —
+    // seeding it from an already-appended store would double-count the
+    // batch.
+    graft.StageCache.memoized(s, d,
+      if (name.isEmpty) "ivfassign" else s"ivfassign@$name")(
+      assign1(embBase(s, d), ivfCodebook(s, d))
+        .select("vec_id", "cell"))
 
   /** MULTI-PROBE IVF search for an arbitrary query frame `(qid, qv)`:
     * each query ranks the C centroids (broadcast product), scans its
@@ -249,7 +267,7 @@ object Sketches {
     * expresses a fraction of cells that actually exist (ceil(0.7 * C)
     * scans ~70% of real cells regardless of how many emptied). */
   def ivfSearch(s: SparkSession, d: String, queries: DataFrame,
-      nprobe: Int => Int, k: Int = 3): DataFrame = {
+      nprobe: Int => Int, k: Int = 3, name: String = ""): DataFrame = {
     val cents = ivfCodebook(s, d)
     val np = math.max(1, nprobe(cents.count().toInt))
     val qs = queries.select(col("qid").as("vec_id"), col("qv").as("embedding"),
@@ -261,7 +279,8 @@ object Sketches {
       .filter(col("crn") <= np)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("norm").as("qn"), col("cid").as("qcell"))
-    val indexed = ivfAssignments(s, d).join(embBase(s, d), "vec_id")
+    val indexed = ivfAssignments(s, d, name).join(embStore(s, d, name),
+      "vec_id")
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     probes.join(indexed, col("qcell") === col("cell")
@@ -367,9 +386,58 @@ object Sketches {
   /** The compressed corpus (vec_id, m, cid) — 8 ints per vector,
     * stage-cached: at 100 TB this IS the ANN index's scan payload
     * (5 bytes a vector instead of 256), maintained on ingest. */
-  def pqCodes(s: SparkSession, d: String): DataFrame =
-    graft.StageCache.memoized(s, d, "pqcodes")(
+  def pqCodes(s: SparkSession, d: String, name: String = ""): DataFrame =
+    // Corpus-seeded build closure for the same lockstep reason as
+    // [[ivfAssignments]].
+    graft.StageCache.memoized(s, d,
+      if (name.isEmpty) "pqcodes" else s"pqcodes@$name")(
       pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d)))
+
+  /** Close the ANN maintained-index loop (the embedding-side analogue
+    * of [[upsertIntoBandIndex]]): admit a batch of NEW vectors
+    * (vec_id, embedding) into a NAMED index instance by appending its
+    * rows to all three per-vector artifacts — the vector store, the
+    * IVF cell assignments, and the PQ codes. The codebooks are the
+    * SHARED corpus-trained ones and stay FROZEN — standard IVF/PQ
+    * maintenance: assignment and encoding are pure per-vector
+    * functions of the frozen codebooks, so the appended rows are
+    * bit-identical to a from-scratch rebuild over the grown corpus
+    * (pinned in SketchesSpec), and centroid retraining remains a
+    * deliberate offline rebuild, never an ingest side effect. O(batch)
+    * work: one centroid broadcast and one codebook broadcast over the
+    * batch only. At 100 TB this is the daily embedding ingest: append
+    * to the cell-clustered index partitions, searches see the new
+    * vectors immediately. */
+  def upsertIntoAnnIndex(s: SparkSession, d: String, batch: DataFrame,
+      name: String): Unit = {
+    require(name.nonEmpty,
+      "the shared registry index is immutable; upsert into a named instance")
+    val b = batch.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+    graft.StageCache.appendTo(s, d, s"embstore@$name")(embBase(s, d))(b)
+    graft.StageCache.appendTo(s, d, s"ivfassign@$name")(
+      assign1(embBase(s, d), ivfCodebook(s, d)).select("vec_id", "cell"))(
+      assign1(b, ivfCodebook(s, d)).select("vec_id", "cell"))
+    graft.StageCache.appendTo(s, d, s"pqcodes@$name")(
+      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d)))(
+      pqAssign(pqSubvectors(b), pqCodebook(s, d)))
+  }
+
+  /** Frozen-codebook IVF assignment / PQ encoding of an arbitrary
+    * (vec_id, embedding) frame — test-visible so the upsert ≡ rebuild
+    * equality can recompute the artifacts from scratch over a grown
+    * corpus (the same role [[bandsOf]] plays for the MinHash index). */
+  private[graft] def assignOf(s: SparkSession, d: String,
+      vecs: DataFrame): DataFrame =
+    assign1(vecs.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm")),
+      ivfCodebook(s, d)).select("vec_id", "cell")
+
+  private[graft] def codesOf(s: SparkSession, d: String,
+      vecs: DataFrame): DataFrame =
+    pqAssign(pqSubvectors(vecs.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))),
+      pqCodebook(s, d))
 
   /** Flat-PQ ANN for an arbitrary query frame `(qid, qv)`: the query
     * builds its per-subspace distance table (Q×M×K dots against the
@@ -387,8 +455,8 @@ object Sketches {
     * (the fixture call site uses a ~17% pool — isotropic fixture
     * caveat, see [[ivfSearch]]). */
   def pqSearch(s: SparkSession, d: String, queries: DataFrame,
-      rerank: Long => Int, k: Int = 3): DataFrame = {
-    val pool0 = math.max(k, rerank(embBase(s, d).count()))
+      rerank: Long => Int, k: Int = 3, name: String = ""): DataFrame = {
+    val pool0 = math.max(k, rerank(embStore(s, d, name).count()))
     val qn = queries.select(col("qid"), col("qv"),
       graft.functions.VectorFunctions.l2norm(col("qv")).as("norm"))
     val dtable = pqSubvectors(qn.select(col("qid").as("vec_id"),
@@ -396,7 +464,7 @@ object Sketches {
       .join(broadcast(pqCodebook(s, d)), "m")
       .select(col("vec_id").as("qid"), col("m"), col("cid"),
         graft.functions.VectorFunctions.dot(col("sv"), col("cv")).as("pdot"))
-    val approx = pqCodes(s, d)
+    val approx = pqCodes(s, d, name)
       .join(broadcast(dtable), Seq("m", "cid"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
@@ -409,7 +477,7 @@ object Sketches {
       .select("qid", "vec_id")
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    pool.join(embBase(s, d), "vec_id")
+    pool.join(embStore(s, d, name), "vec_id")
       .join(qn.select(col("qid"), col("qv"), col("norm").as("qn")), "qid")
       .withColumn("cos", round(cosCol("qv", "embedding",
         col("qn"), col("norm")), 6))
@@ -440,10 +508,11 @@ object Sketches {
     * [[ivfSearch]]) — clustered real corpora run nprobe 2–8 with
     * single-digit-percent pools. */
   def ivfpqSearch(s: SparkSession, d: String, queries: DataFrame,
-      nprobe: Int => Int, rerank: Long => Int, k: Int = 3): DataFrame = {
+      nprobe: Int => Int, rerank: Long => Int, k: Int = 3,
+      name: String = ""): DataFrame = {
     val cents = ivfCodebook(s, d)
     val np = math.max(1, nprobe(cents.count().toInt))
-    val pool0 = math.max(k, rerank(embBase(s, d).count()))
+    val pool0 = math.max(k, rerank(embStore(s, d, name).count()))
     val qn = queries.select(col("qid"), col("qv"),
       graft.functions.VectorFunctions.l2norm(col("qv")).as("norm"))
     val wq0 = org.apache.spark.sql.expressions.Window
@@ -453,7 +522,7 @@ object Sketches {
       .withColumn("crn", row_number().over(wq0))
       .filter(col("crn") <= np)
       .select(col("vec_id").as("qid"), col("cid").as("qcell"))
-    val cand = probes.join(ivfAssignments(s, d),
+    val cand = probes.join(ivfAssignments(s, d, name),
         col("qcell") === col("cell") && col("qid") =!= col("vec_id"))
       .select("qid", "vec_id")
     val dtable = pqSubvectors(qn.select(col("qid").as("vec_id"),
@@ -462,7 +531,7 @@ object Sketches {
       .select(col("vec_id").as("qid"), col("m"), col("cid"),
         graft.functions.VectorFunctions.dot(col("sv"), col("cv")).as("pdot"))
     val approx = cand
-      .join(pqCodes(s, d), "vec_id")
+      .join(pqCodes(s, d, name), "vec_id")
       .join(broadcast(dtable), Seq("qid", "m", "cid"))
       .groupBy("qid", "vec_id")
       .agg(round(sum("pdot"), 9).as("adc"))
@@ -474,7 +543,7 @@ object Sketches {
       .select("qid", "vec_id")
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    pool.join(embBase(s, d), "vec_id")
+    pool.join(embStore(s, d, name), "vec_id")
       .join(qn.select(col("qid"), col("qv"), col("norm").as("qn")), "qid")
       .withColumn("cos", round(cosCol("qv", "embedding",
         col("qn"), col("norm")), 6))

@@ -482,4 +482,52 @@ class SketchesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ANN index upsert: artifacts == frozen-codebook rebuild; new vectors searchable, both tiers") {
+    // The embedding-side maintained-index loop: a batch of new vectors
+    // is admitted into a NAMED index instance (store + IVF assignments
+    // + PQ codes appended in lockstep; codebooks frozen). Assignment
+    // and encoding are pure per-vector functions of the frozen
+    // codebooks, so the upserted artifacts must equal a from-scratch
+    // rebuild over the grown corpus EXACTLY — and a search must
+    // surface the new vectors as first-class targets.
+    tiers.foreach { dir =>
+      val name = s"annups${dir.replaceAll("[^0-9]", "")}"
+      val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      // Ingest: every 83rd vector re-submitted VERBATIM under a fresh
+      // id — a known-duplicate embedding batch.
+      val batch = base.filter(col("vec_id") % 83 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      ops.Sketches.upsertIntoAnnIndex(spark, dir, batch, name)
+      val grown = base.unionByName(batch)
+      val gotAssign = ops.Sketches.ivfAssignments(spark, dir, name)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantAssign = ops.Sketches.assignOf(spark, dir, grown)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotAssign === wantAssign,
+        s"upserted IVF assignments != rebuild at $dir")
+      val gotCodes = ops.Sketches.pqCodes(spark, dir, name)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val wantCodes = ops.Sketches.codesOf(spark, dir, grown)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(gotCodes === wantCodes, s"upserted PQ codes != rebuild at $dir")
+      // Search the named instance FOR the batch's source vectors: each
+      // source's verbatim copy is an exact cos-1.0 top hit — impossible
+      // unless the upserted vectors entered every search stage (cell
+      // probe, code scan, exact rerank from the store).
+      val queries = base.filter(col("vec_id") % 83 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val top = ops.Sketches.ivfpqSearch(spark, dir, queries,
+          nprobe = c => math.ceil(0.8 * c).toInt.max(2),
+          rerank = n => math.max(32, (n / 3).toInt), k = 1, name = name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(top.nonEmpty, s"empty ANN result at $dir")
+      top.foreach { case (qid, nid, cos) =>
+        assert(nid === qid + 1000000L && cos === 1.0,
+          s"query $qid: expected its upserted copy at cos 1.0, got ($nid, $cos) at $dir")
+      }
+      assert(top.length.toLong === queries.count(),
+        s"some batch sources returned no hit at $dir")
+    }
+  }
 }
