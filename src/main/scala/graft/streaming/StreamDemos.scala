@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types._
@@ -139,6 +139,57 @@ object StreamDemos {
       .withColumn("text_md5", md5(col("text")))
       .dropDuplicates("text_md5")
       .select("doc_id", "lang", "quality", "text_md5")
+
+  /** (doc_id, text) batch-file schema for the ingest stream. */
+  val docBatchSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Streaming ingest against the MAINTAINED near-dup index
+    * (CAP-STREAM-INGEST): each micro-batch of (doc_id, text) documents
+    * runs the SAME [[graft.ops.Sketches.ingestBatch]] verb the batch
+    * path uses — dedup against the named band index, then upsert the
+    * admissions so the NEXT micro-batch sees them — via foreachBatch,
+    * the idiom for side effects on a maintained TABLE. The index is
+    * deliberately NOT per-query streaming state: it is the same
+    * artifact every surface (batch, CLI, incremental) shares, so a
+    * document admitted by the stream is instantly visible to a batch
+    * dedup and vice versa, and index state never dies with a query.
+    *
+    * One call = one Trigger.AvailableNow pass: NEW batch files in
+    * `inDir` (exactly-once via `checkpointDir` — the P6 memo on the
+    * streaming surface: a re-run with nothing new processes nothing)
+    * stream through one-file-per-micro-batch in arrival order; each
+    * batch's verdicts append to `outDir` tagged with its file name.
+    * Verdict determinism: ingestBatch computes verdicts against the
+    * index AS OF batch start (snapshotted file listing), so a batch
+    * never sees its own rows. */
+  def ingestDocBatches(spark: SparkSession, corpusDir: String,
+      inDir: String, checkpointDir: String, outDir: String,
+      indexName: String): Unit = {
+    val src = spark.readStream.schema(docBatchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .select(col("doc_id"), col("text"),
+        input_file_name().as("batch_file"))
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // localCheckpoint: the batch frame is referenced by the dedup
+        // probe, the admission join, AND the verdict write — and a
+        // micro-batch source cannot be re-scanned after the trigger.
+        val b = batch.localCheckpoint(true)
+        val docs = b.select("doc_id", "text")
+        val verdicts = graft.ops.Sketches.ingestBatch(
+          spark, corpusDir, docs, indexName)
+        verdicts.join(b.select(col("doc_id"), col("batch_file")), "doc_id")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 
   /** Bounded-state streaming dedup (CAP-STREAM-DEDUP-WM): exactly-once
     * row identity on an at-least-once transport. Plain dropDuplicates

@@ -246,4 +246,49 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === batch)
   }
+
+  test("CAP-STREAM-INGEST: streamed micro-batches == sequential ingestBatch; re-run is a no-op") {
+    import graft.ops.Sketches
+    val inDir = tmpDir("graft_ingest_in").toString
+    val ck = tmpDir("graft_ingest_ck").toString
+    val out = tmpDir("graft_ingest_out").toString + "/verdicts"
+    // Day 1: the fixture ingest batch; day 2: verbatim copies of day 1
+    // under fresh ids — catchable ONLY via day-1 admissions in the
+    // maintained index.
+    val b1 = Sketches.defaultBatch(spark, sf)
+    val b2 = b1.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    def verdictSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "dup_of", "n_dups", "is_dup").collect().map { r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+          r.getLong(2), r.getBoolean(3))
+      }.toSet
+    // Stream: one availableNow pass per arriving file (arrival order
+    // pinned by running the pass between writes).
+    b1.coalesce(1).write.mode("append").parquet(inDir)
+    StreamDemos.ingestDocBatches(spark, sf, inDir, ck, out, "strming")
+    b2.coalesce(1).write.mode("append").parquet(inDir)
+    StreamDemos.ingestDocBatches(spark, sf, inDir, ck, out, "strming")
+    val streamed = spark.read.parquet(out)
+    // Sequential reference: the same two batches through the batch verb
+    // on a FRESH index instance.
+    val ref1 = verdictSet(Sketches.ingestBatch(spark, sf, b1, "strmref"))
+    val ref2 = verdictSet(Sketches.ingestBatch(spark, sf, b2, "strmref"))
+    assert(verdictSet(streamed) === (ref1 ++ ref2),
+      "streamed verdicts diverge from the sequential batch verb")
+    // Day-2 visibility THROUGH THE STREAM: every day-2 copy of a day-1
+    // admission is flagged against its day-1 id.
+    val day1Admitted = ref1.collect { case (id, _, _, false) => id }
+    assert(day1Admitted.nonEmpty)
+    val day2 = verdictSet(streamed).filter(_._1 >= 2000000L)
+      .map(v => (v._1, v._2)).toMap
+    day1Admitted.foreach { id =>
+      assert(day2.get(id + 1000000L).contains(id),
+        s"day-2 copy of admitted $id not flagged via the maintained index")
+    }
+    // P6 on the streaming surface: nothing new in inDir => the pass
+    // processes nothing and appends nothing.
+    val n = streamed.count()
+    StreamDemos.ingestDocBatches(spark, sf, inDir, ck, out, "strming")
+    assert(spark.read.parquet(out).count() === n)
+  }
 }
