@@ -167,6 +167,30 @@ object Windows {
           round(first_value(col("c_acctbal")).over(wf), 2).as("seg_min"),
           round(nth_value(col("c_acctbal"), 2).over(wf), 2).as("seg_2nd"))
         .orderBy("c_mktsegment", "c_custkey")
+    },
+
+    // Rolling MEDIAN — a robust-statistics moving aggregate the
+    // avg/sum frames can't fake: exact interpolating percentile over
+    // an 11-row trailing frame (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, the same pairing q_agg_pctl pins per-group).
+    // Same single per-user sort as every other frame query; the frame
+    // bound caps per-row state at 11 values regardless of history
+    // length. (ts, event_id) is a total order (event_id unique), so
+    // frame contents are deterministic cross-engine.
+    q("q_win_median",
+      """SELECT user_id, event_id,
+        |  round(quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS med11
+        |FROM events
+        |ORDER BY user_id, event_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-10, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(expr("percentile(value, 0.5)").over(w), 6).as("med11"))
+        .orderBy("user_id", "event_id")
     }
   )
 }
