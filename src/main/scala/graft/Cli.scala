@@ -135,10 +135,14 @@ object Cli {
     else all.filter(col("bucket").isin(onlyBuckets: _*))
   }
 
+  private val Usage =
+    """usage: graft.Cli <input-glob> <out-dir> <map-cmd> [<reduce-cmd> [buckets]]
+      |       graft.Cli put <input-glob> <tree-dir> [buckets]
+      |       graft.Cli get <tree-dir> <out-dir> [bucket ...]""".stripMargin
+
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
-      System.err.println(
-        "usage: graft.Cli <input-glob> <out-dir> <map-cmd> [<reduce-cmd> [buckets]]")
+      System.err.println(Usage)
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -150,9 +154,18 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, args(0), args(1), args(2),
-      if (args.length > 3) Some(args(3)) else None,
-      if (args.length > 4) args(4).toInt else 32)
+    args(0) match {
+      case "put" =>
+        put(spark, args(1), args(2),
+          if (args.length > 3) args(3).toInt else 32)
+      case "get" =>
+        get(spark, args(1), args.drop(3).map(_.toInt).toSeq)
+          .select("line").write.mode("overwrite").text(args(2))
+      case _ =>
+        run(spark, args(0), args(1), args(2),
+          if (args.length > 3) Some(args(3)) else None,
+          if (args.length > 4) args(4).toInt else 32)
+    }
     spark.stop()
   }
 }
