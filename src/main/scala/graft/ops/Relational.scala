@@ -85,14 +85,19 @@ object Relational {
 
     // Projection + predicate reach the parquet scan (PushedFilters /
     // ReadSchema) — asserted in PlanShapeSpec.
+    // ORDER BY covers every output column (§2.13): the synthetic
+    // lineitem holds duplicate (orderkey, linenumber) pairs whose OTHER
+    // columns differ, so a key-only sort leaves the tie order
+    // engine-dependent — it hash-matched only while both engines
+    // happened to preserve scan order through the sort.
     q("q_scan_prune",
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""") { (s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
     },
 
     // ---- §2.2 filter / project -----------------------------------------
@@ -148,6 +153,8 @@ object Relational {
         .orderBy("c_custkey")
     },
 
+    // Output-covering ORDER BY — same duplicate-pair rationale as
+    // q_scan_prune.
     q("q_project_expr",
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice * (1 - l_discount), 4) AS net_price,
@@ -155,7 +162,8 @@ object Relational {
         |  concat(l_returnflag, '/', l_linestatus) AS flag_status
         |FROM lineitem
         |WHERE l_orderkey < 500
-        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, net_price, double_qty,
+        |  flag_status""") { (s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") < 500)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -164,7 +172,8 @@ object Relational {
           (col("l_quantity") * 2).as("double_qty"),
           concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
             .as("flag_status"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "net_price", "double_qty",
+          "flag_status")
     },
 
     // ---- §2.4 aggregation -----------------------------------------------
@@ -503,7 +512,7 @@ object Relational {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_discount' AS metric,
         |    round(l_discount, 6) AS val FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, metric""") { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, metric, val""") { (s, d) =>
       Tables.lineitem(s, d)
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
@@ -511,7 +520,7 @@ object Relational {
           "metric", "val")
         .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
           round(col("val"), 6).as("val"))
-        .orderBy("l_orderkey", "l_linenumber", "metric")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")
     }
   )
 }

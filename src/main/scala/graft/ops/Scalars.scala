@@ -108,7 +108,11 @@ object Scalars {
         |  CAST(sign(l_discount - 0.05) AS INT) AS sign_disc
         |FROM lineitem
         |WHERE l_orderkey < 300
-        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, ceil_price, abs_disc,
+        |  exp_disc, sqrt_qty, ln_price""") { (s, d) =>
+      // Output-covering ORDER BY: the synthetic lineitem holds
+      // duplicate (orderkey, linenumber) pairs with differing values
+      // (see q_scan_prune), so the key-only sort was not total.
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") < 300)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -121,7 +125,8 @@ object Scalars {
           round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
           (col("l_orderkey") % 7).as("key_mod"),
           signum(col("l_discount") - 0.05).cast("int").as("sign_disc"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "ceil_price", "abs_disc",
+          "exp_disc", "sqrt_qty", "ln_price")
     },
 
     q("q_cond_expr",
