@@ -129,6 +129,32 @@ object Scalars {
           "exp_disc", "sqrt_qty", "ln_price")
     },
 
+    // Bitwise function family — the workhorses of hash/bucket/bitmask
+    // pipelines (band hashing, bloom indexing, flag packing). Spelled
+    // with operators where the engines agree (& | << >>) and functions
+    // where they differ (Spark `^` is xor, DuckDB `^` is POWER — the
+    // DuckDB text uses xor()). Narrow map over a pruned scan.
+    q("q_bit_funcs",
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS k_and,
+        |  o_orderkey | 4096 AS k_or,
+        |  xor(o_orderkey, o_custkey) AS k_xor,
+        |  o_orderkey << 2 AS k_shl,
+        |  o_orderkey >> 3 AS k_shr,
+        |  CAST(bit_count(o_orderkey) AS INT) AS k_pop
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          expr("o_orderkey & 255").as("k_and"),
+          expr("o_orderkey | 4096").as("k_or"),
+          expr("o_orderkey ^ o_custkey").as("k_xor"),
+          shiftleft(col("o_orderkey"), 2).as("k_shl"),
+          shiftright(col("o_orderkey"), 3).as("k_shr"),
+          bit_count(col("o_orderkey")).cast("int").as("k_pop"))
+        .orderBy("o_orderkey")
+    },
+
     q("q_cond_expr",
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 200000 THEN 'high'

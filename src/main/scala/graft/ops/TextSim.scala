@@ -736,6 +736,49 @@ object TextSim {
         .orderBy("doc_id")
     },
 
+    // Bigram-LM quality scoring — the sequel to q_text_unigram_nll:
+    // mean -log2 P(w2 | w1) under the corpus MLE (count(w1 w2) /
+    // count(w1-as-predecessor)). Catches what unigram NLL can't —
+    // shuffled or machine-garbled text keeps its unigram profile but
+    // its bigrams crater. Bigrams come from a per-doc lead() window
+    // (state bounded by doc length); both count joins key on the
+    // bigram/word — shuffle joins BY DESIGN, a real vocabulary
+    // outgrows broadcast. The oracle derives the identical pairs by
+    // slicing the word array.
+    q("q_text_bigram_nll",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |p0 AS (SELECT doc_id,
+        |        unnest([array_to_string(ws[i:i+1], ' ')
+        |          for i in range(1, greatest(len(ws) - 1, 0) + 1)]) AS bg
+        |      FROM w),
+        |p AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM p0),
+        |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS n12
+        |        FROM p GROUP BY bg),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1
+        |       FROM p GROUP BY w1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(-log2(CAST(n12 AS DOUBLE) / n1)), 6) AS avg_nll
+        |FROM p JOIN c12 USING (bg) JOIN c1 USING (w1)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""") { (s, d) =>
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(words).as(Seq("pos", "w1")))
+        .withColumn("w2", lead("w1", 1).over(wd))
+        .filter(col("w2").isNotNull)
+        .withColumn("bg", concat_ws(" ", col("w1"), col("w2")))
+      val c12 = p.groupBy("bg").agg(count(lit(1)).as("n12"))
+      val c1 = p.groupBy("w1").agg(count(lit(1)).as("n1"))
+      p.join(c12, "bg").join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log2(col("n12").cast("double") / col("n1"))), 6)
+            .as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination — the training-pipeline step that
     // removes eval-set leakage: source 'src0' plays the held-out
     // benchmark; a training doc is contaminated when it shares >= 3
