@@ -762,13 +762,22 @@ object TextSim {
         |FROM p JOIN c12 USING (bg) JOIN c1 USING (w1)
         |GROUP BY doc_id
         |ORDER BY doc_id""") { (s, d) =>
-      val wd = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
+      // Bigrams as a NARROW per-row array transform — the row already
+      // holds its whole token sequence, so adjacency needs no window
+      // and no per-doc sort shuffle (a lead() spelling cost a full
+      // sort of the token table; this is a pure map). The frame is
+      // referenced three times (both count builds + the scoring join)
+      // and Spark shares no cross-subtree plans — the checkpoint keeps
+      // the tokenize from running 3x (the PageRank edge-list lesson).
       val p = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(words).as(Seq("pos", "w1")))
-        .withColumn("w2", lead("w1", 1).over(wd))
-        .filter(col("w2").isNotNull)
-        .withColumn("bg", concat_ws(" ", col("w1"), col("w2")))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          """filter(transform(ws, (w, i) -> struct(
+            |    w AS w1, concat(w, ' ', try_element_at(ws, i + 2)) AS bg,
+            |    i AS idx)),
+            |  t -> t.idx < size(ws) - 1)""".stripMargin)).as("t"))
+        .select(col("doc_id"), col("t.w1").as("w1"), col("t.bg").as("bg"))
+        .localCheckpoint(true)
       val c12 = p.groupBy("bg").agg(count(lit(1)).as("n12"))
       val c1 = p.groupBy("w1").agg(count(lit(1)).as("n1"))
       p.join(c12, "bg").join(c1, "w1")
