@@ -352,6 +352,26 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Boolean aggregates — predicate rollups (every/any per group):
+    // the data-quality assertion shape ("did EVERY row in this
+    // partition pass the check; did ANY trip the alarm"), map-side
+    // combinable like any other aggregate.
+    q("q_agg_bool",
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
     q("q_agg_pctl",
       """SELECT l_linestatus,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
