@@ -38,4 +38,12 @@ object VectorFunctions {
     * code-point order — see graftnative.CharSetString; the char-set
     * Jaccard dedup key). */
   def charSet(text: Column): Column = VectorNative.charSet(text)
+
+  /** Aggregate: per-group top-k (score, id) pairs as a rank-ordered
+    * array<struct<score, id>> (score DESC, ties id ASC) with O(k)
+    * buffer state at every stage — the bounded, map-side-combinable
+    * alternative to the row_number window top-k (see
+    * graftnative.TopKByScore). */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graftnative.TopKByScore.topKByScore(score, id, k)
 }

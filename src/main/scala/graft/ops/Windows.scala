@@ -169,6 +169,32 @@ object Windows {
         .orderBy("c_mktsegment", "c_custkey")
     },
 
+    // Per-group top-k WITHOUT the window sort: the bounded-heap
+    // native aggregate (graftnative.TopKByScore) carries at most k
+    // entries per group at every stage — partial buffers, shuffle
+    // payload, merge — where the row_number spelling (q_win_topk_grp,
+    // same oracle text) sorts each group's FULL partition first. At
+    // 100 TB a hot key pays O(k) here vs a single-reducer sort there.
+    // Identical output: rank order (value DESC, event_id) is spelled
+    // identically in the heap's comparator and the oracle's window.
+    q("q_topk_grp_agg",
+      """SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3
+        |ORDER BY user_id, rn""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(graft.functions.VectorFunctions.topKByScore(
+          col("value"), col("event_id"), 3).as("top"))
+        .select(col("user_id"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("user_id"), col("t.id").as("event_id"),
+          col("t.score").as("value"), (col("i") + 1).cast("int").as("rn"))
+        .orderBy("user_id", "rn")
+    },
+
     // Rolling MEDIAN — a robust-statistics moving aggregate the
     // avg/sum frames can't fake: exact interpolating percentile over
     // an 11-row trailing frame (Spark `percentile` ≡ DuckDB

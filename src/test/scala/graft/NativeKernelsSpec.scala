@@ -301,4 +301,71 @@ class NativeKernelsSpec extends AnyFunSuite {
       .head().getSeq[Any](0)
     assert(withNull === Seq(3L, null))
   }
+
+  test("TopKByScore: heap == sort-take-k reference on seeded random streams") {
+    import org.apache.spark.sql.graftnative.TopKByScore
+    val rnd = new scala.util.Random(4242)
+    (1 to 20).foreach { trial =>
+      val k = 1 + rnd.nextInt(6)
+      val n = rnd.nextInt(40)
+      // Duplicate scores on purpose: ties must break by smaller id.
+      val entries = Seq.fill(n)((rnd.nextInt(8).toDouble, rnd.nextLong()))
+      val b = new TopKByScore.Buffer(k)
+      entries.foreach { case (s, i) => b.add(s, i) }
+      val (gs, gi) = b.ranked
+      val want = entries.distinct
+        .sortBy { case (s, i) => (-s, i) }
+      // The buffer keeps duplicates (same (s,i) twice counts twice) —
+      // compare against the NON-distinct reference.
+      val wantAll = entries.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(gs.zip(gi).toSeq === wantAll,
+        s"trial $trial (k=$k, n=$n): ${gs.zip(gi).toSeq} != $wantAll")
+      assert(want.nonEmpty || n == 0)
+    }
+  }
+
+  test("TopKByScore: merge is order-invariant; k beyond group size keeps all") {
+    import org.apache.spark.sql.graftnative.TopKByScore
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(30)((rnd.nextInt(5).toDouble, rnd.nextLong()))
+    val (l, r) = xs.splitAt(11)
+    def fill(es: Seq[(Double, Long)], k: Int) = {
+      val b = new TopKByScore.Buffer(k)
+      es.foreach { case (s, i) => b.add(s, i) }
+      b
+    }
+    val ab = fill(l, 4); ab.absorb(fill(r, 4))
+    val ba = fill(r, 4); ba.absorb(fill(l, 4))
+    val whole = fill(xs, 4)
+    assert(ab.ranked._1.toSeq === ba.ranked._1.toSeq)
+    assert(ab.ranked._2.toSeq === ba.ranked._2.toSeq)
+    assert(ab.ranked._2.toSeq === whole.ranked._2.toSeq)
+    // k larger than the stream: everything survives, rank-ordered.
+    val big = fill(xs.take(3), 10)
+    assert(big.ranked._2.length === 3)
+  }
+
+  test("TopKByScore: DataFrame aggregate == row_number window, many partitions") {
+    import spark.implicits._
+    // 7 partitions force the partial-buffer serialize/merge path.
+    val rnd = new scala.util.Random(99)
+    val rows = Seq.tabulate(500)(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(9).toDouble, i.toLong))
+    val df = spark.createDataset(rows).toDF("g", "score", "id")
+      .repartition(7)
+    val got = df.groupBy("g")
+      .agg(graft.functions.VectorFunctions.topKByScore(
+        col("score"), col("id"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("g"), col("t.id"), (col("i") + 1).cast("long").as("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("g"), col("id"), col("rn").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
