@@ -55,6 +55,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nAggs >= 2, s"expected partial+final HashAggregate, got $nAggs:\n$p")
   }
 
+  test("q_topk_grp_agg aggregates with the bounded heap — no per-group window sort") {
+    val p = plan("q_topk_grp_agg")
+    // The whole point of the kernel: the group's rows are never
+    // window-sorted; the heap aggregate runs partial (map side) then
+    // final, like any other aggregate.
+    assert(!p.contains("Window"), s"unexpected window operator:\n$p")
+    assert(p.contains("graft_topk_by_score"), s"kernel not in plan:\n$p")
+    val nAggs = "Aggregate\\(".r.findAllIn(p).length +
+      "ObjectHashAggregate".r.findAllIn(p).length +
+      "SortAggregate".r.findAllIn(p).length
+    assert(nAggs >= 2, s"expected partial+final aggregate, got $nAggs:\n$p")
+  }
+
   test("q_sim_cosine_knn uses the native dot-product expression") {
     val p = plan("q_sim_cosine_knn")
     assert(p.contains("graft_dot"), s"native kernel missing from plan:\n$p")
