@@ -789,6 +789,61 @@ object Sketches {
       .agg(count_min_sketch(col("word"),
         lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("cms"))
 
+  // ---- Maintained sketch tables (upsertable, name-scoped) ----------------
+
+  /** Combined per-lang sketch row (lang, hll, cms) of ANY (lang, text)
+    * frame — the unit every maintained sketch table appends: HLL over
+    * hashed doc text (how many distinct), CMS over word tokens (how
+    * often each word). Pure function of the batch, like every other
+    * upsert unit. Test-visible for the upsert ≡ rebuild equality. */
+  private[graft] def sketchRowsOf(docs: DataFrame): DataFrame = {
+    val h = docs.groupBy("lang")
+      .agg(hll_sketch_agg(xxhash64(col("text")), 12).as("hll"))
+    val c = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang")
+      .agg(count_min_sketch(col("word"),
+        lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("cms"))
+    h.join(c, "lang")
+  }
+
+  /** The maintained per-lang sketch table of a named instance — the
+    * THIRD maintained-index family (bands, ANN, sketches): an
+    * appendable stage of (lang, hll, cms) rows, corpus-seeded, grown
+    * one batch-sketch row-set at a time by [[upsertIntoSketchTable]].
+    * Readers never rescan history: [[sketchTableRollup]] answers any
+    * slice from the few-KB rows alone. */
+  def sketchTable(s: SparkSession, d: String, name: String = ""): DataFrame =
+    if (name.isEmpty) sketchRowsOf(Tables.documents(s, d))
+    else graft.StageCache.memoized(s, d, s"sketchtab@$name")(
+      sketchRowsOf(Tables.documents(s, d)))
+
+  /** Append an ingest batch's OWN sketch rows to the named table —
+    * O(batch) work, documents never rescanned. Replay semantics
+    * differ by sketch and are the POINT of the pairing: HLL is
+    * set-semantic (re-ingesting absorbed docs never double-counts
+    * distincts), CMS is multiset-semantic (a replayed batch counts
+    * again — dedupe upstream via [[ingestBatch]] when that is not
+    * wanted). Pinned in SketchTableSpec. */
+  def upsertIntoSketchTable(s: SparkSession, d: String, batch: DataFrame,
+      name: String): Unit = {
+    require(name.nonEmpty,
+      "the shared sketch table is immutable; upsert into a named instance")
+    graft.StageCache.appendTo(s, d, s"sketchtab@$name")(
+      sketchRowsOf(Tables.documents(s, d)))(
+      sketchRowsOf(batch.select("lang", "text")))
+  }
+
+  /** Roll the named table up to ONE row per lang: hll_union_agg for
+    * distincts, exact counter addition ([[graftnative.CmsMergeAgg]])
+    * for frequencies — the read path of the maintained table. */
+  def sketchTableRollup(s: SparkSession, d: String, name: String = ""): DataFrame =
+    sketchTable(s, d, name)
+      .groupBy("lang")
+      .agg(hll_union_agg(col("hll")).as("hll"),
+        graft.functions.SketchFunctions
+          .cmsMerge(col("cms"), CmsEps, CmsConf, CmsSeed).as("cms"))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Embedding-cosine near-dup, LSH SCALE PATH: the same keep-id

@@ -114,6 +114,18 @@ class GraphSpec extends AnyFunSuite {
       val fix = ops.TextSim.clusterLabelsFixpoint(docs, e)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(cc === fix, s"labels diverge at minJac=$minJac")
+      // ORACLE-VALIDITY GUARD: q_graph_cc and q_dedup_cluster share
+      // ClusterOracleSql, whose TWO unrolled propagation rounds are
+      // exact only on graphs whose components converge within 2 hops
+      // of their min. That is a property of the FIXTURE, not the
+      // algorithm — so pin it here: if a fixture regeneration ever
+      // grows a component that needs a third hop, this fails loudly
+      // instead of the oracle silently going wrong.
+      val two = ops.TextSim.propagateRounds(docs, e, rounds = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(two === fix,
+        s"fixture components no longer converge in 2 hops at minJac=" +
+          s"$minJac — ClusterOracleSql's unrolled oracle is now INVALID")
     }
   }
 

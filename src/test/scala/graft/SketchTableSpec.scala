@@ -136,4 +136,47 @@ class SketchTableSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(fwd, rebuild),
       "merged batches differ from a monolithic rebuild")
   }
+
+  test("maintained sketch table: upserts roll up; HLL absorbs replays; CMS == rebuild") {
+    import graft.ops.Sketches
+    val name = "sktups"
+    val corpus = Tables.documents(spark, sf).select("lang", "text")
+    // Batch 1: novel docs (every corpus text gets a distinct twin).
+    val novel = corpus.select(col("lang"),
+      concat(col("text"), lit(" zz_novel_suffix")).as("text"))
+    Sketches.upsertIntoSketchTable(spark, sf, novel, name)
+    // Batch 2: VERBATIM replay of the whole corpus.
+    Sketches.upsertIntoSketchTable(spark, sf, corpus, name)
+    val rolled = Sketches.sketchTableRollup(spark, sf, name)
+    // HLL read path: distinct estimate per lang within 5% of the exact
+    // distinct of corpus ∪ novel — the replay batch must add NOTHING
+    // (set semantics), the novel batch must be fully visible.
+    val est = rolled
+      .select(col("lang"), hll_sketch_estimate(col("hll")).as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = corpus.unionByName(novel)
+      .groupBy("lang").agg(countDistinct(col("text")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (lang, n) =>
+      val e = est(lang)
+      assert(math.abs(e - n).toDouble / n <= 0.05,
+        s"$lang: estimate $e vs exact $n after replay+novel upserts")
+    }
+    // CMS read path: the maintained table's merged sketch is
+    // BYTE-IDENTICAL to a monolithic rebuild over the full ingest
+    // MULTISET (corpus + novel + replayed corpus — CMS counts the
+    // replay, by design).
+    val got = rolled.select("lang", "cms").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toMap
+    val want = Sketches.sketchRowsOf(
+        corpus.unionByName(novel).unionByName(corpus))
+      .select("lang", "cms").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (lang, bytes) =>
+      assert(java.util.Arrays.equals(got(lang), bytes),
+        s"$lang: maintained CMS differs from the multiset rebuild")
+    }
+  }
 }
