@@ -191,6 +191,39 @@ object StreamDemos {
     q.awaitTermination()
   }
 
+  /** (vec_id, embedding) batch-file schema for the ANN ingest stream
+    * (embeddings as float arrays on disk, like the fixture table). */
+  val vecBatchSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Streaming ANN ingest (the embedding-side twin of
+    * [[ingestDocBatches]]): each arriving (vec_id, embedding) batch
+    * file upserts into the named ANN index instance via
+    * [[graft.ops.Sketches.upsertIntoAnnIndex]] — assignments and
+    * codes computed against the FROZEN shared codebooks, appended
+    * O(batch) — so a search issued after the pass sees the streamed
+    * vectors as first-class targets. Same AvailableNow + checkpoint
+    * exactly-once contract as the document stream. */
+  def ingestVecBatches(spark: SparkSession, corpusDir: String,
+      inDir: String, checkpointDir: String, indexName: String): Unit = {
+    val src = spark.readStream.schema(vecBatchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.ops.Sketches.upsertIntoAnnIndex(
+          spark, corpusDir, batch.localCheckpoint(true), indexName)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Bounded-state streaming dedup (CAP-STREAM-DEDUP-WM): exactly-once
     * row identity on an at-least-once transport. Plain dropDuplicates
     * (curatedDocuments) keeps every key ever seen — correct, but its

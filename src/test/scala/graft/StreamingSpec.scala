@@ -291,4 +291,33 @@ class StreamingSpec extends AnyFunSuite {
     StreamDemos.ingestDocBatches(spark, sf, inDir, ck, out, "strming")
     assert(spark.read.parquet(out).count() === n)
   }
+
+  test("CAP-STREAM-INGEST: streamed embedding batches become ANN search targets") {
+    import graft.ops.Sketches
+    val inDir = tmpDir("graft_vec_in").toString
+    val ck = tmpDir("graft_vec_ck").toString
+    val name = "strmvec"
+    // Batch: every 83rd corpus vector re-submitted verbatim under a
+    // fresh id, arriving AS A STREAM (float on disk, like the fixture).
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    base.filter(col("vec_id") % 83 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    StreamDemos.ingestVecBatches(spark, sf, inDir, ck, name)
+    // Search the instance for the batch's SOURCE vectors: each source's
+    // streamed copy must be the exact cos-1.0 top hit — impossible
+    // unless the stream's upsert reached store, assignments and codes.
+    val queries = base.filter(col("vec_id") % 83 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = Sketches.ivfpqSearch(spark, sf, queries,
+        nprobe = c => math.ceil(0.8 * c).toInt.max(2),
+        rerank = n0 => math.max(32, (n0 / 3).toInt), k = 1, name = name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.nonEmpty)
+    top.foreach { case (qid, nid, cos) =>
+      assert(nid === qid + 1000000L && cos === 1.0,
+        s"query $qid: streamed copy not found (got $nid at $cos)")
+    }
+  }
 }
