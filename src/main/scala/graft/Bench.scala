@@ -115,6 +115,11 @@ object Bench {
     val total = results.collect { case (_, v, true, _) => v }.sum
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"warm":$warm,"runs":$Runs,"n_errors":${results.count(!_._3)},"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     println(json)
+    // A second, TINY summary line AFTER the full one: the driver keeps only
+    // a fixed-size tail of stdout, and the full line (100+ queries) can
+    // overflow it — losing exactly the leading headline fields. The tail
+    // always retains this last line.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"n_queries":${results.length},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
     // Also persist to a file: a fixed-size tail capture of stdout
     // truncated BENCH_r05 mid-line and lost the headline totals — the
     // file copy makes the stdout capture redundant.

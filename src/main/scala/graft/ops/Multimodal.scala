@@ -116,7 +116,11 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // Bail on ANY stall: a valid stream always makes progress here, while
+        // truncated input (needsInput), an FDICT preset-dictionary stream
+        // (needsDictionary), or any other zero-progress state would spin this
+        // loop forever — drop-don't-crash applies to hangs too.
+        if (n == 0) return None
         got += n
       }
       if (got < raw.length) return None

@@ -412,8 +412,18 @@ object Sketches {
       name: String): Unit = {
     require(name.nonEmpty,
       "the shared registry index is immutable; upsert into a named instance")
-    val b = batch.select(col("vec_id"), col("embedding"),
-      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+    // True upsert semantics: vec_ids already in the store are dropped, so a
+    // replayed batch (deleted streaming checkpoint, retried job) is a no-op
+    // instead of appending duplicate rows to store/assignments/codes in
+    // lockstep — duplicates would surface as double-counted search
+    // candidates with no error. localCheckpoint pins the admitted set ONCE:
+    // the first append below changes the store's file listing, and the
+    // anti-join must not be re-evaluated against the grown store.
+    val b = batch
+      .join(embStore(s, d, name).select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+      .localCheckpoint(true)
     graft.StageCache.appendTo(s, d, s"embstore@$name")(embBase(s, d))(b)
     graft.StageCache.appendTo(s, d, s"ivfassign@$name")(
       assign1(embBase(s, d), ivfCodebook(s, d)).select("vec_id", "cell"))(

@@ -48,17 +48,20 @@ object Ingest {
     * quarantine split (`df.filter(col("_corrupt").isNotNull)
     * .select("_corrupt")`) is exactly that shape. Caching first lifts
     * the restriction, so the split usage shown in SourcesSpec is safe
-    * by default. Callers splitting a one-pass read pay the cache
-    * anyway; callers who don't can unpersist(). */
+    * by default. Callers that never touch `_corrupt` (one-pass clean
+    * reads) can pass `cached = false` and skip pinning the parsed
+    * input in executor storage — the restriction above only bites
+    * corrupt-column-only queries. */
   def jsonLinesQuarantine(spark: SparkSession, glob: String,
-      schemaDdl: String): DataFrame =
-    spark.read
+      schemaDdl: String, cached: Boolean = true): DataFrame = {
+    val df = spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         schemaDdl + ", _corrupt STRING"))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(glob)
-      .cache()
+    if (cached) df.cache() else df
+  }
 
   /** Whole-file records for binary/multimodal data: (path, length,
     * modificationTime, content). Pair with ops.Multimodal for the

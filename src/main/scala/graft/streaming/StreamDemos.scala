@@ -179,7 +179,13 @@ object StreamDemos {
         // localCheckpoint: the batch frame is referenced by the dedup
         // probe, the admission join, AND the verdict write — and a
         // micro-batch source cannot be re-scanned after the trigger.
-        val b = batch.localCheckpoint(true)
+        // dropDuplicates first: a batch file carrying the same doc_id
+        // twice would otherwise fan each verdict out into duplicate
+        // output rows on the join below AND append both copies' bands
+        // to the index (ingestBatch only dedups against the index, not
+        // within the batch). First occurrence wins, arbitrarily —
+        // intra-batch twins are byte-identical in the contract's shape.
+        val b = batch.dropDuplicates("doc_id").localCheckpoint(true)
         val docs = b.select("doc_id", "text")
         val verdicts = graft.ops.Sketches.ingestBatch(
           spark, corpusDir, docs, indexName)

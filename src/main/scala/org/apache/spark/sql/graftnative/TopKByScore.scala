@@ -119,9 +119,16 @@ object TopKByScore {
     private val ids = new Array[Long](k)
     private var n = 0
 
-    /** a is weaker than b under (score DESC, id ASC) rank order. */
-    @inline private def weaker(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-      sa < sb || (sa == sb && ia > ib)
+    /** a is weaker than b under (score DESC, id ASC) rank order.
+      * Compared via java.lang.Double.compare — a TOTAL order that ranks
+      * NaN above every other double, exactly matching Spark's DESC sort
+      * (and the row_number oracle). Naive `<`/`==` is not total for NaN:
+      * NaN entries would be silently dropped when the buffer is full and
+      * could break the heap invariant while filling. */
+    @inline private def weaker(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(sa, sb)
+      c < 0 || (c == 0 && ia > ib)
+    }
 
     def add(s: Double, i: Long): Unit = {
       if (n < k) {
@@ -172,9 +179,12 @@ object TopKByScore {
 
     /** Entries in RANK order: score DESC, ties id ASC. */
     def ranked: (Array[Double], Array[Long]) = {
+      // Same total order as `weaker` (Double.compare handles NaN), so
+      // sortWith never sees an intransitive comparator (timsort throws on
+      // contract violations).
       val idx = Array.range(0, n).sortWith { (a, b) =>
-        scores(a) > scores(b) ||
-          (scores(a) == scores(b) && ids(a) < ids(b))
+        val c = java.lang.Double.compare(scores(a), scores(b))
+        c > 0 || (c == 0 && ids(a) < ids(b))
       }
       (idx.map(scores), idx.map(ids))
     }

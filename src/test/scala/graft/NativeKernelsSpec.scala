@@ -324,6 +324,26 @@ class NativeKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKByScore: NaN scores rank above all doubles (Spark DESC order)") {
+    import org.apache.spark.sql.graftnative.TopKByScore
+    // Double.compare total order: NaN > +Inf > finite. Naive </== would
+    // silently drop NaN entries when full and break the heap invariant
+    // while filling; the oracle (row_number DESC) keeps NaN first.
+    val nan = Double.NaN
+    val b = new TopKByScore.Buffer(3)
+    Seq((1.0, 10L), (nan, 20L), (5.0, 30L), (nan, 5L), (9.0, 40L))
+      .foreach { case (s, i) => b.add(s, i) }
+    val (gs, gi) = b.ranked
+    // Rank: NaN(id 5), NaN(id 20), 9.0(id 40) — score DESC, ties id ASC.
+    assert(gi.toSeq === Seq(5L, 20L, 40L), s"got ${gs.toSeq} / ${gi.toSeq}")
+    assert(gs.take(2).forall(_.isNaN) && gs(2) === 9.0)
+    // NaN arriving when the buffer is already full must still displace
+    // a weaker finite entry.
+    val c = new TopKByScore.Buffer(2)
+    Seq((1.0, 1L), (2.0, 2L), (nan, 3L)).foreach { case (s, i) => c.add(s, i) }
+    assert(c.ranked._2.toSeq === Seq(3L, 2L))
+  }
+
   test("TopKByScore: merge is order-invariant; k beyond group size keeps all") {
     import org.apache.spark.sql.graftnative.TopKByScore
     val rnd = new scala.util.Random(7)

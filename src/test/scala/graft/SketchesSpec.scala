@@ -528,6 +528,18 @@ class SketchesSpec extends AnyFunSuite {
       }
       assert(top.length.toLong === queries.count(),
         s"some batch sources returned no hit at $dir")
+      // Replay idempotence (r7): re-submitting the SAME batch — the shape
+      // of a deleted streaming checkpoint or a retried job — must be a
+      // no-op. Already-present vec_ids are anti-joined out before the
+      // append; without that, store/assignments/codes would grow duplicate
+      // rows in lockstep and double-count search candidates silently.
+      val assignN = ops.Sketches.ivfAssignments(spark, dir, name).count()
+      val codesN = ops.Sketches.pqCodes(spark, dir, name).count()
+      ops.Sketches.upsertIntoAnnIndex(spark, dir, batch, name)
+      assert(ops.Sketches.ivfAssignments(spark, dir, name).count() === assignN,
+        s"replayed batch appended duplicate assignments at $dir")
+      assert(ops.Sketches.pqCodes(spark, dir, name).count() === codesN,
+        s"replayed batch appended duplicate codes at $dir")
     }
   }
 }
