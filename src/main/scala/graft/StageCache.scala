@@ -33,24 +33,38 @@ object StageCache {
       if (path == null) synchronized { if (path == null) path = build }
       path
     }
+    /** Replace the materialization: `next` maps the CURRENT path to a
+      * freshly-written one; the swap is atomic for readers (volatile
+      * write — a reader sees wholly the old or wholly the new dir,
+      * never a half-written one). Runs under the slot lock, so a
+      * concurrent first-touch build cannot interleave. */
+    def swap(next: String => String): Unit = synchronized {
+      require(path != null, "swap before first build")
+      path = next(path)
+    }
   }
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Slot]()
+
+  /** A fresh temp data path for `stage`, swept on JVM exit. */
+  private def freshPath(stage: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$stage")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.resolve("data").toString
+  }
 
   private def pathFor(s: SparkSession, d: String, stage: String)(
       build: => DataFrame): String = {
     val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d|$stage"
     val slot = cache.computeIfAbsent(key, _ => new Slot)
     slot.get {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_$stage")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(dir.toFile)
-      }))
-      val p = dir.resolve("data").toString
+      val p = freshPath(stage)
       build.write.mode("overwrite").parquet(p)
       p
     }
@@ -72,4 +86,33 @@ object StageCache {
   def appendTo(s: SparkSession, d: String, stage: String)(
       build: => DataFrame)(extra: DataFrame): Unit =
     extra.write.mode("append").parquet(pathFor(s, d, stage)(build))
+
+  /** REWRITE a stage's materialization — the maintained-index
+    * lifecycle verb appendTo lacks: `transform` maps the stage's
+    * current content to its replacement (apply tombstones, coalesce a
+    * year of appended fragments, roll sketch rows up), the result is
+    * written to a FRESH directory, and the slot swaps to it
+    * atomically. Readers holding the old frame keep their snapshot —
+    * parquet files are immutable and the old dir lives until JVM
+    * exit — while every later read sees only the rewrite: the local
+    * analogue of a compaction job committing a new table version.
+    * Mutation verbs (append/rewrite) on one stage are single-writer
+    * by contract, like every maintenance verb here: an appendTo racing
+    * a rewrite can land its rows in the abandoned directory. */
+  def rewrite(s: SparkSession, d: String, stage: String)(
+      build: => DataFrame)(transform: DataFrame => DataFrame): Unit = {
+    pathFor(s, d, stage)(build) // ensure built before swapping
+    val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d|$stage"
+    cache.get(key).swap { cur =>
+      val p = freshPath(stage)
+      transform(s.read.parquet(cur)).write.mode("overwrite").parquet(p)
+      p
+    }
+  }
+
+  /** Number of parquet data files currently materialized for `stage` —
+    * the compaction spec's observable (inputFiles of a fresh read). */
+  def fileCount(s: SparkSession, d: String, stage: String)(
+      build: => DataFrame): Int =
+    s.read.parquet(pathFor(s, d, stage)(build)).inputFiles.length
 }

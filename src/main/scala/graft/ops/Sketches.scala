@@ -47,6 +47,13 @@ object Sketches {
     * the searches' exact-rerank stage reads it, so upserted vectors
     * are first-class search TARGETS, not just assignment rows. */
   private def embStore(s: SparkSession, d: String, name: String): DataFrame =
+    liveView(s, d, VecTombs, name, embStoreRaw(s, d, name), "vec_id")
+
+  /** The store WITHOUT the tombstone filter — what the physical files
+    * hold. Upsert anti-joins against THIS so re-submitting a deleted
+    * (tombstoned, not yet compacted) vec_id is a no-op instead of
+    * appending a row the tombstone would silently hide. */
+  private def embStoreRaw(s: SparkSession, d: String, name: String): DataFrame =
     if (name.isEmpty) embBase(s, d)
     else graft.StageCache.memoized(s, d, s"embstore@$name")(embBase(s, d))
 
@@ -240,11 +247,14 @@ object Sketches {
     // store: upserts append to store + assignments + codes in
     // lockstep, so a first-touch build must cover exactly the corpus —
     // seeding it from an already-appended store would double-count the
-    // batch.
-    graft.StageCache.memoized(s, d,
-      if (name.isEmpty) "ivfassign" else s"ivfassign@$name")(
-      assign1(embBase(s, d), ivfCodebook(s, d))
-        .select("vec_id", "cell"))
+    // batch. Named instances read through the tombstone filter
+    // ([[liveView]]) so deleted vectors never enter a cell scan.
+    liveView(s, d, VecTombs, name,
+      graft.StageCache.memoized(s, d,
+        if (name.isEmpty) "ivfassign" else s"ivfassign@$name")(
+        assign1(embBase(s, d), ivfCodebook(s, d))
+          .select("vec_id", "cell")),
+      "vec_id")
 
   /** MULTI-PROBE IVF search for an arbitrary query frame `(qid, qv)`:
     * each query ranks the C centroids (broadcast product), scans its
@@ -388,10 +398,12 @@ object Sketches {
     * (5 bytes a vector instead of 256), maintained on ingest. */
   def pqCodes(s: SparkSession, d: String, name: String = ""): DataFrame =
     // Corpus-seeded build closure for the same lockstep reason as
-    // [[ivfAssignments]].
-    graft.StageCache.memoized(s, d,
-      if (name.isEmpty) "pqcodes" else s"pqcodes@$name")(
-      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d)))
+    // [[ivfAssignments]]; same tombstone-filtered read.
+    liveView(s, d, VecTombs, name,
+      graft.StageCache.memoized(s, d,
+        if (name.isEmpty) "pqcodes" else s"pqcodes@$name")(
+        pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d))),
+      "vec_id")
 
   /** Close the ANN maintained-index loop (the embedding-side analogue
     * of [[upsertIntoBandIndex]]): admit a batch of NEW vectors
@@ -420,7 +432,10 @@ object Sketches {
     // the first append below changes the store's file listing, and the
     // anti-join must not be re-evaluated against the grown store.
     val b = batch
-      .join(embStore(s, d, name).select("vec_id"), Seq("vec_id"), "left_anti")
+      // Anti-join against the RAW store (tombstoned rows included): a
+      // vec_id that is present-but-tombstoned must not be re-appended —
+      // the tombstone would hide the new row until compaction anyway.
+      .join(embStoreRaw(s, d, name).select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
       .localCheckpoint(true)
@@ -658,9 +673,14 @@ object Sketches {
     * rows after admission ([[upsertIntoBandIndex]]). Nothing about the
     * corpus text is ever touched at probe time. */
   def minhashBandTable(s: SparkSession, d: String, name: String = ""): DataFrame =
-    graft.StageCache.memoized(s, d, bandStage(name))(
-      minhashBands(Tables.documents(s, d).select("doc_id", "text"),
-        "doc_id"))
+    // Named instances read minus their tombstone set ([[liveView]]):
+    // a taken-down doc stops matching probes the moment
+    // [[deleteFromBandIndex]] returns, before any compaction runs.
+    liveView(s, d, DocTombs, name,
+      graft.StageCache.memoized(s, d, bandStage(name))(
+        minhashBands(Tables.documents(s, d).select("doc_id", "text"),
+          "doc_id")),
+      "doc_id")
 
   /** Force-build the MinHash band index — independent of every other
     * stage, its own Bench thread. */
@@ -716,11 +736,21 @@ object Sketches {
     * admissions with no rebuild. At 100 TB this is a dynamic-partition
     * append to the maintained band table. */
   def upsertIntoBandIndex(s: SparkSession, d: String, admitted: DataFrame,
-      name: String = ""): Unit =
+      name: String = ""): Unit = {
+    // Tombstoned doc_ids are dead until compaction ([[deleteFromBandIndex]]
+    // contract): drop them from the admission append rather than write
+    // bands the tombstone filter would hide and compaction would discard.
+    val live =
+      if (name.isEmpty) admitted
+      else admitted.join(
+        broadcast(tombstones(s, d, DocTombs, name)
+          .select(col("id").as("doc_id"))),
+        Seq("doc_id"), "left_anti")
     graft.StageCache.appendTo(s, d, bandStage(name))(
       minhashBands(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id"))(
-      minhashBands(admitted.select("doc_id", "text"), "doc_id"))
+      minhashBands(live.select("doc_id", "text"), "doc_id"))
+  }
 
   /** One daily-crawl step: dedup `batch` against the named index, then
     * upsert the admissions so the NEXT batch sees them. Returns the
@@ -853,6 +883,158 @@ object Sketches {
       .agg(hll_union_agg(col("hll")).as("hll"),
         graft.functions.SketchFunctions
           .cmsMerge(col("cms"), CmsEps, CmsConf, CmsSeed).as("cms"))
+
+  // ---- Index lifecycle: tombstone deletes + compaction -------------------
+  //
+  // The maintained families above only ever APPENDED. Real corpus
+  // maintenance needs two more verbs: DELETE (a takedown/retraction must
+  // remove a document from the index — the legal requirement for crawl
+  // corpora) and COMPACT (a year of daily O(batch) appends is O(365)
+  // parquet fragments; a periodic rewrite folds them back to a few
+  // well-sized files). The design is merge-on-read + periodic compaction:
+  //
+  //   * deleteFrom*Index appends ids to a tiny per-instance TOMBSTONE
+  //     stage — O(request) work, no index rewrite, the only delete shape
+  //     that scales to 100 TB (a synchronous rewrite per takedown would
+  //     be an O(index) job on every request).
+  //   * Every named-instance read anti-joins the broadcast tombstone set,
+  //     so deleted ids vanish from search/dedup results IMMEDIATELY.
+  //     Shared registry instances (name = "") are immutable and skip the
+  //     join entirely — registry queries pay nothing.
+  //   * compact*Index physically rewrites the data stages (dropping
+  //     tombstoned rows, coalescing fragments to a few files), then
+  //     clears the tombstone set. Query results are IDENTICAL before and
+  //     after (pinned in LifecycleSpec); only the file layout changes.
+  //
+  // Contract: a tombstoned id is DEAD until a compaction clears it —
+  // upserts of that id are dropped (ANN anti-joins the RAW store;
+  // [[upsertIntoBandIndex]] anti-joins the tombstone set) and reads hide
+  // it. After compaction the id is insertable again, as a new document.
+  // Like every maintenance verb here, mutation is single-writer per
+  // instance.
+
+  private val DocTombs = "doc"
+  private val VecTombs = "vec"
+
+  private def tombStage(kind: String, name: String): String =
+    s"tombs_$kind@$name"
+
+  /** The named instance's tombstone set (id: long), seeded EMPTY. */
+  private def tombstones(s: SparkSession, d: String, kind: String,
+      name: String): DataFrame =
+    graft.StageCache.memoized(s, d, tombStage(kind, name))(
+      s.range(0).select(col("id")))
+
+  /** `df` minus tombstoned keys — the merge-on-read view. The
+    * tombstone set is O(deletes-since-compaction): broadcast by
+    * construction, so the anti-join adds no shuffle to any read. */
+  private def liveView(s: SparkSession, d: String, kind: String,
+      name: String, df: DataFrame, keyCol: String): DataFrame =
+    if (name.isEmpty) df
+    else df.join(
+      broadcast(tombstones(s, d, kind, name).select(col("id").as(keyCol))),
+      Seq(keyCol), "left_anti")
+
+  /** Takedown verb, document side: every doc_id in `docIds` disappears
+    * from the named band index's probe results as of the next read.
+    * O(request) — appends to the tombstone set, touches no index file. */
+  def deleteFromBandIndex(s: SparkSession, d: String, docIds: DataFrame,
+      name: String): Unit = {
+    require(name.nonEmpty,
+      "the shared registry index is immutable; delete from a named instance")
+    graft.StageCache.appendTo(s, d, tombStage(DocTombs, name))(
+      s.range(0).select(col("id")))(
+      docIds.select(col("doc_id").cast("long").as("id")).distinct())
+  }
+
+  /** Takedown verb, embedding side: `vecIds` vanish from the named ANN
+    * index's store, assignments, and codes as of the next read. */
+  def deleteFromAnnIndex(s: SparkSession, d: String, vecIds: DataFrame,
+      name: String): Unit = {
+    require(name.nonEmpty,
+      "the shared registry index is immutable; delete from a named instance")
+    graft.StageCache.appendTo(s, d, tombStage(VecTombs, name))(
+      s.range(0).select(col("id")))(
+      vecIds.select(col("vec_id").cast("long").as("id")).distinct())
+  }
+
+  /** Physically apply the band index's tombstones and fold its appended
+    * fragments into `targetFiles` files, then clear the tombstone set.
+    * Read results are unchanged; the file listing shrinks to O(1). At
+    * 100 TB this is the nightly partition-wise compaction job
+    * committing a new table version — here, a StageCache.rewrite swap. */
+  def compactBandIndex(s: SparkSession, d: String, name: String,
+      targetFiles: Int = 4): Unit = {
+    require(name.nonEmpty,
+      "the shared registry index is immutable; compact a named instance")
+    // Snapshot the tombstone frame BEFORE clearing its stage: parquet
+    // files are immutable and dirs live until JVM exit, so the rewrite
+    // below reads a stable set even as the stage swaps to empty.
+    val t = tombstones(s, d, DocTombs, name)
+    graft.StageCache.rewrite(s, d, bandStage(name))(
+      minhashBands(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id")) { cur =>
+      cur.join(broadcast(t.select(col("id").as("doc_id"))),
+          Seq("doc_id"), "left_anti")
+        .coalesce(targetFiles)
+    }
+    graft.StageCache.rewrite(s, d, tombStage(DocTombs, name))(
+      s.range(0).select(col("id")))(_.limit(0).coalesce(1))
+  }
+
+  /** ANN compaction: all three per-vector stages (store, assignments,
+    * codes) rewrite in lockstep minus the tombstoned vec_ids, then the
+    * tombstone set clears. */
+  def compactAnnIndex(s: SparkSession, d: String, name: String,
+      targetFiles: Int = 4): Unit = {
+    require(name.nonEmpty,
+      "the shared registry index is immutable; compact a named instance")
+    val t = tombstones(s, d, VecTombs, name)
+    def drop(cur: DataFrame): DataFrame =
+      cur.join(broadcast(t.select(col("id").as("vec_id"))),
+          Seq("vec_id"), "left_anti")
+        .coalesce(targetFiles)
+    graft.StageCache.rewrite(s, d, s"embstore@$name")(embBase(s, d))(drop)
+    graft.StageCache.rewrite(s, d, s"ivfassign@$name")(
+      assign1(embBase(s, d), ivfCodebook(s, d)).select("vec_id", "cell"))(drop)
+    graft.StageCache.rewrite(s, d, s"pqcodes@$name")(
+      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d)))(drop)
+    graft.StageCache.rewrite(s, d, tombStage(VecTombs, name))(
+      s.range(0).select(col("id")))(_.limit(0).coalesce(1))
+  }
+
+  /** Sketch-table compaction: fold the appended per-batch rows down to
+    * ONE row per lang — hll_union_agg (set-semantic) + exact CMS
+    * counter addition — and swap. [[sketchTableRollup]] answers
+    * identically before and after (CMS bit-for-bit; HLL estimates are
+    * preserved exactly here because union absorbs the same sketches).
+    * Per-row DELETE on sketches is IMPOSSIBLE by construction (HLL and
+    * CMS are not invertible); the takedown path for sketch tables is
+    * [[rebuildSketchTable]] from the retained corpus. */
+  def compactSketchTable(s: SparkSession, d: String, name: String): Unit = {
+    require(name.nonEmpty,
+      "the shared sketch table is immutable; compact a named instance")
+    graft.StageCache.rewrite(s, d, s"sketchtab@$name")(
+      sketchRowsOf(Tables.documents(s, d))) { cur =>
+      cur.groupBy("lang")
+        .agg(hll_union_agg(col("hll")).as("hll"),
+          graft.functions.SketchFunctions
+            .cmsMerge(col("cms"), CmsEps, CmsConf, CmsSeed).as("cms"))
+        .coalesce(1)
+    }
+  }
+
+  /** The sketch-table takedown path: sketches cannot forget a row, so
+    * a retraction rebuilds the named table from the RETAINED (lang,
+    * text) corpus — one aggregation job, swapped in atomically. */
+  def rebuildSketchTable(s: SparkSession, d: String, retained: DataFrame,
+      name: String): Unit = {
+    require(name.nonEmpty,
+      "the shared sketch table is immutable; rebuild a named instance")
+    graft.StageCache.rewrite(s, d, s"sketchtab@$name")(
+      sketchRowsOf(Tables.documents(s, d)))(
+      _ => sketchRowsOf(retained.select("lang", "text")))
+  }
 
   val specs: Seq[QuerySpec] = Seq(
 

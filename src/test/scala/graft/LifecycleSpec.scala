@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Index lifecycle (r7): tombstone DELETE + COMPACTION for the three
+  * maintained index families. The contracts pinned here:
+  *
+  *   1. delete hides ids from every read immediately (merge-on-read),
+  *   2. compaction physically applies tombstones + folds appended
+  *      fragments to a few files while leaving READ RESULTS IDENTICAL,
+  *   3. a deleted id is dead until compaction; after compaction it can
+  *      re-enter as a fresh insert.
+  */
+class LifecycleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("band index: delete hides a doc from probes; compaction applies it physically") {
+    val name = "lcband"
+    val d = sf
+    // Seed the named instance and record its physical stage key.
+    val stage = s"mhbands@$name"
+    ops.Sketches.minhashBandTable(spark, d, name).count()
+    // Probe: corpus docs re-submitted VERBATIM under fresh ids — each
+    // matches (at least) its own source deterministically.
+    val probe = Tables.documents(spark, d)
+      .filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val hits = ops.Sketches.indexHitPairs(spark, d, probe, name)
+      .select("corpus_id").distinct()
+    val hitIds = hits.collect().map(_.getLong(0)).toSet
+    assert(hitIds.nonEmpty, "vacuous: probe matched nothing")
+
+    // DELETE the full hit set → the probe goes dark instantly.
+    ops.Sketches.deleteFromBandIndex(spark, d,
+      hits.withColumnRenamed("corpus_id", "doc_id"), name)
+    assert(ops.Sketches.indexHitPairs(spark, d, probe, name).count() === 0L,
+      "deleted docs still match probes")
+    // Upserting a tombstoned id is a no-op (dead until compaction).
+    ops.Sketches.upsertIntoBandIndex(spark, d,
+      Tables.documents(spark, d)
+        .filter(col("doc_id").isin(hitIds.toSeq.map(Long.box): _*))
+        .select("doc_id", "text"), name)
+    assert(ops.Sketches.indexHitPairs(spark, d, probe, name).count() === 0L,
+      "upsert resurrected tombstoned docs before compaction")
+
+    // Grow the index (fresh ids) so compaction has fragments to fold.
+    val extra = Tables.documents(spark, d)
+      .filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
+    ops.Sketches.upsertIntoBandIndex(spark, d, extra, name)
+
+    val dummy = spark.range(0).toDF // by-name build, never evaluated: stage exists
+    val live = ops.Sketches.minhashBandTable(spark, d, name)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val filesBefore = StageCache.fileCount(spark, d, stage)(dummy)
+    ops.Sketches.compactBandIndex(spark, d, name, targetFiles = 2)
+    val filesAfter = StageCache.fileCount(spark, d, stage)(dummy)
+    val liveAfter = ops.Sketches.minhashBandTable(spark, d, name)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(liveAfter === live, "compaction changed read results")
+    assert(filesAfter < filesBefore && filesAfter <= 2,
+      s"compaction did not shrink the file listing: $filesBefore -> $filesAfter")
+    // `extra` may legitimately near-dup some probes under its fresh ids;
+    // the lifecycle claim is that no TOMBSTONED id ever matches again.
+    val postIds = ops.Sketches.indexHitPairs(spark, d, probe, name)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(postIds.intersect(hitIds).isEmpty,
+      s"physically-compacted docs reappeared: ${postIds.intersect(hitIds)}")
+
+    // Post-compaction the ids are insertable again: re-admit one
+    // deleted doc and its verbatim probe matches once more.
+    val back = hitIds.head
+    ops.Sketches.upsertIntoBandIndex(spark, d,
+      Tables.documents(spark, d).filter(col("doc_id") === back)
+        .select("doc_id", "text"), name)
+    val again = ops.Sketches.indexHitPairs(spark, d,
+        probe.filter(col("doc_id") === back + 5000000L), name)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(again.contains(back), "post-compaction re-insert not probed")
+  }
+
+  test("ANN index: delete hides vectors from search; compaction preserves results, shrinks files; re-insert works") {
+    val name = "lcann"
+    val d = sf
+    val base = Tables.embeddings(spark, d).select("vec_id", "embedding")
+    // Upsert verbatim copies of every 89th vector under fresh ids —
+    // each source's copy is a deterministic cos-1.0 top hit.
+    val batch = base.filter(col("vec_id") % 89 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    ops.Sketches.upsertIntoAnnIndex(spark, d, batch, name)
+    val queries = base.filter(col("vec_id") % 89 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def search() = ops.Sketches.ivfpqSearch(spark, d, queries,
+        nprobe = c => math.ceil(0.8 * c).toInt.max(2),
+        rerank = n => math.max(32, (n / 3).toInt), k = 1, name = name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    search().foreach { case (qid, nid, cos) =>
+      assert(nid === qid + 2000000L && cos === 1.0, s"setup: $qid -> ($nid, $cos)")
+    }
+
+    // DELETE the copies → they vanish from every search stage.
+    val copyIds = batch.select("vec_id")
+    ops.Sketches.deleteFromAnnIndex(spark, d, copyIds, name)
+    val afterDelete = search()
+    afterDelete.foreach { case (qid, nid, _) =>
+      assert(nid !== qid + 2000000L, s"deleted vector $nid still served for $qid")
+    }
+    // Re-upserting a tombstoned id is a no-op (raw-store anti-join).
+    ops.Sketches.upsertIntoAnnIndex(spark, d, batch, name)
+    search().foreach { case (qid, nid, _) =>
+      assert(nid !== qid + 2000000L, s"upsert resurrected tombstoned $nid")
+    }
+
+    val dummy = spark.range(0).toDF
+    val stages = Seq(s"embstore@$name", s"ivfassign@$name", s"pqcodes@$name")
+    val filesBefore = stages.map(st => StageCache.fileCount(spark, d, st)(dummy))
+    ops.Sketches.compactAnnIndex(spark, d, name, targetFiles = 2)
+    val filesAfter = stages.map(st => StageCache.fileCount(spark, d, st)(dummy))
+    stages.lazyZip(filesBefore).lazyZip(filesAfter).foreach { (st, b, a) =>
+      assert(a < b && a <= 2, s"$st not compacted: $b -> $a")
+    }
+    val afterCompact = search()
+    assert(afterCompact.toSet === afterDelete.toSet,
+      "compaction changed ANN results")
+
+    // Post-compaction re-insert: the copies become top hits again.
+    ops.Sketches.upsertIntoAnnIndex(spark, d, batch, name)
+    search().foreach { case (qid, nid, cos) =>
+      assert(nid === qid + 2000000L && cos === 1.0,
+        s"re-inserted copy not served: $qid -> ($nid, $cos)")
+    }
+  }
+
+  test("sketch table: compaction folds to one row per lang with identical rollup; rebuild == from-scratch") {
+    val name = "lcsk"
+    val d = sf
+    ops.Sketches.sketchTable(spark, d, name).count() // seed
+    val docs = Tables.documents(spark, d)
+    ops.Sketches.upsertIntoSketchTable(spark, d,
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("lang"), concat(col("text"), lit(" upsa")).as("text")), name)
+    ops.Sketches.upsertIntoSketchTable(spark, d,
+      docs.filter(col("doc_id") % 5 === 1)
+        .select(col("lang"), concat(col("text"), lit(" upsb")).as("text")), name)
+
+    def rollup() = ops.Sketches.sketchTableRollup(spark, d, name)
+      .select(col("lang"), hll_sketch_estimate(col("hll")).as("n"), col("cms"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_._1)
+    val before = rollup()
+    val rowsBefore = ops.Sketches.sketchTable(spark, d, name).count()
+    ops.Sketches.compactSketchTable(spark, d, name)
+    val rowsAfter = ops.Sketches.sketchTable(spark, d, name).count()
+    val langs = before.map(_._1).distinct.length
+    assert(rowsAfter === langs.toLong && rowsAfter < rowsBefore,
+      s"expected one row per lang after compaction: $rowsBefore -> $rowsAfter")
+    val after = rollup()
+    // CMS merges by exact counter addition — bit-identical through the
+    // fold. The HLL row is the union sketch itself, so re-unioning it
+    // alone preserves the estimate exactly.
+    assert(after.map(t => (t._1, t._2)).toSeq === before.map(t => (t._1, t._2)).toSeq,
+      "HLL estimates changed across compaction")
+    assert(after.map(_._3).toSeq === before.map(_._3).toSeq,
+      "CMS bytes changed across compaction")
+
+    // Takedown path: rebuild from a retained corpus == building from
+    // scratch over that corpus (sketches cannot forget row-wise).
+    val retained = docs.filter(col("doc_id") % 2 === 0).select("lang", "text")
+    ops.Sketches.rebuildSketchTable(spark, d, retained, name)
+    val got = rollup()
+    val want = graft.ops.Sketches.sketchRowsOf(retained)
+      .select(col("lang"), hll_sketch_estimate(col("hll")).as("n"), col("cms"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq === want.map(t => (t._1, t._2)).toSeq,
+      "rebuilt HLL != from-scratch")
+    assert(got.map(_._3).toSeq === want.map(_._3).toSeq,
+      "rebuilt CMS != from-scratch")
+  }
+}
