@@ -215,28 +215,39 @@ object Sketches {
     *     and partitionings (and parquet round-trips doubles exactly,
     *     so caching does not perturb it).
     */
-  def ivfCodebook(s: SparkSession, d: String): DataFrame =
-    graft.StageCache.memoized(s, d, "ivfcb") {
-      val base = embBase(s, d)
-      val c = math.ceil(math.sqrt(base.count().toDouble)).toInt.max(2)
-      val seeds = base
-        .orderBy(xxhash64(col("vec_id")))
-        .limit(c)
-        .toDF("cid", "cv", "cn")
-      // Lloyd step: mean vector per cell via exact integer summation.
-      def lloyd(cents: DataFrame): DataFrame =
-        meanVectors(assign1(base, cents), "embedding", "cell")
-          .select(col("cell").as("cid"), col("cv"),
-            graft.functions.VectorFunctions.l2norm(col("cv")).as("cn"))
-      // Each round is eagerly localCheckpoint'ed: round r's assignment
-      // broadcasts round r-1's centroids, and without truncation that
-      // broadcast subquery re-executes every earlier round's plan (the
-      // 3-round lineage ran ~2x the jobs it needed). The checkpointed
-      // frame is a few-KB centroid table; losing it just fails the
-      // one-time build, which the stage cache would simply re-run.
-      (1 to 3).foldLeft(seeds: DataFrame)((cc, _) =>
-        lloyd(cc).localCheckpoint(true))
-    }
+  /** The IVF training loop over an ARBITRARY (vec_id, embedding,
+    * norm) corpus — factored out of the stage closure so
+    * [[retrainAnnIndex]] can run it over a drifted live store. */
+  private def trainIvf(base: DataFrame): DataFrame = {
+    val c = math.ceil(math.sqrt(base.count().toDouble)).toInt.max(2)
+    val seeds = base
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(c)
+      .toDF("cid", "cv", "cn")
+    // Lloyd step: mean vector per cell via exact integer summation.
+    def lloyd(cents: DataFrame): DataFrame =
+      meanVectors(assign1(base, cents), "embedding", "cell")
+        .select(col("cell").as("cid"), col("cv"),
+          graft.functions.VectorFunctions.l2norm(col("cv")).as("cn"))
+    // Each round is eagerly localCheckpoint'ed: round r's assignment
+    // broadcasts round r-1's centroids, and without truncation that
+    // broadcast subquery re-executes every earlier round's plan (the
+    // 3-round lineage ran ~2x the jobs it needed). The checkpointed
+    // frame is a few-KB centroid table; losing it just fails the
+    // one-time build, which the stage cache would simply re-run.
+    (1 to 3).foldLeft(seeds: DataFrame)((cc, _) =>
+      lloyd(cc).localCheckpoint(true))
+  }
+
+  def ivfCodebook(s: SparkSession, d: String, name: String = ""): DataFrame =
+    // A NAMED instance's codebook starts as a copy of the shared
+    // corpus-trained one (upserts keep it frozen — append ≡ rebuild
+    // depends on that) and is replaced wholesale by
+    // [[retrainAnnIndex]] when drift warrants it.
+    if (name.isEmpty)
+      graft.StageCache.memoized(s, d, "ivfcb")(trainIvf(embBase(s, d)))
+    else
+      graft.StageCache.memoized(s, d, s"ivfcb@$name")(ivfCodebook(s, d))
 
   /** Cell assignment of the indexed corpus (vec_id, cell) — also
     * stage-cached: the N x C broadcast assignment is per-corpus work,
@@ -252,7 +263,7 @@ object Sketches {
     liveView(s, d, VecTombs, name,
       graft.StageCache.memoized(s, d,
         if (name.isEmpty) "ivfassign" else s"ivfassign@$name")(
-        assign1(embBase(s, d), ivfCodebook(s, d))
+        assign1(embBase(s, d), ivfCodebook(s, d, name))
           .select("vec_id", "cell")),
       "vec_id")
 
@@ -278,7 +289,7 @@ object Sketches {
     * scans ~70% of real cells regardless of how many emptied). */
   def ivfSearch(s: SparkSession, d: String, queries: DataFrame,
       nprobe: Int => Int, k: Int = 3, name: String = ""): DataFrame = {
-    val cents = ivfCodebook(s, d)
+    val cents = ivfCodebook(s, d, name)
     val np = math.max(1, nprobe(cents.count().toInt))
     val qs = queries.select(col("qid").as("vec_id"), col("qv").as("embedding"),
       graft.functions.VectorFunctions.l2norm(col("qv")).as("norm"))
@@ -372,26 +383,35 @@ object Sketches {
     * the result is bit-deterministic across partitionings. All M
     * subspaces train in ONE plan per round — the per-m grouping rides
     * the same shuffles. */
-  def pqCodebook(s: SparkSession, d: String): DataFrame =
-    graft.StageCache.memoized(s, d, "pqcb") {
-      val sv = pqSubvectors(embBase(s, d))
-      val wSeed = org.apache.spark.sql.expressions.Window
-        .orderBy("h", "vec_id")
-      val seedIds = embBase(s, d)
-        .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
-        .orderBy("h").limit(PqK)
-        .select(col("vec_id"), (row_number().over(wSeed) - 1).as("cid"))
-      val seeds = withCn2(sv.join(broadcast(seedIds), "vec_id")
-        .select(col("m"), col("cid"), col("sv").as("cv")))
-      def lloyd(cb: DataFrame): DataFrame =
-        withCn2(meanVectors(
-          pqAssign(sv, cb).join(sv, Seq("vec_id", "m")), "sv", "m", "cid"))
-      // Same per-round lineage truncation as [[ivfCodebook]]: the M x K
-      // codebook is tiny, and an un-truncated round-3 plan re-runs the
-      // round-1/2 subplans inside its broadcast subquery.
-      (1 to 3).foldLeft(seeds: DataFrame)((cb, _) =>
-        lloyd(cb).localCheckpoint(true))
-    }
+  /** The PQ training loop over an arbitrary (vec_id, embedding, norm)
+    * corpus — factored like [[trainIvf]] for [[retrainAnnIndex]]. */
+  private def trainPq(base: DataFrame): DataFrame = {
+    val sv = pqSubvectors(base)
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .orderBy("h", "vec_id")
+    val seedIds = base
+      .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
+      .orderBy("h").limit(PqK)
+      .select(col("vec_id"), (row_number().over(wSeed) - 1).as("cid"))
+    val seeds = withCn2(sv.join(broadcast(seedIds), "vec_id")
+      .select(col("m"), col("cid"), col("sv").as("cv")))
+    def lloyd(cb: DataFrame): DataFrame =
+      withCn2(meanVectors(
+        pqAssign(sv, cb).join(sv, Seq("vec_id", "m")), "sv", "m", "cid"))
+    // Same per-round lineage truncation as [[trainIvf]]: the M x K
+    // codebook is tiny, and an un-truncated round-3 plan re-runs the
+    // round-1/2 subplans inside its broadcast subquery.
+    (1 to 3).foldLeft(seeds: DataFrame)((cb, _) =>
+      lloyd(cb).localCheckpoint(true))
+  }
+
+  def pqCodebook(s: SparkSession, d: String, name: String = ""): DataFrame =
+    // Named instances copy the shared codebook until a retrain swaps
+    // it — see [[ivfCodebook]].
+    if (name.isEmpty)
+      graft.StageCache.memoized(s, d, "pqcb")(trainPq(embBase(s, d)))
+    else
+      graft.StageCache.memoized(s, d, s"pqcb@$name")(pqCodebook(s, d))
 
   /** The compressed corpus (vec_id, m, cid) — 8 ints per vector,
     * stage-cached: at 100 TB this IS the ANN index's scan payload
@@ -402,7 +422,7 @@ object Sketches {
     liveView(s, d, VecTombs, name,
       graft.StageCache.memoized(s, d,
         if (name.isEmpty) "pqcodes" else s"pqcodes@$name")(
-        pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d))),
+        pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d, name))),
       "vec_id")
 
   /** Close the ANN maintained-index loop (the embedding-side analogue
@@ -441,11 +461,11 @@ object Sketches {
       .localCheckpoint(true)
     graft.StageCache.appendTo(s, d, s"embstore@$name")(embBase(s, d))(b)
     graft.StageCache.appendTo(s, d, s"ivfassign@$name")(
-      assign1(embBase(s, d), ivfCodebook(s, d)).select("vec_id", "cell"))(
-      assign1(b, ivfCodebook(s, d)).select("vec_id", "cell"))
+      assign1(embBase(s, d), ivfCodebook(s, d, name)).select("vec_id", "cell"))(
+      assign1(b, ivfCodebook(s, d, name)).select("vec_id", "cell"))
     graft.StageCache.appendTo(s, d, s"pqcodes@$name")(
-      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d)))(
-      pqAssign(pqSubvectors(b), pqCodebook(s, d)))
+      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d, name)))(
+      pqAssign(pqSubvectors(b), pqCodebook(s, d, name)))
   }
 
   /** Frozen-codebook IVF assignment / PQ encoding of an arbitrary
@@ -453,16 +473,16 @@ object Sketches {
     * equality can recompute the artifacts from scratch over a grown
     * corpus (the same role [[bandsOf]] plays for the MinHash index). */
   private[graft] def assignOf(s: SparkSession, d: String,
-      vecs: DataFrame): DataFrame =
+      vecs: DataFrame, name: String = ""): DataFrame =
     assign1(vecs.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm")),
-      ivfCodebook(s, d)).select("vec_id", "cell")
+      ivfCodebook(s, d, name)).select("vec_id", "cell")
 
   private[graft] def codesOf(s: SparkSession, d: String,
-      vecs: DataFrame): DataFrame =
+      vecs: DataFrame, name: String = ""): DataFrame =
     pqAssign(pqSubvectors(vecs.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))),
-      pqCodebook(s, d))
+      pqCodebook(s, d, name))
 
   /** Flat-PQ ANN for an arbitrary query frame `(qid, qv)`: the query
     * builds its per-subspace distance table (Q×M×K dots against the
@@ -486,7 +506,7 @@ object Sketches {
       graft.functions.VectorFunctions.l2norm(col("qv")).as("norm"))
     val dtable = pqSubvectors(qn.select(col("qid").as("vec_id"),
         col("qv").as("embedding"), col("norm")))
-      .join(broadcast(pqCodebook(s, d)), "m")
+      .join(broadcast(pqCodebook(s, d, name)), "m")
       .select(col("vec_id").as("qid"), col("m"), col("cid"),
         graft.functions.VectorFunctions.dot(col("sv"), col("cv")).as("pdot"))
     val approx = pqCodes(s, d, name)
@@ -535,7 +555,7 @@ object Sketches {
   def ivfpqSearch(s: SparkSession, d: String, queries: DataFrame,
       nprobe: Int => Int, rerank: Long => Int, k: Int = 3,
       name: String = ""): DataFrame = {
-    val cents = ivfCodebook(s, d)
+    val cents = ivfCodebook(s, d, name)
     val np = math.max(1, nprobe(cents.count().toInt))
     val pool0 = math.max(k, rerank(embStore(s, d, name).count()))
     val qn = queries.select(col("qid"), col("qv"),
@@ -552,7 +572,7 @@ object Sketches {
       .select("qid", "vec_id")
     val dtable = pqSubvectors(qn.select(col("qid").as("vec_id"),
         col("qv").as("embedding"), col("norm")))
-      .join(broadcast(pqCodebook(s, d)), "m")
+      .join(broadcast(pqCodebook(s, d, name)), "m")
       .select(col("vec_id").as("qid"), col("m"), col("cid"),
         graft.functions.VectorFunctions.dot(col("sv"), col("cv")).as("pdot"))
     val approx = cand
@@ -996,9 +1016,52 @@ object Sketches {
         .coalesce(targetFiles)
     graft.StageCache.rewrite(s, d, s"embstore@$name")(embBase(s, d))(drop)
     graft.StageCache.rewrite(s, d, s"ivfassign@$name")(
-      assign1(embBase(s, d), ivfCodebook(s, d)).select("vec_id", "cell"))(drop)
+      assign1(embBase(s, d), ivfCodebook(s, d, name)).select("vec_id", "cell"))(drop)
     graft.StageCache.rewrite(s, d, s"pqcodes@$name")(
-      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d)))(drop)
+      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d, name)))(drop)
+    graft.StageCache.rewrite(s, d, tombStage(VecTombs, name))(
+      s.range(0).select(col("id")))(_.limit(0).coalesce(1))
+  }
+
+  /** CODEBOOK REFRESH under drift — the verb frozen-codebook upserts
+    * deliberately lack: months of distribution shift quietly decay
+    * recall because new vectors quantize against centroids trained on
+    * the old distribution. This retrains BOTH codebooks over the
+    * instance's live store (corpus + upserts − tombstones), re-encodes
+    * every stored vector against them, and swaps all five stages
+    * atomically — the offline `retrain → re-encode → swap` job of a
+    * production ANN service, deliberately separate from ingest.
+    * Re-encoding subsumes compaction: assignments and codes rewrite
+    * from the live store, so tombstones apply physically and the
+    * tombstone set clears. O(store) work by design — this is the
+    * periodic heavyweight job, vs the O(batch) upsert and O(request)
+    * delete. After a retrain, [[upsertIntoAnnIndex]] freezes the NEW
+    * codebooks (append ≡ rebuild still pinned, now against them).
+    * LifecycleSpec measures recall on a drifted query set recovering
+    * after retrain. */
+  def retrainAnnIndex(s: SparkSession, d: String, name: String,
+      targetFiles: Int = 4): Unit = {
+    require(name.nonEmpty,
+      "the shared registry index is immutable; retrain a named instance")
+    // Live-store snapshot: every artifact below derives from ONE frame,
+    // not from stage reads that the swaps underneath would invalidate.
+    val store = embStore(s, d, name).localCheckpoint(true)
+    val newIvf = trainIvf(store).coalesce(1).localCheckpoint(true)
+    val newPq = trainPq(store).coalesce(1).localCheckpoint(true)
+    graft.StageCache.rewrite(s, d, s"ivfcb@$name")(
+      ivfCodebook(s, d))(_ => newIvf)
+    graft.StageCache.rewrite(s, d, s"pqcb@$name")(
+      pqCodebook(s, d))(_ => newPq)
+    graft.StageCache.rewrite(s, d, s"embstore@$name")(embBase(s, d))(
+      _ => store.coalesce(targetFiles))
+    graft.StageCache.rewrite(s, d, s"ivfassign@$name")(
+      assign1(embBase(s, d), ivfCodebook(s, d, name))
+        .select("vec_id", "cell"))(
+      _ => assign1(store, newIvf).select("vec_id", "cell")
+        .coalesce(targetFiles))
+    graft.StageCache.rewrite(s, d, s"pqcodes@$name")(
+      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d, name)))(
+      _ => pqAssign(pqSubvectors(store), newPq).coalesce(targetFiles))
     graft.StageCache.rewrite(s, d, tombStage(VecTombs, name))(
       s.range(0).select(col("id")))(_.limit(0).coalesce(1))
   }

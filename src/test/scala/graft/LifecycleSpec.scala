@@ -132,6 +132,104 @@ class LifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN retrain: recall on a drifted distribution recovers; artifacts swap in lockstep") {
+    val name = "lcdrift"
+    val d = sf
+    val base = Tables.embeddings(spark, d).select("vec_id", "embedding")
+    // Drift: a dense cone around a fixed direction u (the first corpus
+    // vector) — v' = u + 0.4 v. The corpus-trained PQ centroids have no
+    // representation there, so all drifted vectors collapse onto a few
+    // codes and ADC cannot rank inside the cone.
+    val u = base.orderBy("vec_id").limit(1)
+      .collect()(0).getSeq[Double](1)
+    val uLit = u.map(x => f"$x%.17g").mkString("array(", ",", ")")
+    def drift(dfc: org.apache.spark.sql.Column) =
+      expr(s"zip_with(embedding, $uLit, (x, y) -> y + 0.4d * x)")
+    val batch = base.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 3000000L).as("vec_id"),
+        drift(col("embedding")).as("embedding"))
+    ops.Sketches.upsertIntoAnnIndex(spark, d, batch, name)
+    // Held-out drifted queries (never indexed).
+    val queries = base.filter(col("vec_id") % 4 === 1 && col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("qid"), drift(col("embedding")).as("qv"))
+      .localCheckpoint(true)
+
+    // Exact top-3 against the live store (corpus + drifted batch).
+    val store = base.unionByName(batch)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val exact = queries
+      .select(col("qid"), col("qv"),
+        graft.functions.VectorFunctions.l2norm(col("qv")).as("qn"))
+      .crossJoin(store)
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
+          / (col("qn") * col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+
+    def recall(): Double = {
+      val got = ops.Sketches.pqSearch(spark, d, queries,
+          rerank = n => math.max(8, (n / 50).toInt), k = 3, name = name)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val before = recall()
+    ops.Sketches.retrainAnnIndex(spark, d, name)
+    val after = recall()
+    info(f"drift recall: before=$before%.3f after=$after%.3f")
+    // The retrained codebook actually changed (vacuity guard)...
+    val sharedCb = ops.Sketches.pqCodebook(spark, d)
+      .select("m", "cid", "cv").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    val namedCb = ops.Sketches.pqCodebook(spark, d, name)
+      .select("m", "cid", "cv").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    assert(namedCb !== sharedCb, "retrain left the PQ codebook unchanged")
+    // ...and recall over the drifted distribution recovers.
+    assert(after > before,
+      f"retrain did not improve drifted recall: $before%.3f -> $after%.3f")
+    assert(after >= 0.6, f"post-retrain recall $after%.3f below floor")
+
+    // Post-retrain lockstep: a fresh upsert encodes against the NEW
+    // codebooks, and artifacts equal a frozen-codebook rebuild over the
+    // grown store — the same pin as the shared-codebook upsert spec.
+    // vec 0 is excluded: drift(v0) = 1.4·v0 is COLINEAR with v0 (u IS
+    // v0), so its drifted copy legitimately ties the verbatim copy at
+    // cos 1.0 and the id tiebreak picks the drifted one.
+    val batch2 = base.filter(col("vec_id") % 101 === 0 && col("vec_id") > 0)
+      .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"))
+    ops.Sketches.upsertIntoAnnIndex(spark, d, batch2, name)
+    val grown = base.unionByName(batch).unionByName(batch2)
+    val gotAssign = ops.Sketches.ivfAssignments(spark, d, name)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantAssign = ops.Sketches.assignOf(spark, d, grown, name)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotAssign === wantAssign, "post-retrain assignments != rebuild")
+    val gotCodes = ops.Sketches.pqCodes(spark, d, name)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val wantCodes = ops.Sketches.codesOf(spark, d, grown, name)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(gotCodes === wantCodes, "post-retrain codes != rebuild")
+    // End-to-end: the new batch's verbatim copies serve at cos 1.0.
+    val q2 = base.filter(col("vec_id") % 101 === 0 && col("vec_id") > 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    ops.Sketches.ivfpqSearch(spark, d, q2,
+        nprobe = c => math.ceil(0.8 * c).toInt.max(2),
+        rerank = n => math.max(32, (n / 3).toInt), k = 1, name = name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .foreach { case (qid, nid, cos) =>
+        assert(nid === qid + 4000000L && cos === 1.0,
+          s"post-retrain upsert not served: $qid -> ($nid, $cos)")
+      }
+  }
+
   test("sketch table: compaction folds to one row per lang with identical rollup; rebuild == from-scratch") {
     val name = "lcsk"
     val d = sf
