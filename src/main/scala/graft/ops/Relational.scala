@@ -52,21 +52,48 @@ object Relational {
     |ORDER BY l_returnflag, l_linestatus
     """
 
-  /** Per-group z-score outlier filter: mean/stddev ride along as window
-    * aggregates over the partition key the row already lives in — ONE
-    * shuffle, no stats-table join back onto the fact table. Shared by
-    * q_agg_outliers and the synthetic-outlier unit contract
-    * (RelationalSpec), so the arithmetic pinned there is the arithmetic
-    * the registry runs.
+  /** Per-group z-score outlier filter, scale-safe spelling: the group
+    * stats come from a partial+final hash aggregate (map-side combine,
+    * never more state than one (mean, stddev) pair per group) and are
+    * broadcast-joined back onto the fact table. The group key is
+    * low-cardinality BY CONSTRUCTION here — a stats table with one row
+    * per group is exactly the broadcast-side shape — so the fact table
+    * is never shuffled at all: at 100× the data the plan is still
+    * scan → broadcast-probe → filter. The window spelling
+    * ([[zScoreOutliersWindow]]) would funnel the whole fact table into
+    * as many window partitions as there are groups (3 for
+    * l_returnflag). RelationalSpec pins the two spellings row-equal on
+    * the registry fixture and pins the arithmetic on constructed
+    * outliers with hand-computed z.
     */
   def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
       threshold: Double): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val stats = df.groupBy(groupCol).agg(
+      avg(col(valueCol)).as("__mu"),
+      stddev_samp(col(valueCol)).as("__sigma"))
     // try_divide: a constant group has stddev 0 and must yield NO
     // outliers, not an ANSI DIVIDE_BY_ZERO error (null z > threshold is
     // false, so such rows drop out). Values are identical to plain "/"
     // whenever the divisor is non-zero, which is always true on the
     // oracle fixtures.
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("z", round(
+        try_divide(col(valueCol) - col("__mu"), col("__sigma")), 6))
+      .filter(abs(col("z")) > threshold)
+      .drop("__mu", "__sigma")
+  }
+
+  /** The window spelling of [[zScoreOutliers]]: mean/stddev ride along
+    * as window aggregates over the partition key. One shuffle, but the
+    * whole fact table funnels into one window partition PER GROUP —
+    * fine for high-cardinality keys, a skew bomb for a 3-value key at
+    * 100 TB. Kept as the equality witness RelationalSpec pins the
+    * broadcast spelling against (it is also the exact shape of the
+    * DuckDB oracle text).
+    */
+  def zScoreOutliersWindow(df: DataFrame, groupCol: String,
+      valueCol: String, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
     df.withColumn("z", round(
         try_divide(col(valueCol) - avg(valueCol).over(w),
           stddev_samp(col(valueCol)).over(w)), 6))
@@ -300,10 +327,12 @@ object Relational {
         .orderBy("l_returnflag", "bin")
     },
 
-    // Outlier detection by per-group z-score: the group mean/stddev
-    // ride along as window aggregates over the SAME partition key the
-    // row already lives in — one shuffle, no join of a stats table
-    // back onto the fact table. Threshold 1.5, not the textbook 2: on a
+    // Outlier detection by per-group z-score: a 3-row stats table from
+    // a hash aggregate, broadcast back onto the fact scan — the fact
+    // table itself never shuffles and never funnels into 3 window
+    // partitions (PlanShapeSpec pins the no-Window shape; the oracle
+    // text keeps the equivalent WINDOW spelling, which DuckDB
+    // evaluates fine at fixture scale). Threshold 1.5, not 2: on a
     // uniform distribution max |z| = sqrt(3) ~ 1.732, so |z| > 2 is
     // unsatisfiable on this data and would make the query vacuous;
     // 1.5 keeps the tail non-empty at every scale factor. The

@@ -68,6 +68,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nAggs >= 2, s"expected partial+final aggregate, got $nAggs:\n$p")
   }
 
+  test("q_agg_outliers broadcasts the stats table — no Window over the fact") {
+    // The scale-safe spelling: a 3-row per-group stats aggregate is
+    // broadcast back onto the fact scan. A Window here would funnel
+    // the whole fact table into 3 partitions at 100 TB.
+    val p = plan("q_agg_outliers")
+    assert(!p.contains("Window"), s"window funnel is back:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+  }
+
   test("q_sim_cosine_knn uses the native dot-product expression") {
     val p = plan("q_sim_cosine_knn")
     assert(p.contains("graft_dot"), s"native kernel missing from plan:\n$p")

@@ -47,6 +47,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(Relational.zScoreOutliers(const, "grp", "v", 1.5).count() === 0)
   }
 
+  test("broadcast-join spelling ≡ window spelling, fixture + registry data") {
+    // The scale-safe spelling the registry runs must be row-equal to
+    // the window spelling (which is also the oracle's SQL shape) —
+    // on the constructed fixture and on the real lineitem table.
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(String, Double)] =
+      df.select("grp", "z").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(pairs(Relational.zScoreOutliers(fixture, "grp", "v", 0.3)) ===
+      pairs(Relational.zScoreOutliersWindow(fixture, "grp", "v", 0.3)))
+    val li = Tables.lineitem(spark, sf)
+    val a = Relational.zScoreOutliers(li, "l_returnflag", "l_extendedprice", 1.5)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "z").collect()
+      .map(_.toSeq).toSet
+    val b = Relational.zScoreOutliersWindow(li, "l_returnflag", "l_extendedprice", 1.5)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "z").collect()
+      .map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("q_agg_outliers is non-vacuous on the fixture at sf0.001") {
     val rows = q("q_agg_outliers").collect()
     assert(rows.nonEmpty, "outlier query returned 0 rows — vacuous again")
