@@ -296,6 +296,67 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Peel rounds unrolled in [[kcoreOracleSql]]. Peeling is MONOTONE —
+    * once the node set stabilizes, further rounds are identity — so
+    * the unrolled text is exact on any graph whose peeling converges
+    * within this many edge-restriction rounds, and over-provisioning
+    * rounds can never make it wrong, only slower. The fixtures peel in
+    * ONE round at both oracle tiers (measured: sf0.001 and sf0.01 both
+    * stabilize after a single restriction); 4 leaves a 4x margin.
+    * GraphSpec pins the precondition: [[kCore]] run with
+    * maxRounds = KcoreOracleRounds must stabilize on the fixture graph
+    * — if a regeneration ever grows a deeper-peeling graph, that spec
+    * fails loudly instead of the oracle silently going wrong.
+    */
+  val KcoreOracleRounds = 4
+
+  /** DuckDB oracle for q_graph_kcore: the same gram-built jac >= 0.1
+    * edge set the triangles oracle spells, then [[KcoreOracleRounds]]
+    * unrolled peel rounds — each round keeps nodes with degree >= k
+    * (d_r) and restricts the edge list to kept endpoints (e_r) —
+    * finishing with the per-node degree inside the surviving core.
+    * WITH RECURSIVE cannot express this (the recursive term would need
+    * an aggregate over the recursive reference), so the rounds are
+    * generated as a flat CTE chain. Each round CTE is AS MATERIALIZED:
+    * every round references its predecessor twice (degree count +
+    * edge restriction), so inlining would recompute the gram-pair
+    * build 2^rounds times.
+    */
+  def kcoreOracleSql(k: Int): String = {
+    val peel = (1 to KcoreOracleRounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT id FROM (
+        |         SELECT ida AS id FROM e${r - 1}
+        |         UNION ALL SELECT idb FROM e${r - 1}) t
+        |       GROUP BY id HAVING count(*) >= $k),
+        |e$r AS MATERIALIZED (SELECT e.ida, e.idb FROM e${r - 1} e
+        |       JOIN d$r da ON e.ida = da.id
+        |       JOIN d$r db ON e.idb = db.id)"""
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |g0 AS (SELECT DISTINCT doc_id,
+      |        unnest([array_to_string(ws[i:i+2], ' ')
+      |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+      |      FROM w),
+      |ok AS (SELECT gram FROM g0 GROUP BY gram
+      |       HAVING count(*) <= ${graft.ops.TextSim.DfCap}),
+      |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |      GROUP BY a.doc_id, b.doc_id),
+      |e0 AS MATERIALIZED (SELECT ida, idb
+      |      FROM p JOIN sz sa ON p.ida = sa.doc_id
+      |             JOIN sz sb ON p.idb = sb.doc_id
+      |      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.1),
+      |$peel
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+      |  SELECT ida AS doc_id FROM e$KcoreOracleRounds
+      |  UNION ALL SELECT idb FROM e$KcoreOracleRounds) t
+      |GROUP BY doc_id
+      |ORDER BY doc_id"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Document centrality on the shared-gram graph: 10 deterministic
@@ -328,11 +389,12 @@ object Graph {
 
     // 2-core of the jac >= 0.1 similarity graph: documents that stay
     // mutually corroborated after shallow tendrils peel away —
-    // boilerplate rings and one-off matches drop out. No DuckDB oracle
-    // (iterative peeling); GraphSpec pins K4-with-tail peeling at
-    // k=2/3/4 and equality to sequential peeling; goldens pin the
-    // fixture output.
-    QuerySpec.noOracle("q_graph_kcore") { (s, d) =>
+    // boilerplate rings and one-off matches drop out. Oracle-checked
+    // since r7: [[kcoreOracleSql]] unrolls the peeling (exactness
+    // precondition pinned in GraphSpec); besides that, GraphSpec pins
+    // K4-with-tail peeling at k=2/3/4 and equality to sequential
+    // peeling; goldens pin the fixture output.
+    QuerySpec.sql("q_graph_kcore", kcoreOracleSql(k = 2)) { (s, d) =>
       kCore(graft.ops.TextSim.similarityEdges(s, d, minJac = 0.1), k = 2)
     },
 

@@ -217,6 +217,25 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("kcore oracle validity: fixture peels within the unrolled rounds") {
+    // ORACLE-VALIDITY GUARD (the ClusterOracleSql precedent):
+    // kcoreOracleSql unrolls KcoreOracleRounds peel rounds; peeling is
+    // monotone, so the text is exact iff the real peeling stabilizes
+    // within that many rounds. Pin that on the fixture graph by running
+    // kCore with maxRounds = KcoreOracleRounds — its stabilization
+    // require() throws if a fixture regeneration ever peels deeper.
+    // (The driver's sf0.01 oracle run is the loud check at that tier;
+    // measured, both tiers peel in ONE round against a margin of 4.)
+    val e = ops.TextSim.similarityEdges(spark, sf, minJac = 0.1)
+    val core = ops.Graph.kCore(e, k = 2,
+      maxRounds = ops.Graph.KcoreOracleRounds)
+    // And the unrolled shape agrees with the registry query's output.
+    val viaRegistry = q("q_graph_kcore")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === viaRegistry)
+  }
+
   test("CC matches union-find on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
