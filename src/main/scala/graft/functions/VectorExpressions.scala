@@ -39,6 +39,12 @@ object VectorFunctions {
     * Jaccard dedup key). */
   def charSet(text: Column): Column = VectorNative.charSet(text)
 
+  /** NFC-normalize a string column (codegen; ASCII short-circuits
+    * without leaving the unsafe representation — see
+    * graftnative.NfcNormalize). The first stage of the shared corpus
+    * tokenizer; DuckDB mirror is `nfc_normalize`. */
+  def nfc(text: Column): Column = VectorNative.nfc(text)
+
   /** Aggregate: per-group top-k (score, id) pairs as a rank-ordered
     * array<struct<score, id>> (score DESC, ties id ASC) with O(k)
     * buffer state at every stage — the bounded, map-side-combinable

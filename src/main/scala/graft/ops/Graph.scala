@@ -332,7 +332,7 @@ object Graph {
         |       JOIN d$r da ON e.ida = da.id
         |       JOIN d$r db ON e.idb = db.id)"""
     }.mkString(",\n")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
       |           FROM documents),
       |g0 AS (SELECT DISTINCT doc_id,
       |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -416,7 +416,7 @@ object Graph {
     // surface as high counts. Oracle spells the identical ordered-wedge
     // + closing-join computation over the same gram-built edge set.
     QuerySpec.sql("q_graph_triangles",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')

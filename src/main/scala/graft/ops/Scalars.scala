@@ -207,20 +207,20 @@ object Scalars {
     // Arrays stay internal; outputs are scalars (§2.13 rule 7).
     q("q_arr_funcs",
       """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS n_words,
-        |  list_contains(string_split(text, ' '), 'scan') AS has_scan,
-        |  string_split(text, ' ')[3] AS third_word,
-        |  array_to_string(list_slice(string_split(text, ' '), 1, 3), ',')
+        |  len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS n_words,
+        |  list_contains(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0), 'scan') AS has_scan,
+        |  list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)[3] AS third_word,
+        |  array_to_string(list_slice(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0), 1, 3), ',')
         |    AS first3,
-        |  list_sort(string_split(text, ' '))[2] AS second_sorted,
-        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |  list_sort(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0))[2] AS second_sorted,
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['scan', 'filter', 'window']))) AS n_common,
-        |  len(list_distinct(list_concat(string_split(text, ' '),
+        |  len(list_distinct(list_concat(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['scan', 'filter', 'window']))) AS n_union
         |FROM documents
         |WHERE doc_id < 200
         |ORDER BY doc_id""") { (s, d) =>
-      val words = split(col("text"), " ")
+      val words = graft.ops.TextSim.normTokens(col("text"))
       val probe = array(lit("scan"), lit("filter"), lit("window"))
       Tables.documents(s, d)
         .filter(col("doc_id") < 200)
@@ -266,12 +266,12 @@ object Scalars {
     // Lateral explode: 1 row -> N rows (FileMap's per-line flatMap).
     q("q_explode",
       """SELECT lang, word, count(*) AS n
-        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
         |      FROM documents) t
         |GROUP BY lang, word
         |ORDER BY lang, word""") { (s, d) =>
       Tables.documents(s, d)
-        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .select(col("lang"), explode(graft.ops.TextSim.normTokens(col("text"))).as("word"))
         .groupBy("lang", "word")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "word")

@@ -605,7 +605,7 @@ object Sketches {
   def simhashSigs(s: SparkSession, d: String): DataFrame =
     graft.StageCache.memoized(s, d, "simhash") {
       val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"), explode(graft.ops.TextSim.normTokens(col("text"))).as("word"))
         .select(col("doc_id"), xxhash64(col("word")).as("h"))
       val bitSums = (0 until 64).map(j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
@@ -659,7 +659,7 @@ object Sketches {
     * signatures. */
   private def minhashBands(docs: DataFrame, idCol: String): DataFrame = {
     val g = docs
-      .select(col(idCol), split(col("text"), " ").as("ws"))
+      .select(col(idCol), graft.ops.TextSim.normTokens(col("text")).as("ws"))
       .select(col(idCol),
         explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
           .as("gram"))
@@ -844,7 +844,7 @@ object Sketches {
     * maintained-table shape at 100 TB (sketch new partitions, add). */
   def cmsSketchTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .select(col("lang"), explode(graft.ops.TextSim.normTokens(col("text"))).as("word"))
       .groupBy("lang")
       .agg(count_min_sketch(col("word"),
         lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("cms"))
@@ -860,7 +860,7 @@ object Sketches {
     val h = docs.groupBy("lang")
       .agg(hll_sketch_agg(xxhash64(col("text")), 12).as("hll"))
     val c = docs
-      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .select(col("lang"), explode(graft.ops.TextSim.normTokens(col("text"))).as("word"))
       .groupBy("lang")
       .agg(count_min_sketch(col("word"),
         lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("cms"))

@@ -25,8 +25,36 @@ object TextSim {
   private def q(name: String, oracle: String)(
       df: (SparkSession, String) => DataFrame) = QuerySpec.sql(name, oracle)(df)
 
-  /** words of `text`, split on single spaces (fixture texts are clean). */
-  private val words: Column = split(col("text"), " ")
+  /** Shared corpus tokenizer (CAP-TOKENIZE-UNICODE, r7): NFC-normalize
+    * (native codegen expression, ASCII short-circuit), lowercase, split
+    * on any run of non-letter/non-digit codepoints, drop empties. Real
+    * crawls are not clean lowercase ASCII: decomposed accents must
+    * collide with their precomposed spellings, "Word," with "word",
+    * and CJK text must survive. On the fixture alphabet ([a-z0-9 ],
+    * single spaces, probed across all three tiers) this is
+    * token-identical to a single-space split, which is what keeps
+    * every oracle hash-green; [[TokenizeSpec]] pins the unicode
+    * behavior on mixed-script fixtures. DuckDB mirror: [[TokSql]] —
+    * same NFC → lower → split pipeline, regex in the RE2 ∩ Java
+    * subset.
+    */
+  def normTokens(c: Column): Column =
+    filter(
+      split(lower(graft.functions.VectorFunctions.nfc(c)), TokenSplitRegex),
+      w => length(w) > lit(0))
+
+  /** The token-boundary regex — any run of codepoints that are neither
+    * Unicode letters nor digits. Valid and identical in Java regex
+    * (Spark `split`) and RE2 (DuckDB `regexp_split_to_array`). */
+  val TokenSplitRegex = "[^\\p{L}\\p{N}]+"
+
+  /** DuckDB spelling of [[normTokens]] over a column named `c`. */
+  def TokSql(c: String = "text"): String =
+    s"list_filter(regexp_split_to_array(lower(nfc_normalize($c)), " +
+      s"'[^\\p{L}\\p{N}]+'), x -> len(x) > 0)"
+
+  /** words of `text` via the shared tokenizer. */
+  private val words: Column = normTokens(col("text"))
 
   /** Document quality score, 6-dp: 0.6 × type-token ratio + 0.4 ×
     * length saturation at 50 words. Single definition shared by
@@ -95,7 +123,7 @@ object TextSim {
   private[graft] def gramPostingsFrame(s: SparkSession, d: String,
       dfCap: Int): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), normTokens(col("text")).as("ws"))
       .select(col("doc_id"),
         explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
           .as("gram"))
@@ -135,7 +163,7 @@ object TextSim {
     * the min, which SketchesSpec asserts for the fixtures; beyond
     * that, GraphSpec pins CC ≡ the general propagation FIXPOINT). */
   val ClusterOracleSql: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
       |           FROM documents),
       |g0 AS (SELECT DISTINCT doc_id,
       |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -408,7 +436,7 @@ object TextSim {
 
     q("q_text_tokens",
       """SELECT word, count(*) AS n
-        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
         |      FROM documents) t
         |GROUP BY word
         |ORDER BY n DESC, word""") { (s, d) =>
@@ -420,7 +448,7 @@ object TextSim {
     },
 
     q("q_text_tfidf",
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
         |             FROM documents),
         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
         |       FROM tok GROUP BY doc_id, word),
@@ -451,7 +479,7 @@ object TextSim {
     // form (ln(1 + (N-df+0.5)/(df+0.5))) are spelled identically in
     // both engines; scores rounded to 6.
     q("q_text_bm25",
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS w
         |             FROM documents),
         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
         |st AS (SELECT count(*) AS n_docs, avg(len) AS avg_len
@@ -516,15 +544,15 @@ object TextSim {
     // engines.
     q("q_text_langid",
       """WITH h AS (SELECT doc_id, lang,
-        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['filter', 'column', 'query']))) AS h_de,
-        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['scan', 'fast', 'table']))) AS h_en,
-        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['hash', 'value', 'batch']))) AS h_es,
-        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['join', 'merge', 'row']))) AS h_fr,
-        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['window', 'order', 'data']))) AS h_zh
         |  FROM documents)
         |SELECT doc_id, lang, h_de, h_en, h_es, h_fr, h_zh,
@@ -558,15 +586,15 @@ object TextSim {
     // Quality scoring: type-token ratio, word-length, length saturation.
     q("q_text_quality",
       """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS n_words,
-        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
-        |  round(len(list_distinct(string_split(text, ' ')))
-        |    / len(string_split(text, ' ')), 6) AS ttr,
+        |  len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS n_words,
+        |  len(list_distinct(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0))) AS n_distinct,
+        |  round(len(list_distinct(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
+        |    / len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)), 6) AS ttr,
         |  round(length(replace(text, ' ', ''))
-        |    / len(string_split(text, ' ')), 6) AS avg_word_len,
-        |  round(0.6 * (len(list_distinct(string_split(text, ' ')))
-        |      / len(string_split(text, ' ')))
-        |    + 0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0), 6)
+        |    / len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)), 6) AS avg_word_len,
+        |  round(0.6 * (len(list_distinct(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
+        |      / len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
+        |    + 0.4 * least(len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) / 50.0, 1.0), 6)
         |    AS quality
         |FROM documents
         |ORDER BY doc_id""") { (s, d) =>
@@ -586,7 +614,7 @@ object TextSim {
     // Token counting: whitespace tokens + a BPE-ish regex chunking.
     q("q_text_tokcount",
       """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
         |  len(regexp_extract_all(text, '[a-z]{1,4}')) AS bpe_tokens,
         |  round(length(text) / len(regexp_extract_all(text, '[a-z]{1,4}')), 6)
@@ -647,7 +675,7 @@ object TextSim {
     // duplicate word-3-gram fraction per document — high repetition is
     // the classic low-quality-text signal. Raw (non-distinct) grams.
     q("q_text_repetition",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
         |        for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
@@ -660,7 +688,7 @@ object TextSim {
         |FROM r
         |ORDER BY doc_id""") { (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), normTokens(col("text")).as("ws"))
         .select(col("doc_id"), explode(wordGrams3("ws")).as("gram"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
@@ -713,7 +741,7 @@ object TextSim {
     // broadcast singleton. log2 cross-engine parity is established by
     // q_text_entropy (§2.13 rehearsal).
     q("q_text_unigram_nll",
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
         |            FROM documents),
         |f AS (SELECT word, CAST(count(*) AS BIGINT) AS n
         |      FROM tok GROUP BY word),
@@ -746,7 +774,7 @@ object TextSim {
     // outgrows broadcast. The oracle derives the identical pairs by
     // slicing the word array.
     q("q_text_bigram_nll",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |p0 AS (SELECT doc_id,
         |        unnest([array_to_string(ws[i:i+1], ' ')
@@ -770,7 +798,7 @@ object TextSim {
       // and Spark shares no cross-subtree plans — the checkpoint keeps
       // the tokenize from running 3x (the PageRank edge-list lesson).
       val p = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), normTokens(col("text")).as("ws"))
         .select(col("doc_id"), explode(expr(
           """filter(transform(ws, (w, i) -> struct(
             |    w AS w1, concat(w, ' ', try_element_at(ws, i + 2)) AS bg,
@@ -796,7 +824,7 @@ object TextSim {
     // gram set — grams 64-bit-hashed on the Spark side so the shuffle
     // keys are fixed-width; the oracle joins the strings, same result).
     q("q_text_decontaminate",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -816,7 +844,7 @@ object TextSim {
         |ORDER BY doc_id""") { (s, d) =>
       val g0 = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          split(col("text"), " ").as("ws"))
+          normTokens(col("text")).as("ws"))
         .select(col("doc_id"), col("source"),
           explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
             .as("gram"))
@@ -850,7 +878,7 @@ object TextSim {
     // and the same-result equality is also pinned in PlanShapeSpec
     // along with the plan shape (bloom probe before the exchange).
     q("q_text_decontam_bloom",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -870,7 +898,7 @@ object TextSim {
         |ORDER BY doc_id""") { (s, d) =>
       val g0 = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          split(col("text"), " ").as("ws"))
+          normTokens(col("text")).as("ws"))
         .select(col("doc_id"), col("source"),
           explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
             .as("gram"))
@@ -902,7 +930,7 @@ object TextSim {
     // training-data pipeline derives before sampling.
     q("q_mix_weights",
       """WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |    CAST(sum(len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |tot AS (SELECT sum(n_tokens) AS total FROM t)
         |SELECT source, n_docs, n_tokens,
@@ -954,7 +982,7 @@ object TextSim {
     // hash join back — at 100 TB the group key would be the chunk's
     // 128-bit hash rather than its text, same plan.
     q("q_dedup_chunks",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |c0 AS (SELECT doc_id, unnest([{'idx': i - 1,
         |         'chunk': array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ')}
@@ -979,7 +1007,7 @@ object TextSim {
       // hashed gram keys (collision odds ~1e-7 at 3e6 chunks, far
       // below any other error source; the oracle groups the strings).
       val chunked = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), normTokens(col("text")).as("ws"))
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1)," +
             " i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"))
@@ -1020,7 +1048,7 @@ object TextSim {
     // quadratic within blocks (118 s at sf0.1, and block populations
     // grow linearly with corpus size — a scale-killer at 100 TB).
     q("q_dedup_lev",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws FROM documents),
         |g0 AS (SELECT DISTINCT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
         |         for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
         |       FROM w),
@@ -1114,7 +1142,7 @@ object TextSim {
     // that scales (hash-shuffles only, no all-pairs). Jaccard is over
     // the capped gram space, identically in both engines.
     q("q_dedup_ngram",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -1153,7 +1181,7 @@ object TextSim {
     // text analytics + transitive dedup + multimodal join composed,
     // every stage the same operator the standalone queries use.
     q("q_curate",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -1181,9 +1209,9 @@ object TextSim {
         |                 LEFT JOIN l1 u ON u.doc_id = e.b
         |       GROUP BY v.doc_id, v.l),
         |q AS (SELECT doc_id, lang,
-        |        round(0.6 * (len(list_distinct(string_split(text, ' ')))
-        |            / len(string_split(text, ' ')))
-        |          + 0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0), 6)
+        |        round(0.6 * (len(list_distinct(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)))
+        |            / len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)))
+        |          + 0.4 * least(len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) / 50.0, 1.0), 6)
         |          AS quality
         |      FROM documents)
         |SELECT q.doc_id, q.lang, q.quality, emb.label

@@ -87,7 +87,7 @@ object Udx {
     import org.apache.spark.sql.functions.{col, count, explode, lit, split}
     val mg = udaf(new MisraGries(HeavyHitterK))
     Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
+      .select(explode(graft.ops.TextSim.normTokens(col("text"))).as("w"))
       .agg(mg(col("w")).as("sk"), count(lit(1)).as("total"))
       .select(explode(col("sk")).as(Seq("w", "lb")), col("total"))
       .select("w", "total")
@@ -106,7 +106,7 @@ object Udx {
     // and oracle-checkable even though raw counter values are
     // merge-order-dependent.
     QuerySpec.sql("q_text_topterms_sketch",
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+      s"""WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS w
         |             FROM documents),
         |t AS (SELECT count(*) AS total FROM tok),
         |hh AS (SELECT w, count(*) AS n FROM tok GROUP BY w)
@@ -116,7 +116,7 @@ object Udx {
         |ORDER BY n DESC, word""") { (s, d) =>
       val cand = heavyHitterCandidates(s, d)
       Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
+        .select(explode(graft.ops.TextSim.normTokens(col("text"))).as("w"))
         .join(broadcast(cand), "w")
         .groupBy("w", "total").agg(count(lit(1)).as("n"))
         .filter(col("n") > col("total") / (HeavyHitterK + 1).toDouble)

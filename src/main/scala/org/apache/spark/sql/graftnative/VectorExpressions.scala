@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native Catalyst expression for the dense dot product of two
   * `array<double>` columns (CAP-EXPR-CUSTOM, SURVEY §4.3.1).
@@ -328,6 +328,52 @@ case class CharSetString(child: Expression)
     copy(child = newChild)
 }
 
+/** NFC-normalize a string (CAP-TOKENIZE-UNICODE): canonical
+  * composition so byte-different spellings of the same text — "café"
+  * precomposed vs "cafe" + combining acute — tokenize identically.
+  * The shared corpus tokenizer ([[graft.ops.TextSim.normTokens]])
+  * applies this before lowercasing and splitting; its DuckDB oracle
+  * mirror is `nfc_normalize` (both implement UAX #15, and on the
+  * ASCII fixture alphabet both are the identity).
+  *
+  * Per-row cost control, in order: pure-ASCII strings short-circuit on
+  * a byte==char count check (no String materialization at all — the
+  * 100 TB common case for English crawl text); already-normalized
+  * non-ASCII returns the ORIGINAL UTF8String (one isNormalized scan,
+  * no re-encode); only genuinely denormalized rows pay the
+  * normalize + re-encode. Codegen calls straight into [[nfc]] — one
+  * static-shaped virtual call per row, no interpreted expression tree.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    // One UTF-8 byte per codepoint <=> pure ASCII, where NFC is the
+    // identity: skip without ever leaving the unsafe representation.
+    if (s.numBytes == s.numChars) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    nfc(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNorm", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.nfc($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Bridge from the private[sql] expression world to public Columns. */
 object VectorNative {
   def dot(a: Column, b: Column): Column =
@@ -346,6 +392,9 @@ object VectorNative {
 
   def charSet(text: Column): Column =
     ExpressionUtils.column(CharSetString(ExpressionUtils.expression(text)))
+
+  def nfc(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 }
 
 /** SparkSessionExtensions hook: registers the native expressions as SQL
@@ -364,6 +413,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfc takes exactly 1 argument")
+        NfcNormalize(children.head)
       }))
   }
 }

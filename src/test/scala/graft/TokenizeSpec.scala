@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CAP-TOKENIZE-UNICODE: the shared corpus tokenizer
+  * (TextSim.normTokens = NFC → lower → split on non-letter/non-digit
+  * runs → drop empties) on text the fixtures never exercise — mixed
+  * scripts, combining marks, punctuation — plus the ORACLE-VALIDITY
+  * GUARD that the fixture alphabet keeps the tokenizer identical to
+  * the single-space split every DuckDB-side computation used to spell
+  * (the property that lets 100+ oracle texts swap tokenizers without
+  * a single hash moving).
+  */
+class TokenizeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def toks(texts: String*): Seq[Seq[String]] =
+    texts.toDF("text")
+      .select(graft.ops.TextSim.normTokens(col("text")).as("ws"))
+      .collect().map(_.getSeq[String](0).toList).toList
+
+  test("NFC: decomposed and precomposed spellings tokenize identically") {
+    // "café" precomposed (U+00E9) vs "cafe" + COMBINING ACUTE (U+0301):
+    // byte-different, canonically equal — NFC folds them to one token.
+    val pre = "café"
+    val dec = "café"
+    assert(pre != dec && toks(pre) === toks(dec))
+    assert(toks(pre) === Seq(Seq("café")))
+  }
+
+  test("case folds, punctuation splits, digits survive, CJK survives") {
+    assert(toks("Hello, World! x9 日本語") ===
+      Seq(Seq("hello", "world", "x9", "日本語")))
+    // Uppercase precomposed accent: lower() after NFC.
+    assert(toks("CAFÉ!!") === Seq(Seq("café")))
+    // Punctuation-only and empty strings yield EMPTY arrays, not [""].
+    assert(toks("?!... --", "") === Seq(Seq(), Seq()))
+  }
+
+  test("null text stays null through the tokenizer") {
+    val r = Seq[Option[String]](None, Some("a b")).toDF("text")
+      .select(graft.ops.TextSim.normTokens(col("text")).as("ws"))
+      .collect()
+    assert(r(0).isNullAt(0) && r(1).getSeq[String](0) === Seq("a", "b"))
+  }
+
+  test("graft_nfc is SQL-registered and ASCII short-circuits to identity") {
+    val got = spark.sql(
+      "SELECT graft_nfc('abc') = 'abc', graft_nfc('café')")
+      .collect().head
+    assert(got.getBoolean(0) && got.getString(1) === "café")
+  }
+
+  test("ORACLE-VALIDITY GUARD: fixture tokens == single-space split") {
+    // Every DuckDB oracle now spells the unicode tokenizer, and every
+    // golden was pinned under the space-split era; both stay valid
+    // only while the fixture text is clean [a-z0-9 ] (probed across
+    // all three tiers when this landed). If a fixture regeneration
+    // ever ships punctuation, uppercase, or multi-spaces, fail HERE,
+    // loudly, not as 40 silent hash mismatches in the driver gate.
+    val docs = Tables.documents(spark, sf)
+    val diverged = docs.select(
+        graft.ops.TextSim.normTokens(col("text")).as("a"),
+        split(col("text"), " ").as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diverged === 0L,
+      s"$diverged fixture docs tokenize differently than space-split")
+  }
+}
