@@ -8,13 +8,15 @@ import scala.util.hashing.MurmurHash3
   * round 1): images/audio/video travel as opaque `binary` columns with
   * typed metadata alongside, decoded/featurized in batch per partition.
   *
-  * Decode kernels: BMP (uncompressed DIB), WAV (RIFF/PCM), and PNG
-  * (chunk walk + java.util.zip Inflater + all five scanline filters)
-  * are REAL pure-JVM parsers — header fields decoded from the bytes,
-  * pixel and sample payloads located/decompressed and featurized.
-  * Formats that need codecs this container doesn't ship (JPEG, MP4,
-  * ...) fall back to a clearly-marked deterministic fake derived from
-  * the content bytes, so the pipeline shape stays exercised end-to-end
+  * Decode kernels: BMP (uncompressed DIB), WAV (RIFF/PCM), PNG
+  * (chunk walk + java.util.zip Inflater + all five scanline filters),
+  * and baseline JPEG (canonical Huffman + dequant + reference IDCT +
+  * sampling-factor-driven chroma upsample) are REAL pure-JVM
+  * parsers — header fields decoded from the bytes, pixel and sample
+  * payloads located/decompressed and featurized. Formats that need
+  * codecs this container doesn't ship (MP4, progressive JPEG, ...)
+  * fall back to a clearly-marked deterministic fake derived from the
+  * content bytes, so the pipeline shape stays exercised end-to-end
   * for every file. Everything around the kernels is real and tested
   * (MultimodalSpec): the binaryFile source schema, the typed Dataset
   * plumbing, the per-partition batch iterator shape (mapPartitions —
@@ -164,6 +166,416 @@ object Multimodal {
     Some(PngImage(w, h, channels, out))
   }
 
+  // ---- JPEG (real baseline decode: Huffman + dequant + IDCT) ----------
+
+  /** SOI then any marker — every JFIF/EXIF baseline file starts so. */
+  private def isJpeg(c: Array[Byte]): Boolean =
+    c.length > 3 && (c(0) & 0xFF) == 0xFF && (c(1) & 0xFF) == 0xD8 &&
+      (c(2) & 0xFF) == 0xFF
+
+  /** A decoded JPEG: interleaved pixel bytes, row-major top-down,
+    * `channels` per pixel (gray 1 / RGB 3). */
+  case class JpegImage(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  /** Zigzag scan order: position k in the entropy stream lives at
+    * natural index JpegZigzag(k) of the 8x8 block. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Separable IDCT basis: IdctC(u)(x) = c(u)/2 * cos((2x+1)u*pi/16).
+    * Double-precision reference IDCT — correctness first; the per-block
+    * cost is 1024 multiplies, amortized per partition like every other
+    * decode kernel. */
+  private val IdctC: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (u, x) =>
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical JPEG Huffman table (spec F.2.2.3 DECODE): `bits(l)` =
+    * number of codes of length l (1-based through 16), `vals` =
+    * symbols in code order. */
+  private final class JpegHuff(bits: Array[Int], vals: Array[Int]) {
+    private val mincode = new Array[Int](17)
+    private val maxcode = Array.fill(17)(-1)
+    private val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l)
+          k += bits(l)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: JpegBits): Int = {
+      var l = 1
+      var code = br.nextBit()
+      while (maxcode(l) < code) {
+        l += 1
+        if (l > 16) throw new IllegalArgumentException("bad huffman code")
+        code = (code << 1) | br.nextBit()
+      }
+      vals(valptr(l) + code - mincode(l))
+    }
+  }
+
+  /** Entropy-segment bit reader: MSB-first bits with 0xFF00 byte
+    * de-stuffing. Hitting a real marker (or the end of data) inside a
+    * coefficient read throws — truncated streams decode to None, they
+    * never spin (the PNG inflate-stall lesson). */
+  private final class JpegBits(c: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def nextBit(): Int = {
+      if (nbits == 0) {
+        if (pos >= c.length)
+          throw new IllegalArgumentException("entropy data truncated")
+        var b = c(pos) & 0xFF
+        pos += 1
+        if (b == 0xFF) {
+          if (pos >= c.length || (c(pos) & 0xFF) != 0x00)
+            throw new IllegalArgumentException("marker inside scan")
+          pos += 1 // stuffed zero: data byte really is 0xFF
+        }
+        cur = b
+        nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker (restart
+      * intervals reset the bit stream and DC predictors). */
+    def restart(): Unit = {
+      nbits = 0
+      if (pos + 1 >= c.length || (c(pos) & 0xFF) != 0xFF ||
+          ((c(pos + 1) & 0xFF) & 0xF8) != 0xD0)
+        throw new IllegalArgumentException("expected restart marker")
+      pos += 2
+    }
+  }
+
+  /** F.2.2.1 EXTEND: map an s-bit magnitude to its signed value. */
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private val MaxJpegPixelBytes = 64L << 20
+
+  /** Baseline sequential JFIF decode, pure JVM: marker walk (DQT /
+    * DHT / SOF0-1 / DRI / SOS), canonical Huffman coefficient decode,
+    * dequantization, reference IDCT, and nearest-neighbor chroma
+    * upsampling driven by the SOF sampling factors — 4:4:4 and 4:2:0
+    * (and any other integer factor grid) handled by the same general
+    * plane resample; 1-component grayscale and 3-component YCbCr
+    * (JFIF BT.601 to RGB) supported. Restart intervals honored.
+    *
+    * Returns None — never throws, never loops — on anything outside
+    * that envelope: progressive (SOF2) and arithmetic coding, 12-bit
+    * precision, 4-component CMYK, truncated or corrupt entropy data,
+    * and decompression-bomb headers (> [[MaxJpegPixelBytes]] decoded,
+    * checked BEFORE allocating — the PNG guard's contract).
+    */
+  def decodeJpeg(c: Array[Byte]): Option[JpegImage] = try {
+    if (!isJpeg(c)) return None
+    val qt = Array.ofDim[Int](4, 64) // zigzag order, as transmitted
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var w = 0
+    var h = 0
+    var nComp = 0
+    val compH = new Array[Int](4)
+    val compV = new Array[Int](4)
+    val compQ = new Array[Int](4)
+    val compId = new Array[Int](4)
+    var restartInterval = 0
+    var pos = 2
+    var scanDc: Array[Int] = null
+    var scanAc: Array[Int] = null
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (pos + 4 > c.length) return None
+      if ((c(pos) & 0xFF) != 0xFF) return None
+      val m = c(pos + 1) & 0xFF
+      if (m == 0xD8 || (m & 0xF8) == 0xD0) { pos += 2 } // SOI / RSTn
+      else {
+        val len = ((c(pos + 2) & 0xFF) << 8) | (c(pos + 3) & 0xFF)
+        if (len < 2 || pos + 2 + len > c.length) return None
+        val seg = pos + 4
+        m match {
+          case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
+            if ((c(seg) & 0xFF) != 8) return None // 8-bit precision only
+            h = ((c(seg + 1) & 0xFF) << 8) | (c(seg + 2) & 0xFF)
+            w = ((c(seg + 3) & 0xFF) << 8) | (c(seg + 4) & 0xFF)
+            nComp = c(seg + 5) & 0xFF
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            if (w.toLong * h * 3 > MaxJpegPixelBytes) return None
+            var i = 0
+            while (i < nComp) {
+              compId(i) = c(seg + 6 + 3 * i) & 0xFF
+              val hv = c(seg + 7 + 3 * i) & 0xFF
+              compH(i) = hv >> 4
+              compV(i) = hv & 15
+              compQ(i) = c(seg + 8 + 3 * i) & 0xFF
+              if (compH(i) < 1 || compH(i) > 4 || compV(i) < 1 ||
+                  compV(i) > 4 || compQ(i) > 3) return None
+              i += 1
+            }
+          case 0xC4 => // DHT: one or more tables in the segment
+            var p = seg
+            while (p < pos + 2 + len) {
+              val tc = (c(p) & 0xFF) >> 4
+              val th = c(p) & 15
+              if (tc > 1 || th > 3) return None
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) {
+                bits(l) = c(p + l) & 0xFF; total += bits(l); l += 1
+              }
+              if (total > 256 || p + 17 + total > pos + 2 + len) return None
+              val vals = new Array[Int](total)
+              var v = 0
+              while (v < total) { vals(v) = c(p + 17 + v) & 0xFF; v += 1 }
+              val tab = new JpegHuff(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + total
+            }
+          case 0xDB => // DQT: one or more tables
+            var p = seg
+            while (p < pos + 2 + len) {
+              val pq = (c(p) & 0xFF) >> 4
+              val tq = c(p) & 15
+              if (pq > 1 || tq > 3) return None
+              var k = 0
+              while (k < 64) {
+                qt(tq)(k) =
+                  if (pq == 0) c(p + 1 + k) & 0xFF
+                  else ((c(p + 1 + 2 * k) & 0xFF) << 8) |
+                    (c(p + 2 + 2 * k) & 0xFF)
+                k += 1
+              }
+              p += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xDD => // DRI
+            restartInterval = ((c(seg) & 0xFF) << 8) | (c(seg + 1) & 0xFF)
+          case 0xDA => // SOS
+            val ns = c(seg) & 0xFF
+            if (ns != nComp) return None // interleaved single scan only
+            scanDc = new Array[Int](nComp)
+            scanAc = new Array[Int](nComp)
+            var i = 0
+            while (i < ns) {
+              val cs = c(seg + 1 + 2 * i) & 0xFF
+              val ci = compId.indexOf(cs)
+              if (ci < 0 || ci >= nComp) return None
+              scanDc(ci) = (c(seg + 2 + 2 * i) & 0xFF) >> 4
+              scanAc(ci) = c(seg + 2 + 2 * i) & 15
+              i += 1
+            }
+            sosAt = pos + 2 + len
+          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+              0xCD | 0xCE | 0xCF =>
+            return None // progressive / lossless / arithmetic
+          case _ => () // APPn, COM, ...: skip
+        }
+        if (sosAt < 0) pos += 2 + len
+      }
+    }
+    var hmax = 1
+    var vmax = 1
+    var i = 0
+    while (i < nComp) {
+      hmax = math.max(hmax, compH(i)); vmax = math.max(vmax, compV(i))
+      i += 1
+    }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // Component planes at their own resolution, padded to whole MCUs.
+    val planeW = new Array[Int](nComp)
+    val planes = new Array[Array[Byte]](nComp)
+    i = 0
+    while (i < nComp) {
+      planeW(i) = mcusX * compH(i) * 8
+      val bytes = planeW(i).toLong * (mcusY * compV(i) * 8)
+      if (bytes > MaxJpegPixelBytes) return None
+      planes(i) = new Array[Byte](bytes.toInt)
+      i += 1
+    }
+    val br = new JpegBits(c, sosAt)
+    val dcPred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.restart()
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        var ci = 0
+        while (ci < nComp) {
+          val dcTab = dcTabs(scanDc(ci))
+          val acTab = acTabs(scanAc(ci))
+          if (dcTab == null || acTab == null) return None
+          val q = qt(compQ(ci))
+          var by = 0
+          while (by < compV(ci)) {
+            var bx = 0
+            while (bx < compH(ci)) {
+              java.util.Arrays.fill(coef, 0)
+              val s0 = dcTab.decode(br)
+              if (s0 > 11) return None
+              dcPred(ci) += jpegExtend(br.receive(s0), s0)
+              coef(0) = dcPred(ci) * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = acTab.decode(br)
+                val r = rs >> 4
+                val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 else eob = true
+                } else {
+                  k += r
+                  if (k > 63 || s > 10) return None
+                  coef(JpegZigzag(k)) = jpegExtend(br.receive(s), s) * q(k)
+                  k += 1
+                }
+              }
+              // IDCT: horizontal basis pass then vertical, +128 shift.
+              var v = 0
+              while (v < 8) {
+                var x = 0
+                while (x < 8) {
+                  var acc = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    acc += coef(v * 8 + u) * IdctC(u)(x); u += 1
+                  }
+                  tmp(v)(x) = acc
+                  x += 1
+                }
+                v += 1
+              }
+              val plane = planes(ci)
+              val pw = planeW(ci)
+              val px0 = (mx * compH(ci) + bx) * 8
+              val py0 = (my * compV(ci) + by) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var acc = 0.0
+                  var u = 0
+                  while (u < 8) { acc += IdctC(u)(y) * tmp(u)(x); u += 1 }
+                  val pix = math.rint(acc + 128.0).toInt
+                  plane((py0 + y) * pw + px0 + x) =
+                    (if (pix < 0) 0 else if (pix > 255) 255 else pix).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // Resample planes to full resolution and convert color space.
+    val out = new Array[Byte](w * h * (if (nComp == 3) 3 else 1))
+    if (nComp == 1) {
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = planes(0)(y * pw + x); x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = planes(0)(
+            (y * compV(0) / vmax) * planeW(0) + x * compH(0) / hmax) & 0xFF
+          val cb = (planes(1)(
+            (y * compV(1) / vmax) * planeW(1) + x * compH(1) / hmax) & 0xFF) - 128
+          val cr = (planes(2)(
+            (y * compV(2) / vmax) * planeW(2) + x * compH(2) / hmax) & 0xFF) - 128
+          val o = (y * w + x) * 3
+          val r = math.rint(yy + 1.402 * cr).toInt
+          val g = math.rint(yy - 0.344136 * cb - 0.714136 * cr).toInt
+          val b = math.rint(yy + 1.772 * cb).toInt
+          out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+          out(o + 2) = (if (b < 0) 0 else if (b > 255) 255 else b).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some(JpegImage(w, h, if (nComp == 3) 3 else 1, out))
+  } catch {
+    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+      None // corrupt/truncated input: drop, don't crash
+  }
+
+  /** SOF-only JPEG metadata (marker walk, no entropy decode — the
+    * cheap-metadata contract [[pngMeta]] set). Falls back to 0-dims if
+    * no sequential SOF is found (progressive files report their real
+    * dims too — SOF2 carries the same layout). */
+  private def jpegMeta(path: String, c: Array[Byte]): MediaMeta = {
+    var pos = 2
+    var w = 0
+    var h = 0
+    var ch = 0
+    var done = false
+    while (!done && pos + 4 <= c.length && (c(pos) & 0xFF) == 0xFF) {
+      val m = c(pos + 1) & 0xFF
+      if (m == 0xD8 || (m & 0xF8) == 0xD0) pos += 2
+      else {
+        val len = ((c(pos + 2) & 0xFF) << 8) | (c(pos + 3) & 0xFF)
+        if (len < 2 || pos + 2 + len > c.length) done = true
+        else {
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&
+              m != 0xCC) {
+            h = ((c(pos + 5) & 0xFF) << 8) | (c(pos + 6) & 0xFF)
+            w = ((c(pos + 7) & 0xFF) << 8) | (c(pos + 8) & 0xFF)
+            ch = c(pos + 9) & 0xFF
+            done = true
+          }
+          pos += 2 + len
+        }
+      }
+    }
+    MediaMeta(path, c.length, "jpeg", width = w, height = h,
+      channels = ch, duration_ms = 0L)
+  }
+
   /** IHDR-only PNG metadata (no inflate — metadata queries must stay
     * cheap; the pixel decode happens in [[embed]]/[[pngAsBmp]]). */
   private def pngMeta(path: String, c: Array[Byte]): MediaMeta =
@@ -253,6 +665,7 @@ object Multimodal {
         if (isBmp(f.content)) bmpMeta(f.path, f.content)
         else if (isWav(f.content)) wavMeta(f.path, f.content)
         else if (isPng(f.content)) pngMeta(f.path, f.content)
+        else if (isJpeg(f.content)) jpegMeta(f.path, f.content)
         else {
           // FALLBACK STUB — deterministic fake for codec-less formats.
           val h = MurmurHash3.bytesHash(f.content, seed = 42)
@@ -277,13 +690,15 @@ object Multimodal {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaEmbedding]
     ds.mapPartitions { files =>
       files.map { f =>
-        val pngPixels =
-          if (isPng(f.content)) decodePng(f.content).map(_.pixels) else None
-        val vec = pngPixels match {
-          // PNG: histogram over the DEFILTERED pixel bytes — the same
-          // 8-bin byte histogram the BMP branch takes over its pixel
-          // array, but on genuinely decoded (inflated + unfiltered)
-          // data.
+        val decodedPixels =
+          if (isPng(f.content)) decodePng(f.content).map(_.pixels)
+          else if (isJpeg(f.content)) decodeJpeg(f.content).map(_.pixels)
+          else None
+        val vec = decodedPixels match {
+          // PNG/JPEG: histogram over the DECODED pixel bytes — the
+          // same 8-bin byte histogram the BMP branch takes over its
+          // pixel array, but on genuinely decoded (inflated +
+          // unfiltered, or Huffman + IDCT'd) data.
           case Some(px) if px.length > 0 =>
             val h = new Array[Double](8)
             var i = 0
@@ -418,46 +833,66 @@ object Multimodal {
     ds.mapPartitions { files =>
       files.flatMap { f =>
         if (!isPng(f.content)) None
-        else decodePng(f.content).flatMap { img =>
-          val w = img.width
-          val h = img.height
-          val ch = img.channels
-          val strideOutL = ((w.toLong * 3 + 3) / 4) * 4
-          val outBytesL = 54L + strideOutL * h
-          if (outBytesL > Int.MaxValue) None
-          else {
-            val strideOut = strideOutL.toInt
-            val out = java.nio.ByteBuffer.allocate(outBytesL.toInt)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            out.put('B'.toByte).put('M'.toByte).putInt(outBytesL.toInt)
-              .putInt(0).putInt(54)
-            out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-            out.putInt(0).putInt(outBytesL.toInt - 54).putInt(2835)
-              .putInt(2835).putInt(0).putInt(0)
-            val arr = out.array()
-            var y = 0
-            while (y < h) {
-              val rOut = h - 1 - y // PNG rows top-down, BMP bottom-up
-              var x = 0
-              while (x < w) {
-                val src = (y.toLong * w + x).toInt * ch
-                val dst = 54 + rOut * strideOut + x * 3
-                val (r, g, b) =
-                  if (ch == 1) {
-                    val v = img.pixels(src); (v, v, v)
-                  } else (img.pixels(src), img.pixels(src + 1),
-                    img.pixels(src + 2))
-                arr(dst) = b // BGR
-                arr(dst + 1) = g
-                arr(dst + 2) = r
-                x += 1
-              }
-              y += 1
-            }
-            Some(MediaFile(f.path, arr.length.toLong, arr))
-          }
-        }
+        else decodePng(f.content).flatMap(img =>
+          pixelsAsBmp(f.path, img.width, img.height, img.channels,
+            img.pixels))
       }
+    }
+  }
+
+  /** JPEG -> 24-bpp BMP bridge, the [[pngAsBmp]] twin: decoded RGB (or
+    * replicated gray) re-emitted as a spec-valid BMP MediaFile so the
+    * whole BMP pipeline — [[resizeBmp]], [[decodeMeta]], the histogram
+    * embed — composes with JPEG inputs unchanged. Undecodable files
+    * (progressive, corrupt) are dropped, not crashed on. */
+  def jpegAsBmp(ds: Dataset[MediaFile]): Dataset[MediaFile] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
+    ds.mapPartitions { files =>
+      files.flatMap { f =>
+        if (!isJpeg(f.content)) None
+        else decodeJpeg(f.content).flatMap(img =>
+          pixelsAsBmp(f.path, img.width, img.height, img.channels,
+            img.pixels))
+      }
+    }
+  }
+
+  /** Interleaved top-down pixels (gray 1 / RGB(A) 3-4 channels) to a
+    * bottom-up 24-bpp BMP MediaFile. Gray replicates; alpha drops. */
+  private def pixelsAsBmp(path: String, w: Int, h: Int, ch: Int,
+      pixels: Array[Byte]): Option[MediaFile] = {
+    val strideOutL = ((w.toLong * 3 + 3) / 4) * 4
+    val outBytesL = 54L + strideOutL * h
+    if (outBytesL > Int.MaxValue) None
+    else {
+      val strideOut = strideOutL.toInt
+      val out = java.nio.ByteBuffer.allocate(outBytesL.toInt)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(outBytesL.toInt)
+        .putInt(0).putInt(54)
+      out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      out.putInt(0).putInt(outBytesL.toInt - 54).putInt(2835)
+        .putInt(2835).putInt(0).putInt(0)
+      val arr = out.array()
+      var y = 0
+      while (y < h) {
+        val rOut = h - 1 - y // decoded rows top-down, BMP bottom-up
+        var x = 0
+        while (x < w) {
+          val src = (y.toLong * w + x).toInt * ch
+          val dst = 54 + rOut * strideOut + x * 3
+          val (r, g, b) =
+            if (ch == 1) {
+              val v = pixels(src); (v, v, v)
+            } else (pixels(src), pixels(src + 1), pixels(src + 2))
+          arr(dst) = b // BGR
+          arr(dst + 1) = g
+          arr(dst + 2) = r
+          x += 1
+        }
+        y += 1
+      }
+      Some(MediaFile(path, arr.length.toLong, arr))
     }
   }
 

@@ -327,4 +327,297 @@ class MultimodalSpec extends AnyFunSuite {
     assert((b(lastRow) & 0xFF) === 26 && (b(lastRow + 1) & 0xFF) === 13 &&
       (b(lastRow + 2) & 0xFF) === 0)
   }
+
+  // ---- JPEG: spec-side baseline encoder, zero shared code with the
+  // decoder — both independently derived from ITU T.81. The encoder
+  // uses simple flat-length Huffman tables (all 12 DC categories at 4
+  // bits, all 162 AC symbols at 9 bits — valid canonical tables that
+  // never produce the forbidden all-ones code), so the decoder's
+  // generic canonical-table builder is exercised on tables no standard
+  // encoder emits. ----------------------------------------------------
+
+  private val jZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val jDcBits = { val b = new Array[Int](17); b(4) = 12; b }
+  private val jDcVals = (0 to 11).toArray
+  private val jAcBits = { val b = new Array[Int](17); b(9) = 162; b }
+  private val jAcVals = (Seq(0x00, 0xF0) ++
+    (for { r <- 0 to 15; s <- 1 to 10 } yield (r << 4) | s)).toArray
+
+  /** Canonical code assignment per T.81 Annex C: symbol -> (code, len). */
+  private def jhuffCodes(bits: Array[Int],
+      vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+    var code = 0
+    var k = 0
+    for (l <- 1 to 16) {
+      for (_ <- 0 until bits(l)) {
+        m(vals(k)) = (code, l); code += 1; k += 1
+      }
+      code <<= 1
+    }
+    m.toMap
+  }
+
+  private final class JBitW(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc & 0xFF)
+          if ((acc & 0xFF) == 0xFF) out.write(0) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = while (n != 0) put(1, 1) // pad with 1-bits
+  }
+
+  /** Forward DCT + quantize (all table entries = qval), zigzag order. */
+  private def jFdctQuant(block: Array[Double], qval: Int): Array[Int] = {
+    val f = new Array[Double](64)
+    for (v <- 0 until 8; u <- 0 until 8) {
+      var acc = 0.0
+      for (y <- 0 until 8; x <- 0 until 8)
+        acc += block(y * 8 + x) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      val cu = if (u == 0) 1 / math.sqrt(2.0) else 1.0
+      val cv = if (v == 0) 1 / math.sqrt(2.0) else 1.0
+      f(v * 8 + u) = acc * cu * cv / 4.0
+    }
+    jZigzag.map(i => math.round(f(i) / qval).toInt)
+  }
+
+  private def jEmitBlock(zz: Array[Int], dcPrev: Int, bw: JBitW,
+      dcC: Map[Int, (Int, Int)], acC: Map[Int, (Int, Int)]): Int = {
+    def cat(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val diff = zz(0) - dcPrev
+    val s = cat(diff)
+    assert(s <= 11, s"DC category $s out of baseline range")
+    val (dc, dl) = dcC(s)
+    bw.put(dc, dl)
+    if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val v = zz(k)
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = acC(0xF0); bw.put(zc, zl); run -= 16
+        }
+        val sa = cat(v)
+        assert(sa <= 10, s"AC category $sa out of baseline range")
+        val (ac, al) = acC((run << 4) | sa)
+        bw.put(ac, al)
+        bw.put(if (v >= 0) v else v + (1 << sa) - 1, sa)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = acC(0x00); bw.put(ec, el) }
+    zz(0)
+  }
+
+  /** Baseline JFIF encode of interleaved top-down RGB: uniform quant
+    * qval, optional 4:2:0 chroma subsampling (2x2 average), optional
+    * single-component grayscale (from the red channel). Partial-MCU
+    * edges pad by clamped (replicated) sampling. */
+  private def jpegBytes(w: Int, h: Int, rgb: Array[Byte], qval: Int,
+      subsample420: Boolean, gray: Boolean = false): Array[Byte] = {
+    def r(x: Int, y: Int) = rgb((y * w + x) * 3) & 0xFF
+    def g(x: Int, y: Int) = rgb((y * w + x) * 3 + 1) & 0xFF
+    def b(x: Int, y: Int) = rgb((y * w + x) * 3 + 2) & 0xFF
+    def cl(v: Int, hi: Int) = math.max(0, math.min(v, hi - 1))
+    def yOf(x0: Int, y0: Int): Double = {
+      val (x, y) = (cl(x0, w), cl(y0, h))
+      0.299 * r(x, y) + 0.587 * g(x, y) + 0.114 * b(x, y)
+    }
+    def cbOf(x0: Int, y0: Int): Double = {
+      val (x, y) = (cl(x0, w), cl(y0, h))
+      -0.168736 * r(x, y) - 0.331264 * g(x, y) + 0.5 * b(x, y) + 128
+    }
+    def crOf(x0: Int, y0: Int): Double = {
+      val (x, y) = (cl(x0, w), cl(y0, h))
+      0.5 * r(x, y) - 0.418688 * g(x, y) - 0.081312 * b(x, y) + 128
+    }
+    def sub(f: (Int, Int) => Double)(x: Int, y: Int): Double =
+      (f(2 * x, 2 * y) + f(2 * x + 1, 2 * y) + f(2 * x, 2 * y + 1) +
+        f(2 * x + 1, 2 * y + 1)) / 4.0
+    def block(f: (Int, Int) => Double, x0: Int, y0: Int): Array[Double] =
+      Array.tabulate(64)(i => f(x0 + i % 8, y0 + i / 8) - 128.0)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xFF); out.write(marker)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xFF)
+      payload.foreach(p => out.write(p & 0xFF))
+    }
+    out.write(0xFF); out.write(0xD8) // SOI
+    seg(0xDB, 0 +: Array.fill(64)(qval)) // DQT table 0, 8-bit
+    val nc = if (gray) 1 else 3
+    val sampling =
+      if (gray) Seq(0x11)
+      else if (subsample420) Seq(0x22, 0x11, 0x11)
+      else Seq(0x11, 0x11, 0x11)
+    seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nc) ++
+      (0 until nc).flatMap(i => Seq(i + 1, sampling(i), 0))) // SOF0
+    seg(0xC4, 0x00 +: (jDcBits.drop(1) ++ jDcVals)) // DHT DC 0
+    seg(0xC4, 0x10 +: (jAcBits.drop(1) ++ jAcVals)) // DHT AC 0
+    seg(0xDA, nc +: ((0 until nc).flatMap(i => Seq(i + 1, 0x00)) ++
+      Seq(0, 63, 0)).toArray) // SOS
+    val dcC = jhuffCodes(jDcBits, jDcVals)
+    val acC = jhuffCodes(jAcBits, jAcVals)
+    val bw = new JBitW(out)
+    if (gray) {
+      var dc = 0
+      for (my <- 0 until (h + 7) / 8; mx <- 0 until (w + 7) / 8)
+        dc = jEmitBlock(jFdctQuant(block(yOf, mx * 8, my * 8), qval),
+          dc, bw, dcC, acC)
+    } else if (!subsample420) {
+      var (dy, dcb, dcr) = (0, 0, 0)
+      for (my <- 0 until (h + 7) / 8; mx <- 0 until (w + 7) / 8) {
+        dy = jEmitBlock(jFdctQuant(block(yOf, mx * 8, my * 8), qval),
+          dy, bw, dcC, acC)
+        dcb = jEmitBlock(jFdctQuant(block(cbOf, mx * 8, my * 8), qval),
+          dcb, bw, dcC, acC)
+        dcr = jEmitBlock(jFdctQuant(block(crOf, mx * 8, my * 8), qval),
+          dcr, bw, dcC, acC)
+      }
+    } else {
+      var (dy, dcb, dcr) = (0, 0, 0)
+      for (my <- 0 until (h + 15) / 16; mx <- 0 until (w + 15) / 16) {
+        for (by <- 0 until 2; bx <- 0 until 2)
+          dy = jEmitBlock(jFdctQuant(
+            block(yOf, mx * 16 + bx * 8, my * 16 + by * 8), qval),
+            dy, bw, dcC, acC)
+        dcb = jEmitBlock(jFdctQuant(
+          block(sub(cbOf), mx * 8, my * 8), qval), dcb, bw, dcC, acC)
+        dcr = jEmitBlock(jFdctQuant(
+          block(sub(crOf), mx * 8, my * 8), qval), dcr, bw, dcC, acC)
+      }
+    }
+    bw.flush()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Smooth deterministic RGB test image (low AC energy keeps every
+    * quantized coefficient inside baseline categories at qval=1). */
+  private def jTestRgb(w: Int, h: Int): Array[Byte] =
+    Array.tabulate[Byte](w * h * 3) { i =>
+      val p = i / 3
+      val (x, y) = (p % w, p / w)
+      (i % 3 match {
+        case 0 => 40 + 3 * x + 2 * y
+        case 1 => 90 + 2 * x
+        case _ => 160 + y
+      }).toByte
+    }
+
+  private def maxDiff(a: Array[Byte], b: Array[Byte]): Int =
+    a.zip(b).map { case (x, y) => math.abs((x & 0xFF) - (y & 0xFF)) }.max
+
+  test("JPEG decode: 4:4:4 qval=1 color round-trips within tolerance") {
+    val (w, h) = (24, 17) // partial MCUs on both axes
+    val rgb = jTestRgb(w, h)
+    val img = Multimodal.decodeJpeg(
+      jpegBytes(w, h, rgb, qval = 1, subsample420 = false)).get
+    assert(img.width === w && img.height === h && img.channels === 3)
+    // qval=1 is near-lossless: error = FDCT rounding + IDCT rounding +
+    // two colorspace conversions.
+    assert(maxDiff(img.pixels, rgb) <= 4,
+      s"max per-channel error ${maxDiff(img.pixels, rgb)}")
+  }
+
+  test("JPEG decode: 4:2:0 with constant chroma round-trips; solid survives q=16") {
+    // Gray-as-RGB: chroma planes are constant 128, so 2x2 averaging is
+    // exact and the 4:2:0 path's geometry (4 Y blocks + upsample) is
+    // isolated from chroma interpolation error.
+    val (w, h) = (20, 14)
+    val rgb = Array.tabulate[Byte](w * h * 3) { i =>
+      val p = i / 3; (30 + 4 * (p % w) + 5 * (p / w)).toByte
+    }
+    val img = Multimodal.decodeJpeg(
+      jpegBytes(w, h, rgb, qval = 1, subsample420 = true)).get
+    assert(img.width === w && img.height === h && img.channels === 3)
+    assert(maxDiff(img.pixels, rgb) <= 4,
+      s"max per-channel error ${maxDiff(img.pixels, rgb)}")
+    // A solid color is DC-only: it must survive coarse quantization
+    // (q=16) almost exactly — DC rounds to the nearest 16 media units
+    // of the SHIFTED value, so allow one quantization step.
+    val solid = Array.tabulate[Byte](8 * 8 * 3)(i =>
+      (Seq(200, 60, 120)(i % 3)).toByte)
+    val s = Multimodal.decodeJpeg(
+      jpegBytes(8, 8, solid, qval = 16, subsample420 = false)).get
+    assert(maxDiff(s.pixels, solid) <= 12,
+      s"solid color error ${maxDiff(s.pixels, solid)}")
+  }
+
+  test("JPEG decode: single-component grayscale") {
+    val (w, h) = (16, 9)
+    val rgb = jTestRgb(w, h)
+    val img = Multimodal.decodeJpeg(
+      jpegBytes(w, h, rgb, qval = 1, subsample420 = false, gray = true)).get
+    assert(img.width === w && img.height === h && img.channels === 1)
+    // Compare against the encoder's own luma formula.
+    val want = Array.tabulate[Byte](w * h) { p =>
+      val (x, y) = (p % w, p / w)
+      val (r, g, b) = (rgb(p * 3) & 0xFF, rgb(p * 3 + 1) & 0xFF,
+        rgb(p * 3 + 2) & 0xFF)
+      math.rint(0.299 * r + 0.587 * g + 0.114 * b).toInt.toByte
+    }
+    assert(maxDiff(img.pixels, want) <= 4)
+  }
+
+  test("JPEG decode: rejects progressive and truncated; pipeline flows") {
+    val (w, h) = (16, 16)
+    val rgb = jTestRgb(w, h)
+    val bytes = jpegBytes(w, h, rgb, qval = 1, subsample420 = false)
+    // Flip SOF0 -> SOF2 (progressive): decode must refuse, not loop.
+    val prog = bytes.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(Multimodal.decodeJpeg(prog).isEmpty)
+    // Truncate mid-entropy-data: None, never a hang or a throw.
+    assert(Multimodal.decodeJpeg(bytes.take(bytes.length / 2)).isEmpty)
+    assert(Multimodal.decodeJpeg(Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte)).isEmpty)
+    // decodeMeta reports real SOF dims (cheap path, no entropy decode);
+    // embed histograms the DECODED pixels; jpegAsBmp -> resize composes.
+    val dir = Files.createTempDirectory("graft_media_jpeg")
+    dir.toFile.deleteOnExit()
+    Files.write(dir.resolve("img.jpeg"), bytes)
+    val files = Multimodal.media(spark, dir + "/*")
+    val meta = Multimodal.decodeMeta(files).collect().head
+    assert(meta.format === "jpeg" && meta.width === w && meta.height === h)
+    assert(meta.channels === 3 && meta.duration_ms === 0L)
+    val decoded = Multimodal.decodeJpeg(bytes).get.pixels
+    val expected = new Array[Double](8)
+    decoded.foreach(p => expected((p & 0xFF) >> 5) += 1.0 / decoded.length)
+    val emb = Multimodal.embed(files).collect().head.embedding
+    assert(emb.zip(expected).forall { case (a, e) => math.abs(a - e) < 1e-9 },
+      s"histogram mismatch: ${emb.toSeq} vs ${expected.toSeq}")
+    val resized = Multimodal
+      .resizeBmp(Multimodal.jpegAsBmp(files), outW = 4, outH = 4).collect()
+    assert(resized.length === 1 && resized.head.width === 4)
+    import spark.implicits._
+    val rMeta = Multimodal.decodeMeta(
+      Seq(Multimodal.MediaFile("r.bmp", resized.head.bmp.length,
+        resized.head.bmp)).toDS()).collect().head
+    assert(rMeta.format === "bmp" && rMeta.width === 4 && rMeta.height === 4)
+  }
 }
