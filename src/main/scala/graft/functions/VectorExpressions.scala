@@ -45,6 +45,12 @@ object VectorFunctions {
     * tokenizer; DuckDB mirror is `nfc_normalize`. */
   def nfc(text: Column): Column = VectorNative.nfc(text)
 
+  /** Fused corpus tokenizer: NFC + lower + split into maximal
+    * letter/digit runs, one codegen pass with an ASCII byte-level
+    * fast path (see graftnative.NormalizedTokens). Equivalent to
+    * `filter(split(lower(nfc(c)), "[^\\p{L}\\p{N}]+"), len > 0)`. */
+  def normTokens(text: Column): Column = VectorNative.normTokens(text)
+
   /** Aggregate: per-group top-k (score, id) pairs as a rank-ordered
     * array<struct<score, id>> (score DESC, ties id ASC) with O(k)
     * buffer state at every stage — the bounded, map-side-combinable

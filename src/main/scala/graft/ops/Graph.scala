@@ -322,17 +322,12 @@ object Graph {
     * edge restriction), so inlining would recompute the gram-pair
     * build 2^rounds times.
     */
-  def kcoreOracleSql(k: Int): String = {
-    val peel = (1 to KcoreOracleRounds).map { r =>
-      s"""d$r AS MATERIALIZED (SELECT id FROM (
-        |         SELECT ida AS id FROM e${r - 1}
-        |         UNION ALL SELECT idb FROM e${r - 1}) t
-        |       GROUP BY id HAVING count(*) >= $k),
-        |e$r AS MATERIALIZED (SELECT e.ida, e.idb FROM e${r - 1} e
-        |       JOIN d$r da ON e.ida = da.id
-        |       JOIN d$r db ON e.idb = db.id)"""
-    }.mkString(",\n")
-    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+  /** The DuckDB spelling of the gram-built pair stats every graph
+    * oracle starts from (identical to the triangles oracle's prefix):
+    * tokenized docs → distinct word-3-grams → df-capped gram index →
+    * per-doc gram counts (sz) → shared-gram pair counts (p). */
+  private def gramStatCtes: String =
+    s"""w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
       |           FROM documents),
       |g0 AS (SELECT DISTINCT doc_id,
       |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -344,7 +339,19 @@ object Graph {
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
       |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      |      GROUP BY a.doc_id, b.doc_id),
+      |      GROUP BY a.doc_id, b.doc_id)"""
+
+  def kcoreOracleSql(k: Int): String = {
+    val peel = (1 to KcoreOracleRounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT id FROM (
+        |         SELECT ida AS id FROM e${r - 1}
+        |         UNION ALL SELECT idb FROM e${r - 1}) t
+        |       GROUP BY id HAVING count(*) >= $k),
+        |e$r AS MATERIALIZED (SELECT e.ida, e.idb FROM e${r - 1} e
+        |       JOIN d$r da ON e.ida = da.id
+        |       JOIN d$r db ON e.idb = db.id)"""
+    }.mkString(",\n")
+    s"""WITH $gramStatCtes,
       |e0 AS MATERIALIZED (SELECT ida, idb
       |      FROM p JOIN sz sa ON p.ida = sa.doc_id
       |             JOIN sz sb ON p.idb = sb.doc_id
@@ -357,34 +364,103 @@ object Graph {
       |ORDER BY doc_id"""
   }
 
+  /** DuckDB oracle for q_graph_pagerank[_w]: the SAME integer-scaled
+    * recurrence [[pagerank]] runs, unrolled `iters` rounds over the
+    * gram-built jac >= 0.1 edge set. This is NOT an approximation
+    * bounded by a validity precondition (the kcore/CC pattern): every
+    * operation in the recurrence — long products under 2^53, IEEE
+    * double division, truncation — is deterministic and spelled
+    * identically here (`trunc(CAST(r*w AS DOUBLE)/tw)` mirrors
+    * Spark's `((r*w)/tw).cast("long")`, `//` mirrors Scala Long
+    * division on the non-negative operands), so the oracle is
+    * bit-exact by construction, tier-independent. Round CTEs are
+    * MATERIALIZED; each references its predecessor once, so this is
+    * linear work either way — materialization just keeps the edge
+    * CTE from re-inlining. Isolated documents take the closed-form
+    * teleport rank, exactly as the Spark side appends them.
+    */
+  def pagerankOracleSql(weighted: Boolean, iters: Int = 10): String = {
+    val wExpr =
+      if (weighted) "CAST(trunc(round(c / (sa.n + sb.n - c), 6) * 1000000.0) AS BIGINT)"
+      else "CAST(1000000 AS BIGINT)"
+    val rounds = (1 to iters).map { i =>
+      s"""rk$i AS MATERIALIZED (
+        |  SELECT t.doc_id,
+        |    CAST(trunc(((SELECT 15 * base FROM bs) + 85 * t.s) / 100.0)
+        |      AS BIGINT) AS r
+        |  FROM (SELECT e.b AS doc_id,
+        |          CAST(sum(CAST(trunc(CAST(k.r * e.w AS DOUBLE) / e.tw)
+        |            AS BIGINT)) AS BIGINT) AS s
+        |        FROM rk${i - 1} k JOIN ed e ON k.doc_id = e.a
+        |        GROUP BY e.b) t
+        |  JOIN conn USING (doc_id))"""
+    }.mkString(",\n")
+    s"""WITH $gramStatCtes,
+      |ew AS MATERIALIZED (SELECT ida, idb, $wExpr AS w
+      |      FROM p JOIN sz sa ON p.ida = sa.doc_id
+      |             JOIN sz sb ON p.idb = sb.doc_id
+      |      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.1),
+      |ed AS MATERIALIZED (
+      |  SELECT a, b, w,
+      |    CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS deg,
+      |    CAST(sum(w) OVER (PARTITION BY a) AS BIGINT) AS tw
+      |  FROM (SELECT ida AS a, idb AS b, w FROM ew
+      |        UNION ALL SELECT idb, ida, w FROM ew) s2),
+      |conn AS MATERIALIZED (SELECT DISTINCT a AS doc_id, deg FROM ed),
+      |bs AS MATERIALIZED (
+      |  SELECT 1000000000 // count(*) AS base FROM documents),
+      |rk0 AS MATERIALIZED (
+      |  SELECT doc_id, CAST((SELECT base FROM bs) AS BIGINT) AS r
+      |  FROM conn),
+      |$rounds,
+      |res AS (
+      |  SELECT c2.doc_id, c2.deg, k.r AS rs
+      |  FROM rk$iters k JOIN conn c2 USING (doc_id)
+      |  UNION ALL
+      |  SELECT d.doc_id, CAST(0 AS BIGINT) AS deg,
+      |    CAST((SELECT (15 * base) // 100 FROM bs) AS BIGINT) AS rs
+      |  FROM documents d
+      |  WHERE d.doc_id NOT IN (SELECT doc_id FROM conn))
+      |SELECT doc_id, deg, round(rs / 1000000000.0, 6) AS rank
+      |FROM res
+      |ORDER BY rank DESC, doc_id"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Document centrality on the shared-gram graph: 10 deterministic
-    // integer rounds; output the scaled rank as a rounded double. No
-    // DuckDB oracle (iterative); GraphSpec pins exact equality to the
+    // integer rounds; output the scaled rank as a rounded double.
+    // Oracle-checked since r7: the recurrence is pure deterministic
+    // arithmetic, so [[pagerankOracleSql]] unrolls the SAME 10 rounds
+    // in DuckDB and matches bit-exact — no validity precondition
+    // needed. GraphSpec additionally pins exact equality to the
     // single-threaded integer reference and bit-stability across
     // partitionings; goldens pin the fixture output.
-    QuerySpec.noOracle("q_graph_pagerank") { (s, d) =>
-      pagerank(Tables.documents(s, d).select("doc_id"),
-          graft.ops.TextSim.similarityEdges(s, d), iters = 10)
-        .select(col("doc_id"), col("deg"),
-          round(col("rank_scaled") / 1e9, 6).as("rank"))
-        .orderBy(col("rank").desc, col("doc_id"))
+    QuerySpec.sql("q_graph_pagerank", pagerankOracleSql(weighted = false)) {
+      (s, d) =>
+        pagerank(Tables.documents(s, d).select("doc_id"),
+            graft.ops.TextSim.similarityEdges(s, d), iters = 10)
+          .select(col("doc_id"), col("deg"),
+            round(col("rank_scaled") / 1e9, 6).as("rank"))
+          .orderBy(col("rank").desc, col("doc_id"))
     },
 
     // Edge-weighted centrality: the pair jaccard scales each
     // contribution, so similar documents pass more rank mass. Same
     // integer recurrence and stage-cached pair-stats read as the
-    // unweighted query; GraphSpec pins weighted ≡ the single-threaded
-    // weighted reference and that uniform weights leave ranks
-    // bit-unchanged; goldens pin the fixture output.
-    QuerySpec.noOracle("q_graph_pagerank_w") { (s, d) =>
-      pagerank(Tables.documents(s, d).select("doc_id"),
-          graft.ops.TextSim.similarityEdgesWeighted(s, d), iters = 10,
-          weightCol = Some("jac"))
-        .select(col("doc_id"), col("deg"),
-          round(col("rank_scaled") / 1e9, 6).as("rank"))
-        .orderBy(col("rank").desc, col("doc_id"))
+    // unweighted query; oracle-checked since r7 (the weighted
+    // [[pagerankOracleSql]], bit-exact by the same argument).
+    // GraphSpec pins weighted ≡ the single-threaded weighted
+    // reference and that uniform weights leave ranks bit-unchanged;
+    // goldens pin the fixture output.
+    QuerySpec.sql("q_graph_pagerank_w", pagerankOracleSql(weighted = true)) {
+      (s, d) =>
+        pagerank(Tables.documents(s, d).select("doc_id"),
+            graft.ops.TextSim.similarityEdgesWeighted(s, d), iters = 10,
+            weightCol = Some("jac"))
+          .select(col("doc_id"), col("deg"),
+            round(col("rank_scaled") / 1e9, 6).as("rank"))
+          .orderBy(col("rank").desc, col("doc_id"))
     },
 
     // 2-core of the jac >= 0.1 similarity graph: documents that stay

@@ -39,6 +39,15 @@ object TextSim {
     * subset.
     */
   def normTokens(c: Column): Column =
+    graft.functions.VectorFunctions.normTokens(c)
+
+  /** The composed (non-fused) spelling of [[normTokens]] — the
+    * equality witness TokenizeSpec pins the fused kernel against.
+    * Three allocations + an interpreted CodegenFallback ArrayFilter
+    * per row, which is why the registry runs the kernel instead
+    * (stage_build measured 13.7 s → with the fused kernel the gram
+    * build returns to its pre-unicode cost). */
+  private[graft] def normTokensComposed(c: Column): Column =
     filter(
       split(lower(graft.functions.VectorFunctions.nfc(c)), TokenSplitRegex),
       w => length(w) > lit(0))

@@ -374,6 +374,103 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** The fused corpus tokenizer (CAP-TOKENIZE-UNICODE): NFC-normalize,
+  * lowercase, and split into maximal runs of Unicode letters/digits —
+  * the single-expression spelling of
+  * `filter(split(lower(graft_nfc(text)), "[^\\p{L}\\p{N}]+"), len > 0)`
+  * (TokenizeSpec pins the equivalence). Fused because the composed
+  * form sits in the hottest path of the whole library (the gram-index
+  * build tokenizes every document) and pays three allocations plus an
+  * interpreted CodegenFallback lambda per row (ArrayFilter); this
+  * kernel is one pass.
+  *
+  * ASCII fast path (the 100 TB common case): tokenize straight over
+  * the UTF-8 bytes — case-fold by `+32`, classify by byte range, no
+  * String materialization, no Normalizer. Non-ASCII rows take
+  * NFC → toLowerCase(ROOT) → one codepoint scan classifying with
+  * Character.getType (categories L* and N*, exactly Java/RE2's \p{L}
+  * and \p{N}).
+  */
+case class NormalizedTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  private def isTokenCp(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
+    t == Character.TITLECASE_LETTER || t == Character.MODIFIER_LETTER ||
+    t == Character.OTHER_LETTER || t == Character.DECIMAL_DIGIT_NUMBER ||
+    t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+  }
+
+  def tokens(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = new java.util.ArrayList[Any](8)
+    val nb = s.numBytes
+    if (nb == s.numChars) { // pure ASCII: work on the raw bytes
+      val b = s.getBytes
+      var i = 0
+      while (i < nb) {
+        while (i < nb && !asciiToken(b(i))) i += 1
+        val start = i
+        while (i < nb && asciiToken(b(i))) i += 1
+        if (i > start) {
+          val tok = new Array[Byte](i - start)
+          var j = start
+          while (j < i) {
+            val c = b(j)
+            tok(j - start) =
+              (if (c >= 'A' && c <= 'Z') (c + 32).toByte else c)
+            j += 1
+          }
+          out.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(tok))
+        }
+      }
+    } else {
+      val str = java.text.Normalizer
+        .normalize(s.toString, java.text.Normalizer.Form.NFC)
+        .toLowerCase(java.util.Locale.ROOT)
+      val n = str.length
+      var i = 0
+      val sb = new java.lang.StringBuilder()
+      while (i < n) {
+        val cp = str.codePointAt(i)
+        if (isTokenCp(cp)) sb.appendCodePoint(cp)
+        else if (sb.length > 0) {
+          out.add(org.apache.spark.unsafe.types.UTF8String
+            .fromString(sb.toString))
+          sb.setLength(0)
+        }
+        i += Character.charCount(cp)
+      }
+      if (sb.length > 0)
+        out.add(org.apache.spark.unsafe.types.UTF8String
+          .fromString(sb.toString))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  @inline private def asciiToken(c: Byte): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9')
+
+  override def nullSafeEval(a: Any): Any =
+    tokens(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenizer", this,
+      classOf[NormalizedTokens].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.tokens($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizedTokens =
+    copy(child = newChild)
+}
+
 /** Bridge from the private[sql] expression world to public Columns. */
 object VectorNative {
   def dot(a: Column, b: Column): Column =
@@ -395,6 +492,9 @@ object VectorNative {
 
   def nfc(text: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
+
+  def normTokens(text: Column): Column =
+    ExpressionUtils.column(NormalizedTokens(ExpressionUtils.expression(text)))
 }
 
 /** SparkSessionExtensions hook: registers the native expressions as SQL
@@ -421,6 +521,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_nfc takes exactly 1 argument")
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tokens"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NormalizedTokens].getCanonicalName, "graft_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_tokens takes exactly 1 argument")
+        NormalizedTokens(children.head)
       }))
   }
 }

@@ -53,6 +53,28 @@ class TokenizeSpec extends AnyFunSuite {
     assert(got.getBoolean(0) && got.getString(1) === "café")
   }
 
+  test("fused kernel == composed NFC+lower+regex spelling, mixed + corpus") {
+    // The registry runs the one-pass native kernel; the composed
+    // spelling is the readable semantic definition (and the shape the
+    // DuckDB oracles spell). Pin them row-equal on adversarial mixed
+    // fixtures AND the whole fixture corpus.
+    val mixed = Seq("Hello, World! x9 日本語", "café café", "CAFÉ!!",
+      "?!... --", "", "a1b2 c3", "Ⅻ xiii 12", "tab\tsep\nline")
+    val viaKernel = mixed.toDF("text")
+      .select(graft.ops.TextSim.normTokens(col("text")).as("ws"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    val viaComposed = mixed.toDF("text")
+      .select(graft.ops.TextSim.normTokensComposed(col("text")).as("ws"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(viaKernel === viaComposed)
+    val docs = Tables.documents(spark, sf)
+    val diverged = docs.select(
+        graft.ops.TextSim.normTokens(col("text")).as("a"),
+        graft.ops.TextSim.normTokensComposed(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diverged === 0L, s"$diverged docs diverge fused vs composed")
+  }
+
   test("ORACLE-VALIDITY GUARD: fixture tokens == single-space split") {
     // Every DuckDB oracle now spells the unicode tokenizer, and every
     // golden was pinned under the space-split era; both stay valid
