@@ -1171,6 +1171,107 @@ object TextSim {
       ngramJaccardPairs(s, d, 0.1).orderBy("ida", "idb")
     },
 
+    // CONTAINMENT dedup — the asymmetric companion to jaccard: a short
+    // quote or a doc fully embedded in a larger one scores low
+    // resemblance (jaccard dilutes by the union) but containment
+    // c / min(na, nb) ~ 1. The crawl shape this catches: wrapper pages
+    // republishing a smaller article, quotes, boilerplate-padded
+    // copies. Same stage-cached pair stats as the jaccard family plus
+    // one cheap per-doc gram-count agg over the memoized postings —
+    // no new quadratic stage; at 100 TB this is the identical
+    // postings-driven candidate pipeline. Threshold 0.9 is
+    // non-vacuous at every tier (28 / 25 / 256 pairs, probed).
+    q("q_dedup_contain",
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |      FROM w),
+        |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
+        |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id)
+        |SELECT ida, idb, CAST(c AS BIGINT) AS shared,
+        |  round(greatest(c / sa.n, c / sb.n), 6) AS cont
+        |FROM p JOIN sz sa ON p.ida = sa.doc_id
+        |       JOIN sz sb ON p.idb = sb.doc_id
+        |WHERE round(greatest(c / sa.n, c / sb.n), 6) >= 0.9
+        |ORDER BY ida, idb""") { (s, d) =>
+      val sz = gramIndex(s, d, DfCap)
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sharedGramPairStats(s, d)
+        .join(sz.toDF("ida", "na"), "ida")
+        .join(sz.toDF("idb", "nb"), "idb")
+        .withColumn("cont", round(
+          greatest(col("c") / col("na"), col("c") / col("nb")), 6))
+        .filter(col("cont") >= 0.9)
+        .select(col("ida"), col("idb"), col("c").as("shared"), col("cont"))
+        .orderBy("ida", "idb")
+    },
+
+    // Collocation mining by pointwise mutual information over the
+    // corpus bigram table: pmi(a,b) = log2( p(ab) / (p(a)p(b)) ) with
+    // both unigram probabilities taken over the SAME first-position
+    // bigram distribution, so one count table serves numerator and
+    // denominator — spelled as n12 * B / (n1a * n1b), every product
+    // exact in double (< 2^53 at any corpus the 64-bit ids fit).
+    // Support floor n12 >= 5 kills one-off pairings; top-100 by
+    // (pmi DESC, bg) is a bounded TakeOrderedAndProject, never a full
+    // sort at scale. The narrow per-row bigram transform and the two
+    // count shuffles are q_text_bigram_nll's exact plan shape.
+    q("q_text_pmi",
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |p0 AS (SELECT doc_id,
+        |        unnest([array_to_string(ws[i:i+1], ' ')
+        |          for i in range(1, greatest(len(ws) - 1, 0) + 1)]) AS bg
+        |      FROM w),
+        |p AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+        |             string_split(bg, ' ')[2] AS w2 FROM p0),
+        |c12 AS (SELECT bg, w1, w2, CAST(count(*) AS BIGINT) AS n12
+        |        FROM p GROUP BY bg, w1, w2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1
+        |       FROM p GROUP BY w1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM p)
+        |SELECT bg, n12 AS n,
+        |  round(log2((CAST(n12 AS DOUBLE) * b)
+        |    / (CAST(ca.n1 AS DOUBLE) * cb.n1)), 6) AS pmi
+        |FROM c12
+        |JOIN c1 ca ON c12.w1 = ca.w1
+        |JOIN c1 cb ON c12.w2 = cb.w1
+        |CROSS JOIN tot
+        |WHERE n12 >= 5
+        |ORDER BY pmi DESC, bg
+        |LIMIT 100""") { (s, d) =>
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"), normTokens(col("text")).as("ws"))
+        .select(explode(expr(
+          """filter(transform(ws, (w, i) -> struct(
+            |    w AS w1, try_element_at(ws, i + 2) AS w2,
+            |    concat(w, ' ', try_element_at(ws, i + 2)) AS bg,
+            |    i AS idx)),
+            |  t -> t.idx < size(ws) - 1)""".stripMargin)).as("t"))
+        .select(col("t.bg").as("bg"), col("t.w1").as("w1"),
+          col("t.w2").as("w2"))
+        .localCheckpoint(true)
+      val c12 = p.groupBy("bg", "w1", "w2").agg(count(lit(1)).as("n12"))
+      val c1 = p.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val tot = p.agg(count(lit(1)).as("b"))
+      c12.join(c1.toDF("w1", "n1a"), "w1")
+        .join(c1.toDF("w2", "n1b"), "w2")
+        .crossJoin(broadcast(tot))
+        .filter(col("n12") >= 5)
+        .withColumn("pmi", round(log2(
+          (col("n12").cast("double") * col("b"))
+            / (col("n1a").cast("double") * col("n1b"))), 6))
+        .select(col("bg"), col("n12").as("n"), col("pmi"))
+        .orderBy(col("pmi").desc, col("bg"))
+        .limit(100)
+    },
+
     // Transitive dedup clusters: min-label propagation over the
     // jac >= 0.5 near-dup graph, unrolled to a FIXED two rounds so the
     // plan is static and both engines run the identical computation.

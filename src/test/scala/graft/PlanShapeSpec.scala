@@ -127,6 +127,7 @@ class PlanShapeSpec extends AnyFunSuite {
     //    build side broadcast to every partition — scale-safe):
     //    q_ev_resample, q_mix_weights, q_text_bm25, q_text_tfidf,
     //    q_text_unigram_nll (grand-total token count singleton),
+    //    q_text_pmi (grand-total bigram count singleton),
     //    q_sim_ann_ivf, q_sim_ann_ivfpq (the IVF+PQ composition ranks
     //    the same broadcast codebook to pick probe cells).
     // Any OTHER query acquiring one is a scale regression.
@@ -134,7 +135,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_dedup_cosine", "q_sim_cosine_knn", "q_sim_threshold",
       "q_join_cross", "q_join_selfpair", "q_join_theta",
       "q_ev_resample", "q_mix_weights", "q_text_bm25", "q_text_tfidf",
-      "q_text_unigram_nll", "q_sim_ann_ivf", "q_sim_ann_ivfpq")
+      "q_text_unigram_nll", "q_text_pmi",
+      "q_sim_ann_ivf", "q_sim_ann_ivfpq")
     val offenders = Registry.all.map(_.name).filterNot(declared).filter { n =>
       val p = plan(n)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
