@@ -1033,6 +1033,54 @@ object TextSim {
         .orderBy("doc_id")
     },
 
+    // Content-DEFINED chunking dedup — the insertion-robust sibling of
+    // q_dedup_chunks' fixed-size grid: a chunk starts wherever
+    // md5(token) begins with '0' (P = 1/16, ~14-token chunks on the
+    // fixtures), so inserting a sentence perturbs ONLY its own chunk
+    // while every downstream boundary re-synchronizes — fixed grids
+    // shift every later chunk and miss the reuse. The boundary
+    // predicate is md5 because both engines spell the IDENTICAL hex
+    // (DuckDB md5(varchar), Spark md5(binary-cast)), making a fully
+    // hash-checked oracle for a CDC pipeline. Chunking itself is a
+    // NARROW per-row array pass (no window, no per-doc shuffle); the
+    // only exchange is the final chunk groupBy — at 100 TB, chunks
+    // hash-partition like any dedup key.
+    q("q_dedup_cdc",
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS tok,
+        |             unnest(range(1, len(ws) + 1)) AS i FROM w),
+        |c AS (SELECT doc_id, i, tok,
+        |        sum(CASE WHEN i = 1 OR md5(tok) LIKE '0%' THEN 1 ELSE 0
+        |            END) OVER (PARTITION BY doc_id ORDER BY i) AS cid
+        |      FROM t),
+        |ch AS (SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY i) AS chunk
+        |       FROM c GROUP BY doc_id, cid)
+        |SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ
+        |FROM ch GROUP BY chunk
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), normTokens(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .withColumn("cuts", expr(
+          """filter(sequence(0, size(ws) - 1), i -> i = 0
+            |  OR startswith(md5(CAST(element_at(ws, i + 1) AS BINARY)),
+            |       '0'))""".stripMargin))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(cuts) - 1),
+            |  j -> array_join(slice(ws, element_at(cuts, j + 1) + 1,
+            |    coalesce(try_element_at(cuts, j + 2), size(ws))
+            |      - element_at(cuts, j + 1)), ' '))""".stripMargin))
+          .as("chunk"))
+        .groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("chunk")
+    },
+
     // ---- deduplication ---------------------------------------------------
 
     q("q_dedup_exact",
