@@ -45,6 +45,12 @@ object VectorFunctions {
     * tokenizer; DuckDB mirror is `nfc_normalize`. */
   def nfc(text: Column): Column = VectorNative.nfc(text)
 
+  /** Locale-pinned (ROOT) lowercase of a string column — the lowercase
+    * stage of the tokenizer's semantic definition. Spark's `lower()`
+    * folds non-ASCII under the JVM default locale; this is invariant
+    * (see graftnative.RootLower). */
+  def lowerRoot(text: Column): Column = VectorNative.lowerRoot(text)
+
   /** Fused corpus tokenizer: NFC + lower + split into maximal
     * letter/digit runs, one codegen pass with an ASCII byte-level
     * fast path (see graftnative.NormalizedTokens). Equivalent to

@@ -262,9 +262,13 @@ object Multimodal {
       v
     }
     /** Byte-align and consume an expected RSTn marker (restart
-      * intervals reset the bit stream and DC predictors). */
+      * intervals reset the bit stream and DC predictors). T.81 B.1.1.2
+      * permits any number of 0xFF fill bytes before a marker code, so
+      * a run of 0xFFs collapses to the final FF that prefixes RSTn. */
     def restart(): Unit = {
       nbits = 0
+      while (pos + 1 < c.length && (c(pos) & 0xFF) == 0xFF &&
+          (c(pos + 1) & 0xFF) == 0xFF) pos += 1
       if (pos + 1 >= c.length || (c(pos) & 0xFF) != 0xFF ||
           ((c(pos + 1) & 0xFF) & 0xF8) != 0xD0)
         throw new IllegalArgumentException("expected restart marker")
@@ -313,7 +317,8 @@ object Multimodal {
       if (pos + 4 > c.length) return None
       if ((c(pos) & 0xFF) != 0xFF) return None
       val m = c(pos + 1) & 0xFF
-      if (m == 0xD8 || (m & 0xF8) == 0xD0) { pos += 2 } // SOI / RSTn
+      if (m == 0xFF) { pos += 1 } // T.81 B.1.1.2 fill byte before marker
+      else if (m == 0xD8 || (m & 0xF8) == 0xD0) { pos += 2 } // SOI / RSTn
       else {
         val len = ((c(pos + 2) & 0xFF) << 8) | (c(pos + 3) & 0xFF)
         if (len < 2 || pos + 2 + len > c.length) return None
@@ -563,9 +568,16 @@ object Multimodal {
         else {
           if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&
               m != 0xCC) {
-            h = ((c(pos + 5) & 0xFF) << 8) | (c(pos + 6) & 0xFF)
-            w = ((c(pos + 7) & 0xFF) << 8) | (c(pos + 8) & 0xFF)
-            ch = c(pos + 9) & 0xFF
+            // A spec-valid SOF payload is >= 6 bytes (precision +
+            // dims + component count); a truncated/corrupt segment
+            // (len < 8) falls through to the 0-dims default instead
+            // of reading past the segment (the len>=2 guard above
+            // only proves 2 bytes exist).
+            if (len >= 8) {
+              h = ((c(pos + 5) & 0xFF) << 8) | (c(pos + 6) & 0xFF)
+              w = ((c(pos + 7) & 0xFF) << 8) | (c(pos + 8) & 0xFF)
+              ch = c(pos + 9) & 0xFF
+            }
             done = true
           }
           pos += 2 + len

@@ -49,7 +49,8 @@ object TextSim {
     * build returns to its pre-unicode cost). */
   private[graft] def normTokensComposed(c: Column): Column =
     filter(
-      split(lower(graft.functions.VectorFunctions.nfc(c)), TokenSplitRegex),
+      split(graft.functions.VectorFunctions.lowerRoot(
+        graft.functions.VectorFunctions.nfc(c)), TokenSplitRegex),
       w => length(w) > lit(0))
 
   /** The token-boundary regex — any run of codepoints that are neither
@@ -71,7 +72,13 @@ object TextSim {
     * calibrated against exactly this formula), and the streaming
     * curation demo. */
   private[graft] val qualityScore: Column = {
-    val nWords = size(words)
+    // nullif guard: the unicode tokenizer returns an EMPTY array for
+    // punctuation-only docs (the old whitespace split never did), and
+    // under Spark 4's default ANSI mode a 0/0 here would fail the
+    // whole query instead of scoring one junk doc NULL. DuckDB's x/0
+    // is NULL natively, so NULL-quality is the cross-engine value
+    // (and every quality >= floor filter drops such docs).
+    val nWords = nullif(size(words), lit(0))
     val ttr = size(array_distinct(words)) / nWords
     round(ttr * 0.6 + least(nWords / lit(50.0), lit(1.0)) * 0.4, 6)
   }
@@ -609,12 +616,16 @@ object TextSim {
         |ORDER BY doc_id""") { (s, d) =>
       val nWords = size(words)
       val nDistinct = size(array_distinct(words))
-      val ttr = nDistinct / nWords
+      // nullif: zero-token docs (possible since the unicode tokenizer)
+      // must score NULL, not raise ANSI DIVIDE_BY_ZERO; DuckDB's x/0
+      // is NULL natively so the oracle agrees without a mirror guard.
+      val safeN = nullif(nWords, lit(0))
+      val ttr = nDistinct / safeN
       Tables.documents(s, d).select(col("doc_id"),
         nWords.as("n_words"),
         nDistinct.as("n_distinct"),
         round(ttr, 6).as("ttr"),
-        round(length(regexp_replace(col("text"), " ", "")) / nWords, 6)
+        round(length(regexp_replace(col("text"), " ", "")) / safeN, 6)
           .as("avg_word_len"),
         qualityScore.as("quality"))
         .orderBy("doc_id")
@@ -636,8 +647,8 @@ object TextSim {
           .as("alpha_tokens"),
         size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)"))
           .as("bpe_tokens"),
-        round(length(col("text")) /
-          size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")), 6)
+        round(length(col("text")) / nullif(
+          size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")), lit(0)), 6)
           .as("chars_per_tok"))
         .orderBy("doc_id")
     },

@@ -374,6 +374,54 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Locale-pinned lowercase (Locale.ROOT), the lowercase stage of the
+  * corpus tokenizer's SEMANTIC definition. Exists because Spark's
+  * `lower()` routes non-ASCII through String.toLowerCase() under the
+  * JVM DEFAULT locale — on a Turkish-locale JVM `I` folds to `ı`,
+  * silently diverging from both the fused kernel (which pins ROOT)
+  * and DuckDB's locale-independent `lower()`. The composed witness
+  * spelling (TextSim.normTokensComposed) uses this so the
+  * fused ≡ composed equivalence is locale-invariant. ASCII fast path
+  * folds bytes in place without materializing a String.
+  */
+case class RootLower(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lower_root"
+
+  def lowerRoot(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    if (s.numBytes == s.numChars) { // pure ASCII: byte-level fold
+      val b = s.getBytes
+      var i = 0
+      var dirty = false
+      while (i < b.length && !dirty) { dirty = b(i) >= 'A' && b(i) <= 'Z'; i += 1 }
+      if (!dirty) return s
+      val out = java.util.Arrays.copyOf(b, b.length)
+      i = 0
+      while (i < out.length) {
+        if (out(i) >= 'A' && out(i) <= 'Z') out(i) = (out(i) + 32).toByte
+        i += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+    } else org.apache.spark.unsafe.types.UTF8String.fromString(
+      s.toString.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    lowerRoot(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rootLower", this, classOf[RootLower].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.lowerRoot($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RootLower =
+    copy(child = newChild)
+}
+
 /** The fused corpus tokenizer (CAP-TOKENIZE-UNICODE): NFC-normalize,
   * lowercase, and split into maximal runs of Unicode letters/digits —
   * the single-expression spelling of
@@ -492,6 +540,9 @@ object VectorNative {
 
   def nfc(text: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
+
+  def lowerRoot(text: Column): Column =
+    ExpressionUtils.column(RootLower(ExpressionUtils.expression(text)))
 
   def normTokens(text: Column): Column =
     ExpressionUtils.column(NormalizedTokens(ExpressionUtils.expression(text)))

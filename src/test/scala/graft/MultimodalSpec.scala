@@ -433,9 +433,15 @@ class MultimodalSpec extends AnyFunSuite {
   /** Baseline JFIF encode of interleaved top-down RGB: uniform quant
     * qval, optional 4:2:0 chroma subsampling (2x2 average), optional
     * single-component grayscale (from the red channel). Partial-MCU
-    * edges pad by clamped (replicated) sampling. */
+    * edges pad by clamped (replicated) sampling. `restartMcus` > 0
+    * emits a DRI segment and RSTn markers every that-many MCUs
+    * (cycling D0..D7, DC predictors reset); `fillBytes` additionally
+    * pads each restart marker with a leading 0xFF fill byte — legal
+    * per T.81 B.1.1.2 and emitted by real encoders, so the decoder
+    * must skip it. */
   private def jpegBytes(w: Int, h: Int, rgb: Array[Byte], qval: Int,
-      subsample420: Boolean, gray: Boolean = false): Array[Byte] = {
+      subsample420: Boolean, gray: Boolean = false,
+      restartMcus: Int = 0, fillBytes: Boolean = false): Array[Byte] = {
     def r(x: Int, y: Int) = rgb((y * w + x) * 3) & 0xFF
     def g(x: Int, y: Int) = rgb((y * w + x) * 3 + 1) & 0xFF
     def b(x: Int, y: Int) = rgb((y * w + x) * 3 + 2) & 0xFF
@@ -476,29 +482,51 @@ class MultimodalSpec extends AnyFunSuite {
       (0 until nc).flatMap(i => Seq(i + 1, sampling(i), 0))) // SOF0
     seg(0xC4, 0x00 +: (jDcBits.drop(1) ++ jDcVals)) // DHT DC 0
     seg(0xC4, 0x10 +: (jAcBits.drop(1) ++ jAcVals)) // DHT AC 0
+    if (restartMcus > 0)
+      seg(0xDD, Array(restartMcus >> 8, restartMcus & 0xFF)) // DRI
     seg(0xDA, nc +: ((0 until nc).flatMap(i => Seq(i + 1, 0x00)) ++
       Seq(0, 63, 0)).toArray) // SOS
     val dcC = jhuffCodes(jDcBits, jDcVals)
     val acC = jhuffCodes(jAcBits, jAcVals)
     val bw = new JBitW(out)
+    var mcuIdx = 0
+    var rstIdx = 0
+    // Byte-align + RSTn BEFORE the MCU whose index is a multiple of
+    // the interval (mirrors the decoder's expectation); returns true
+    // when the caller must reset its DC predictors.
+    def rstBoundary(): Boolean = {
+      if (restartMcus > 0 && mcuIdx > 0 && mcuIdx % restartMcus == 0) {
+        bw.flush()
+        if (fillBytes) out.write(0xFF) // T.81 fill byte before marker
+        out.write(0xFF); out.write(0xD0 + (rstIdx % 8))
+        rstIdx += 1
+        true
+      } else false
+    }
     if (gray) {
       var dc = 0
-      for (my <- 0 until (h + 7) / 8; mx <- 0 until (w + 7) / 8)
+      for (my <- 0 until (h + 7) / 8; mx <- 0 until (w + 7) / 8) {
+        if (rstBoundary()) dc = 0
         dc = jEmitBlock(jFdctQuant(block(yOf, mx * 8, my * 8), qval),
           dc, bw, dcC, acC)
+        mcuIdx += 1
+      }
     } else if (!subsample420) {
       var (dy, dcb, dcr) = (0, 0, 0)
       for (my <- 0 until (h + 7) / 8; mx <- 0 until (w + 7) / 8) {
+        if (rstBoundary()) { dy = 0; dcb = 0; dcr = 0 }
         dy = jEmitBlock(jFdctQuant(block(yOf, mx * 8, my * 8), qval),
           dy, bw, dcC, acC)
         dcb = jEmitBlock(jFdctQuant(block(cbOf, mx * 8, my * 8), qval),
           dcb, bw, dcC, acC)
         dcr = jEmitBlock(jFdctQuant(block(crOf, mx * 8, my * 8), qval),
           dcr, bw, dcC, acC)
+        mcuIdx += 1
       }
     } else {
       var (dy, dcb, dcr) = (0, 0, 0)
       for (my <- 0 until (h + 15) / 16; mx <- 0 until (w + 15) / 16) {
+        if (rstBoundary()) { dy = 0; dcb = 0; dcr = 0 }
         for (by <- 0 until 2; bx <- 0 until 2)
           dy = jEmitBlock(jFdctQuant(
             block(yOf, mx * 16 + bx * 8, my * 16 + by * 8), qval),
@@ -507,6 +535,7 @@ class MultimodalSpec extends AnyFunSuite {
           block(sub(cbOf), mx * 8, my * 8), qval), dcb, bw, dcC, acC)
         dcr = jEmitBlock(jFdctQuant(
           block(sub(crOf), mx * 8, my * 8), qval), dcr, bw, dcC, acC)
+        mcuIdx += 1
       }
     }
     bw.flush()
@@ -619,5 +648,49 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(Multimodal.MediaFile("r.bmp", resized.head.bmp.length,
         resized.head.bmp)).toDS()).collect().head
     assert(rMeta.format === "bmp" && rMeta.width === 4 && rMeta.height === 4)
+  }
+
+  test("JPEG decode: restart intervals with and without fill bytes") {
+    val (w, h) = (24, 17) // 3x3 MCUs at 4:4:4 → two restart boundaries
+    val rgb = jTestRgb(w, h)
+    val plain = Multimodal.decodeJpeg(
+      jpegBytes(w, h, rgb, qval = 1, subsample420 = false)).get
+    for (fill <- Seq(false, true)) {
+      val img = Multimodal.decodeJpeg(jpegBytes(w, h, rgb, qval = 1,
+        subsample420 = false, restartMcus = 4, fillBytes = fill)).get
+      assert(img.width === w && img.height === h)
+      // Restart markers change the byte stream but not the pixels:
+      // identical to the single-interval decode, bit for bit.
+      assert(img.pixels.sameElements(plain.pixels),
+        s"restart decode diverged (fillBytes=$fill)")
+    }
+    // 4:2:0 restart path too (MCU = 16x16, different block cadence).
+    val sub = Multimodal.decodeJpeg(jpegBytes(w, h, rgb, qval = 1,
+      subsample420 = true, restartMcus = 1, fillBytes = true)).get
+    val subPlain = Multimodal.decodeJpeg(
+      jpegBytes(w, h, rgb, qval = 1, subsample420 = true)).get
+    assert(sub.pixels.sameElements(subPlain.pixels))
+  }
+
+  test("JPEG: fill bytes before headers tolerated; truncated SOF meta is safe") {
+    val (w, h) = (16, 9)
+    val bytes = jpegBytes(w, h, jTestRgb(w, h), qval = 1,
+      subsample420 = false)
+    // Splice a 0xFF fill byte right after SOI, before the first marker
+    // segment — the pre-SOS walk must skip it, not parse FF FF as a
+    // marker with a bogus length.
+    val padded = bytes.take(2) ++ Array(0xFF.toByte) ++ bytes.drop(2)
+    val img = Multimodal.decodeJpeg(padded).get
+    assert(img.pixels.sameElements(Multimodal.decodeJpeg(bytes).get.pixels))
+    // Truncated SOF segment at EOF: the metadata walk must fall back
+    // to 0-dims, not throw from inside mapPartitions (the decode path
+    // already catches; the meta path is the one the advisor flagged).
+    val truncated = Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x02)
+      .map(_.toByte)
+    import spark.implicits._
+    val meta = Multimodal.decodeMeta(
+      Seq(Multimodal.MediaFile("t.jpeg", truncated.length, truncated))
+        .toDS()).collect().head
+    assert(meta.format === "jpeg" && meta.width === 0 && meta.height === 0)
   }
 }

@@ -75,6 +75,18 @@ class TokenizeSpec extends AnyFunSuite {
     assert(diverged === 0L, s"$diverged docs diverge fused vs composed")
   }
 
+  test("zero-token docs score NULL quality, never DIVIDE_BY_ZERO") {
+    // The unicode tokenizer returns an EMPTY token array for
+    // punctuation-only docs (the old space-split never did); the
+    // type-token-ratio division must degrade to NULL — matching
+    // DuckDB's native x/0 = NULL — not raise under Spark 4's default
+    // ANSI mode and fail a whole corpus scan for one junk doc.
+    val r = Seq("?!... --", "", "real words here").toDF("text")
+      .select(graft.ops.TextSim.qualityScore.as("q"))
+      .collect()
+    assert(r(0).isNullAt(0) && r(1).isNullAt(0) && !r(2).isNullAt(0))
+  }
+
   test("ORACLE-VALIDITY GUARD: fixture tokens == single-space split") {
     // Every DuckDB oracle now spells the unicode tokenizer, and every
     // golden was pinned under the space-split era; both stay valid
