@@ -83,6 +83,33 @@ object TextSim {
     round(ttr * 0.6 + least(nWords / lit(50.0), lit(1.0)) * 0.4, 6)
   }
 
+  /** Content-defined chunks (doc_id, idx, chunk) of each document's
+    * token stream: a chunk starts at token 0 and wherever md5(token)
+    * begins with '0' (P = 1/16, ~14-token expected chunks). Because
+    * the boundary is a function of token CONTENT alone, inserting a
+    * sentence mid-document perturbs only the chunk containing the
+    * insertion while every downstream boundary re-synchronizes — the
+    * property CdcChunkSpec pins, and the entire reason CDC exists over
+    * q_dedup_chunks' fixed grid (where one insertion shifts every
+    * later chunk). Narrow per-row array pass: no window, no per-doc
+    * shuffle — chunking cost is map-side at any scale. Shared by
+    * q_dedup_cdc and the spec so both see one definition.
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), normTokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("cuts", expr(
+        """filter(sequence(0, size(ws) - 1), i -> i = 0
+          |  OR startswith(md5(CAST(element_at(ws, i + 1) AS BINARY)),
+          |       '0'))""".stripMargin))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(cuts) - 1),
+          |  j -> array_join(slice(ws, element_at(cuts, j + 1) + 1,
+          |    coalesce(try_element_at(cuts, j + 2), size(ws))
+          |      - element_at(cuts, j + 1)), ' '))""".stripMargin))
+        .as(Seq("idx", "chunk")))
+
   /** STRING word-3-grams over a pre-split word-array column `ws`
     * (possibly empty result). Used where the gram TEXT itself matters
     * (q_text_repetition's raw-gram counts); the dedup family uses the
@@ -1072,19 +1099,7 @@ object TextSim {
         |FROM ch GROUP BY chunk
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk""") { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), normTokens(col("text")).as("ws"))
-        .filter(size(col("ws")) > 0)
-        .withColumn("cuts", expr(
-          """filter(sequence(0, size(ws) - 1), i -> i = 0
-            |  OR startswith(md5(CAST(element_at(ws, i + 1) AS BINARY)),
-            |       '0'))""".stripMargin))
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(cuts) - 1),
-            |  j -> array_join(slice(ws, element_at(cuts, j + 1) + 1,
-            |    coalesce(try_element_at(cuts, j + 2), size(ws))
-            |      - element_at(cuts, j + 1)), ' '))""".stripMargin))
-          .as("chunk"))
+      cdcChunks(Tables.documents(s, d))
         .groupBy("chunk")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"))
