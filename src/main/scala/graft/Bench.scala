@@ -45,7 +45,7 @@ object Bench {
     // name even when that one query doesn't strictly need every stage.)
     val needsStages = only.forall(_.exists(n =>
       n.startsWith("q_dedup_") || n.startsWith("q_sim_ann_") ||
-        n == "q_curate"))
+        n == "q_curate" || n == "q_text_bigram_nll" || n == "q_text_pmi"))
     // Shared stage-cache builds (gram postings -> pair stats -> edge
     // list; IVF codebook -> assignments -> PQ codebook/codes) run ONCE
     // here, timed as their own line: they are one-time per-session
@@ -64,6 +64,7 @@ object Bench {
       import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(Future.sequence(Seq(
         Future(ops.TextSim.warmStages(spark, sfDir)),
+        Future(ops.TextSim.warmBigramStage(spark, sfDir)),
         Future(ops.TextSim.warmMaskStage(spark, sfDir)),
         Future(ops.Sketches.warmIvfStage(spark, sfDir)),
         Future(ops.Sketches.warmPqStage(spark, sfDir)),
