@@ -111,17 +111,42 @@ object Incremental {
     (seen, current, todo)
   }
 
+  /** Output partitions that no longer have an input partition — the
+    * RETRACTION set: an upstream takedown (source partition deleted)
+    * must disappear from the derived tree too, the same legal
+    * requirement that motivated the index tombstones. Union of the
+    * memo keys and the materialized output dirs, so trees first built
+    * by [[syncPartitioned]] (no sidecar) retract as well. */
+  private def removedPartitions(spark: SparkSession, outDir: String,
+      partCol: String, seen: Map[String, Long],
+      current: Map[String, Long]): Set[String] =
+    (seen.keySet ++ partitionValues(spark, outDir, partCol)) --
+      current.keySet
+
+  private def dropOutputPartition(spark: SparkSession, outDir: String,
+      partCol: String, value: String): Unit = {
+    val p = new Path(s"$outDir/$partCol=$value")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+
   /** Full FileMap-P6 semantics: re-run processes partitions that are
     * NEW **or whose input files changed** since the recorded
-    * fingerprint. Changed partitions are rewritten in place via
-    * dynamic partition overwrite (only the touched `partCol=v` dirs
-    * are replaced); fingerprints persist as a sidecar in the output
-    * tree, so the memo travels with the data. Returns the processed
-    * partition values.
+    * fingerprint, and RETRACTS output partitions whose input partition
+    * was removed upstream (directory dropped + memo entry dropped —
+    * unchanged partitions are never touched, byte for byte). Changed
+    * partitions are rewritten in place via dynamic partition overwrite
+    * (only the touched `partCol=v` dirs are replaced); fingerprints
+    * persist as a sidecar in the output tree, so the memo travels with
+    * the data. Returns the partition values processed this run —
+    * rewritten and retracted alike.
     */
   def syncChanged(spark: SparkSession, inDir: String, outDir: String,
       partCol: String)(derive: DataFrame => DataFrame): Set[String] = {
     val (seen, current, todo) = stalePartitions(spark, inDir, outDir, partCol)
+    val removed = removedPartitions(spark, outDir, partCol, seen, current)
+    removed.foreach(dropOutputPartition(spark, outDir, partCol, _))
     if (todo.nonEmpty) {
       val fresh = spark.read.parquet(inDir)
         .filter(col(partCol).isin(todo.toSeq.sorted: _*))
@@ -129,9 +154,11 @@ object Incremental {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol).parquet(outDir)
-      saveFingerprints(outDir, seen ++ todo.map(v => v -> current(v)))
     }
-    todo
+    if (todo.nonEmpty || removed.nonEmpty)
+      saveFingerprints(outDir,
+        (seen -- removed) ++ todo.map(v => v -> current(v)))
+    todo ++ removed
   }
 
   /** Format-agnostic P6 memo for pipelines that must process each
@@ -139,16 +166,24 @@ object Incremental {
     * per partition, text in / text out — [[graft.Cli.runStagesMemoized]]).
     * Same staleness diff and sidecar as [[syncChanged]]; `process`
     * receives each stale partition VALUE and must overwrite that
-    * partition's output itself. Fingerprints are recorded only after
-    * every stale partition processed, so a failed run retries all of
-    * them. Returns the processed partition values. */
+    * partition's output itself. Retraction mirrors [[syncChanged]]:
+    * removed input partitions drop their memo entry and are handed to
+    * `retract` (the caller owns the output layout, so it owns the
+    * delete; the default no-op preserves prior behavior). Fingerprints
+    * are recorded only after every stale partition processed, so a
+    * failed run retries all of them. Returns the processed partition
+    * values — processed and retracted alike. */
   def syncChangedEach(spark: SparkSession, inDir: String, outDir: String,
-      partCol: String)(process: String => Unit): Set[String] = {
+      partCol: String, retract: String => Unit = _ => ())(
+      process: String => Unit): Set[String] = {
     val (seen, current, todo) = stalePartitions(spark, inDir, outDir, partCol)
-    if (todo.nonEmpty) {
+    val removed = seen.keySet -- current.keySet
+    removed.toSeq.sorted.foreach(retract)
+    if (todo.nonEmpty || removed.nonEmpty) {
       todo.toSeq.sorted.foreach(process)
-      saveFingerprints(outDir, seen ++ todo.map(v => v -> current(v)))
+      saveFingerprints(outDir,
+        (seen -- removed) ++ todo.map(v => v -> current(v)))
     }
-    todo
+    todo ++ removed
   }
 }

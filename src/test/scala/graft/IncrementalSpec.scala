@@ -95,6 +95,53 @@ class IncrementalSpec extends AnyFunSuite {
       === full.count(_(1) == langs.head))
   }
 
+  test("removed source partitions retract from the output tree") {
+    val docs = Tables.documents(spark, sf)
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(langs.length >= 3)
+    val inDir = tmp("graft_rm_in")
+    val outDir = tmp("graft_rm_out")
+    docs.write.mode("append").partitionBy("lang").parquet(inDir)
+    assert(Incremental.syncChanged(spark, inDir, outDir, "lang")(derive)
+      === langs.toSet)
+
+    // Byte-level snapshot of an untouched partition: retraction of a
+    // SIBLING partition must not rewrite it (name, size, bytes).
+    val keep = langs.last
+    def snapshot(dir: java.io.File): Map[String, Seq[Byte]] =
+      dir.listFiles.filter(_.isFile).map(f =>
+        f.getName -> Files.readAllBytes(f.toPath).toSeq).toMap
+    val keepDir = new java.io.File(s"$outDir/lang=$keep")
+    val before = snapshot(keepDir)
+    assert(before.nonEmpty)
+
+    // Upstream takedown: the source partition for langs.head vanishes.
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$inDir/lang=${langs.head}"))
+
+    // Re-sync reports the retraction; the output partition is gone,
+    // the memo entry with it, and the data equals a full recompute of
+    // the shrunken input.
+    assert(Incremental.syncChanged(spark, inDir, outDir, "lang")(derive)
+      === Set(langs.head))
+    assert(!new java.io.File(s"$outDir/lang=${langs.head}").exists)
+    val incremental = spark.read.parquet(outDir)
+      .select("doc_id", "lang", "n_words", "n_chars_out")
+      .collect().map(_.toSeq).toSet
+    val full = derive(spark.read.parquet(inDir))
+      .collect().map(_.toSeq).toSet
+    assert(incremental === full && incremental.nonEmpty)
+    assert(!incremental.exists(_(1) == langs.head))
+
+    // Unchanged partitions byte-untouched; a third run is a no-op.
+    assert(snapshot(keepDir) === before)
+    assert(Incremental.syncChanged(spark, inDir, outDir, "lang")(derive)
+      === Set.empty)
+  }
+
   test("the delta read prunes processed partitions at plan time") {
     val docs = Tables.documents(spark, sf)
     val langs = docs.select("lang").distinct()
