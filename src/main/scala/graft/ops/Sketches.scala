@@ -466,6 +466,15 @@ object Sketches {
     graft.StageCache.appendTo(s, d, s"pqcodes@$name")(
       pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d, name)))(
       pqAssign(pqSubvectors(b), pqCodebook(s, d, name)))
+    // CAP-ANN-DRIFT: every ingest batch leaves a recall probe behind —
+    // a deterministic sample of the admitted vectors graded against a
+    // bounded reservoir of the live store (see [[recordAnnProbe]]), so
+    // codebook drift is MEASURED continuously instead of discovered at
+    // the next quality incident. A replayed (fully-deduped) batch
+    // grades nothing and appends nothing.
+    recordAnnProbe(s, d, name,
+      b.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ProbeQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
   }
 
   /** Frozen-codebook IVF assignment / PQ encoding of an arbitrary
@@ -1064,6 +1073,136 @@ object Sketches {
       _ => pqAssign(pqSubvectors(store), newPq).coalesce(targetFiles))
     graft.StageCache.rewrite(s, d, tombStage(VecTombs, name))(
       s.range(0).select(col("id")))(_.limit(0).coalesce(1))
+    // Retraining is exactly the event the drift series must reflect:
+    // record a fresh probe over the (re-encoded) store so the stored
+    // metric recovers immediately, not at the next upsert.
+    recordAnnProbe(s, d, name,
+      embStore(s, d, name)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ProbeQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+  }
+
+  // ---- ANN drift monitoring (CAP-ANN-DRIFT) -----------------------------
+
+  private val ProbeQueries = 16
+  private val ProbeReservoir = 512
+  /** ADC pool size the probe grades: pool recall ("is the exact top-k
+    * inside the ADC-ranked top-pool?") is the metric rerank-based
+    * searches actually depend on — when it holds, the exact rerank
+    * returns the true top-k. Sized TIGHT relative to the reservoir
+    * (~1.6%, the single-digit-percent pool a production search runs,
+    * not the fixture call sites' wide-open knobs): a healthy codebook
+    * keeps the true top-k inside a small ADC pool; a drifted one only
+    * looks healthy when the pool is so wide that rerank is doing all
+    * the work. */
+  private val ProbePool = 8
+
+  private def probeStage(name: String) = s"annprobe@$name"
+
+  private def emptyProbes(s: SparkSession): DataFrame =
+    s.range(0).select(col("id").as("seq"), col("id").as("n_queries"),
+      col("id").cast("double").as("recall"),
+      col("id").cast("double").as("fidelity"))
+
+  /** The stored drift series of a named ANN instance: one row
+    * (seq, n_queries, recall, fidelity) per [[upsertIntoAnnIndex]]
+    * batch and per [[retrainAnnIndex]] — the continuously-maintained
+    * signal that tells an operator WHEN the deliberate retrain is due,
+    * instead of leaving codebook drift to judgment. Empty until the
+    * first mutation probes it. */
+  def annDriftProbes(s: SparkSession, d: String, name: String): DataFrame = {
+    require(name.nonEmpty, "drift probes attach to a named instance")
+    graft.StageCache.memoized(s, d, probeStage(name))(emptyProbes(s))
+  }
+
+  /** Latest stored FIDELITY (quantization health), None before any
+    * mutation. The operator contract: below 0.8, schedule
+    * [[retrainAnnIndex]]. Fidelity — mean cosine between a sampled
+    * vector and its PQ reconstruction — is the thresholded metric
+    * because it is scale-free and monotone in what drift actually
+    * breaks (code expressiveness on new data); the reservoir pool
+    * recall stored next to it is the end-to-end corroboration, but its
+    * absolute value depends on how distinguishable the reservoir's
+    * neighbors are (a cone of near-identical drifted vectors bottoms
+    * it out even for a perfect codebook). On the LifecycleSpec drift
+    * fixture: fidelity 0.66 / recall 0.17 while drifted, fidelity
+    * 0.94 / recall 0.5 after retrain, healthy corpus baseline ~0.89. */
+  def annDriftMetric(s: SparkSession, d: String, name: String): Option[Double] =
+    annDriftProbes(s, d, name).orderBy(col("seq").desc).limit(1)
+      .collect().headOption.map(_.getAs[Double]("fidelity"))
+
+  /** Measure + store one probe row. Two measurements over a
+    * deterministic sample of `queries`:
+    *  - RECALL: ADC-ranked top-[[ProbePool]] (frozen live codebooks,
+    *    no rerank) against a DETERMINISTIC bounded reservoir of the
+    *    live store, graded for containment of the exact-cosine top-k
+    *    over the same reservoir (brute force over the reservoir only —
+    *    O(|queries| × reservoir), never the full store, so the probe
+    *    costs the same at any corpus size; at 100 TB: a held-out
+    *    validation partition);
+    *  - FIDELITY: mean cosine between each sampled vector and its PQ
+    *    reconstruction (Σ_m dot(sv_m, cv_m) / √Σ_m |cv_m|² on the
+    *    L2-normalized vector) — pure per-vector arithmetic against the
+    *    broadcast codebook.
+    * Skips silently when there is nothing to grade (empty batch —
+    * replayed upserts stay no-ops). */
+  private def recordAnnProbe(s: SparkSession, d: String, name: String,
+      queries: DataFrame, k: Int = 3): Unit = {
+    val res = embStore(s, d, name)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(ProbeReservoir)
+      .localCheckpoint(true)
+    val qn = queries
+      .select(col("qid"), col("qv"),
+        graft.functions.VectorFunctions.l2norm(col("qv")).as("qn"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val exact = qn.crossJoin(res)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosCol("qv", "embedding", col("qn"), col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.isEmpty) return
+    val dtable = pqSubvectors(qn.select(col("qid").as("vec_id"),
+        col("qv").as("embedding"), col("qn").as("norm")))
+      .join(broadcast(pqCodebook(s, d, name)), "m")
+      .select(col("vec_id").as("qid"), col("m"), col("cid"),
+        graft.functions.VectorFunctions.dot(col("sv"), col("cv")).as("pdot"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    val pool = pqCodes(s, d, name)
+      .join(broadcast(res.select("vec_id")), Seq("vec_id"))
+      .join(broadcast(dtable), Seq("m", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(round(sum("pdot"), 9).as("adc"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= ProbePool)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pool).size.toDouble / exact.size
+    val cb = pqCodebook(s, d, name)
+    val fidelity = pqSubvectors(qn.select(col("qid").as("vec_id"),
+        col("qv").as("embedding"), col("qn").as("norm")))
+      .join(broadcast(cb.select("m", "cid", "cv", "cn2")), "m")
+      .withColumn("score", round(
+        graft.functions.VectorFunctions.dot(col("sv"), col("cv"))
+          - col("cn2") / 2, 9))
+      .groupBy("vec_id", "m")
+      .agg(expr("max_by(struct(sv, cv, cn2), struct(score, -cid))").as("t"))
+      .groupBy("vec_id")
+      .agg((sum(graft.functions.VectorFunctions
+        .dot(col("t.sv"), col("t.cv"))) / sqrt(sum(col("t.cn2"))))
+        .as("rc"))
+      .agg(avg("rc")).collect()(0).getDouble(0)
+    val nq = exact.map(_._1).size.toLong
+    val seq = annDriftProbes(s, d, name).count() + 1
+    graft.StageCache.appendTo(s, d, probeStage(name))(emptyProbes(s))(
+      s.range(1).select(lit(seq).as("seq"), lit(nq).as("n_queries"),
+        lit(recall).as("recall"), lit(fidelity).as("fidelity")))
   }
 
   /** Sketch-table compaction: fold the appended per-batch rows down to

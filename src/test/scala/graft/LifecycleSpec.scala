@@ -181,7 +181,32 @@ class LifecycleSpec extends AnyFunSuite {
       exact.intersect(got).size.toDouble / exact.size
     }
     val before = recall()
+    // CAP-ANN-DRIFT: the upsert itself left a STORED probe behind —
+    // the drifted batch graded with the stale codebooks — and its
+    // fidelity trips the 0.8 retrain threshold without any
+    // operator-run measurement.
+    val storedBefore = ops.Sketches.annDriftMetric(spark, d, name)
+    assert(storedBefore.isDefined, "drifted upsert stored no probe")
+    assert(storedBefore.get < 0.8,
+      f"stored drift metric ${storedBefore.get}%.3f did not trip (< 0.8)")
+    val probeBefore = ops.Sketches.annDriftProbes(spark, d, name)
+      .orderBy(col("seq").desc).limit(1).collect()(0)
     ops.Sketches.retrainAnnIndex(spark, d, name)
+    // The retrain records its own probe: the stored series recovers
+    // immediately, not at the next upsert.
+    val storedAfter = ops.Sketches.annDriftMetric(spark, d, name)
+    assert(storedAfter.isDefined && storedAfter.get > storedBefore.get &&
+      storedAfter.get >= 0.8,
+      f"stored drift metric did not recover: " +
+        f"${storedBefore.get}%.3f -> ${storedAfter.get}%.3f")
+    // The reservoir pool recall stored next to fidelity corroborates
+    // the recovery direction (its absolute value saturates low on the
+    // near-identical drifted cone — see annDriftMetric's scaladoc).
+    val probeAfter = ops.Sketches.annDriftProbes(spark, d, name)
+      .orderBy(col("seq").desc).limit(1).collect()(0)
+    assert(probeAfter.getAs[Double]("recall")
+      > probeBefore.getAs[Double]("recall"),
+      "reservoir pool recall did not improve with the retrain")
     val after = recall()
     info(f"drift recall: before=$before%.3f after=$after%.3f")
     // The retrained codebook actually changed (vacuity guard)...
