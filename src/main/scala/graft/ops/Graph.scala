@@ -327,7 +327,7 @@ object Graph {
     * tokenized docs → distinct word-3-grams → df-capped gram index →
     * per-doc gram counts (sz) → shared-gram pair counts (p). */
   private def gramStatCtes: String =
-    s"""w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+    s"""w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
       |           FROM documents),
       |g0 AS (SELECT DISTINCT doc_id,
       |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -492,7 +492,7 @@ object Graph {
     // surface as high counts. Oracle spells the identical ordered-wedge
     // + closing-join computation over the same gram-built edge set.
     QuerySpec.sql("q_graph_triangles",
-      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')

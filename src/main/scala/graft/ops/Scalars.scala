@@ -207,15 +207,15 @@ object Scalars {
     // Arrays stay internal; outputs are scalars (§2.13 rule 7).
     q("q_arr_funcs",
       """SELECT doc_id,
-        |  len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS n_words,
-        |  list_contains(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0), 'scan') AS has_scan,
-        |  list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)[3] AS third_word,
-        |  array_to_string(list_slice(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0), 1, 3), ',')
+        |  len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS n_words,
+        |  list_contains(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0), 'scan') AS has_scan,
+        |  list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)[3] AS third_word,
+        |  array_to_string(list_slice(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0), 1, 3), ',')
         |    AS first3,
-        |  list_sort(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0))[2] AS second_sorted,
-        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
+        |  list_sort(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0))[2] AS second_sorted,
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['scan', 'filter', 'window']))) AS n_common,
-        |  len(list_distinct(list_concat(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
+        |  len(list_distinct(list_concat(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['scan', 'filter', 'window']))) AS n_union
         |FROM documents
         |WHERE doc_id < 200
@@ -266,7 +266,7 @@ object Scalars {
     // Lateral explode: 1 row -> N rows (FileMap's per-line flatMap).
     q("q_explode",
       """SELECT lang, word, count(*) AS n
-        |FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
+        |FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
         |      FROM documents) t
         |GROUP BY lang, word
         |ORDER BY lang, word""") { (s, d) =>

@@ -25,32 +25,44 @@ object TextSim {
   private def q(name: String, oracle: String)(
       df: (SparkSession, String) => DataFrame) = QuerySpec.sql(name, oracle)(df)
 
-  /** Shared corpus tokenizer (CAP-TOKENIZE-UNICODE, r7): NFC-normalize
-    * (native codegen expression, ASCII short-circuit), lowercase, split
-    * on any run of non-letter/non-digit codepoints, drop empties. Real
-    * crawls are not clean lowercase ASCII: decomposed accents must
-    * collide with their precomposed spellings, "Word," with "word",
-    * and CJK text must survive. On the fixture alphabet ([a-z0-9 ],
-    * single spaces, probed across all three tiers) this is
-    * token-identical to a single-space split, which is what keeps
-    * every oracle hash-green; [[TokenizeSpec]] pins the unicode
-    * behavior on mixed-script fixtures. DuckDB mirror: [[TokSql]] —
-    * same NFC → lower → split pipeline, regex in the RE2 ∩ Java
-    * subset.
+  /** Shared corpus tokenizer (CAP-TOKENIZE-UNICODE, r7; script-aware
+    * since r8): NFC-normalize (native codegen expression, ASCII
+    * short-circuit), lowercase, split on any run of non-letter/
+    * non-digit codepoints, break Han/Hiragana/Katakana runs PER
+    * IDEOGRAPH, drop empties. Real crawls are not clean lowercase
+    * ASCII: decomposed accents must collide with their precomposed
+    * spellings, "Word," with "word" — and unsegmented scripts write
+    * without spaces, so without the per-ideograph rule a Chinese
+    * paragraph is ONE token and every downstream quality/dedup signal
+    * on CJK is degenerate. On the fixture alphabet ([a-z0-9 ], single
+    * spaces, probed across all three tiers) this is token-identical to
+    * a single-space split, which is what keeps every oracle
+    * hash-green; [[TokenizeSpec]] pins the unicode behavior on
+    * mixed-script fixtures. DuckDB mirror: [[TokSql]] — same
+    * NFC → lower → CJK-space → split pipeline, regexes in the
+    * RE2 ∩ Java subset (script classes spell `IsHan` in Java,
+    * `Han` in RE2 — same Unicode Script property).
     */
   def normTokens(c: Column): Column =
     graft.functions.VectorFunctions.normTokens(c)
 
+  /** Java-regex spelling of the per-ideograph rule: wrap every
+    * Han/Hiragana/Katakana codepoint in spaces, then let the run
+    * split do the rest. (Hangul is spaced by its writers; see
+    * graftnative.NormalizedTokens.isCjkCp for the full rationale.) */
+  private val CjkSpaceRegexJava = "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])"
+
   /** The composed (non-fused) spelling of [[normTokens]] — the
     * equality witness TokenizeSpec pins the fused kernel against.
-    * Three allocations + an interpreted CodegenFallback ArrayFilter
+    * Four allocations + an interpreted CodegenFallback ArrayFilter
     * per row, which is why the registry runs the kernel instead
     * (stage_build measured 13.7 s → with the fused kernel the gram
     * build returns to its pre-unicode cost). */
   private[graft] def normTokensComposed(c: Column): Column =
     filter(
-      split(graft.functions.VectorFunctions.lowerRoot(
-        graft.functions.VectorFunctions.nfc(c)), TokenSplitRegex),
+      split(regexp_replace(graft.functions.VectorFunctions.lowerRoot(
+        graft.functions.VectorFunctions.nfc(c)),
+        CjkSpaceRegexJava, " $1 "), TokenSplitRegex),
       w => length(w) > lit(0))
 
   /** The token-boundary regex — any run of codepoints that are neither
@@ -60,7 +72,8 @@ object TextSim {
 
   /** DuckDB spelling of [[normTokens]] over a column named `c`. */
   def TokSql(c: String = "text"): String =
-    s"list_filter(regexp_split_to_array(lower(nfc_normalize($c)), " +
+    s"list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize($c)), " +
+      s"'([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), " +
       s"'[^\\p{L}\\p{N}]+'), x -> len(x) > 0)"
 
   /** words of `text` via the shared tokenizer. */
@@ -206,7 +219,7 @@ object TextSim {
     * the min, which SketchesSpec asserts for the fixtures; beyond
     * that, GraphSpec pins CC ≡ the general propagation FIXPOINT). */
   val ClusterOracleSql: String =
-    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
       |           FROM documents),
       |g0 AS (SELECT DISTINCT doc_id,
       |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -512,7 +525,7 @@ object TextSim {
 
     q("q_text_tokens",
       """SELECT word, count(*) AS n
-        |FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
+        |FROM (SELECT unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
         |      FROM documents) t
         |GROUP BY word
         |ORDER BY n DESC, word""") { (s, d) =>
@@ -524,7 +537,7 @@ object TextSim {
     },
 
     q("q_text_tfidf",
-      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
         |             FROM documents),
         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
         |       FROM tok GROUP BY doc_id, word),
@@ -555,7 +568,7 @@ object TextSim {
     // form (ln(1 + (N-df+0.5)/(df+0.5))) are spelled identically in
     // both engines; scores rounded to 6.
     q("q_text_bm25",
-      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS w
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS w
         |             FROM documents),
         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
         |st AS (SELECT count(*) AS n_docs, avg(len) AS avg_len
@@ -620,15 +633,15 @@ object TextSim {
     // engines.
     q("q_text_langid",
       """WITH h AS (SELECT doc_id, lang,
-        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['filter', 'column', 'query']))) AS h_de,
-        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['scan', 'fast', 'table']))) AS h_en,
-        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['hash', 'value', 'batch']))) AS h_es,
-        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['join', 'merge', 'row']))) AS h_fr,
-        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
+        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
         |    ['window', 'order', 'data']))) AS h_zh
         |  FROM documents)
         |SELECT doc_id, lang, h_de, h_en, h_es, h_fr, h_zh,
@@ -662,15 +675,15 @@ object TextSim {
     // Quality scoring: type-token ratio, word-length, length saturation.
     q("q_text_quality",
       """SELECT doc_id,
-        |  len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS n_words,
-        |  len(list_distinct(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0))) AS n_distinct,
-        |  round(len(list_distinct(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
-        |    / len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)), 6) AS ttr,
+        |  len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS n_words,
+        |  len(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0))) AS n_distinct,
+        |  round(len(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
+        |    / len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)), 6) AS ttr,
         |  round(length(replace(text, ' ', ''))
-        |    / len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)), 6) AS avg_word_len,
-        |  round(0.6 * (len(list_distinct(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
-        |      / len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
-        |    + 0.4 * least(len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) / 50.0, 1.0), 6)
+        |    / len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)), 6) AS avg_word_len,
+        |  round(0.6 * (len(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
+        |      / len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
+        |    + 0.4 * least(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) / 50.0, 1.0), 6)
         |    AS quality
         |FROM documents
         |ORDER BY doc_id""") { (s, d) =>
@@ -694,7 +707,7 @@ object TextSim {
     // Token counting: whitespace tokens + a BPE-ish regex chunking.
     q("q_text_tokcount",
       """SELECT doc_id,
-        |  len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS ws_tokens,
+        |  len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
         |  len(regexp_extract_all(text, '[a-z]{1,4}')) AS bpe_tokens,
         |  round(length(text) / len(regexp_extract_all(text, '[a-z]{1,4}')), 6)
@@ -755,7 +768,7 @@ object TextSim {
     // duplicate word-3-gram fraction per document — high repetition is
     // the classic low-quality-text signal. Raw (non-distinct) grams.
     q("q_text_repetition",
-      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
         |        for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
@@ -821,7 +834,7 @@ object TextSim {
     // broadcast singleton. log2 cross-engine parity is established by
     // q_text_entropy (§2.13 rehearsal).
     q("q_text_unigram_nll",
-      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
         |            FROM documents),
         |f AS (SELECT word, CAST(count(*) AS BIGINT) AS n
         |      FROM tok GROUP BY word),
@@ -854,7 +867,7 @@ object TextSim {
     // outgrows broadcast. The oracle derives the identical pairs by
     // slicing the word array.
     q("q_text_bigram_nll",
-      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |p0 AS (SELECT doc_id,
         |        unnest([array_to_string(ws[i:i+1], ' ')
@@ -894,7 +907,7 @@ object TextSim {
     // gram set — grams 64-bit-hashed on the Spark side so the shuffle
     // keys are fixed-width; the oracle joins the strings, same result).
     q("q_text_decontaminate",
-      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -948,7 +961,7 @@ object TextSim {
     // and the same-result equality is also pinned in PlanShapeSpec
     // along with the plan shape (bloom probe before the exchange).
     q("q_text_decontam_bloom",
-      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -1000,7 +1013,7 @@ object TextSim {
     // training-data pipeline derives before sampling.
     q("q_mix_weights",
       """WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |    CAST(sum(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |tot AS (SELECT sum(n_tokens) AS total FROM t)
         |SELECT source, n_docs, n_tokens,
@@ -1052,7 +1065,7 @@ object TextSim {
     // hash join back — at 100 TB the group key would be the chunk's
     // 128-bit hash rather than its text, same plan.
     q("q_dedup_chunks",
-      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |c0 AS (SELECT doc_id, unnest([{'idx': i - 1,
         |         'chunk': array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ')}
@@ -1107,7 +1120,7 @@ object TextSim {
     // only exchange is the final chunk groupBy — at 100 TB, chunks
     // hash-partition like any dedup key.
     q("q_dedup_cdc",
-      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |t AS (SELECT doc_id, unnest(ws) AS tok,
         |             unnest(range(1, len(ws) + 1)) AS i FROM w),
@@ -1154,7 +1167,7 @@ object TextSim {
     // quadratic within blocks (118 s at sf0.1, and block populations
     // grow linearly with corpus size — a scale-killer at 100 TB).
     q("q_dedup_lev",
-      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws FROM documents),
         |g0 AS (SELECT DISTINCT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
         |         for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
         |       FROM w),
@@ -1248,7 +1261,7 @@ object TextSim {
     // that scales (hash-shuffles only, no all-pairs). Jaccard is over
     // the capped gram space, identically in both engines.
     q("q_dedup_ngram",
-      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -1279,7 +1292,7 @@ object TextSim {
     // postings-driven candidate pipeline. Threshold 0.9 is
     // non-vacuous at every tier (28 / 25 / 256 pairs, probed).
     q("q_dedup_contain",
-      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -1320,7 +1333,7 @@ object TextSim {
     // sort at scale. The narrow per-row bigram transform and the two
     // count shuffles are q_text_bigram_nll's exact plan shape.
     q("q_text_pmi",
-      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |p0 AS (SELECT doc_id,
         |        unnest([array_to_string(ws[i:i+1], ' ')
@@ -1382,7 +1395,7 @@ object TextSim {
     // text analytics + transitive dedup + multimodal join composed,
     // every stage the same operator the standalone queries use.
     q("q_curate",
-      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
         |g0 AS (SELECT DISTINCT doc_id,
         |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -1410,9 +1423,9 @@ object TextSim {
         |                 LEFT JOIN l1 u ON u.doc_id = e.b
         |       GROUP BY v.doc_id, v.l),
         |q AS (SELECT doc_id, lang,
-        |        round(0.6 * (len(list_distinct(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)))
-        |            / len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)))
-        |          + 0.4 * least(len(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) / 50.0, 1.0), 6)
+        |        round(0.6 * (len(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)))
+        |            / len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)))
+        |          + 0.4 * least(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) / 50.0, 1.0), 6)
         |          AS quality
         |      FROM documents)
         |SELECT q.doc_id, q.lang, q.quality, emb.label

@@ -106,7 +106,7 @@ object Udx {
     // and oracle-checkable even though raw counter values are
     // merge-order-dependent.
     QuerySpec.sql("q_text_topterms_sketch",
-      s"""WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS w
+      s"""WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)) AS w
         |             FROM documents),
         |t AS (SELECT count(*) AS total FROM tok),
         |hh AS (SELECT w, count(*) AS n FROM tok GROUP BY w)

@@ -423,21 +423,22 @@ case class RootLower(child: Expression)
 }
 
 /** The fused corpus tokenizer (CAP-TOKENIZE-UNICODE): NFC-normalize,
-  * lowercase, and split into maximal runs of Unicode letters/digits —
-  * the single-expression spelling of
-  * `filter(split(lower(graft_nfc(text)), "[^\\p{L}\\p{N}]+"), len > 0)`
-  * (TokenizeSpec pins the equivalence). Fused because the composed
-  * form sits in the hottest path of the whole library (the gram-index
-  * build tokenizes every document) and pays three allocations plus an
-  * interpreted CodegenFallback lambda per row (ArrayFilter); this
-  * kernel is one pass.
+  * lowercase, split into maximal runs of Unicode letters/digits, and
+  * break Han/Hiragana/Katakana runs PER IDEOGRAPH ([[isCjkCp]]) — the
+  * single-expression spelling of `filter(split(lowerRoot(graft_nfc(
+  * <cjk-spaced> text)), "[^\\p{L}\\p{N}]+"), len > 0)` (TokenizeSpec
+  * pins the equivalence against exactly that composed form). Fused
+  * because the composed form sits in the hottest path of the whole
+  * library (the gram-index build tokenizes every document) and pays
+  * three allocations plus an interpreted CodegenFallback lambda per
+  * row (ArrayFilter); this kernel is one pass.
   *
   * ASCII fast path (the 100 TB common case): tokenize straight over
   * the UTF-8 bytes — case-fold by `+32`, classify by byte range, no
   * String materialization, no Normalizer. Non-ASCII rows take
   * NFC → toLowerCase(ROOT) → one codepoint scan classifying with
   * Character.getType (categories L* and N*, exactly Java/RE2's \p{L}
-  * and \p{N}).
+  * and \p{N}) and Character.UnicodeScript (RE2's \p{Han} family).
   */
 case class NormalizedTokens(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -453,6 +454,26 @@ case class NormalizedTokens(child: Expression)
     t == Character.TITLECASE_LETTER || t == Character.MODIFIER_LETTER ||
     t == Character.OTHER_LETTER || t == Character.DECIMAL_DIGIT_NUMBER ||
     t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+  }
+
+  /** Unsegmented-script codepoints that tokenize PER IDEOGRAPH: Han,
+    * Hiragana, Katakana. These scripts write without spaces, so the
+    * run-of-letters rule degenerates to one mega-token per sentence —
+    * every downstream quality/dedup signal then sees a single "word".
+    * Splitting each ideograph into its own token is the standard
+    * pipeline choice (character unigrams; word n-grams over them
+    * recover subword context). Hangul is NOT here: Korean spaces its
+    * words, so the run rule already segments it. Script lookup, not a
+    * block-range check, so halfwidth katakana and the Han extension
+    * planes classify correctly — and it mirrors RE2's \p{Han} family
+    * in the DuckDB oracle spelling exactly (both read the Unicode
+    * Script property; U+30FC PROLONGED SOUND MARK is script Common on
+    * both sides, so it stays a run character). */
+  private def isCjkCp(cp: Int): Boolean = {
+    val sc = Character.UnicodeScript.of(cp)
+    sc == Character.UnicodeScript.HAN ||
+    sc == Character.UnicodeScript.HIRAGANA ||
+    sc == Character.UnicodeScript.KATAKANA
   }
 
   def tokens(s: org.apache.spark.unsafe.types.UTF8String)
@@ -487,8 +508,17 @@ case class NormalizedTokens(child: Expression)
       val sb = new java.lang.StringBuilder()
       while (i < n) {
         val cp = str.codePointAt(i)
-        if (isTokenCp(cp)) sb.appendCodePoint(cp)
-        else if (sb.length > 0) {
+        if (isTokenCp(cp)) {
+          if (isCjkCp(cp)) { // per-ideograph: flush the run, emit one cp
+            if (sb.length > 0) {
+              out.add(org.apache.spark.unsafe.types.UTF8String
+                .fromString(sb.toString))
+              sb.setLength(0)
+            }
+            out.add(org.apache.spark.unsafe.types.UTF8String
+              .fromString(new String(Character.toChars(cp))))
+          } else sb.appendCodePoint(cp)
+        } else if (sb.length > 0) {
           out.add(org.apache.spark.unsafe.types.UTF8String
             .fromString(sb.toString))
           sb.setLength(0)

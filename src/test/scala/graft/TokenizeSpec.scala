@@ -30,13 +30,38 @@ class TokenizeSpec extends AnyFunSuite {
     assert(toks(pre) === Seq(Seq("café")))
   }
 
-  test("case folds, punctuation splits, digits survive, CJK survives") {
+  test("case folds, punctuation splits, digits survive, CJK splits per ideograph") {
     assert(toks("Hello, World! x9 日本語") ===
-      Seq(Seq("hello", "world", "x9", "日本語")))
+      Seq(Seq("hello", "world", "x9", "日", "本", "語")))
     // Uppercase precomposed accent: lower() after NFC.
     assert(toks("CAFÉ!!") === Seq(Seq("café")))
     // Punctuation-only and empty strings yield EMPTY arrays, not [""].
     assert(toks("?!... --", "") === Seq(Seq(), Seq()))
+  }
+
+  test("unsegmented scripts tokenize per ideograph; segmented scripts keep runs") {
+    // Han/Hiragana/Katakana write without spaces — a run rule yields
+    // one mega-token per sentence and every downstream quality/dedup
+    // signal degenerates on CJK crawl data. Per-ideograph is the
+    // standard pipeline choice, spelled identically in the kernel
+    // (Character.UnicodeScript), the composed Java regex (\p{IsHan}…)
+    // and the DuckDB oracle (\p{Han}…, probed by hand this round).
+    assert(toks("これはテストです") ===
+      Seq(Seq("こ", "れ", "は", "テ", "ス", "ト", "で", "す")))
+    assert(toks("中文文本 mixed with English") ===
+      Seq(Seq("中", "文", "文", "本", "mixed", "with", "english")))
+    // Halfwidth katakana is script Katakana (script lookup, not a
+    // block-range check).
+    assert(toks("ｶﾀｶﾅ") === Seq(Seq("ｶ", "ﾀ", "ｶ", "ﾅ")))
+    // U+30FC PROLONGED SOUND MARK is script Common (both engines): it
+    // stays a run character between the per-ideograph kana.
+    assert(toks("サーバー") === Seq(Seq("サ", "ー", "バ", "ー")))
+    // Hangul spaces its words — the run rule already segments Korean,
+    // so it does NOT split per syllable block.
+    assert(toks("한국어 단어 분리") === Seq(Seq("한국어", "단어", "분리")))
+    // Kana + combining voiced mark: NFC composes か+゙ into が FIRST,
+    // so the composed syllable is one token, not kana + stray mark.
+    assert(toks("がき") === Seq(Seq("が", "き")))
   }
 
   test("null text stays null through the tokenizer") {
@@ -59,7 +84,10 @@ class TokenizeSpec extends AnyFunSuite {
     // DuckDB oracles spell). Pin them row-equal on adversarial mixed
     // fixtures AND the whole fixture corpus.
     val mixed = Seq("Hello, World! x9 日本語", "café café", "CAFÉ!!",
-      "?!... --", "", "a1b2 c3", "Ⅻ xiii 12", "tab\tsep\nline")
+      "?!... --", "", "a1b2 c3", "Ⅻ xiii 12", "tab\tsep\nline",
+      "これはテストです", "中文文本 mixed with English", "ｶﾀｶﾅ",
+      "サーバー", "한국어 단어 분리", "がき",
+      "日本語とEnglishの混在123テキスト")
     val viaKernel = mixed.toDF("text")
       .select(graft.ops.TextSim.normTokens(col("text")).as("ws"))
       .collect().map(_.getSeq[String](0).toList).toList
