@@ -78,19 +78,30 @@ object Graph {
     // the rationals (r*w)/(deg*w) == r/deg are IDENTICAL before
     // truncation, so unweighted results are unchanged (pinned in
     // GraphSpec).
+    // The unweighted path does NOT ride the weighted machinery with
+    // w = const: (r*w)/(deg*w) == r/deg holds mathematically (pinned
+    // in GraphSpec), but the constant column is not free at runtime —
+    // it widens both checkpointed frames (eIn and the symmetrized
+    // eDeg) by a long per edge and adds a multiply per contribution,
+    // measured +0.38 s on the sf0.1 bench (r6 1.36 s → r7 1.73 s on a
+    // quiet host). Branching keeps q_graph_pagerank on the narrow r6
+    // plan; only q_graph_pagerank_w pays for weights.
+    val weighted = weightCol.isDefined
     val eIn = (weightCol match {
       case Some(wc) => edges.select(col("ida"), col("idb"),
         (col(wc) * WScale).cast("long").as("w"))
-      case None => edges.select(col("ida"), col("idb"),
-        lit(WScale).as("w"))
+      case None => edges.select(col("ida"), col("idb"))
     }).localCheckpoint(true)
-    // Symmetrize, attach sender degree + total weight, checkpoint —
-    // the one frame every round scans.
-    val sym = eIn.select(col("ida").as("a"), col("idb").as("b"), col("w"))
+    // Symmetrize, attach sender degree (+ total weight when weighted),
+    // checkpoint — the one frame every round scans.
+    val wCols = if (weighted) Seq(col("w")) else Seq.empty
+    val sym = eIn.select(col("ida").as("a") +: col("idb").as("b") +: wCols: _*)
       .unionByName(
-        eIn.select(col("idb").as("a"), col("ida").as("b"), col("w")))
-    val deg = sym.groupBy("a")
-      .agg(count(lit(1)).as("deg"), sum("w").as("tw"))
+        eIn.select(col("idb").as("a") +: col("ida").as("b") +: wCols: _*))
+    val deg =
+      if (weighted) sym.groupBy("a")
+        .agg(count(lit(1)).as("deg"), sum("w").as("tw"))
+      else sym.groupBy("a").agg(count(lit(1)).as("deg"))
     val eDeg = sym.join(deg, "a").localCheckpoint(true)
     // conn is referenced by EVERY round's rank rebuild (and there is no
     // cross-plan subtree sharing), so without its own checkpoint the
@@ -125,7 +136,8 @@ object Graph {
       val contribs = ranks
         .join(eDeg, ranks("doc_id") === eDeg("a"))
         .select(col("b"),
-          ((col("r") * col("w")) / col("tw")).cast("long").as("c"))
+          (if (weighted) (col("r") * col("w")) / col("tw")
+           else col("r") / col("deg")).cast("long").as("c"))
         .groupBy(col("b").as("doc_id"))
         .agg(((lit(15L) * base + lit(85L) * sum("c")) / 100L).cast("long")
           .as("r"))
