@@ -290,11 +290,13 @@ object Multimodal {
     * plane resample; 1-component grayscale and 3-component YCbCr
     * (JFIF BT.601 to RGB) supported. Restart intervals honored.
     *
-    * Returns None — never throws, never loops — on anything outside
-    * that envelope: progressive (SOF2) and arithmetic coding, 12-bit
-    * precision, 4-component CMYK, truncated or corrupt entropy data,
-    * and decompression-bomb headers (> [[MaxJpegPixelBytes]] decoded,
-    * checked BEFORE allocating — the PNG guard's contract).
+    * Progressive (SOF2) input dispatches to
+    * [[decodeJpegProgressive]]. Returns None — never throws, never
+    * loops — on anything outside that envelope: arithmetic coding,
+    * lossless/hierarchical modes, 12-bit precision, 4-component CMYK,
+    * truncated or corrupt entropy data, and decompression-bomb
+    * headers (> [[MaxJpegPixelBytes]] decoded, checked BEFORE
+    * allocating — the PNG guard's contract).
     */
   def decodeJpeg(c: Array[Byte]): Option[JpegImage] = try {
     if (!isJpeg(c)) return None
@@ -395,9 +397,11 @@ object Multimodal {
               i += 1
             }
             sosAt = pos + 2 + len
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+          case 0xC2 =>
+            return decodeJpegProgressive(c) // SOF2: multi-scan path
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
               0xCD | 0xCE | 0xCF =>
-            return None // progressive / lossless / arithmetic
+            return None // lossless / arithmetic / differential
           case _ => () // APPn, COM, ...: skip
         }
         if (sosAt < 0) pos += 2 + len
@@ -466,39 +470,8 @@ object Multimodal {
                   k += 1
                 }
               }
-              // IDCT: horizontal basis pass then vertical, +128 shift.
-              var v = 0
-              while (v < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var u = 0
-                  while (u < 8) {
-                    acc += coef(v * 8 + u) * IdctC(u)(x); u += 1
-                  }
-                  tmp(v)(x) = acc
-                  x += 1
-                }
-                v += 1
-              }
-              val plane = planes(ci)
-              val pw = planeW(ci)
-              val px0 = (mx * compH(ci) + bx) * 8
-              val py0 = (my * compV(ci) + by) * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var u = 0
-                  while (u < 8) { acc += IdctC(u)(y) * tmp(u)(x); u += 1 }
-                  val pix = math.rint(acc + 128.0).toInt
-                  plane((py0 + y) * pw + px0 + x) =
-                    (if (pix < 0) 0 else if (pix > 255) 255 else pix).toByte
-                  x += 1
-                }
-                y += 1
-              }
+              jIdctToPlane(coef, tmp, planes(ci), planeW(ci),
+                (mx * compH(ci) + bx) * 8, (my * compV(ci) + by) * 8)
               bx += 1
             }
             by += 1
@@ -510,7 +483,57 @@ object Multimodal {
       }
       my += 1
     }
-    // Resample planes to full resolution and convert color space.
+    Some(jPlanesToImage(w, h, nComp, planes, planeW, compH, compV,
+      hmax, vmax))
+  } catch {
+    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+      None // corrupt/truncated input: drop, don't crash
+  }
+
+  /** Dequantized natural-order coefficients → one 8×8 spatial block
+    * into `plane` at (px0, py0): reference IDCT (horizontal basis pass
+    * then vertical), +128 level shift, clamp. Shared by the baseline
+    * and progressive decode paths. */
+  private def jIdctToPlane(coef: Array[Int], tmp: Array[Array[Double]],
+      plane: Array[Byte], pw: Int, px0: Int, py0: Int): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          acc += coef(v * 8 + u) * IdctC(u)(x); u += 1
+        }
+        tmp(v)(x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += IdctC(u)(y) * tmp(u)(x); u += 1 }
+        val pix = math.rint(acc + 128.0).toInt
+        plane((py0 + y) * pw + px0 + x) =
+          (if (pix < 0) 0 else if (pix > 255) 255 else pix).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Component planes (own resolution, MCU-padded) → interleaved
+    * output image: nearest-neighbor upsample driven by the sampling
+    * factors, JFIF BT.601 YCbCr→RGB for 3 components, plane copy for
+    * grayscale. Shared by the baseline and progressive decode paths. */
+  private def jPlanesToImage(w: Int, h: Int, nComp: Int,
+      planes: Array[Array[Byte]], planeW: Array[Int],
+      compH: Array[Int], compV: Array[Int], hmax: Int,
+      vmax: Int): JpegImage = {
     val out = new Array[Byte](w * h * (if (nComp == 3) 3 else 1))
     if (nComp == 1) {
       val pw = planeW(0)
@@ -543,7 +566,389 @@ object Multimodal {
         y += 1
       }
     }
-    Some(JpegImage(w, h, if (nComp == 3) 3 else 1, out))
+    JpegImage(w, h, if (nComp == 3) 3 else 1, out)
+  }
+
+  /** Progressive (SOF2) JFIF decode, pure JVM — the multi-scan
+    * sibling of [[decodeJpeg]]'s baseline path, sharing its Huffman
+    * ([[JpegHuff]]), bit-reader, IDCT ([[jIdctToPlane]]) and upsample
+    * ([[jPlanesToImage]]) stages. Supports the full T.81 progressive
+    * envelope real encoders emit: spectral selection (per-band AC
+    * scans with EOB-run coding), successive approximation (DC and AC
+    * first + refinement scans, G.1.2.2–G.1.2.3), interleaved and
+    * non-interleaved DC scans, DHT/DQT/DRI between scans, and restart
+    * intervals per scan. The whole coefficient image is held across
+    * scans (the price of progressive: 4 bytes per coefficient,
+    * bounded by a 4× [[MaxJpegPixelBytes]] guard BEFORE allocation);
+    * rendering dequantizes + IDCTs once after the last scan. Returns
+    * None — never throws, never loops — on arithmetic coding, 12-bit
+    * precision, CMYK, truncated or corrupt streams.
+    */
+  private def decodeJpegProgressive(c: Array[Byte]): Option[JpegImage] = try {
+    if (!isJpeg(c)) return None
+    val qt = Array.ofDim[Int](4, 64) // zigzag order, as transmitted
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var w = 0
+    var h = 0
+    var nComp = 0
+    val compH = new Array[Int](4)
+    val compV = new Array[Int](4)
+    val compQ = new Array[Int](4)
+    val compId = new Array[Int](4)
+    var restartInterval = 0
+    var hmax = 1
+    var vmax = 1
+    var mcusX = 0
+    var mcusY = 0
+    // Per component: whole-image coefficients in ZIGZAG order, flat
+    // ((blockY * gridW + blockX) * 64 + k); grid padded to whole MCUs
+    // (interleaved scans cover the padding with dummy blocks), with
+    // the non-interleaved scans' own ceil-of-component-size grid
+    // tracked separately per B.2.3.
+    var coefs: Array[Array[Int]] = null
+    val gridW = new Array[Int](4)
+    val niW = new Array[Int](4)
+    val niH = new Array[Int](4)
+    var sawSof = false
+
+    def decodeScan(br: JpegBits, ns: Int, scComp: Array[Int],
+        scDc: Array[Int], scAc: Array[Int], ss: Int, se: Int,
+        ah: Int, al: Int): Unit = {
+      val dcPred = new Array[Int](4)
+      var eobrun = 0
+      def maybeRestart(mcu: Int): Unit =
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.restart()
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+      if (ss == 0) { // DC scan (G.1.2.1): se must be 0
+        if (se != 0) throw new IllegalArgumentException("bad DC band")
+        def dcBlock(i: Int, ci: Int, off: Int): Unit =
+          if (ah == 0) { // first scan: baseline diff coding << Al
+            val t = dcTabs(scDc(i))
+            if (t == null) throw new IllegalArgumentException("no DC table")
+            val s0 = t.decode(br)
+            if (s0 > 13) throw new IllegalArgumentException("bad DC cat")
+            dcPred(ci) += jpegExtend(br.receive(s0), s0)
+            coefs(ci)(off) = dcPred(ci) << al
+          } else { // refinement: one appended bit per block
+            if (br.nextBit() == 1) coefs(ci)(off) |= 1 << al
+          }
+        if (ns > 1) { // interleaved: MCU order over the padded grid
+          var mcu = 0
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              maybeRestart(mcu)
+              var i = 0
+              while (i < ns) {
+                val ci = scComp(i)
+                var by = 0
+                while (by < compV(ci)) {
+                  var bx = 0
+                  while (bx < compH(ci)) {
+                    dcBlock(i, ci,
+                      ((my * compV(ci) + by) * gridW(ci) +
+                        mx * compH(ci) + bx) * 64)
+                    bx += 1
+                  }
+                  by += 1
+                }
+                i += 1
+              }
+              mcu += 1
+              mx += 1
+            }
+            my += 1
+          }
+        } else { // non-interleaved: raster over the component's blocks
+          val ci = scComp(0)
+          var mcu = 0
+          var by = 0
+          while (by < niH(ci)) {
+            var bx = 0
+            while (bx < niW(ci)) {
+              maybeRestart(mcu)
+              dcBlock(0, ci, (by * gridW(ci) + bx) * 64)
+              mcu += 1
+              bx += 1
+            }
+            by += 1
+          }
+        }
+      } else { // AC scan: single component only (B.2.3)
+        if (ns != 1) throw new IllegalArgumentException("interleaved AC")
+        val ci = scComp(0)
+        val acT = acTabs(scAc(0))
+        if (acT == null) throw new IllegalArgumentException("no AC table")
+        val arr = coefs(ci)
+        def acFirst(off: Int): Unit = { // G.1.2.2: with EOB runs
+          if (eobrun > 0) { eobrun -= 1; return }
+          var k = ss
+          while (k <= se) {
+            val rs = acT.decode(br)
+            val r = rs >> 4
+            val s = rs & 15
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += br.receive(r)
+                return
+              }
+            } else {
+              k += r
+              if (k > se || s > 10)
+                throw new IllegalArgumentException("AC overflow")
+              arr(off + k) = jpegExtend(br.receive(s), s) << al
+              k += 1
+            }
+          }
+        }
+        def acRefine(off: Int): Unit = { // G.1.2.3 correction bits
+          val p1 = 1 << al
+          val m1 = -1 << al
+          var k = ss
+          if (eobrun == 0) {
+            var toEob = false
+            while (k <= se && !toEob) {
+              val rs = acT.decode(br)
+              var r = rs >> 4
+              val s = rs & 15
+              var sval = 0
+              if (s == 0) {
+                if (r < 15) {
+                  eobrun = 1 << r
+                  if (r > 0) eobrun += br.receive(r)
+                  toEob = true // tail-refine the rest of this block
+                } // else ZRL: pass 16 zero-history positions below
+              } else {
+                if (s != 1)
+                  throw new IllegalArgumentException("bad refine code")
+                sval = if (br.nextBit() == 1) p1 else m1
+              }
+              if (!toEob) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val v = arr(off + k)
+                  if (v != 0) { // history coefficient: correction bit
+                    if (br.nextBit() == 1 && (v & p1) == 0)
+                      arr(off + k) = v + (if (v >= 0) p1 else m1)
+                    k += 1
+                  } else if (r == 0) placed = true
+                  else { r -= 1; k += 1 }
+                }
+                if (sval != 0) {
+                  if (k > se)
+                    throw new IllegalArgumentException("refine overflow")
+                  arr(off + k) = sval
+                }
+                k += 1
+              }
+            }
+          }
+          if (eobrun > 0) { // EOB-run block: only correction bits
+            while (k <= se) {
+              val v = arr(off + k)
+              if (v != 0 && br.nextBit() == 1 && (v & p1) == 0)
+                arr(off + k) = v + (if (v >= 0) p1 else m1)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        var mcu = 0
+        var by = 0
+        while (by < niH(ci)) {
+          var bx = 0
+          while (bx < niW(ci)) {
+            maybeRestart(mcu)
+            val off = (by * gridW(ci) + bx) * 64
+            if (ah == 0) acFirst(off) else acRefine(off)
+            mcu += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    }
+
+    var pos = 2
+    var done = false
+    while (!done) {
+      if (pos + 2 > c.length) done = true // EOI lost: render what we have
+      else if ((c(pos) & 0xFF) != 0xFF) return None
+      else {
+        val m = c(pos + 1) & 0xFF
+        if (m == 0xFF) pos += 1 // fill byte
+        else if (m == 0xD8 || (m & 0xF8) == 0xD0) pos += 2
+        else if (m == 0xD9) done = true // EOI
+        else {
+          if (pos + 4 > c.length) return None
+          val len = ((c(pos + 2) & 0xFF) << 8) | (c(pos + 3) & 0xFF)
+          if (len < 2 || pos + 2 + len > c.length) return None
+          val seg = pos + 4
+          var consumed = false
+          m match {
+            case 0xC2 =>
+              if ((c(seg) & 0xFF) != 8) return None // 8-bit only
+              h = ((c(seg + 1) & 0xFF) << 8) | (c(seg + 2) & 0xFF)
+              w = ((c(seg + 3) & 0xFF) << 8) | (c(seg + 4) & 0xFF)
+              nComp = c(seg + 5) & 0xFF
+              if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+              if (w.toLong * h * 3 > MaxJpegPixelBytes) return None
+              var i = 0
+              while (i < nComp) {
+                compId(i) = c(seg + 6 + 3 * i) & 0xFF
+                val hv = c(seg + 7 + 3 * i) & 0xFF
+                compH(i) = hv >> 4
+                compV(i) = hv & 15
+                compQ(i) = c(seg + 8 + 3 * i) & 0xFF
+                if (compH(i) < 1 || compH(i) > 4 || compV(i) < 1 ||
+                    compV(i) > 4 || compQ(i) > 3) return None
+                hmax = math.max(hmax, compH(i))
+                vmax = math.max(vmax, compV(i))
+                i += 1
+              }
+              mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+              mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+              coefs = new Array[Array[Int]](nComp)
+              var bytes = 0L
+              i = 0
+              while (i < nComp) {
+                gridW(i) = mcusX * compH(i)
+                niW(i) = ((w * compH(i) + hmax - 1) / hmax + 7) / 8
+                niH(i) = ((h * compV(i) + vmax - 1) / vmax + 7) / 8
+                bytes += gridW(i).toLong * (mcusY * compV(i)) * 64 * 4
+                i += 1
+              }
+              if (bytes > 4L * MaxJpegPixelBytes) return None
+              i = 0
+              while (i < nComp) {
+                coefs(i) =
+                  new Array[Int](gridW(i) * (mcusY * compV(i)) * 64)
+                i += 1
+              }
+              sawSof = true
+            case 0xC4 => // DHT (may also appear between scans)
+              var p = seg
+              while (p < pos + 2 + len) {
+                val tc = (c(p) & 0xFF) >> 4
+                val th = c(p) & 15
+                if (tc > 1 || th > 3) return None
+                val bits = new Array[Int](17)
+                var total = 0
+                var l = 1
+                while (l <= 16) {
+                  bits(l) = c(p + l) & 0xFF; total += bits(l); l += 1
+                }
+                if (total > 256 || p + 17 + total > pos + 2 + len) return None
+                val vals = new Array[Int](total)
+                var v = 0
+                while (v < total) { vals(v) = c(p + 17 + v) & 0xFF; v += 1 }
+                val tab = new JpegHuff(bits, vals)
+                if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+                p += 17 + total
+              }
+            case 0xDB => // DQT
+              var p = seg
+              while (p < pos + 2 + len) {
+                val pq = (c(p) & 0xFF) >> 4
+                val tq = c(p) & 15
+                if (pq > 1 || tq > 3) return None
+                var k = 0
+                while (k < 64) {
+                  qt(tq)(k) =
+                    if (pq == 0) c(p + 1 + k) & 0xFF
+                    else ((c(p + 1 + 2 * k) & 0xFF) << 8) |
+                      (c(p + 2 + 2 * k) & 0xFF)
+                  k += 1
+                }
+                p += 1 + (if (pq == 0) 64 else 128)
+              }
+            case 0xDD => // DRI (per-scan effective)
+              restartInterval = ((c(seg) & 0xFF) << 8) | (c(seg + 1) & 0xFF)
+            case 0xDA => // SOS: one of many
+              if (!sawSof) return None
+              val ns = c(seg) & 0xFF
+              if (ns < 1 || ns > nComp) return None
+              val scComp = new Array[Int](ns)
+              val scDc = new Array[Int](ns)
+              val scAc = new Array[Int](ns)
+              var i = 0
+              while (i < ns) {
+                val cs = c(seg + 1 + 2 * i) & 0xFF
+                val ci = compId.indexOf(cs)
+                if (ci < 0 || ci >= nComp) return None
+                scComp(i) = ci
+                scDc(i) = (c(seg + 2 + 2 * i) & 0xFF) >> 4
+                scAc(i) = c(seg + 2 + 2 * i) & 15
+                i += 1
+              }
+              val ss = c(seg + 1 + 2 * ns) & 0xFF
+              val se = c(seg + 2 + 2 * ns) & 0xFF
+              val ahal = c(seg + 3 + 2 * ns) & 0xFF
+              if (ss > 63 || se > 63 || se < ss) return None
+              val br = new JpegBits(c, pos + 2 + len)
+              decodeScan(br, ns, scComp, scDc, scAc, ss, se,
+                ahal >> 4, ahal & 15)
+              // Entropy data ends where the next true marker starts
+              // (skip pad bits/bytes and stuffed FF 00 pairs).
+              var p = br.pos
+              while (p + 1 < c.length && !((c(p) & 0xFF) == 0xFF &&
+                  (c(p + 1) & 0xFF) != 0x00)) p += 1
+              pos = p
+              consumed = true
+            case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+                0xCB | 0xCD | 0xCE | 0xCF =>
+              return None // only SOF2 belongs on this path
+            case _ => () // APPn, COM, ...
+          }
+          if (!consumed) pos += 2 + len
+        }
+      }
+    }
+    if (!sawSof) return None
+    // Render: dequantize + IDCT every block, then shared upsample.
+    val planeW = new Array[Int](nComp)
+    val planes = new Array[Array[Byte]](nComp)
+    var i = 0
+    while (i < nComp) {
+      planeW(i) = gridW(i) * 8
+      val bytes = planeW(i).toLong * (mcusY * compV(i) * 8)
+      if (bytes > MaxJpegPixelBytes) return None
+      planes(i) = new Array[Byte](bytes.toInt)
+      i += 1
+    }
+    val coefNat = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    var ci = 0
+    while (ci < nComp) {
+      val q = qt(compQ(ci))
+      val arr = coefs(ci)
+      val bh = mcusY * compV(ci)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < gridW(ci)) {
+          val off = (by * gridW(ci) + bx) * 64
+          var k = 0
+          while (k < 64) {
+            coefNat(JpegZigzag(k)) = arr(off + k) * q(k); k += 1
+          }
+          jIdctToPlane(coefNat, tmp, planes(ci), planeW(ci),
+            bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    Some(jPlanesToImage(w, h, nComp, planes, planeW, compH, compV,
+      hmax, vmax))
   } catch {
     case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
       None // corrupt/truncated input: drop, don't crash

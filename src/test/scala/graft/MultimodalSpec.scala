@@ -543,6 +543,234 @@ class MultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  // Progressive AC table adds the EOBn symbols (0x10..0xE0) the
+  // baseline flat table never needs: 176 codes, all 9 bits — valid
+  // canonical (176 < 511, all-ones never produced).
+  private val jAcBitsP = { val b = new Array[Int](17); b(9) = 176; b }
+  private val jAcValsP = (Seq(0x00, 0xF0) ++ (1 to 14).map(_ << 4) ++
+    (for { r <- 0 to 15; s <- 1 to 10 } yield (r << 4) | s)).toArray
+
+  /** Progressive (SOF2) encode of the same RGB input — zero shared
+    * code with the decoder; shares only the sampling/FDCT helpers
+    * with the baseline spec encoder, so both encoders produce the
+    * SAME quantized coefficients and a progressive decode must equal
+    * the baseline decode bit for bit. Scan script mirrors what real
+    * encoders emit:
+    *  - useSA=true: DC first (Al=1, interleaved) → DC refinement
+    *    (raw bit per block) → per component, per spectral band
+    *    (1..5, 6..63): AC first at Al=1 (EOB-run coded) → AC
+    *    refinement at Al=0 (G.1.2.3 correction bits, buffered across
+    *    EOB runs);
+    *  - useSA=false: spectral selection only (DC scan + one full-band
+    *    AC scan per component, Ah=Al=0).
+    */
+  private def jpegProgressiveBytes(w: Int, h: Int, rgb: Array[Byte],
+      qval: Int, subsample420: Boolean, gray: Boolean = false,
+      useSA: Boolean = true): Array[Byte] = {
+    def r(x: Int, y: Int) = rgb((y * w + x) * 3) & 0xFF
+    def g(x: Int, y: Int) = rgb((y * w + x) * 3 + 1) & 0xFF
+    def b(x: Int, y: Int) = rgb((y * w + x) * 3 + 2) & 0xFF
+    def cl(v: Int, hi: Int) = math.max(0, math.min(v, hi - 1))
+    def yOf(x0: Int, y0: Int): Double = {
+      val (x, y) = (cl(x0, w), cl(y0, h))
+      0.299 * r(x, y) + 0.587 * g(x, y) + 0.114 * b(x, y)
+    }
+    def cbOf(x0: Int, y0: Int): Double = {
+      val (x, y) = (cl(x0, w), cl(y0, h))
+      -0.168736 * r(x, y) - 0.331264 * g(x, y) + 0.5 * b(x, y) + 128
+    }
+    def crOf(x0: Int, y0: Int): Double = {
+      val (x, y) = (cl(x0, w), cl(y0, h))
+      0.5 * r(x, y) - 0.418688 * g(x, y) - 0.081312 * b(x, y) + 128
+    }
+    def sub(f: (Int, Int) => Double)(x: Int, y: Int): Double =
+      (f(2 * x, 2 * y) + f(2 * x + 1, 2 * y) + f(2 * x, 2 * y + 1) +
+        f(2 * x + 1, 2 * y + 1)) / 4.0
+    def block(f: (Int, Int) => Double, x0: Int, y0: Int): Array[Double] =
+      Array.tabulate(64)(i => f(x0 + i % 8, y0 + i / 8) - 128.0)
+
+    val nc = if (gray) 1 else 3
+    val hs = if (gray) Array(1) else if (subsample420) Array(2, 1, 1)
+      else Array(1, 1, 1)
+    val vs = hs // square sampling in both spec encoders
+    val hmax = hs.max
+    val vmax = vs.max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val samplers: Array[(Int, Int) => Double] =
+      if (gray) Array(yOf)
+      else if (subsample420) Array(yOf, sub(cbOf), sub(crOf))
+      else Array(yOf, cbOf, crOf)
+    // Quantized zigzag coefficient blocks over each component's
+    // PADDED grid (interleaved DC scans cover the padding).
+    val gw = Array.tabulate(nc)(ci => mcusX * hs(ci))
+    val gh = Array.tabulate(nc)(ci => mcusY * vs(ci))
+    val niW = Array.tabulate(nc)(ci =>
+      ((w * hs(ci) + hmax - 1) / hmax + 7) / 8)
+    val niH = Array.tabulate(nc)(ci =>
+      ((h * vs(ci) + vmax - 1) / vmax + 7) / 8)
+    val blocks = Array.tabulate(nc) { ci =>
+      Array.tabulate(gh(ci) * gw(ci)) { bi =>
+        jFdctQuant(block(samplers(ci),
+          (bi % gw(ci)) * 8, (bi / gw(ci)) * 8), qval)
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xFF); out.write(marker)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xFF)
+      payload.foreach(p => out.write(p & 0xFF))
+    }
+    out.write(0xFF); out.write(0xD8) // SOI
+    seg(0xDB, 0 +: Array.fill(64)(qval))
+    seg(0xC2, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nc) ++
+      (0 until nc).flatMap(i => Seq(i + 1, (hs(i) << 4) | vs(i), 0)))
+    seg(0xC4, 0x00 +: (jDcBits.drop(1) ++ jDcVals))
+    seg(0xC4, 0x10 +: (jAcBitsP.drop(1) ++ jAcValsP))
+    val dcC = jhuffCodes(jDcBits, jDcVals)
+    val acC = jhuffCodes(jAcBitsP, jAcValsP)
+    def cat(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def bitsOf(v: Int, s: Int): Int = if (v >= 0) v else v + (1 << s) - 1
+
+    def emitScan(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)(
+        body: JBitW => Unit): Unit = {
+      seg(0xDA, (comps.size +: comps.flatMap(ci =>
+        Seq(ci + 1, 0x00)) :+ ss :+ se :+ ((ah << 4) | al)).toArray)
+      val bw = new JBitW(out)
+      body(bw)
+      bw.flush()
+    }
+    // MCU-interleaved DC traversal shared by both DC scans.
+    def dcOrder(visit: (Int, Int) => Unit): Unit =
+      for {
+        my <- 0 until mcusY; mx <- 0 until mcusX
+        ci <- 0 until nc
+        by <- 0 until vs(ci); bx <- 0 until hs(ci)
+      } visit(ci, (my * vs(ci) + by) * gw(ci) + mx * hs(ci) + bx)
+
+    val dcAl = if (useSA) 1 else 0
+    emitScan(0 until nc, 0, 0, 0, dcAl) { bw =>
+      val pred = new Array[Int](nc)
+      dcOrder { (ci, bi) =>
+        val v = blocks(ci)(bi)(0) >> dcAl // DC point transform
+        val diff = v - pred(ci)
+        pred(ci) = v
+        val s = cat(diff)
+        val (code, l) = dcC(s)
+        bw.put(code, l)
+        if (s > 0) bw.put(bitsOf(diff, s), s)
+      }
+    }
+    if (useSA) emitScan(0 until nc, 0, 0, 1, 0) { bw =>
+      dcOrder { (ci, bi) => bw.put(blocks(ci)(bi)(0) & 1, 1) }
+    }
+
+    val bands = if (useSA) Seq((1, 5), (6, 63)) else Seq((1, 63))
+    for (ci <- 0 until nc; (b0, b1) <- bands) {
+      def niBlocks: Seq[Array[Int]] =
+        for (by <- 0 until niH(ci); bx <- 0 until niW(ci))
+          yield blocks(ci)(by * gw(ci) + bx)
+      val acAl = if (useSA) 1 else 0
+      // AC FIRST scan at acAl: EOB runs accumulated across blocks.
+      emitScan(Seq(ci), b0, b1, 0, acAl) { bw =>
+        var eob = 0
+        def flushEob(): Unit = if (eob > 0) {
+          val rr = 31 - Integer.numberOfLeadingZeros(eob)
+          val (code, l) = acC(rr << 4)
+          bw.put(code, l)
+          if (rr > 0) bw.put(eob - (1 << rr), rr)
+          eob = 0
+        }
+        for (zz <- niBlocks) {
+          val t = Array.tabulate(64)(k =>
+            if (zz(k) >= 0) zz(k) >> acAl else -((-zz(k)) >> acAl))
+          val lastNz = (b0 to b1).reverse.find(t(_) != 0).getOrElse(b0 - 1)
+          if (lastNz < b0) { eob += 1; if (eob == 0x7FFF) flushEob() }
+          else {
+            flushEob()
+            var run = 0
+            for (k <- b0 to lastNz) {
+              if (t(k) == 0) run += 1
+              else {
+                while (run > 15) {
+                  val (zc, zl) = acC(0xF0); bw.put(zc, zl); run -= 16
+                }
+                val s = cat(t(k))
+                val (code, l) = acC((run << 4) | s)
+                bw.put(code, l)
+                bw.put(bitsOf(t(k), s), s)
+                run = 0
+              }
+            }
+            if (lastNz < b1) eob += 1
+          }
+        }
+        flushEob()
+      }
+      // AC REFINEMENT scan (G.1.2.3): correction bits ride the EOB
+      // run's buffered-bit stream, exactly as jcphuff-style encoders
+      // emit them.
+      if (useSA) emitScan(Seq(ci), b0, b1, 1, 0) { bw =>
+        var eob = 0
+        val be = scala.collection.mutable.ArrayBuffer[Int]()
+        def flushEob(): Unit = if (eob > 0 || be.nonEmpty) {
+          if (eob > 0) {
+            val rr = 31 - Integer.numberOfLeadingZeros(eob)
+            val (code, l) = acC(rr << 4)
+            bw.put(code, l)
+            if (rr > 0) bw.put(eob - (1 << rr), rr)
+          }
+          be.foreach(bw.put(_, 1))
+          be.clear()
+          eob = 0
+        }
+        for (zz <- niBlocks) {
+          val av = Array.tabulate(64)(k => math.abs(zz(k)))
+          var lastNew = b0 - 1 // EOB position: last NEWLY-significant
+          for (k <- b0 to b1) if (av(k) == 1) lastNew = k
+          var run = 0 // zero-HISTORY positions since the last symbol
+          val br = scala.collection.mutable.ArrayBuffer[Int]()
+          for (k <- b0 to b1) {
+            if (av(k) == 0) run += 1
+            else {
+              // ZRLs at ANY nonzero coefficient (not only the newly-
+              // significant ones): the buffered correction bits must
+              // flush here, or the decoder's next pass reads a
+              // correction bit where it expects a Huffman symbol.
+              // Zeros past lastNew fold into the EOB run instead.
+              while (run > 15 && k <= lastNew) {
+                flushEob()
+                val (zc, zl) = acC(0xF0); bw.put(zc, zl)
+                run -= 16
+                br.foreach(bw.put(_, 1)); br.clear()
+              }
+              if (av(k) > 1) br += (av(k) & 1) // history: correction bit
+              else { // newly significant at this precision
+                flushEob()
+                val (code, l) = acC((run << 4) | 1)
+                bw.put(code, l)
+                bw.put(if (zz(k) < 0) 0 else 1, 1)
+                br.foreach(bw.put(_, 1)); br.clear()
+                run = 0
+              }
+            }
+          }
+          if (run > 0 || br.nonEmpty) {
+            eob += 1
+            be ++= br
+            if (eob == 0x7FFF) flushEob()
+          }
+        }
+        flushEob()
+      }
+    }
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
   /** Smooth deterministic RGB test image (low AC energy keeps every
     * quantized coefficient inside baseline categories at qval=1). */
   private def jTestRgb(w: Int, h: Int): Array[Byte] =
@@ -611,11 +839,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(maxDiff(img.pixels, want) <= 4)
   }
 
-  test("JPEG decode: rejects progressive and truncated; pipeline flows") {
+  test("JPEG decode: rejects mislabeled/truncated input; pipeline flows") {
     val (w, h) = (16, 16)
     val rgb = jTestRgb(w, h)
     val bytes = jpegBytes(w, h, rgb, qval = 1, subsample420 = false)
-    // Flip SOF0 -> SOF2 (progressive): decode must refuse, not loop.
+    // Flip SOF0 -> SOF2: the stream now claims progressive but holds a
+    // baseline interleaved full-band scan (Ss=0, Se=63), which is
+    // invalid in progressive mode — the SOF2 path must refuse it
+    // cleanly (None), not loop or misdecode. (Genuine progressive
+    // streams decode — see the progressive JPEG tests.)
     val prog = bytes.clone()
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
@@ -648,6 +880,98 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(Multimodal.MediaFile("r.bmp", resized.head.bmp.length,
         resized.head.bmp)).toDS()).collect().head
     assert(rMeta.format === "bmp" && rMeta.width === 4 && rMeta.height === 4)
+  }
+
+  test("progressive JPEG: SA scan script decodes bit-identical to baseline") {
+    // Both spec encoders derive the SAME quantized coefficients, so a
+    // progressive decode must reproduce the baseline decode EXACTLY —
+    // any coefficient lost or misplaced across the 10-scan script
+    // (DC first/refine + 2 bands × first/refine × 3 components) shows
+    // up as a pixel diff.
+    val (w, h) = (24, 17) // partial MCUs on both axes
+    val rgb = jTestRgb(w, h)
+    val base = Multimodal.decodeJpeg(
+      jpegBytes(w, h, rgb, qval = 1, subsample420 = false)).get
+    val prog = Multimodal.decodeJpeg(
+      jpegProgressiveBytes(w, h, rgb, qval = 1, subsample420 = false)).get
+    assert(prog.width === w && prog.height === h && prog.channels === 3)
+    assert(prog.pixels.sameElements(base.pixels),
+      "progressive decode != baseline decode")
+    // And the decode is actually faithful to the source image.
+    assert(maxDiff(prog.pixels, rgb) <= 4)
+  }
+
+  test("progressive JPEG: spectral-selection-only, grayscale, and 4:2:0") {
+    val (w, h) = (21, 13)
+    val rgb = jTestRgb(w, h)
+    // Spectral selection only (Ah=Al=0 everywhere): EOB-run coding
+    // without any refinement machinery.
+    val spectral = Multimodal.decodeJpeg(jpegProgressiveBytes(
+      w, h, rgb, qval = 1, subsample420 = false, useSA = false)).get
+    val base = Multimodal.decodeJpeg(
+      jpegBytes(w, h, rgb, qval = 1, subsample420 = false)).get
+    assert(spectral.pixels.sameElements(base.pixels))
+    // Grayscale progressive (single component, non-interleaved DC).
+    val gBase = Multimodal.decodeJpeg(
+      jpegBytes(w, h, rgb, qval = 1, subsample420 = false, gray = true)).get
+    val gProg = Multimodal.decodeJpeg(jpegProgressiveBytes(
+      w, h, rgb, qval = 1, subsample420 = false, gray = true)).get
+    assert(gProg.channels === 1 && gProg.pixels.sameElements(gBase.pixels))
+    // 4:2:0: the non-interleaved AC grids (ceil of component size)
+    // genuinely differ from the padded MCU grids here — 3 of the luma
+    // block columns are AC-coded, the 4th (dummy) is DC-only.
+    val sBase = Multimodal.decodeJpeg(
+      jpegBytes(20, 14, jTestRgb(20, 14), qval = 1, subsample420 = true)).get
+    val sProg = Multimodal.decodeJpeg(jpegProgressiveBytes(
+      20, 14, jTestRgb(20, 14), qval = 1, subsample420 = true)).get
+    assert(sProg.pixels.sameElements(sBase.pixels))
+    // Coarser quantization exercises wider coefficient categories.
+    val qBase = Multimodal.decodeJpeg(
+      jpegBytes(w, h, rgb, qval = 4, subsample420 = false)).get
+    val qProg = Multimodal.decodeJpeg(jpegProgressiveBytes(
+      w, h, rgb, qval = 4, subsample420 = false)).get
+    assert(qProg.pixels.sameElements(qBase.pixels))
+    // Solid color at q=16: every AC band collapses to one EOB run
+    // spanning all blocks of the component (the multi-block eobrun
+    // decode path with rr > 0 and extra bits).
+    val solid = Array.tabulate[Byte](24 * 16 * 3)(i =>
+      (Seq(200, 60, 120)(i % 3)).toByte)
+    val fBase = Multimodal.decodeJpeg(
+      jpegBytes(24, 16, solid, qval = 16, subsample420 = false)).get
+    val fProg = Multimodal.decodeJpeg(jpegProgressiveBytes(
+      24, 16, solid, qval = 16, subsample420 = false)).get
+    assert(fProg.pixels.sameElements(fBase.pixels))
+  }
+
+  test("progressive JPEG: pipeline flow and narrowed rejection") {
+    val (w, h) = (16, 16)
+    val rgb = jTestRgb(w, h)
+    val bytes = jpegProgressiveBytes(w, h, rgb, qval = 1,
+      subsample420 = false)
+    // Progressive files now flow through meta → embed → resize like
+    // any media file (they fell into the metadata-only path before).
+    val dir = Files.createTempDirectory("graft_media_prog")
+    dir.toFile.deleteOnExit()
+    Files.write(dir.resolve("img.jpeg"), bytes)
+    val files = Multimodal.media(spark, dir + "/*")
+    val meta = Multimodal.decodeMeta(files).collect().head
+    assert(meta.format === "jpeg" && meta.width === w && meta.height === h)
+    val decoded = Multimodal.decodeJpeg(bytes).get.pixels
+    val expected = new Array[Double](8)
+    decoded.foreach(p => expected((p & 0xFF) >> 5) += 1.0 / decoded.length)
+    val emb = Multimodal.embed(files).collect().head.embedding
+    assert(emb.zip(expected).forall { case (a, e) => math.abs(a - e) < 1e-9 })
+    val resized = Multimodal
+      .resizeBmp(Multimodal.jpegAsBmp(files), outW = 4, outH = 4).collect()
+    assert(resized.length === 1 && resized.head.width === 4)
+    // Rejection narrows to what is genuinely undecodable: truncation
+    // mid-scan and arithmetic/lossless SOFs still drop to None.
+    assert(Multimodal.decodeJpeg(bytes.take(bytes.length / 3)).isEmpty)
+    val arith = bytes.clone()
+    val sofAt = arith.indices.find(i =>
+      (arith(i) & 0xFF) == 0xFF && (arith(i + 1) & 0xFF) == 0xC2).get
+    arith(sofAt + 1) = 0xCA.toByte // SOF10: arithmetic progressive
+    assert(Multimodal.decodeJpeg(arith).isEmpty)
   }
 
   test("JPEG decode: restart intervals with and without fill bytes") {
