@@ -570,6 +570,48 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
           round(col("val"), 6).as("val"))
         .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+    },
+
+    // Data profiling — the one-pass column-statistics report every
+    // engine ships and every ingest pipeline runs before training on a
+    // new source: per column, null count, EXACT distinct count, and
+    // rounded min/max, one output row per column. ONE scan + one
+    // aggregate (the multi-distinct agg rides Spark's Expand), then a
+    // narrow stack() unpivot of the single stats row — never four
+    // scans. At 100 TB the exact distincts become the HLL sketch path
+    // (q_agg_approx / q_sketch_hll in this registry); the report shape
+    // is identical.
+    q("q_profile",
+      """WITH s AS (SELECT count(*) AS n,
+        |  count(l_quantity) AS c1, count(DISTINCT l_quantity) AS d1,
+        |    round(min(l_quantity), 6) AS mn1, round(max(l_quantity), 6) AS mx1,
+        |  count(l_extendedprice) AS c2, count(DISTINCT l_extendedprice) AS d2,
+        |    round(min(l_extendedprice), 6) AS mn2, round(max(l_extendedprice), 6) AS mx2,
+        |  count(l_discount) AS c3, count(DISTINCT l_discount) AS d3,
+        |    round(min(l_discount), 6) AS mn3, round(max(l_discount), 6) AS mx3,
+        |  count(l_tax) AS c4, count(DISTINCT l_tax) AS d4,
+        |    round(min(l_tax), 6) AS mn4, round(max(l_tax), 6) AS mx4
+        |FROM lineitem)
+        |SELECT col, n_nulls, n_distinct, min_v, max_v FROM (
+        |  SELECT 'l_quantity' AS col, n - c1 AS n_nulls, d1 AS n_distinct,
+        |         mn1 AS min_v, mx1 AS max_v FROM s
+        |  UNION ALL SELECT 'l_extendedprice', n - c2, d2, mn2, mx2 FROM s
+        |  UNION ALL SELECT 'l_discount', n - c3, d3, mn3, mx3 FROM s
+        |  UNION ALL SELECT 'l_tax', n - c4, d4, mn4, mx4 FROM s)
+        |ORDER BY col""") { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"c_$c"),
+        countDistinct(col(c)).as(s"d_$c"),
+        round(min(col(c)), 6).as(s"mn_$c"),
+        round(max(col(c)), 6).as(s"mx_$c")))
+      val stacked = cols.map(c =>
+        s"'$c', n - c_$c, d_$c, mn_$c, mx_$c").mkString(", ")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stacked) AS " +
+          "(col, n_nulls, n_distinct, min_v, max_v)"))
+        .orderBy("col")
     }
   )
 }

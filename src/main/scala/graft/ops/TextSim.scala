@@ -1376,6 +1376,38 @@ object TextSim {
         .limit(100)
     },
 
+    // Keyphrase extraction — each document's top-3 bigrams by in-doc
+    // frequency (ties broken by bigram text): the cheap doc-tagging
+    // signal a curation pipeline attaches before routing or sampling.
+    // Reads the SAME stage-cached bigram table as q_text_bigram_nll /
+    // q_text_pmi (one materialized build serves all three), one
+    // groupBy + one per-doc window — both shuffles key on doc_id-
+    // derived keys, nothing corpus-global. ORDER BY covers every
+    // output column (§2.13 rule 1).
+    q("q_text_keyphrase",
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |        unnest([array_to_string(ws[i:i+1], ' ')
+        |          for i in range(1, greatest(len(ws) - 1, 0) + 1)]) AS bg
+        |      FROM w),
+        |c AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS n
+        |      FROM p GROUP BY doc_id, bg),
+        |r AS (SELECT doc_id, bg, n, CAST(row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY n DESC, bg) AS BIGINT) AS rnk
+        |      FROM c)
+        |SELECT doc_id, bg, n, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk, bg, n""") { (s, d) =>
+      val wKey = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("n").desc, col("bg"))
+      bigramTable(s, d)
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(wKey).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "bg", "n", "rnk")
+        .orderBy("doc_id", "rnk", "bg", "n")
+    },
+
     // Transitive dedup clusters: min-label propagation over the
     // jac >= 0.5 near-dup graph, unrolled to a FIXED two rounds so the
     // plan is static and both engines run the identical computation.
