@@ -38,6 +38,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"no Expand (unpivot not planned as melt):\n$p")
   }
 
+  test("q_profile reads lineitem ONCE and prunes to the 4 profiled columns") {
+    // The whole point of the one-pass profile: one scan + one
+    // multi-distinct aggregate (Expand), then a stack() of the single
+    // stats row — never a scan per column.
+    val p = plan("q_profile")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"expected exactly 1 scan, got $scans:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct agg lost its Expand:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_shipdate"),
+      s"scan not pruned to profiled columns: $readSchema")
+  }
+
   test("q_join_bcast plans a broadcast hash join, not a shuffle join") {
     val p = plan("q_join_bcast")
     assert(p.contains("BroadcastHashJoin"), s"no BroadcastHashJoin:\n$p")
