@@ -575,12 +575,12 @@ object Relational {
     // Data profiling — the one-pass column-statistics report every
     // engine ships and every ingest pipeline runs before training on a
     // new source: per column, null count, EXACT distinct count, and
-    // rounded min/max, one output row per column. ONE scan + one
-    // aggregate (the multi-distinct agg rides Spark's Expand), then a
-    // narrow stack() unpivot of the single stats row — never four
-    // scans. At 100 TB the exact distincts become the HLL sketch path
-    // (q_agg_approx / q_sketch_hll in this registry); the report shape
-    // is identical.
+    // rounded min/max, one output row per column. ONE scan, melted to
+    // narrow (col, v) pairs, then one two-level distinct aggregate —
+    // never four scans (see the in-body note for why this beats the
+    // multi-distinct spelling 4.5×). At 100 TB the exact distincts
+    // become the HLL sketch path (q_agg_approx / q_sketch_hll in this
+    // registry); the report shape is identical.
     q("q_profile",
       """WITH s AS (SELECT count(*) AS n,
         |  count(l_quantity) AS c1, count(DISTINCT l_quantity) AS d1,
