@@ -64,4 +64,20 @@ object VectorFunctions {
     * graftnative.TopKByScore). */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.graftnative.TopKByScore.topKByScore(score, id, k)
+
+  /** Jaro-Winkler similarity of two string columns, byte-oriented and
+    * bit-identical to DuckDB's `jaro_winkler_similarity` (see
+    * graftnative.StringDistanceKernels). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.StringDistanceNative.jaroWinkler(a, b)
+
+  /** Full Damerau-Levenshtein distance (unrestricted transpositions)
+    * of two string columns; DuckDB mirror `damerau_levenshtein`. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.StringDistanceNative.damerauLevenshtein(a, b)
+
+  /** Byte Hamming distance of two string columns; NULL when lengths
+    * differ (DuckDB's `hamming` errors there — see the kernel note). */
+  def hammingDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.StringDistanceNative.hamming(a, b)
 }

@@ -1194,6 +1194,64 @@ object TextSim {
         .orderBy("ida", "idb")
     },
 
+    // Multi-metric string-distance verification of near-dup candidates
+    // (Q-DEDUP-STRDIST, r8). The same stage-cached gram-index
+    // candidates as q_dedup_lev, verified with three native byte-level
+    // kernels (graftnative.StringDistances): Jaro-Winkler — the
+    // transposition-tolerant score record-linkage pipelines reach for
+    // when Levenshtein's unit costs over-penalize swapped words —
+    // gated at 0.85; full Damerau-Levenshtein (unrestricted
+    // transpositions, the variant that prices "ca"->"abc" at 2, not
+    // OSA's 3) bounded at 60; and the byte-Hamming distance of the
+    // common-length prefix as the alignment-free quick signal. The
+    // kernels are byte-oriented like DuckDB's, and Jaro-Winkler is
+    // fuzz-verified BIT-identical, so the raw-double >= 0.85 gate
+    // cannot straddle the engines. Scale shape: candidate generation
+    // is the bounded inverted-index join (no all-pairs stage); the
+    // O(len²) DL verify runs only on the few pairs past the JW gate.
+    q("q_dedup_strdist",
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
+        |         for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |       FROM w),
+        |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
+        |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+        |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+        |         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2 HAVING count(*) >= 3),
+        |p AS (SELECT ida, idb, da.text AS ta, db.text AS tb
+        |      FROM cand
+        |      JOIN documents da ON cand.ida = da.doc_id
+        |      JOIN documents db ON cand.idb = db.doc_id)
+        |SELECT ida, idb,
+        |  round(jaro_winkler_similarity(ta, tb), 6) AS jw,
+        |  CAST(damerau_levenshtein(ta, tb) AS INT) AS dl,
+        |  CAST(hamming(ta[1:least(length(ta), length(tb))],
+        |               tb[1:least(length(ta), length(tb))]) AS INT) AS pham
+        |FROM p
+        |WHERE jaro_winkler_similarity(ta, tb) >= 0.85
+        |  AND damerau_levenshtein(ta, tb) <= 60
+        |ORDER BY ida, idb""") { (s, d) =>
+      import graft.functions.VectorFunctions
+      val cand = sharedGramPairStats(s, d).filter(col("c") >= 3)
+        .select("ida", "idb")
+      val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val n = least(length(col("ta")), length(col("tb")))
+      cand
+        .join(texts.toDF("ida", "ta"), "ida")
+        .join(texts.toDF("idb", "tb"), "idb")
+        .withColumn("jw_raw", VectorFunctions.jaroWinkler(col("ta"), col("tb")))
+        .filter(col("jw_raw") >= 0.85)
+        .withColumn("dl", VectorFunctions.damerauLevenshtein(col("ta"), col("tb")))
+        .filter(col("dl") <= 60)
+        .select(col("ida"), col("idb"),
+          round(col("jw_raw"), 6).as("jw"),
+          col("dl"),
+          VectorFunctions.hammingDist(
+            col("ta").substr(lit(1), n), col("tb").substr(lit(1), n)).as("pham"))
+        .orderBy("ida", "idb")
+    },
+
     // Char-set Jaccard (DuckDB's jaccard() semantics) within blocks.
     //
     // The pair stage runs over DISTINCT (lang, block, charset) triples,

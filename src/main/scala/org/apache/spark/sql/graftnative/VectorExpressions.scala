@@ -611,5 +611,29 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(children.length == 1, "graft_tokens takes exactly 1 argument")
         NormalizedTokens(children.head)
       }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaro_winkler"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaroWinklerSim].getCanonicalName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_jaro_winkler takes exactly 2 arguments")
+        JaroWinklerSim(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_damerau_lev"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DamerauLevenshtein].getCanonicalName, "graft_damerau_lev"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_damerau_lev takes exactly 2 arguments")
+        DamerauLevenshtein(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hamming"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HammingDist].getCanonicalName, "graft_hamming"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_hamming takes exactly 2 arguments")
+        HammingDist(children.head, children(1))
+      }))
   }
 }
