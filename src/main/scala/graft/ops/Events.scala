@@ -384,6 +384,120 @@ object Events {
       graft.ops.Relational.zScoreOutliers(hourly, "event_type", "n", 2.0)
         .select("event_type", "win_us", "n", "z")
         .orderBy("event_type", "win_us")
+    },
+
+    // Event-sequence transition matrix (first-order Markov estimate):
+    // for each user's time-ordered event stream, count (prev -> next)
+    // event-type transitions and the conditional probability of each
+    // next type given the previous. Session-pathing / funnel-discovery
+    // primitive. One window pass partitioned by user_id (single shuffle
+    // on the natural key) collapses the fact table to |types|^2 rows in
+    // the first aggregation; the per-prev normalization then runs on
+    // that tiny frame. Ties in ts break on event_id so lag() is
+    // deterministic on both engines.
+    q("q_ev_transitions",
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, next_type""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double")
+          / sum("n").over(Window.partitionBy("prev_type")), 6))
+        .select("prev_type", "next_type", "n", "p")
+        .orderBy("prev_type", "next_type")
+    },
+
+    // Linear-interpolation resampling: the gap-filling sibling of
+    // q_ev_resample's forward-fill. Same grid/observation union and the
+    // same single user_id shuffle, but each grid point also looks at the
+    // next observation (first_value over the following frame) and blends
+    // the surrounding pair by time weight; boundary grid points fall
+    // back to the one-sided neighbor and empty series to -1. The
+    // prev/next timestamps ride along via the value-IS-NOT-NULL trick so
+    // the whole query stays two window passes over one sorted partition
+    // run (no self-join) — the scale shape a 100 TB metric store needs.
+    q("q_ev_interp",
+      """WITH b AS (SELECT epoch_us(date_trunc('hour', min(ts))) AS lo,
+        |                  epoch_us(date_trunc('hour', max(ts))) AS hi
+        |           FROM events),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (SELECT u.user_id,
+        |           unnest(generate_series(b.lo, b.hi, 3600000000)) AS us
+        |         FROM u CROSS JOIN b),
+        |obs AS (SELECT user_id, epoch_us(ts) AS us, value,
+        |          0 AS src, event_id FROM events),
+        |gr AS (SELECT user_id, us, CAST(NULL AS DOUBLE) AS value,
+        |         1 AS src, CAST(NULL AS BIGINT) AS event_id FROM grid),
+        |f AS (SELECT user_id, us, src,
+        |        last_value(value IGNORE NULLS) OVER wp AS pv,
+        |        last_value(CASE WHEN value IS NOT NULL THEN us END
+        |          IGNORE NULLS) OVER wp AS pu,
+        |        first_value(value IGNORE NULLS) OVER wf AS nv,
+        |        first_value(CASE WHEN value IS NOT NULL THEN us END
+        |          IGNORE NULLS) OVER wf AS nu
+        |      FROM (SELECT * FROM obs UNION ALL SELECT * FROM gr)
+        |      WINDOW wp AS (PARTITION BY user_id
+        |          ORDER BY us, src, event_id NULLS LAST
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        wf AS (PARTITION BY user_id
+        |          ORDER BY us, src, event_id NULLS LAST
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, us AS grid_us,
+        |  round(CASE WHEN pv IS NULL AND nv IS NULL THEN -1.0
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             WHEN nu = pu THEN pv
+        |             ELSE pv + (nv - pv) * (us - pu) / (nu - pu)
+        |        END, 6) AS value_interp
+        |FROM f WHERE src = 1
+        |ORDER BY user_id, grid_us""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val b = ev.agg(
+        unix_micros(date_trunc("hour", min(col("ts")))).as("lo"),
+        unix_micros(date_trunc("hour", max(col("ts")))).as("hi"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(broadcast(b))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3_600_000_000L))).as("us"))
+      val obs = ev.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"), lit(0).as("src"), col("event_id"))
+      val gr = grid.select(col("user_id"), col("us"),
+        lit(null).cast("double").as("value"), lit(1).as("src"),
+        lit(null).cast("bigint").as("event_id"))
+      val ord = Seq(col("us"), col("src"), col("event_id").asc_nulls_last)
+      val wp = Window.partitionBy("user_id").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy(ord: _*)
+        .rowsBetween(1, Window.unboundedFollowing)
+      val usIfObs = when(col("value").isNotNull, col("us"))
+      obs.unionByName(gr)
+        .withColumn("pv", last(col("value"), ignoreNulls = true).over(wp))
+        .withColumn("pu", last(usIfObs, ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("value"), ignoreNulls = true).over(wf))
+        .withColumn("nu", first(usIfObs, ignoreNulls = true).over(wf))
+        .filter(col("src") === 1)
+        .select(col("user_id"), col("us").as("grid_us"),
+          round(when(col("pv").isNull && col("nv").isNull, lit(-1.0))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("nu") === col("pu"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * (col("us") - col("pu")) / (col("nu") - col("pu"))),
+            6).as("value_interp"))
+        .orderBy("user_id", "grid_us")
     }
   )
 }

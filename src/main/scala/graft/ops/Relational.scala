@@ -310,6 +310,37 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Linear-regression aggregate family (SQL-standard regr_*): fit
+    // extendedprice ~ quantity per returnflag in one hash aggregation.
+    // Both engines maintain centered co-moments (no catastrophic
+    // cancellation), so slope/intercept/r2 agree at round-6 even though
+    // the raw sums are ~1e11; like every agg here it is a two-phase
+    // partial+final aggregate — one shuffle of 3 tiny rows regardless
+    // of fact-table scale. regr_count is cast to BIGINT on both sides
+    // (DuckDB returns it as a different width than Spark's LongType).
+    q("q_agg_corr",
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, d) =>
+      val y = col("l_extendedprice"); val x = col("l_quantity")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(regr_count(y, x).cast("long").as("n"),
+          round(regr_slope(y, x), 6).as("slope"),
+          round(regr_intercept(y, x), 6).as("icept"),
+          round(regr_r2(y, x), 6).as("r2"),
+          round(regr_avgx(y, x), 6).as("avg_x"),
+          round(regr_avgy(y, x), 6).as("avg_y"))
+        .orderBy("l_returnflag")
+    },
+
     // Fixed-width histogram per group: one hash aggregation whose key
     // count is bounded by (value range / bin width) x groups — never by
     // row count — so the result stays small at any scale.

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analytics, deduplication and similarity search (SURVEY §2.9 plus
@@ -1158,6 +1159,47 @@ object TextSim {
         .orderBy("keep_id")
     },
 
+    // Source-priority canonical selection: the "keep the best copy" step
+    // every multi-source corpus runs after candidate grouping. Duplicate
+    // groups are bag-of-words signatures (sorted distinct tokens — order
+    // -insensitive, so shuffled word-salad twins group; probed
+    // non-vacuous: 446 groups / 500 docs at sf0.01, 3935/5000 at
+    // sf0.1); within a group the keeper is the doc from the
+    // lowest-numbered source (src0 beats src9 beats src10), doc_id as
+    // final tie-break. One shuffle on the signature + a rank-1 window —
+    // the same single-pass shape at any corpus size; no pairwise stage
+    // at all, unlike the near-dup family.
+    q("q_dedup_priority",
+      """WITH s AS (SELECT doc_id, source,
+        |    array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ') AS sig
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, sig,
+        |    row_number() OVER (PARTITION BY sig
+        |      ORDER BY CAST(substr(source, 4) AS INT), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY sig) AS grp_n
+        |  FROM s)
+        |SELECT doc_id, source, CAST(grp_n AS BIGINT) AS n_dups,
+        |  md5(sig) AS sig_md5
+        |FROM r WHERE rk = 1
+        |ORDER BY doc_id""") { (s, d) =>
+      val sig = array_join(
+        sort_array(array_distinct(split(col("text"), " "))), " ")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), sig.as("sig"))
+      val byPriority = Window.partitionBy("sig")
+        .orderBy(substring(col("source"), 4, 10).cast("int"), col("doc_id"))
+      docs
+        .withColumn("rk", row_number().over(byPriority))
+        .withColumn("grp_n",
+          count(lit(1)).over(Window.partitionBy("sig")))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("source"),
+          col("grp_n").cast("long").as("n_dups"),
+          md5(col("sig")).as("sig_md5"))
+        .orderBy("doc_id")
+    },
+
     // Edit-distance near-dup, candidate-generation + verify shape: pairs
     // exist only through the shared-rare-gram inverted index (>= 3
     // shared word-3-grams, stop-gram df cap 100), then the verify step
@@ -1553,6 +1595,50 @@ object TextSim {
         round(dot, 6).as("dot_self"),
         round(sqrt(dot), 6).as("norm"))
         .orderBy("vec_id")
+    },
+
+    // Per-label centroid cohesion — the k-means E/M-step shape and the
+    // standard embedding-cluster QA readout (how tight is each label's
+    // cluster?). Element-wise: posexplode each vector, average per
+    // (label, idx) into the centroid table (|labels| x dim rows — tiny,
+    // broadcast back), then one member-side aggregation computes each
+    // vector's cosine to its own centroid and a final rollup summarizes
+    // per label. Two narrow hash aggregations + one broadcast join; at
+    // 100 TB the only shuffle is the (label, idx) partial-agg, which
+    // map-side-combines down to |labels| x dim regardless of row count.
+    // Subscript origin differs (posexplode 0-based, generate_subscripts
+    // 1-based) but idx is only ever a within-engine join key.
+    q("q_embed_centroid",
+      """WITH e AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS idx,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, idx, avg(x) AS cx FROM e GROUP BY 1, 2),
+        |v AS (SELECT e.vec_id, e.label,
+        |    sum(e.x * c.cx) AS dot,
+        |    sqrt(sum(e.x * e.x)) AS nv,
+        |    sqrt(sum(c.cx * c.cx)) AS nc
+        |  FROM e JOIN c ON e.label = c.label AND e.idx = c.idx
+        |  GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(dot / (nv * nc)), 6) AS avg_cos,
+        |  round(min(dot / (nv * nc)), 6) AS min_cos
+        |FROM v GROUP BY label
+        |ORDER BY label""") { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("idx", "x")))
+      val c = e.groupBy("label", "idx").agg(avg("x").as("cx"))
+      val v = e.join(broadcast(c), Seq("label", "idx"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("x") * col("cx")).as("dot"),
+          sqrt(sum(col("x") * col("x"))).as("nv"),
+          sqrt(sum(col("cx") * col("cx"))).as("nc"))
+      val cosine = col("dot") / (col("nv") * col("nc"))
+      v.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(cosine), 6).as("avg_cos"),
+          round(min(cosine), 6).as("min_cos"))
+        .orderBy("label")
     },
 
     // Brute-force cosine top-k over all pairs (rehearsed SURVEY §8.3-QC)

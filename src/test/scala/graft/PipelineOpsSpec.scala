@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** First-principles contracts for the round-8 pipeline additions
+  * (q_ev_transitions, q_ev_interp, q_dedup_priority, q_agg_corr,
+  * q_embed_centroid): each query's defining property is recomputed in
+  * plain Scala on collected sf0.001 fixtures — driver-free, so a shared
+  * misreading of the semantics between the Spark and DuckDB spellings
+  * would still be caught here.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_ev_transitions matches a per-user replay; rows normalize per prev") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._3).toSeq.flatMap { case (_, es) =>
+      val types = es.sortBy(e => (e._2, e._1)).map(_._4).toSeq
+      types.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    }.groupBy(p => p).map { case (k, v) => k -> v.size.toLong }
+    val got = q("q_ev_transitions").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    assert(got.map { case (k, (n, _)) => k -> n }.toMap === expected)
+    got.groupBy(_._1._1).foreach { case (prev, rs) =>
+      val s = rs.map(_._2._2).sum
+      // each term is rounded to 6 decimals; |types| terms of slack
+      assert(math.abs(s - 1.0) < 1e-4, s"P(next|$prev) sums to $s")
+    }
+  }
+
+  test("q_ev_interp blends the surrounding observations by exact time weight") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val hourUs = 3_600_000_000L
+    val lo = ev.map(_._2).min / hourUs * hourUs
+    val hi = ev.map(_._2).max / hourUs * hourUs
+    val byUser = ev.groupBy(_._3).map { case (u, es) =>
+      u -> es.sortBy(e => (e._2, e._1)).map(e => (e._2, e._4)).toIndexedSeq
+    }
+    val got = q("q_ev_interp").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.length === byUser.size * ((hi - lo) / hourUs + 1).toInt)
+    got.foreach { case ((u, gus), v) =>
+      val obs = byUser(u)
+      // window order (us, src, event_id) puts an observation AT the grid
+      // instant before the grid row, so prev is <=, next strictly >
+      val prev = obs.filter(_._1 <= gus).lastOption
+      val next = obs.find(_._1 > gus)
+      val expected = (prev, next) match {
+        case (None, None)            => -1.0
+        case (None, Some((_, nv)))   => nv
+        case (Some((_, pv)), None)   => pv
+        case (Some((pu, pv)), Some((nu, nv))) =>
+          if (nu == pu) pv
+          else pv + (nv - pv) * (gus - pu).toDouble / (nu - pu).toDouble
+      }
+      assert(math.abs(v - expected) < 1e-6, s"user=$u grid_us=$gus")
+    }
+  }
+
+  test("q_dedup_priority keeps the best-source member of each bag-of-words group") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val groups = docs.groupBy(d => d._3.split(" ").distinct.sorted.mkString(" "))
+    val expectedKeep = groups.map { case (_, ds) =>
+      ds.minBy(d => (d._2.drop(3).toInt, d._1))._1
+    }.toSet
+    val got = q("q_dedup_priority").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.map(_._1).toSet === expectedKeep)
+    // every document lands in exactly one group
+    assert(got.map(_._2).sum === docs.length.toLong)
+    assert(got.length === groups.size)
+  }
+
+  test("q_agg_corr matches closed-form two-pass OLS per group") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = q("q_agg_corr").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.keySet === li.map(_._1).toSet)
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      val n = rows.length
+      val xs = rows.map(_._2); val ys = rows.map(_._3)
+      val mx = xs.sum / n; val my = ys.sum / n
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val syy = ys.map(y => (y - my) * (y - my)).sum
+      val slope = sxy / sxx
+      val (gn, gs, gi, gr2, gax, gay) = got(flag)
+      assert(gn === n.toLong, s"flag=$flag n")
+      assert(math.abs(gs - slope) < 1e-4, s"flag=$flag slope")
+      assert(math.abs(gi - (my - slope * mx)) < 1e-2, s"flag=$flag icept")
+      assert(math.abs(gr2 - sxy * sxy / (sxx * syy)) < 1e-5, s"flag=$flag r2")
+      assert(math.abs(gax - mx) < 1e-5, s"flag=$flag avg_x")
+      assert(math.abs(gay - my) < 1e-3, s"flag=$flag avg_y")
+    }
+  }
+
+  test("q_embed_centroid summarizes member-to-centroid cosines exactly") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val byLabel = emb.groupBy(_._2)
+    val got = q("q_embed_centroid").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === byLabel.keySet)
+    byLabel.foreach { case (label, vs) =>
+      val dim = vs.head._3.length
+      val c = Array.tabulate(dim)(i => vs.map(_._3(i)).sum / vs.length)
+      val nc = math.sqrt(c.map(x => x * x).sum)
+      val cosines = vs.map { case (_, _, v) =>
+        val dot = v.zip(c).map { case (a, b) => a * b }.sum
+        dot / (math.sqrt(v.map(x => x * x).sum) * nc)
+      }
+      val (gn, gAvg, gMin) = got(label)
+      assert(gn === vs.length.toLong, s"label=$label n")
+      assert(math.abs(gAvg - cosines.sum / cosines.length) < 1e-6,
+        s"label=$label avg_cos")
+      assert(math.abs(gMin - cosines.min) < 1e-6, s"label=$label min_cos")
+      assert(gMin <= gAvg + 1e-9, s"label=$label min<=avg")
+    }
+  }
+}

@@ -139,7 +139,9 @@ class PlanShapeSpec extends AnyFunSuite {
     //    q_join_selfpair, q_join_theta;
     //  * broadcast singletons or the sqrt(N) codebook (a 1-to-few-row
     //    build side broadcast to every partition — scale-safe):
-    //    q_ev_resample, q_mix_weights, q_text_bm25, q_text_tfidf,
+    //    q_ev_resample + q_ev_interp (the one-row grid-bounds frame
+    //    broadcast to every user), q_mix_weights, q_text_bm25,
+    //    q_text_tfidf,
     //    q_text_unigram_nll (grand-total token count singleton),
     //    q_text_pmi (grand-total bigram count singleton),
     //    q_sim_ann_ivf, q_sim_ann_ivfpq (the IVF+PQ composition ranks
@@ -148,7 +150,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val declared = Set(
       "q_dedup_cosine", "q_sim_cosine_knn", "q_sim_threshold",
       "q_join_cross", "q_join_selfpair", "q_join_theta",
-      "q_ev_resample", "q_mix_weights", "q_text_bm25", "q_text_tfidf",
+      "q_ev_resample", "q_ev_interp", "q_mix_weights", "q_text_bm25",
+      "q_text_tfidf",
       "q_text_unigram_nll", "q_text_pmi",
       "q_sim_ann_ivf", "q_sim_ann_ivfpq")
     val offenders = Registry.all.map(_.name).filterNot(declared).filter { n =>
