@@ -57,20 +57,32 @@ object Bench {
     // Spark schedules concurrent jobs from separate threads fine, and
     // StageCache is race-safe (ConcurrencySpec) — wall-clock is
     // max over the chains, not the sum.
+    // Per-chain wall times (concurrent, so they overlap — stage_build is
+    // the max-ish envelope, NOT the sum): the r8 driver run jumped
+    // 12.7 -> 49.8 s with zero visibility into which chain paid it.
+    // Each chain reports its own seconds so a future jump is
+    // attributable in one read of the bench line.
+    val stageDetail = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val tStage0 = System.nanoTime()
     val stageBuild = if (!needsStages) 0.0 else try {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.DurationInt
       import scala.concurrent.ExecutionContext.Implicits.global
+      def timed(name: String)(body: => Unit): Future[Unit] = Future {
+        val t0 = System.nanoTime()
+        body
+        stageDetail.put(name, (System.nanoTime() - t0) / 1e9)
+      }
       Await.result(Future.sequence(Seq(
-        Future(ops.TextSim.warmStages(spark, sfDir)),
-        Future(ops.TextSim.warmBigramStage(spark, sfDir)),
-        Future(ops.TextSim.warmMaskStage(spark, sfDir)),
-        Future(ops.Sketches.warmIvfStage(spark, sfDir)),
-        Future(ops.Sketches.warmPqStage(spark, sfDir)),
-        Future(ops.Sketches.warmLshSigStage(spark, sfDir)),
-        Future(ops.Sketches.warmSimhashStage(spark, sfDir)),
-        Future(ops.Sketches.warmMinhashStage(spark, sfDir)))), 30.minutes)
+        timed("text_postings") { ops.TextSim.warmStages(spark, sfDir) },
+        timed("bigrams") { ops.TextSim.warmBigramStage(spark, sfDir) },
+        timed("mask") { ops.TextSim.warmMaskStage(spark, sfDir) },
+        timed("ivf") { ops.Sketches.warmIvfStage(spark, sfDir) },
+        timed("pq") { ops.Sketches.warmPqStage(spark, sfDir) },
+        timed("lsh_sigs") { ops.Sketches.warmLshSigStage(spark, sfDir) },
+        timed("simhash_sigs") { ops.Sketches.warmSimhashStage(spark, sfDir) },
+        timed("minhash_sigs") { ops.Sketches.warmMinhashStage(spark, sfDir) })),
+        30.minutes)
       (System.nanoTime() - tStage0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"bench: stage build failed: ${e.getMessage}"); -1.0 }
@@ -114,7 +126,13 @@ object Bench {
     val flaky = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"warm":$warm,"runs":$Runs,"n_errors":${results.count(!_._3)},"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+    val stageJson = {
+      import scala.jdk.CollectionConverters._
+      stageDetail.asScala.toSeq.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+    }
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"stage_build_detail":$stageJson,"warm":$warm,"runs":$Runs,"n_errors":${results.count(!_._3)},"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     println(json)
     // A second, TINY summary line AFTER the full one: the driver keeps only
     // a fixed-size tail of stdout, and the full line (100+ queries) can

@@ -1,20 +1,30 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Centralized table loaders.
   *
   * Every query obtains its inputs through here so that the two fixture
   * hazards (SURVEY.md §7.4) are handled in exactly one place:
   *
-  *  - `events.ts` is parquet TIMESTAMP(NANOS): Spark 4.x refuses to read
-  *    it unless `spark.sql.legacy.parquet.nanosAsLong=true`, after which
-  *    it arrives as BIGINT nanoseconds. We convert with integer division
-  *    (`ts div 1000`), which is exact for the positive fixture epochs and
-  *    matches DuckDB's automatic ns->us truncation value-for-value.
-  *    (Double division would lose precision: epoch-ns ~1.7e18 exceeds the
-  *    53-bit double mantissa.)
+  *  - `events.ts` has shipped in TWO physical encodings across fixture
+  *    generations, so the reader dispatches on the parquet footer type
+  *    instead of assuming one (schema-on-read; the r8 fixture regeneration
+  *    that swapped int64-ns for native timestamp[us] is exactly the hazard):
+  *      - int64 nanoseconds (TIMESTAMP(NANOS) read under
+  *        `spark.sql.legacy.parquet.nanosAsLong=true`, or a plain int64
+  *        column): converted with integer division (`ts div 1000`), which
+  *        is exact for the positive fixture epochs and matches DuckDB's
+  *        automatic ns->us truncation value-for-value. (Double division
+  *        would lose precision: epoch-ns ~1.7e18 exceeds the 53-bit double
+  *        mantissa.)
+  *      - native timestamp[us]/[ms]: pyarrow writes isAdjustedToUTC=false,
+  *        which Spark reads as TIMESTAMP_NTZ; cast to the session-TZ
+  *        timestamp (sessions here run UTC), yielding the identical
+  *        instants the ns recipe produced. Already-adjusted TIMESTAMP
+  *        columns pass through unchanged.
   *  - `embeddings.embedding` is `list<float32>`: all similarity math must
   *    happen in double precision on BOTH engines, so the cast to
   *    `array<double>` happens here, once.
@@ -44,7 +54,28 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
 
-  /** events with the ns-timestamp recipe applied (SURVEY §2.13 rule 5).
+  /** Normalize one timestamp column to session-TZ TIMESTAMP regardless of
+    * the physical parquet encoding it arrived in (SURVEY §2.13 rule 5).
+    * Dispatching on the ALREADY-RESOLVED reader schema means a fixture
+    * regeneration that changes the physical type can never silently break
+    * a consumer again — the recipe follows the footer.
+    *
+    *  - LongType: int64 epoch-nanoseconds (TIMESTAMP(NANOS) under
+    *    nanosAsLong, or a raw int64 column) → exact integer `div 1000`.
+    *  - TIMESTAMP_NTZ: native timestamp[us]/[ms] with isAdjustedToUTC=false
+    *    → cast to session-TZ timestamp (UTC sessions ⇒ identical instants).
+    *  - TIMESTAMP: already adjusted; pass through.
+    */
+  private[graft] def normalizeTsColumn(dt: DataType, name: String): Column = dt match {
+    case LongType         => expr(s"timestamp_micros(`$name` div 1000)")
+    case TimestampNTZType => col(name).cast(TimestampType)
+    case TimestampType    => col(name)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported physical type for timestamp column `$name`: $other")
+  }
+
+  /** events with the timestamp recipe dispatched on the footer type.
     * The nanosAsLong flag is session-wide and normally set at build
     * time (harness + TestSpark do); the defensive set below exists for
     * foreign sessions only and is guarded so the common path performs
@@ -53,9 +84,8 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(path(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.withColumn("ts", normalizeTsColumn(raw.schema("ts").dataType, "ts"))
   }
 
   /** embeddings with the float->double recipe applied (§2.13 rule 6). */

@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   */
 object StreamDemos {
 
-  /** Raw events schema as stored (ts = parquet TIMESTAMP(NANOS), read
-    * as BIGINT nanos under the nanosAsLong flag; streaming sources
-    * require an explicit schema). */
+  /** Raw events schema as historically stored (ts = parquet
+    * TIMESTAMP(NANOS), read as BIGINT nanos under the nanosAsLong flag;
+    * streaming sources require an explicit schema). Kept public for
+    * spec fixture writers that exercise the ns-long generation. */
   val rawEventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -30,7 +31,13 @@ object StreamDemos {
     StructField("props", StringType)))
 
   /** Streaming source over an events-shaped parquet directory, with the
-    * same ns→µs recipe the batch loader applies (Tables.events). */
+    * SAME schema-on-read dispatch as the batch loader (Tables.events):
+    * the declared stream schema mirrors whatever physical ts type the
+    * directory's existing footers carry (one driver-side batch-read
+    * sniff at stream setup — not per micro-batch), and the matching
+    * recipe normalizes to session-TZ TIMESTAMP. The r8 fixture
+    * regeneration (int64-ns → native timestamp[us]) is exactly the
+    * hazard this guards; both generations stream identically. */
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // Same defensive conf as Tables.events: without it, reading the
@@ -39,11 +46,16 @@ object StreamDemos {
     // common path performs no conf mutation.
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(rawEventsSchema)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(rawEventsSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f => f
+    })
+    val reader = spark.readStream.schema(schema)
     val r = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
     r.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.normalizeTsColumn(tsType, "ts"))
   }
 
   /** Streaming twin of q_ev_tumble: hourly tumbling counts/sums with a
