@@ -45,6 +45,7 @@ object Bench {
     // name even when that one query doesn't strictly need every stage.)
     val needsStages = only.forall(_.exists(n =>
       n.startsWith("q_dedup_") || n.startsWith("q_sim_ann_") ||
+        n.startsWith("q_graph_") ||
         n == "q_curate" || n == "q_text_bigram_nll" || n == "q_text_pmi"))
     // Shared stage-cache builds (gram postings -> pair stats -> edge
     // list; IVF codebook -> assignments -> PQ codebook/codes) run ONCE

@@ -62,6 +62,21 @@ object Graph {
     * double-exactness bound the truncating casts rely on. */
   private val WScale = 1000000L
 
+  /** Env-gated phase timing (SPARK_GRAFT_GRAPH_TIMING=1): the eager
+    * checkpoint builds run at plan-construction time, so when a bench
+    * host shows an unexplained pagerank wall-clock (r8: 6.2 s driver vs
+    * 1.6 s local) these stderr lines split setup from the iterate job
+    * in one read. Zero overhead when unset. */
+  private def phase[T](name: String)(body: => T): T =
+    if (!sys.env.contains("SPARK_GRAFT_GRAPH_TIMING")) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[graph-timing] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int,
       weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
@@ -87,11 +102,11 @@ object Graph {
     // quiet host). Branching keeps q_graph_pagerank on the narrow r6
     // plan; only q_graph_pagerank_w pays for weights.
     val weighted = weightCol.isDefined
-    val eIn = (weightCol match {
+    val eIn = phase("eIn-checkpoint")((weightCol match {
       case Some(wc) => edges.select(col("ida"), col("idb"),
         (col(wc) * WScale).cast("long").as("w"))
       case None => edges.select(col("ida"), col("idb"))
-    }).localCheckpoint(true)
+    }).localCheckpoint(true))
     // Symmetrize, attach sender degree (+ total weight when weighted),
     // checkpoint — the one frame every round scans.
     val wCols = if (weighted) Seq(col("w")) else Seq.empty
@@ -102,17 +117,33 @@ object Graph {
       if (weighted) sym.groupBy("a")
         .agg(count(lit(1)).as("deg"), sum("w").as("tw"))
       else sym.groupBy("a").agg(count(lit(1)).as("deg"))
-    val eDeg = sym.join(deg, "a").localCheckpoint(true)
+    val eDeg = phase("eDeg-checkpoint")(
+      sym.join(deg, "a").localCheckpoint(true))
     // conn is referenced by EVERY round's rank rebuild (and there is no
     // cross-plan subtree sharing), so without its own checkpoint the
     // distinct-over-edges would inline once per round.
-    val conn = eDeg.select(col("a").as("doc_id"), col("deg")).distinct()
-      .localCheckpoint(true)
+    val conn = phase("conn-checkpoint")(
+      eDeg.select(col("a").as("doc_id"), col("deg")).distinct()
+        .localCheckpoint(true))
     // N is a driver-side count of the NODE table (same documented
     // stats-pass family as the codebook sizing counts).
-    val n = nodes.count()
+    val n = phase("node-count")(nodes.count())
     require(n > 0, "pagerank needs a non-empty node frame")
     val base = Scale / n
+    // Join strategy is deliberately LEFT TO CATALYST: with the conn
+    // anchor the whole 10-round chain statically plans as pipelined
+    // broadcast joins (22 BHJ / 0 SMJ in the executed plan), and an
+    // interleaved within-JVM A/B against a SHUFFLE_HASH pin on the
+    // ranks x eDeg join measured the default strictly faster (min
+    // 1.70 s vs 2.39 s, avg 2.10 vs 2.52 at sf0.1) — the r9 attempt to
+    // "protect" the plan with explicit hints (broadcast OR shuffle)
+    // only ever made it slower, and the r8 driver-bench outlier
+    // (6.2 s) did not reproduce under any variant, consistent with the
+    // same-host contention that inflated that round's stage_build 4x.
+    // At a scale where the rank frame outgrows broadcast, Catalyst's
+    // size estimates flip these to the node-id-partitioned shuffle
+    // joins a billion-node graph needs — the declarative plan already
+    // IS the scale path.
     var ranks = conn.select(col("doc_id"), lit(base).as("r"))
     var round = 0
     while (round < iters) {
