@@ -58,6 +58,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
   }
 
+  test("q_ev_transitions: one user_id shuffle, zero joins") {
+    // The fact table is collapsed to |types|^2 rows by ONE window pass
+    // over the natural user_id partitioning; the per-prev normalization
+    // then runs on that tiny frame. A self-join formulation (prev row
+    // joined to next row) or a second user_id shuffle would both break
+    // the 100 TB shape.
+    val p = plan("q_ev_transitions")
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userShuffles === 1, s"expected 1 user_id shuffle, got $userShuffles:\n$p")
+    assert(!p.contains("Join"), s"transitions must not join:\n$p")
+  }
+
+  test("q_ev_interp: windows share one user_id shuffle; no fact self-join") {
+    // The grid/observation union flows through ONE user_id exchange
+    // that feeds ALL window passes (prev + next neighbor lookups ride
+    // the same sorted partition run); joining observations to grid
+    // points instead would be a per-grid-point self-join of the fact
+    // table. The only join is the declared broadcast of the one-row
+    // bounds frame (see the cartesian sweep's allowlist); the distinct
+    // user list adds the second, unavoidable user_id shuffle.
+    val p = plan("q_ev_interp")
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userShuffles === 2,
+      s"expected 2 user_id shuffles (union + distinct users), got $userShuffles:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"unexpected shuffle join in interp:\n$p")
+    // All window passes sit between the union shuffle and the result:
+    // each is partitioned by user_id (no repartition-per-window).
+    val winSpecs = "windowspecdefinition\\(user_id".r.findAllIn(p).size
+    assert(winSpecs >= 4, s"window passes lost user_id partitioning:\n$p")
+  }
+
   test("q_topk fuses into TakeOrderedAndProject (no global sort)") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
