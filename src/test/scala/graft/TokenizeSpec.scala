@@ -64,6 +64,52 @@ class TokenizeSpec extends AnyFunSuite {
     assert(toks("がき") === Seq(Seq("が", "き")))
   }
 
+  test("unsegmented SEA scripts (Thai/Khmer/Lao/Myanmar): fallback run-tokenization pinned in all three spellings") {
+    // These scripts write without spaces and keep the RUN rule (the
+    // documented fallback — no dictionary segmentation; CJK got the
+    // per-ideograph rule because single ideographs are meaningful
+    // units, SEA syllables are not). Consequence worth pinning before
+    // a fixture or engine change surprises us (the r8 lesson): their
+    // combining marks (Thai tone marks, Khmer coeng, Myanmar asat) are
+    // category Mn — NOT \p{L} — so marks SPLIT runs mid-word. That is
+    // the current cross-engine behavior (Java regex and RE2 agree on
+    // \p{L}); this test locks kernel ≡ composed ≡ a plain-JVM
+    // reference of the semantic definition on exactly these scripts,
+    // so any engine drift or future segmentation change must come
+    // through here.
+    val texts = Seq(
+      "ภาษาไทยไม่มีช่องว่าง",           // Thai, spaceless, tone marks
+      "สวัสดีครับ ผมชื่อสมชาย",          // Thai with a space
+      "ภาษาเขียนด้วยกัน 123 mixed",     // Thai + digits + latin
+      "ភាសាខ្មែរសរសេរដោយគ្មានspace",    // Khmer coeng stacks + latin run
+      "ພາສາລາວບໍ່ມີຊ່ອງຫວ່າງ",          // Lao
+      "မြန်မာဘာသာ စကား",               // Myanmar asat/virama
+      "ไทย中文ไทย")                     // Thai runs + per-ideograph Han
+    // Plain-JVM reference of the semantic definition: NFC → lower →
+    // CJK ideographs split per character, everything else splits on
+    // non-letter/non-digit runs (mirrors normTokensComposed's regex).
+    def ref(t: String): Seq[String] = {
+      val nfc = java.text.Normalizer
+        .normalize(t, java.text.Normalizer.Form.NFC)
+        .toLowerCase(java.util.Locale.ROOT)
+      val spaced = nfc.replaceAll(
+        "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")
+      spaced.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    }
+    val got = toks(texts: _*)
+    val composed = texts.toDF("text")
+      .select(graft.ops.TextSim.normTokensComposed(col("text")).as("ws"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got === composed, "fused kernel diverges from composed on SEA scripts")
+    assert(got === texts.map(ref), "engines diverge from the plain-JVM reference")
+    // The load-bearing consequences, spelled out:
+    //  - a spaceless Thai phrase does NOT collapse to one mega-token
+    //    (marks split it), so downstream stats stay non-degenerate;
+    assert(got.head.length > 1)
+    //  - Han inside a Thai run still splits per ideograph.
+    assert(got.last === Seq("ไทย", "中", "文", "ไทย"))
+  }
+
   test("null text stays null through the tokenizer") {
     val r = Seq[Option[String]](None, Some("a b")).toDF("text")
       .select(graft.ops.TextSim.normTokens(col("text")).as("ws"))
