@@ -10,14 +10,16 @@ import scala.util.hashing.MurmurHash3
   *
   * Decode kernels: BMP (uncompressed DIB), WAV (RIFF/PCM), PNG
   * (chunk walk + java.util.zip Inflater + all five scanline filters),
-  * and baseline JPEG (canonical Huffman + dequant + reference IDCT +
-  * sampling-factor-driven chroma upsample) are REAL pure-JVM
-  * parsers — header fields decoded from the bytes, pixel and sample
-  * payloads located/decompressed and featurized. Formats that need
-  * codecs this container doesn't ship (MP4, progressive JPEG, ...)
-  * fall back to a clearly-marked deterministic fake derived from the
-  * content bytes, so the pipeline shape stays exercised end-to-end
-  * for every file. Everything around the kernels is real and tested
+  * baseline + progressive JPEG (canonical Huffman + dequant +
+  * reference IDCT + sampling-factor-driven chroma upsample), and
+  * WebP lossless / VP8L (canonical prefix codes, color cache, LZ77
+  * over the 2D distance map, all four inverse transforms) are REAL
+  * pure-JVM parsers — header fields decoded from the bytes, pixel and
+  * sample payloads located/decompressed and featurized. Formats that
+  * need codecs this container doesn't ship (MP4, lossy VP8, GIF,
+  * TIFF, ...) fall back to a clearly-marked deterministic fake
+  * derived from the content bytes, so the pipeline shape stays
+  * exercised end-to-end for every file. Everything around the kernels is real and tested
   * (MultimodalSpec): the binaryFile source schema, the typed Dataset
   * plumbing, the per-partition batch iterator shape (mapPartitions —
   * the JVM analogue of mapInPandas: one iterator per batch, amortizing
@@ -1032,6 +1034,532 @@ object Multimodal {
       duration_ms = if (byteRate > 0) dataLen * 1000L / byteRate else 0L)
   }
 
+  // ---- WebP lossless / VP8L (real decode: prefix codes + LZ77 + the
+  // four inverse transforms, per the public WebP lossless bitstream
+  // spec, RFC 9649) -----------------------------------------------------
+
+  /** RIFF container with the WEBP form type. */
+  private def isWebp(c: Array[Byte]): Boolean =
+    c.length >= 20 && tag(c, 0) == "RIFF" && tag(c, 8) == "WEBP"
+
+  /** WebP whose FIRST payload chunk is VP8L (simple lossless file). */
+  private def isWebpLossless(c: Array[Byte]): Boolean =
+    isWebp(c) && tag(c, 12) == "VP8L" && c.length >= 25 &&
+      (c(20) & 0xFF) == 0x2F
+
+  /** Decompression-bomb guard, same discipline as PNG/JPEG: the 5-byte
+    * VP8L header can declare up to 16384x16384; refuse to allocate more
+    * than 16M pixels (64 MB ARGB) before any entropy decode. */
+  private val MaxWebpPixels = 16L << 20
+
+  /** LSB-first bit reader over the VP8L payload. Reads past the end
+    * throw AIOOBE, caught by the decode wrapper — drop, don't crash. */
+  private final class VlBits(buf: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var bit = 0
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= end) throw new ArrayIndexOutOfBoundsException(pos)
+        v |= ((buf(pos) >> bit) & 1) << i
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** Canonical prefix code: decode bit-by-bit against per-length symbol
+    * counts (symbols sorted by (length, symbol) — the spec's canonical
+    * assignment, same rule as DEFLATE). `trivial` >= 0 marks the 0-bit
+    * single-symbol code (simple code with one symbol, or a length
+    * assignment where exactly one symbol is used). */
+  private final class VlCode(val trivial: Int, counts: Array[Int],
+      symbols: Array[Int]) {
+    def decode(br: VlBits): Int = {
+      if (trivial >= 0) return trivial
+      var code = 0
+      var first = 0
+      var index = 0
+      var len = 1
+      while (len < counts.length) {
+        code = (code << 1) | br.bits(1)
+        val cnt = counts(len)
+        if (code - first < cnt) return symbols(index + code - first)
+        index += cnt
+        first = (first + cnt) << 1
+        len += 1
+      }
+      throw new IllegalArgumentException("invalid prefix code")
+    }
+  }
+
+  private def vlCodeFromLengths(lengths: Array[Int]): VlCode = {
+    var used = 0
+    var only = -1
+    var maxLen = 0
+    var i = 0
+    while (i < lengths.length) {
+      if (lengths(i) > 0) { used += 1; only = i; maxLen = math.max(maxLen, lengths(i)) }
+      i += 1
+    }
+    if (used == 0) throw new IllegalArgumentException("empty code")
+    if (used == 1) return new VlCode(only, null, null)
+    val counts = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) counts(l) += 1)
+    // Kraft check: an over-subscribed code is corrupt input.
+    var kraft = 0L
+    var l = 1
+    while (l <= maxLen) { kraft += counts(l).toLong << (maxLen - l); l += 1 }
+    if (kraft > (1L << maxLen)) throw new IllegalArgumentException("bad code")
+    val symbols = new Array[Int](used)
+    val offsets = new Array[Int](maxLen + 1)
+    var acc = 0
+    l = 1
+    while (l <= maxLen) { offsets(l) = acc; acc += counts(l); l += 1 }
+    i = 0
+    while (i < lengths.length) {
+      if (lengths(i) > 0) { symbols(offsets(lengths(i))) = i; offsets(lengths(i)) += 1 }
+      i += 1
+    }
+    new VlCode(-1, counts, symbols)
+  }
+
+  /** The spec's code-length-code read order. */
+  private val VlClOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  /** One prefix code from the stream: simple (1-2 listed symbols) or
+    * code-length-coded over `alphabetSize` symbols. */
+  private def vlReadCode(br: VlBits, alphabetSize: Int): VlCode = {
+    if (br.bits(1) == 1) { // simple
+      val numSymbols = br.bits(1) + 1
+      val first8 = br.bits(1)
+      val s0 = br.bits(if (first8 == 1) 8 else 1)
+      if (numSymbols == 1) new VlCode(s0, null, null)
+      else {
+        val s1 = br.bits(8)
+        val lengths = new Array[Int](alphabetSize)
+        if (s0 >= alphabetSize || s1 >= alphabetSize)
+          throw new IllegalArgumentException("simple symbol out of range")
+        lengths(s0) = 1
+        lengths(s1) = 1
+        vlCodeFromLengths(lengths)
+      }
+    } else {
+      val numCl = br.bits(4) + 4
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLens(VlClOrder(i)) = br.bits(3); i += 1 }
+      val clCode = vlCodeFromLengths(clLens)
+      // Optional cap on the number of length records that follow.
+      var maxSymbol =
+        if (br.bits(1) == 1) {
+          val nbits = 2 + 2 * br.bits(3)
+          2 + br.bits(nbits)
+        } else alphabetSize
+      val lengths = new Array[Int](alphabetSize)
+      var symbol = 0
+      var prev = 8 // spec: the default previous nonzero length
+      while (symbol < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cl = clCode.decode(br)
+        if (cl < 16) {
+          lengths(symbol) = cl
+          symbol += 1
+          if (cl != 0) prev = cl
+        } else {
+          val (repeat, value) = cl match {
+            case 16 => (3 + br.bits(2), prev)
+            case 17 => (3 + br.bits(3), 0)
+            case _  => (11 + br.bits(7), 0)
+          }
+          if (symbol + repeat > alphabetSize)
+            throw new IllegalArgumentException("length repeat overflow")
+          var r = 0
+          while (r < repeat) { lengths(symbol) = value; symbol += 1; r += 1 }
+        }
+      }
+      vlCodeFromLengths(lengths)
+    }
+  }
+
+  /** LZ77 length/distance prefix decode: symbols 0-3 mean value
+    * symbol+1; beyond, (2 + (sym&1)) << eb extra-bit ranges. */
+  private def vlPrefixValue(br: VlBits, sym: Int): Int =
+    if (sym < 4) sym + 1
+    else {
+      val eb = (sym - 2) >> 1
+      val off = (2 + (sym & 1)) << eb
+      off + br.bits(eb) + 1
+    }
+
+  /** The 120-entry 2D distance neighborhood: dx in [-7, 8], dy in
+    * [0, 7], (dy = 0 => dx > 0), ordered by squared distance, nearer
+    * rows first, positive dx before negative — the spec's close-pixel
+    * mapping (codes > 120 are literal distances minus 120). */
+  private val VlDistMap: Array[(Int, Int)] = {
+    val cands = for {
+      dy <- 0 to 7
+      dx <- -7 to 8
+      if !(dy == 0 && dx <= 0)
+    } yield (dx, dy)
+    cands.sortBy { case (dx, dy) => (dx * dx + dy * dy, -dy, -dx) }
+      .toArray
+  }
+
+  private def vlDistance(code: Int, width: Int): Int =
+    if (code > 120) code - 120
+    else {
+      val (dx, dy) = VlDistMap(code - 1)
+      math.max(1, dy * width + dx)
+    }
+
+  /** Color-cache slot for an ARGB pixel (the spec's multiplicative
+    * hash). */
+  private def vlCacheSlot(argb: Int, bits: Int): Int =
+    (0x1e35a7bd * argb) >>> (32 - bits)
+
+  private def vlSubSample(size: Int, bits: Int): Int =
+    (size + (1 << bits) - 1) >> bits
+
+  /** One entropy-coded ARGB image (the spatially-coded image at level
+    * 0, or a transform/meta/palette subimage): color-cache flag, an
+    * optional meta prefix-group image (level 0 only), the 5-code
+    * groups, then the LZ77 pixel loop. Returns row-major ARGB. */
+  private def vlDecodeImage(br: VlBits, w: Int, h: Int,
+      level0: Boolean): Array[Int] = {
+    val ccBits = if (br.bits(1) == 1) br.bits(4) else 0
+    if (ccBits > 11) throw new IllegalArgumentException("cache bits")
+    val cache = if (ccBits > 0) new Array[Int](1 << ccBits) else null
+    var metaBits = 0
+    var metaW = 0
+    var meta: Array[Int] = null
+    var numGroups = 1
+    if (level0 && br.bits(1) == 1) {
+      metaBits = br.bits(3) + 2
+      metaW = vlSubSample(w, metaBits)
+      meta = vlDecodeImage(br, metaW, vlSubSample(h, metaBits), level0 = false)
+      var mx = 0
+      var i = 0
+      while (i < meta.length) {
+        val g = ((meta(i) >> 8) & 0xFFFF)
+        if (g > mx) mx = g
+        i += 1
+      }
+      numGroups = mx + 1
+      if (numGroups > 1024) throw new IllegalArgumentException("meta groups")
+    }
+    val greenAlpha = 256 + 24 + (if (ccBits > 0) 1 << ccBits else 0)
+    val groups = Array.fill(numGroups)(Array(
+      vlReadCode(br, greenAlpha), vlReadCode(br, 256), vlReadCode(br, 256),
+      vlReadCode(br, 256), vlReadCode(br, 40)))
+    val n = w * h
+    val px = new Array[Int](n)
+    var pos = 0
+    while (pos < n) {
+      val g = if (meta == null) groups(0)
+        else {
+          val x = pos % w
+          val y = pos / w
+          groups(((meta((y >> metaBits) * metaW + (x >> metaBits)) >> 8) & 0xFFFF))
+        }
+      val s = g(0).decode(br)
+      if (s < 256) {
+        val r = g(1).decode(br)
+        val b = g(2).decode(br)
+        val a = g(3).decode(br)
+        val argb = (a << 24) | (r << 16) | (s << 8) | b
+        px(pos) = argb
+        if (cache != null) cache(vlCacheSlot(argb, ccBits)) = argb
+        pos += 1
+      } else if (s < 280) {
+        val len = vlPrefixValue(br, s - 256)
+        val dist = vlDistance(vlPrefixValue(br, g(4).decode(br)), w)
+        if (dist > pos || pos + len > n)
+          throw new IllegalArgumentException("bad backward reference")
+        var i = 0
+        while (i < len) {
+          val argb = px(pos - dist)
+          px(pos) = argb
+          if (cache != null) cache(vlCacheSlot(argb, ccBits)) = argb
+          pos += 1
+          i += 1
+        }
+      } else {
+        if (cache == null) throw new IllegalArgumentException("cache miss")
+        px(pos) = cache(s - 280)
+        pos += 1
+      }
+    }
+    px
+  }
+
+  /** Per-channel (a+b)/2, the spec's Average2. */
+  private def vlAvg2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xFEFEFEFE) >>> 1) + (a & b)
+
+  private def vlClip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def vlAddPixels(a: Int, b: Int): Int = {
+    val alphaRed = ((a & 0xFF00FF00) >>> 8) + ((b & 0xFF00FF00) >>> 8)
+    val greenBlue = (a & 0x00FF00FF) + (b & 0x00FF00FF)
+    ((alphaRed & 0x00FF00FF) << 8) | (greenBlue & 0x00FF00FF)
+  }
+
+  /** Predictor mode dispatch (modes 0-13 of the spec). */
+  private def vlPredict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int =
+    mode match {
+      case 0  => 0xFF000000
+      case 1  => l
+      case 2  => t
+      case 3  => tr
+      case 4  => tl
+      case 5  => vlAvg2(vlAvg2(l, tr), t)
+      case 6  => vlAvg2(l, tl)
+      case 7  => vlAvg2(l, t)
+      case 8  => vlAvg2(tl, t)
+      case 9  => vlAvg2(t, tr)
+      case 10 => vlAvg2(vlAvg2(l, tl), vlAvg2(t, tr))
+      case 11 => // Select: whichever of T/L the TL-gradient predicts better
+        var paMinusPb = 0
+        var sh = 0
+        while (sh < 32) {
+          val ac = (t >>> sh) & 0xFF
+          val bc = (l >>> sh) & 0xFF
+          val cc2 = (tl >>> sh) & 0xFF
+          paMinusPb += math.abs(bc - cc2) - math.abs(ac - cc2)
+          sh += 8
+        }
+        if (paMinusPb <= 0) t else l
+      case 12 => // ClampAddSubtractFull(L, T, TL)
+        var out = 0
+        var sh = 0
+        while (sh < 32) {
+          val v = vlClip255(((l >>> sh) & 0xFF) + ((t >>> sh) & 0xFF) -
+            ((tl >>> sh) & 0xFF))
+          out |= v << sh
+          sh += 8
+        }
+        out
+      case 13 => // ClampAddSubtractHalf(avg2(L, T), TL)
+        val ave = vlAvg2(l, t)
+        var out = 0
+        var sh = 0
+        while (sh < 32) {
+          val a = (ave >>> sh) & 0xFF
+          val b = (tl >>> sh) & 0xFF
+          out |= vlClip255(a + (a - b) / 2) << sh
+          sh += 8
+        }
+        out
+      case _ => throw new IllegalArgumentException(s"predictor $mode")
+    }
+
+  /** signed-byte multiply >> 5 — the spec's ColorTransformDelta. */
+  private def vlCtDelta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+
+  /** A transform read from the stream, in read order; `data` is the
+    * entropy-coded subimage (predictor modes / color-transform
+    * elements / palette), already decoded. */
+  private final case class VlTransform(kind: Int, bits: Int, width: Int,
+      data: Array[Int])
+
+  /** REAL pure-JVM WebP-lossless decode: VP8L chunk walk, transforms
+    * read and inverted (predictor / color / subtract-green /
+    * color-indexing incl. pixel packing), color cache, meta prefix
+    * groups, canonical prefix codes, LZ77 over the 2D distance map.
+    * Emits RGBA (4 channels) row-major — the [[PngImage]] shape, so
+    * the PNG/JPEG downstream (histogram embed, BMP bridge, resize)
+    * composes unchanged. Unsupported/corrupt input returns None. */
+  def decodeWebpLossless(c: Array[Byte]): Option[PngImage] = try {
+    if (!isWebpLossless(c)) return None
+    val chunkLen = le32(c, 16)
+    val end = math.min(c.length.toLong, 20L + chunkLen).toInt
+    val br = new VlBits(c, 21, end) // skip the 0x2F signature byte
+    val w = br.bits(14) + 1
+    val h = br.bits(14) + 1
+    br.bits(1) // alpha hint
+    if (br.bits(3) != 0) return None // version must be 0
+    if (w.toLong * h > MaxWebpPixels) return None
+    // Transforms, each at most once, in stream order. Color indexing
+    // narrows the effective width of everything read after it.
+    var effW = w
+    var transforms = List.empty[VlTransform]
+    var seen = 0
+    var paletteSizes = Map.empty[Int, Int]
+    while (br.bits(1) == 1) {
+      val kind = br.bits(2)
+      if ((seen & (1 << kind)) != 0)
+        throw new IllegalArgumentException("repeated transform")
+      seen |= 1 << kind
+      kind match {
+        case 0 | 1 => // predictor / color transform: tiled subimage
+          val bits = br.bits(3) + 2
+          val tw = vlSubSample(effW, bits)
+          val th = vlSubSample(h, bits)
+          transforms ::= VlTransform(kind, bits, effW,
+            vlDecodeImage(br, tw, th, level0 = false))
+        case 2 => // subtract green
+          transforms ::= VlTransform(2, 0, effW, null)
+        case _ => // color indexing with pixel packing
+          val nColors = br.bits(8) + 1
+          val raw = vlDecodeImage(br, nColors, 1, level0 = false)
+          // Palette entries are stored as component-wise deltas.
+          var i = 1
+          while (i < raw.length) {
+            raw(i) = vlAddPixels(raw(i), raw(i - 1))
+            i += 1
+          }
+          val widthBits =
+            if (nColors <= 2) 3 else if (nColors <= 4) 2
+            else if (nColors <= 16) 1 else 0
+          transforms ::= VlTransform(3, widthBits, effW, raw)
+          paletteSizes += (3 -> nColors)
+          effW = vlSubSample(effW, widthBits)
+      }
+    }
+    var px = vlDecodeImage(br, effW, h, level0 = true)
+    var curW = effW
+    // Invert in reverse read order (transforms is already reversed).
+    transforms.foreach { t =>
+      t.kind match {
+        case 3 => // unpack indices, map through the palette
+          val widthBits = t.bits
+          val outW = t.width
+          val perByte = 1 << widthBits
+          val idxBits = 8 >> widthBits
+          val mask = (1 << idxBits) - 1
+          val nColors = paletteSizes(3)
+          val out = new Array[Int](outW * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < outW) {
+              val packed = (px(y * curW + (x >> widthBits)) >> 8) & 0xFF
+              val idx = (packed >> ((x & (perByte - 1)) * idxBits)) & mask
+              out(y * outW + x) = if (idx < nColors) t.data(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+          px = out
+          curW = outW
+        case 2 => // add green to red and blue
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val g = (p >>> 8) & 0xFF
+            val r = (((p >>> 16) & 0xFF) + g) & 0xFF
+            val b = ((p & 0xFF) + g) & 0xFF
+            px(i) = (p & 0xFF00FF00) | (r << 16) | b
+            i += 1
+          }
+        case 1 => // color transform inverse
+          val tw = vlSubSample(curW, t.bits)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < curW) {
+              val cte = t.data((y >> t.bits) * tw + (x >> t.bits))
+              val g2r = cte & 0xFF
+              val g2b = (cte >>> 8) & 0xFF
+              val r2b = (cte >>> 16) & 0xFF
+              val p = px(y * curW + x)
+              val g = (p >>> 8) & 0xFF
+              val r = (((p >>> 16) & 0xFF) + vlCtDelta(g2r, g)) & 0xFF
+              val b0 = (p & 0xFF) + vlCtDelta(g2b, g)
+              val b = (b0 + vlCtDelta(r2b, r)) & 0xFF
+              px(y * curW + x) = (p & 0xFF00FF00) | (r << 16) | b
+              x += 1
+            }
+            y += 1
+          }
+        case 0 => // predictor inverse
+          val tw = vlSubSample(curW, t.bits)
+          var pos = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < curW) {
+              val pred =
+                if (y == 0 && x == 0) 0xFF000000
+                else if (y == 0) px(pos - 1)
+                else if (x == 0) px(pos - curW)
+                else {
+                  val mode = (t.data((y >> t.bits) * tw + (x >> t.bits)) >>> 8) & 0xFF
+                  // TR for the last column lands on the current row's
+                  // first pixel (contiguous buffer, same as the
+                  // reference decoder's unconditional x+1 addressing).
+                  vlPredict(mode, px(pos - 1), px(pos - curW),
+                    px(pos - curW - 1), px(pos - curW + 1))
+                }
+              px(pos) = vlAddPixels(px(pos), pred)
+              x += 1
+              pos += 1
+            }
+            y += 1
+          }
+      }
+    }
+    if (curW != w) return None // packing bookkeeping must restore w
+    val out = new Array[Byte](w * h * 4)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      out(i * 4) = ((p >>> 16) & 0xFF).toByte
+      out(i * 4 + 1) = ((p >>> 8) & 0xFF).toByte
+      out(i * 4 + 2) = (p & 0xFF).toByte
+      out(i * 4 + 3) = ((p >>> 24) & 0xFF).toByte
+      i += 1
+    }
+    Some(PngImage(w, h, 4, out))
+  } catch {
+    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException =>
+      None // corrupt/truncated/hostile input: drop, don't crash
+  }
+
+  /** WebP metadata: VP8L header dims for lossless, VP8X canvas dims for
+    * extended files; lossy VP8 reports honest 0-dims (its dimensions
+    * live inside the lossy frame header this library does not decode —
+    * same documented-stub discipline as pre-r8 progressive JPEG). */
+  private def webpMeta(path: String, c: Array[Byte]): MediaMeta = {
+    val (w, h) =
+      if (isWebpLossless(c)) {
+        val b1 = c(21) & 0xFF
+        val b2 = c(22) & 0xFF
+        val b3 = c(23) & 0xFF
+        val b4 = c(24) & 0xFF
+        (1 + (b1 | ((b2 & 0x3F) << 8)),
+          1 + ((b2 >> 6) | (b3 << 2) | ((b4 & 0x0F) << 10)))
+      } else if (tag(c, 12) == "VP8X" && c.length >= 30) {
+        def le24(o: Int): Int =
+          (c(o) & 0xFF) | ((c(o + 1) & 0xFF) << 8) | ((c(o + 2) & 0xFF) << 16)
+        (1 + le24(24), 1 + le24(27))
+      } else (0, 0)
+    MediaMeta(path, c.length, "webp", width = w, height = h,
+      channels = if (w > 0) 4 else 0, duration_ms = 0L)
+  }
+
+  /** WebP-lossless -> 24-bpp BMP bridge, the [[pngAsBmp]] twin for the
+    * most common crawl image format: decoded RGBA re-emitted as a
+    * spec-valid BMP MediaFile so resize/meta/embed compose unchanged.
+    * Lossy/extended/corrupt files are dropped, not crashed on. */
+  def webpAsBmp(ds: Dataset[MediaFile]): Dataset[MediaFile] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
+    ds.mapPartitions { files =>
+      files.flatMap { f =>
+        if (!isWebpLossless(f.content)) None
+        else decodeWebpLossless(f.content).flatMap(img =>
+          pixelsAsBmp(f.path, img.width, img.height, img.channels,
+            img.pixels))
+      }
+    }
+  }
+
   /** The decoded payload region: BMP pixel array (from the data-offset
     * header field) or WAV PCM data chunk; None for fallback formats. */
   private def payloadRegion(c: Array[Byte]): Option[(Int, Int)] =
@@ -1083,6 +1611,7 @@ object Multimodal {
         else if (isWav(f.content)) wavMeta(f.path, f.content)
         else if (isPng(f.content)) pngMeta(f.path, f.content)
         else if (isJpeg(f.content)) jpegMeta(f.path, f.content)
+        else if (isWebp(f.content)) webpMeta(f.path, f.content)
         else {
           // FALLBACK STUB — deterministic fake for codec-less formats.
           val h = MurmurHash3.bytesHash(f.content, seed = 42)
@@ -1110,6 +1639,8 @@ object Multimodal {
         val decodedPixels =
           if (isPng(f.content)) decodePng(f.content).map(_.pixels)
           else if (isJpeg(f.content)) decodeJpeg(f.content).map(_.pixels)
+          else if (isWebpLossless(f.content))
+            decodeWebpLossless(f.content).map(_.pixels)
           else None
         val vec = decodedPixels match {
           // PNG/JPEG: histogram over the DECODED pixel bytes — the

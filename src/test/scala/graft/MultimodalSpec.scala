@@ -328,6 +328,86 @@ class MultimodalSpec extends AnyFunSuite {
       (b(lastRow + 2) & 0xFF) === 0)
   }
 
+  // ---- WebP lossless: spec-side encoder lives in WebpSpec; this is
+  // the pipeline-flow twin of the PNG/JPEG tests ----------------------
+
+  private lazy val webpDir: Path = {
+    val p = Files.createTempDirectory("graft_media_webp")
+    p.toFile.deleteOnExit()
+    val px = Array.tabulate(5 * 4) { i =>
+      0xFF000000 | (((i * 13) & 0xFF) << 16) | (((i * 29) & 0xFF) << 8) |
+        ((i * 7) & 0xFF)
+    }
+    Files.write(p.resolve("real.webp"),
+      WebpTestEncoder.encode(5, 4, WebpTestEncoder.litsOf(px.toSeq)))
+    p
+  }
+
+  test("WebP-lossless flows through the pipeline: real meta, decoded-pixel histogram, resize") {
+    val files = Multimodal.media(spark, webpDir + "/*")
+    val meta = Multimodal.decodeMeta(files).collect().head
+    assert(meta.format === "webp" && meta.width === 5 && meta.height === 4)
+    assert(meta.channels === 4 && meta.duration_ms === 0L)
+    // Embedding = 8-bin histogram over the decoded RGBA bytes, computed
+    // independently from the known pixel array.
+    val rgba = Array.tabulate[Byte](5 * 4 * 4) { j =>
+      val i = j / 4
+      (j % 4 match {
+        case 0 => (i * 13) & 0xFF
+        case 1 => (i * 29) & 0xFF
+        case 2 => (i * 7) & 0xFF
+        case _ => 0xFF
+      }).toByte
+    }
+    val expected = new Array[Double](8)
+    rgba.foreach(b => expected((b & 0xFF) >> 5) += 1.0 / rgba.length)
+    val emb = Multimodal.embed(files).collect().head.embedding
+    assert(emb.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      s"histogram mismatch: ${emb.toSeq} vs ${expected.toSeq}")
+    // WebP -> BMP bridge -> existing resize kernel -> re-decodable BMP.
+    val resized = Multimodal
+      .resizeBmp(Multimodal.webpAsBmp(files), outW = 2, outH = 2).collect()
+    assert(resized.length === 1)
+    import spark.implicits._
+    val rMeta = Multimodal.decodeMeta(
+      Seq(Multimodal.MediaFile("r.bmp", resized.head.bmp.length,
+        resized.head.bmp)).toDS()).collect().head
+    assert(rMeta.format === "bmp" && rMeta.width === 2 && rMeta.height === 2)
+    // Pixel spot-check through the chain: output (0,0) samples input
+    // (0,0) = RGB (0, 0, 0); BMP is bottom-up BGR, so the output's top
+    // row is the LAST row in the file.
+    val b = resized.head.bmp
+    val stride = ((2 * 3 + 3) / 4) * 4
+    val lastRow = 54 + stride * 1
+    assert((b(lastRow) & 0xFF) === 0 && (b(lastRow + 1) & 0xFF) === 0 &&
+      (b(lastRow + 2) & 0xFF) === 0)
+  }
+
+  test("VP8X (extended WebP) reports canvas dims; lossy VP8 reports honest zeros") {
+    import spark.implicits._
+    def riffWith(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val total = 4 + 8 + payload.length
+      val bb = java.nio.ByteBuffer.allocate(8 + total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(total)
+      bb.put("WEBP".getBytes("US-ASCII"))
+      bb.put(fourcc.getBytes("US-ASCII")).putInt(payload.length)
+      bb.put(payload).array()
+    }
+    // VP8X: 4 flag/reserved bytes, then 24-bit (w-1), 24-bit (h-1).
+    val vp8x = riffWith("VP8X", Array[Byte](0, 0, 0, 0,
+      99, 0, 0, /* w-1 = 99 */ 49, 0, 0 /* h-1 = 49 */))
+    val vp8 = riffWith("VP8 ", Array.fill[Byte](16)(0))
+    val metas = Multimodal.decodeMeta(Seq(
+        Multimodal.MediaFile("x.webp", vp8x.length, vp8x),
+        Multimodal.MediaFile("l.webp", vp8.length, vp8)).toDS())
+      .collect().map(m => m.path -> m).toMap
+    assert(metas("x.webp").format === "webp" &&
+      metas("x.webp").width === 100 && metas("x.webp").height === 50)
+    assert(metas("l.webp").format === "webp" &&
+      metas("l.webp").width === 0 && metas("l.webp").height === 0)
+  }
+
   // ---- JPEG: spec-side baseline encoder, zero shared code with the
   // decoder — both independently derived from ITU T.81. The encoder
   // uses simple flat-length Huffman tables (all 12 DC categories at 4

@@ -1,0 +1,440 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+
+/** Spec-side VP8L (WebP lossless) ENCODER + round-trip pins for the
+  * decoder in ops/Multimodal.scala. Same discipline as the JPEG/PNG
+  * specs: the encoder writes spec-valid bitstreams (RIFF container,
+  * LSB-first bit order, canonical prefix codes via the code-length
+  * code, color cache, LZ77 with the 2D distance map, and the four
+  * forward transforms), and every variant must decode bit-exact to the
+  * source pixels. Within a zero-egress container this proves
+  * self-consistency against an independent reading of the public spec;
+  * each side was written from the spec text, not from each other's
+  * internals.
+  */
+object WebpTestEncoder {
+
+  final class BitW {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def writeBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << nBits
+        nBits += 1
+        if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+        i += 1
+      }
+    }
+    def bytes: Array[Byte] = {
+      if (nBits > 0) { out.write(cur); cur = 0; nBits = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Complete balanced code lengths over `used` symbols: with n
+    * symbols and L = ceil(log2 n), (2^L - n) get length L-1 and the
+    * rest L — Kraft-complete, so the decoder's over-subscription check
+    * passes. Shorter codes go to lower-numbered symbols. */
+  def balancedLengths(alphabetSize: Int, used: Seq[Int]): Array[Int] = {
+    val lens = new Array[Int](alphabetSize)
+    val n = used.size
+    require(n >= 1)
+    if (n == 1) { lens(used.head) = 1; return lens } // handled as simple upstream
+    var bigL = 1
+    while ((1 << bigL) < n) bigL += 1
+    val short = (1 << bigL) - n
+    used.sorted.zipWithIndex.foreach { case (s, i) =>
+      lens(s) = if (i < short && bigL > 1) bigL - 1 else bigL
+    }
+    lens
+  }
+
+  /** Canonical (length, code) per symbol — symbols sorted by (length,
+    * symbol), codes assigned sequentially, MSB-first on the wire. */
+  def canonicalCodes(lengths: Array[Int]): Map[Int, (Int, Int)] = {
+    val syms = lengths.indices.filter(lengths(_) > 0)
+      .sortBy(s => (lengths(s), s))
+    var code = 0
+    var prevLen = 0
+    syms.map { s =>
+      code = if (prevLen == 0) 0 else (code + 1) << (lengths(s) - prevLen)
+      prevLen = lengths(s)
+      s -> (code, lengths(s))
+    }.toMap
+  }
+
+  def writeSym(bw: BitW, codes: Map[Int, (Int, Int)], sym: Int): Unit = {
+    val (code, len) = codes(sym)
+    var i = len - 1
+    while (i >= 0) { bw.writeBits((code >> i) & 1, 1); i -= 1 }
+  }
+
+  private val ClOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  /** One prefix code onto the wire. Single-symbol and two-small-symbol
+    * sets use the simple representation; everything else goes through
+    * the code-length code with literal zero runs and a max_symbol cap. */
+  def writeCode(bw: BitW, alphabetSize: Int, used: Seq[Int]): Map[Int, (Int, Int)] = {
+    require(used.nonEmpty)
+    if (used.size == 1) {
+      val s = used.head
+      bw.writeBits(1, 1) // simple
+      bw.writeBits(0, 1) // one symbol
+      if (s < 2) { bw.writeBits(0, 1); bw.writeBits(s, 1) }
+      else { bw.writeBits(1, 1); bw.writeBits(s, 8) }
+      return Map(s -> (0, 0))
+    }
+    if (used.size == 2 && used.forall(_ < 256)) {
+      val Seq(s0, s1) = used.sorted
+      bw.writeBits(1, 1) // simple
+      bw.writeBits(1, 1) // two symbols
+      bw.writeBits(1, 1) // first is 8 bits
+      bw.writeBits(s0, 8)
+      bw.writeBits(s1, 8)
+      return canonicalCodes(balancedLengths(alphabetSize, used))
+    }
+    bw.writeBits(0, 1) // not simple
+    val lengths = balancedLengths(alphabetSize, used)
+    val maxUsed = used.max
+    // The emitted length records (literal values, no repeats).
+    val emitted = (0 to maxUsed).map(lengths(_))
+    val clUsed = emitted.distinct.sorted
+    val clLens = balancedLengths(19, clUsed)
+    val clCodes = canonicalCodes(clLens)
+    val numCl = math.max(4,
+      (ClOrder.lastIndexWhere(clLens(_) > 0) + 1))
+    bw.writeBits(numCl - 4, 4)
+    (0 until numCl).foreach(i => bw.writeBits(clLens(ClOrder(i)), 3))
+    // max_symbol caps the record count at maxUsed + 1.
+    val maxSymbol = maxUsed + 1
+    var nbits = 2
+    while ((1 << nbits) <= maxSymbol - 2) nbits += 2
+    bw.writeBits(1, 1)
+    bw.writeBits((nbits - 2) / 2, 3)
+    bw.writeBits(maxSymbol - 2, nbits)
+    emitted.foreach(l => writeSym(bw, clCodes, l))
+    canonicalCodes(lengths)
+  }
+
+  /** LZ77 ops the planner hands the emitter. */
+  sealed trait Op
+  final case class Lit(argb: Int) extends Op
+  final case class Copy(len: Int, distCode: Int) extends Op
+  final case class CacheRef(idx: Int) extends Op
+
+  /** value -> (prefix symbol, extra-bit count, extra value). */
+  def prefixEncode(v: Int): (Int, Int, Int) = {
+    require(v >= 1)
+    if (v <= 4) return (v - 1, 0, 0)
+    var sym = 4
+    while (true) {
+      val eb = (sym - 2) >> 1
+      val off = (2 + (sym & 1)) << eb
+      val rem = v - 1 - off
+      if (rem >= 0 && rem < (1 << eb)) return (sym, eb, rem)
+      sym += 1
+    }
+    throw new IllegalStateException
+  }
+
+  /** One entropy-coded image: cache bit, (level-0 only) no-meta bit,
+    * the 5 codes, then the op stream. Mirrors the decoder's
+    * vlDecodeImage framing. */
+  def writeImageStream(bw: BitW, ops: Seq[Op], level0: Boolean,
+      ccBits: Int = 0): Unit = {
+    if (ccBits > 0) { bw.writeBits(1, 1); bw.writeBits(ccBits, 4) }
+    else bw.writeBits(0, 1)
+    if (level0) bw.writeBits(0, 1) // no meta prefix image
+    val cacheSize = if (ccBits > 0) 1 << ccBits else 0
+    val greens = ops.flatMap {
+      case Lit(p) => Seq((p >>> 8) & 0xFF)
+      case Copy(len, _) => Seq(256 + prefixEncode(len)._1)
+      case CacheRef(i) => Seq(256 + 24 + i)
+    }
+    def chan(sel: Int => Int) = ops.collect { case Lit(p) => sel(p) }
+    val reds = chan(p => (p >>> 16) & 0xFF)
+    val blues = chan(p => p & 0xFF)
+    val alphas = chan(p => (p >>> 24) & 0xFF)
+    val dists = ops.collect { case Copy(_, dc) => prefixEncode(dc)._1 }
+    def codeFor(alpha: Int, syms: Seq[Int]) =
+      writeCode(bw, alpha, if (syms.isEmpty) Seq(0) else syms.distinct)
+    val gc = codeFor(256 + 24 + cacheSize, greens)
+    val rc = codeFor(256, reds)
+    val bc = codeFor(256, blues)
+    val ac = codeFor(256, alphas)
+    val dc = codeFor(40, dists)
+    ops.foreach {
+      case Lit(p) =>
+        writeSym(bw, gc, (p >>> 8) & 0xFF)
+        writeSym(bw, rc, (p >>> 16) & 0xFF)
+        writeSym(bw, bc, p & 0xFF)
+        writeSym(bw, ac, (p >>> 24) & 0xFF)
+      case Copy(len, distCode) =>
+        val (ls, leb, lv) = prefixEncode(len)
+        writeSym(bw, gc, 256 + ls)
+        bw.writeBits(lv, leb)
+        val (ds, deb, dv) = prefixEncode(distCode)
+        writeSym(bw, dc, ds)
+        bw.writeBits(dv, deb)
+      case CacheRef(i) => writeSym(bw, gc, 256 + 24 + i)
+    }
+  }
+
+  /** Wrap a VP8L payload in the RIFF container. */
+  def riff(payload: Array[Byte]): Array[Byte] = {
+    val chunkLen = payload.length
+    val padded = chunkLen + (chunkLen & 1)
+    val total = 4 + 8 + padded // "WEBP" + VP8L header + payload
+    val out = java.nio.ByteBuffer.allocate(8 + total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(total)
+    out.put("WEBP".getBytes("US-ASCII"))
+    out.put("VP8L".getBytes("US-ASCII")).putInt(chunkLen)
+    out.put(payload)
+    if ((chunkLen & 1) == 1) out.put(0.toByte)
+    out.array()
+  }
+
+  /** Header + transform announcements + the level-0 image stream. */
+  def encode(w: Int, h: Int, ops: Seq[Op], ccBits: Int = 0,
+      transforms: BitW => Unit = _ => ()): Array[Byte] = {
+    val bw = new BitW
+    bw.writeBits(w - 1, 14)
+    bw.writeBits(h - 1, 14)
+    bw.writeBits(0, 1) // alpha hint
+    bw.writeBits(0, 3) // version
+    transforms(bw)
+    bw.writeBits(0, 1) // end of transforms
+    writeImageStream(bw, ops, level0 = true, ccBits = ccBits)
+    riff(0x2F.toByte +: bw.bytes)
+  }
+
+  def litsOf(px: Seq[Int]): Seq[Op] = px.map(Lit(_))
+}
+
+class WebpSpec extends AnyFunSuite {
+  import WebpTestEncoder._
+
+  /** Deterministic RGBA test image (every channel exercised, alpha
+    * non-opaque in places). */
+  private def testImage(w: Int, h: Int, seed: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      val r = (x * 37 + seed) & 0xFF
+      val g = (y * 53 + seed * 7) & 0xFF
+      val b = (x * 11 + y * 29) & 0xFF
+      val a = if ((x + y) % 5 == 0) 0x80 else 0xFF
+      (a << 24) | (r << 16) | (g << 8) | b
+    }
+
+  private def rgbaOf(px: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](px.length * 4)
+    px.indices.foreach { i =>
+      out(i * 4) = ((px(i) >>> 16) & 0xFF).toByte
+      out(i * 4 + 1) = ((px(i) >>> 8) & 0xFF).toByte
+      out(i * 4 + 2) = (px(i) & 0xFF).toByte
+      out(i * 4 + 3) = ((px(i) >>> 24) & 0xFF).toByte
+    }
+    out
+  }
+
+  private def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = Multimodal.decodeWebpLossless(bytes)
+    assert(img.isDefined, "decode returned None")
+    (img.get.width, img.get.height, img.get.pixels)
+  }
+
+  test("literal-only VP8L round-trips bit-exact") {
+    val (w, h) = (7, 5)
+    val px = testImage(w, h, 3)
+    val (gw, gh, got) = decodePixels(encode(w, h, litsOf(px.toSeq)))
+    assert((gw, gh) === (w, h))
+    assert(got === rgbaOf(px))
+  }
+
+  test("1x1 and single-color images (trivial 0-bit codes) decode") {
+    val one = encode(1, 1, Seq(Lit(0xFF102030)))
+    assert(decodePixels(one)._3 === rgbaOf(Array(0xFF102030)))
+    val flat = Array.fill(6 * 4)(0xFFABCDEF)
+    val (_, _, got) = decodePixels(encode(6, 4, litsOf(flat.toSeq)))
+    assert(got === rgbaOf(flat))
+  }
+
+  test("color cache hits round-trip") {
+    val ccBits = 4
+    val palette = Array(0xFF112233, 0xFF445566, 0x80778899)
+    val px = Array.tabulate(8 * 3)(i => palette(i % palette.length))
+    // Re-run the decoder's cache protocol to plan hits.
+    val cache = new Array[Int](1 << ccBits)
+    val seen = new Array[Boolean](1 << ccBits)
+    def slot(p: Int) = (0x1e35a7bd * p) >>> (32 - ccBits)
+    val ops = px.map { p =>
+      val s = slot(p)
+      val op = if (seen(s) && cache(s) == p) CacheRef(s) else Lit(p)
+      cache(s) = p
+      seen(s) = true
+      op
+    }.toSeq
+    assert(ops.count(_.isInstanceOf[CacheRef]) > px.length / 2,
+      "fixture must actually exercise the cache")
+    val (_, _, got) = decodePixels(encode(8, 3, ops, ccBits = ccBits))
+    assert(got === rgbaOf(px))
+  }
+
+  test("LZ77 backward references through the 2D distance map round-trip") {
+    val (w, h) = (9, 6)
+    val row = testImage(w, 1, 11)
+    val px = Array.tabulate(w * h)(i => row(i % w))
+    // First row literal, the rest ONE overlapping copy at distance w
+    // spelled via distance code 1 = (dx 0, dy 1) in the neighborhood
+    // map — exercising both the map and overlapping-copy semantics.
+    val ops = litsOf(row.toSeq) :+ Copy(w * (h - 1), 1)
+    val (_, _, got) = decodePixels(encode(w, h, ops))
+    assert(got === rgbaOf(px))
+    // The same stream with the literal spelling (code = dist + 120)
+    // must decode identically.
+    val ops2 = litsOf(row.toSeq) :+ Copy(w * (h - 1), w + 120)
+    assert(decodePixels(encode(w, h, ops2))._3 === rgbaOf(px))
+  }
+
+  test("subtract-green transform inverts") {
+    val (w, h) = (6, 4)
+    val px = testImage(w, h, 17)
+    val fwd = px.map { p =>
+      val g = (p >>> 8) & 0xFF
+      val r = (((p >>> 16) & 0xFF) - g) & 0xFF
+      val b = ((p & 0xFF) - g) & 0xFF
+      (p & 0xFF00FF00) | (r << 16) | b
+    }
+    val bytes = encode(w, h, litsOf(fwd.toSeq), transforms = { bw =>
+      bw.writeBits(1, 1)
+      bw.writeBits(2, 2) // subtract green
+    })
+    assert(decodePixels(bytes)._3 === rgbaOf(px))
+  }
+
+  test("predictor transform (uniform left mode) inverts, edges included") {
+    val (w, h) = (10, 5)
+    val px = testImage(w, h, 23)
+    def sub(a: Int, b: Int): Int = { // per-channel a - b mod 256
+      var out = 0
+      var sh = 0
+      while (sh < 32) {
+        out |= ((((a >>> sh) & 0xFF) - ((b >>> sh) & 0xFF)) & 0xFF) << sh
+        sh += 8
+      }
+      out
+    }
+    val bits = 4 // one 16-px tile covers the whole image
+    val res = Array.tabulate(w * h) { pos =>
+      val x = pos % w
+      val y = pos / w
+      val pred =
+        if (x == 0 && y == 0) 0xFF000000
+        else if (y == 0) px(pos - 1)
+        else if (x == 0) px(pos - w)
+        else px(pos - 1) // mode 1 = left
+      sub(px(pos), pred)
+    }
+    val bytes = encode(w, h, litsOf(res.toSeq), transforms = { bw =>
+      bw.writeBits(1, 1)
+      bw.writeBits(0, 2) // predictor
+      bw.writeBits(bits - 2, 3)
+      // 1x1 subimage holding mode 1 in the green byte.
+      writeImageStream(bw, Seq(Lit(0xFF000100)), level0 = false)
+    })
+    assert(decodePixels(bytes)._3 === rgbaOf(px))
+  }
+
+  test("color transform (fixed multipliers) inverts") {
+    val (w, h) = (8, 4)
+    val px = testImage(w, h, 29)
+    val (g2r, g2b, r2b) = (16, 8, 4)
+    def delta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+    val fwd = px.map { p =>
+      val g = (p >>> 8) & 0xFF
+      val r = (p >>> 16) & 0xFF
+      val b = p & 0xFF
+      val nr = (r - delta(g2r, g)) & 0xFF
+      val nb = (b - delta(g2b, g) - delta(r2b, r)) & 0xFF
+      (p & 0xFF00FF00) | (nr << 16) | nb
+    }
+    val bits = 4
+    val cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+    val bytes = encode(w, h, litsOf(fwd.toSeq), transforms = { bw =>
+      bw.writeBits(1, 1)
+      bw.writeBits(1, 2) // color transform
+      bw.writeBits(bits - 2, 3)
+      writeImageStream(bw, Seq(Lit(cte)), level0 = false)
+    })
+    assert(decodePixels(bytes)._3 === rgbaOf(px))
+  }
+
+  test("color-indexing transform with pixel packing inverts") {
+    val (w, h) = (11, 3) // 4 colors -> 2-bit indices, 4 per byte
+    val palette = Array(0xFF000000, 0xFF00FF00, 0x80FF0000, 0xFF0000FF)
+    val idx = Array.tabulate(w * h)(i => (i * 7 + i / w) % palette.length)
+    val px = idx.map(palette(_))
+    val widthBits = 2
+    val perByte = 1 << widthBits
+    val packedW = (w + perByte - 1) / perByte
+    val packed = Array.tabulate(packedW * h) { pp =>
+      val y = pp / packedW
+      val xb = pp % packedW
+      var green = 0
+      (0 until perByte).foreach { k =>
+        val x = xb * perByte + k
+        if (x < w) green |= idx(y * w + x) << (k * 2)
+      }
+      0xFF000000 | (green << 8)
+    }
+    // Palette rides the stream as component deltas (per-channel mod
+    // 256 — a packed subtract would let borrows cross lanes).
+    def subPx(a: Int, b: Int): Int = {
+      var out = 0
+      var sh = 0
+      while (sh < 32) {
+        out |= ((((a >>> sh) & 0xFF) - ((b >>> sh) & 0xFF)) & 0xFF) << sh
+        sh += 8
+      }
+      out
+    }
+    val deltas = palette.zipWithIndex.map { case (p, i) =>
+      if (i == 0) p else subPx(p, palette(i - 1))
+    }
+    // Header carries the ORIGINAL width; the decoder derives the packed
+    // width from the transform, so the main stream holds packedW*h ops.
+    val bytes = encode(w, h, litsOf(packed.toSeq), transforms = { bw =>
+      bw.writeBits(1, 1)
+      bw.writeBits(3, 2) // color indexing
+      bw.writeBits(palette.length - 1, 8)
+      writeImageStream(bw, litsOf(deltas.toSeq), level0 = false)
+    })
+    val (gw, gh, got) = decodePixels(bytes)
+    assert((gw, gh) === (w, h))
+    assert(got === rgbaOf(px))
+  }
+
+  test("truncated and oversized streams are dropped, not crashed on") {
+    val good = encode(7, 5, litsOf(testImage(7, 5, 3).toSeq))
+    (1 until good.length by 7).foreach { cut =>
+      Multimodal.decodeWebpLossless(good.take(cut)) // must not throw
+    }
+    // A header declaring 16384x16384 must be refused BEFORE allocation.
+    val bomb = {
+      val bw = new BitW
+      bw.writeBits(16383, 14)
+      bw.writeBits(16383, 14)
+      bw.writeBits(0, 1)
+      bw.writeBits(0, 3)
+      riff(0x2F.toByte +: bw.bytes)
+    }
+    assert(Multimodal.decodeWebpLossless(bomb).isEmpty)
+  }
+}
