@@ -498,6 +498,43 @@ object Events {
               * (col("us") - col("pu")) / (col("nu") - col("pu"))),
             6).as("value_interp"))
         .orderBy("user_id", "grid_us")
+    },
+
+    // 7-day rolling distinct active users per day — the retention
+    // dashboard's DAU/WAU primitive. Rolling COUNT(DISTINCT) cannot ride
+    // a window frame (distincts don't merge), so both engines spell the
+    // scale-correct expansion: distinct (day, user) presence pairs (one
+    // shuffle, |days|x|users| keys max), each pair EXPLODED into the <=7
+    // window-days it contributes to, then one distinct-count per window
+    // day. Work is 7x the presence-pair count — independent of raw event
+    // volume, the property that matters at 100 TB. Day identity is an
+    // epoch-day BIGINT (§2.13: no raw timestamps in output); the
+    // singleton max-day frame rides a declared broadcast (allowlisted in
+    // PlanShapeSpec's product-join sweep).
+    q("q_ev_rolling_dau",
+      """WITH du AS (SELECT DISTINCT
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d, user_id
+        |  FROM events),
+        |b AS (SELECT max(d) AS hi FROM du),
+        |x AS (SELECT du.d + i.i AS day_no, du.user_id
+        |      FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i)
+        |SELECT day_no, CAST(count(DISTINCT user_id) AS BIGINT) AS dau7
+        |FROM x WHERE day_no <= (SELECT hi FROM b)
+        |GROUP BY day_no
+        |ORDER BY day_no""") { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+          .as("d"), col("user_id"))
+        .distinct()
+      val hi = du.agg(max("d").as("hi"))
+      du.select(col("d"), col("user_id"),
+          explode(sequence(lit(0L), lit(6L))).as("i"))
+        .select((col("d") + col("i")).as("day_no"), col("user_id"))
+        .crossJoin(broadcast(hi))
+        .filter(col("day_no") <= col("hi"))
+        .groupBy("day_no")
+        .agg(countDistinct("user_id").as("dau7"))
+        .orderBy("day_no")
     }
   )
 }

@@ -341,6 +341,40 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Weighted median (quantity weighted by extendedprice) per group:
+    // one window pass over the group's natural sort — cumulative weight
+    // vs half the total, smallest value at the crossing. Deterministic
+    // under ties: within a run of equal values the LAST row always
+    // carries the full run's cumulative weight, so the crossing VALUE
+    // is order-independent even though intra-run cumsums are not; the
+    // crossing comparison sits ~1e3 weight units away from any float
+    // summation jitter (~1e-6). At 100 TB this is the same shape as
+    // any per-group window: one hash shuffle on the group key.
+    q("q_agg_wmedian",
+      """WITH c AS (SELECT l_returnflag AS flag, l_quantity AS v,
+        |  sum(l_extendedprice) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(l_extendedprice) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM lineitem)
+        |SELECT flag, round(min(v), 2) AS wmedian
+        |FROM c WHERE cw >= tw / 2
+        |GROUP BY flag
+        |ORDER BY flag""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wc = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_quantity").as("v"),
+          sum("l_extendedprice").over(wc).as("cw"),
+          sum("l_extendedprice").over(wt).as("tw"))
+        .filter(col("cw") >= col("tw") / 2)
+        .groupBy("flag")
+        .agg(round(min("v"), 2).as("wmedian"))
+        .orderBy("flag")
+    },
+
     // Fixed-width histogram per group: one hash aggregation whose key
     // count is bounded by (value range / bin width) x groups — never by
     // row count — so the result stays small at any scale.

@@ -612,6 +612,45 @@ object TextSim {
         .limit(50)
     },
 
+    // Zipf fit per language — the corpus-health check a curation
+    // pipeline runs after every major filter: rank the top-100 terms by
+    // frequency and fit ln(freq) ~ ln(rank); a healthy natural-language
+    // slice sits near slope -1, while boilerplate/template floods
+    // flatten the curve. One (lang, word) hash aggregation (the same
+    // shuffle shape as tf-idf's df stage), a per-lang top-100 window on
+    // the tiny term table, then a 100-point regression per lang —
+    // output rows = |langs|, independent of corpus size. Rank ties
+    // break on the word for cross-engine determinism.
+    q("q_text_zipf",
+      """WITH tok AS (SELECT lang, unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS w
+        |             FROM documents),
+        |tc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+        |       FROM tok GROUP BY lang, w),
+        |rk AS (SELECT lang, n,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n DESC, w) AS r
+        |       FROM tc)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(regr_slope(ln(n), ln(r)), 6) AS zipf_slope,
+        |  round(regr_r2(ln(n), ln(r)), 6) AS zipf_r2
+        |FROM rk WHERE r <= 100
+        |GROUP BY lang
+        |ORDER BY lang""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tc = Tables.documents(s, d)
+        .select(col("lang"), explode(words).as("w"))
+        .groupBy("lang", "w")
+        .agg(count(lit(1)).as("n"))
+      val rk = tc.withColumn("r", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("w"))))
+      rk.filter(col("r") <= 100)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_terms"),
+          round(regr_slope(log(col("n")), log(col("r"))), 6).as("zipf_slope"),
+          round(regr_r2(log(col("n")), log(col("r"))), 6).as("zipf_r2"))
+        .orderBy("lang")
+    },
+
     q("q_text_stats",
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

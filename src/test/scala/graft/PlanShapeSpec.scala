@@ -182,7 +182,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val declared = Set(
       "q_dedup_cosine", "q_sim_cosine_knn", "q_sim_threshold",
       "q_join_cross", "q_join_selfpair", "q_join_theta",
-      "q_ev_resample", "q_ev_interp", "q_mix_weights", "q_text_bm25",
+      "q_ev_resample", "q_ev_interp", "q_ev_rolling_dau",
+      "q_mix_weights", "q_text_bm25",
       "q_text_tfidf",
       "q_text_unigram_nll", "q_text_pmi",
       "q_sim_ann_ivf", "q_sim_ann_ivfpq")
