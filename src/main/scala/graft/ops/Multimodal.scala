@@ -13,13 +13,14 @@ import scala.util.hashing.MurmurHash3
   * baseline + progressive JPEG (canonical Huffman + dequant +
   * reference IDCT + sampling-factor-driven chroma upsample), and
   * WebP lossless / VP8L (canonical prefix codes, color cache, LZ77
-  * over the 2D distance map, all four inverse transforms) are REAL
-  * pure-JVM parsers — header fields decoded from the bytes, pixel and
-  * sample payloads located/decompressed and featurized. Formats that
-  * need codecs this container doesn't ship (MP4, lossy VP8, GIF,
-  * TIFF, ...) fall back to a clearly-marked deterministic fake
-  * derived from the content bytes, so the pipeline shape stays
-  * exercised end-to-end for every file. Everything around the kernels is real and tested
+  * over the 2D distance map, all four inverse transforms), and GIF
+  * (LZW, interlacing, palettes, multi-frame animation compositing
+  * with disposal) are REAL pure-JVM parsers — header fields decoded
+  * from the bytes, pixel and sample payloads located/decompressed and
+  * featurized. Formats that need codecs this container doesn't ship
+  * (MP4, lossy VP8, TIFF, ...) fall back to a clearly-marked
+  * deterministic fake derived from the content bytes, so the pipeline
+  * shape stays exercised end-to-end for every file. Everything around the kernels is real and tested
   * (MultimodalSpec): the binaryFile source schema, the typed Dataset
   * plumbing, the per-partition batch iterator shape (mapPartitions —
   * the JVM analogue of mapInPandas: one iterator per batch, amortizing
@@ -1560,6 +1561,303 @@ object Multimodal {
     }
   }
 
+  // ---- GIF (real decode: LZW + palettes + interlace + animation
+  // compositing, per the public GIF89a specification) -------------------
+
+  private def isGif(c: Array[Byte]): Boolean =
+    c.length >= 13 && c(0) == 'G' && c(1) == 'I' && c(2) == 'F' &&
+      c(3) == '8' && (c(4) == '7' || c(4) == '9') && c(5) == 'a'
+
+  /** One composited animation frame: the FULL logical-screen canvas as
+    * it would be displayed, plus its delay. */
+  final case class GifFrame(delayMs: Long, pixels: Array[Byte])
+
+  /** A decoded GIF: logical-screen dims and the composited frames
+    * (RGB, 3 channels, row-major — the [[PngImage]] pixel layout). */
+  final case class GifAnim(width: Int, height: Int, frames: Seq[GifFrame])
+
+  /** Same bomb discipline as PNG/WebP: refuse to composite more than
+    * this many canvas pixels x frames before decoding any of them. */
+  private val MaxGifPixels = 16L << 20
+
+  /** GIF LZW decompression: variable-width codes (LSB-first) from the
+    * concatenated data sub-blocks, dictionary of (prefix, suffix)
+    * links capped at 4096 entries, clear/EOI handling. Returns exactly
+    * `n` palette indices. */
+  private def gifLzw(c: Array[Byte], startOff: Int, minCode: Int,
+      n: Int): (Array[Byte], Int) = {
+    require(minCode >= 2 && minCode <= 8, "bad LZW min code size")
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](n)
+    var outPos = 0
+    var codeSize = minCode + 1
+    var next = eoi + 1
+    var prev = -1
+    // Bit reader over sub-blocks: (blockRemaining, byte offset).
+    var off = startOff
+    var blockLeft = 0
+    var acc = 0L
+    var accBits = 0
+    def feed(): Unit = {
+      while (accBits < codeSize) {
+        if (blockLeft == 0) {
+          blockLeft = c(off) & 0xFF
+          off += 1
+          if (blockLeft == 0) throw new IllegalArgumentException("LZW underrun")
+        }
+        acc |= (c(off) & 0xFFL) << accBits
+        accBits += 8
+        off += 1
+        blockLeft -= 1
+      }
+    }
+    var done = false
+    while (!done && outPos < n) {
+      feed()
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>>= codeSize
+      accBits -= codeSize
+      if (code == clear) {
+        codeSize = minCode + 1
+        next = eoi + 1
+        prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        if (code > next || (code == next && prev < 0))
+          throw new IllegalArgumentException("bad LZW code")
+        var sp = 0
+        var cur = code
+        var firstByte = 0.toByte
+        if (code == next) {
+          // The KwKwK case: code not yet in the dictionary.
+          cur = prev
+          stack(sp) = 0 // placeholder, patched after walking prev's chain
+          sp += 1
+        }
+        while (cur >= clear + 2) { // walk the chain to the root
+          stack(sp) = suffix(cur)
+          sp += 1
+          cur = prefix(cur)
+        }
+        firstByte = cur.toByte // root codes are literal palette indices
+        stack(sp) = firstByte
+        sp += 1
+        if (code == next) stack(0) = firstByte // patch the KwKwK suffix
+        // Emit in reverse (chain walks tail-first).
+        while (sp > 0 && outPos < n) {
+          sp -= 1
+          out(outPos) = stack(sp)
+          outPos += 1
+        }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev
+          suffix(next) = firstByte
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    // Skip to the block terminator so the caller can continue walking.
+    while (blockLeft > 0) { off += blockLeft; blockLeft = 0 }
+    while ((c(off) & 0xFF) != 0) off += 1 + (c(off) & 0xFF)
+    (out, off + 1)
+  }
+
+  /** De-interlace: GIF's four passes (rows 0,8.. / 4,8.. / 2,4.. /
+    * 1,2..) back to sequential order. */
+  private def gifDeinterlace(idx: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](idx.length)
+    var src = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < h) {
+        System.arraycopy(idx, src * w, out, y * w, w)
+        src += 1
+        y += step
+      }
+    }
+    out
+  }
+
+  /** REAL pure-JVM GIF decode: logical-screen descriptor, global/local
+    * color tables, LZW image data, interlacing, and ANIMATION
+    * COMPOSITING — each frame is drawn at its (left, top) offset onto
+    * the persistent canvas, honoring transparency and disposal methods
+    * 0/1 (leave) and 2 (restore background). Disposal 3 (restore
+    * previous) is rare and treated as leave — a documented
+    * approximation, not a crash. Returns the composited full-canvas
+    * frames with their delays. */
+  def decodeGif(c: Array[Byte]): Option[GifAnim] = try {
+    if (!isGif(c)) return None
+    val w = le16(c, 6)
+    val h = le16(c, 8)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxGifPixels) return None
+    val packed = c(10) & 0xFF
+    val hasGct = (packed & 0x80) != 0
+    val gctSize = 2 << (packed & 7)
+    val bgIndex = c(11) & 0xFF
+    var off = 13
+    val gct = if (hasGct) { val t = (off, gctSize); off += 3 * gctSize; Some(t) }
+      else None
+    def colorOf(table: (Int, Int), idx: Int): (Byte, Byte, Byte) = {
+      val (tOff, tSize) = table
+      if (idx >= tSize) (0, 0, 0)
+      else (c(tOff + idx * 3), c(tOff + idx * 3 + 1), c(tOff + idx * 3 + 2))
+    }
+    val canvas = new Array[Byte](w * h * 3)
+    // Background fill: the bg color if a GCT exists, else black.
+    gct.foreach { t =>
+      val (r, g, b) = colorOf(t, bgIndex)
+      var i = 0
+      while (i < w * h) {
+        canvas(i * 3) = r; canvas(i * 3 + 1) = g; canvas(i * 3 + 2) = b
+        i += 1
+      }
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
+    var delayMs = 0L
+    var transparent = -1
+    var disposal = 0
+    var done = false
+    while (!done && off < c.length) {
+      (c(off) & 0xFF) match {
+        case 0x3B => done = true // trailer
+        case 0x21 => // extension: GCE carries delay/transparency/disposal
+          val label = c(off + 1) & 0xFF
+          off += 2
+          if (label == 0xF9 && (c(off) & 0xFF) >= 4) {
+            val p = c(off + 1) & 0xFF
+            disposal = (p >> 2) & 7
+            delayMs = le16(c, off + 2) * 10L
+            transparent = if ((p & 1) != 0) c(off + 4) & 0xFF else -1
+          }
+          while ((c(off) & 0xFF) != 0) off += 1 + (c(off) & 0xFF)
+          off += 1
+        case 0x2C => // image descriptor
+          if (frames.length.toLong * w * h > MaxGifPixels) return None
+          val left = le16(c, off + 1)
+          val top = le16(c, off + 3)
+          val fw = le16(c, off + 5)
+          val fh = le16(c, off + 7)
+          val fPacked = c(off + 9) & 0xFF
+          off += 10
+          val lct = if ((fPacked & 0x80) != 0) {
+            val t = (off, 2 << (fPacked & 7)); off += 3 * t._2; Some(t)
+          } else None
+          val table = lct.orElse(gct).getOrElse(return None)
+          if (fw <= 0 || fh <= 0 || left + fw > w || top + fh > h) return None
+          val minCode = c(off) & 0xFF
+          val (idx0, nextOff) = gifLzw(c, off + 1, minCode, fw * fh)
+          off = nextOff
+          val idx = if ((fPacked & 0x40) != 0) gifDeinterlace(idx0, fw, fh)
+            else idx0
+          // Composite onto the canvas at (left, top).
+          var y = 0
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              val pi = idx(y * fw + x) & 0xFF
+              if (pi != transparent) {
+                val (r, g, b) = colorOf(table, pi)
+                val dst = ((top + y) * w + (left + x)) * 3
+                canvas(dst) = r; canvas(dst + 1) = g; canvas(dst + 2) = b
+              }
+              x += 1
+            }
+            y += 1
+          }
+          frames += GifFrame(delayMs, canvas.clone())
+          // Disposal AFTER snapshot: 2 restores the frame RECT to bg.
+          if (disposal == 2) {
+            val (r, g, b) = gct.map(colorOf(_, bgIndex)).getOrElse(
+              (0.toByte, 0.toByte, 0.toByte))
+            var yy = 0
+            while (yy < fh) {
+              var xx = 0
+              while (xx < fw) {
+                val dst = ((top + yy) * w + (left + xx)) * 3
+                canvas(dst) = r; canvas(dst + 1) = g; canvas(dst + 2) = b
+                xx += 1
+              }
+              yy += 1
+            }
+          }
+          delayMs = 0L; transparent = -1; disposal = 0
+        case _ => return None // unknown block: structure lost, drop
+      }
+    }
+    if (frames.isEmpty) None else Some(GifAnim(w, h, frames.toSeq))
+  } catch {
+    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException =>
+      None // corrupt/truncated/hostile input: drop, don't crash
+  }
+
+  /** Header-only GIF metadata (no LZW decode — cheap-metadata
+    * contract): logical-screen dims, frame count and total animation
+    * duration from a block walk that SKIPS image payloads. */
+  private def gifMeta(path: String, c: Array[Byte]): MediaMeta = {
+    var nFrames = 0
+    var totalMs = 0L
+    try {
+      var off = 13 + (if ((c(10) & 0x80) != 0) 3 * (2 << (c(10) & 7)) else 0)
+      var done = false
+      while (!done && off < c.length) {
+        (c(off) & 0xFF) match {
+          case 0x3B => done = true
+          case 0x21 =>
+            if ((c(off + 1) & 0xFF) == 0xF9 && (c(off + 2) & 0xFF) >= 4)
+              totalMs += le16(c, off + 4) * 10L
+            off += 2
+            while ((c(off) & 0xFF) != 0) off += 1 + (c(off) & 0xFF)
+            off += 1
+          case 0x2C =>
+            nFrames += 1
+            val fPacked = c(off + 9) & 0xFF
+            off += 10 +
+              (if ((fPacked & 0x80) != 0) 3 * (2 << (fPacked & 7)) else 0) + 1
+            while ((c(off) & 0xFF) != 0) off += 1 + (c(off) & 0xFF)
+            off += 1
+          case _ => done = true
+        }
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => () }
+    MediaMeta(path, c.length, "gif", width = le16(c, 6), height = le16(c, 8),
+      channels = 3, duration_ms = if (nFrames > 1) totalMs else 0L)
+  }
+
+  /** GIF -> per-frame 24-bpp BMP fan-out: one MediaFile PER COMPOSITED
+    * FRAME (path suffixed `#frame<i>`), making the frame-sample verb
+    * REAL for animated media — each emitted frame flows through the
+    * whole BMP pipeline (meta, resize, histogram embed) unchanged.
+    * `everyMs` samples the animation timeline (0 = every frame). */
+  def gifFramesAsBmp(ds: Dataset[MediaFile], everyMs: Long = 0L): Dataset[MediaFile] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
+    ds.mapPartitions { files =>
+      files.flatMap { f =>
+        if (!isGif(f.content)) Iterator.empty
+        else decodeGif(f.content).iterator.flatMap { anim =>
+          var nextSample = 0L
+          var clock = 0L
+          anim.frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
+            val take = everyMs <= 0 || clock >= nextSample
+            if (take && everyMs > 0) nextSample += everyMs
+            clock += math.max(fr.delayMs, 1L)
+            if (!take) None
+            else pixelsAsBmp(s"${f.path}#frame$i", anim.width, anim.height,
+              3, fr.pixels)
+          }
+        }
+      }
+    }
+  }
+
   /** The decoded payload region: BMP pixel array (from the data-offset
     * header field) or WAV PCM data chunk; None for fallback formats. */
   private def payloadRegion(c: Array[Byte]): Option[(Int, Int)] =
@@ -1612,6 +1910,7 @@ object Multimodal {
         else if (isPng(f.content)) pngMeta(f.path, f.content)
         else if (isJpeg(f.content)) jpegMeta(f.path, f.content)
         else if (isWebp(f.content)) webpMeta(f.path, f.content)
+        else if (isGif(f.content)) gifMeta(f.path, f.content)
         else {
           // FALLBACK STUB — deterministic fake for codec-less formats.
           val h = MurmurHash3.bytesHash(f.content, seed = 42)
@@ -1641,6 +1940,8 @@ object Multimodal {
           else if (isJpeg(f.content)) decodeJpeg(f.content).map(_.pixels)
           else if (isWebpLossless(f.content))
             decodeWebpLossless(f.content).map(_.pixels)
+          else if (isGif(f.content))
+            decodeGif(f.content).map(_.frames.head.pixels)
           else None
         val vec = decodedPixels match {
           // PNG/JPEG: histogram over the DECODED pixel bytes — the
