@@ -612,6 +612,43 @@ object TextSim {
         .limit(50)
     },
 
+    // Sequence packing (concatenate-and-chop) — the step that turns a
+    // curated corpus into fixed-budget training sequences: documents
+    // are concatenated in a deterministic order per language shard and
+    // chopped every 512 tokens, so each doc lands at sequence
+    // floor(prior_tokens / 512), spanning one or more sequences. One
+    // window pass over the shard's (doc_id) order — the exclusive
+    // prefix-sum is the whole computation, so packing a 100 TB corpus
+    // is one range-partitioned cumsum per shard, no driver loop.
+    // Zero-token docs still occupy a row (n_seqs 1) so corpus
+    // accounting stays exact.
+    q("q_text_pack",
+      """WITH tc AS (SELECT lang, doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, n,
+        |  COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM tc)
+        |SELECT lang, doc_id, n AS n_tokens,
+        |  cb // 512 AS seq_id,
+        |  (cb + greatest(n, 1) - 1) // 512 - cb // 512 + 1 AS n_seqs
+        |FROM c
+        |ORDER BY lang, doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(words).cast("long").as("n"))
+        .withColumn("cb", coalesce(sum("n").over(w), lit(0L)))
+        .select(col("lang"), col("doc_id"), col("n").as("n_tokens"),
+          expr("cb div 512").as("seq_id"),
+          (expr("(cb + greatest(n, 1) - 1) div 512")
+            - expr("cb div 512") + 1).as("n_seqs"))
+        .orderBy("lang", "doc_id")
+    },
+
     // Zipf fit per language — the corpus-health check a curation
     // pipeline runs after every major filter: rank the top-100 terms by
     // frequency and fit ln(freq) ~ ln(rank); a healthy natural-language
