@@ -934,6 +934,55 @@ object TextSim {
         .orderBy("doc_id")
     },
 
+    // Perplexity bucketing (CCNet, Wenzek et al. 2020): per language,
+    // docs split into head/middle/tail TERTILES of their per-doc
+    // unigram NLL — the curation step that keeps "head" (fluent) text
+    // and drops or downweights "tail" (garbled) text per language
+    // rather than with one global threshold that would gut low-resource
+    // langs. Reuses q_text_unigram_nll's per-doc score (rounded at 6,
+    // already hash-proven cross-engine) as the ntile input, ordered
+    // (nll, doc_id) for total determinism; bucket stats are count +
+    // min/max of the rounded scores, all order-insensitive. The ntile
+    // needs a per-lang sort — exact-by-contract here; at 100 TB the
+    // same cut points come from approx_percentile over a per-lang
+    // sample (CCNet itself thresholds on a held-out-sample fit), so
+    // the full sort is never the scale story.
+    q("q_text_ppl_bucket",
+      """WITH tok AS (SELECT doc_id, lang, unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
+        |            FROM documents),
+        |f AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+        |      FROM tok GROUP BY word),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f),
+        |nll AS (SELECT doc_id, lang,
+        |          round(avg(-log2(CAST(n AS DOUBLE) / total)), 6) AS nll
+        |        FROM tok JOIN f USING (word) CROSS JOIN t
+        |        GROUP BY doc_id, lang),
+        |b AS (SELECT lang, nll,
+        |        ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id)
+        |          AS bucket
+        |      FROM nll)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(nll) AS min_nll, max(nll) AS max_nll
+        |FROM b GROUP BY lang, bucket
+        |ORDER BY lang, bucket""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(words).as("word"))
+      val f = tok.groupBy("word").agg(count(lit(1)).as("n"))
+      val t = f.agg(sum("n").as("total"))
+      val nll = tok.join(f, "word")
+        .crossJoin(broadcast(t))
+        .groupBy("doc_id", "lang")
+        .agg(round(avg(-log2(col("n").cast("double") / col("total"))), 6)
+          .as("nll"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+      nll.withColumn("bucket", ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("nll").as("min_nll"), max("nll").as("max_nll"))
+        .orderBy("lang", "bucket")
+    },
+
     // Bigram-LM quality scoring — the sequel to q_text_unigram_nll:
     // mean -log2 P(w2 | w1) under the corpus MLE (count(w1 w2) /
     // count(w1-as-predecessor)). Catches what unigram NLL can't —
@@ -1106,6 +1155,40 @@ object TextSim {
         .orderBy("source")
     },
 
+    // Temperature-scaled language mixing — the multilingual-training
+    // standard (exponential smoothing with alpha = 0.3, the
+    // mBERT/XLM-R recipe): w_l proportional to p_l^alpha, which
+    // upsamples tail languages relative to their raw token share so a
+    // dominant language can't starve the rest. Companion to
+    // q_mix_weights' raw proportional split. Two tiny aggregates
+    // (per-lang token counts, then the normalizer over |langs| rows —
+    // broadcast both); the only corpus-scale work is the one token
+    // count, a narrow map + lang groupBy at any size.
+    q("q_mix_temperature",
+      """WITH t AS (SELECT lang,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM t),
+        |p AS (SELECT lang, n_tokens, n_tokens / total AS p
+        |      FROM t CROSS JOIN tot),
+        |z AS (SELECT sum(pow(p, 0.3)) AS z FROM p)
+        |SELECT lang, n_tokens, round(p, 6) AS p,
+        |  round(pow(p, 0.3) / z, 6) AS w
+        |FROM p CROSS JOIN z
+        |ORDER BY lang""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(words)).as("n_tokens"))
+      val p = t.crossJoin(broadcast(t.agg(
+          sum("n_tokens").cast("double").as("total"))))
+        .select(col("lang"), col("n_tokens"),
+          (col("n_tokens") / col("total")).as("p"))
+      p.crossJoin(broadcast(p.agg(sum(pow(col("p"), 0.3)).as("z"))))
+        .select(col("lang"), col("n_tokens"), round(col("p"), 6).as("p"),
+          round(pow(col("p"), 0.3) / col("z"), 6).as("w"))
+        .orderBy("lang")
+    },
+
     // PII redaction — the scrub step every training pipeline runs
     // before anything else: emails, IPv4s, SSN-shaped and card-shaped
     // digit runs replaced by a sentinel, with the hit count per doc.
@@ -1218,6 +1301,54 @@ object TextSim {
           count(lit(1)).as("n_occ"))
         .filter(col("n_docs") >= 2)
         .orderBy("chunk")
+    },
+
+    // EXACT-SUBSTRING dedup, the rolling-window spelling: every k-token
+    // window (k=8 here; the published recipe uses 50-grams on crawl
+    // text — Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better") is hashed, and a window whose text
+    // occurs more than once ANYWHERE in the corpus (another doc or a
+    // repeat inside the same doc) marks its instance as duplicated.
+    // Output is the per-doc duplicated-window fraction — the signal
+    // that recipe thresholds on before cutting spans. The paper builds
+    // a corpus suffix array; distributed, the same detection is a
+    // window-hash groupBy: O(total tokens) window instances, one
+    // exchange on the 64-bit window hash (count and instances shuffle
+    // on the SAME key, so the count join is co-partitioned), then one
+    // doc_id agg. No suffix array, no quadratic stage, no driver state
+    // — the shape survives 100 TB unchanged. Window text never reaches
+    // the output, so Spark shuffles xxhash64 keys (q_dedup_chunks'
+    // argument; the oracle groups the strings themselves). Docs
+    // shorter than k tokens have no windows and drop on both sides.
+    q("q_dedup_substring",
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |wn AS (SELECT doc_id,
+        |         unnest([array_to_string(ws[i:i+7], ' ')
+        |           for i in range(1, greatest(len(ws) - 7, 0) + 1)]) AS win
+        |       FROM w),
+        |c AS (SELECT win, count(*) AS c FROM wn GROUP BY win)
+        |SELECT wn.doc_id, CAST(count(*) AS BIGINT) AS n_win,
+        |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) / count(*), 6)
+        |    AS dup_frac
+        |FROM wn JOIN c USING (win)
+        |GROUP BY wn.doc_id
+        |ORDER BY doc_id""") { (s, d) =>
+      val k = 8
+      val win = Tables.documents(s, d)
+        .select(col("doc_id"), normTokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= k)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ws) - ${k - 1})," +
+            s" i -> xxhash64(array_join(slice(ws, i, $k), ' ')))")).as("wh"))
+      val c = win.groupBy("wh").agg(count(lit(1)).as("c"))
+      win.join(c, "wh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_win"),
+          sum(when(col("c") > 1, 1).otherwise(0)).as("n_dup"))
+        .withColumn("dup_frac", round(col("n_dup") / col("n_win"), 6))
+        .orderBy("doc_id")
     },
 
     // ---- deduplication ---------------------------------------------------
