@@ -535,6 +535,42 @@ object Events {
         .groupBy("day_no")
         .agg(countDistinct("user_id").as("dau7"))
         .orderBy("day_no")
+    },
+
+    // Per-user exponentially-weighted moving average (alpha = 0.25) of
+    // the value stream — the smoothed-baseline primitive behind rate
+    // alerting and drift detection. EWMA's recurrence has no
+    // window-frame spelling (each step multiplies the whole prefix), so
+    // both engines fold the user's time-ordered values left-to-right:
+    // Spark `aggregate` over a sorted collect_list of (ts, event_id,
+    // value) structs (event_id tie-break makes the order total), DuckDB
+    // `list_reduce` over `list(value ORDER BY ts, event_id)` — the
+    // IDENTICAL sequence of IEEE multiply-adds, so the rounded doubles
+    // hash-match. One user_id shuffle; per-user state is that user's
+    // event list (bounded by per-entity activity, the same contract as
+    // q_ev_transitions). The incremental twin is
+    // mapGroupsWithState carrying (ewma, last_ts) — CAP-STREAM-STATE's
+    // exact shape — so the batch spelling here is the backfill path.
+    q("q_ev_ewma",
+      """WITH l AS (SELECT user_id,
+        |         list(value ORDER BY ts, event_id) AS vs
+        |       FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        |  round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+        |    AS ewma
+        |FROM l
+        |ORDER BY user_id""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))).as("evs"))
+        .select(col("user_id"), size(col("evs")).as("n_events"),
+          round(expr(
+            """aggregate(slice(evs, 2, size(evs) - 1),
+              |  element_at(evs, 1).value,
+              |  (acc, e) -> 0.25 * e.value + 0.75 * acc)""".stripMargin),
+            6).as("ewma"))
+        .orderBy("user_id")
     }
   )
 }

@@ -1038,6 +1038,196 @@ object Multimodal {
       duration_ms = if (byteRate > 0) dataLen * 1000L / byteRate else 0L)
   }
 
+  // ---- MP4 / ISO BMFF (REAL header-only metadata; no frame decode) ----
+
+  private def isMp4(c: Array[Byte]): Boolean =
+    c.length >= 12 && tag(c, 4) == "ftyp"
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    ((be32(b, o).toLong & 0xFFFFFFFFL) << 32) |
+      (be32(b, o + 4).toLong & 0xFFFFFFFFL)
+
+  /** REAL ISO-BMFF box walk for MP4 metadata (big-endian sizes, 64-bit
+    * `size==1` escape): `moov/mvhd` gives timescale + duration (v0
+    * 32-bit, v1 64-bit layouts), the first `trak/tkhd` with nonzero
+    * dims gives width/height (16.16 fixed point). HEADER-ONLY by
+    * design — the sample payloads need an H.264/H.265 codec this
+    * container doesn't ship, so decode/embed still take the documented
+    * fallback for MP4; but a 100 TB metadata-plan (duration filters,
+    * resolution buckets, frame-sample scheduling) runs on real numbers
+    * without touching mdat. */
+  private def mp4Meta(path: String, c: Array[Byte]): MediaMeta = {
+    var durMs = 0L
+    var w = 0; var h = 0
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val sz32 = be32(c, off.toInt).toLong & 0xFFFFFFFFL
+        val typ = tag(c, off.toInt + 4)
+        val (sz, hdr) =
+          if (sz32 == 1 && off + 16 <= end) (be64(c, off.toInt + 8), 16)
+          else if (sz32 == 0) (end - off, 8) // box runs to EOF
+          else (sz32, 8)
+        if (sz < hdr || off + sz > end) return // malformed: stop
+        val body = off + hdr
+        typ match {
+          case "moov" | "trak" if depth < 4 => walk(body, off + sz, depth + 1)
+          case "mvhd" if body + 4 <= end =>
+            val v = c(body.toInt) & 0xFF
+            if (v == 0 && body + 20 <= end) {
+              val ts = be32(c, body.toInt + 12).toLong & 0xFFFFFFFFL
+              val dur = be32(c, body.toInt + 16).toLong & 0xFFFFFFFFL
+              if (ts > 0) durMs = dur * 1000L / ts
+            } else if (v == 1 && body + 32 <= end) {
+              val ts = be32(c, body.toInt + 20).toLong & 0xFFFFFFFFL
+              val dur = be64(c, body.toInt + 24)
+              if (ts > 0) durMs = dur * 1000L / ts
+            }
+          case "tkhd" if w == 0 && body + 4 <= end =>
+            val v = c(body.toInt) & 0xFF
+            val wOff = if (v == 1) 88 else 76
+            if (body + wOff + 8 <= end) {
+              val fw = be32(c, (body + wOff).toInt) >>> 16 // 16.16 fixed
+              val fh = be32(c, (body + wOff + 4).toInt) >>> 16
+              if (fw > 0 && fh > 0) { w = fw; h = fh }
+            }
+          case _ => ()
+        }
+        off += sz
+      }
+    }
+    try walk(0L, c.length.toLong, 0)
+    catch { case _: ArrayIndexOutOfBoundsException => () }
+    MediaMeta(path, c.length, "mp4", width = w, height = h,
+      channels = if (w > 0) 3 else 0, duration_ms = durMs)
+  }
+
+  // ---- WAV sample decode (PCM8/16, G.711 u-law/A-law, IMA ADPCM) ------
+
+  /** Decoded audio: sample rate, channel count, interleaved PCM16. */
+  final case class WavAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  /** G.711 mu-law byte -> PCM16, the public decode formula: invert the
+    * byte, split into sign/exponent/mantissa, undo the +33 bias on the
+    * 14-bit magnitude, then scale x4 to the conventional 16-bit range
+    * (max 32124, the standard expansion table's top value). */
+  private def muLawByte(b0: Int): Short = {
+    val b = ~b0 & 0xFF
+    val sign = b & 0x80
+    val exp = (b >> 4) & 7
+    val mant = b & 0x0F
+    val mag = (((((mant << 1) + 33) << exp) - 33) << 2)
+    (if (sign != 0) -mag else mag).toShort
+  }
+
+  /** G.711 A-law byte -> PCM16 (0x55 toggle, segmented companding). */
+  private def aLawByte(b0: Int): Short = {
+    val b = b0 ^ 0x55
+    val sign = b & 0x80
+    val exp = (b >> 4) & 7
+    val mant = b & 0x0F
+    val mag =
+      if (exp == 0) (mant << 4) + 8
+      else ((mant << 4) + 264) << (exp - 1)
+    // A-law sign bit SET means positive (G.711 Table 2 — the opposite
+    // of mu-law's post-inversion reading).
+    (if (sign != 0) mag else -mag).toShort
+  }
+
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** REAL WAV sample decode (the audio twin of the image decoders —
+    * the embed stage previously assumed every WAV was 16-bit PCM):
+    * `fmt ` dispatch on the audio-format tag —
+    *  - 1/PCM: 16-bit LE, or 8-bit unsigned rescaled to 16;
+    *  - 7/mu-law and 6/A-law: per-byte G.711 expansion;
+    *  - 17/IMA ADPCM (mono): per-block decode — 4-byte header seeds
+    *    predictor + step index, then low-nibble-first 4-bit deltas
+    *    through the public step/index tables, clamped.
+    * Anything else (float PCM, MS-ADPCM, stereo ADPCM, ...) returns
+    * None honestly and the caller falls back. Truncated data decodes
+    * to the bytes present (RIFF sizes routinely overrun on streamed
+    * files); a data chunk without fmt drops. */
+  def decodeWav(c: Array[Byte]): Option[WavAudio] = try {
+    if (!isWav(c)) return None
+    var fmt = 0; var nCh = 0; var rate = 0; var bits = 0; var blockAlign = 0
+    var dataOff = -1; var dataLen = 0
+    var off = 12
+    while (off + 8 <= c.length) {
+      val sz = le32(c, off + 4)
+      if (sz < 0) return None
+      tag(c, off) match {
+        case "fmt " if off + 24 <= c.length =>
+          fmt = le16(c, off + 8)
+          nCh = le16(c, off + 10)
+          rate = le32(c, off + 12)
+          blockAlign = le16(c, off + 20)
+          bits = if (off + 24 + 2 <= c.length) le16(c, off + 22) else 0
+        case "data" =>
+          dataOff = off + 8
+          dataLen = math.min(sz.toLong, (c.length - dataOff).toLong).toInt
+        case _ => ()
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    if (dataOff < 0 || nCh <= 0 || rate <= 0) return None
+    val samples: Array[Short] = fmt match {
+      case 1 if bits == 16 =>
+        val n = dataLen / 2
+        Array.tabulate(n)(i => le16(c, dataOff + i * 2).toShort)
+      case 1 if bits == 8 => // unsigned 8-bit, midpoint 128
+        Array.tabulate(dataLen)(i =>
+          (((c(dataOff + i) & 0xFF) - 128) << 8).toShort)
+      case 7 if bits == 8 =>
+        Array.tabulate(dataLen)(i => muLawByte(c(dataOff + i) & 0xFF))
+      case 6 if bits == 8 =>
+        Array.tabulate(dataLen)(i => aLawByte(c(dataOff + i) & 0xFF))
+      case 17 if bits == 4 && nCh == 1 && blockAlign >= 8 =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+        var b = dataOff
+        val end = dataOff + dataLen
+        while (b + 4 <= end) {
+          var pred = le16(c, b).toShort.toInt
+          var idx = math.min(math.max(c(b + 2) & 0xFF, 0), 88)
+          out += pred.toShort // header predictor IS the first sample
+          val nData = math.min(blockAlign - 4, end - (b + 4))
+          var i = 0
+          while (i < nData * 2) {
+            val byte = c(b + 4 + (i >> 1)) & 0xFF
+            val nib = if ((i & 1) == 0) byte & 0x0F else byte >> 4
+            val step = ImaStepTable(idx)
+            var diff = step >> 3
+            if ((nib & 1) != 0) diff += step >> 2
+            if ((nib & 2) != 0) diff += step >> 1
+            if ((nib & 4) != 0) diff += step
+            pred = if ((nib & 8) != 0) pred - diff else pred + diff
+            if (pred > 32767) pred = 32767
+            if (pred < -32768) pred = -32768
+            idx = math.min(math.max(idx + ImaIndexTable(nib), 0), 88)
+            out += pred.toShort
+            i += 1
+          }
+          b += 4 + nData
+        }
+        out.toArray
+      case _ => return None
+    }
+    Some(WavAudio(rate, nCh, samples))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException => None
+  }
+
   // ---- WebP lossless / VP8L (real decode: prefix codes + LZ77 + the
   // four inverse transforms, per the public WebP lossless bitstream
   // spec, RFC 9649) -----------------------------------------------------
@@ -2358,6 +2548,7 @@ object Multimodal {
         else if (isGif(f.content)) gifMeta(f.path, f.content)
         else if (isAvi(f.content)) aviMeta(f.path, f.content)
         else if (isTiff(f.content)) tiffMeta(f.path, f.content)
+        else if (isMp4(f.content)) mp4Meta(f.path, f.content)
         else {
           // FALLBACK STUB — deterministic fake for codec-less formats.
           val h = MurmurHash3.bytesHash(f.content, seed = 42)
@@ -2410,14 +2601,19 @@ object Multimodal {
           case Some((off, len)) if len > 0 =>
             val h = new Array[Double](8)
             if (isWav(f.content)) {
-              var i = off
-              val end = off + len - 1
-              var n = 0
-              while (i < end) { // decode LE int16 samples, bin amplitude
-                val s = (le16(f.content, i).toShort).toInt
-                h((s + 32768) >> 13) += 1.0
-                i += 2
-                n += 1
+              // REAL sample decode (PCM8/16, G.711, IMA ADPCM) when the
+              // format is supported; the historical LE16 read otherwise,
+              // so exotic formats keep their previous (documented-
+              // approximate) histogram rather than silently vanishing.
+              val samples: Array[Short] = decodeWav(f.content)
+                .map(_.samples).getOrElse(
+                  Array.tabulate(len / 2)(i =>
+                    le16(f.content, off + i * 2).toShort))
+              val n = samples.length
+              var i = 0
+              while (i < n) {
+                h((samples(i) + 32768) >> 13) += 1.0
+                i += 1
               }
               if (n > 0) { var j = 0; while (j < 8) { h(j) /= n; j += 1 } }
             } else {

@@ -1239,6 +1239,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(emb.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  // ---- MP4 / ISO BMFF: spec-side box writer + header-only meta pins ----
+
+  private def mp4Box(typ: String, body: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + body.length)
+    b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+    b.array()
+  }
+
+  test("MP4 meta: real mvhd/tkhd walk (v0 and v1), honest no-decode fallback") {
+    import spark.implicits._
+    // v0: timescale 600, duration 1500 ticks = 2500 ms; track 640x360.
+    val mvhd0 = java.nio.ByteBuffer.allocate(100)
+    mvhd0.putInt(0).putInt(0).putInt(0).putInt(600).putInt(1500)
+    val tkhd0 = java.nio.ByteBuffer.allocate(84)
+    tkhd0.position(76)
+    tkhd0.putInt(640 << 16).putInt(360 << 16)
+    val mp4v0 = mp4Box("ftyp", "isom0000".getBytes) ++
+      mp4Box("moov", mp4Box("mvhd", mvhd0.array()) ++
+        mp4Box("trak", mp4Box("tkhd", tkhd0.array())))
+    val meta0 = Multimodal.decodeMeta(
+      Seq(Multimodal.MediaFile("v.mp4", mp4v0.length, mp4v0)).toDS())
+      .collect().head
+    assert(meta0.format === "mp4" && meta0.duration_ms === 2500L)
+    assert(meta0.width === 640 && meta0.height === 360 &&
+      meta0.channels === 3)
+    // v1 layouts: 64-bit duration, wider tkhd prefix.
+    val mvhd1 = java.nio.ByteBuffer.allocate(112)
+    mvhd1.put(1.toByte); mvhd1.position(20)
+    mvhd1.putInt(1000).putLong(90000L) // 90 s
+    val tkhd1 = java.nio.ByteBuffer.allocate(96)
+    tkhd1.put(1.toByte); tkhd1.position(88)
+    tkhd1.putInt(1920 << 16).putInt(1080 << 16)
+    val mp4v1 = mp4Box("ftyp", "isom0000".getBytes) ++
+      mp4Box("moov", mp4Box("mvhd", mvhd1.array()) ++
+        mp4Box("trak", mp4Box("tkhd", tkhd1.array())))
+    val meta1 = Multimodal.decodeMeta(
+      Seq(Multimodal.MediaFile("w.mp4", mp4v1.length, mp4v1)).toDS())
+      .collect().head
+    assert(meta1.duration_ms === 90000L)
+    assert(meta1.width === 1920 && meta1.height === 1080)
+    // Truncated moov: walk stops, zeros remain — no crash.
+    val trunc = mp4v0.take(mp4v0.length - 20)
+    val metaT = Multimodal.decodeMeta(
+      Seq(Multimodal.MediaFile("t.mp4", trunc.length, trunc)).toDS())
+      .collect().head
+    assert(metaT.format === "mp4")
+    // embed still takes the documented fallback (no H.264 decode).
+    val emb = Multimodal.embed(
+      Seq(Multimodal.MediaFile("v.mp4", mp4v0.length, mp4v0)).toDS())
+      .collect().head.embedding
+    assert(emb.length === 8) // deterministic fake, not a histogram claim
+  }
+
   test("AVI rejection: truncation, frame-dim mismatch, short DIB, bombs") {
     val (w, h) = (3, 2)
     val f0 = Array.tabulate(w * h * 3)(i => i.toByte)

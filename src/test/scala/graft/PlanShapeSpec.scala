@@ -186,7 +186,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_mix_weights", "q_text_bm25",
       "q_text_tfidf",
       "q_text_unigram_nll", "q_text_pmi",
-      "q_sim_ann_ivf", "q_sim_ann_ivfpq")
+      "q_sim_ann_ivf", "q_sim_ann_ivfpq",
+      // per-lang token-share + normalizer singletons (|langs| rows)
+      "q_mix_temperature",
+      // grand-total token count singleton, q_text_unigram_nll's shape
+      "q_text_ppl_bucket")
     val offenders = Registry.all.map(_.name).filterNot(declared).filter { n =>
       val p = plan(n)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")

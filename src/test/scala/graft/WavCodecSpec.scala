@@ -1,0 +1,252 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+
+/** WAV sample-decode pins (PCM8/16, G.711 mu-law/A-law, IMA ADPCM).
+  * Encoders AND reference decoders here are written independently from
+  * the public algorithm descriptions (G.711 segmented companding; the
+  * IMA step/index tables) — no shared code with the library decoder,
+  * so agreement proves both sides against the spec (the TIFF/WebP/GIF
+  * spec discipline).
+  */
+class WavCodecSpec extends AnyFunSuite {
+
+  /** A WAV container with an arbitrary format tag and raw payload. */
+  private def wav(fmt: Int, ch: Int, rate: Int, bits: Int,
+      blockAlign: Int, data: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44 + data.length + (data.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(fmt.toShort).putShort(ch.toShort)
+    b.putInt(rate).putInt(rate * blockAlign).putShort(blockAlign.toShort)
+    b.putShort(bits.toShort)
+    b.put("data".getBytes).putInt(data.length).put(data)
+    b.array()
+  }
+
+  // ---- independent G.711 encoders (ITU segmented search) --------------
+
+  /** mu-law COMPRESS: +33 bias on the 14-bit magnitude, find the
+    * segment (exponent), pick the mantissa, invert all bits. */
+  private def muLawEncode(pcm: Short): Int = {
+    val sign = if (pcm < 0) 0x80 else 0
+    var mag = math.min(math.abs(pcm.toInt) >> 2, 8158) + 33 // 14-bit + bias
+    var exp = 7
+    var probe = 0x1000
+    while (exp > 0 && (mag & probe) == 0) { exp -= 1; probe >>= 1 }
+    val mant = (mag >> (exp + 1)) & 0x0F
+    (~(sign | (exp << 4) | mant)) & 0xFF
+  }
+
+  /** A-law COMPRESS on the 13-bit magnitude, 0x55 toggle. */
+  private def aLawEncode(pcm: Short): Int = {
+    val sign = if (pcm >= 0) 0x80 else 0
+    var mag = math.min(math.abs(pcm.toInt) >> 3, 4095)
+    val exp =
+      if (mag < 32) 0
+      else { var e = 1; var t = mag >> 5; while (t > 1 && e < 7) { t >>= 1; e += 1 }; e }
+    val mant = if (exp == 0) (mag >> 1) & 0x0F else (mag >> exp) & 0x0F
+    ((sign | (exp << 4) | mant) ^ 0x55) & 0xFF
+  }
+
+  test("mu-law: all 256 bytes decode to the published companding curve") {
+    // Reference spelled via the segment-base table (independent of the
+    // library's closed formula): seg base = (33 << exp) - 33, scaled x4.
+    for (byte <- 0 until 256) {
+      val b = ~byte & 0xFF
+      val exp = (b >> 4) & 7
+      val mant = b & 0x0F
+      val mag14 = ((33 << exp) - 33) + (mant << (exp + 1))
+      val expected = (if ((b & 0x80) != 0) -(mag14 << 2) else mag14 << 2)
+      val got = Multimodal.decodeWav(
+        wav(7, 1, 8000, 8, 1, Array(byte.toByte))).get.samples(0).toInt
+      assert(got === expected, s"byte $byte")
+    }
+    // Spot anchors from the public expansion table.
+    def one(byte: Int): Int = Multimodal.decodeWav(
+      wav(7, 1, 8000, 8, 1, Array(byte.toByte))).get.samples(0).toInt
+    assert(one(0x80) === 32124 && one(0x00) === -32124) // extremes
+    assert(one(0xFF) === 0 && one(0x7F) === 0) // both zeros
+  }
+
+  test("mu-law: encode -> decode round-trip error bounded by segment step") {
+    for (s <- Seq[Short](0, 1, -1, 100, -100, 1000, -1000, 8000, -8000,
+        20000, -20000, 32767, -32768)) {
+      val dec = Multimodal.decodeWav(
+        wav(7, 1, 8000, 8, 1, Array(muLawEncode(s).toByte))).get.samples(0)
+      // Max quantization error = half the top segment's step (~1024).
+      assert(math.abs(dec - s) <= 1024, s"pcm $s -> $dec")
+    }
+  }
+
+  test("A-law: all 256 bytes decode to the published curve; round-trip") {
+    for (byte <- 0 until 256) {
+      val b = byte ^ 0x55
+      val exp = (b >> 4) & 7
+      val mant = b & 0x0F
+      // Reference: 13-bit magnitude rebuilt per segment, scaled x8.
+      val mag13 = if (exp == 0) (mant << 1) + 1
+        else ((mant + 16) << exp) | (1 << (exp - 1))
+      val expected = (if ((b & 0x80) != 0) mag13 << 3 else -(mag13 << 3))
+      val got = Multimodal.decodeWav(
+        wav(6, 1, 8000, 8, 1, Array(byte.toByte))).get.samples(0).toInt
+      assert(got === expected, s"byte $byte")
+    }
+    for (s <- Seq[Short](0, 5, -5, 333, -333, 4000, -4000, 30000, -30000)) {
+      val dec = Multimodal.decodeWav(
+        wav(6, 1, 8000, 8, 1, Array(aLawEncode(s).toByte))).get.samples(0)
+      assert(math.abs(dec - s) <= 1057, s"pcm $s -> $dec")
+    }
+  }
+
+  test("PCM: 8-bit unsigned rescales around the midpoint; 16-bit passes through") {
+    val d8 = Multimodal.decodeWav(
+      wav(1, 1, 8000, 8, 1, Array[Byte](0, 64, 128.toByte, 192.toByte,
+        255.toByte))).get.samples
+    assert(d8.toSeq === Seq(-32768, -16384, 0, 16384, 32512).map(_.toShort))
+    val pcm = Array[Short](0, 1000, -1000, 32767, -32768)
+    val bytes = new Array[Byte](10)
+    for (i <- pcm.indices) {
+      bytes(i * 2) = (pcm(i) & 0xFF).toByte
+      bytes(i * 2 + 1) = ((pcm(i) >> 8) & 0xFF).toByte
+    }
+    val d16 = Multimodal.decodeWav(wav(1, 1, 8000, 16, 2, bytes)).get
+    assert(d16.samples.toSeq === pcm.toSeq && d16.sampleRate === 8000)
+  }
+
+  // ---- IMA ADPCM: independent reference codec -------------------------
+
+  private val Steps = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val IdxAdj = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Reference ENCODER (the IMA recipe): quantize the delta against the
+    * current step into sign+3 bits, tracking the same predictor the
+    * decoder will rebuild. Returns (nibbles, firstSample, firstIndex). */
+  private def imaEncode(pcm: Array[Short]): (Array[Int], Short, Int) = {
+    var pred = pcm(0).toInt
+    var idx = 0
+    val nibs = pcm.drop(1).map { s =>
+      val step = Steps(idx)
+      var delta = s - pred
+      var nib = if (delta < 0) { delta = -delta; 8 } else 0
+      if (delta >= step) { nib |= 4; delta -= step }
+      if (delta >= (step >> 1)) { nib |= 2; delta -= step >> 1 }
+      if (delta >= (step >> 2)) { nib |= 1 }
+      // rebuild predictor exactly as the decoder will
+      val st = Steps(idx)
+      var diff = st >> 3
+      if ((nib & 1) != 0) diff += st >> 2
+      if ((nib & 2) != 0) diff += st >> 1
+      if ((nib & 4) != 0) diff += st
+      pred = if ((nib & 8) != 0) pred - diff else pred + diff
+      pred = math.max(-32768, math.min(32767, pred))
+      idx = math.max(0, math.min(88, idx + IdxAdj(nib & 7)))
+      nib
+    }
+    (nibs, pcm(0), 0)
+  }
+
+  /** Reference DECODER — a second, independent spelling of the public
+    * algorithm, to pin the library decoder against. */
+  private def imaDecode(nibs: Array[Int], first: Short,
+      idx0: Int): Array[Short] = {
+    var pred = first.toInt
+    var idx = idx0
+    val out = scala.collection.mutable.ArrayBuffer[Short](first)
+    for (nib <- nibs) {
+      val st = Steps(idx)
+      var diff = st >> 3
+      if ((nib & 1) != 0) diff += st >> 2
+      if ((nib & 2) != 0) diff += st >> 1
+      if ((nib & 4) != 0) diff += st
+      pred = if ((nib & 8) != 0) pred - diff else pred + diff
+      pred = math.max(-32768, math.min(32767, pred))
+      idx = math.max(0, math.min(88, idx + IdxAdj(nib & 7)))
+      out += pred.toShort
+    }
+    out.toArray
+  }
+
+  /** Pack per-block ADPCM data chunks (4-byte header + low-first nibbles). */
+  private def imaBlocks(pcm: Array[Short], blockAlign: Int): Array[Byte] = {
+    val samplesPerBlock = (blockAlign - 4) * 2 + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var i = 0
+    while (i < pcm.length) {
+      val blk = pcm.slice(i, math.min(i + samplesPerBlock, pcm.length))
+      val (nibs, first, idx0) = imaEncode(blk)
+      out += (first & 0xFF).toByte += ((first >> 8) & 0xFF).toByte
+      out += idx0.toByte += 0.toByte
+      var j = 0
+      while (j < blockAlign - 4) {
+        val lo = if (j * 2 < nibs.length) nibs(j * 2) else 0
+        val hi = if (j * 2 + 1 < nibs.length) nibs(j * 2 + 1) else 0
+        out += ((hi << 4) | lo).toByte
+        j += 1
+      }
+      i += samplesPerBlock
+    }
+    out.toArray
+  }
+
+  test("IMA ADPCM: library decode == independent reference, multi-block") {
+    val n = 1021 // not a block multiple: final short block exercised
+    val pcm = Array.tabulate(n)(i =>
+      (math.sin(i * 0.07) * 17000 + math.sin(i * 0.011) * 9000).toShort)
+    val blockAlign = 256 // 505 samples per block
+    val data = imaBlocks(pcm, blockAlign)
+    val got = Multimodal.decodeWav(
+      wav(17, 1, 8000, 4, blockAlign, data)).get.samples
+    // Expected: reference-decode each block independently.
+    val spb = (blockAlign - 4) * 2 + 1
+    val expected = pcm.grouped(spb).flatMap { blk =>
+      val (nibs, first, idx0) = imaEncode(blk)
+      // Every stored block is blockAlign bytes (the fixed-block WAV
+      // layout), so ALL its nibble slots decode — a final partial
+      // block's zero-padded tail included (a fact chunk would trim it;
+      // the histogram consumer doesn't need one).
+      val slots = (blockAlign - 4) * 2
+      val padded = nibs ++ Array.fill(slots - nibs.length)(0)
+      imaDecode(padded, first, idx0)
+    }.toArray
+    assert(got.length === expected.length)
+    assert(got.sameElements(expected))
+    // Fidelity: ADPCM tracks the waveform — transient slips bounded by
+    // a few step sizes, the average far tighter.
+    val errs = pcm.zip(got.take(pcm.length))
+      .map { case (a, b) => math.abs(a - b).toLong }
+    assert(errs.max <= 8192, s"max err ${errs.max}")
+    assert(errs.sum / errs.length <= 400, s"mean err ${errs.sum / errs.length}")
+  }
+
+  test("unsupported formats refuse; supported ones flow through embed") {
+    // float PCM (format 3) and MS-ADPCM (2): honest None.
+    assert(Multimodal.decodeWav(
+      wav(3, 1, 8000, 32, 4, new Array[Byte](8))).isEmpty)
+    assert(Multimodal.decodeWav(
+      wav(2, 1, 8000, 4, 256, new Array[Byte](256))).isEmpty)
+    // mu-law through the embed stage: histogram of the DECODED samples.
+    import TestSpark._
+    import spark.implicits._
+    val pcm = Array.tabulate(500)(i => (math.sin(i * 0.1) * 20000).toShort)
+    val bytes = wav(7, 1, 8000, 8, 1, pcm.map(s => muLawEncode(s).toByte))
+    val emb = Multimodal.embed(
+      Seq(Multimodal.MediaFile("t.wav", bytes.length, bytes)).toDS())
+      .collect().head.embedding
+    val dec = Multimodal.decodeWav(bytes).get.samples
+    val expected = new Array[Double](8)
+    dec.foreach(s => expected((s + 32768) >> 13) += 1.0)
+    (0 until 8).foreach(i => expected(i) /= dec.length)
+    assert(emb.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // The sine avoids the extreme bins — the real-decode signature.
+    assert(emb(0) === 0.0 && emb(7) === 0.0)
+  }
+}
