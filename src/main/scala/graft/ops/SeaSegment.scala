@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udf
+
+/** Dictionary segmentation for the spaceless Southeast-Asian scripts
+  * (Thai, Lao, Khmer, Myanmar) — the upgrade path past the contract
+  * tokenizer's documented run-tokenization fallback (SURVEY §2.11h/i).
+  *
+  * Why this cannot compose after the fused kernel: the contract
+  * tokenizer treats combining marks (category Mn — not \p{L}) as
+  * boundaries, which DELETES the tone marks and dependent vowels real
+  * SEA words are spelled with — a dictionary entry like
+  * สวัสดี (with its marks) can never match a mark-stripped token. So
+  * dictionary mode is its own tokenization: NFC + lowercase, token
+  * characters are Unicode letters/digits PLUS SEA-block combining
+  * marks, CJK ideographs still split per character, and each
+  * boundary-separated run that is entirely SEA-script is segmented by
+  * greedy maximal matching (longest lexicon word first; unmatched
+  * spans merge into one unknown chunk). Non-SEA text tokenizes
+  * EXACTLY like the contract kernel (SeaSegmentSpec pins that
+  * equality), so the two modes differ only where the fallback was
+  * degenerate to begin with.
+  *
+  * This is a CAPABILITY layer, deliberately NOT wired into the
+  * oracle-checked queries: neither the mark-inclusive runs nor the
+  * lexicon matching is expressible in DuckDB SQL, so swapping it into
+  * the contract tokenizer would orphan all 124 oracle texts. The
+  * contract fallback stays pinned in TokenizeSpec; this layer is what
+  * a user switches on when they bring a lexicon.
+  *
+  * Scale shape: the lexicon (a real Thai dictionary is ~60k words,
+  * < 2 MB) ships once per executor inside the udf closure; the
+  * tokenize+segment pass is narrow per-row work — no new shuffle at
+  * any corpus size.
+  */
+object SeaSegment {
+
+  /** Thai, Lao, Myanmar, Khmer codepoint blocks. */
+  def isSea(cp: Int): Boolean =
+    (cp >= 0x0E00 && cp <= 0x0EFF) || // Thai + Lao
+      (cp >= 0x1000 && cp <= 0x109F) || // Myanmar
+      (cp >= 0x1780 && cp <= 0x17FF) // Khmer
+
+  private def isCjk(cp: Int): Boolean = {
+    val s = Character.UnicodeScript.of(cp)
+    s == Character.UnicodeScript.HAN ||
+      s == Character.UnicodeScript.HIRAGANA ||
+      s == Character.UnicodeScript.KATAKANA
+  }
+
+  /** \p{N}: decimal, letter, and other numbers. */
+  private def isNum(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  /** Token characters: letters, numbers, and — unlike the contract
+    * kernel — combining marks WITHIN the SEA blocks (tone marks,
+    * dependent vowels, coeng/virama), so dictionary words keep their
+    * real spelling. */
+  private def isTokenChar(cp: Int): Boolean =
+    Character.isLetter(cp) || isNum(cp) ||
+      (isSea(cp) && Character.getType(cp) == Character.NON_SPACING_MARK)
+
+  /** True when every codepoint of `tok` is SEA-script. */
+  def isSeaRun(tok: String): Boolean =
+    tok.nonEmpty && tok.codePoints().allMatch(cp => isSea(cp))
+
+  /** Greedy maximal matching: at each position try the LONGEST lexicon
+    * entry first; positions no entry covers accumulate into a single
+    * unknown chunk (emitted when the next match begins), the standard
+    * maximal-matching fallback — so coverage gaps degrade into
+    * run-chunks instead of per-character confetti. */
+  def maximalMatch(run: String, lex: Set[String], maxLen: Int): Seq[String] = {
+    if (lex.isEmpty) return Seq(run)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val unknown = new java.lang.StringBuilder
+    var i = 0
+    while (i < run.length) {
+      var j = math.min(maxLen, run.length - i)
+      var hit = 0
+      while (j >= 1 && hit == 0) {
+        if (lex.contains(run.substring(i, i + j))) hit = j
+        j -= 1
+      }
+      if (hit > 0) {
+        if (unknown.length > 0) { out += unknown.toString; unknown.setLength(0) }
+        out += run.substring(i, i + hit)
+        i += hit
+      } else {
+        // advance one CODEPOINT (not one char: surrogates stay whole)
+        val n = Character.charCount(run.codePointAt(i))
+        unknown.append(run, i, i + n)
+        i += n
+      }
+    }
+    if (unknown.length > 0) out += unknown.toString
+    out.toSeq
+  }
+
+  /** The dictionary-mode tokenizer (see the object doc): NFC + lower,
+    * mark-inclusive SEA runs dictionary-segmented, CJK per ideograph,
+    * everything else the contract kernel's exact behavior. */
+  def tokenize(text: String, lex: Set[String], maxLen: Int): Seq[String] = {
+    val norm = java.text.Normalizer
+      .normalize(text, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    def flush(): Unit =
+      if (cur.length > 0) { runs += cur.toString; cur.setLength(0) }
+    var i = 0
+    while (i < norm.length) {
+      val cp = norm.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (isCjk(cp)) { // per-ideograph, the kernel's CJK rule
+        flush()
+        runs += norm.substring(i, i + n)
+      } else if (isTokenChar(cp)) cur.append(norm, i, i + n)
+      else flush()
+      i += n
+    }
+    flush()
+    runs.toSeq.flatMap { r =>
+      if (isSeaRun(r)) maximalMatch(r, lex, maxLen) else Seq(r)
+    }
+  }
+
+  /** Column form over raw text. Lexicon entries are NFC-lowercased to
+    * match the tokenizer's normalization. */
+  def seaDictTokens(s: SparkSession, lexicon: Seq[String])(c: Column): Column = {
+    val lex = lexicon.map(w => java.text.Normalizer
+      .normalize(w, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)).toSet
+    val maxLen = if (lex.isEmpty) 0 else lex.map(_.length).max
+    val seg = udf((text: String) =>
+      if (text == null) Seq.empty[String] else tokenize(text, lex, maxLen))
+    seg(c)
+  }
+}

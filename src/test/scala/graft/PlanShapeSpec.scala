@@ -70,6 +70,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"transitions must not join:\n$p")
   }
 
+  test("q_ev_ewma: one user_id shuffle, zero joins") {
+    // The fold runs inside the per-user aggregate: one exchange on the
+    // natural key, then a narrow expression pass. A second user_id
+    // shuffle or any join would break the backfill shape.
+    val p = plan("q_ev_ewma")
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userShuffles === 1, s"expected 1 user_id shuffle, got $userShuffles:\n$p")
+    assert(!p.contains("Join"), s"ewma must not join:\n$p")
+  }
+
+  test("q_dedup_substring: window-hash + doc aggregations, no product join") {
+    // Count table and instance table exchange on the SAME 64-bit
+    // window-hash key (co-partitioned join), then one doc_id agg.
+    // A product-shaped candidate stage (the all-pairs trap) or a
+    // string-keyed shuffle would both be scale regressions.
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must stay product-free:\n$p")
+    val whShuffles = "hashpartitioning\\(wh".r.findAllIn(p).size
+    assert(whShuffles >= 1 && whShuffles <= 3,
+      s"expected the wh-keyed exchanges, got $whShuffles:\n$p")
+    assert(p.contains("xxhash64"),
+      s"shuffle keys must be the 64-bit window hashes, not strings:\n$p")
+  }
+
   test("q_ev_interp: windows share one user_id shuffle; no fact self-join") {
     // The grid/observation union flows through ONE user_id exchange
     // that feeds ALL window passes (prev + next neighbor lookups ride

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{SeaSegment, TextSim}
+
+/** Dictionary (maximal-matching) segmentation over SEA scripts — the
+  * capability layer beside the contract tokenizer's pinned
+  * run-tokenization fallback (TokenizeSpec). Anchors:
+  *  1. non-SEA text tokenizes EXACTLY like the contract kernel;
+  *  2. SEA runs keep their combining marks, so real mark-bearing
+  *     dictionary words match (the thing the fallback cannot do);
+  *  3. greedy longest-match semantics, including the prefix trap;
+  *  4. unknown spans merge into chunks, never per-char confetti;
+  *  5. the output composes with downstream counting unchanged.
+  */
+class SeaSegmentSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // Real Thai words WITH their marks (tone marks, dependent vowels).
+  private val Sawasdee = "สวัสดี"
+  private val Khrap = "ครับ"
+  private val Thai = "ไทย" // mark-free
+
+  private def tokensOf(text: String, lexicon: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(SeaSegment.seaDictTokens(spark, lexicon)(col("text")).as("ws"))
+      .collect().head.getSeq[String](0).toList
+  }
+
+  private def fallbackOf(text: String): Seq[String] = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(TextSim.normTokens(col("text")).as("ws"))
+      .collect().head.getSeq[String](0).toList
+  }
+
+  test("non-SEA text tokenizes exactly like the contract kernel") {
+    val texts = Seq(
+      "Hello, World! 42 times",
+      "naïve café — résumé",
+      "中文mixed漢字and123",
+      "ひらがな カタカナ kanji 漢",
+      "punct...only!!!   ",
+      "ΚΑΛΗΜΈΡΑ ΕΛΛΆΔΑ") // non-ASCII case folding
+    texts.foreach { t =>
+      assert(tokensOf(t, Seq(Sawasdee)) === fallbackOf(t), s"drift on: $t")
+    }
+  }
+
+  test("SEA runs keep their marks; the lexicon's real spellings match") {
+    val run = Sawasdee + Khrap // spaceless, both words mark-bearing
+    // The fallback strips marks and shatters the run — it can never
+    // reproduce the dictionary words.
+    assert(!fallbackOf(run).contains(Sawasdee))
+    val got = tokensOf(run, Seq(Sawasdee, Khrap))
+    assert(got === Seq(Sawasdee, Khrap))
+    // Empty lexicon: the run stays ONE mark-inclusive chunk.
+    assert(tokensOf(run, Nil) === Seq(run))
+  }
+
+  test("greedy longest-match wins the prefix trap") {
+    val run = Sawasdee + Khrap
+    val prefix = Sawasdee.substring(0, 3) // proper prefix of a longer entry
+    val got = tokensOf(run, Seq(prefix, Sawasdee, Khrap))
+    assert(got === Seq(Sawasdee, Khrap), "longest-first violated")
+  }
+
+  test("unknown spans merge into chunks between matches") {
+    val run = Sawasdee + Thai + Khrap // middle word absent from lexicon
+    val got = tokensOf(run, Seq(Sawasdee, Khrap))
+    assert(got === Seq(Sawasdee, Thai, Khrap))
+    // Entirely-unknown run stays ONE chunk (the fallback degradation).
+    assert(tokensOf(run, Seq("กข")) === Seq(run))
+  }
+
+  test("CJK inside SEA context still splits per ideograph") {
+    val got = tokensOf(s"${Thai}中文${Thai}", Seq(Thai))
+    assert(got === Seq(Thai, "中", "文", Thai))
+    // Spaces and punctuation still bound runs before matching.
+    assert(tokensOf(s"$Sawasdee $Khrap!", Seq(Sawasdee, Khrap)) ===
+      Seq(Sawasdee, Khrap))
+  }
+
+  test("segmentation composes with downstream counting unchanged") {
+    import spark.implicits._
+    val docs = Seq(Sawasdee + Khrap, Sawasdee + Thai).toDF("text")
+    val counts = docs
+      .select(explode(SeaSegment.seaDictTokens(spark,
+        Seq(Sawasdee, Khrap, Thai))(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map(Sawasdee -> 2L, Khrap -> 1L, Thai -> 1L))
+  }
+}
