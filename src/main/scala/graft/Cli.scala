@@ -135,10 +135,26 @@ object Cli {
     else all.filter(col("bucket").isin(onlyBuckets: _*))
   }
 
+  /** `media <glob> <out-dir>`: decoded media metadata as TSV lines
+    * (path, bytes, format, width, height, channels, duration_ms) —
+    * the multimodal decoders on the shell surface, so an inventory of
+    * a 100 TB media tree is one CLI call whose output pipes into the
+    * same map/reduce stages as any other text. Header-only decode:
+    * payload bytes are never deserialized for formats with cheap
+    * metadata (every real parser here is). */
+  def mediaMeta(spark: SparkSession, glob: String, outDir: String): Unit =
+    ops.Multimodal.decodeMeta(ops.Multimodal.media(spark, glob))
+      .toDF()
+      .select(concat_ws("\t", col("path"), col("byte_len"), col("format"),
+        col("width"), col("height"), col("channels"), col("duration_ms"))
+        .as("line"))
+      .write.mode("overwrite").text(outDir)
+
   private val Usage =
     """usage: graft.Cli <input-glob> <out-dir> <map-cmd> [<reduce-cmd> [buckets]]
       |       graft.Cli put <input-glob> <tree-dir> [buckets]
-      |       graft.Cli get <tree-dir> <out-dir> [bucket ...]""".stripMargin
+      |       graft.Cli get <tree-dir> <out-dir> [bucket ...]
+      |       graft.Cli media <input-glob> <out-dir>""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
@@ -161,6 +177,8 @@ object Cli {
       case "get" =>
         get(spark, args(1), args.drop(3).map(_.toInt).toSeq)
           .select("line").write.mode("overwrite").text(args(2))
+      case "media" =>
+        mediaMeta(spark, args(1), args(2))
       case _ =>
         run(spark, args(0), args(1), args(2),
           if (args.length > 3) Some(args(3)) else None,

@@ -180,4 +180,31 @@ class CliSpec extends AnyFunSuite {
       .groupBy("line").agg(countDistinct("bucket").as("nb"))
       .filter(col("nb") > 1).count() === 0L)
   }
+
+  test("media subcommand dumps real decoded metadata as TSV lines") {
+    val in = java.nio.file.Files.createTempDirectory("graft_cli_media")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cli_media_out").toString + "/meta"
+    // A real 24-bpp BMP (3x2) and a real PCM WAV (8 kHz, 1 s).
+    val bmp = java.nio.ByteBuffer.allocate(54 + 8 * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+    bmp.putInt(40).putInt(3).putInt(2).putShort(1).putShort(24)
+    bmp.putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    java.nio.file.Files.write(in.resolve("img.bmp"), bmp.array())
+    val wav = java.nio.ByteBuffer.allocate(44 + 16000)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(36 + 16000).put("WAVE".getBytes)
+    wav.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    wav.putInt(8000).putInt(16000).putShort(2).putShort(16)
+    wav.put("data".getBytes).putInt(16000)
+    java.nio.file.Files.write(in.resolve("tone.wav"), wav.array())
+    Cli.mediaMeta(spark, in.toString + "/*", out)
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+      .map(_.split("\t")).map(f => f(0).split('/').last -> f).toMap
+    assert(lines("img.bmp")(2) === "bmp" && lines("img.bmp")(3) === "3" &&
+      lines("img.bmp")(4) === "2")
+    assert(lines("tone.wav")(2) === "wav" &&
+      lines("tone.wav")(6) === "1000") // 8000 samples at 8 kHz
+  }
 }
