@@ -416,7 +416,7 @@ object TextSim {
       edges.select(col("idb").as("a"), col("ida").as("b")))
       .localCheckpoint(true)
     def labelSum(l: DataFrame): BigDecimal =
-      BigDecimal(l.agg(sum(col("l").cast("decimal(38,0)"))).head.getDecimal(0))
+      BigDecimal(l.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0))
     var labels = docs.select(col("doc_id"), col("doc_id").as("l"))
       .localCheckpoint(true)
     var s = labelSum(labels)
@@ -520,6 +520,32 @@ object TextSim {
           / (col("na") * col("nb")), 6))
   }
 
+  /** BM25 scores (k1 = 1.2, b = 0.75) over docs matching any of
+    * `terms`, rounded at 6 — the rank-determinism grain (ranking must
+    * order the ROUNDED value on both engines or rank ties land
+    * differently). Shared by q_text_bm25 and the hybrid-retrieval
+    * fusion (q_sim_hybrid_rrf). */
+  private def bm25Scores(s: SparkSession, d: String,
+      terms: Seq[String]): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words).as("w"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
+    val tf = tok.filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .groupBy("doc_id")
+      .agg(sum(
+        log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * col("tf") * 2.2
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avg_len"))))
+        .as("score"))
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- text analytics --------------------------------------------------
@@ -590,26 +616,92 @@ object TextSim {
         |FROM sc
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 50""") { (s, d) =>
-      val terms = Seq("window", "filter", "hash")
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(words).as("w"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
-      val st = dl.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
-      val tf = tok.filter(col("w").isin(terms: _*))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "w")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(st))
-        .groupBy("doc_id")
-        .agg(sum(
-          log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-            * col("tf") * 2.2
-            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avg_len"))))
-          .as("score"))
-        .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      bm25Scores(s, d, Seq("window", "filter", "hash"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(50)
+    },
+
+    // Hybrid retrieval by reciprocal rank fusion (k = 60, the standard
+    // constant): the lexical ranking (BM25 over the fixed query terms)
+    // and the semantic ranking (cosine against the vec_id-0 query
+    // embedding) each contribute 1/(60 + rank); a doc missing from one
+    // list contributes only the other — the fusion every RAG-ish
+    // eval/decontamination pipeline runs when neither retriever alone
+    // is trusted. Both lists CUT TO THEIR TOP 100 BEFORE fusing, which
+    // is also the scale story: RRF only ever ranks per-retriever
+    // candidate sets (each a TakeOrdered at any corpus size), never
+    // the corpus. Ranks order by the ROUNDED score with id tie-breaks,
+    // so both engines rank identical doubles (the bm25/cosine parity
+    // is already hash-proven by their own queries).
+    q("q_sim_hybrid_rrf",
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS w
+        |             FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('window', 'filter', 'hash') GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |sc AS (SELECT tf.doc_id,
+        |         round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |           * tf.tf * 2.2
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / st.avg_len))), 6)
+        |           AS bm25
+        |       FROM tf JOIN df ON tf.w = df.w
+        |               JOIN dl ON tf.doc_id = dl.doc_id
+        |               CROSS JOIN st
+        |       GROUP BY tf.doc_id),
+        |lr AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+        |       FROM sc QUALIFY rl <= 100),
+        |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |vc AS (SELECT e.vec_id,
+        |         round(list_cosine_similarity(
+        |           CAST(e.embedding AS DOUBLE[]),
+        |           CAST(q.embedding AS DOUBLE[])), 6) AS cos
+        |       FROM embeddings e CROSS JOIN qv q
+        |       WHERE e.vec_id <> 0),
+        |vr AS (SELECT vec_id,
+        |         row_number() OVER (ORDER BY cos DESC, vec_id) AS rv
+        |       FROM vc QUALIFY rv <= 100)
+        |SELECT coalesce(lr.doc_id, vr.vec_id) AS doc_id,
+        |  CAST(coalesce(rl, 0) AS BIGINT) AS lex_rank,
+        |  CAST(coalesce(rv, 0) AS BIGINT) AS vec_rank,
+        |  round(coalesce(1.0 / (60 + rl), 0)
+        |      + coalesce(1.0 / (60 + rv), 0), 6) AS rrf
+        |FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.vec_id
+        |ORDER BY rrf DESC, doc_id
+        |LIMIT 20""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lr = bm25Scores(s, d, Seq("window", "filter", "hash"))
+        .withColumn("rl", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rl") <= 100)
+        .select("doc_id", "rl")
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"),
+          graft.functions.VectorFunctions.l2norm(col("embedding")).as("qn"))
+      val vr = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), round(
+          graft.functions.VectorFunctions.dot(col("embedding"), col("qe"))
+            / (graft.functions.VectorFunctions.l2norm(col("embedding"))
+              * col("qn")), 6).as("cos"))
+        .withColumn("rv", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rv") <= 100)
+        .select("vec_id", "rv")
+      lr.join(vr, lr("doc_id") === vr("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          coalesce(col("rl"), lit(0)).cast("long").as("lex_rank"),
+          coalesce(col("rv"), lit(0)).cast("long").as("vec_rank"),
+          round(
+            when(col("rl").isNotNull, lit(1.0) / (col("rl") + 60))
+              .otherwise(lit(0.0))
+              + when(col("rv").isNotNull, lit(1.0) / (col("rv") + 60))
+                .otherwise(lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
     },
 
     // Sequence packing (concatenate-and-chop) — the step that turns a

@@ -216,7 +216,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // per-lang token-share + normalizer singletons (|langs| rows)
       "q_mix_temperature",
       // grand-total token count singleton, q_text_unigram_nll's shape
-      "q_text_ppl_bucket")
+      "q_text_ppl_bucket",
+      // one-row query-embedding broadcast + the bm25 stats singleton
+      "q_sim_hybrid_rrf")
     val offenders = Registry.all.map(_.name).filterNot(declared).filter { n =>
       val p = plan(n)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
