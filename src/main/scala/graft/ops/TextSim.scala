@@ -1443,6 +1443,62 @@ object TextSim {
         .orderBy("doc_id")
     },
 
+    // The CUT step that completes exact-substring dedup (q_dedup_substring
+    // is the detect step): every duplicated window instance covers its 8
+    // token positions; the union of covered positions per doc gives how
+    // much text the span-cut would remove — n_tokens, n_covered, and the
+    // kept fraction a pipeline thresholds on (cut spans vs drop doc).
+    // Interval union is spelled as position explosion + DISTINCT: work
+    // is <= 8x the duplicated-window instances, independent of corpus
+    // size beyond the detect step's own shuffles; the distinct and the
+    // doc agg both key on doc_id, so the tail of the plan is one
+    // exchange. Same k=8 / same-dup-definition as the detect query, so
+    // the two reports reconcile row for row.
+    q("q_dedup_spans",
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |wn AS (SELECT doc_id, u.i AS i, u.win AS win
+        |       FROM (SELECT doc_id,
+        |         unnest([{'i': i, 'win': array_to_string(ws[i:i+7], ' ')}
+        |           for i in range(1, greatest(len(ws) - 7, 0) + 1)]) AS u
+        |       FROM w) t),
+        |c AS (SELECT win, count(*) AS c FROM wn GROUP BY win),
+        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |         SELECT wn.doc_id, unnest(range(wn.i, wn.i + 8)) AS p
+        |         FROM wn JOIN c USING (win) WHERE c.c > 1) x),
+        |nc AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id),
+        |len AS (SELECT doc_id, len(ws) AS n_tokens FROM w
+        |        WHERE len(ws) >= 8)
+        |SELECT l.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_cov, 0) AS BIGINT) AS n_covered,
+        |  round((n_tokens - coalesce(n_cov, 0))
+        |    / CAST(n_tokens AS DOUBLE), 6) AS keep_frac
+        |FROM len l LEFT JOIN nc USING (doc_id)
+        |ORDER BY doc_id""") { (s, d) =>
+      val k = 8
+      val ws = Tables.documents(s, d)
+        .select(col("doc_id"), normTokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= k)
+      val lens = ws.select(col("doc_id"), size(col("ws")).as("n_tokens"))
+      val win = ws.select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(ws) - ${k - 1})," +
+            s" i -> xxhash64(array_join(slice(ws, i, $k), ' ')))"))
+          .as(Seq("idx", "wh")))
+        .select(col("doc_id"), (col("idx") + 1).as("i"), col("wh"))
+      val c = win.groupBy("wh").agg(count(lit(1)).as("c"))
+      val ncov = win.join(c, "wh").filter(col("c") > 1)
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+      lens.join(ncov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_cov"), lit(0L)).as("n_covered"),
+          round((col("n_tokens") - coalesce(col("n_cov"), lit(0L)))
+            / col("n_tokens").cast("double"), 6).as("keep_frac"))
+        .orderBy("doc_id")
+    },
+
     // ---- deduplication ---------------------------------------------------
 
     q("q_dedup_exact",
