@@ -571,6 +571,130 @@ object Events {
               |  (acc, e) -> 0.25 * e.value + 0.75 * acc)""".stripMargin),
             6).as("ewma"))
         .orderBy("user_id")
+    },
+
+    // Hourly OHLC candles per event_type — the market-data summary shape
+    // every monitoring/time-series store serves. Open/close need the
+    // FIRST/LAST value under the total (us, event_id) order, which has no
+    // order-insensitive aggregate spelling, so both engines mark the
+    // first and last row per candle with two row_number passes sharing
+    // ONE (event_type, hour) partition (one shuffle, two in-partition
+    // sorts) and then fold the marks into the same hash aggregate that
+    // computes high/low/volume. Candle identity is the epoch-µs hour
+    // start (§2.13: no raw timestamps out).
+    q("q_ev_ohlc",
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    epoch_us(ts) AS us, event_id, value FROM events),
+        |m AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hour_us
+        |      ORDER BY us, event_id) AS rna,
+        |    row_number() OVER (PARTITION BY event_type, hour_us
+        |      ORDER BY us DESC, event_id DESC) AS rnd
+        |  FROM e)
+        |SELECT event_type, hour_us, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(max(CASE WHEN rna = 1 THEN value END), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(max(CASE WHEN rnd = 1 THEN value END), 6) AS close
+        |FROM m
+        |GROUP BY event_type, hour_us
+        |ORDER BY event_type, hour_us""") { (s, d) =>
+      val part = Seq(col("event_type"), col("hour_us"))
+      val asc = Window.partitionBy(part: _*).orderBy(col("us"), col("event_id"))
+      val desc = Window.partitionBy(part: _*)
+        .orderBy(col("us").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(date_trunc('HOUR', ts))").as("hour_us"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+        .withColumn("rna", row_number().over(asc))
+        .withColumn("rnd", row_number().over(desc))
+        .groupBy("event_type", "hour_us")
+        .agg(count(lit(1)).as("n_events"),
+          round(max(when(col("rna") === 1, col("value"))), 6).as("open"),
+          round(max("value"), 6).as("high"),
+          round(min("value"), 6).as("low"),
+          round(max(when(col("rnd") === 1, col("value"))), 6).as("close"))
+        .orderBy("event_type", "hour_us")
+    },
+
+    // Per-user inter-arrival gap statistics — the burstiness profile that
+    // feeds bot detection and capacity planning. One lag pass and the
+    // per-user aggregate share a single user_id exchange; gaps are exact
+    // integer µs (lag over the total (us, event_id) order). The mean is
+    // INTEGER floor-divided nanoseconds — sum(gap µs)*1000 div n — not a
+    // rounded double: at sf0.1 one user's exact mean landed on the
+    // round-6 half boundary (…0425) where Spark (BigDecimal HALF_UP on
+    // the shortest decimal repr) and DuckDB (binary-double round) split
+    // by 1 ulp of output; integer division has no boundary to disagree
+    // on at any scale. The order-sensitive stddev keeps round-2, where a
+    // ~1e-11 cross-engine wobble cannot reach the boundary. Users with
+    // one event keep a row (n_gaps = 0, -1/NULL stats) so the population
+    // count reconciles with q_ev_session.
+    q("q_ev_gap",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id,
+        |    us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS gap
+        |  FROM e)
+        |SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+        |  CAST(CASE WHEN count(gap) = 0 THEN -1
+        |    ELSE (sum(gap) * 1000) // count(gap) END AS BIGINT) AS avg_gap_ns,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |  round(stddev_samp(gap / 1e6), 2) AS sd_gap_s
+        |FROM g
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, d) =>
+      val byU = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(byU))
+        .groupBy("user_id")
+        .agg(count("gap").as("n_gaps"), sum("gap").as("sum_gap"),
+          min("gap").as("min_gap_us"),
+          max("gap").as("max_gap_us"),
+          round(stddev_samp(col("gap") / 1e6), 2).as("sd_gap_s"))
+        .select(col("user_id"), col("n_gaps"),
+          when(col("n_gaps") === 0, -1L)
+            .otherwise(expr("(sum_gap * 1000) div n_gaps")).cast("long")
+            .as("avg_gap_ns"),
+          col("min_gap_us"), col("max_gap_us"), col("sd_gap_s"))
+        .orderBy("user_id")
+    },
+
+    // Weekly cohort retention matrix — users grouped by first-active
+    // week, counted in every later week they return. The classic growth
+    // table. Distinct (user, week) presence collapses raw volume first;
+    // the per-user cohort week is the array_min of the user's collected
+    // week set, so presence + cohort + explode all ride ONE user_id
+    // shuffle, and because presence pairs are already distinct the final
+    // cell count is a plain count(*) (no second distinct). Week identity
+    // is the epoch-floor-div week number (Mondays map 1:1 — every
+    // Monday is ≡ 4 days mod 7 from the epoch Thursday).
+    q("q_ev_cohort",
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(date_trunc('week', ts)) // 604800000000 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, wk,
+        |    min(wk) OVER (PARTITION BY user_id) AS cw
+        |  FROM uw)
+        |SELECT cw AS cohort_wk, wk - cw AS week_off,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY cohort_wk, week_off""") { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(date_trunc('WEEK', ts)) div 604800000000").as("wk"))
+        .groupBy("user_id")
+        .agg(collect_set(col("wk")).as("wks"))
+        .select(col("user_id"), array_min(col("wks")).as("cw"),
+          explode(col("wks")).as("wk"))
+        .groupBy(col("cw").as("cohort_wk"), (col("wk") - col("cw")).as("week_off"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "week_off")
     }
   )
 }

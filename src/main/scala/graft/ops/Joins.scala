@@ -257,6 +257,47 @@ object Joins {
         .groupBy("label_a", "label_b")
         .agg(count(lit(1)).as("n"))
         .orderBy("label_a", "label_b")
+    },
+
+    // Latest-row-per-key lookup join (the SCD-2 "current fact" shape):
+    // each customer joined to their MOST RECENT order. The fact side
+    // collapses to one row per key BEFORE the join — row_number over the
+    // (o_orderdate, o_orderkey) total order, keep rn = 1 — so the join
+    // input is |customers|-sized regardless of fact volume, and the
+    // reduction and the join share the same custkey-compatible
+    // partitioning. Customers with no orders keep a row (LEFT join,
+    // zero/NULL-coalesced) so the output reconciles with |customer|.
+    // o_orderdate is emitted as epoch-µs (cast handles both the NTZ and
+    // adjusted physical parquet encodings — same dispatch contract as
+    // Tables.events).
+    q("q_join_latest",
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+        |    epoch_us(o_orderdate) AS od_us, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT c.c_custkey, c.c_name,
+        |  coalesce(r.o_orderkey, -1) AS o_orderkey,
+        |  coalesce(r.od_us, -1) AS od_us,
+        |  round(coalesce(r.o_totalprice, 0), 2) AS price
+        |FROM customer c LEFT JOIN r ON r.o_custkey = c.c_custkey
+        |  AND r.rn = 1
+        |ORDER BY c.c_custkey""") { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("od_us").desc, col("o_orderkey").desc)
+      val latest = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("od_us"),
+          col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      Tables.customer(s, d)
+        .join(latest, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+          coalesce(col("od_us"), lit(-1L)).as("od_us"),
+          round(coalesce(col("o_totalprice"), lit(0d)), 2).as("price"))
+        .orderBy("c_custkey")
     }
   )
 }

@@ -1102,6 +1102,118 @@ object Multimodal {
       channels = if (w > 0) 3 else 0, duration_ms = durMs)
   }
 
+  // ---- FLAC (REAL header-only metadata: STREAMINFO block) -------------
+
+  private def isFlac(c: Array[Byte]): Boolean =
+    c.length >= 42 && tag(c, 0) == "fLaC"
+
+  /** FLAC metadata-block walk: each block header is 1 byte
+    * (last-flag | type) + 24-bit BE length; STREAMINFO (type 0, 34
+    * bytes) packs sample rate (20 bits), channels-1 (3), bits-1 (5)
+    * and total samples (36) after the block/frame size fields.
+    * Duration = total_samples / sample_rate. HEADER-ONLY — the frame
+    * payloads stay undecoded (embed keeps its fallback), but a media
+    * inventory gets real duration/channel numbers. */
+  private def flacMeta(path: String, c: Array[Byte]): MediaMeta = {
+    var channels = 0
+    var durMs = 0L
+    var off = 4
+    var last = false
+    while (!last && off + 4 <= c.length) {
+      val hdr = c(off) & 0xFF
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7F
+      val len = ((c(off + 1) & 0xFF) << 16) | ((c(off + 2) & 0xFF) << 8) |
+        (c(off + 3) & 0xFF)
+      val body = off + 4
+      if (typ == 0 && len >= 34 && body + 34 <= c.length) {
+        // bytes 10..17 of STREAMINFO: rate(20) chan(3) bits(5) total(36)
+        val b = (i: Int) => c(body + i).toLong & 0xFF
+        val rate = ((b(10) << 12) | (b(11) << 4) | (b(12) >> 4)).toInt
+        channels = (((b(12) >> 1) & 0x7) + 1).toInt
+        val total = ((b(13) & 0xF) << 32) | (b(14) << 24) | (b(15) << 16) |
+          (b(16) << 8) | b(17)
+        if (rate > 0) durMs = total * 1000L / rate
+      }
+      off = body + len
+    }
+    MediaMeta(path, c.length, "flac", width = 0, height = 0,
+      channels = channels, duration_ms = durMs)
+  }
+
+  // ---- MP3 (REAL header-only metadata: frame header + Xing/Info) ------
+
+  /** ID3v2-aware sniff: "ID3" tag or a raw MPEG-audio frame sync with a
+    * valid layer/version (0xFFE mask alone false-positives on random
+    * binaries, so the version/layer/bitrate fields are validated too). */
+  private def isMp3(c: Array[Byte]): Boolean =
+    c.length >= 4 && (tag(c, 0).startsWith("ID3") ||
+      ((c(0) & 0xFF) == 0xFF && (c(1) & 0xE0) == 0xE0 &&
+        (c(1) & 0x18) != 0x08 && (c(1) & 0x06) != 0 &&
+        (c(2) & 0xF0) != 0xF0))
+
+  private val Mp3Bitrates: Array[Array[Int]] = Array(
+    // kbit/s by [versionIdx][bitrateIdx], Layer III; 0 = free/bad
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0), // MPEG1
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)) // MPEG2/2.5
+
+  private val Mp3Rates: Array[Array[Int]] = Array(
+    Array(44100, 48000, 32000, 0), // MPEG1
+    Array(22050, 24000, 16000, 0), // MPEG2
+    Array(11025, 12000, 8000, 0)) // MPEG2.5
+
+  /** MP3 metadata: skip any ID3v2 tag (syncsafe 28-bit size), find the
+    * first valid Layer-III frame header, read version/bitrate/sample
+    * rate/mode; then prefer a Xing/Info frame count when present
+    * (exact for VBR; side-info offset depends on version + mono) and
+    * fall back to the CBR estimate `audio_bytes * 8 / bitrate`.
+    * HEADER-ONLY — no MDCT, no payload decode. */
+  private def mp3Meta(path: String, c: Array[Byte]): MediaMeta = {
+    var off = 0
+    if (c.length >= 10 && tag(c, 0).startsWith("ID3")) {
+      val sz = ((c(6) & 0x7F) << 21) | ((c(7) & 0x7F) << 14) |
+        ((c(8) & 0x7F) << 7) | (c(9) & 0x7F)
+      off = 10 + sz
+    }
+    // scan (bounded) for the first plausible Layer-III frame sync
+    var found = -1
+    var i = off
+    val stop = math.min(c.length - 4, off + 65536)
+    while (found < 0 && i <= stop) {
+      if ((c(i) & 0xFF) == 0xFF && (c(i + 1) & 0xE0) == 0xE0 &&
+        (c(i + 1) & 0x18) != 0x08 && ((c(i + 1) >> 1) & 0x3) == 1 &&
+        ((c(i + 2) >> 4) & 0xF) != 0xF && ((c(i + 2) >> 2) & 0x3) != 3)
+        found = i
+      else i += 1
+    }
+    if (found < 0)
+      return MediaMeta(path, c.length, "mp3", 0, 0, 0, 0L)
+    val h1 = c(found + 1) & 0xFF; val h2 = c(found + 2) & 0xFF
+    val h3 = c(found + 3) & 0xFF
+    val verBits = (h1 >> 3) & 0x3 // 3=MPEG1 2=MPEG2 0=MPEG2.5
+    val mpeg1 = verBits == 3
+    val rateRow = if (mpeg1) 0 else if (verBits == 2) 1 else 2
+    val rate = Mp3Rates(rateRow)((h2 >> 2) & 0x3)
+    val kbps = Mp3Bitrates(if (mpeg1) 0 else 1)((h2 >> 4) & 0xF)
+    val mono = ((h3 >> 6) & 0x3) == 3
+    val channels = if (mono) 1 else 2
+    val samplesPerFrame = if (mpeg1) 1152 else 576
+    var durMs = 0L
+    // Xing/Info: after the 4-byte header + side info
+    val sideInfo = if (mpeg1) (if (mono) 17 else 32) else (if (mono) 9 else 17)
+    val xo = found + 4 + sideInfo
+    if (xo + 12 <= c.length &&
+      (tag(c, xo) == "Xing" || tag(c, xo) == "Info") &&
+      (be32(c, xo + 4) & 1) == 1 && rate > 0) {
+      val frames = be32(c, xo + 8).toLong & 0xFFFFFFFFL
+      durMs = frames * samplesPerFrame * 1000L / rate
+    } else if (kbps > 0) {
+      durMs = (c.length - found).toLong * 8L / kbps // bytes*8 / (kbps*1000) * 1000
+    }
+    MediaMeta(path, c.length, "mp3", width = 0, height = 0,
+      channels = channels, duration_ms = durMs)
+  }
+
   // ---- WAV sample decode (PCM8/16, G.711 u-law/A-law, IMA ADPCM) ------
 
   /** Decoded audio: sample rate, channel count, interleaved PCM16. */
@@ -2549,6 +2661,8 @@ object Multimodal {
         else if (isAvi(f.content)) aviMeta(f.path, f.content)
         else if (isTiff(f.content)) tiffMeta(f.path, f.content)
         else if (isMp4(f.content)) mp4Meta(f.path, f.content)
+        else if (isFlac(f.content)) flacMeta(f.path, f.content)
+        else if (isMp3(f.content)) mp3Meta(f.path, f.content)
         else {
           // FALLBACK STUB — deterministic fake for codec-less formats.
           val h = MurmurHash3.bytesHash(f.content, seed = 42)

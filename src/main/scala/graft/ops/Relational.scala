@@ -375,6 +375,54 @@ object Relational {
         .orderBy("flag")
     },
 
+    // Skewness + excess kurtosis per group, spelled as RAW power sums
+    // deliberately: Spark's skewness/kurtosis are population-form and
+    // DuckDB's are bias-corrected sample-form, so the built-ins can
+    // never hash-match. Both engines instead aggregate E[x^k] for
+    // k=1..4 (one map-side-combinable hash aggregate, 3 tiny rows out)
+    // and assemble the population moments m2/m3/m4 from them — the
+    // values are ~1e2-1e6 for l_quantity in [1,50], far inside double
+    // precision, so round-6 agrees. Skew = m3 / m2^1.5, excess
+    // kurtosis = m4 / m2^2 - 3.
+    q("q_agg_skewkurt",
+      """WITH p AS (SELECT l_returnflag AS flag, count(*) AS n,
+        |    avg(l_quantity) AS e1,
+        |    avg(l_quantity * l_quantity) AS e2,
+        |    avg(l_quantity * l_quantity * l_quantity) AS e3,
+        |    avg(l_quantity * l_quantity * l_quantity * l_quantity) AS e4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (SELECT flag, n,
+        |    e2 - e1 * e1 AS m2,
+        |    e3 - 3 * e1 * e2 + 2 * e1 * e1 * e1 AS m3,
+        |    e4 - 4 * e1 * e3 + 6 * e1 * e1 * e2
+        |      - 3 * e1 * e1 * e1 * e1 AS m4
+        |  FROM p)
+        |SELECT flag, CAST(n AS BIGINT) AS n,
+        |  round(m2, 6) AS m2,
+        |  round(m3 / pow(m2, 1.5), 6) AS skew,
+        |  round(m4 / (m2 * m2) - 3, 6) AS kurt_ex
+        |FROM m
+        |ORDER BY flag""") { (s, d) =>
+      val x = col("l_quantity")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"), avg(x).as("e1"),
+          avg(x * x).as("e2"), avg(x * x * x).as("e3"),
+          avg(x * x * x * x).as("e4"))
+        .select(col("flag"), col("n"),
+          (col("e2") - col("e1") * col("e1")).as("m2"),
+          (col("e3") - lit(3) * col("e1") * col("e2")
+            + lit(2) * col("e1") * col("e1") * col("e1")).as("m3"),
+          (col("e4") - lit(4) * col("e1") * col("e3")
+            + lit(6) * col("e1") * col("e1") * col("e2")
+            - lit(3) * col("e1") * col("e1") * col("e1") * col("e1")).as("m4"))
+        .select(col("flag"), col("n").cast("long").as("n"),
+          round(col("m2"), 6).as("m2"),
+          round(col("m3") / pow(col("m2"), 1.5), 6).as("skew"),
+          round(col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurt_ex"))
+        .orderBy("flag")
+    },
+
     // Fixed-width histogram per group: one hash aggregation whose key
     // count is bounded by (value range / bin width) x groups — never by
     // row count — so the result stays small at any scale.

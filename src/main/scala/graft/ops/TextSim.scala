@@ -797,6 +797,52 @@ object TextSim {
         .orderBy("lang")
     },
 
+    // Flesch-style readability per (lang, source) — the legibility
+    // screen a quality pipeline runs next to stopword/punct ratios.
+    // Deliberately LATIN-LETTER scoped (words = [A-Za-z]+ runs,
+    // syllable proxy = vowel-group runs, sentences = [.!?]+ runs with a
+    // floor of 1): Flesch's formula is only defined for alphabetic
+    // text, so CJK-only docs drop out via the w > 0 filter instead of
+    // scoring garbage. Entirely per-row narrow compute + one hash
+    // aggregate on (lang, source) — nothing here scales with anything
+    // but the scan.
+    q("q_text_readability",
+      """WITH f AS (SELECT lang, source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) AS w,
+        |    CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+')) AS DOUBLE)
+        |      AS sy,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS DOUBLE) AS st
+        |  FROM documents),
+        |r AS (SELECT lang, source, w, st,
+        |    206.835 - 1.015 * (w / st) - 84.6 * (sy / w) AS flesch
+        |  FROM f WHERE w > 0)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(flesch), 6) AS avg_flesch,
+        |  round(avg(w / st), 6) AS words_per_sent
+        |FROM r
+        |GROUP BY lang, source
+        |ORDER BY lang, source""") { (s, d) =>
+      val w = size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+        .cast("double")
+      val sy = size(regexp_extract_all(col("text"), lit("[AEIOUYaeiouy]+"),
+        lit(0))).cast("double")
+      val st = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+        lit(0))), lit(1)).cast("double")
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), w.as("w"), sy.as("sy"),
+          st.as("st"))
+        .filter(col("w") > 0)
+        .select(col("lang"), col("source"), col("w"), col("st"),
+          (lit(206.835) - lit(1.015) * (col("w") / col("st"))
+            - lit(84.6) * (col("sy") / col("w"))).as("flesch"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("flesch"), 6).as("avg_flesch"),
+          round(avg(col("w") / col("st")), 6).as("words_per_sent"))
+        .orderBy("lang", "source")
+    },
+
     // Language ID by signature-vocabulary hits (n-gram heuristic shape);
     // argmax with alphabetical tie-break, spelled identically in both
     // engines.
@@ -1993,6 +2039,55 @@ object TextSim {
         .agg(count(lit(1)).as("n"),
           round(avg(cosine), 6).as("avg_cos"),
           round(min(cosine), 6).as("min_cos"))
+        .orderBy("label")
+    },
+
+    // Per-label embedding outliers: Euclidean distance to the label
+    // centroid, flagged past mean + 2*sigma — the mislabeled-cluster /
+    // corrupt-embedding screen a curation pipeline runs before training
+    // on labeled vectors. Same one-shuffle shape as q_embed_centroid
+    // (dims explode, labels x dims centroid broadcast back), plus a
+    // second labels-sized broadcast of the per-label distance stats —
+    // the fact-scale frame shuffles once on vec_id and never again.
+    // Threshold compare happens on raw doubles in both engines; both
+    // derive dist from the identical (label, idx) centroid join, so the
+    // values agree far inside round-6 (two-tier hash runs pin it).
+    q("q_embed_outlier",
+      """WITH e AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS idx,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, idx, avg(x) AS cx FROM e GROUP BY 1, 2),
+        |v AS (SELECT e.vec_id, e.label,
+        |    sqrt(sum((e.x - c.cx) * (e.x - c.cx))) AS dist
+        |  FROM e JOIN c ON e.label = c.label AND e.idx = c.idx
+        |  GROUP BY 1, 2),
+        |t AS (SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd
+        |  FROM v GROUP BY 1)
+        |SELECT v.label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN v.dist > t.mu + 2 * t.sd THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_out,
+        |  round(avg(v.dist), 6) AS avg_dist,
+        |  round(max(v.dist), 6) AS max_dist
+        |FROM v JOIN t ON v.label = t.label
+        |GROUP BY v.label
+        |ORDER BY v.label""") { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("idx", "x")))
+      val c = e.groupBy("label", "idx").agg(avg("x").as("cx"))
+      val v = e.join(broadcast(c), Seq("label", "idx"))
+        .groupBy("vec_id", "label")
+        .agg(sqrt(sum((col("x") - col("cx")) * (col("x") - col("cx"))))
+          .as("dist"))
+      val t = v.groupBy("label")
+        .agg(avg("dist").as("mu"), stddev_samp(col("dist")).as("sd"))
+      v.join(broadcast(t), Seq("label"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dist") > col("mu") + lit(2) * col("sd"), 1)
+            .otherwise(0)).cast("long").as("n_out"),
+          round(avg("dist"), 6).as("avg_dist"),
+          round(max("dist"), 6).as("max_dist"))
         .orderBy("label")
     },
 

@@ -1313,4 +1313,95 @@ class MultimodalSpec extends AnyFunSuite {
     // Not an AVI at all.
     assert(Multimodal.decodeAvi("RIFFxxxxWAVE".getBytes).isEmpty)
   }
+
+  // ---- FLAC / MP3: spec-side header writers + header-only meta pins ----
+
+  /** Independent STREAMINFO writer straight from the FLAC spec's bit
+    * layout (no shared code with the parser). */
+  private def flacBytes(rate: Int, channels: Int, totalSamples: Long,
+      extraBlock: Boolean = false): Array[Byte] = {
+    val si = new Array[Byte](34)
+    // bytes 0-9: block/frame sizes — irrelevant to meta, leave zero
+    si(10) = ((rate >> 12) & 0xFF).toByte
+    si(11) = ((rate >> 4) & 0xFF).toByte
+    si(12) = (((rate & 0xF) << 4) | (((channels - 1) & 0x7) << 1) |
+      ((16 - 1) >> 4)).toByte // bits-per-sample-1 high bit
+    si(13) = ((((16 - 1) & 0xF) << 4) | ((totalSamples >> 32) & 0xF)).toInt.toByte
+    si(14) = ((totalSamples >> 24) & 0xFF).toByte
+    si(15) = ((totalSamples >> 16) & 0xFF).toByte
+    si(16) = ((totalSamples >> 8) & 0xFF).toByte
+    si(17) = (totalSamples & 0xFF).toByte
+    val pad = Array[Byte](0x81.toByte, 0, 0, 4, 0, 0, 0, 0) // last PADDING
+    val siHdr = Array[Byte](if (extraBlock) 0 else 0x80.toByte, 0, 0, 34)
+    "fLaC".getBytes("US-ASCII") ++ siHdr ++ si ++
+      (if (extraBlock) pad else Array.emptyByteArray)
+  }
+
+  test("FLAC meta: STREAMINFO rate/channels/duration, block-walk past non-last") {
+    import spark.implicits._
+    // 44.1 kHz stereo, 441 000 samples = exactly 10 s.
+    val f = flacBytes(44100, 2, 441000L, extraBlock = true)
+    val m = Multimodal.decodeMeta(
+      Seq(Multimodal.MediaFile("a.flac", f.length, f)).toDS()).collect().head
+    assert(m.format === "flac" && m.channels === 2 && m.duration_ms === 10000L)
+    // 36-bit total-samples path: 8 kHz mono, 2^33 samples.
+    val big = flacBytes(8000, 1, 1L << 33)
+    val mb = Multimodal.decodeMeta(
+      Seq(Multimodal.MediaFile("b.flac", big.length, big)).toDS()).collect().head
+    assert(mb.channels === 1 && mb.duration_ms === (1L << 33) * 1000L / 8000L)
+    // Truncated below the 42-byte sniff minimum: never reaches the
+    // parser — extension-named stub fallback, no crash.
+    val mt = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("t.flac", 6, f.take(6))).toDS()).collect().head
+    assert(mt.format === "flac")
+    // No STREAMINFO block at all (type field corrupted): walk completes
+    // over the remaining blocks, zeros stay — no crash, no fake values.
+    val bad = f.clone(); bad(4) = 0x03.toByte // STREAMINFO -> SEEKTABLE
+    val mz = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("z.flac", bad.length, bad)).toDS()).collect().head
+    assert(mz.duration_ms === 0L && mz.channels === 0)
+  }
+
+  /** Independent MP3 frame-header writer (MPEG1 Layer III). */
+  private def mp3Frame(kbpsIdx: Int, rateIdx: Int, mono: Boolean,
+      xingFrames: Option[Int]): Array[Byte] = {
+    val h1 = 0xFB // MPEG1, Layer III, no CRC
+    val h2 = (kbpsIdx << 4) | (rateIdx << 2)
+    val h3 = if (mono) 0xC0 else 0x00
+    val side = if (mono) 17 else 32
+    val body = new Array[Byte](4 + side + 16 + 64)
+    body(0) = 0xFF.toByte; body(1) = h1.toByte
+    body(2) = h2.toByte; body(3) = h3.toByte
+    xingFrames.foreach { n =>
+      val xo = 4 + side
+      "Xing".getBytes("US-ASCII").copyToArray(body, xo)
+      val bb = java.nio.ByteBuffer.wrap(body, xo + 4, 8)
+      bb.putInt(1).putInt(n) // flags: FRAMES present
+    }
+    body
+  }
+
+  test("MP3 meta: ID3 skip, Xing frame count, CBR fallback, channels") {
+    import spark.implicits._
+    // ID3v2 tag (100 syncsafe bytes) + stereo 44.1 kHz Xing frame:
+    // 1234 frames * 1152 / 44100 = 32 234 ms.
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 100.toByte) ++
+      new Array[Byte](100)
+    val withXing = id3 ++ mp3Frame(9, 0, mono = false, Some(1234))
+    val m = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("x.mp3", withXing.length, withXing)).toDS())
+      .collect().head
+    assert(m.format === "mp3" && m.channels === 2)
+    assert(m.duration_ms === 1234L * 1152 * 1000 / 44100)
+    // Mono CBR 128 kbps, no Xing: duration = bytes*8/kbps ms.
+    val cbr = mp3Frame(9, 0, mono = true, None) ++ new Array[Byte](16000)
+    val mc = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("c.mp3", cbr.length, cbr)).toDS()).collect().head
+    assert(mc.channels === 1 && mc.duration_ms === cbr.length * 8L / 128)
+    // Garbage: not sniffed as mp3 (falls back to the stub path).
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val mj = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("j.mp3", junk.length, junk)).toDS()).collect().head
+    assert(mj.format === "mp3") // extension-named stub fallback
+  }
 }

@@ -80,6 +80,70 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"ewma must not join:\n$p")
   }
 
+  test("q_ev_ohlc: both row_number passes and the candle agg share one shuffle") {
+    // The two open/close marker windows sort the SAME (event_type,
+    // hour_us) partition twice in place; the candle aggregation then
+    // reuses that partitioning. A second exchange (one per window
+    // direction) or any join would break the shape.
+    val p = plan("q_ev_ohlc")
+    val keyShuffles = "hashpartitioning\\(event_type".r.findAllIn(p).size
+    assert(keyShuffles === 1,
+      s"expected 1 (event_type, hour_us) shuffle, got $keyShuffles:\n$p")
+    assert(!p.contains("Join"), s"ohlc must not join:\n$p")
+  }
+
+  test("q_ev_gap: lag window and per-user aggregate share one user_id shuffle") {
+    val p = plan("q_ev_gap")
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userShuffles === 1,
+      s"expected 1 user_id shuffle, got $userShuffles:\n$p")
+    assert(!p.contains("Join"), s"gap stats must not join:\n$p")
+  }
+
+  test("q_ev_cohort: presence collapse rides one user_id shuffle, no joins") {
+    // collect_set + array_min + explode all inside the single per-user
+    // aggregate; the only other exchange is the final (cohort, offset)
+    // cell aggregation, whose key count is |weeks|^2 — never fact-sized.
+    val p = plan("q_ev_cohort")
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userShuffles === 1,
+      s"expected 1 user_id shuffle, got $userShuffles:\n$p")
+    assert(!p.contains("Join"), s"cohort must not join:\n$p")
+  }
+
+  test("q_agg_skewkurt: one partial+final hash aggregate, no window funnel") {
+    // The four power sums are plain map-side-combinable aggregates — a
+    // window/moment formulation would funnel the fact table into 3
+    // partitions. Scan prunes to the 2 referenced columns.
+    val p = plan("q_agg_skewkurt")
+    assert(p.contains("HashAggregate") && !p.contains("Window"),
+      s"moments must be hash aggregates:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_tax"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q_embed_outlier joins only by broadcast (centroids + label stats)") {
+    // Both join inputs are labels-sized frames; the fact-scale explode
+    // must never shuffle-join. Same contract as q_embed_centroid.
+    val p = plan("q_embed_outlier")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"fact-side shuffle join in outlier screen:\n$p")
+  }
+
+  test("q_join_latest: fact collapses to rn=1 before the join, no product") {
+    // The window reduction runs on the orders side BEFORE the join, so
+    // the join input is |customers|-sized; the join itself may be SMJ
+    // (both sides key-partitioned) but never a product.
+    val p = plan("q_join_latest")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"latest-row join must stay product-free:\n$p")
+    val custShuffles = "hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(custShuffles >= 1, s"window reduction lost its o_custkey shuffle:\n$p")
+  }
+
   test("q_dedup_substring: window-hash + doc aggregations, no product join") {
     // Count table and instance table exchange on the SAME 64-bit
     // window-hash key (co-partitioned join), then one doc_id agg.
