@@ -206,6 +206,45 @@ object Graph {
     * component's MINIMUM id — the same labels the propagation fixpoint
     * yields, asserted equal in GraphSpec on two graphs. Nodes absent
     * from the edge set are their own singleton components. */
+  /** Multi-source BFS: hop distance from `seeds` (dist 0) to every node
+    * reachable within `maxHops`, -1 beyond/unreachable. Frontier-only
+    * expansion — each round joins ONLY the rim settled last round
+    * against the symmetrized edge list, anti-joins out already-settled
+    * nodes, and checkpoints both frames eagerly (same lineage-cutting
+    * discipline as [[connectedComponents]]; without it round r's plan
+    * re-derives rounds 1..r-1). Work per round is O(frontier-adjacent
+    * edges); the loop exits early when the frontier drains, so a
+    * low-diameter graph never pays for the cap. */
+  def bfsDistances(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val sym = edges.select(col("ida").as("a"), col("idb").as("b"))
+      .unionByName(edges.select(col("idb").as("a"), col("ida").as("b")))
+      .distinct().localCheckpoint(true)
+    var settled = seeds.select(col("doc_id"), lit(0L).as("dist"))
+      .distinct().localCheckpoint(true)
+    var frontier = settled.select("doc_id")
+    var h = 1
+    var drained = frontier.isEmpty
+    while (h <= maxHops && !drained) {
+      val nxt = frontier.select(col("doc_id").as("a"))
+        .join(sym, "a")
+        .select(col("b").as("doc_id")).distinct()
+        .join(settled.select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      drained = nxt.isEmpty
+      if (!drained) {
+        settled = settled
+          .unionByName(nxt.select(col("doc_id"), lit(h.toLong).as("dist")))
+          .localCheckpoint(true)
+        frontier = nxt
+      }
+      h += 1
+    }
+    nodes.select("doc_id")
+      .join(settled, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 30): DataFrame = {
     def canon(e: DataFrame): DataFrame =
@@ -528,6 +567,24 @@ object Graph {
         connectedComponents(Tables.documents(s, d).select("doc_id"),
             graft.ops.TextSim.similarityEdges(s, d, minJac = 0.5))
           .orderBy("doc_id")
+    },
+
+    // Multi-source BFS hop distance to the nearest ENGLISH document over
+    // the jac >= 0.5 near-dup graph — "how many near-dup hops from the
+    // trusted seed set" is the graph-proximity trust signal a curation
+    // pipeline propagates from a vetted subcorpus. Capped at 6 hops in
+    // BOTH engines (the oracle's recursive CTE carries the same cap);
+    // unreachable docs report -1. Frontier-only expansion: each round
+    // joins only the newly-settled rim against the edge list, so total
+    // work is O(edges x diameter-capped rounds), never
+    // rounds x |nodes| — the textbook distributed BFS shape.
+    QuerySpec.sql("q_graph_bfs", graft.ops.TextSim.BfsOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      bfsDistances(docs.select("doc_id"),
+          graft.ops.TextSim.similarityEdges(s, d, minJac = 0.5),
+          docs.filter(col("lang") === "en").select("doc_id"),
+          maxHops = 6)
+        .orderBy("doc_id")
     },
 
     // Triangle participation per document on the jac >= 0.1 similarity

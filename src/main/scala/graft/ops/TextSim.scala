@@ -250,6 +250,43 @@ object TextSim {
       |SELECT doc_id, cluster FROM l2
       |ORDER BY doc_id""".stripMargin
 
+  /** Oracle for q_graph_bfs: the SAME jac >= 0.5 edge construction as
+    * [[ClusterOracleSql]], then a RECURSIVE CTE walking hop distances
+    * from the English-language seed set, capped at 6 hops (the cap is
+    * part of the query contract — it bounds BOTH engines' iteration
+    * identically). UNION (not UNION ALL) recursion dedups (doc_id, dd)
+    * states, so the walk is bounded by 7 x |docs| rows on any graph. */
+  val BfsOracleSql: String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+      |           FROM documents),
+      |g0 AS (SELECT DISTINCT doc_id,
+      |        unnest([array_to_string(ws[i:i+2], ' ')
+      |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+      |      FROM w),
+      |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
+      |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |      GROUP BY a.doc_id, b.doc_id),
+      |j AS (SELECT ida, idb
+      |      FROM p JOIN sz sa ON p.ida = sa.doc_id
+      |             JOIN sz sb ON p.idb = sb.doc_id
+      |      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
+      |e AS (SELECT ida AS a, idb AS b FROM j
+      |      UNION ALL SELECT idb, ida FROM j),
+      |seeds AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      |walk AS (
+      |  SELECT doc_id, 0 AS dd FROM seeds
+      |  UNION
+      |  SELECT e.b, walk.dd + 1 FROM walk JOIN e ON e.a = walk.doc_id
+      |  WHERE walk.dd < 6
+      |)
+      |SELECT d.doc_id, CAST(coalesce(min(wk.dd), -1) AS BIGINT) AS dist
+      |FROM documents d LEFT JOIN walk wk ON wk.doc_id = d.doc_id
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** PII patterns as one alternation: email, IPv4, SSN-shaped, and
     * card-shaped digit runs. Restricted to the regex subset (ASCII
     * classes, \b, \d, bounded repetition, alternation) that Java regex
@@ -777,6 +814,63 @@ object TextSim {
         .agg(count(lit(1)).as("n_terms"),
           round(regr_slope(log(col("n")), log(col("r"))), 6).as("zipf_slope"),
           round(regr_r2(log(col("n")), log(col("r"))), 6).as("zipf_r2"))
+        .orderBy("lang")
+    },
+
+    // Heaps'-law fit per language — vocabulary growth V ~ N^beta over
+    // the corpus read in deterministic doc_id order; the companion
+    // corpus-health check to q_text_zipf (template floods and boilerplate
+    // push beta toward 0, genuinely diverse text sits near 0.5-0.7).
+    // Each token's FIRST document (one (lang, token) aggregation) turns
+    // into per-doc new-type counts, so both cumulative series are exact
+    // integers riding one per-lang cumulative window; the regression
+    // then fits ln V ~ ln N over the |docs|-sized checkpoint frame.
+    // Scale note: the per-lang cumsum window funnels each language into
+    // one partition — at 100 TB the checkpoints come from a doc_id
+    // sample (the fit needs only ~1e3 points), exactly like
+    // q_text_ppl_bucket's documented sampling cut-over; the token-level
+    // stages (the actual volume) stay fully parallel hash aggregates.
+    q("q_text_heaps",
+      """WITH tok AS (SELECT lang, doc_id, unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS w
+        |             FROM documents),
+        |n AS (SELECT lang, doc_id, count(*) AS n_tok FROM tok GROUP BY 1, 2),
+        |f AS (SELECT lang, w, min(doc_id) AS fd FROM tok GROUP BY 1, 2),
+        |nv AS (SELECT lang, fd AS doc_id, count(*) AS new_types
+        |       FROM f GROUP BY 1, 2),
+        |c AS (SELECT n.lang, n.doc_id,
+        |    sum(n.n_tok) OVER (PARTITION BY n.lang ORDER BY n.doc_id)
+        |      AS cum_n,
+        |    sum(coalesce(nv.new_types, 0)) OVER (PARTITION BY n.lang
+        |      ORDER BY n.doc_id) AS cum_v
+        |  FROM n LEFT JOIN nv
+        |    ON nv.lang = n.lang AND nv.doc_id = n.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(regr_slope(ln(cum_v), ln(cum_n)), 6) AS heaps_beta,
+        |  round(regr_r2(ln(cum_v), ln(cum_n)), 6) AS heaps_r2
+        |FROM c WHERE cum_n > 0 AND cum_v > 0
+        |GROUP BY lang
+        |ORDER BY lang""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), explode(words).as("w"))
+      val n = tok.groupBy("lang", "doc_id").agg(count(lit(1)).as("n_tok"))
+      val f = tok.groupBy("lang", "w").agg(min("doc_id").as("fd"))
+      val nv = f.groupBy(col("lang"), col("fd").as("doc_id"))
+        .agg(count(lit(1)).as("new_types"))
+      val wl = Window.partitionBy("lang").orderBy("doc_id")
+      val c = n.join(nv, Seq("lang", "doc_id"), "left")
+        .select(col("lang"), col("doc_id"), col("n_tok"),
+          coalesce(col("new_types"), lit(0L)).as("nt"))
+        .select(col("lang"),
+          sum("n_tok").over(wl).as("cum_n"),
+          sum("nt").over(wl).as("cum_v"))
+      c.filter(col("cum_n") > 0 && col("cum_v") > 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(regr_slope(log(col("cum_v")), log(col("cum_n"))), 6)
+            .as("heaps_beta"),
+          round(regr_r2(log(col("cum_v")), log(col("cum_n"))), 6)
+            .as("heaps_r2"))
         .orderBy("lang")
     },
 

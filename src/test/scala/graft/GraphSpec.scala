@@ -286,4 +286,37 @@ class GraphSpec extends AnyFunSuite {
     if (loner.count() > 0)
       assert(byDeg.getAs[Double]("rank") > loner.head().getAs[Double]("rank"))
   }
+
+  test("BFS: path/star distances, multi-source min, hop cap, unreachable -1") {
+    import spark.implicits._
+    def run(nodes: Seq[Long], edges: Seq[(Long, Long)], seeds: Seq[Long],
+        cap: Int): Map[Long, Long] =
+      ops.Graph.bfsDistances(
+          nodes.toDF("doc_id"),
+          edges.toDF("ida", "idb"),
+          seeds.toDF("doc_id"), cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Path 0-1-2-3-4 plus isolated 9: textbook hop counts, -1 beyond.
+    val path = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L)
+    assert(run(0L to 4L map identity, path, Seq(0L), 6) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    assert(run(Seq(0L, 1L, 2L, 3L, 4L, 9L), path, Seq(0L), 6)(9L) === -1L)
+    // Edges are undirected: seeding the far end mirrors the distances.
+    assert(run(0L to 4L map identity, path, Seq(4L), 6) ===
+      Map(0L -> 4L, 1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+    // Multi-source takes the MIN over seeds; a seeded node stays 0 even
+    // if another seed reaches it later.
+    assert(run(0L to 4L map identity, path, Seq(0L, 3L), 6) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+    // The cap truncates: beyond-cap nodes report -1, not a partial dist.
+    assert(run(0L to 4L map identity, path, Seq(0L), 2) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> -1L, 4L -> -1L))
+    // Cycle: frontier drains at the diameter, well before the cap.
+    val cycle = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L)
+    assert(run(Seq(0L, 1L, 2L), cycle, Seq(0L), 6) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+    // Empty seed set: everything unreachable.
+    assert(run(Seq(0L, 1L), Seq(0L -> 1L), Seq.empty[Long], 6) ===
+      Map(0L -> -1L, 1L -> -1L))
+  }
 }

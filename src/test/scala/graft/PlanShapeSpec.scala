@@ -144,6 +144,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(custShuffles >= 1, s"window reduction lost its o_custkey shuffle:\n$p")
   }
 
+  test("q_text_heaps: token stages are hash aggregates; cumsum window on lang only") {
+    // The fact-scale work (tokenize, per-doc counts, first-occurrence
+    // per type) must stay in parallel hash aggregates; only the
+    // |docs|-sized checkpoint frame may funnel into the per-lang
+    // cumulative window (and at 100 TB that frame comes from a sample —
+    // see the query's scale note).
+    val p = plan("q_text_heaps")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"heaps fit must stay product-free:\n$p")
+    val langWindows = "windowspecdefinition\\(lang".r.findAllIn(p).size
+    assert(langWindows >= 2, s"cumsum windows lost lang partitioning:\n$p")
+    assert(p.contains("HashAggregate"), s"token stages not hash aggs:\n$p")
+  }
+
   test("q_dedup_substring: window-hash + doc aggregations, no product join") {
     // Count table and instance table exchange on the SAME 64-bit
     // window-hash key (co-partitioned join), then one doc_id agg.
