@@ -82,29 +82,55 @@ object Multimodal {
     * walk, every IDAT concatenated (encoders split the zlib stream at
     * arbitrary chunk boundaries), `java.util.zip.Inflater` for the
     * DEFLATE payload, and per-scanline inverse filtering for all five
-    * spec filters (None/Sub/Up/Average/Paeth). Supported: 8-bit
-    * depth, color types 0/2/6, non-interlaced — the shapes a curation
-    * pipeline actually meets; everything else (palette, 16-bit, Adam7)
-    * returns None and flows to the documented fallback. */
+    * spec filters (None/Sub/Up/Average/Paeth).
+    *
+    * Supported: gray (depths 1/2/4/8/16, scaled to the 8-bit range),
+    * RGB and RGBA (8/16 — 16-bit samples take their high byte, the
+    * standard 8-bit view), and PALETTE images (depths 1/2/4/8 indexing
+    * a PLTE, expanded to opaque RGB; a tRNS chunk's transparency is
+    * dropped, documented). Each works non-interlaced or ADAM7
+    * interlaced (7 per-pass sub-images, each independently filtered,
+    * scattered onto the canvas grid). Gray+alpha (type 4) returns None
+    * honestly — rare in crawls and the only remaining IHDR shape. */
   def decodePng(c: Array[Byte]): Option[PngImage] = {
     if (!isPng(c)) return None
     val w = be32(c, 16)
     val h = be32(c, 20)
-    val depth = c(24)
-    val colorType = c(25)
-    val interlace = c(28)
-    val channels = colorType match {
-      case 0 => 1
-      case 2 => 3
-      case 6 => 4
-      case _ => return None
+    val depth = c(24) & 0xFF
+    val colorType = c(25) & 0xFF
+    val interlace = c(28) & 0xFF
+    if (w <= 0 || h <= 0) return None
+    val samples = colorType match {
+      case 0 | 3 => 1
+      case 2     => 3
+      case 6     => 4
+      case _     => return None
     }
-    if (depth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
-    val stride = w.toLong * channels
-    val rawLen = h.toLong * (stride + 1) // +1 filter byte per scanline
+    val depthOk = colorType match {
+      case 0     => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+      case 2 | 6 => depth == 8 || depth == 16
+      case 3     => depth == 1 || depth == 2 || depth == 4 || depth == 8
+    }
+    if (!depthOk || (interlace != 0 && interlace != 1)) return None
+    val outCh = if (colorType == 3) 3 else samples
+    if (w.toLong * h * outCh > MaxPngRawBytes) return None
+    // Pass geometry: one full pass, or the 7 Adam7 sub-grids (empty
+    // passes — tiny images — contribute no scanlines, per spec).
+    final case class Pass(pw: Int, ph: Int, x0: Int, y0: Int, dx: Int, dy: Int)
+    val passes: Seq[Pass] =
+      if (interlace == 0) Seq(Pass(w, h, 0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        .map { case (x0, y0, dx, dy) =>
+          Pass((w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy, x0, y0, dx, dy)
+        }
+        .filter(p => p.pw > 0 && p.ph > 0)
+    def rowBytes(pw: Int): Int = ((pw.toLong * samples * depth + 7) / 8).toInt
+    val rawLen = passes.map(p => p.ph.toLong * (rowBytes(p.pw) + 1)).sum
     if (rawLen > MaxPngRawBytes) return None
-    // Chunk walk: concatenate IDAT payloads until IEND.
+    // Chunk walk: concatenate IDAT payloads until IEND; capture PLTE.
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var off = 8
     var done = false
     while (!done && off + 8 <= c.length) {
@@ -112,10 +138,13 @@ object Multimodal {
       val typ = tag(c, off + 4)
       if (len < 0 || off + 12L + len > c.length) return None
       if (typ == "IDAT") idat.write(c, off + 8, len)
+      if (typ == "PLTE" && len % 3 == 0)
+        palette = java.util.Arrays.copyOfRange(c, off + 8, off + 8 + len)
       if (typ == "IEND") done = true
       off += 12 + len // len + type + data + CRC
     }
     if (idat.size() == 0) return None
+    if (colorType == 3 && palette == null) return None
     // Inflate the joined zlib stream to exactly rawLen bytes.
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
@@ -135,41 +164,82 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // Inverse scanline filters. a = left, b = up, c = up-left (spec
-    // names); arithmetic mod 256 on unsigned bytes.
-    val bpp = channels
-    val rowB = stride.toInt
-    val out = new Array[Byte]((h.toLong * stride).toInt)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (rowB + 1)) & 0xFF
-      val src = y * (rowB + 1) + 1
-      val dst = y * rowB
-      if (ft > 4) return None
-      var x = 0
-      while (x < rowB) {
-        val cur = raw(src + x) & 0xFF
-        val a = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
-        val b = if (y > 0) out(dst - rowB + x) & 0xFF else 0
-        val cc = if (y > 0 && x >= bpp) out(dst - rowB + x - bpp) & 0xFF else 0
-        val v = ft match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + b
-          case 3 => cur + ((a + b) >> 1)
-          case 4 => // Paeth predictor
-            val p = a + b - cc
-            val pa = math.abs(p - a)
-            val pb = math.abs(p - b)
-            val pc = math.abs(p - cc)
-            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
-        }
-        out(dst + x) = (v & 0xFF).toByte
-        x += 1
-      }
-      y += 1
+    val out = new Array[Byte]((w.toLong * h * outCh).toInt)
+    // Inverse scanline filters per pass (a = left, b = up, c = up-left,
+    // spec names; arithmetic mod 256 on unsigned bytes), then sample
+    // extraction + scatter onto the output grid.
+    val bppBytes = math.max(1, samples * depth / 8)
+    // Scale factor lifting sub-byte gray to the 8-bit range.
+    val grayScale = depth match {
+      case 1 => 255; case 2 => 85; case 4 => 17; case _ => 1
     }
-    Some(PngImage(w, h, channels, out))
+    var rawOff = 0
+    passes.foreach { p =>
+      val rb = rowBytes(p.pw)
+      var prior: Array[Byte] = null
+      var y = 0
+      while (y < p.ph) {
+        val ft = raw(rawOff) & 0xFF
+        if (ft > 4) return None
+        val row = new Array[Byte](rb)
+        var x = 0
+        while (x < rb) {
+          val cur = raw(rawOff + 1 + x) & 0xFF
+          val a = if (x >= bppBytes) row(x - bppBytes) & 0xFF else 0
+          val b = if (prior != null) prior(x) & 0xFF else 0
+          val cc = if (prior != null && x >= bppBytes)
+            prior(x - bppBytes) & 0xFF else 0
+          val v = ft match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + b
+            case 3 => cur + ((a + b) >> 1)
+            case 4 => // Paeth predictor
+              val pr = a + b - cc
+              val pa = math.abs(pr - a)
+              val pb = math.abs(pr - b)
+              val pc = math.abs(pr - cc)
+              cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+          }
+          row(x) = (v & 0xFF).toByte
+          x += 1
+        }
+        // Emit this scanline's pixels into the canvas.
+        // MSB-first sub-byte sample of index i at depth d.
+        def subByte(i: Int): Int = {
+          val bit = i * depth
+          (row(bit >> 3) >> (8 - depth - (bit & 7))) & ((1 << depth) - 1)
+        }
+        var px = 0
+        while (px < p.pw) {
+          val dst = ((p.y0 + y.toLong * p.dy) * w + p.x0 + px.toLong * p.dx)
+            .toInt * outCh
+          colorType match {
+            case 3 =>
+              val idx = subByte(px)
+              if (idx * 3 + 2 >= palette.length) return None
+              out(dst) = palette(idx * 3)
+              out(dst + 1) = palette(idx * 3 + 1)
+              out(dst + 2) = palette(idx * 3 + 2)
+            case 0 if depth < 8 =>
+              out(dst) = (subByte(px) * grayScale).toByte
+            case _ =>
+              // 8-bit direct, or 16-bit high byte, x `samples` channels.
+              val step = depth / 8
+              var ch = 0
+              while (ch < samples) {
+                out(dst + ch) = row((px * samples + ch) * step)
+                ch += 1
+              }
+          }
+          px += 1
+        }
+        prior = row
+        rawOff += 1 + rb
+        y += 1
+      }
+    }
+    Some(PngImage(w, h, outCh, out))
   }
 
   // ---- JPEG (real baseline decode: Huffman + dequant + IDCT) ----------
@@ -1004,8 +1074,8 @@ object Multimodal {
   private def pngMeta(path: String, c: Array[Byte]): MediaMeta =
     MediaMeta(path, c.length, "png",
       width = be32(c, 16), height = be32(c, 20),
-      channels = c(25) match { case 0 => 1; case 2 => 3; case 6 => 4
-        case _ => 0 },
+      channels = c(25) match { case 0 => 1; case 2 | 3 => 3; case 6 => 4
+        case _ => 0 }, // palette (3) expands to RGB, matching decodePng
       duration_ms = 0L)
 
   /** BITMAPINFOHEADER fields: width @18, height @22 (negative =

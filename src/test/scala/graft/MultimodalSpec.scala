@@ -244,6 +244,137 @@ class MultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  /** Generalized independent PNG writer for the extended-shape pins:
+    * sub-byte/16-bit depths, palette + PLTE, optional Adam7 (rows of
+    * every pass filter-0; the filter ladder is exercised by the 8-bit
+    * suite). `vals` holds one int per sample in [0, 2^depth). */
+  private def pngBytesExt(w: Int, h: Int, colorType: Int, depth: Int,
+      vals: Array[Int], palette: Array[Byte] = null,
+      adam7: Boolean = false): Array[Byte] = {
+    val n = colorType match { case 0 | 3 => 1; case 2 => 3; case 6 => 4 }
+    val passes =
+      if (!adam7) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val rawOut = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes) {
+      val pw = (w - x0 + dx - 1) / dx
+      val ph = (h - y0 + dy - 1) / dy
+      if (pw > 0 && ph > 0) {
+        val rb = (pw * n * depth + 7) / 8
+        for (py <- 0 until ph) {
+          val row = new Array[Byte](rb)
+          val sy = y0 + py * dy
+          for (px <- 0 until pw; ch <- 0 until n) {
+            val v = vals((sy * w + x0 + px * dx) * n + ch)
+            val i = px * n + ch
+            if (depth == 16) {
+              row(i * 2) = (v >> 8).toByte
+              row(i * 2 + 1) = (v & 0xFF).toByte
+            } else if (depth == 8) row(i) = v.toByte
+            else {
+              val bit = i * depth
+              row(bit >> 3) = (row(bit >> 3) |
+                ((v & ((1 << depth) - 1)) << (8 - depth - (bit & 7)))).toByte
+            }
+          }
+          rawOut.write(0) // filter None
+          rawOut.write(row)
+        }
+      }
+    }
+    val raw = rawOut.toByteArray
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 256)
+    val zLen = defl.deflate(buf); defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte)
+      .put(if (adam7) 1.toByte else 0.toByte).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    out.write(pngChunk("IHDR", ihdr))
+    if (palette != null) out.write(pngChunk("PLTE", palette))
+    out.write(pngChunk("IDAT", buf.take(zLen)))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  test("PNG decode: palette (8-bit and 4-bit with bit padding) expands to RGB") {
+    val rnd = new scala.util.Random(7)
+    val pal = Array.fill[Byte](256 * 3)(rnd.nextInt(256).toByte)
+    val idx8 = Array.fill(7 * 5)(rnd.nextInt(256))
+    val img8 = Multimodal.decodePng(
+      pngBytesExt(7, 5, colorType = 3, depth = 8, idx8, palette = pal)).get
+    assert(img8.width === 7 && img8.height === 5 && img8.channels === 3)
+    assert(img8.pixels.toSeq === idx8.flatMap(i =>
+      Seq(pal(i * 3), pal(i * 3 + 1), pal(i * 3 + 2))).toSeq)
+    // 4-bit indices, odd width 5: rows pad to byte boundaries.
+    val pal16 = pal.take(16 * 3)
+    val idx4 = Array.fill(5 * 3)(rnd.nextInt(16))
+    val img4 = Multimodal.decodePng(
+      pngBytesExt(5, 3, colorType = 3, depth = 4, idx4, palette = pal16)).get
+    assert(img4.pixels.toSeq === idx4.flatMap(i =>
+      Seq(pal16(i * 3), pal16(i * 3 + 1), pal16(i * 3 + 2))).toSeq)
+    // Index past the palette: structural loss, whole file drops.
+    assert(Multimodal.decodePng(pngBytesExt(2, 1, 3, 8, Array(0, 9),
+      palette = pal.take(4 * 3))).isEmpty)
+    // Palette type without a PLTE chunk at all: drop.
+    assert(Multimodal.decodePng(pngBytesExt(2, 1, 3, 8, Array(0, 1))).isEmpty)
+  }
+
+  test("PNG decode: sub-byte gray scales to 8-bit; 16-bit takes the high byte") {
+    // 1-bit checkerboard, width 9 forces row padding.
+    val bw = Array.tabulate(9 * 4)(i => (i % 9 + i / 9) % 2)
+    val img1 = Multimodal.decodePng(pngBytesExt(9, 4, 0, 1, bw)).get
+    assert(img1.channels === 1)
+    assert(img1.pixels.toSeq === bw.map(v => (v * 255).toByte).toSeq)
+    // 2-bit gray: x85 lift.
+    val g2 = Array.tabulate(6 * 2)(i => i % 4)
+    val img2 = Multimodal.decodePng(pngBytesExt(6, 2, 0, 2, g2)).get
+    assert(img2.pixels.toSeq === g2.map(v => (v * 85).toByte).toSeq)
+    // 16-bit RGB: high byte survives, low byte is view-discarded.
+    val rnd = new scala.util.Random(11)
+    val v16 = Array.fill(4 * 3 * 3)(rnd.nextInt(65536))
+    val img16 = Multimodal.decodePng(pngBytesExt(4, 3, 2, 16, v16)).get
+    assert(img16.channels === 3)
+    assert(img16.pixels.toSeq === v16.map(v => (v >> 8).toByte).toSeq)
+    // 16-bit gray too (bppBytes = 2 path).
+    val g16 = Array.fill(5 * 2)(rnd.nextInt(65536))
+    val imgG = Multimodal.decodePng(pngBytesExt(5, 2, 0, 16, g16)).get
+    assert(imgG.pixels.toSeq === g16.map(v => (v >> 8).toByte).toSeq)
+    // Gray+alpha stays an honest refusal (IHDR color type flipped to 4).
+    assert(Multimodal.decodePng(pngBytesExt(2, 2, 0, 8,
+      Array.fill(4)(1)).updated(25, 4.toByte)).isEmpty)
+  }
+
+  test("PNG decode: Adam7 interlace scatters every pass onto the canvas") {
+    val rnd = new scala.util.Random(23)
+    // 16x9 RGB: every pass non-empty; must equal the same pixels
+    // decoded from the non-interlaced spelling.
+    val vals = Array.fill(16 * 9 * 3)(rnd.nextInt(256))
+    val plain = Multimodal.decodePng(pngBytesExt(16, 9, 2, 8, vals)).get
+    val inter = Multimodal.decodePng(
+      pngBytesExt(16, 9, 2, 8, vals, adam7 = true)).get
+    assert(inter.pixels.toSeq === plain.pixels.toSeq)
+    // Tiny canvases: most Adam7 passes are EMPTY (zero scanlines).
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 3), (5, 1), (1, 5))) {
+      val v = Array.fill(w * h)(rnd.nextInt(256))
+      val got = Multimodal.decodePng(pngBytesExt(w, h, 0, 8, v, adam7 = true))
+      assert(got.isDefined, s"${w}x$h interlaced failed")
+      assert(got.get.pixels.toSeq === v.map(_.toByte).toSeq, s"${w}x$h")
+    }
+    // Interlaced palette + sub-byte: both remappings compose.
+    val pal = Array.fill[Byte](16 * 3)(rnd.nextInt(256).toByte)
+    val idx = Array.fill(10 * 7)(rnd.nextInt(16))
+    val ip = Multimodal.decodePng(
+      pngBytesExt(10, 7, 3, 4, idx, palette = pal, adam7 = true)).get
+    assert(ip.pixels.toSeq === idx.flatMap(i =>
+      Seq(pal(i * 3), pal(i * 3 + 1), pal(i * 3 + 2))).toSeq)
+  }
+
   test("PNG decode: filter-0 RGB round-trips pixel-exact") {
     val pixels = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 17).toByte)
     val png = pngBytes(3, 2, colorType = 2, pixels, filters = Seq(0))
