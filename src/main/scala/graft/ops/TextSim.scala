@@ -874,6 +874,51 @@ object TextSim {
         .orderBy("lang")
     },
 
+    // Per-source Jensen-Shannon divergence from the corpus unigram
+    // distribution — the drift detector a curation pipeline runs per
+    // crawl/source before mixing (a source whose JSD jumps got template
+    // floods, language shifts, or extraction bugs). The absent-word half
+    // of the divergence is folded CLOSED-FORM into the present-word sum
+    // (for w missing from the source, the term is q·ln2), so both
+    // engines iterate ONLY (source, word) pairs that exist — one token
+    // aggregation per keying (source-word, word, source), a
+    // co-partitioned hash join on the word, and a singleton total
+    // broadcast. Probabilities are exact integer ratios; the log terms
+    // are identical per row, and round-6 absorbs summation-order wobble.
+    q("q_text_jsd",
+      """WITH tok AS (SELECT source, unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS w
+        |             FROM documents),
+        |sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, sum(c) AS n FROM sw GROUP BY 1),
+        |cw AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |ct AS (SELECT count(*) AS n FROM tok),
+        |j AS (SELECT sw.source,
+        |    sw.c / st.n AS p, cw.c / ct.n AS q
+        |  FROM sw JOIN st USING (source) JOIN cw USING (w) CROSS JOIN ct)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  round(0.5 * sum(p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q)))
+        |    + 0.5 * ln(2) * (1 - sum(q)), 6) AS jsd
+        |FROM j
+        |GROUP BY source
+        |ORDER BY source""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(words).as("w"))
+      val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val st = sw.groupBy("source").agg(sum("c").as("n"))
+      val cw = tok.groupBy("w").agg(count(lit(1)).as("cc"))
+      val ct = tok.agg(count(lit(1)).as("nt"))
+      val j = sw.join(st, "source").join(cw, "w").crossJoin(broadcast(ct))
+        .select(col("source"),
+          (col("c") / col("n")).as("p"), (col("cc") / col("nt")).as("q"))
+      val p = col("p"); val qq = col("q")
+      j.groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+          round(lit(0.5) * sum(p * log(lit(2) * p / (p + qq))
+              + qq * log(lit(2) * qq / (p + qq)))
+            + lit(0.5) * log(lit(2.0)) * (lit(1) - sum(qq)), 6).as("jsd"))
+        .orderBy("source")
+    },
+
     q("q_text_stats",
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

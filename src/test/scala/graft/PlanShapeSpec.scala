@@ -297,7 +297,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // grand-total token count singleton, q_text_unigram_nll's shape
       "q_text_ppl_bucket",
       // one-row query-embedding broadcast + the bm25 stats singleton
-      "q_sim_hybrid_rrf")
+      "q_sim_hybrid_rrf",
+      // grand-total token count singleton (corpus distribution side)
+      "q_text_jsd")
     val offenders = Registry.all.map(_.name).filterNot(declared).filter { n =>
       val p = plan(n)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
