@@ -695,6 +695,60 @@ object Events {
         .groupBy(col("cw").as("cohort_wk"), (col("wk") - col("cw")).as("week_off"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_wk", "week_off")
+    },
+
+    // Volume-concentration report per event type: Herfindahl-Hirschman
+    // index and top-user share over per-user event counts — the
+    // abuse/bot-skew screen (one scripted user dominating a type pushes
+    // HHI toward 1). Per-user counts collapse the fact table first; the
+    // |types|-sized totals frame joins back broadcast-style, so nothing
+    // fact-scale shuffles twice. Shares are exact integer ratios.
+    q("q_ev_hhi",
+      """WITH s AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(c) AS n FROM s GROUP BY 1)
+        |SELECT s.event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(sum((s.c / t.n) * (s.c / t.n)), 6) AS hhi,
+        |  round(max(s.c / t.n), 6) AS top_share
+        |FROM s JOIN t USING (event_type)
+        |GROUP BY s.event_type
+        |ORDER BY event_type""") { (s, d) =>
+      val cnt = Tables.events(s, d)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("event_type").agg(sum("c").as("n"))
+      val share = col("c") / col("n")
+      cnt.join(broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(share * share), 6).as("hhi"),
+          round(max(share), 6).as("top_share"))
+        .orderBy("event_type")
+    },
+
+    // Seasonality profile: activity and value baseline per (event_type,
+    // day-of-week, hour-of-day) — the matrix an anomaly detector
+    // compares live traffic against (q_ev_anomaly's z-scores are the
+    // per-window view; this is the calendar-position view). Day-of-week
+    // is pure epoch arithmetic ((epoch_day + 3) mod 7, Monday = 0) so
+    // both engines share one integer spelling with no locale/week-rule
+    // dependence; one hash aggregate, key count |types| x 168.
+    q("q_ev_seasonal",
+      """SELECT event_type,
+        |  ((epoch_us(date_trunc('day', ts)) // 86400000000) + 3) % 7 AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hr,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type, dow, hr""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          ((expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+            + 3) % 7).as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg("value"), 6).as("avg_value"))
+        .orderBy("event_type", "dow", "hr")
     }
   )
 }

@@ -2230,6 +2230,53 @@ object TextSim {
         .orderBy("label")
     },
 
+    // Int8 scalar-quantization error report per label — the fidelity
+    // check run before shipping embeddings at 1/4 the bytes (the
+    // serving-memory lever everywhere ANN indexes get large). Each
+    // dimension gets its own symmetric scale (corpus max-abs / 127, the
+    // standard per-channel scheme); elements quantize to
+    // round(x/scale) clamped to ±127 and the report aggregates
+    // |x - q·scale| per label. The dims-sized scale frame is a
+    // broadcast back onto one fact-scale explode — q_embed_centroid's
+    // exact shuffle shape. round() on the quantize step is identical
+    // half-away-from-zero in both engines; float32-derived inputs never
+    // land on exact halves.
+    q("q_embed_quantize",
+      """WITH e AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS idx,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |s AS (SELECT idx,
+        |    CASE WHEN max(abs(x)) = 0 THEN 1.0
+        |         ELSE max(abs(x)) / 127 END AS scale
+        |  FROM e GROUP BY idx),
+        |r AS (SELECT e.label,
+        |    abs(e.x - greatest(least(round(e.x / s.scale), 127), -127)
+        |      * s.scale) AS err
+        |  FROM e JOIN s USING (idx))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_elems,
+        |  round(avg(err), 6) AS avg_abs_err,
+        |  round(max(err), 6) AS max_abs_err
+        |FROM r
+        |GROUP BY label
+        |ORDER BY label""") { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("idx", "x")))
+      val sc = e.groupBy("idx").agg(
+        when(max(abs(col("x"))) === 0, 1.0)
+          .otherwise(max(abs(col("x"))) / 127).as("scale"))
+      val err = abs(col("x") -
+        greatest(least(round(col("x") / col("scale")), lit(127)), lit(-127))
+          * col("scale"))
+      e.join(broadcast(sc), "idx")
+        .select(col("label"), err.as("err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_elems"),
+          round(avg("err"), 6).as("avg_abs_err"),
+          round(max("err"), 6).as("max_abs_err"))
+        .orderBy("label")
+    },
+
     // Brute-force cosine top-k over all pairs (rehearsed SURVEY §8.3-QC)
     // — the exactness baseline; the LSH/IVF variants are the scale path.
     q("q_sim_cosine_knn",
