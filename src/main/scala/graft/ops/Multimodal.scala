@@ -1284,6 +1284,63 @@ object Multimodal {
       channels = channels, duration_ms = durMs)
   }
 
+  // ---- Ogg (REAL header-only metadata: page walk + Vorbis/Opus id) ----
+
+  private def isOgg(c: Array[Byte]): Boolean =
+    c.length >= 28 && tag(c, 0) == "OggS"
+
+  private def le64(b: Array[Byte], o: Int): Long =
+    (le32(b, o).toLong & 0xFFFFFFFFL) |
+      ((le32(b, o + 4).toLong & 0xFFFFFFFFL) << 32)
+
+  /** Ogg page walk: each page is "OggS" + version + type + 64-bit LE
+    * granule position + serial/seq/crc + a lacing table whose byte sum
+    * is the payload length — so the walk hops page to page without
+    * touching codec payloads. The FIRST page's packet identifies the
+    * codec: Vorbis id header (channels @11, rate LE32 @12; granule
+    * unit = sample rate) or OpusHead (channels @9; granule unit fixed
+    * 48 kHz). Duration = last non-(-1) granule / granule rate. Other
+    * codecs (Theora, FLAC-in-Ogg, Speex) report honest zeros. */
+  private def oggMeta(path: String, c: Array[Byte]): MediaMeta = {
+    var channels = 0
+    var rate = 0
+    var lastGranule = 0L
+    var off = 0
+    var first = true
+    var ok = true
+    while (ok && off + 27 <= c.length && tag(c, off) == "OggS") {
+      val nSeg = c(off + 26) & 0xFF
+      if (off + 27 + nSeg > c.length) ok = false
+      else {
+        var payloadLen = 0
+        var i = 0
+        while (i < nSeg) { payloadLen += c(off + 27 + i) & 0xFF; i += 1 }
+        val body = off + 27 + nSeg
+        val granule = le64(c, off + 6)
+        if (granule != -1L) lastGranule = granule
+        if (first && body + 30 <= c.length) {
+          if ((c(body) & 0xFF) == 1 &&
+            new String(c, body + 1, 6,
+              java.nio.charset.StandardCharsets.US_ASCII) == "vorbis") {
+            channels = c(body + 11) & 0xFF
+            rate = le32(c, body + 12)
+          } else if (body + 19 <= c.length &&
+            new String(c, body, 8,
+              java.nio.charset.StandardCharsets.US_ASCII) == "OpusHead") {
+            channels = c(body + 9) & 0xFF
+            rate = 48000 // Opus granules tick at 48 kHz regardless
+          }
+        }
+        first = false
+        off = body + payloadLen
+      }
+    }
+    MediaMeta(path, c.length, "ogg", width = 0, height = 0,
+      channels = channels,
+      duration_ms =
+        if (rate > 0 && lastGranule > 0) lastGranule * 1000L / rate else 0L)
+  }
+
   // ---- WAV sample decode (PCM8/16, G.711 u-law/A-law, IMA ADPCM) ------
 
   /** Decoded audio: sample rate, channel count, interleaved PCM16. */
@@ -2732,6 +2789,7 @@ object Multimodal {
         else if (isTiff(f.content)) tiffMeta(f.path, f.content)
         else if (isMp4(f.content)) mp4Meta(f.path, f.content)
         else if (isFlac(f.content)) flacMeta(f.path, f.content)
+        else if (isOgg(f.content)) oggMeta(f.path, f.content)
         else if (isMp3(f.content)) mp3Meta(f.path, f.content)
         else {
           // FALLBACK STUB — deterministic fake for codec-less formats.

@@ -1493,6 +1493,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mz.duration_ms === 0L && mz.channels === 0)
   }
 
+  /** Independent Ogg page writer (CRC left zero — the meta walk hops
+    * on lacing sums, it does not checksum). */
+  private def oggPage(granule: Long, seq: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val full = payload.length / 255
+    val rem = payload.length % 255
+    val lacing = Array.fill[Byte](full)(255.toByte) :+ rem.toByte
+    val b = java.nio.ByteBuffer.allocate(27 + lacing.length + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      .putLong(granule).putInt(0x1234).putInt(seq).putInt(0)
+      .put(lacing.length.toByte).put(lacing).put(payload)
+    b.array()
+  }
+
+  test("Ogg meta: Vorbis id + last-granule duration; Opus; non-audio zeros") {
+    import spark.implicits._
+    // Vorbis id header: packet type 1, "vorbis", version, ch 2, 44.1 kHz.
+    val vid = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vid.put(1.toByte).put("vorbis".getBytes("US-ASCII")).putInt(0)
+      .put(2.toByte).putInt(44100)
+    val ogg = oggPage(0L, 0, vid.array()) ++
+      oggPage(-1L, 1, Array.fill[Byte](300)(7)) ++ // continued: granule -1
+      oggPage(88200L, 2, Array[Byte](1, 2, 3))
+    val m = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("a.ogg", ogg.length, ogg)).toDS()).collect().head
+    assert(m.format === "ogg" && m.channels === 2 && m.duration_ms === 2000L)
+    // Opus: granules tick at 48 kHz whatever the input rate field says.
+    val oid = java.nio.ByteBuffer.allocate(19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    oid.put("OpusHead".getBytes("US-ASCII")).put(1.toByte).put(1.toByte)
+      .putShort(312.toShort).putInt(16000)
+    val opus = oggPage(0L, 0, oid.array()) ++ oggPage(96000L, 1, Array[Byte](9))
+    val mo = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("b.ogg", opus.length, opus)).toDS()).collect().head
+    assert(mo.channels === 1 && mo.duration_ms === 2000L)
+    // Unknown codec in an Ogg container: honest zeros, no crash.
+    val other = oggPage(0L, 0, "theora!!".getBytes) ++
+      oggPage(123L, 1, Array[Byte](1))
+    val mu = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("c.ogg", other.length, other)).toDS()).collect().head
+    assert(mu.format === "ogg" && mu.channels === 0 && mu.duration_ms === 0L)
+    // Truncated mid-lacing-table: walk stops at the valid prefix.
+    val trunc = ogg.take(ogg.length - 10)
+    val mt = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("t.ogg", trunc.length, trunc)).toDS()).collect().head
+    assert(mt.format === "ogg" && mt.channels === 2)
+  }
+
   /** Independent MP3 frame-header writer (MPEG1 Layer III). */
   private def mp3Frame(kbpsIdx: Int, rateIdx: Int, mono: Boolean,
       xingFrames: Option[Int]): Array[Byte] = {
