@@ -144,4 +144,79 @@ class EventsSpec extends AnyFunSuite {
       .toSeq
     assert(got === want)
   }
+
+  private lazy val eventsTyped = Tables.events(spark, sf)
+    .select(col("event_id"), unix_micros(col("ts")).as("us"),
+      col("user_id"), col("value"), col("event_type"))
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getString(4)))
+
+  test("OHLC candles match a first-principles per-candle scan") {
+    val want = eventsTyped
+      .groupBy(e => (e._5, e._2 / 3_600_000_000L * 3_600_000_000L))
+      .map { case ((typ, hourUs), es) =>
+        val sorted = es.sortBy(e => (e._2, e._1))
+        (typ, hourUs, es.length.toLong,
+          math.rint(sorted.head._4 * 1e6) / 1e6,
+          math.rint(es.map(_._4).max * 1e6) / 1e6,
+          math.rint(es.map(_._4).min * 1e6) / 1e6,
+          math.rint(sorted.last._4 * 1e6) / 1e6)
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val got = q("q_ev_ohlc").collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+      r.getDouble(6))).toSeq
+    assert(got === want)
+  }
+
+  test("cohort matrix: diagonal equals per-week new-user counts; row sums bound by cohort size") {
+    val userWeeks = eventsTyped.groupBy(_._3).map { case (u, es) =>
+      u -> es.map(_._2 / 604_800_000_000L).distinct.sorted
+    }
+    val got = q("q_ev_cohort").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // Offset-0 cell of each cohort = users whose FIRST week is that week.
+    val firstWeeks = userWeeks.values.map(_.head).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    firstWeeks.foreach { case (w, n) => assert(got((w, 0L)) === n, s"week $w") }
+    // Every cell equals the independent (cohort, offset) recount.
+    val want = userWeeks.values.flatMap { ws =>
+      ws.map(w => (ws.head, w - ws.head))
+    }.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    assert(got === want)
+  }
+
+  test("HHI: sums of squared exact shares, and a dominance sanity bound") {
+    val want = eventsTyped.groupBy(_._5).map { case (typ, es) =>
+      val byUser = es.groupBy(_._3).map(_._2.size.toLong).toSeq
+      val n = byUser.sum.toDouble
+      (typ, byUser.length.toLong,
+        math.rint(byUser.map(c => (c / n) * (c / n)).sum * 1e6) / 1e6,
+        math.rint(byUser.max / n * 1e6) / 1e6)
+    }.toSeq.sortBy(_._1)
+    val got = q("q_ev_hhi").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    // 1/n_users <= HHI <= 1 always.
+    got.foreach { case (_, nu, hhi, _) =>
+      assert(hhi >= 1.0 / nu - 1e-6 && hhi <= 1.0 + 1e-6)
+    }
+  }
+
+  test("gap stats: integer-ns means match a per-user sorted scan") {
+    val want = eventsTyped.groupBy(_._3).map { case (u, es) =>
+      val us = es.sortBy(e => (e._2, e._1)).map(_._2)
+      val gaps = us.zip(us.drop(1)).map { case (a, b) => b - a }
+      (u, gaps.length.toLong,
+        if (gaps.isEmpty) -1L
+        else Math.floorDiv(gaps.sum * 1000L, gaps.length.toLong),
+        if (gaps.isEmpty) null else gaps.min,
+        if (gaps.isEmpty) null else gaps.max)
+    }.toSeq.sortBy(_._1)
+    val got = q("q_ev_gap").collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2),
+      if (r.isNullAt(3)) null else r.getLong(3),
+      if (r.isNullAt(4)) null else r.getLong(4))).toSeq
+    assert(got === want)
+  }
 }

@@ -1493,6 +1493,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mz.duration_ms === 0L && mz.channels === 0)
   }
 
+  test("decodeMeta survives arbitrary bytes: no sniffer or parser throws") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val magic = Seq("OggS", "fLaC", "ID3", "RIFF", "PNG",
+      "GIF89a", "BM", "II* ", "MM *", "ÿØÿ")
+    val files = (0 until 200).map { i =>
+      val len = 8 + rnd.nextInt(400)
+      val b = new Array[Byte](len); rnd.nextBytes(b)
+      // Half the corpus grafts a REAL magic prefix onto garbage, so
+      // every parser sees malformed input past its sniff, not just the
+      // stub fallback.
+      val withMagic = if (i % 2 == 0) {
+        val m = magic(i % magic.size).getBytes("ISO-8859-1")
+        m ++ b.drop(m.length)
+      } else b
+      Multimodal.MediaFile(s"f$i.bin", withMagic.length, withMagic)
+    }
+    val metas = Multimodal.decodeMeta(files.toDS()).collect()
+    assert(metas.length === 200)
+    // And the embed stage survives the same corpus.
+    assert(Multimodal.embed(files.toDS()).collect().length === 200)
+  }
+
   /** Independent Ogg page writer (CRC left zero — the meta walk hops
     * on lacing sums, it does not checksum). */
   private def oggPage(granule: Long, seq: Int,
