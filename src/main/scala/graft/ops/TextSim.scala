@@ -250,6 +250,54 @@ object TextSim {
       |SELECT doc_id, cluster FROM l2
       |ORDER BY doc_id""".stripMargin
 
+  /** Shared language-ID core (q_text_langid + q_text_lang_confusion):
+    * signature-vocabulary hit counts per candidate language, argmax
+    * with the fixed de>en>es>fr>zh tie order. One spelling in each
+    * engine so the per-doc view and the confusion matrix can never
+    * disagree on a prediction. */
+  private val LangidPredSql: String = {
+    val tok = "list_filter(regexp_split_to_array(regexp_replace(lower(" +
+      "nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', " +
+      "' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0)"
+    def hits(sig: String) =
+      s"len(list_distinct(list_intersect($tok,\n    [$sig])))"
+    s"""WITH h AS (SELECT doc_id, lang,
+      |  ${hits("'filter', 'column', 'query'")} AS h_de,
+      |  ${hits("'scan', 'fast', 'table'")} AS h_en,
+      |  ${hits("'hash', 'value', 'batch'")} AS h_es,
+      |  ${hits("'join', 'merge', 'row'")} AS h_fr,
+      |  ${hits("'window', 'order', 'data'")} AS h_zh
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, h_de, h_en, h_es, h_fr, h_zh,
+      |  CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+      |            AND h_de >= h_zh THEN 'de'
+      |       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+      |       WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+      |       WHEN h_fr >= h_zh THEN 'fr'
+      |       ELSE 'zh' END AS pred_lang
+      |  FROM h)""".stripMargin
+  }
+
+  /** Spark twin of [[LangidPredSql]]'s `p` frame. */
+  private def langidPred(s: SparkSession, d: String): DataFrame = {
+    def hits(ws: Seq[String]): Column = size(array_distinct(
+      array_intersect(words, array(ws.map(lit): _*))))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        hits(Seq("filter", "column", "query")).as("h_de"),
+        hits(Seq("scan", "fast", "table")).as("h_en"),
+        hits(Seq("hash", "value", "batch")).as("h_es"),
+        hits(Seq("join", "merge", "row")).as("h_fr"),
+        hits(Seq("window", "order", "data")).as("h_zh"))
+      .withColumn("pred_lang",
+        when(col("h_de") >= col("h_en") && col("h_de") >= col("h_es")
+          && col("h_de") >= col("h_fr") && col("h_de") >= col("h_zh"), "de")
+          .when(col("h_en") >= col("h_es") && col("h_en") >= col("h_fr")
+            && col("h_en") >= col("h_zh"), "en")
+          .when(col("h_es") >= col("h_fr") && col("h_es") >= col("h_zh"), "es")
+          .when(col("h_fr") >= col("h_zh"), "fr")
+          .otherwise("zh"))
+  }
+
   /** Oracle for q_graph_bfs: the SAME jac >= 0.5 edge construction as
     * [[ClusterOracleSql]], then a RECURSIVE CTE walking hop distances
     * from the English-language seed set, capped at 6 hops (the cap is
@@ -986,44 +1034,29 @@ object TextSim {
     // argmax with alphabetical tie-break, spelled identically in both
     // engines.
     q("q_text_langid",
-      """WITH h AS (SELECT doc_id, lang,
-        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
-        |    ['filter', 'column', 'query']))) AS h_de,
-        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
-        |    ['scan', 'fast', 'table']))) AS h_en,
-        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
-        |    ['hash', 'value', 'batch']))) AS h_es,
-        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
-        |    ['join', 'merge', 'row']))) AS h_fr,
-        |  len(list_distinct(list_intersect(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0),
-        |    ['window', 'order', 'data']))) AS h_zh
-        |  FROM documents)
-        |SELECT doc_id, lang, h_de, h_en, h_es, h_fr, h_zh,
-        |  CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
-        |            AND h_de >= h_zh THEN 'de'
-        |       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
-        |       WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
-        |       WHEN h_fr >= h_zh THEN 'fr'
-        |       ELSE 'zh' END AS pred_lang
-        |FROM h
+      s"""$LangidPredSql
+        |SELECT doc_id, lang, h_de, h_en, h_es, h_fr, h_zh, pred_lang
+        |FROM p
         |ORDER BY doc_id""") { (s, d) =>
-      def hits(ws: Seq[String]): Column = size(array_distinct(
-        array_intersect(words, array(ws.map(lit): _*))))
-      val h = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-        hits(Seq("filter", "column", "query")).as("h_de"),
-        hits(Seq("scan", "fast", "table")).as("h_en"),
-        hits(Seq("hash", "value", "batch")).as("h_es"),
-        hits(Seq("join", "merge", "row")).as("h_fr"),
-        hits(Seq("window", "order", "data")).as("h_zh"))
-      h.withColumn("pred_lang",
-        when(col("h_de") >= col("h_en") && col("h_de") >= col("h_es")
-          && col("h_de") >= col("h_fr") && col("h_de") >= col("h_zh"), "de")
-          .when(col("h_en") >= col("h_es") && col("h_en") >= col("h_fr")
-            && col("h_en") >= col("h_zh"), "en")
-          .when(col("h_es") >= col("h_fr") && col("h_es") >= col("h_zh"), "es")
-          .when(col("h_fr") >= col("h_zh"), "fr")
-          .otherwise("zh"))
-        .orderBy("doc_id")
+      langidPred(s, d).orderBy("doc_id")
+    },
+
+    // Language-ID confusion matrix: predicted vs labeled language over
+    // the whole corpus — the evaluation a pipeline runs after changing
+    // the classifier (or the corpus) to see WHICH languages bleed into
+    // which. Shares q_text_langid's exact prediction spelling (one
+    // refactored core in both engines, so the two queries can never
+    // drift); the matrix itself is one |langs|² hash aggregate.
+    q("q_text_lang_confusion",
+      s"""$LangidPredSql
+        |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM p
+        |GROUP BY lang, pred_lang
+        |ORDER BY lang, pred_lang""") { (s, d) =>
+      langidPred(s, d)
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
     },
 
     // Quality scoring: type-token ratio, word-length, length saturation.
