@@ -1284,6 +1284,86 @@ object Multimodal {
       channels = channels, duration_ms = durMs)
   }
 
+  // ---- Matroska/WebM (REAL header-only metadata: EBML walk) -----------
+
+  private def isMkv(c: Array[Byte]): Boolean =
+    c.length >= 8 && be32(c, 0) == 0x1A45DFA3 // EBML header magic
+
+  /** EBML element walk for Matroska/WebM metadata: variable-length IDs
+    * (marker bit kept) and sizes (marker bit stripped; all-ones =
+    * unknown → element runs to the parent's end, the live-stream
+    * convention), descending only through Segment → Info/Tracks →
+    * TrackEntry → Video. Duration is Info's float Duration ×
+    * TimecodeScale (default 1 ms tick); dims from the first Video's
+    * PixelWidth/PixelHeight. HEADER-ONLY — Clusters are never entered,
+    * so the walk cost is independent of media size. */
+  private def mkvMeta(path: String, c: Array[Byte]): MediaMeta = {
+    var w = 0; var h = 0
+    var tcScale = 1000000L // ns per tick, spec default
+    var durTicks = Double.NaN
+    def vintLen(b: Int): Int = {
+      var m = 0x80; var n = 1
+      while (n <= 8 && (b & m) == 0) { m >>= 1; n += 1 }
+      n
+    }
+    def readUint(o: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (c(o + i) & 0xFF); i += 1 }
+      v
+    }
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var off = start
+      while (off + 2 <= end) {
+        val idLen = vintLen(c(off.toInt) & 0xFF)
+        if (idLen > 4 || off + idLen >= end) return
+        val id = readUint(off.toInt, idLen)
+        val szB0 = c((off + idLen).toInt) & 0xFF
+        val szLen = vintLen(szB0)
+        if (szLen > 8 || off + idLen + szLen > end) return
+        var size = (szB0 & (0xFF >>> szLen)).toLong
+        var allOnes = (szB0 & (0xFF >>> szLen)) == (0xFF >>> szLen)
+        var i = 1
+        while (i < szLen) {
+          val b = c((off + idLen + i).toInt) & 0xFF
+          size = (size << 8) | b
+          allOnes &&= b == 0xFF
+          i += 1
+        }
+        val body = off + idLen + szLen
+        val bodyEnd = if (allOnes) end else math.min(end, body + size)
+        if (bodyEnd < body) return
+        id match {
+          case 0x18538067 | 0x1549A966 | 0x1654AE6B if depth < 4 =>
+            walk(body, bodyEnd, depth + 1) // Segment / Info / Tracks
+          case 0xAE | 0xE0 if depth < 6 =>
+            walk(body, bodyEnd, depth + 1) // TrackEntry / Video
+          case 0x2AD7B1 if size <= 8 => // TimecodeScale
+            tcScale = readUint(body.toInt, size.toInt)
+          case 0x4489 if size == 4 => // Duration, float32
+            durTicks = java.lang.Float.intBitsToFloat(be32(c, body.toInt))
+              .toDouble
+          case 0x4489 if size == 8 => // Duration, float64
+            durTicks = java.lang.Double.longBitsToDouble(
+              ((be32(c, body.toInt).toLong & 0xFFFFFFFFL) << 32) |
+                (be32(c, body.toInt + 4).toLong & 0xFFFFFFFFL))
+          case 0xB0 if w == 0 && size <= 8 => // PixelWidth
+            w = readUint(body.toInt, size.toInt).toInt
+          case 0xBA if h == 0 && size <= 8 => // PixelHeight
+            h = readUint(body.toInt, size.toInt).toInt
+          case _ => () // skip (incl. Clusters — never entered)
+        }
+        off = bodyEnd
+      }
+    }
+    try walk(0L, c.length.toLong, 0)
+    catch { case _: ArrayIndexOutOfBoundsException => () }
+    val durMs =
+      if (durTicks.isNaN || tcScale <= 0) 0L
+      else (durTicks * tcScale / 1e6).toLong
+    MediaMeta(path, c.length, "mkv", width = w, height = h,
+      channels = if (w > 0) 3 else 0, duration_ms = durMs)
+  }
+
   // ---- Ogg (REAL header-only metadata: page walk + Vorbis/Opus id) ----
 
   private def isOgg(c: Array[Byte]): Boolean =
@@ -2789,6 +2869,7 @@ object Multimodal {
         else if (isTiff(f.content)) tiffMeta(f.path, f.content)
         else if (isMp4(f.content)) mp4Meta(f.path, f.content)
         else if (isFlac(f.content)) flacMeta(f.path, f.content)
+        else if (isMkv(f.content)) mkvMeta(f.path, f.content)
         else if (isOgg(f.content)) oggMeta(f.path, f.content)
         else if (isMp3(f.content)) mp3Meta(f.path, f.content)
         else {

@@ -1516,6 +1516,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.embed(files.toDS()).collect().length === 200)
   }
 
+  /** Independent EBML element writer: 2-byte IDs written verbatim,
+    * sizes in the minimal 1-byte form (or 8-byte form when forced). */
+  private def ebml(id: Long, body: Array[Byte],
+      unknownSize: Boolean = false): Array[Byte] = {
+    val idBytes = {
+      var n = 1L; var len = 1
+      while (id > (0xFFL << ((len - 1) * 8)) && len < 4) len += 1
+      (0 until len).reverse.map(i => ((id >> (i * 8)) & 0xFF).toByte).toArray
+    }
+    val szBytes =
+      if (unknownSize) Array(0xFF.toByte)
+      else if (body.length < 0x7F) Array((0x80 | body.length).toByte)
+      else {
+        val b = java.nio.ByteBuffer.allocate(8)
+        b.putLong(body.length.toLong | (1L << 56))
+        b.array()
+      }
+    idBytes ++ szBytes ++ body
+  }
+
+  private def ebmlUint(id: Long, v: Long): Array[Byte] = {
+    var len = 1
+    while (v >= (1L << (8 * len)) && len < 8) len += 1
+    ebml(id, (0 until len).reverse.map(i => ((v >> (i * 8)) & 0xFF).toByte).toArray)
+  }
+
+  test("Matroska meta: Info duration x timecode scale, Video dims, unknown-size segment") {
+    import spark.implicits._
+    val header = ebml(0x1A45DFA3L, Array[Byte](1, 2, 3))
+    def mkv(durBytes: Array[Byte], tcScale: Option[Long],
+        unknownSeg: Boolean) = {
+      val info = ebml(0x1549A966L,
+        tcScale.map(ebmlUint(0x2AD7B1L, _)).getOrElse(Array.emptyByteArray) ++
+          ebml(0x4489L, durBytes))
+      val tracks = ebml(0x1654AE6BL, ebml(0xAEL,
+        ebml(0xE0L, ebmlUint(0xB0L, 1280) ++ ebmlUint(0xBAL, 720))))
+      header ++ ebml(0x18538067L, info ++ tracks, unknownSize = unknownSeg)
+    }
+    // float32 duration 90000 ticks at the default 1 ms tick = 90 s.
+    val f32 = java.nio.ByteBuffer.allocate(4).putFloat(90000f).array()
+    val m = Multimodal.decodeMeta(Seq(Multimodal.MediaFile("a.webm",
+      0, mkv(f32, None, unknownSeg = false))).toDS()).collect().head
+    assert(m.format === "mkv" && m.width === 1280 && m.height === 720)
+    assert(m.duration_ms === 90000L)
+    // float64 duration + explicit 20 ms tick + UNKNOWN-SIZE segment
+    // (the live-stream convention): 1500 ticks x 20 ms = 30 s.
+    val f64 = java.nio.ByteBuffer.allocate(8).putDouble(1500.0).array()
+    val m2 = Multimodal.decodeMeta(Seq(Multimodal.MediaFile("b.webm",
+      0, mkv(f64, Some(20000000L), unknownSeg = true))).toDS()).collect().head
+    assert(m2.duration_ms === 30000L && m2.width === 1280)
+    // Truncated mid-element: walk stops, no crash, partial zeros.
+    val whole = mkv(f32, None, unknownSeg = false)
+    val mt = Multimodal.decodeMeta(Seq(Multimodal.MediaFile("t.webm",
+      0, whole.take(12))).toDS()).collect().head
+    assert(mt.format === "mkv" && mt.duration_ms === 0L)
+  }
+
   /** Independent Ogg page writer (CRC left zero — the meta walk hops
     * on lacing sums, it does not checksum). */
   private def oggPage(granule: Long, seq: Int,
