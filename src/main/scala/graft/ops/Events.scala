@@ -749,6 +749,59 @@ object Events {
         .agg(count(lit(1)).as("n_events"),
           round(avg("value"), 6).as("avg_value"))
         .orderBy("event_type", "dow", "hr")
+    },
+
+    // Last-touch attribution: each purchase credits the same user's most
+    // recent click within the preceding hour, or -1. Spelled JOIN-FREE —
+    // clicks and purchases ride ONE user_id window whose running
+    // last_value(IGNORE NULLS) carries the latest click's (us, id) into
+    // every later row — where the naive purchases x clicks formulation
+    // is a per-purchase range join of two fact-scale frames. This is
+    // also CAP-STREAM-SSJOIN's batch twin: the streaming click/purchase
+    // interval join computes the same pairing incrementally; this
+    // spelling is its backfill path. A click at the purchase's exact
+    // (us) with a LOWER event_id counts (it sorts before the purchase);
+    // one at the same us with a higher id does not — same total order,
+    // both engines.
+    q("q_ev_attrib",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |           FROM events WHERE event_type IN ('click', 'purchase')),
+        |x AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN us END
+        |      IGNORE NULLS) OVER w AS c_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS c_id
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CAST(CASE WHEN c_us IS NOT NULL AND us - c_us <= 3600000000
+        |    THEN c_id ELSE -1 END AS BIGINT) AS click_id,
+        |  CAST(CASE WHEN c_us IS NOT NULL AND us - c_us <= 3600000000
+        |    THEN us - c_us ELSE -1 END AS BIGINT) AS lag_us
+        |FROM x
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val attributed = col("c_us").isNotNull &&
+        col("us") - col("c_us") <= 3600000000L
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("c_us",
+          last(when(col("event_type") === "click", col("us")), true).over(w))
+        .withColumn("c_id",
+          last(when(col("event_type") === "click", col("event_id")), true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(attributed, col("c_id")).otherwise(-1L).cast("long")
+            .as("click_id"),
+          when(attributed, col("us") - col("c_us")).otherwise(-1L)
+            .cast("long").as("lag_us"))
+        .orderBy("event_id")
     }
   )
 }

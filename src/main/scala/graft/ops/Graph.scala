@@ -578,6 +578,25 @@ object Graph {
     // joins only the newly-settled rim against the edge list, so total
     // work is O(edges x diameter-capped rounds), never
     // rounds x |nodes| — the textbook distributed BFS shape.
+    // Degree distribution of the jac >= 0.5 near-dup graph — the
+    // one-glance health check on an edge build (a fat tail = a gram-df
+    // cap set too high, a near-empty histogram = a threshold set too
+    // tight). Zero-degree docs included so the histogram sums to
+    // |documents| at any scale. One degree aggregation + one
+    // |degrees|-sized histogram aggregation.
+    QuerySpec.sql("q_graph_degree", graft.ops.TextSim.DegreeOracleSql) {
+      (s, d) =>
+        val e = graft.ops.TextSim.similarityEdges(s, d, minJac = 0.5)
+        val sym = e.select(col("ida").as("doc_id"))
+          .unionByName(e.select(col("idb").as("doc_id")))
+        val deg = sym.groupBy("doc_id").agg(count(lit(1)).as("deg0"))
+        Tables.documents(s, d).select("doc_id")
+          .join(deg, Seq("doc_id"), "left")
+          .select(coalesce(col("deg0"), lit(0L)).as("deg"))
+          .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("deg")
+    },
+
     QuerySpec.sql("q_graph_bfs", graft.ops.TextSim.BfsOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       bfsDistances(docs.select("doc_id"),

@@ -219,8 +219,12 @@ object TextSim {
     * equal on any graph whose components converge within 2 rounds of
     * the min, which SketchesSpec asserts for the fixtures; beyond
     * that, GraphSpec pins CC ≡ the general propagation FIXPOINT). */
-  val ClusterOracleSql: String =
-    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+  /** The jac >= 0.5 near-dup edge CTE chain shared verbatim by every
+    * graph-family oracle (cluster propagation, BFS, degree
+    * distribution) — one text, so the oracles can never disagree on
+    * what an edge is. Ends with `e(a, b)`, the symmetrized edge set. */
+  private val Jac05EdgeCte: String =
+    s"""w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
       |           FROM documents),
       |g0 AS (SELECT DISTINCT doc_id,
       |        unnest([array_to_string(ws[i:i+2], ' ')
@@ -237,7 +241,10 @@ object TextSim {
       |             JOIN sz sb ON p.idb = sb.doc_id
       |      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
       |e AS (SELECT ida AS a, idb AS b FROM j
-      |      UNION ALL SELECT idb, ida FROM j),
+      |      UNION ALL SELECT idb, ida FROM j)""".stripMargin
+
+  val ClusterOracleSql: String =
+    s"""WITH $Jac05EdgeCte,
       |l1 AS (SELECT d.doc_id,
       |         least(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
       |       FROM documents d LEFT JOIN e ON e.a = d.doc_id
@@ -305,24 +312,7 @@ object TextSim {
     * identically). UNION (not UNION ALL) recursion dedups (doc_id, dd)
     * states, so the walk is bounded by 7 x |docs| rows on any graph. */
   val BfsOracleSql: String =
-    s"""WITH RECURSIVE w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
-      |           FROM documents),
-      |g0 AS (SELECT DISTINCT doc_id,
-      |        unnest([array_to_string(ws[i:i+2], ' ')
-      |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
-      |      FROM w),
-      |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
-      |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
-      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-      |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
-      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      |      GROUP BY a.doc_id, b.doc_id),
-      |j AS (SELECT ida, idb
-      |      FROM p JOIN sz sa ON p.ida = sa.doc_id
-      |             JOIN sz sb ON p.idb = sb.doc_id
-      |      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
-      |e AS (SELECT ida AS a, idb AS b FROM j
-      |      UNION ALL SELECT idb, ida FROM j),
+    s"""WITH RECURSIVE $Jac05EdgeCte,
       |seeds AS (SELECT doc_id FROM documents WHERE lang = 'en'),
       |walk AS (
       |  SELECT doc_id, 0 AS dd FROM seeds
@@ -334,6 +324,19 @@ object TextSim {
       |FROM documents d LEFT JOIN walk wk ON wk.doc_id = d.doc_id
       |GROUP BY d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle for q_graph_degree: degree histogram over the SAME edge
+    * set, zero-degree docs included via the left join. */
+  val DegreeOracleSql: String =
+    s"""WITH $Jac05EdgeCte,
+      |deg0 AS (SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS deg
+      |         FROM e GROUP BY a),
+      |dd AS (SELECT d.doc_id, coalesce(deg0.deg, 0) AS deg
+      |       FROM documents d LEFT JOIN deg0 USING (doc_id))
+      |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM dd
+      |GROUP BY deg
+      |ORDER BY deg""".stripMargin
 
   /** PII patterns as one alternation: email, IPv4, SSN-shaped, and
     * card-shaped digit runs. Restricted to the regex subset (ASCII

@@ -100,6 +100,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"gap stats must not join:\n$p")
   }
 
+  test("q_ev_attrib: join-free last-touch — one user_id shuffle, zero joins") {
+    // The naive formulation is a purchases x clicks range join of two
+    // fact-scale frames; the contract spelling carries the latest click
+    // through ONE running window. Any join appearing here is the scale
+    // regression this pin exists to catch.
+    val p = plan("q_ev_attrib")
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userShuffles === 1,
+      s"expected 1 user_id shuffle, got $userShuffles:\n$p")
+    assert(!p.contains("Join"), s"attribution must not join:\n$p")
+  }
+
   test("q_ev_cohort: presence collapse rides one user_id shuffle, no joins") {
     // collect_set + array_min + explode all inside the single per-user
     // aggregate; the only other exchange is the final (cohort, offset)
