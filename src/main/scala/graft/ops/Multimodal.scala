@@ -3064,14 +3064,102 @@ object Multimodal {
     * whole BMP pipeline — [[resizeBmp]], [[decodeMeta]], the histogram
     * embed — composes with JPEG inputs unchanged. Undecodable files
     * (progressive, corrupt) are dropped, not crashed on. */
+  /** EXIF orientation (1-8; 1 = upright / absent / malformed) from the
+    * APP1 "Exif" segment's embedded TIFF IFD0 — tag 0x0112, SHORT,
+    * value inline in the entry's value field under the declared byte
+    * order. Camera crawls store rotated sensor data with this tag; a
+    * thumbnail pipeline that ignores it ships sideways images. */
+  def jpegOrientation(c: Array[Byte]): Int = {
+    if (!isJpeg(c)) return 1
+    var pos = 2
+    while (pos + 4 <= c.length && (c(pos) & 0xFF) == 0xFF) {
+      val m = c(pos + 1) & 0xFF
+      if (m == 0xD8 || (m & 0xF8) == 0xD0) pos += 2
+      else if (m == 0xDA || m == 0xD9) return 1 // scan data/EOI: no EXIF
+      else {
+        val len = ((c(pos + 2) & 0xFF) << 8) | (c(pos + 3) & 0xFF)
+        if (len < 2 || pos + 2 + len > c.length) return 1
+        if (m == 0xE1 && len >= 16 &&
+          new String(c, pos + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII) == "Exif" &&
+          c(pos + 8) == 0 && c(pos + 9) == 0) {
+          val t = pos + 10 // TIFF header
+          val le = c(t) == 'I'
+          def u16(o: Int): Int =
+            if (le) le16(c, o)
+            else ((c(o) & 0xFF) << 8) | (c(o + 1) & 0xFF)
+          def u32(o: Int): Long =
+            if (le) le32(c, o).toLong & 0xFFFFFFFFL
+            else be32(c, o).toLong & 0xFFFFFFFFL
+          if (u16(t + 2) != 42) return 1
+          val ifd = t + u32(t + 4).toInt
+          if (ifd + 2 > c.length) return 1
+          val n = u16(ifd)
+          var i = 0
+          while (i < n && ifd + 2 + i * 12 + 12 <= c.length) {
+            val e = ifd + 2 + i * 12
+            if (u16(e) == 0x0112 && u16(e + 2) == 3) {
+              val v = u16(e + 8)
+              return if (v >= 1 && v <= 8) v else 1
+            }
+            i += 1
+          }
+          return 1
+        }
+        pos += 2 + len
+      }
+    }
+    1
+  }
+
+  /** Apply an EXIF orientation to interleaved top-down pixels,
+    * returning the upright (width, height, pixels). Orientations 5-8
+    * swap the axes. */
+  def applyOrientation(w: Int, h: Int, ch: Int, pixels: Array[Byte],
+      o: Int): (Int, Int, Array[Byte]) = {
+    if (o <= 1 || o > 8) return (w, h, pixels)
+    val swap = o >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](pixels.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        // (sx, sy) in the STORED image feeding upright (x, y).
+        val (sx, sy) = o match {
+          case 2 => (w - 1 - x, y) // mirror horizontal
+          case 3 => (w - 1 - x, h - 1 - y) // rotate 180
+          case 4 => (x, h - 1 - y) // mirror vertical
+          case 5 => (y, x) // transpose
+          case 6 => (y, h - 1 - x) // rotate 90 CW to display
+          case 7 => (w - 1 - y, h - 1 - x) // transverse
+          case _ => (w - 1 - y, x) // 8: rotate 90 CCW to display
+        }
+        val src = (sy.toLong * w + sx).toInt * ch
+        val dst = (y.toLong * ow + x).toInt * ch
+        var k = 0
+        while (k < ch) { out(dst + k) = pixels(src + k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
   def jpegAsBmp(ds: Dataset[MediaFile]): Dataset[MediaFile] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
     ds.mapPartitions { files =>
       files.flatMap { f =>
         if (!isJpeg(f.content)) None
-        else decodeJpeg(f.content).flatMap(img =>
-          pixelsAsBmp(f.path, img.width, img.height, img.channels,
-            img.pixels))
+        else decodeJpeg(f.content).flatMap { img =>
+          // Honor EXIF orientation here — the pixel path every
+          // resize/thumbnail consumer takes — so camera-rotated crawl
+          // images come out upright, not sideways.
+          val (w2, h2, px) = applyOrientation(img.width, img.height,
+            img.channels, img.pixels, jpegOrientation(f.content))
+          pixelsAsBmp(f.path, w2, h2, img.channels, px)
+        }
       }
     }
   }

@@ -1493,6 +1493,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mz.duration_ms === 0L && mz.channels === 0)
   }
 
+  test("EXIF orientation: APP1 parse (both byte orders), upright transforms") {
+    import spark.implicits._
+    def app1(orient: Int, le: Boolean): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(36)
+      b.put(0xFF.toByte).put(0xE1.toByte).putShort(34)
+      b.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      val t = java.nio.ByteBuffer.allocate(26).order(
+        if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      t.put((if (le) "II" else "MM").getBytes).putShort(42)
+        .putInt(8).putShort(1)
+        .putShort(0x0112.toShort).putShort(3).putInt(1)
+        .putShort(orient.toShort).putShort(0).putInt(0)
+      b.put(t.array())
+      b.array()
+    }
+    val jpg = jpegBytes(16, 8, Array.fill(16 * 8 * 3)(100.toByte),
+      qval = 1, subsample420 = false)
+    def withApp1(o: Int, le: Boolean) =
+      jpg.take(2) ++ app1(o, le) ++ jpg.drop(2)
+    assert(Multimodal.jpegOrientation(jpg) === 1)
+    assert(Multimodal.jpegOrientation(withApp1(6, le = true)) === 6)
+    assert(Multimodal.jpegOrientation(withApp1(8, le = false)) === 8)
+    assert(Multimodal.jpegOrientation(withApp1(99, le = true)) === 1)
+    // Pixel mapping: [A B] strip rotated 90 CW (orientation 6) stacks
+    // A above B; involution/inverse-pair properties pin the rest.
+    val strip = Array[Byte](1, 2, 3, 4, 5, 6) // A=(1,2,3) B=(4,5,6)
+    val (w6, h6, p6) = Multimodal.applyOrientation(2, 1, 3, strip, 6)
+    assert((w6, h6) === (1, 2) && p6.toSeq === Seq[Byte](1, 2, 3, 4, 5, 6))
+    val rnd = new scala.util.Random(31)
+    val img = Array.fill[Byte](5 * 4 * 3)(rnd.nextInt(256).toByte)
+    for (o <- Seq(2, 3, 4, 5)) { // self-inverse transforms
+      val (w1, h1, p1) = Multimodal.applyOrientation(5, 4, 3, img, o)
+      val (w2, h2, p2) = Multimodal.applyOrientation(w1, h1, 3, p1, o)
+      assert((w2, h2) === (5, 4) && p2.toSeq === img.toSeq, s"o=$o")
+    }
+    // 6 (90 CW) undone by 8 (90 CCW).
+    val (wa, ha, pa) = Multimodal.applyOrientation(5, 4, 3, img, 6)
+    val (wb, hb, pb) = Multimodal.applyOrientation(wa, ha, 3, pa, 8)
+    assert((wb, hb) === (5, 4) && pb.toSeq === img.toSeq)
+    // End-to-end: jpegAsBmp honors the tag — 16x8 becomes an 8x16 BMP.
+    val rot = withApp1(6, le = true)
+    val bmp = Multimodal.jpegAsBmp(
+      Seq(Multimodal.MediaFile("r.jpg", rot.length, rot)).toDS())
+      .collect().head
+    val meta = Multimodal.decodeMeta(Seq(bmp).toDS()).collect().head
+    assert(meta.width === 8 && meta.height === 16)
+  }
+
   test("decodeMeta survives arbitrary bytes: no sniffer or parser throws") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
