@@ -150,14 +150,41 @@ object Cli {
         .as("line"))
       .write.mode("overwrite").text(outDir)
 
+  /** `query <name> <sf-dir> <out-dir>`: any registry query from the
+    * shell — results as TSV part files with a header line per part,
+    * columns in the query's own order, NULLs spelled literally. `query
+    * list` prints the registry names. The whole §2 surface is thereby
+    * one CLI call away, same as the reference's command-line use. */
+  def runQuery(spark: SparkSession, name: String, sfDir: String,
+      outDir: String): Unit = {
+    val spec = Registry.byName.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown query '$name'; try: graft.Cli query list"))
+    val df = spec.df(spark, sfDir)
+    val cols = df.columns
+    df.select(concat_ws("\t",
+        cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+      .as("line"))
+      .write.mode("overwrite").text(outDir)
+    // One header file alongside the parts (not interleaved per-part:
+    // downstream `sort | uniq`-style pipes must see data lines only).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "_columns.tsv"),
+      cols.mkString("\t") + "\n")
+  }
+
   private val Usage =
     """usage: graft.Cli <input-glob> <out-dir> <map-cmd> [<reduce-cmd> [buckets]]
       |       graft.Cli put <input-glob> <tree-dir> [buckets]
       |       graft.Cli get <tree-dir> <out-dir> [bucket ...]
-      |       graft.Cli media <input-glob> <out-dir>""".stripMargin
+      |       graft.Cli media <input-glob> <out-dir>
+      |       graft.Cli query <name>|list <sf-dir> <out-dir>""".stripMargin
 
   def main(args: Array[String]): Unit = {
-    if (args.length < 3) {
+    val queryList = args.length == 2 && args(0) == "query" && args(1) == "list"
+    val badQuery = args.length > 0 && args(0) == "query" && !queryList &&
+      args.length < 4
+    if ((args.length < 3 && !queryList) || badQuery) {
       System.err.println(Usage)
       sys.exit(2)
     }
@@ -179,6 +206,10 @@ object Cli {
           .select("line").write.mode("overwrite").text(args(2))
       case "media" =>
         mediaMeta(spark, args(1), args(2))
+      case "query" if args(1) == "list" =>
+        Registry.byName.keys.toSeq.sorted.foreach(println)
+      case "query" =>
+        runQuery(spark, args(1), args(2), args(3))
       case _ =>
         run(spark, args(0), args(1), args(2),
           if (args.length > 3) Some(args(3)) else None,

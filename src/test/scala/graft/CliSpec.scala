@@ -207,4 +207,23 @@ class CliSpec extends AnyFunSuite {
     assert(lines("tone.wav")(2) === "wav" &&
       lines("tone.wav")(6) === "1000") // 8000 samples at 8 kHz
   }
+
+  test("query subcommand runs a registry query to TSV and matches the engine") {
+    val out = Files.createTempDirectory("graft_cli_query").toString
+    Cli.runQuery(spark, "q_agg_group", TestSpark.sf, out)
+    val rows = spark.read.text(out).collect().map(_.getString(0)).toSeq
+    val want = q("q_agg_group").collect().map(_.toSeq.map {
+      case null => "NULL"
+      case v => v.toString
+    }.mkString("\t")).toSeq
+    assert(rows.sorted === want.sorted)
+    // Column header lands beside the parts, not interleaved with data.
+    val hdr = Files.readString(java.nio.file.Paths.get(out, "_columns.tsv"))
+    assert(hdr.trim.split("\t").toSeq ===
+      q("q_agg_group").columns.toSeq)
+    // Unknown names fail loudly, not with an empty dir.
+    intercept[IllegalArgumentException] {
+      Cli.runQuery(spark, "q_nope", TestSpark.sf, out + "2")
+    }
+  }
 }
