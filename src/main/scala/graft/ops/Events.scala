@@ -751,6 +751,33 @@ object Events {
         .orderBy("event_type", "dow", "hr")
     },
 
+    // Burst detection: each user's maximum event count inside any
+    // 5-minute window anchored at an event — the rate-limit/abuse
+    // signal (a scripted client shows burst5m orders of magnitude over
+    // its daily average). The per-event look-ahead is a RANGE frame on
+    // exact integer µs (tie-safe: a range frame includes ALL rows in
+    // the bound regardless of intra-tie order), sharing the single
+    // user_id exchange with the per-user max.
+    q("q_ev_burst",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN CURRENT ROW AND 299999999 FOLLOWING) AS cnt
+        |  FROM e)
+        |SELECT user_id, CAST(max(cnt) AS BIGINT) AS burst5m
+        |FROM b
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(0L, 299999999L)
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(max("cnt").as("burst5m"))
+        .orderBy("user_id")
+    },
+
     // Last-touch attribution: each purchase credits the same user's most
     // recent click within the preceding hour, or -1. Spelled JOIN-FREE —
     // clicks and purchases ride ONE user_id window whose running

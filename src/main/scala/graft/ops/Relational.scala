@@ -423,6 +423,31 @@ object Relational {
         .orderBy("flag")
     },
 
+    // Median absolute deviation per group — the robust spread that
+    // outliers can't inflate (the robust-stats twin of q_agg_stats'
+    // stddev). Two exact-median passes: the 3-row per-group median
+    // frame broadcasts back onto the scan, then the deviations take
+    // their own median. Both engines interpolate even-count medians
+    // identically (percentile_cont semantics).
+    q("q_agg_mad",
+      """WITH m AS (SELECT l_returnflag AS flag,
+        |    median(l_quantity) AS med FROM lineitem GROUP BY 1)
+        |SELECT m.flag, round(max(m.med), 6) AS med,
+        |  round(median(abs(l.l_quantity - m.med)), 6) AS mad
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.flag
+        |GROUP BY m.flag
+        |ORDER BY flag""") { (s, d) =>
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(median(col("l_quantity")).as("med"))
+      Tables.lineitem(s, d)
+        .join(broadcast(m), col("l_returnflag") === col("flag"))
+        .groupBy("flag")
+        .agg(round(max("med"), 6).as("med"),
+          round(median(abs(col("l_quantity") - col("med"))), 6).as("mad"))
+        .orderBy("flag")
+    },
+
     // Fixed-width histogram per group: one hash aggregation whose key
     // count is bounded by (value range / bin width) x groups — never by
     // row count — so the result stays small at any scale.
