@@ -173,16 +173,48 @@ object Cli {
       cols.mkString("\t") + "\n")
   }
 
+  /** Table names `sql` registers as temp views (via [[Tables]], so the
+    * timestamp/embedding recipes apply — raw ad-hoc SQL sees the same
+    * logical schema every registry query sees). */
+  private val SqlTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `sql <statement> <sf-dir> <out-dir>`: ad-hoc Spark SQL over the
+    * standard tables from the shell — the escape hatch when none of
+    * the named registry queries is the question being asked. Missing
+    * tables are skipped (a partial dataset dir still serves the tables
+    * it has); output is the same TSV-parts + header-file layout as
+    * `query`. */
+  def runSql(spark: SparkSession, statement: String, sfDir: String,
+      outDir: String): Unit = {
+    SqlTables.foreach { t =>
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(Tables.path(sfDir, t))))
+        Tables(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    val df = spark.sql(statement)
+    val cols = df.columns
+    df.select(concat_ws("\t",
+        cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+      .as("line"))
+      .write.mode("overwrite").text(outDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "_columns.tsv"),
+      cols.mkString("\t") + "\n")
+  }
+
   private val Usage =
     """usage: graft.Cli <input-glob> <out-dir> <map-cmd> [<reduce-cmd> [buckets]]
       |       graft.Cli put <input-glob> <tree-dir> [buckets]
       |       graft.Cli get <tree-dir> <out-dir> [bucket ...]
       |       graft.Cli media <input-glob> <out-dir>
-      |       graft.Cli query <name>|list <sf-dir> <out-dir>""".stripMargin
+      |       graft.Cli query <name>|list <sf-dir> <out-dir>
+      |       graft.Cli sql <statement> <sf-dir> <out-dir>""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val queryList = args.length == 2 && args(0) == "query" && args(1) == "list"
-    val badQuery = args.length > 0 && args(0) == "query" && !queryList &&
+    val badQuery = args.length > 0 &&
+      (args(0) == "query" || args(0) == "sql") && !queryList &&
       args.length < 4
     if ((args.length < 3 && !queryList) || badQuery) {
       System.err.println(Usage)
@@ -210,6 +242,8 @@ object Cli {
         Registry.byName.keys.toSeq.sorted.foreach(println)
       case "query" =>
         runQuery(spark, args(1), args(2), args(3))
+      case "sql" =>
+        runSql(spark, args(1), args(2), args(3))
       case _ =>
         run(spark, args(0), args(1), args(2),
           if (args.length > 3) Some(args(3)) else None,

@@ -88,10 +88,11 @@ object Multimodal {
     * RGB and RGBA (8/16 — 16-bit samples take their high byte, the
     * standard 8-bit view), and PALETTE images (depths 1/2/4/8 indexing
     * a PLTE, expanded to opaque RGB; a tRNS chunk's transparency is
-    * dropped, documented). Each works non-interlaced or ADAM7
-    * interlaced (7 per-pass sub-images, each independently filtered,
-    * scattered onto the canvas grid). Gray+alpha (type 4) returns None
-    * honestly — rare in crawls and the only remaining IHDR shape. */
+    * dropped, documented). Gray+alpha (type 4, 8/16-bit) expands to
+    * RGBA with the gray replicated, preserving the alpha. Each works
+    * non-interlaced or ADAM7 interlaced (7 per-pass sub-images, each
+    * independently filtered, scattered onto the canvas grid) — every
+    * IHDR shape the spec defines now decodes. */
   def decodePng(c: Array[Byte]): Option[PngImage] = {
     if (!isPng(c)) return None
     val w = be32(c, 16)
@@ -102,17 +103,18 @@ object Multimodal {
     if (w <= 0 || h <= 0) return None
     val samples = colorType match {
       case 0 | 3 => 1
+      case 4     => 2
       case 2     => 3
       case 6     => 4
       case _     => return None
     }
     val depthOk = colorType match {
-      case 0     => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
-      case 2 | 6 => depth == 8 || depth == 16
-      case 3     => depth == 1 || depth == 2 || depth == 4 || depth == 8
+      case 0         => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+      case 2 | 4 | 6 => depth == 8 || depth == 16
+      case 3         => depth == 1 || depth == 2 || depth == 4 || depth == 8
     }
     if (!depthOk || (interlace != 0 && interlace != 1)) return None
-    val outCh = if (colorType == 3) 3 else samples
+    val outCh = colorType match { case 3 => 3; case 4 => 4; case _ => samples }
     if (w.toLong * h * outCh > MaxPngRawBytes) return None
     // Pass geometry: one full pass, or the 7 Adam7 sub-grids (empty
     // passes — tiny images — contribute no scanlines, per spec).
@@ -223,6 +225,12 @@ object Multimodal {
               out(dst + 2) = palette(idx * 3 + 2)
             case 0 if depth < 8 =>
               out(dst) = (subByte(px) * grayScale).toByte
+            case 4 =>
+              // gray+alpha -> RGBA: replicate gray, keep alpha.
+              val step = depth / 8
+              val g = row(px * 2 * step)
+              out(dst) = g; out(dst + 1) = g; out(dst + 2) = g
+              out(dst + 3) = row((px * 2 + 1) * step)
             case _ =>
               // 8-bit direct, or 16-bit high byte, x `samples` channels.
               val step = depth / 8
@@ -1074,8 +1082,8 @@ object Multimodal {
   private def pngMeta(path: String, c: Array[Byte]): MediaMeta =
     MediaMeta(path, c.length, "png",
       width = be32(c, 16), height = be32(c, 20),
-      channels = c(25) match { case 0 => 1; case 2 | 3 => 3; case 6 => 4
-        case _ => 0 }, // palette (3) expands to RGB, matching decodePng
+      channels = c(25) match { case 0 => 1; case 2 | 3 => 3; case 4 | 6 => 4
+        case _ => 0 }, // palette->RGB, gray+alpha->RGBA, per decodePng
       duration_ms = 0L)
 
   /** BITMAPINFOHEADER fields: width @18, height @22 (negative =
@@ -1473,7 +1481,8 @@ object Multimodal {
     *  - 17/IMA ADPCM (mono): per-block decode — 4-byte header seeds
     *    predictor + step index, then low-nibble-first 4-bit deltas
     *    through the public step/index tables, clamped.
-    * Anything else (float PCM, MS-ADPCM, stereo ADPCM, ...) returns
+    *  - 3/IEEE float32 PCM: clamped to [-1, 1], scaled to int16.
+    * Anything else (float64 PCM, MS-ADPCM, stereo ADPCM, ...) returns
     * None honestly and the caller falls back. Truncated data decodes
     * to the bytes present (RIFF sizes routinely overrun on streamed
     * files); a data chunk without fmt drops. */
@@ -1507,6 +1516,13 @@ object Multimodal {
       case 1 if bits == 8 => // unsigned 8-bit, midpoint 128
         Array.tabulate(dataLen)(i =>
           (((c(dataOff + i) & 0xFF) - 128) << 8).toShort)
+      case 3 if bits == 32 => // IEEE float PCM in [-1, 1], clamp-scaled
+        val n = dataLen / 4
+        Array.tabulate(n) { i =>
+          val f = java.lang.Float.intBitsToFloat(le32(c, dataOff + i * 4))
+          val v = if (f.isNaN) 0f else math.max(-1f, math.min(1f, f))
+          math.round(v * 32767f).toShort
+        }
       case 7 if bits == 8 =>
         Array.tabulate(dataLen)(i => muLawByte(c(dataOff + i) & 0xFF))
       case 6 if bits == 8 =>

@@ -226,4 +226,21 @@ class CliSpec extends AnyFunSuite {
       Cli.runQuery(spark, "q_nope", TestSpark.sf, out + "2")
     }
   }
+
+  test("sql subcommand runs ad-hoc SQL over the recipe-loaded tables") {
+    val out = Files.createTempDirectory("graft_cli_sql").toString
+    // events goes through Tables, so ts is usable directly — the recipe
+    // dispatch applies to ad-hoc SQL exactly as to registry queries.
+    Cli.runSql(spark,
+      "SELECT event_type, count(*) AS n FROM events " +
+        "WHERE ts IS NOT NULL GROUP BY event_type ORDER BY event_type",
+      TestSpark.sf, out)
+    val rows = spark.read.text(out).collect().map(_.getString(0)).toSeq
+    val want = Tables.events(spark, TestSpark.sf)
+      .groupBy("event_type").count().orderBy("event_type")
+      .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}").toSeq
+    assert(rows.sorted === want.sorted)
+    val hdr = Files.readString(java.nio.file.Paths.get(out, "_columns.tsv"))
+    assert(hdr.trim === "event_type\tn")
+  }
 }

@@ -251,7 +251,9 @@ class MultimodalSpec extends AnyFunSuite {
   private def pngBytesExt(w: Int, h: Int, colorType: Int, depth: Int,
       vals: Array[Int], palette: Array[Byte] = null,
       adam7: Boolean = false): Array[Byte] = {
-    val n = colorType match { case 0 | 3 => 1; case 2 => 3; case 6 => 4 }
+    val n = colorType match {
+      case 0 | 3 => 1; case 4 => 2; case 2 => 3; case 6 => 4
+    }
     val passes =
       if (!adam7) Seq((0, 0, 1, 1))
       else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -345,7 +347,19 @@ class MultimodalSpec extends AnyFunSuite {
     val g16 = Array.fill(5 * 2)(rnd.nextInt(65536))
     val imgG = Multimodal.decodePng(pngBytesExt(5, 2, 0, 16, g16)).get
     assert(imgG.pixels.toSeq === g16.map(v => (v >> 8).toByte).toSeq)
-    // Gray+alpha stays an honest refusal (IHDR color type flipped to 4).
+    // Gray+alpha expands to RGBA (gray replicated, alpha kept).
+    val ga = Array(10, 200, 30, 100, 50, 0, 70, 255) // (g, a) x 4 px
+    val imgGA = Multimodal.decodePng(pngBytesExt(2, 2, 4, 8, ga)).get
+    assert(imgGA.channels === 4)
+    assert(imgGA.pixels.toSeq === Seq[Byte](10, 10, 10, 200.toByte,
+      30, 30, 30, 100, 50, 50, 50, 0, 70, 70, 70, 255.toByte))
+    // 16-bit gray+alpha: high bytes of both samples.
+    val ga16 = Array(0x1234, 0xFF00, 0xABCD, 0x0080)
+    val imgGA16 = Multimodal.decodePng(pngBytesExt(2, 1, 4, 16, ga16)).get
+    assert(imgGA16.pixels.toSeq === Seq[Byte](0x12, 0x12, 0x12, 0xFF.toByte,
+      0xAB.toByte, 0xAB.toByte, 0xAB.toByte, 0x00))
+    // A type-4 IHDR whose stream only carries 1-sample rows is
+    // malformed (inflate short): drops, no crash.
     assert(Multimodal.decodePng(pngBytesExt(2, 2, 0, 8,
       Array.fill(4)(1)).updated(25, 4.toByte)).isEmpty)
   }

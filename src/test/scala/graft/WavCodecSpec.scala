@@ -228,9 +228,10 @@ class WavCodecSpec extends AnyFunSuite {
   }
 
   test("unsupported formats refuse; supported ones flow through embed") {
-    // float PCM (format 3) and MS-ADPCM (2): honest None.
+    // float64 PCM and MS-ADPCM (2): honest None (float32 now decodes —
+    // see the dedicated test).
     assert(Multimodal.decodeWav(
-      wav(3, 1, 8000, 32, 4, new Array[Byte](8))).isEmpty)
+      wav(3, 1, 8000, 64, 8, new Array[Byte](16))).isEmpty)
     assert(Multimodal.decodeWav(
       wav(2, 1, 8000, 4, 256, new Array[Byte](256))).isEmpty)
     // mu-law through the embed stage: histogram of the DECODED samples.
@@ -248,5 +249,20 @@ class WavCodecSpec extends AnyFunSuite {
     assert(emb.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
     // The sine avoids the extreme bins — the real-decode signature.
     assert(emb(0) === 0.0 && emb(7) === 0.0)
+  }
+
+  test("float32 PCM decodes clamp-scaled to int16; float64 still refuses") {
+    val vals = Array(0f, 0.5f, -0.5f, 1f, -1f, 2f, -3f, Float.NaN)
+    val data = new Array[Byte](vals.length * 4)
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putFloat)
+    val audio = Multimodal.decodeWav(wav(3, 1, 8000, 32, 4, data)).get
+    // 0.5*32767 = 16383.5 rounds half-up to 16384; -16383.5 to -16383.
+    assert(audio.samples.toSeq === Seq[Short](0, 16384, -16383, 32767,
+      -32767, 32767, -32767, 0)) // clamp beyond ±1, NaN -> silence
+    // float64 (bits=64) stays an honest refusal.
+    assert(Multimodal.decodeWav(wav(3, 1, 8000, 64, 8,
+      new Array[Byte](16))).isEmpty)
   }
 }
