@@ -1481,8 +1481,10 @@ object Multimodal {
     *  - 17/IMA ADPCM (mono): per-block decode — 4-byte header seeds
     *    predictor + step index, then low-nibble-first 4-bit deltas
     *    through the public step/index tables, clamped.
+    *  - 17/IMA ADPCM (stereo): per-channel block headers, 4-byte data
+    *    chunks alternating channels, interleaved L/R output;
     *  - 3/IEEE float32 PCM: clamped to [-1, 1], scaled to int16.
-    * Anything else (float64 PCM, MS-ADPCM, stereo ADPCM, ...) returns
+    * Anything else (float64 PCM, MS-ADPCM, ...) returns
     * None honestly and the caller falls back. Truncated data decodes
     * to the bytes present (RIFF sizes routinely overrun on streamed
     * files); a data chunk without fmt drops. */
@@ -1553,6 +1555,62 @@ object Multimodal {
             i += 1
           }
           b += 4 + nData
+        }
+        out.toArray
+      case 17 if bits == 4 && nCh == 2 && blockAlign >= 16 =>
+        // Stereo IMA ADPCM: per-channel 4-byte headers, then data in
+        // 4-byte chunks ALTERNATING channels (8 nibbles per chunk,
+        // low nibble first); output interleaves L/R per sample.
+        val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+        var b = dataOff
+        val end = dataOff + dataLen
+        while (b + 8 <= end) {
+          val pred = Array(le16(c, b).toShort.toInt,
+            le16(c, b + 4).toShort.toInt)
+          val idx = Array(math.min(math.max(c(b + 2) & 0xFF, 0), 88),
+            math.min(math.max(c(b + 6) & 0xFF, 0), 88))
+          out += pred(0).toShort
+          out += pred(1).toShort
+          val nData = math.min(blockAlign - 8, end - (b + 8))
+          val nPairs = nData / 8 // one L chunk + one R chunk
+          val left = new Array[Short](nPairs * 8)
+          val right = new Array[Short](nPairs * 8)
+          def step(ch: Int, nib: Int): Short = {
+            val st = ImaStepTable(idx(ch))
+            var diff = st >> 3
+            if ((nib & 1) != 0) diff += st >> 2
+            if ((nib & 2) != 0) diff += st >> 1
+            if ((nib & 4) != 0) diff += st
+            var p = if ((nib & 8) != 0) pred(ch) - diff else pred(ch) + diff
+            if (p > 32767) p = 32767
+            if (p < -32768) p = -32768
+            pred(ch) = p
+            idx(ch) = math.min(math.max(idx(ch) + ImaIndexTable(nib), 0), 88)
+            p.toShort
+          }
+          var pair = 0
+          while (pair < nPairs) {
+            val base = b + 8 + pair * 8
+            var i = 0
+            while (i < 8) { // left chunk: 4 bytes, low nibble first
+              val byte = c(base + (i >> 1)) & 0xFF
+              left(pair * 8 + i) = step(0,
+                if ((i & 1) == 0) byte & 0x0F else byte >> 4)
+              i += 1
+            }
+            i = 0
+            while (i < 8) { // right chunk
+              val byte = c(base + 4 + (i >> 1)) & 0xFF
+              right(pair * 8 + i) = step(1,
+                if ((i & 1) == 0) byte & 0x0F else byte >> 4)
+              i += 1
+            }
+            pair += 1
+          }
+          var s = 0
+          while (s < nPairs * 8) { out += left(s); out += right(s); s += 1 }
+          b += 8 + nPairs * 8
+          if (nPairs == 0) b = end // trailing partial chunk: stop
         }
         out.toArray
       case _ => return None

@@ -227,6 +227,35 @@ class WavCodecSpec extends AnyFunSuite {
     assert(errs.sum / errs.length <= 400, s"mean err ${errs.sum / errs.length}")
   }
 
+  test("stereo IMA ADPCM: alternating chunks decode to interleaved L/R") {
+    val n = 33 // header sample + 32 nibble slots = one exact block
+    val lpcm = Array.tabulate(n)(i => (math.sin(i * 0.2) * 12000).toShort)
+    val rpcm = Array.tabulate(n)(i => (math.cos(i * 0.13) * 9000).toShort)
+    val (ln, lf, _) = imaEncode(lpcm)
+    val (rn, rf, _) = imaEncode(rpcm)
+    def pack8(nibs: Array[Int]): Array[Byte] =
+      (0 until 4).map(j =>
+        ((nibs(j * 2) & 0xF) | ((nibs(j * 2 + 1) & 0xF) << 4)).toByte).toArray
+    val block = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    block ++= Seq((lf & 0xFF).toByte, ((lf >> 8) & 0xFF).toByte, 0.toByte,
+      0.toByte)
+    block ++= Seq((rf & 0xFF).toByte, ((rf >> 8) & 0xFF).toByte, 0.toByte,
+      0.toByte)
+    for (p <- 0 until 4) {
+      block ++= pack8(ln.slice(p * 8, p * 8 + 8))
+      block ++= pack8(rn.slice(p * 8, p * 8 + 8))
+    }
+    val blockAlign = 8 + 4 * 8
+    // Two identical blocks: the block loop re-seeds from each header.
+    val data = (block ++ block).toArray
+    val audio = Multimodal.decodeWav(wav(17, 2, 8000, 4, blockAlign, data)).get
+    assert(audio.channels === 2)
+    val expL = imaDecode(ln, lf, 0)
+    val expR = imaDecode(rn, rf, 0)
+    val oneBlock = expL.zip(expR).flatMap { case (l, r) => Seq(l, r) }.toSeq
+    assert(audio.samples.toSeq === oneBlock ++ oneBlock)
+  }
+
   test("unsupported formats refuse; supported ones flow through embed") {
     // float64 PCM and MS-ADPCM (2): honest None (float32 now decodes —
     // see the dedicated test).
