@@ -2718,8 +2718,10 @@ object Multimodal {
     * organization via RowsPerStrip/StripOffsets/StripByteCounts, 8-bit
     * gray (both photometric polarities) and RGB(A) chunky samples,
     * Compression 1 (none) / 5 (LZW, with Predictor 2 horizontal
-    * differencing) / 32773 (PackBits). Anything else — planar, tiled,
-    * palette, 1/4/16-bit, JPEG-in-TIFF — returns None honestly. Alpha
+    * differencing) / 32773 (PackBits), and 8-bit PALETTE images
+    * (photometric 3, indices through the 16-bit ColorMap's high
+    * bytes). Anything else — planar, tiled, 1/4/16-bit,
+    * JPEG-in-TIFF — returns None honestly. Alpha
     * drops to the shared 3-channel layout; gray stays 1-channel
     * ([[PngImage]] contract). Bomb-guarded before allocation;
     * truncated strips drop the file. */
@@ -2737,6 +2739,7 @@ object Multimodal {
     var compression = 1L; var photometric = 1L; var spp = 1L
     var predictor = 1L; var planar = 1L
     var bitsOk = true
+    var colorMap = Array.empty[Long]
     var stripOffsets = Array.empty[Long]
     var stripCounts = Array.empty[Long]
     var i = 0
@@ -2772,12 +2775,16 @@ object Multimodal {
         case 279 => stripCounts = allVals()
         case 284 => planar = valAt(0)
         case 317 => predictor = valAt(0)
+        case 320 => colorMap = allVals() // palette: 3 x 256 16-bit
         case _ => ()
       }
       i += 1
     }
     if (width <= 0 || height <= 0 || !bitsOk) return None
-    if (photometric > 2 || predictor > 2 || planar != 1L) return None
+    val paletted = photometric == 3L
+    if (paletted && (colorMap.length != 768 || spp != 1L)) return None
+    if ((photometric > 2 && !paletted) || predictor > 2 || planar != 1L)
+      return None
     if (spp != 1L && spp != 3L && spp != 4L) return None
     if (compression != 1L && compression != 5L && compression != 32773L)
       return None
@@ -2824,7 +2831,18 @@ object Multimodal {
       strip += 1
     }
     val (outCh, out) =
-      if (ch == 4) { // drop alpha to the shared 3-channel layout
+      if (paletted) { // indices through the 16-bit ColorMap, high byte
+        val o3 = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          val idx = raw(p) & 0xFF
+          o3(p * 3) = (colorMap(idx) >> 8).toByte
+          o3(p * 3 + 1) = (colorMap(256 + idx) >> 8).toByte
+          o3(p * 3 + 2) = (colorMap(512 + idx) >> 8).toByte
+          p += 1
+        }
+        (3, o3)
+      } else if (ch == 4) { // drop alpha to the shared 3-channel layout
         val o3 = new Array[Byte](w * h * 3)
         var p = 0
         while (p < w * h) {

@@ -270,6 +270,43 @@ class TiffSpec extends AnyFunSuite {
     assert(emb.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("palette TIFF: indices map through the ColorMap's high bytes") {
+    val w = 5; val h = 3
+    val rnd = new scala.util.Random(5)
+    val idx = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val cmap = Array.fill(768)(rnd.nextInt(65536))
+    def build(withMap: Boolean): Array[Byte] = {
+      val stripOff = 8
+      val cmapOff = stripOff + idx.length
+      val ifdOff = cmapOff + 768 * 2
+      val n = if (withMap) 8 else 7
+      val b = java.nio.ByteBuffer.allocate(ifdOff + 2 + n * 12 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+      b.put(idx)
+      cmap.foreach(v => b.putShort(v.toShort))
+      b.putShort(n.toShort)
+      def entry(tag: Int, typ: Int, cnt: Int, v: Int): Unit =
+        b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt).putInt(v)
+      entry(256, 4, 1, w); entry(257, 4, 1, h); entry(258, 3, 1, 8)
+      entry(259, 3, 1, 1); entry(262, 3, 1, 3); entry(273, 4, 1, stripOff)
+      entry(279, 4, 1, idx.length)
+      if (withMap) entry(320, 3, 768, cmapOff)
+      b.putInt(0)
+      b.array()
+    }
+    val img = Multimodal.decodeTiff(build(withMap = true)).get
+    assert(img.width === w && img.height === h && img.channels === 3)
+    val expected = idx.flatMap { i0 =>
+      val i = i0 & 0xFF
+      Seq((cmap(i) >> 8).toByte, (cmap(256 + i) >> 8).toByte,
+        (cmap(512 + i) >> 8).toByte)
+    }
+    assert(img.pixels.toSeq === expected.toSeq)
+    // Photometric 3 without a ColorMap: structural loss, refuse.
+    assert(Multimodal.decodeTiff(build(withMap = false)).isEmpty)
+  }
+
   test("rejection: truncation, 16-bit, planar, tiled, JPEG-in-TIFF, bombs") {
     val good = tiffBytes(4, 3, 3, Array.tabulate(36)(_.toByte))
     assert(Multimodal.decodeTiff(good).isDefined)
