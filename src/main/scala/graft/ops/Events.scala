@@ -751,6 +751,54 @@ object Events {
         .orderBy("event_type", "dow", "hr")
     },
 
+    // Pareto concentration points per event type: the smallest USER
+    // FRACTION producing 50% / 90% of events — the Lorenz-curve
+    // reading of the same skew q_ev_hhi scores ("how top-heavy is this
+    // event stream"). Users rank by (count DESC, user_id); the rank
+    // where the cumulative count first crosses each threshold divides
+    // by the user population. All inputs are exact integers; the
+    // threshold products are the identical IEEE doubles in both
+    // engines. One shuffle to per-user counts, windows on the
+    // |types|-partitioned count frame.
+    q("q_ev_pareto",
+      """WITH s AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c DESC, user_id) AS rk,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY c DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS tot,
+        |    count(*) OVER (PARTITION BY event_type) AS nu
+        |  FROM s)
+        |SELECT event_type, CAST(max(nu) AS BIGINT) AS n_users,
+        |  round(CAST(min(CASE WHEN cum >= 0.5 * tot THEN rk END) AS DOUBLE)
+        |    / max(nu), 6) AS p50_frac,
+        |  round(CAST(min(CASE WHEN cum >= 0.9 * tot THEN rk END) AS DOUBLE)
+        |    / max(nu), 6) AS p90_frac
+        |FROM r
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, d) =>
+      val byC = Window.partitionBy("event_type")
+        .orderBy(col("c").desc, col("user_id"))
+      val part = Window.partitionBy("event_type")
+      val cnt = Tables.events(s, d)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      cnt.select(col("event_type"), col("c"),
+          row_number().over(byC).as("rk"),
+          sum("c").over(byC.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cum"),
+          sum("c").over(part).as("tot"),
+          count(lit(1)).over(part).as("nu"))
+        .groupBy("event_type")
+        .agg(max("nu").as("n_users"),
+          round(min(when(col("cum") >= lit(0.5) * col("tot"), col("rk")))
+            .cast("double") / max("nu"), 6).as("p50_frac"),
+          round(min(when(col("cum") >= lit(0.9) * col("tot"), col("rk")))
+            .cast("double") / max("nu"), 6).as("p90_frac"))
+        .orderBy("event_type")
+    },
+
     // Burst detection: each user's maximum event count inside any
     // 5-minute window anchored at an event — the rate-limit/abuse
     // signal (a scripted client shows burst5m orders of magnitude over
