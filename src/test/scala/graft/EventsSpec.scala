@@ -203,6 +203,46 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("last-touch attribution matches a per-purchase replay") {
+    val byUser = eventsTyped.filter(e => e._5 == "click" || e._5 == "purchase")
+      .groupBy(_._3)
+    val want = byUser.values.flatten.filter(_._5 == "purchase").map { p =>
+      val clicks = byUser(p._3).filter(c => c._5 == "click" &&
+        (c._2 < p._2 || (c._2 == p._2 && c._1 < p._1)) &&
+        p._2 - c._2 <= 3600000000L)
+      if (clicks.isEmpty) (p._1, p._3, -1L, -1L)
+      else {
+        val last = clicks.maxBy(c => (c._2, c._1))
+        (p._1, p._3, last._1, p._2 - last._2)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = q("q_ev_attrib").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+  }
+
+  test("pareto fractions match a sorted-share replay and bracket sanely") {
+    val want = eventsTyped.groupBy(_._5).map { case (typ, es) =>
+      val counts = es.groupBy(_._3).map { case (u, v) => (u, v.size.toLong) }
+        .toSeq.sortBy { case (u, c) => (-c, u) }
+      val tot = counts.map(_._2).sum
+      def frac(th: Double): Double = {
+        var cum = 0L; var rk = 0
+        val cut = counts.indexWhere { case (_, c) =>
+          cum += c; rk += 1; cum >= th * tot
+        }
+        math.rint((cut + 1).toDouble / counts.size * 1e6) / 1e6
+      }
+      (typ, counts.size.toLong, frac(0.5), frac(0.9))
+    }.toSeq.sortBy(_._1)
+    val got = q("q_ev_pareto").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    got.foreach { case (_, _, p50, p90) =>
+      assert(p50 <= p90 && p50 > 0 && p90 <= 1.0)
+    }
+  }
+
   test("gap stats: integer-ns means match a per-user sorted scan") {
     val want = eventsTyped.groupBy(_._3).map { case (u, es) =>
       val us = es.sortBy(e => (e._2, e._1)).map(_._2)
