@@ -1292,6 +1292,55 @@ object Multimodal {
       channels = channels, duration_ms = durMs)
   }
 
+  // ---- ICO (favicon container: entry walk + PNG-payload decode) -------
+
+  private def isIco(c: Array[Byte]): Boolean =
+    c.length >= 6 && le16(c, 0) == 0 && le16(c, 2) == 1 && le16(c, 4) > 0 &&
+      le16(c, 4) < 256
+
+  /** ICO directory walk: per-entry dims (0 byte = 256, the favicon
+    * convention), payload offset/length. Meta reports the LARGEST
+    * entry's dims — the one a thumbnail pipeline would pick. */
+  private def icoMeta(path: String, c: Array[Byte]): MediaMeta = {
+    val n = le16(c, 4)
+    var w = 0; var h = 0
+    var i = 0
+    while (i < n && 6 + i * 16 + 16 <= c.length) {
+      val e = 6 + i * 16
+      val ew = if ((c(e) & 0xFF) == 0) 256 else c(e) & 0xFF
+      val eh = if ((c(e + 1) & 0xFF) == 0) 256 else c(e + 1) & 0xFF
+      if (ew.toLong * eh > w.toLong * h) { w = ew; h = eh }
+      i += 1
+    }
+    MediaMeta(path, c.length, "ico", width = w, height = h,
+      channels = if (w > 0) 4 else 0, duration_ms = 0L)
+  }
+
+  /** Decode the largest PNG-compressed entry of an ICO (modern favicons
+    * embed whole PNG files; the legacy DIB+AND-mask layout returns
+    * None honestly). */
+  def decodeIco(c: Array[Byte]): Option[PngImage] = {
+    if (!isIco(c)) return None
+    val n = le16(c, 4)
+    var best: Option[(Long, Int, Int)] = None // area, off, len
+    var i = 0
+    while (i < n && 6 + i * 16 + 16 <= c.length) {
+      val e = 6 + i * 16
+      val ew = if ((c(e) & 0xFF) == 0) 256L else (c(e) & 0xFF).toLong
+      val eh = if ((c(e + 1) & 0xFF) == 0) 256L else (c(e + 1) & 0xFF).toLong
+      val len = le32(c, e + 8)
+      val off = le32(c, e + 12)
+      if (len > 0 && off > 0 && off.toLong + len <= c.length &&
+        best.forall(_._1 < ew * eh))
+        best = Some((ew * eh, off, len))
+      i += 1
+    }
+    best.flatMap { case (_, off, len) =>
+      val payload = java.util.Arrays.copyOfRange(c, off, off + len)
+      if (isPng(payload)) decodePng(payload) else None
+    }
+  }
+
   // ---- Matroska/WebM (REAL header-only metadata: EBML walk) -----------
 
   private def isMkv(c: Array[Byte]): Boolean =
@@ -2962,6 +3011,7 @@ object Multimodal {
         else if (isMp4(f.content)) mp4Meta(f.path, f.content)
         else if (isFlac(f.content)) flacMeta(f.path, f.content)
         else if (isMkv(f.content)) mkvMeta(f.path, f.content)
+        else if (isIco(f.content)) icoMeta(f.path, f.content)
         else if (isOgg(f.content)) oggMeta(f.path, f.content)
         else if (isMp3(f.content)) mp3Meta(f.path, f.content)
         else {

@@ -1579,6 +1579,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.embed(files.toDS()).collect().length === 200)
   }
 
+  test("ICO: largest-entry meta; PNG-payload entries decode; DIB refuses") {
+    import spark.implicits._
+    val png16 = pngBytesExt(16, 16, 2, 8,
+      Array.tabulate(16 * 16 * 3)(i => i % 251))
+    val png32 = pngBytesExt(32, 32, 2, 8,
+      Array.tabulate(32 * 32 * 3)(i => (i * 7) % 253))
+    def ico(entries: Seq[(Int, Int, Array[Byte])]): Array[Byte] = {
+      val n = entries.length
+      var off = 6 + n * 16
+      val b = java.nio.ByteBuffer
+        .allocate(off + entries.map(_._3.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0).putShort(1).putShort(n.toShort)
+      entries.foreach { case (w, h, p) =>
+        b.put((if (w == 256) 0 else w).toByte)
+          .put((if (h == 256) 0 else h).toByte)
+          .put(0.toByte).put(0.toByte).putShort(1).putShort(32)
+          .putInt(p.length).putInt(off)
+        off += p.length
+      }
+      entries.foreach(e => b.put(e._3))
+      b.array()
+    }
+    val file = ico(Seq((16, 16, png16), (32, 32, png32)))
+    val meta = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("f.ico", file.length, file)).toDS()).collect().head
+    assert(meta.format === "ico" && meta.width === 32 && meta.height === 32)
+    // decode picks the LARGEST entry and round-trips its PNG pixels.
+    val img = Multimodal.decodeIco(file).get
+    assert(img.width === 32 && img.height === 32)
+    assert(img.pixels.toSeq ===
+      Array.tabulate(32 * 32 * 3)(i => ((i * 7) % 253).toByte).toSeq)
+    // Legacy DIB payload (not a PNG): honest None.
+    assert(Multimodal.decodeIco(
+      ico(Seq((16, 16, new Array[Byte](100))))).isEmpty)
+    // Truncating the 32x32 payload region: that entry is skipped and
+    // decode falls to the intact 16x16 one.
+    val cut = Multimodal.decodeIco(file.take(file.length - 4)).get
+    assert(cut.width === 16 && cut.height === 16)
+    assert(Multimodal.decodeIco(Array[Byte](0, 0, 1, 0)) === None)
+  }
+
   /** Independent EBML element writer: 2-byte IDs written verbatim,
     * sizes in the minimal 1-byte form (or 8-byte form when forced). */
   private def ebml(id: Long, body: Array[Byte],
