@@ -811,8 +811,8 @@ object TextSim {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
         |  FROM tc)
         |SELECT lang, doc_id, n AS n_tokens,
-        |  cb // 512 AS seq_id,
-        |  (cb + greatest(n, 1) - 1) // 512 - cb // 512 + 1 AS n_seqs
+        |  CAST(cb // 512 AS BIGINT) AS seq_id,
+        |  CAST((cb + greatest(n, 1) - 1) // 512 - cb // 512 + 1 AS BIGINT) AS n_seqs
         |FROM c
         |ORDER BY lang, doc_id""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window

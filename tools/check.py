@@ -54,6 +54,18 @@ for name in sorted(oracle):
         f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
     gcols, grows = rows_of(got_cur)
     try:
+        # Rule-7 lint: the driver canonicalizes HUGEINT/DECIMAL as
+        # float64 and TIMESTAMP with engine-specific formatting, so an
+        # oracle emitting them hash-mismatches even when values agree
+        # (the q_text_pack r9 trap). Fail loudly here instead.
+        banned = [(r[0], r[1]) for r in con.execute(
+            f"DESCRIBE {sql}").fetchall()
+            if r[1].startswith(("HUGEINT", "DECIMAL", "TIMESTAMP"))]
+        if banned:
+            print(f"FAIL {name}: rule-7 banned oracle output types: "
+                  f"{banned} — CAST them (BIGINT/DOUBLE/epoch) in the SQL")
+            n_fail += 1
+            continue
         ecols, erows = rows_of(con.execute(sql))
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
