@@ -80,4 +80,18 @@ object VectorFunctions {
     * differ (DuckDB's `hamming` errors there — see the kernel note). */
   def hammingDist(a: Column, b: Column): Column =
     org.apache.spark.sql.graftnative.StringDistanceNative.hamming(a, b)
+
+  /** One-pass char-entropy stats of a string column:
+    * `struct<n_distinct_chars: bigint, entropy: double>` via the
+    * `log2(tot) - Σ n·log2 n / tot` identity (see
+    * graftnative.CharEntropyStats) — the shuffle-free q_text_entropy
+    * kernel. */
+  def charEntropy(text: Column): Column = VectorNative.charEntropy(text)
+
+  /** Minimum MD5 (lowercase hex) over sliding `gramLen`-code-point
+    * windows of a string column — the winnowing fingerprint, computed
+    * as a rolling min over 16-byte digests with no per-window string
+    * or array materialization (see graftnative.MinGramMd5). */
+  def minGramMd5(text: Column, gramLen: Int): Column =
+    VectorNative.minGramMd5(text, gramLen)
 }

@@ -1118,6 +1118,11 @@ object TextSim {
 
     // Document fingerprint: min MD5 over sliding char 8-grams (winnowing
     // shape). MD5 hex is identical cross-engine, unlike hash()/xxhash64.
+    // The min is a native rolling-digest kernel (graftnative.MinGramMd5):
+    // the prior `array_min(transform(sequence(...), md5(...)))` spelling
+    // allocated ~|text| 32-char hex strings per row — the r9 driver
+    // bench's second-heaviest allocator — where only one 16-byte digest
+    // per window is needed (unsigned digest order ≡ hex order).
     q("q_text_fingerprint",
       """SELECT doc_id,
         |  list_min([md5(substr(text, CAST(i AS INT), 8))
@@ -1126,8 +1131,7 @@ object TextSim {
         |FROM documents
         |ORDER BY doc_id""") { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-        expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1))," +
-          " i -> md5(substring(text, i, 8))))").as("fp"),
+        graft.functions.VectorFunctions.minGramMd5(col("text"), 8).as("fp"),
         md5(col("text")).as("full_md5"))
         .orderBy("doc_id")
     },
@@ -1183,32 +1187,34 @@ object TextSim {
 
     // Character-level Shannon entropy per document — the cheap
     // perplexity proxy: gibberish and boilerplate sit at the entropy
-    // extremes. One explode + two grouped aggregations; the final
-    // round absorbs summation-order ulp drift (§2.13 rule 2).
+    // extremes. All of a document's characters live in ONE row, so
+    // this is a pure narrow map: one native single-pass kernel
+    // (code-point histogram + the H = log2(tot) − Σ n·log2 n / tot
+    // identity) per document, no explode, no shuffle before the
+    // output sort. The r6–r9 plan (per-char explode → two grouped
+    // aggs → self-join) materialized ~|text| rows per doc and was the
+    // registry's heaviest allocator; same values, round(·,6) absorbs
+    // summation-order ulp drift (§2.13 rule 2) exactly as before.
+    // The oracle mirrors the identity so both engines sum n·log2 n.
     q("q_text_entropy",
       """WITH c AS (SELECT doc_id,
         |    unnest([substr(text, CAST(i AS INT), 1)
         |      for i in range(1, length(text) + 1)]) AS ch
         |  FROM documents),
-        |f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
-        |t AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot
-        |      FROM f GROUP BY doc_id)
-        |SELECT f.doc_id,
+        |f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch)
+        |SELECT doc_id,
         |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
-        |  round(-sum((f.n / CAST(t.tot AS DOUBLE))
-        |    * log2(f.n / CAST(t.tot AS DOUBLE))), 6) AS entropy
-        |FROM f JOIN t ON f.doc_id = t.doc_id
-        |GROUP BY f.doc_id
-        |ORDER BY f.doc_id""") { (s, d) =>
-      val f = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
-      val t = f.groupBy("doc_id").agg(sum("n").as("tot"))
-      f.join(t, "doc_id")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_distinct_chars"),
-          round(-sum((col("n") / col("tot"))
-            * log2(col("n") / col("tot"))), 6).as("entropy"))
+        |  round(log2(CAST(sum(n) AS DOUBLE))
+        |    - sum(n * log2(CAST(n AS DOUBLE))) / sum(n), 6) AS entropy
+        |FROM f
+        |GROUP BY doc_id
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.charEntropy(col("text")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_distinct_chars").as("n_distinct_chars"),
+          round(col("st.entropy"), 6).as("entropy"))
         .orderBy("doc_id")
     },
 

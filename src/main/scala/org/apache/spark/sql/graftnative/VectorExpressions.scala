@@ -549,6 +549,206 @@ case class NormalizedTokens(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document character-entropy statistics in ONE pass over the
+  * string — `struct<n_distinct_chars: bigint, entropy: double>` where
+  * entropy uses the algebraic identity
+  * `H = log2(tot) - (Σ n·log2 n) / tot` (same value as
+  * `-Σ p·log2 p`, fewer divisions, and crucially computable WITHOUT
+  * knowing tot up front).
+  *
+  * Replaces the r6–r9 q_text_entropy plan — per-char
+  * `explode(split(text, ""))` → groupBy(doc,ch) → self-join → agg —
+  * which materialized ~|text| single-char rows per document and paid
+  * two shuffles for a computation whose inputs all live in one row.
+  * This kernel is the whole computation: code-point histogram in a
+  * scratch int map, then one pass over the buckets. At 100 TB the
+  * query becomes a pure narrow map (+ the output sort), no exchange
+  * at all before the final ORDER BY.
+  *
+  * Character = Unicode code point, matching both the old
+  * `split(text, "")` behavior and the DuckDB oracle's per-code-point
+  * `substr` walk. log2 is evaluated as `Math.log(x) / Math.log(2)` —
+  * the same formula as Spark's builtin Log2 — so the query's
+  * `round(·, 6)` absorbs only summation-order ulp drift (§2.13
+  * rule 2), as before. Empty strings yield (0, NULL) — the old plan
+  * produced no row at all for them, and the query contract keeps
+  * documents non-empty, so the difference is unobservable in the
+  * registry (and NULL is the honest answer for "entropy of nothing").
+  */
+case class CharEntropyStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("n_distinct_chars", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("entropy", DoubleType, nullable = true)))
+  override def prettyName: String = "graft_char_entropy"
+
+  private val LOG2 = Math.log(2.0)
+
+  def statsOf(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    // Open-addressed int→int histogram; capacity next-pow2 ≥ 2·chars
+    // so load factor stays ≤ 0.5 and probes are short.
+    var cap = java.lang.Integer.highestOneBit(
+      Math.max(4, str.length * 2 - 1)) * 2
+    val keys = new Array[Int](cap)
+    val cnts = new Array[Int](cap)
+    val mask = cap - 1
+    var distinct = 0L
+    var tot = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      // 0 is a valid code point key only for NUL; shift by 1 so 0
+      // means "empty slot".
+      val k = cp + 1
+      // Fibonacci hash (0x9E3779B9 as signed Int) → top log2(cap) bits.
+      var slot = ((k * -1640531527) >>> (32 - java.lang.Integer.numberOfTrailingZeros(cap))) & mask
+      while (keys(slot) != 0 && keys(slot) != k) slot = (slot + 1) & mask
+      if (keys(slot) == 0) { keys(slot) = k; distinct += 1 }
+      cnts(slot) += 1
+      tot += 1
+      i += Character.charCount(cp)
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.setLong(0, distinct)
+    if (tot == 0L) row.setNullAt(1)
+    else {
+      var sumNLogN = 0.0
+      var j = 0
+      while (j < cap) {
+        val n = cnts(j)
+        if (n > 1) sumNLogN += n * (Math.log(n.toDouble) / LOG2)
+        j += 1
+      }
+      row.setDouble(1, Math.log(tot.toDouble) / LOG2 - sumNLogN / tot)
+    }
+    row
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    statsOf(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("entropyKernel", this,
+      classOf[CharEntropyStats].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.statsOf($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+    copy(child = newChild)
+}
+
+/** Rolling-minimum MD5 fingerprint (the winnowing shape of
+  * q_text_fingerprint) without materializing the per-window hex
+  * array: for each code-point window of `gramLen` characters, hash
+  * the window's UTF-8 bytes and keep the smallest 16-byte digest;
+  * emit it as lowercase hex at the end. Unsigned byte comparison of
+  * equal-length digests is exactly hex-string comparison, so the
+  * result is identical to
+  * `array_min(transform(sequence(...), i -> md5(substring(text,i,8))))`
+  * — which allocated ~|text| 32-char strings per row plus the
+  * sequence and transform arrays, the heaviest allocation profile on
+  * the r9 driver bench. Here the only per-window allocation is one
+  * 16-byte digest.
+  *
+  * Strings shorter than `gramLen` hash the whole string (mirroring
+  * `greatest(length - gramLen + 1, 1)` windows in the oracle);
+  * windows are code-point aligned and sliced directly from the UTF-8
+  * byte buffer via a precomputed offset table — no String or
+  * per-window substring object.
+  */
+case class MinGramMd5(child: Expression, gramLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_min_gram_md5"
+
+  def minHashOf(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = s.getBytes
+    // Code-point start offsets (byte positions); offs(n) = bytes.length.
+    val offs = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var c = 0
+    while (i < bytes.length) {
+      offs(c) = i
+      val b = bytes(i)
+      i += (if ((b & 0x80) == 0) 1
+            else if ((b & 0xE0) == 0xC0) 2
+            else if ((b & 0xF0) == 0xE0) 3
+            else 4)
+      c += 1
+    }
+    offs(c) = bytes.length
+    val nChars = c
+    val nWindows = Math.max(nChars - gramLen + 1, 1)
+    val md = MinGramMd5.digests.get()
+    // Two reusable 16-byte buffers, swapped when a new minimum wins —
+    // zero per-window allocation.
+    var best = MinGramMd5.bufA.get()
+    var cur = MinGramMd5.bufB.get()
+    var w = 0
+    while (w < nWindows) {
+      val from = offs(w)
+      val until = offs(Math.min(w + gramLen, nChars))
+      md.reset()
+      md.update(bytes, from, until - from)
+      md.digest(cur, 0, 16)
+      if (w == 0 || MinGramMd5.unsignedLess(cur, best)) {
+        val t = best; best = cur; cur = t
+      }
+      w += 1
+    }
+    val hex = new Array[Byte](32)
+    var k = 0
+    while (k < 16) {
+      hex(2 * k) = MinGramMd5.HEX((best(k) >> 4) & 0xF)
+      hex(2 * k + 1) = MinGramMd5.HEX(best(k) & 0xF)
+      k += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    minHashOf(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minGramMd5", this, classOf[MinGramMd5].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.minHashOf($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinGramMd5 =
+    copy(child = newChild)
+}
+
+object MinGramMd5 {
+  private val HEX = "0123456789abcdef".getBytes
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val bufA = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+  private val bufB = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+  def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xFF
+      val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+}
+
 /** Bridge from the private[sql] expression world to public Columns. */
 object VectorNative {
   def dot(a: Column, b: Column): Column =
@@ -576,6 +776,12 @@ object VectorNative {
 
   def normTokens(text: Column): Column =
     ExpressionUtils.column(NormalizedTokens(ExpressionUtils.expression(text)))
+
+  def charEntropy(text: Column): Column =
+    ExpressionUtils.column(CharEntropyStats(ExpressionUtils.expression(text)))
+
+  def minGramMd5(text: Column, gramLen: Int): Column =
+    ExpressionUtils.column(MinGramMd5(ExpressionUtils.expression(text), gramLen))
 }
 
 /** SparkSessionExtensions hook: registers the native expressions as SQL

@@ -388,4 +388,61 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("CharEntropyStats matches the explode/groupBy formulation at 6 dp") {
+    // The kernel replaced a two-shuffle plan; pin value equality on the
+    // fixture corpus (rounded at 6, the query contract's own precision)
+    // and distinct-count equality exactly.
+    val kernel = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        VectorFunctions.charEntropy(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_distinct_chars").as("nd"),
+        round(col("st.entropy"), 6).as("h"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val f = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
+    val composed = f.groupBy("doc_id")
+      .agg(count(lit(1)).as("nd"),
+        round(log2(sum("n").cast("double"))
+          - sum(col("n") * log2(col("n").cast("double"))) / sum("n"), 6)
+          .as("h"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(kernel === composed)
+    assert(kernel.nonEmpty)
+    // Edge literals: uniform text (entropy 2 exactly over 4 symbols),
+    // single repeated char (entropy 0), non-BMP code points count as
+    // ONE char each, empty string → (0, null).
+    import spark.implicits._
+    val edge = Seq("abcd", "aaaa", "𝄞𝄞a", "")
+      .toDF("t")
+      .select(VectorFunctions.charEntropy(col("t")).as("st"))
+      .select(col("st.n_distinct_chars"), col("st.entropy"))
+      .collect()
+    assert(edge(0).getLong(0) === 4L && math.abs(edge(0).getDouble(1) - 2.0) < 1e-12)
+    assert(edge(1).getLong(0) === 1L && edge(1).getDouble(1) === 0.0)
+    assert(edge(2).getLong(0) === 2L)
+    assert(edge(3).getLong(0) === 0L && edge(3).isNullAt(1))
+  }
+
+  test("MinGramMd5 equals the array_min/transform formulation exactly") {
+    val both = Tables.documents(spark, sf)
+      .select(
+        VectorFunctions.minGramMd5(col("text"), 8).as("native"),
+        expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1))," +
+          " i -> md5(substring(text, i, 8))))").as("interpreted"))
+    assert(both.filter(col("native") =!= col("interpreted")).count() === 0L)
+    assert(both.count() > 0)
+    // Short strings hash the whole text; multi-byte text slices on
+    // code-point boundaries (both pinned against builtin md5).
+    import spark.implicits._
+    val edge = Seq("hi", "exactly8", "привет мир и всем", "𝄞abcdefgh")
+      .toDF("t")
+      .select(
+        VectorFunctions.minGramMd5(col("t"), 8).as("native"),
+        expr("array_min(transform(sequence(1, greatest(length(t) - 7, 1))," +
+          " i -> md5(substring(t, i, 8))))").as("interpreted"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    edge.foreach { case (n, i) => assert(n === i, s"minGramMd5 mismatch: $n != $i") }
+  }
 }
