@@ -168,9 +168,20 @@ object Cli {
       .write.mode("overwrite").text(outDir)
     // One header file alongside the parts (not interleaved per-part:
     // downstream `sort | uniq`-style pipes must see data lines only).
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outDir, "_columns.tsv"),
-      cols.mkString("\t") + "\n")
+    writeColumnsHeader(spark, outDir, cols)
+  }
+
+  /** Header sidecar via Hadoop's FileSystem, so `query`/`sql` accept
+    * the same URIs Spark's writer does (hdfs://, s3a://, cluster-mode
+    * paths) — a java.nio write only works for local paths. */
+  private def writeColumnsHeader(spark: SparkSession, outDir: String,
+      cols: Array[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir, "_columns.tsv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((cols.mkString("\t") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Table names `sql` registers as temp views (via [[Tables]], so the
@@ -198,9 +209,7 @@ object Cli {
         cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
       .as("line"))
       .write.mode("overwrite").text(outDir)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outDir, "_columns.tsv"),
-      cols.mkString("\t") + "\n")
+    writeColumnsHeader(spark, outDir, cols)
   }
 
   private val Usage =

@@ -183,29 +183,6 @@ object Graph {
           lit(15L * base / 100L).as("rank_scaled")))
   }
 
-  /** Connected components by alternating LARGE-STAR / SMALL-STAR
-    * rounds — the O(log n)-round algorithm, vs min-label propagation's
-    * O(diameter) (TextSim.clusterLabelsFixpoint): every round HALVES
-    * long path structures by rewiring nodes directly toward their
-    * component minimum, so a 10^6-hop chain needs ~20 rounds, not
-    * 10^6. Skew note: a hot vertex's fan-in lands on its component
-    * min via per-node min AGGREGATIONS (map-side combinable), never a
-    * per-key list — the same defense CappedIdSet gives the postings
-    * build.
-    *
-    * Round shape (each a bounded shuffle pair over the canonical
-    * (hi, lo) edge set, checkpointed — each round's set is referenced
-    * by symmetrize + two grouped mins, and plans must not re-inline):
-    *  - large-star: every node u links its LARGER neighbors to
-    *    m = least(u, min N(u));
-    *  - small-star: every node hi links its smaller neighbors and
-    *    itself to m = min of those.
-    * Fixpoint (edge checksum stable — count + sum of pair hashes;
-    * collision odds ~2^-64, and a collision could only END the loop a
-    * round early, never corrupt edges) is a star forest rooted at each
-    * component's MINIMUM id — the same labels the propagation fixpoint
-    * yields, asserted equal in GraphSpec on two graphs. Nodes absent
-    * from the edge set are their own singleton components. */
   /** Multi-source BFS: hop distance from `seeds` (dist 0) to every node
     * reachable within `maxHops`, -1 beyond/unreachable. Frontier-only
     * expansion — each round joins ONLY the rim settled last round
@@ -245,6 +222,29 @@ object Graph {
       .select(col("doc_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * rounds — the O(log n)-round algorithm, vs min-label propagation's
+    * O(diameter) (TextSim.clusterLabelsFixpoint): every round HALVES
+    * long path structures by rewiring nodes directly toward their
+    * component minimum, so a 10^6-hop chain needs ~20 rounds, not
+    * 10^6. Skew note: a hot vertex's fan-in lands on its component
+    * min via per-node min AGGREGATIONS (map-side combinable), never a
+    * per-key list — the same defense CappedIdSet gives the postings
+    * build.
+    *
+    * Round shape (each a bounded shuffle pair over the canonical
+    * (hi, lo) edge set, checkpointed — each round's set is referenced
+    * by symmetrize + two grouped mins, and plans must not re-inline):
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m = least(u, min N(u));
+    *  - small-star: every node hi links its smaller neighbors and
+    *    itself to m = min of those.
+    * Fixpoint (edge checksum stable — count + sum of pair hashes;
+    * collision odds ~2^-64, and a collision could only END the loop a
+    * round early, never corrupt edges) is a star forest rooted at each
+    * component's MINIMUM id — the same labels the propagation fixpoint
+    * yields, asserted equal in GraphSpec on two graphs. Nodes absent
+    * from the edge set are their own singleton components. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 30): DataFrame = {
     def canon(e: DataFrame): DataFrame =
@@ -569,15 +569,6 @@ object Graph {
           .orderBy("doc_id")
     },
 
-    // Multi-source BFS hop distance to the nearest ENGLISH document over
-    // the jac >= 0.5 near-dup graph — "how many near-dup hops from the
-    // trusted seed set" is the graph-proximity trust signal a curation
-    // pipeline propagates from a vetted subcorpus. Capped at 6 hops in
-    // BOTH engines (the oracle's recursive CTE carries the same cap);
-    // unreachable docs report -1. Frontier-only expansion: each round
-    // joins only the newly-settled rim against the edge list, so total
-    // work is O(edges x diameter-capped rounds), never
-    // rounds x |nodes| — the textbook distributed BFS shape.
     // Degree distribution of the jac >= 0.5 near-dup graph — the
     // one-glance health check on an edge build (a fat tail = a gram-df
     // cap set too high, a near-empty histogram = a threshold set too
@@ -597,6 +588,15 @@ object Graph {
           .orderBy("deg")
     },
 
+    // Multi-source BFS hop distance to the nearest ENGLISH document over
+    // the jac >= 0.5 near-dup graph — "how many near-dup hops from the
+    // trusted seed set" is the graph-proximity trust signal a curation
+    // pipeline propagates from a vetted subcorpus. Capped at 6 hops in
+    // BOTH engines (the oracle's recursive CTE carries the same cap);
+    // unreachable docs report -1. Frontier-only expansion: each round
+    // joins only the newly-settled rim against the edge list, so total
+    // work is O(edges x diameter-capped rounds), never
+    // rounds x |nodes| — the textbook distributed BFS shape.
     QuerySpec.sql("q_graph_bfs", graft.ops.TextSim.BfsOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       bfsDistances(docs.select("doc_id"),

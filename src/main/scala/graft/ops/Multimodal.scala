@@ -1658,7 +1658,10 @@ object Multimodal {
           }
           var s = 0
           while (s < nPairs * 8) { out += left(s); out += right(s); s += 1 }
-          b += 8 + nPairs * 8
+          // Advance by blockAlign (mirroring the mono walk): when
+          // blockAlign - 8 is not a multiple of 8, the leftover bytes
+          // are block padding, not the next block's headers.
+          b += math.min(blockAlign.toLong, (end - b).toLong).toInt
           if (nPairs == 0) b = end // trailing partial chunk: stop
         }
         out.toArray
@@ -3234,8 +3237,13 @@ object Multimodal {
             if (le) le32(c, o).toLong & 0xFFFFFFFFL
             else be32(c, o).toLong & 0xFFFFFFFFL
           if (u16(t + 2) != 42) return 1
-          val ifd = t + u32(t + 4).toInt
-          if (ifd + 2 > c.length) return 1
+          // The IFD offset is unsigned 32-bit; validate BEFORE the
+          // Int narrowing — an offset >= 2^31 would wrap negative,
+          // slip past the bounds check, and index out of the array.
+          val ifdOff = u32(t + 4)
+          if (ifdOff < 0 || ifdOff > c.length.toLong) return 1
+          val ifd = t + ifdOff.toInt
+          if (ifd < 0 || ifd + 2 > c.length) return 1
           val n = u16(ifd)
           var i = 0
           while (i < n && ifd + 2 + i * 12 + 12 <= c.length) {

@@ -1531,6 +1531,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.jpegOrientation(withApp1(6, le = true)) === 6)
     assert(Multimodal.jpegOrientation(withApp1(8, le = false)) === 8)
     assert(Multimodal.jpegOrientation(withApp1(99, le = true)) === 1)
+    // Hostile IFD offsets: the unsigned-32 offset field set past the
+    // buffer and to >= 2^31 (which would wrap negative under a bare
+    // .toInt) must both return upright, not throw — the module's
+    // drop-don't-crash contract against crafted/corrupt EXIF.
+    def app1Off(off: Long, le: Boolean): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(36)
+      b.put(0xFF.toByte).put(0xE1.toByte).putShort(34)
+      b.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      val t = java.nio.ByteBuffer.allocate(26).order(
+        if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      t.put((if (le) "II" else "MM").getBytes).putShort(42)
+        .putInt(off.toInt).putShort(0)
+      b.put(t.array())
+      b.array()
+    }
+    for (le <- Seq(true, false); off <- Seq(0x80000010L, 0xFFFFFFF0L, 1L << 20))
+      assert(Multimodal.jpegOrientation(
+        jpg.take(2) ++ app1Off(off, le) ++ jpg.drop(2)) === 1,
+        s"offset $off le=$le")
     // Pixel mapping: [A B] strip rotated 90 CW (orientation 6) stacks
     // A above B; involution/inverse-pair properties pin the rest.
     val strip = Array[Byte](1, 2, 3, 4, 5, 6) // A=(1,2,3) B=(4,5,6)

@@ -231,6 +231,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nAggs >= 2, s"expected partial+final aggregate, got $nAggs:\n$p")
   }
 
+  test("q_sim_hybrid_rrf: both global rank windows run over a top-100, not the corpus") {
+    // Both retriever lists are ranked with a GLOBAL row_number window
+    // (no partition key) and cut at rn <= 100. What keeps that from
+    // funnelling the whole corpus through one partition's sort is
+    // Spark's LimitPushDownThroughWindow: the rn <= 100 filter becomes
+    // a TakeOrderedAndProject(limit=100) BELOW each window — a
+    // distributed per-partition top-k + 100-row final merge — so the
+    // single-partition window only ever ranks 100 rows. That rescue is
+    // an optimizer behavior, not a property of the query text — pin it
+    // so an optimizer change (or an edit that pushes the filter out of
+    // eligible shape) can't silently reintroduce a corpus-sized
+    // single-partition sort.
+    val p = plan("q_sim_hybrid_rrf")
+    val tops = "TakeOrderedAndProject\\(limit=100".r.findAllIn(p).length
+    assert(tops === 2,
+      s"expected a limit=100 TakeOrderedAndProject under each rank window, " +
+        s"got $tops:\n$p")
+  }
+
   test("q_agg_outliers broadcasts the stats table — no Window over the fact") {
     // The scale-safe spelling: a 3-row per-group stats aggregate is
     // broadcast back onto the fact scan. A Window here would funnel

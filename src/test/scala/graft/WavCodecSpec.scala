@@ -254,6 +254,16 @@ class WavCodecSpec extends AnyFunSuite {
     val expR = imaDecode(rn, rf, 0)
     val oneBlock = expL.zip(expR).flatMap { case (l, r) => Seq(l, r) }.toSeq
     assert(audio.samples.toSeq === oneBlock ++ oneBlock)
+
+    // Nonconforming blockAlign (data area not a multiple of 8): each
+    // block carries 4 padding bytes that are NOT the next block's
+    // headers. The walk must advance by blockAlign — re-parsing the
+    // padding as headers would garble everything after block 1.
+    val padded = (block ++ Seq[Byte](0x7F, 0x7F, 0x7F, 0x7F)
+      ++ block ++ Seq[Byte](0x7F, 0x7F, 0x7F, 0x7F)).toArray
+    val audioPad = Multimodal.decodeWav(
+      wav(17, 2, 8000, 4, blockAlign + 4, padded)).get
+    assert(audioPad.samples.toSeq === oneBlock ++ oneBlock)
   }
 
   test("unsupported formats refuse; supported ones flow through embed") {
