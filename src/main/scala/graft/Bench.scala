@@ -1,7 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Co-residency sentinel (r8 postmortem: a same-host neighbor inflated
+  // every query ~2.4x with zero signal in the JSON). A FIXED single-
+  // threaded unit of arithmetic whose wall time on an idle core is a
+  // stable per-host constant; under CPU contention the same unit takes
+  // proportionally longer. Measured once before the Spark session comes
+  // up and once after it stops, so the driver can mechanically discount
+  // a contaminated run (spin times well above the host's idle baseline)
+  // instead of reading per-query regressions as code changes.
+  @volatile private var spinSink = 0L
+  private def spinCal(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < (1 << 26)) {
+      acc = acc * 6364136223846793005L + 1442695040888963407L
+      acc ^= acc >>> 33
+      i += 1
+    }
+    spinSink = acc // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
+    val spinStart = spinCal()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -133,13 +156,21 @@ object Bench {
         .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
     }
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"stage_build_detail":$stageJson,"warm":$warm,"runs":$Runs,"n_errors":${results.count(!_._3)},"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+    // End-of-run sentinel: measured while the (now idle) session still
+    // holds its JVM, then the system load average for context. A
+    // spin_end well above spin_start means contention ARRIVED mid-run.
+    val spinEnd = spinCal()
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val sentinel =
+      f""""spin_cal":{"start_s":$spinStart%.3f,"end_s":$spinEnd%.3f},"load_avg":$loadAvg%.2f"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"stage_build_detail":$stageJson,"warm":$warm,"runs":$Runs,$sentinel,"n_errors":${results.count(!_._3)},"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     println(json)
     // A second, TINY summary line AFTER the full one: the driver keeps only
     // a fixed-size tail of stdout, and the full line (100+ queries) can
     // overflow it — losing exactly the leading headline fields. The tail
     // always retains this last line.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"n_queries":${results.length},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,$sentinel,"n_queries":${results.length},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
     // Also persist to a file: a fixed-size tail capture of stdout
     // truncated BENCH_r05 mid-line and lost the headline totals — the
     // file copy makes the stdout capture redundant.
