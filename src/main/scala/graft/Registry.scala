@@ -15,7 +15,8 @@ object Registry {
     ops.Sketches.specs,
     ops.Events.specs,
     ops.Udx.specs,
-    ops.Graph.specs
+    ops.Graph.specs,
+    ops.SeaSegment.specs
   ).flatten
 
   lazy val byName: Map[String, QuerySpec] = {

@@ -1,8 +1,9 @@
 package graft.ops
 
+import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions._
 
 /** Dictionary segmentation for the spaceless Southeast-Asian scripts
   * (Thai, Lao, Khmer, Myanmar) — the upgrade path past the contract
@@ -128,6 +129,62 @@ object SeaSegment {
       if (isSeaRun(r)) maximalMatch(r, lex, maxLen) else Seq(r)
     }
   }
+
+  /** The built-in demo lexicon the registry query segments with — four
+    * common Thai words, enough to show maximal matching, unknown-chunk
+    * merging, and the fallback's mark-deletion contrast. A real user
+    * brings a real lexicon (~60k words) through the same API. */
+  val DemoLexicon: Seq[String] = Seq("สวัสดี", // สวัสดี
+    "ครับ", // ครับ
+    "ภาษา", // ภาษา
+    "ไทย") // ไทย
+
+  /** Driver-visible registry entry (no-oracle: lexicon segmentation is
+    * not DuckDB-expressible; the Golden layer pins its exact output).
+    * Per-script token counts from the dictionary tokenizer vs the
+    * contract run-tokenization fallback over the documents table. The
+    * synthetic corpus is ASCII, so a constant Thai phrase (ภาษาไทยสวัสดี,
+    * spaceless like real Thai) is spliced onto every 10th document
+    * INSIDE the query — deterministically — to exercise the SEA path at
+    * every SF: the dictionary segments it into 3 real words while the
+    * fallback's mark-deletion yields 2 mangled fragments, and on every
+    * non-SEA token the two sides agree exactly (the SeaSegmentSpec-
+    * pinned equality). Scale shape: two narrow tokenize passes + one
+    * tiny grouped aggregation — no new shuffle family. */
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec.noOracle("q_text_sea_segment") { (s, d) =>
+      val phrase = "ภาษาไทย" +
+        "สวัสดี" // ภาษาไทยสวัสดี
+      val docs = Tables.documents(s, d).select(
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" " + phrase)))
+          .otherwise(col("text")).as("text"))
+      val dict = docs.select(explode(
+          seaDictTokens(s, DemoLexicon)(col("text"))).as("tok"))
+        .withColumn("side", lit("dict"))
+      val fb = docs.select(explode(
+          graft.functions.VectorFunctions.normTokens(col("text"))).as("tok"))
+        .withColumn("side", lit("fallback"))
+      dict.unionByName(fb)
+        .withColumn("script",
+          when(col("tok").rlike(
+            "^[\\p{IsThai}\\p{IsLao}\\p{IsMyanmar}\\p{IsKhmer}]"), "sea")
+            .when(col("tok").rlike(
+              "^[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), "cjk")
+            .when(col("tok").rlike("^[0-9]"), "digit")
+            .when(col("tok").rlike("^[a-z]"), "latin")
+            .otherwise("other"))
+        .groupBy("script")
+        .agg(
+          sum(when(col("side") === "dict", 1L).otherwise(0L)).as("n_dict"),
+          sum(when(col("side") === "fallback", 1L).otherwise(0L))
+            .as("n_fallback"),
+          countDistinct(when(col("side") === "dict", col("tok")))
+            .as("n_dict_types"),
+          countDistinct(when(col("side") === "fallback", col("tok")))
+            .as("n_fallback_types"))
+        .orderBy("script")
+    })
 
   /** Column form over raw text. Lexicon entries are NFC-lowercased to
     * match the tokenizer's normalization. */
