@@ -15,13 +15,14 @@ import scala.util.hashing.MurmurHash3
   * WebP lossless / VP8L (canonical prefix codes, color cache, LZ77
   * over the 2D distance map, all four inverse transforms), and GIF
   * (LZW, interlacing, palettes, multi-frame animation compositing
-  * with disposal), baseline TIFF (IFD walk, strips, PackBits +
-  * TIFF-LZW with horizontal predictor), and the AVI video container
+  * with disposal), TIFF (IFD walk, strips AND tiles, chunky AND
+  * planar layouts, PackBits + TIFF-LZW with horizontal predictor),
+  * and the AVI video container
   * (RIFF walk, MJPEG + uncompressed-DIB frame streams) are REAL
   * pure-JVM parsers — header fields decoded from the bytes, pixel and
   * sample payloads located/decompressed and featurized. Formats that
   * need codecs this container doesn't ship (MP4/H.264, lossy VP8,
-  * tiled/planar TIFF, ...) fall back to a clearly-marked
+  * 16-bit TIFF, ...) fall back to a clearly-marked
   * deterministic fake derived from the content bytes, so the pipeline
   * shape stays exercised end-to-end for every file. Everything around the kernels is real and tested
   * (MultimodalSpec): the binaryFile source schema, the typed Dataset
@@ -2766,17 +2767,21 @@ object Multimodal {
 
   /** REAL pure-JVM baseline-TIFF decode (closes the last still-image
     * format on the fallback path): both byte orders (II/MM), IFD entry
-    * walk (SHORT/LONG scalars and arrays, inline or at offset), strip
-    * organization via RowsPerStrip/StripOffsets/StripByteCounts, 8-bit
-    * gray (both photometric polarities) and RGB(A) chunky samples,
-    * Compression 1 (none) / 5 (LZW, with Predictor 2 horizontal
-    * differencing) / 32773 (PackBits), and 8-bit PALETTE images
-    * (photometric 3, indices through the 16-bit ColorMap's high
-    * bytes). Anything else — planar, tiled, 1/4/16-bit,
+    * walk (SHORT/LONG scalars and arrays, inline or at offset), BOTH
+    * segment organizations — strips (RowsPerStrip/StripOffsets/
+    * StripByteCounts) and tiles (TileWidth/TileLength/TileOffsets/
+    * TileByteCounts, edge tiles padded per TIFF 6.0 §15) — in BOTH
+    * sample layouts (PlanarConfiguration 1 chunky and 2 planar, one
+    * component per segment set), 8-bit gray (both photometric
+    * polarities) and RGB(A) samples, Compression 1 (none) / 5 (LZW,
+    * with Predictor 2 horizontal differencing, applied at the
+    * segment's own sample stride) / 32773 (PackBits), and 8-bit
+    * PALETTE images (photometric 3, indices through the 16-bit
+    * ColorMap's high bytes). Anything else — 1/4/16-bit samples,
     * JPEG-in-TIFF — returns None honestly. Alpha
     * drops to the shared 3-channel layout; gray stays 1-channel
     * ([[PngImage]] contract). Bomb-guarded before allocation;
-    * truncated strips drop the file. */
+    * truncated segments drop the file. */
   def decodeTiff(c: Array[Byte]): Option[PngImage] = try {
     if (!isTiff(c)) return None
     val be = c(0) == 'M'
@@ -2790,10 +2795,13 @@ object Multimodal {
     var width = 0L; var height = 0L; var rowsPerStrip = 0xFFFFFFFFL
     var compression = 1L; var photometric = 1L; var spp = 1L
     var predictor = 1L; var planar = 1L
+    var tileWidth = 0L; var tileLength = 0L
     var bitsOk = true
     var colorMap = Array.empty[Long]
     var stripOffsets = Array.empty[Long]
     var stripCounts = Array.empty[Long]
+    var tileOffsets = Array.empty[Long]
+    var tileCounts = Array.empty[Long]
     var i = 0
     while (i < nEntries) {
       val e = ifdOff.toInt + 2 + i * 12
@@ -2828,6 +2836,10 @@ object Multimodal {
         case 284 => planar = valAt(0)
         case 317 => predictor = valAt(0)
         case 320 => colorMap = allVals() // palette: 3 x 256 16-bit
+        case 322 => tileWidth = valAt(0)
+        case 323 => tileLength = valAt(0)
+        case 324 => tileOffsets = allVals()
+        case 325 => tileCounts = allVals()
         case _ => ()
       }
       i += 1
@@ -2835,52 +2847,131 @@ object Multimodal {
     if (width <= 0 || height <= 0 || !bitsOk) return None
     val paletted = photometric == 3L
     if (paletted && (colorMap.length != 768 || spp != 1L)) return None
-    if ((photometric > 2 && !paletted) || predictor > 2 || planar != 1L)
-      return None
+    if ((photometric > 2 && !paletted) || predictor > 2) return None
+    if (planar != 1L && planar != 2L) return None
     if (spp != 1L && spp != 3L && spp != 4L) return None
     if (compression != 1L && compression != 5L && compression != 32773L)
       return None
-    if (stripOffsets.isEmpty ||
-        stripOffsets.length != stripCounts.length) return None
-    if (stripOffsets.exists(_ < 0) || stripCounts.exists(_ < 0)) return None
+    val tiled = tileOffsets.nonEmpty
+    if (tiled) {
+      if (tileWidth <= 0 || tileLength <= 0 ||
+          tileOffsets.length != tileCounts.length) return None
+      if (tileOffsets.exists(_ < 0) || tileCounts.exists(_ < 0)) return None
+    } else {
+      if (stripOffsets.isEmpty ||
+          stripOffsets.length != stripCounts.length) return None
+      if (stripOffsets.exists(_ < 0) || stripCounts.exists(_ < 0)) return None
+    }
     val ch = spp.toInt
     val rawBytes = width * height * ch
     if (rawBytes > MaxTiffRawBytes) return None
     val w = width.toInt; val h = height.toInt
-    val rps = math.min(rowsPerStrip, height).toInt
     val raw = new Array[Byte](rawBytes.toInt)
-    var strip = 0
-    var row = 0
-    while (row < h) {
-      if (strip >= stripOffsets.length) return None
-      val rows = math.min(rps, h - row)
-      val stripLen = rows * w * ch
-      val so = stripOffsets(strip); val sc = stripCounts(strip)
+    // Planar (PlanarConfiguration 2): one component per segment SET —
+    // the offset arrays hold all of component 0's segments, then 1's,
+    // ... Each segment then carries samples at stride 1 and scatters
+    // into the interleaved output at its component offset.
+    val planes = if (planar == 2L) ch else 1
+    val sps = if (planar == 2L) 1 else ch // samples per pixel per segment
+
+    // Decompress one segment to exactly `need` bytes.
+    def segData(idx: Int, offs: Array[Long], cnts: Array[Long],
+        need: Int): Option[Array[Byte]] = {
+      if (idx >= offs.length) return None
+      val so = offs(idx); val sc = cnts(idx)
       if (so + sc > c.length) return None
-      val data: Array[Byte] = compression match {
+      compression match {
         case 1L =>
-          if (sc < stripLen) return None
-          java.util.Arrays.copyOfRange(c, so.toInt, so.toInt + stripLen)
-        case 32773L =>
-          tiffPackBits(c, so.toInt, sc.toInt, stripLen).getOrElse(return None)
-        case _ =>
-          tiffLzw(c, so.toInt, sc.toInt, stripLen).getOrElse(return None)
+          if (sc < need) None
+          else Some(java.util.Arrays.copyOfRange(c, so.toInt, so.toInt + need))
+        case 32773L => tiffPackBits(c, so.toInt, sc.toInt, need)
+        case _ => tiffLzw(c, so.toInt, sc.toInt, need)
       }
-      if (predictor == 2L) { // horizontal differencing, per row/sample
-        var r = 0
-        while (r < rows) {
-          var x = ch
-          while (x < w * ch) {
-            data(r * w * ch + x) =
-              (data(r * w * ch + x) + data(r * w * ch + x - ch)).toByte
-            x += 1
-          }
-          r += 1
+    }
+    // Predictor 2: horizontal differencing per segment row, at the
+    // segment's own sample stride (ch when chunky, 1 when planar).
+    def undiff(data: Array[Byte], rows: Int, rowSamples: Int,
+        stride: Int): Unit = {
+      var r = 0
+      while (r < rows) {
+        var x = stride
+        while (x < rowSamples) {
+          data(r * rowSamples + x) =
+            (data(r * rowSamples + x) + data(r * rowSamples + x - stride)).toByte
+          x += 1
         }
+        r += 1
       }
-      System.arraycopy(data, 0, raw, row * w * ch, stripLen)
-      row += rows
-      strip += 1
+    }
+
+    if (!tiled) {
+      val rps = math.min(rowsPerStrip, height).toInt
+      val stripsPerPlane = (h + rps - 1) / rps
+      if (stripOffsets.length != stripsPerPlane * planes) return None
+      var p = 0
+      while (p < planes) {
+        var row = 0
+        var strip = 0
+        while (row < h) {
+          val rows = math.min(rps, h - row)
+          val segLen = rows * w * sps
+          val data = segData(p * stripsPerPlane + strip, stripOffsets,
+            stripCounts, segLen).getOrElse(return None)
+          if (predictor == 2L) undiff(data, rows, w * sps, sps)
+          if (planes == 1) System.arraycopy(data, 0, raw, row * w * ch, segLen)
+          else {
+            var k = 0
+            while (k < segLen) {
+              raw((row * w + k) * ch + p) = data(k)
+              k += 1
+            }
+          }
+          row += rows
+          strip += 1
+        }
+        p += 1
+      }
+    } else {
+      val tw = tileWidth.toInt; val th = tileLength.toInt
+      val tilesAcross = (w + tw - 1) / tw
+      val tilesDown = (h + th - 1) / th
+      val tilesPerPlane = tilesAcross * tilesDown
+      val tileLen = tw.toLong * th * sps
+      // Bomb guard on the PADDED tile grid (edge tiles decode full
+      // size): total decompressed work, not just the visible pixels.
+      if (tileLen * tilesPerPlane * planes > 4L * MaxTiffRawBytes) return None
+      if (tileOffsets.length != tilesPerPlane * planes) return None
+      var p = 0
+      while (p < planes) {
+        var ty = 0
+        while (ty < tilesDown) {
+          var tx = 0
+          while (tx < tilesAcross) {
+            val data = segData(p * tilesPerPlane + ty * tilesAcross + tx,
+              tileOffsets, tileCounts, tileLen.toInt).getOrElse(return None)
+            if (predictor == 2L) undiff(data, th, tw * sps, sps)
+            val visW = math.min(tw, w - tx * tw)
+            val visH = math.min(th, h - ty * th)
+            var r = 0
+            while (r < visH) {
+              val destRow = ty * th + r
+              if (planes == 1) System.arraycopy(data, r * tw * ch,
+                raw, (destRow * w + tx * tw) * ch, visW * ch)
+              else {
+                var x = 0
+                while (x < visW) {
+                  raw((destRow * w + tx * tw + x) * ch + p) = data(r * tw + x)
+                  x += 1
+                }
+              }
+              r += 1
+            }
+            tx += 1
+          }
+          ty += 1
+        }
+        p += 1
+      }
     }
     val (outCh, out) =
       if (paletted) { // indices through the 16-bit ColorMap, high byte

@@ -166,6 +166,109 @@ class TiffSpec extends AnyFunSuite {
     b.array()
   }
 
+  /** Second independent encoder for the segment-layout matrix the
+    * decoder now covers: tiles (TIFF 6.0 §15, edge tiles padded to full
+    * size) and PlanarConfiguration 2 (one component per segment set,
+    * component-major segment order), in any compression, either byte
+    * order. Arrays (BitsPerSample, offsets, counts) go out-of-line
+    * whenever they exceed the 4 inline bytes, inline otherwise —
+    * mirroring the spec rule the decoder's vOff logic implements. */
+  private def tiffSegBytes(w: Int, h: Int, ch: Int, pixels: Array[Byte],
+      compression: Int = 1, be: Boolean = false, planar: Int = 1,
+      tile: Option[(Int, Int)] = None, rowsPerStrip: Int = 1 << 30,
+      predictor: Int = 1): Array[Byte] = {
+    require(ch != 2, "test encoder: BitsPerSample for ch=2 would be inline")
+    val order = if (be) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    val planes = if (planar == 2) ch else 1
+    val sps = if (planar == 2) 1 else ch
+    def planeSamples(p: Int): Array[Byte] =
+      if (planar == 1) pixels
+      else Array.tabulate(w * h)(i => pixels(i * ch + p))
+    def enc(raw: Array[Byte]): Array[Byte] = compression match {
+      case 1 => raw
+      case 5 => tiffLzwEncode(raw)
+      case 32773 => packBits(raw)
+    }
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    tile match {
+      case Some((tw, th)) =>
+        val ta = (w + tw - 1) / tw
+        val td = (h + th - 1) / th
+        for (p <- 0 until planes; ty <- 0 until td; tx <- 0 until ta) {
+          val ps = planeSamples(p)
+          val data = new Array[Byte](tw * th * sps)
+          for (r <- 0 until th; x <- 0 until tw; s <- 0 until sps) {
+            val sy = ty * th + r; val sx = tx * tw + x
+            if (sy < h && sx < w)
+              data((r * tw + x) * sps + s) = ps((sy * w + sx) * sps + s)
+          }
+          segs += enc(if (predictor == 2) predict2(data, tw, th, sps) else data)
+        }
+      case None =>
+        val rps = math.min(rowsPerStrip, h)
+        val nStrips = (h + rps - 1) / rps
+        for (p <- 0 until planes; s <- 0 until nStrips) {
+          val ps = planeSamples(p)
+          val rows = math.min(rps, h - s * rps)
+          val raw0 = ps.slice(s * rps * w * sps, (s * rps + rows) * w * sps)
+          segs += enc(if (predictor == 2) predict2(raw0, w, rows, sps) else raw0)
+        }
+    }
+    val photo = if (ch == 1) 1 else 2
+    val nSegs = segs.length
+    var off = 8
+    val segOffs = segs.map { s => val o = off; off += s.length; o }
+    val bpsOff = off
+    if (ch > 1) off += ch * 2
+    val soOff = off
+    if (nSegs > 1) off += nSegs * 4
+    val scOff = off
+    if (nSegs > 1) off += nSegs * 4
+    val ifdOff = off
+    val entries = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int)]
+    entries += ((256, 4, 1, w))
+    entries += ((257, 4, 1, h))
+    entries += ((258, 3, ch, if (ch == 1) 8 else bpsOff))
+    entries += ((259, 3, 1, compression))
+    entries += ((262, 3, 1, photo))
+    entries += ((277, 3, 1, ch))
+    if (planar == 2) entries += ((284, 3, 1, 2))
+    if (predictor != 1) entries += ((317, 3, 1, predictor))
+    tile match {
+      case Some((tw, th)) =>
+        entries += ((322, 4, 1, tw))
+        entries += ((323, 4, 1, th))
+        entries += ((324, 4, nSegs, if (nSegs == 1) segOffs(0) else soOff))
+        entries += ((325, 4, nSegs,
+          if (nSegs == 1) segs(0).length else scOff))
+      case None =>
+        entries += ((273, 4, nSegs, if (nSegs == 1) segOffs(0) else soOff))
+        entries += ((278, 4, 1, math.min(rowsPerStrip, h)))
+        entries += ((279, 4, nSegs,
+          if (nSegs == 1) segs(0).length else scOff))
+    }
+    val total = ifdOff + 2 + entries.length * 12 + 4
+    val b = java.nio.ByteBuffer.allocate(total).order(order)
+    b.put((if (be) "MM" else "II").getBytes("US-ASCII"))
+    b.putShort(42).putInt(ifdOff)
+    segs.foreach(s => b.put(s))
+    if (ch > 1) (0 until ch).foreach(_ => b.putShort(8))
+    if (nSegs > 1) {
+      segOffs.foreach(b.putInt)
+      segs.foreach(s => b.putInt(s.length))
+    }
+    b.putShort(entries.length.toShort)
+    for ((tag, typ, cnt, v) <- entries.sortBy(_._1)) {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3 && cnt == 1) b.putShort(v.toShort).putShort(0)
+      else b.putInt(v)
+    }
+    b.putInt(0) // no next IFD
+    b.array()
+  }
+
   // ---- decode pins ------------------------------------------------------
 
   test("uncompressed gray LE round-trips; WhiteIsZero inverts") {
@@ -307,7 +410,55 @@ class TiffSpec extends AnyFunSuite {
     assert(Multimodal.decodeTiff(build(withMap = false)).isEmpty)
   }
 
-  test("rejection: truncation, 16-bit, planar, tiled, JPEG-in-TIFF, bombs") {
+  test("tiled chunky RGB round-trips pixel-exact, edge tiles padded") {
+    // 20x13 over 8x8 tiles: 3x2 grid with both right and bottom edge
+    // tiles partial — the padding path is exercised on every border.
+    val rnd = new scala.util.Random(41)
+    val px = Array.fill[Byte](20 * 13 * 3)(rnd.nextInt(256).toByte)
+    val got = Multimodal.decodeTiff(
+      tiffSegBytes(20, 13, 3, px, tile = Some((8, 8)))).get
+    assert((got.width, got.height, got.channels) === (20, 13, 3))
+    assert(got.pixels.toSeq === px.toSeq)
+    // Big-endian, LZW + Predictor 2, gray — the scanned-document shape.
+    val gray = Array.tabulate(20 * 13)(i => (i * 7 % 251).toByte)
+    val gotG = Multimodal.decodeTiff(tiffSegBytes(20, 13, 1, gray,
+      compression = 5, be = true, tile = Some((8, 8)), predictor = 2)).get
+    assert((gotG.width, gotG.height, gotG.channels) === (20, 13, 1))
+    assert(gotG.pixels.toSeq === gray.toSeq)
+    // Single-tile image: offsets/counts ride inline in the IFD entry.
+    val one = Multimodal.decodeTiff(
+      tiffSegBytes(6, 5, 3, px.take(90), tile = Some((8, 8)))).get
+    assert(one.pixels.toSeq === px.take(90).toSeq)
+  }
+
+  test("planar strips and planar tiles re-interleave exactly") {
+    val rnd = new scala.util.Random(42)
+    val px = Array.fill[Byte](9 * 7 * 3)(rnd.nextInt(256).toByte)
+    // Strip-planar, multi-strip (3 strips x 3 planes = 9 segments).
+    val gotS = Multimodal.decodeTiff(
+      tiffSegBytes(9, 7, 3, px, planar = 2, rowsPerStrip = 3)).get
+    assert((gotS.width, gotS.height, gotS.channels) === (9, 7, 3))
+    assert(gotS.pixels.toSeq === px.toSeq)
+    // Planar + LZW + Predictor 2: differencing runs at stride 1 within
+    // each component segment, NOT at the interleaved stride.
+    val gotP = Multimodal.decodeTiff(tiffSegBytes(9, 7, 3, px,
+      compression = 5, planar = 2, rowsPerStrip = 4, predictor = 2)).get
+    assert(gotP.pixels.toSeq === px.toSeq)
+    // Tile-planar PackBits, big-endian: both layout axes at once.
+    val gotT = Multimodal.decodeTiff(tiffSegBytes(9, 7, 3, px,
+      compression = 32773, be = true, planar = 2, tile = Some((4, 4)))).get
+    assert(gotT.pixels.toSeq === px.toSeq)
+    // RGBA planar drops alpha like chunky RGBA does.
+    val px4 = Array.fill[Byte](5 * 4 * 4)(rnd.nextInt(256).toByte)
+    val got4 = Multimodal.decodeTiff(
+      tiffSegBytes(5, 4, 4, px4, planar = 2, rowsPerStrip = 2)).get
+    assert(got4.channels === 3)
+    val want = (0 until 20).flatMap(i =>
+      Seq(px4(i * 4), px4(i * 4 + 1), px4(i * 4 + 2)))
+    assert(got4.pixels.toSeq === want)
+  }
+
+  test("rejection: truncation, 16-bit, JPEG-in-TIFF, bombs") {
     val good = tiffBytes(4, 3, 3, Array.tabulate(36)(_.toByte))
     assert(Multimodal.decodeTiff(good).isDefined)
     assert(Multimodal.decodeTiff(good.take(20)).isEmpty)
