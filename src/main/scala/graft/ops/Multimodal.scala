@@ -20,8 +20,9 @@ import scala.util.hashing.MurmurHash3
   * and the AVI video container
   * (RIFF walk, MJPEG + uncompressed-DIB frame streams) are REAL
   * pure-JVM parsers — header fields decoded from the bytes, pixel and
-  * sample payloads located/decompressed and featurized. Formats that
-  * need codecs this container doesn't ship (MP4/H.264, lossy VP8,
+  * sample payloads located/decompressed and featurized — including
+  * (since r10) lossy VP8 key frames, the [[Vp8]] decoder. Formats that
+  * need codecs this container doesn't ship (MP4/H.264,
   * 16-bit TIFF, ...) fall back to a clearly-marked
   * deterministic fake derived from the content bytes, so the pipeline
   * shape stays exercised end-to-end for every file. Everything around the kernels is real and tested
@@ -2162,40 +2163,100 @@ object Multimodal {
       None // corrupt/truncated/hostile input: drop, don't crash
   }
 
-  /** WebP metadata: VP8L header dims for lossless, VP8X canvas dims for
-    * extended files; lossy VP8 reports honest 0-dims (its dimensions
-    * live inside the lossy frame header this library does not decode —
-    * same documented-stub discipline as pre-r8 progressive JPEG). */
+  /** RIFF walk: (offset, length) of the first chunk named `want`
+    * inside a WebP container, or None. Handles both the simple layout
+    * (payload chunk at 12) and VP8X extended files (payload after the
+    * feature chunks). */
+  private def webpChunk(c: Array[Byte], want: String): Option[(Int, Int)] = {
+    var p = 12
+    while (p + 8 <= c.length) {
+      val sz = le32(c, p + 4)
+      if (sz < 0 || p + 8 + sz > c.length) return None
+      if (tag(c, p) == want) return Some((p + 8, sz))
+      p += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
+  /** WebP whose payload is a lossy VP8 key frame (simple or extended
+    * layout) — decoded for real by [[Vp8.decodeFrame]] since r10. */
+  private def isWebpLossy(c: Array[Byte]): Boolean =
+    isWebp(c) && webpChunk(c, "VP8 ").isDefined && !isWebpLossless(c)
+
+  /** Lossy WebP -> RGB: VP8 key-frame decode + BT.601 limited-range
+    * ("video range", the convention VP8 streams carry) integer
+    * conversion of the 4:2:0 planes, cropped to the frame dims. */
+  def decodeWebpLossy(c: Array[Byte]): Option[PngImage] =
+    webpChunk(c, "VP8 ").flatMap { case (off, len) =>
+      Vp8.decodeFrame(c, off, len).map { yuv =>
+        val out = new Array[Byte](yuv.w * yuv.h * 3)
+        var y = 0
+        while (y < yuv.h) {
+          var x = 0
+          while (x < yuv.w) {
+            val yy = 1.164 * ((yuv.y(y * yuv.yStride + x) & 0xFF) - 16)
+            val cb = (yuv.u((y >> 1) * yuv.uvStride + (x >> 1)) & 0xFF) - 128
+            val cr = (yuv.v((y >> 1) * yuv.uvStride + (x >> 1)) & 0xFF) - 128
+            val o = (y * yuv.w + x) * 3
+            val r = math.rint(yy + 1.596 * cr).toInt
+            val g = math.rint(yy - 0.391 * cb - 0.813 * cr).toInt
+            val b = math.rint(yy + 2.018 * cb).toInt
+            out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+            out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+            out(o + 2) = (if (b < 0) 0 else if (b > 255) 255 else b).toByte
+            x += 1
+          }
+          y += 1
+        }
+        PngImage(yuv.w, yuv.h, 3, out)
+      }
+    }
+
+  /** WebP metadata: VP8L header dims for lossless, the VP8 key-frame
+    * header for lossy (real since r10 — no entropy decode needed),
+    * VP8X canvas dims for extended files. */
   private def webpMeta(path: String, c: Array[Byte]): MediaMeta = {
-    val (w, h) =
+    val (w, h, ch) =
       if (isWebpLossless(c)) {
         val b1 = c(21) & 0xFF
         val b2 = c(22) & 0xFF
         val b3 = c(23) & 0xFF
         val b4 = c(24) & 0xFF
         (1 + (b1 | ((b2 & 0x3F) << 8)),
-          1 + ((b2 >> 6) | (b3 << 2) | ((b4 & 0x0F) << 10)))
-      } else if (tag(c, 12) == "VP8X" && c.length >= 30) {
-        def le24(o: Int): Int =
-          (c(o) & 0xFF) | ((c(o + 1) & 0xFF) << 8) | ((c(o + 2) & 0xFF) << 16)
-        (1 + le24(24), 1 + le24(27))
-      } else (0, 0)
+          1 + ((b2 >> 6) | (b3 << 2) | ((b4 & 0x0F) << 10)), 4)
+      } else {
+        val lossy = webpChunk(c, "VP8 ").flatMap { case (off, len) =>
+          Vp8.dims(c, off, len)
+        }
+        lossy match {
+          case Some((lw, lh)) => (lw, lh, 3)
+          case None =>
+            if (tag(c, 12) == "VP8X" && c.length >= 30) {
+              def le24(o: Int): Int =
+                (c(o) & 0xFF) | ((c(o + 1) & 0xFF) << 8) |
+                  ((c(o + 2) & 0xFF) << 16)
+              (1 + le24(24), 1 + le24(27), 4)
+            } else (0, 0, 0)
+        }
+      }
     MediaMeta(path, c.length, "webp", width = w, height = h,
-      channels = if (w > 0) 4 else 0, duration_ms = 0L)
+      channels = if (w > 0) ch else 0, duration_ms = 0L)
   }
 
-  /** WebP-lossless -> 24-bpp BMP bridge, the [[pngAsBmp]] twin for the
-    * most common crawl image format: decoded RGBA re-emitted as a
-    * spec-valid BMP MediaFile so resize/meta/embed compose unchanged.
-    * Lossy/extended/corrupt files are dropped, not crashed on. */
+  /** WebP -> 24-bpp BMP bridge, the [[pngAsBmp]] twin for the most
+    * common crawl image format — BOTH coding modes: VP8L lossless and
+    * (since r10) lossy VP8 key frames. Corrupt files are dropped, not
+    * crashed on. */
   def webpAsBmp(ds: Dataset[MediaFile]): Dataset[MediaFile] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
     ds.mapPartitions { files =>
       files.flatMap { f =>
-        if (!isWebpLossless(f.content)) None
-        else decodeWebpLossless(f.content).flatMap(img =>
-          pixelsAsBmp(f.path, img.width, img.height, img.channels,
-            img.pixels))
+        val img =
+          if (isWebpLossless(f.content)) decodeWebpLossless(f.content)
+          else if (isWebpLossy(f.content)) decodeWebpLossy(f.content)
+          else None
+        img.flatMap(i =>
+          pixelsAsBmp(f.path, i.width, i.height, i.channels, i.pixels))
       }
     }
   }
@@ -3137,6 +3198,8 @@ object Multimodal {
           else if (isJpeg(f.content)) decodeJpeg(f.content).map(_.pixels)
           else if (isWebpLossless(f.content))
             decodeWebpLossless(f.content).map(_.pixels)
+          else if (isWebpLossy(f.content))
+            decodeWebpLossy(f.content).map(_.pixels)
           else if (isGif(f.content))
             decodeGif(f.content).map(_.frames.head.pixels)
           else if (isAvi(f.content))

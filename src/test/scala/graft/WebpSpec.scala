@@ -219,6 +219,7 @@ object WebpTestEncoder {
 
 class WebpSpec extends AnyFunSuite {
   import WebpTestEncoder._
+  import TestSpark._
 
   /** Deterministic RGBA test image (every channel exercised, alpha
     * non-opaque in places). */
@@ -436,5 +437,120 @@ class WebpSpec extends AnyFunSuite {
       riff(0x2F.toByte +: bw.bytes)
     }
     assert(Multimodal.decodeWebpLossless(bomb).isEmpty)
+  }
+
+  // ---- lossy VP8 (ops/Vp8.scala) ---------------------------------------
+  // Fixture provenance (src/test/resources/vp8/): each <name>.webp is a
+  // REAL lossy WebP stream and <name>.yuv is the REFERENCE DECODER's
+  // (libwebp 1.x, the format's normative implementation) 4:2:0 output
+  // for it — 9 images encoded by libwebp itself (odd dims, q20..q99,
+  // segmentation + loop filter active) and 42 purpose-built streams
+  // from an independent minimal encoder (tools/vp8enc.py): every 4x4
+  // submode in isolation, every token category including int16-wrap
+  // magnitudes, skip-flag mixes, 2/4/8 token partitions, loop-filter
+  // deltas and sharpness sweeps. The decoder must reproduce the
+  // reference output BIT-EXACTLY on all of them — prediction,
+  // dequant, IDCT and both loop filters have no tolerance.
+
+  private def vp8Fixtures: Seq[String] = {
+    val url = getClass.getResource("/vp8")
+    val dir = new java.io.File(url.toURI)
+    dir.listFiles().filter(_.getName.endsWith(".webp"))
+      .map(_.getName.stripSuffix(".webp")).sorted.toSeq
+  }
+
+  private def resBytes(p: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("VP8: bit-exact vs reference-decoder YUV goldens (51 streams)") {
+    val names = vp8Fixtures
+    assert(names.size >= 51)
+    names.foreach { n =>
+      val webp = resBytes(s"/vp8/$n.webp")
+      val gold = resBytes(s"/vp8/$n.yuv")
+      val gw = (gold(4) & 0xFF) | ((gold(5) & 0xFF) << 8)
+      val gh = (gold(6) & 0xFF) | ((gold(7) & 0xFF) << 8)
+      // locate the VP8 chunk through the RIFF walk
+      var off = -1; var len = 0
+      var p = 12
+      while (off < 0 && p + 8 <= webp.length) {
+        val sz = (webp(p + 4) & 0xFF) | ((webp(p + 5) & 0xFF) << 8) |
+          ((webp(p + 6) & 0xFF) << 16) | ((webp(p + 7) & 0xFF) << 24)
+        if (new String(webp, p, 4, "US-ASCII") == "VP8 ") { off = p + 8; len = sz }
+        p += 8 + sz + (sz & 1)
+      }
+      assert(off > 0, s"$n: no VP8 chunk")
+      val yuv = graft.ops.Vp8.decodeFrame(webp, off, len)
+        .getOrElse(fail(s"$n: decode refused"))
+      assert((yuv.w, yuv.h) === ((gw, gh)), n)
+      val cw = (gw + 1) / 2; val ch = (gh + 1) / 2
+      var i = 8
+      var y = 0
+      while (y < gh) {
+        var x = 0
+        while (x < gw) {
+          assert(gold(i) == yuv.y(y * yuv.yStride + x), s"$n Y($x,$y)")
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      y = 0
+      while (y < ch) {
+        var x = 0
+        while (x < cw) {
+          assert(gold(i) == yuv.u(y * yuv.uvStride + x), s"$n U($x,$y)")
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      y = 0
+      while (y < ch) {
+        var x = 0
+        while (x < cw) {
+          assert(gold(i) == yuv.v(y * yuv.uvStride + x), s"$n V($x,$y)")
+          i += 1; x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("VP8: pipeline flow — meta dims, RGB bridge, embed, hostile input") {
+    import spark.implicits._
+    val webp = resBytes("/vp8/photo_80x56_q20.webp")
+    val files = Seq(Multimodal.MediaFile("a.webp", webp.length, webp)).toDS()
+    val meta = Multimodal.decodeMeta(files).collect().head
+    assert((meta.width, meta.height, meta.channels) === ((80, 56, 3)))
+    assert(meta.format === "webp")
+    // RGB bridge: decoded pixels flow into the BMP pipeline.
+    val bmp = Multimodal.webpAsBmp(files).collect()
+    assert(bmp.length === 1)
+    val bMeta = Multimodal.decodeMeta(
+      Seq(Multimodal.MediaFile("b.bmp", bmp.head.content.length,
+        bmp.head.content)).toDS()).collect().head
+    assert(bMeta.format === "bmp" && bMeta.width === 80 && bMeta.height === 56)
+    // Embed comes from DECODED pixels (a real histogram, normalized).
+    val emb = Multimodal.embed(files).collect().head
+    assert(math.abs(emb.embedding.sum - 1.0) < 1e-9)
+    // Truncations must drop, never throw.
+    (1 until webp.length by 97).foreach { cut =>
+      Multimodal.decodeWebpLossy(webp.take(cut))
+    }
+    // Dimension bomb: a VP8 header declaring a huge frame refuses
+    // BEFORE allocating planes (14-bit dims cap at 16383x16383 —
+    // above the 16M-pixel guard when square).
+    val bomb = webp.clone()
+    // patch the dims in the VP8 frame header (offset: chunk data + 6)
+    var p = 12; var off = -1
+    while (off < 0 && p + 8 <= bomb.length) {
+      val sz = (bomb(p+4)&0xFF) | ((bomb(p+5)&0xFF)<<8) | ((bomb(p+6)&0xFF)<<16) | ((bomb(p+7)&0xFF)<<24)
+      if (new String(bomb, p, 4, "US-ASCII") == "VP8 ") off = p + 8
+      else p += 8 + sz + (sz & 1)
+    }
+    bomb(off + 6) = 0xFF.toByte; bomb(off + 7) = 0x3F.toByte
+    bomb(off + 8) = 0xFF.toByte; bomb(off + 9) = 0x3F.toByte
+    assert(Multimodal.decodeWebpLossy(bomb).isEmpty)
   }
 }
