@@ -2857,6 +2857,7 @@ object Multimodal {
     var compression = 1L; var photometric = 1L; var spp = 1L
     var predictor = 1L; var planar = 1L
     var tileWidth = 0L; var tileLength = 0L
+    var bitsPS = 8L // BitsPerSample (uniform across components)
     var bitsOk = true
     var colorMap = Array.empty[Long]
     var stripOffsets = Array.empty[Long]
@@ -2887,7 +2888,11 @@ object Multimodal {
       tagId match {
         case 256 => width = valAt(0)
         case 257 => height = valAt(0)
-        case 258 => bitsOk = allVals().forall(_ == 8L)
+        case 258 =>
+          val bs = allVals()
+          bitsOk = bs.nonEmpty && bs.forall(_ == bs(0)) &&
+            (bs(0) == 1L || bs(0) == 4L || bs(0) == 8L || bs(0) == 16L)
+          if (bitsOk) bitsPS = bs(0)
         case 259 => compression = valAt(0)
         case 262 => photometric = valAt(0)
         case 273 => stripOffsets = allVals()
@@ -2906,8 +2911,18 @@ object Multimodal {
       i += 1
     }
     if (width <= 0 || height <= 0 || !bitsOk) return None
+    val bits = bitsPS.toInt
     val paletted = photometric == 3L
+    // Palette indices: 8-bit (through the high bytes) or 4-bit (raw
+    // nibbles); grayscale additionally 1-bit; multi-sample pixels are
+    // 8- or 16-bit only. Predictor 2 differencing is byte-oriented —
+    // only meaningful at 8 bits.
     if (paletted && (colorMap.length != 768 || spp != 1L)) return None
+    if (paletted && bits != 8 && bits != 4) return None
+    if (bits == 1 && (spp != 1L || paletted)) return None
+    if (bits == 4 && !paletted && spp != 1L) return None
+    if (bits == 16 && spp != 1L && spp != 3L && spp != 4L) return None
+    if (bits != 8 && predictor == 2L) return None
     if ((photometric > 2 && !paletted) || predictor > 2) return None
     if (planar != 1L && planar != 2L) return None
     if (spp != 1L && spp != 3L && spp != 4L) return None
@@ -2935,19 +2950,48 @@ object Multimodal {
     val planes = if (planar == 2L) ch else 1
     val sps = if (planar == 2L) 1 else ch // samples per pixel per segment
 
-    // Decompress one segment to exactly `need` bytes.
+    // Row-aligned packed bytes for `n` samples at the file's bit depth.
+    def packedRowBytes(n: Int): Int = (n * bits + 7) / 8
+    // Decompress one segment (`rows` x `rowSamples` samples) and expand
+    // to one byte per sample: 16-bit keeps the high byte (either file
+    // byte order), 4-bit nibbles MSB-first (x17 gray scaling, raw
+    // palette indices), 1-bit MSB-first (0/255). Rows are byte-padded
+    // in the packed stream per TIFF 6.0.
     def segData(idx: Int, offs: Array[Long], cnts: Array[Long],
-        need: Int): Option[Array[Byte]] = {
+        rows: Int, rowSamples: Int): Option[Array[Byte]] = {
       if (idx >= offs.length) return None
       val so = offs(idx); val sc = cnts(idx)
       if (so + sc > c.length) return None
-      compression match {
+      val rb = packedRowBytes(rowSamples)
+      val need = rows * rb
+      val packed = (compression match {
         case 1L =>
           if (sc < need) None
           else Some(java.util.Arrays.copyOfRange(c, so.toInt, so.toInt + need))
         case 32773L => tiffPackBits(c, so.toInt, sc.toInt, need)
         case _ => tiffLzw(c, so.toInt, sc.toInt, need)
+      }).getOrElse(return None)
+      if (bits == 8) return Some(packed)
+      val out = new Array[Byte](rows * rowSamples)
+      var r = 0
+      while (r < rows) {
+        var i = 0
+        while (i < rowSamples) {
+          out(r * rowSamples + i) = bits match {
+            case 16 =>
+              packed(r * rb + 2 * i + (if (be) 0 else 1))
+            case 4 =>
+              val nib = (packed(r * rb + (i >> 1)) >> (if ((i & 1) == 0) 4 else 0)) & 0xF
+              (if (paletted) nib else nib * 17).toByte
+            case _ => // 1-bit
+              val b1 = (packed(r * rb + (i >> 3)) >> (7 - (i & 7))) & 1
+              (b1 * 255).toByte
+          }
+          i += 1
+        }
+        r += 1
       }
+      Some(out)
     }
     // Predictor 2: horizontal differencing per segment row, at the
     // segment's own sample stride (ch when chunky, 1 when planar).
@@ -2977,7 +3021,7 @@ object Multimodal {
           val rows = math.min(rps, h - row)
           val segLen = rows * w * sps
           val data = segData(p * stripsPerPlane + strip, stripOffsets,
-            stripCounts, segLen).getOrElse(return None)
+            stripCounts, rows, w * sps).getOrElse(return None)
           if (predictor == 2L) undiff(data, rows, w * sps, sps)
           if (planes == 1) System.arraycopy(data, 0, raw, row * w * ch, segLen)
           else {
@@ -3009,7 +3053,7 @@ object Multimodal {
           var tx = 0
           while (tx < tilesAcross) {
             val data = segData(p * tilesPerPlane + ty * tilesAcross + tx,
-              tileOffsets, tileCounts, tileLen.toInt).getOrElse(return None)
+              tileOffsets, tileCounts, th, tw * sps).getOrElse(return None)
             if (predictor == 2L) undiff(data, th, tw * sps, sps)
             val visW = math.min(tw, w - tx * tw)
             val visH = math.min(th, h - ty * th)

@@ -176,7 +176,7 @@ class TiffSpec extends AnyFunSuite {
   private def tiffSegBytes(w: Int, h: Int, ch: Int, pixels: Array[Byte],
       compression: Int = 1, be: Boolean = false, planar: Int = 1,
       tile: Option[(Int, Int)] = None, rowsPerStrip: Int = 1 << 30,
-      predictor: Int = 1): Array[Byte] = {
+      predictor: Int = 1, bits: Int = 8, photometric: Int = -1): Array[Byte] = {
     require(ch != 2, "test encoder: BitsPerSample for ch=2 would be inline")
     val order = if (be) java.nio.ByteOrder.BIG_ENDIAN
       else java.nio.ByteOrder.LITTLE_ENDIAN
@@ -185,6 +185,44 @@ class TiffSpec extends AnyFunSuite {
     def planeSamples(p: Int): Array[Byte] =
       if (planar == 1) pixels
       else Array.tabulate(w * h)(i => pixels(i * ch + p))
+    // Pack 8-bit samples down/up to the declared depth, row-aligned:
+    // 16-bit writes (hi, junk-lo) per the byte order so the decoder's
+    // high-byte rule is observable; 4-bit packs raw values (palette
+    // indices, or gray pre-divided by 17); 1-bit packs 0/nonzero.
+    def pack(samples: Array[Byte], rows: Int, rowSamples: Int): Array[Byte] =
+      bits match {
+        case 8 => samples
+        case 16 =>
+          val out = new Array[Byte](rows * rowSamples * 2)
+          var i = 0
+          while (i < rows * rowSamples) {
+            val v = samples(i)
+            val lo = (v ^ 0x5A).toByte
+            if (be) { out(2 * i) = v; out(2 * i + 1) = lo }
+            else { out(2 * i) = lo; out(2 * i + 1) = v }
+            i += 1
+          }
+          out
+        case 4 =>
+          val rb = (rowSamples + 1) / 2
+          val out = new Array[Byte](rows * rb)
+          for (r <- 0 until rows; i <- 0 until rowSamples) {
+            val v = samples(r * rowSamples + i) & 0xF
+            val o = r * rb + (i >> 1)
+            out(o) = (out(o) | (v << (if ((i & 1) == 0) 4 else 0))).toByte
+          }
+          out
+        case 1 =>
+          val rb = (rowSamples + 7) / 8
+          val out = new Array[Byte](rows * rb)
+          for (r <- 0 until rows; i <- 0 until rowSamples) {
+            if (samples(r * rowSamples + i) != 0) {
+              val o = r * rb + (i >> 3)
+              out(o) = (out(o) | (1 << (7 - (i & 7)))).toByte
+            }
+          }
+          out
+      }
     def enc(raw: Array[Byte]): Array[Byte] = compression match {
       case 1 => raw
       case 5 => tiffLzwEncode(raw)
@@ -203,7 +241,8 @@ class TiffSpec extends AnyFunSuite {
             if (sy < h && sx < w)
               data((r * tw + x) * sps + s) = ps((sy * w + sx) * sps + s)
           }
-          segs += enc(if (predictor == 2) predict2(data, tw, th, sps) else data)
+          segs += enc(pack(
+            if (predictor == 2) predict2(data, tw, th, sps) else data, th, tw * sps))
         }
       case None =>
         val rps = math.min(rowsPerStrip, h)
@@ -212,10 +251,11 @@ class TiffSpec extends AnyFunSuite {
           val ps = planeSamples(p)
           val rows = math.min(rps, h - s * rps)
           val raw0 = ps.slice(s * rps * w * sps, (s * rps + rows) * w * sps)
-          segs += enc(if (predictor == 2) predict2(raw0, w, rows, sps) else raw0)
+          segs += enc(pack(
+            if (predictor == 2) predict2(raw0, w, rows, sps) else raw0, rows, w * sps))
         }
     }
-    val photo = if (ch == 1) 1 else 2
+    val photo = if (photometric >= 0) photometric else if (ch == 1) 1 else 2
     val nSegs = segs.length
     var off = 8
     val segOffs = segs.map { s => val o = off; off += s.length; o }
@@ -230,7 +270,7 @@ class TiffSpec extends AnyFunSuite {
       .empty[(Int, Int, Int, Int)]
     entries += ((256, 4, 1, w))
     entries += ((257, 4, 1, h))
-    entries += ((258, 3, ch, if (ch == 1) 8 else bpsOff))
+    entries += ((258, 3, ch, if (ch == 1) bits else bpsOff))
     entries += ((259, 3, 1, compression))
     entries += ((262, 3, 1, photo))
     entries += ((277, 3, 1, ch))
@@ -254,7 +294,7 @@ class TiffSpec extends AnyFunSuite {
     b.put((if (be) "MM" else "II").getBytes("US-ASCII"))
     b.putShort(42).putInt(ifdOff)
     segs.foreach(s => b.put(s))
-    if (ch > 1) (0 until ch).foreach(_ => b.putShort(8))
+    if (ch > 1) (0 until ch).foreach(_ => b.putShort(bits.toShort))
     if (nSegs > 1) {
       segOffs.foreach(b.putInt)
       segs.foreach(s => b.putInt(s.length))
@@ -458,7 +498,49 @@ class TiffSpec extends AnyFunSuite {
     assert(got4.pixels.toSeq === want)
   }
 
-  test("rejection: truncation, 16-bit, JPEG-in-TIFF, bombs") {
+  test("16-bit samples: high byte kept, both byte orders, strips and tiles") {
+    val rnd = new scala.util.Random(43)
+    val px = Array.fill[Byte](11 * 6 * 3)(rnd.nextInt(256).toByte)
+    // The encoder writes (hi, junk) pairs per the byte order; a decoder
+    // reading the wrong byte gets junk everywhere.
+    val gotLe = Multimodal.decodeTiff(tiffSegBytes(11, 6, 3, px, bits = 16)).get
+    assert((gotLe.width, gotLe.height, gotLe.channels) === (11, 6, 3))
+    assert(gotLe.pixels.toSeq === px.toSeq)
+    val gotBe = Multimodal.decodeTiff(
+      tiffSegBytes(11, 6, 3, px, be = true, bits = 16, compression = 5)).get
+    assert(gotBe.pixels.toSeq === px.toSeq)
+    // 16-bit gray, tiled, PackBits.
+    val gray = Array.tabulate(20 * 13)(i => (i * 11 % 251).toByte)
+    val gotT = Multimodal.decodeTiff(tiffSegBytes(20, 13, 1, gray,
+      compression = 32773, bits = 16, tile = Some((8, 8)))).get
+    assert((gotT.width, gotT.height, gotT.channels) === (20, 13, 1))
+    assert(gotT.pixels.toSeq === gray.toSeq)
+  }
+
+  test("sub-byte gray: 4-bit nibbles x17, 1-bit bilevel, row padding") {
+    // Odd widths force row-aligned packing (the trap: bit-continuous
+    // packing across rows reads every row after the first shifted).
+    val g4 = Array.tabulate(9 * 5)(i => ((i * 7 % 16) * 17).toByte)
+    val got4 = Multimodal.decodeTiff(tiffSegBytes(9, 5, 1, g4, bits = 4)).get
+    assert((got4.width, got4.height, got4.channels) === (9, 5, 1))
+    assert(got4.pixels.toSeq === g4.toSeq)
+    // 4-bit + PackBits (packs the PACKED bytes).
+    val got4p = Multimodal.decodeTiff(
+      tiffSegBytes(9, 5, 1, g4, bits = 4, compression = 32773)).get
+    assert(got4p.pixels.toSeq === g4.toSeq)
+    // 1-bit bilevel, width 13: bits 0/255, BlackIsZero.
+    val g1 = Array.tabulate(13 * 7)(i =>
+      (if ((i / 3) % 2 == 0) 255 else 0).toByte)
+    val got1 = Multimodal.decodeTiff(tiffSegBytes(13, 7, 1, g1, bits = 1)).get
+    assert((got1.width, got1.height, got1.channels) === (13, 7, 1))
+    assert(got1.pixels.toSeq === g1.toSeq)
+    // 1-bit WhiteIsZero inverts (scanned-fax polarity).
+    val got1w = Multimodal.decodeTiff(
+      tiffSegBytes(13, 7, 1, g1, bits = 1, photometric = 0)).get
+    assert(got1w.pixels.toSeq === g1.map(b => (255 - (b & 0xFF)).toByte).toSeq)
+  }
+
+  test("rejection: truncation, JPEG-in-TIFF, bombs") {
     val good = tiffBytes(4, 3, 3, Array.tabulate(36)(_.toByte))
     assert(Multimodal.decodeTiff(good).isDefined)
     assert(Multimodal.decodeTiff(good.take(20)).isEmpty)
@@ -477,8 +559,8 @@ class TiffSpec extends AnyFunSuite {
       }
       out
     }
-    // 16-bit samples (patched on a gray file, where BitsPerSample is
-    // inline), and JPEG compression: both refuse.
+    // A gray file relabeled 16-bit (strip bytes now half of what the
+    // decode needs) drops; JPEG compression refuses.
     val gray = tiffBytes(4, 3, 1, Array.tabulate(12)(_.toByte))
     assert(Multimodal.decodeTiff(gray).isDefined)
     assert(Multimodal.decodeTiff(patchShort(gray, 258, 16)).isEmpty)
