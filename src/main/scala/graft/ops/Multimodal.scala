@@ -1524,6 +1524,14 @@ object Multimodal {
   private val ImaIndexTable: Array[Int] =
     Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
+  /** MS-ADPCM published constants: the 7 predictor coefficient pairs
+    * (fixed-point /256) and the 16-entry delta adaptation table. */
+  private val MsAdpcmCoef1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+  private val MsAdpcmCoef2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
+  private val MsAdpcmAdapt: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
   /** REAL WAV sample decode (the audio twin of the image decoders —
     * the embed stage previously assumed every WAV was 16-bit PCM):
     * `fmt ` dispatch on the audio-format tag —
@@ -1576,10 +1584,81 @@ object Multimodal {
           val v = if (f.isNaN) 0f else math.max(-1f, math.min(1f, f))
           math.round(v * 32767f).toShort
         }
+      case 3 if bits == 64 => // IEEE double PCM in [-1, 1], clamp-scaled
+        val n = dataLen / 8
+        Array.tabulate(n) { i =>
+          val d = java.lang.Double.longBitsToDouble(le64(c, dataOff + i * 8))
+          val v = if (d.isNaN) 0.0 else math.max(-1.0, math.min(1.0, d))
+          math.round(v * 32767.0).toShort
+        }
       case 7 if bits == 8 =>
         Array.tabulate(dataLen)(i => muLawByte(c(dataOff + i) & 0xFF))
       case 6 if bits == 8 =>
         Array.tabulate(dataLen)(i => aLawByte(c(dataOff + i) & 0xFF))
+      case 2 if bits == 4 && (nCh == 1 || nCh == 2) &&
+          blockAlign >= 7 * nCh + nCh =>
+        // MS-ADPCM (format 2, the other half of the classic ADPCM
+        // pair): per block, per-channel predictor index into the
+        // 7-entry coefficient tables + initial delta + the two seed
+        // samples (sample2 is the OLDER and is emitted first), then
+        // 4-bit codes high-nibble-first, channels alternating per
+        // nibble when stereo. Prediction:
+        //   p = (s1*C1 + s2*C2) / 256 + signed_nibble * delta,
+        // clamped to int16; delta adapts by the 16-entry table with a
+        // floor of 16.
+        val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+        var b = dataOff
+        val end = dataOff + dataLen
+        val hdr = 7 * nCh
+        while (b + hdr <= end) {
+          val blockEnd = math.min(b + blockAlign, end)
+          val coef = new Array[Int](nCh)
+          val delta = new Array[Int](nCh)
+          val s1 = new Array[Int](nCh)
+          val s2 = new Array[Int](nCh)
+          var ok = true
+          var ch0 = 0
+          while (ch0 < nCh) {
+            val p = c(b + ch0) & 0xFF
+            if (p > 6) ok = false else coef(ch0) = p
+            ch0 += 1
+          }
+          if (!ok) return None
+          ch0 = 0
+          while (ch0 < nCh) {
+            delta(ch0) = le16(c, b + nCh + ch0 * 2).toShort.toInt
+            s1(ch0) = le16(c, b + 3 * nCh + ch0 * 2).toShort.toInt
+            s2(ch0) = le16(c, b + 5 * nCh + ch0 * 2).toShort.toInt
+            ch0 += 1
+          }
+          // Seeds, older first, interleaved.
+          ch0 = 0
+          while (ch0 < nCh) { out += s2(ch0).toShort; ch0 += 1 }
+          ch0 = 0
+          while (ch0 < nCh) { out += s1(ch0).toShort; ch0 += 1 }
+          var p = b + hdr
+          var nib = 0 // even: high nibble next
+          var chn = 0
+          while (p < blockEnd) {
+            val code =
+              if (nib == 0) (c(p) >> 4) & 0xF else c(p) & 0xF
+            val signed = if (code >= 8) code - 16 else code
+            val pred0 = ((s1(chn) * MsAdpcmCoef1(coef(chn)) +
+              s2(chn) * MsAdpcmCoef2(coef(chn))) >> 8) + signed * delta(chn)
+            val pred =
+              if (pred0 > 32767) 32767
+              else if (pred0 < -32768) -32768 else pred0
+            s2(chn) = s1(chn)
+            s1(chn) = pred
+            delta(chn) = math.max(16, (MsAdpcmAdapt(code) * delta(chn)) >> 8)
+            out += pred.toShort
+            chn = (chn + 1) % nCh
+            if (nib == 1) p += 1
+            nib ^= 1
+          }
+          b += math.min(blockAlign, end - b)
+        }
+        out.toArray
       case 17 if bits == 4 && nCh == 1 && blockAlign >= 8 =>
         val out = scala.collection.mutable.ArrayBuffer.empty[Short]
         var b = dataOff

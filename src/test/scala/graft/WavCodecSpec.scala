@@ -266,13 +266,89 @@ class WavCodecSpec extends AnyFunSuite {
     assert(audioPad.samples.toSeq === oneBlock ++ oneBlock)
   }
 
-  test("unsupported formats refuse; supported ones flow through embed") {
-    // float64 PCM and MS-ADPCM (2): honest None (float32 now decodes —
-    // see the dedicated test).
+  test("float64 PCM: clamp-scaled like float32, NaN to silence") {
+    val vals = Array(0.0, 0.5, -0.5, 1.0, -1.0, 2.5, -7.0, Double.NaN, 0.25)
+    val b = java.nio.ByteBuffer.allocate(vals.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(b.putDouble)
+    val audio = Multimodal.decodeWav(wav(3, 1, 8000, 64, 8, b.array())).get
+    val want = vals.map { d =>
+      val v = if (d.isNaN) 0.0 else math.max(-1.0, math.min(1.0, d))
+      math.round(v * 32767.0).toShort
+    }
+    assert(audio.samples.toSeq === want.toSeq)
+  }
+
+  /** Independent MS-ADPCM reference decoder, written from the published
+    * Microsoft spec (coefficient pairs /256, 16-entry delta adaptation
+    * with floor 16, seeds emitted older-first). */
+  private def msAdpcmRef(block: Array[Byte], nCh: Int): Seq[Short] = {
+    val C1 = Array(256, 512, 0, 192, 240, 460, 392)
+    val C2 = Array(0, -256, 0, 64, 0, -208, -232)
+    val AD = Array(230, 230, 230, 230, 307, 409, 512, 614,
+      768, 614, 512, 409, 307, 230, 230, 230)
+    def s16(o: Int) = ((block(o) & 0xFF) | ((block(o + 1) & 0xFF) << 8)).toShort.toInt
+    val pred = Array.tabulate(nCh)(i => block(i) & 0xFF)
+    val delta = Array.tabulate(nCh)(i => s16(nCh + i * 2))
+    val s1 = Array.tabulate(nCh)(i => s16(3 * nCh + i * 2))
+    val s2 = Array.tabulate(nCh)(i => s16(5 * nCh + i * 2))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+    (0 until nCh).foreach(i => out += s2(i).toShort)
+    (0 until nCh).foreach(i => out += s1(i).toShort)
+    var chn = 0
+    for (p <- 7 * nCh until block.length; hi <- Seq(true, false)) {
+      val code = if (hi) (block(p) >> 4) & 0xF else block(p) & 0xF
+      val sn = if (code >= 8) code - 16 else code
+      var v = ((s1(chn) * C1(pred(chn)) + s2(chn) * C2(pred(chn))) >> 8) +
+        sn * delta(chn)
+      if (v > 32767) v = 32767
+      if (v < -32768) v = -32768
+      s2(chn) = s1(chn); s1(chn) = v
+      delta(chn) = math.max(16, (AD(code) * delta(chn)) >> 8)
+      out += v.toShort
+      chn = (chn + 1) % nCh
+    }
+    out.toSeq
+  }
+
+  test("MS-ADPCM: library decode == independent reference, mono + stereo") {
+    val rnd = new scala.util.Random(57)
+    def block(nCh: Int, dataBytes: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(7 * nCh + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until nCh).foreach(_ => b.put(rnd.nextInt(7).toByte)) // predictor
+      (0 until nCh).foreach(_ => b.putShort((rnd.nextInt(400) + 16).toShort))
+      (0 until 2 * nCh).foreach(_ => b.putShort(rnd.nextInt(65536).toShort))
+      (0 until dataBytes).foreach(_ => b.put(rnd.nextInt(256).toByte))
+      b.array()
+    }
+    // Mono, three full blocks.
+    val m = Array.fill(3)(block(1, 25))
+    val monoAlign = 7 + 25
+    val audioM = Multimodal.decodeWav(
+      wav(2, 1, 8000, 4, monoAlign, m.flatten)).get
+    assert(audioM.channels === 1)
+    assert(audioM.samples.toSeq === m.flatMap(msAdpcmRef(_, 1)).toSeq)
+    // Stereo, two blocks, interleaved L/R per nibble.
+    val s = Array.fill(2)(block(2, 40))
+    val stereoAlign = 14 + 40
+    val audioS = Multimodal.decodeWav(
+      wav(2, 2, 8000, 4, stereoAlign, s.flatten)).get
+    assert(audioS.channels === 2)
+    assert(audioS.samples.toSeq === s.flatMap(msAdpcmRef(_, 2)).toSeq)
+    // Invalid predictor index (> 6): drop, don't decode garbage.
+    val bad = block(1, 25); bad(0) = 7
+    assert(Multimodal.decodeWav(wav(2, 1, 8000, 4, monoAlign, bad)).isEmpty)
+  }
+
+  test("unknown formats refuse; supported ones flow through embed") {
+    // A format tag nothing implements (0x5555) and a truncated fmt
+    // chunk: honest None. (float64 and MS-ADPCM decode since r10 —
+    // see their dedicated tests.)
     assert(Multimodal.decodeWav(
-      wav(3, 1, 8000, 64, 8, new Array[Byte](16))).isEmpty)
+      wav(0x5555, 1, 8000, 16, 2, new Array[Byte](16))).isEmpty)
     assert(Multimodal.decodeWav(
-      wav(2, 1, 8000, 4, 256, new Array[Byte](256))).isEmpty)
+      wav(1, 1, 8000, 24, 3, new Array[Byte](15))).isEmpty)
     // mu-law through the embed stage: histogram of the DECODED samples.
     import TestSpark._
     import spark.implicits._
@@ -290,7 +366,7 @@ class WavCodecSpec extends AnyFunSuite {
     assert(emb(0) === 0.0 && emb(7) === 0.0)
   }
 
-  test("float32 PCM decodes clamp-scaled to int16; float64 still refuses") {
+  test("float32 PCM decodes clamp-scaled to int16") {
     val vals = Array(0f, 0.5f, -0.5f, 1f, -1f, 2f, -3f, Float.NaN)
     val data = new Array[Byte](vals.length * 4)
     val bb = java.nio.ByteBuffer.wrap(data)
@@ -300,8 +376,5 @@ class WavCodecSpec extends AnyFunSuite {
     // 0.5*32767 = 16383.5 rounds half-up to 16384; -16383.5 to -16383.
     assert(audio.samples.toSeq === Seq[Short](0, 16384, -16383, 32767,
       -32767, 32767, -32767, 0)) // clamp beyond ±1, NaN -> silence
-    // float64 (bits=64) stays an honest refusal.
-    assert(Multimodal.decodeWav(wav(3, 1, 8000, 64, 8,
-      new Array[Byte](16))).isEmpty)
   }
 }
