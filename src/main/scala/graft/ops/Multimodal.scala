@@ -1318,9 +1318,91 @@ object Multimodal {
       channels = if (w > 0) 4 else 0, duration_ms = 0L)
   }
 
-  /** Decode the largest PNG-compressed entry of an ICO (modern favicons
-    * embed whole PNG files; the legacy DIB+AND-mask layout returns
-    * None honestly). */
+  /** Legacy ICO entry: an uncompressed BITMAPINFOHEADER DIB whose
+    * declared height covers BOTH the bottom-up XOR bitmap and the
+    * 1-bit AND transparency mask (each row 32-bit aligned). Depths
+    * 1/4/8 (BGRX palette quads), 24 (BGR) and 32 (BGRA) — the layouts
+    * real legacy favicons use. A set AND bit clears the pixel; 32-bpp
+    * icons whose alpha channel is entirely zero are the classic
+    * pre-alpha files and are treated as opaque (then masked), the
+    * convention every viewer applies. */
+  private def icoDib(p: Array[Byte]): Option[PngImage] = {
+    if (p.length < 40 || le32(p, 0) != 40) return None
+    val w = le32(p, 4)
+    val h = le32(p, 8) / 2 // header height spans XOR + AND
+    val bpp = le16(p, 14)
+    if (le32(p, 16) != 0) return None // BI_RGB only
+    if (w <= 0 || h <= 0 || w > 256 || h > 256) return None
+    if (bpp != 1 && bpp != 4 && bpp != 8 && bpp != 24 && bpp != 32)
+      return None
+    val nPal = if (bpp <= 8) {
+      val cu = le32(p, 32)
+      if (cu > 0 && cu <= 256) cu else 1 << bpp
+    } else 0
+    val xorOff = 40 + nPal * 4
+    val xorStride = ((w * bpp + 31) / 32) * 4
+    val andStride = ((w + 31) / 32) * 4
+    val andOff = xorOff + xorStride * h
+    if (andOff + andStride * h > p.length) return None
+    val out = new Array[Byte](w * h * 4)
+    // Pre-scan 32-bpp alpha: all-zero => legacy opaque convention.
+    val forceOpaque = bpp == 32 && {
+      var all0 = true
+      var y = 0
+      while (all0 && y < h) {
+        var x = 0
+        while (all0 && x < w) {
+          if (p(xorOff + y * xorStride + x * 4 + 3) != 0) all0 = false
+          x += 1
+        }
+        y += 1
+      }
+      all0
+    }
+    var y = 0
+    while (y < h) {
+      val src = h - 1 - y // bottom-up
+      var x = 0
+      while (x < w) {
+        var r = 0; var g = 0; var b = 0; var a = 255
+        bpp match {
+          case 32 =>
+            val o = xorOff + src * xorStride + x * 4
+            b = p(o) & 0xFF; g = p(o + 1) & 0xFF; r = p(o + 2) & 0xFF
+            a = if (forceOpaque) 255 else p(o + 3) & 0xFF
+          case 24 =>
+            val o = xorOff + src * xorStride + x * 3
+            b = p(o) & 0xFF; g = p(o + 1) & 0xFF; r = p(o + 2) & 0xFF
+          case _ =>
+            val idx = bpp match {
+              case 8 => p(xorOff + src * xorStride + x) & 0xFF
+              case 4 =>
+                (p(xorOff + src * xorStride + (x >> 1)) >>
+                  (if ((x & 1) == 0) 4 else 0)) & 0xF
+              case _ =>
+                (p(xorOff + src * xorStride + (x >> 3)) >> (7 - (x & 7))) & 1
+            }
+            if (idx >= nPal) return None
+            b = p(40 + idx * 4) & 0xFF
+            g = p(40 + idx * 4 + 1) & 0xFF
+            r = p(40 + idx * 4 + 2) & 0xFF
+        }
+        val andBit =
+          (p(andOff + src * andStride + (x >> 3)) >> (7 - (x & 7))) & 1
+        if (andBit == 1) a = 0
+        val o = (y * w + x) * 4
+        out(o) = r.toByte; out(o + 1) = g.toByte
+        out(o + 2) = b.toByte; out(o + 3) = a.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngImage(w, h, 4, out))
+  }
+
+  /** Decode the largest entry of an ICO — PNG-compressed (modern
+    * favicons embed whole PNG files) or the legacy DIB+AND-mask layout
+    * ([[icoDib]], real since r10). */
   def decodeIco(c: Array[Byte]): Option[PngImage] = {
     if (!isIco(c)) return None
     val n = le16(c, 4)
@@ -1339,7 +1421,7 @@ object Multimodal {
     }
     best.flatMap { case (_, off, len) =>
       val payload = java.util.Arrays.copyOfRange(c, off, off + len)
-      if (isPng(payload)) decodePng(payload) else None
+      if (isPng(payload)) decodePng(payload) else icoDib(payload)
     }
   }
 

@@ -1599,7 +1599,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.embed(files.toDS()).collect().length === 200)
   }
 
-  test("ICO: largest-entry meta; PNG-payload entries decode; DIB refuses") {
+  test("ICO: largest-entry meta; PNG-payload entries decode") {
     import spark.implicits._
     val png16 = pngBytesExt(16, 16, 2, 8,
       Array.tabulate(16 * 16 * 3)(i => i % 251))
@@ -1631,7 +1631,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img.width === 32 && img.height === 32)
     assert(img.pixels.toSeq ===
       Array.tabulate(32 * 32 * 3)(i => ((i * 7) % 253).toByte).toSeq)
-    // Legacy DIB payload (not a PNG): honest None.
+    // Garbage payload (neither PNG nor a 40-byte-header DIB): None.
     assert(Multimodal.decodeIco(
       ico(Seq((16, 16, new Array[Byte](100))))).isEmpty)
     // Truncating the 32x32 payload region: that entry is skipped and
@@ -1639,6 +1639,110 @@ class MultimodalSpec extends AnyFunSuite {
     val cut = Multimodal.decodeIco(file.take(file.length - 4)).get
     assert(cut.width === 16 && cut.height === 16)
     assert(Multimodal.decodeIco(Array[Byte](0, 0, 1, 0)) === None)
+  }
+
+  test("ICO: legacy DIB entries — palette depths, BGR(A), AND mask") {
+    // Independent DIB writer: BITMAPINFOHEADER with doubled height,
+    // bottom-up 32-bit-aligned XOR rows, then the 1-bit AND mask.
+    def dib(w: Int, h: Int, bpp: Int, pal: Seq[(Int, Int, Int)],
+        pix: (Int, Int) => Int, and: (Int, Int) => Boolean,
+        alpha: (Int, Int) => Int = (_, _) => 255): Array[Byte] = {
+      val xorStride = ((w * bpp + 31) / 32) * 4
+      val andStride = ((w + 31) / 32) * 4
+      val b = java.nio.ByteBuffer
+        .allocate(40 + pal.length * 4 + (xorStride + andStride) * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h * 2).putShort(1).putShort(bpp.toShort)
+      b.putInt(0).putInt(0).putInt(0).putInt(0)
+      b.putInt(pal.length).putInt(0)
+      pal.foreach { case (r, g, bl) =>
+        b.put(bl.toByte).put(g.toByte).put(r.toByte).put(0.toByte) }
+      for (row <- (h - 1) to 0 by -1) {
+        val bytes = new Array[Byte](xorStride)
+        for (x <- 0 until w) {
+          val v = pix(x, row)
+          bpp match {
+            case 8 => bytes(x) = v.toByte
+            case 4 => bytes(x >> 1) =
+              (bytes(x >> 1) | (v << (if ((x & 1) == 0) 4 else 0))).toByte
+            case 1 => if (v != 0) bytes(x >> 3) =
+              (bytes(x >> 3) | (1 << (7 - (x & 7)))).toByte
+            case 24 =>
+              bytes(x * 3) = (v & 0xFF).toByte
+              bytes(x * 3 + 1) = ((v >> 8) & 0xFF).toByte
+              bytes(x * 3 + 2) = ((v >> 16) & 0xFF).toByte
+            case 32 =>
+              bytes(x * 4) = (v & 0xFF).toByte
+              bytes(x * 4 + 1) = ((v >> 8) & 0xFF).toByte
+              bytes(x * 4 + 2) = ((v >> 16) & 0xFF).toByte
+              bytes(x * 4 + 3) = alpha(x, row).toByte
+          }
+        }
+        b.put(bytes)
+      }
+      for (row <- (h - 1) to 0 by -1) {
+        val bytes = new Array[Byte](andStride)
+        for (x <- 0 until w if and(x, row))
+          bytes(x >> 3) = (bytes(x >> 3) | (1 << (7 - (x & 7)))).toByte
+        b.put(bytes)
+      }
+      b.array()
+    }
+    def icoOf(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(6 + 16 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0).putShort(1).putShort(1)
+      b.put(w.toByte).put(h.toByte).put(0.toByte).put(0.toByte)
+        .putShort(1).putShort(0).putInt(payload.length).putInt(22)
+      b.put(payload)
+      b.array()
+    }
+    // 8-bpp palette, odd width (row padding), AND mask on a diagonal.
+    val pal = Seq((250, 10, 20), (30, 200, 40), (5, 6, 255))
+    val d8 = icoOf(5, 3, dib(5, 3, 8, pal,
+      (x, y) => (x + y) % 3, (x, y) => x == y))
+    val i8 = Multimodal.decodeIco(d8).get
+    assert((i8.width, i8.height, i8.channels) === ((5, 3, 4)))
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val (r, g, b2) = pal((x + y) % 3)
+      val o = (y * 5 + x) * 4
+      assert((i8.pixels(o) & 0xFF) === r && (i8.pixels(o + 1) & 0xFF) === g
+        && (i8.pixels(o + 2) & 0xFF) === b2, s"($x,$y)")
+      assert((i8.pixels(o + 3) & 0xFF) === (if (x == y) 0 else 255))
+    }
+    // 4-bpp and 1-bpp run the nibble/bit unpack.
+    val i4 = Multimodal.decodeIco(icoOf(7, 2, dib(7, 2, 4, pal,
+      (x, y) => (x * 2 + y) % 3, (_, _) => false))).get
+    for (y <- 0 until 2; x <- 0 until 7) {
+      val (r, _, _) = pal((x * 2 + y) % 3)
+      assert((i4.pixels((y * 7 + x) * 4) & 0xFF) === r, s"4bpp ($x,$y)")
+    }
+    val i1 = Multimodal.decodeIco(icoOf(9, 2, dib(9, 2, 1,
+      Seq((0, 0, 0), (255, 255, 255)),
+      (x, _) => x % 2, (_, _) => false))).get
+    for (x <- 0 until 9)
+      assert((i1.pixels(x * 4) & 0xFF) === (if (x % 2 == 1) 255 else 0))
+    // 24-bpp BGR ordering, and 32-bpp with a REAL alpha channel.
+    val i24 = Multimodal.decodeIco(icoOf(3, 2, dib(3, 2, 24, Nil,
+      (x, y) => (x * 40 << 16) | (y * 90 << 8) | 7, (_, _) => false))).get
+    assert((i24.pixels(0) & 0xFF, i24.pixels(1) & 0xFF,
+      i24.pixels(2) & 0xFF) === ((0, 0, 7)))
+    assert((i24.pixels((1 * 3 + 2) * 4) & 0xFF) === 80)
+    val i32 = Multimodal.decodeIco(icoOf(2, 2, dib(2, 2, 32, Nil,
+      (x, y) => (10 << 16) | (20 << 8) | 30, (_, _) => false,
+      alpha = (x, y) => x * 100 + y))).get
+    assert((i32.pixels(3) & 0xFF) === 0) // alpha(0,0)
+    assert((i32.pixels(7) & 0xFF) === 100) // alpha(1,0)
+    // 32-bpp with ALL-ZERO alpha: the legacy pre-alpha convention —
+    // opaque, then the AND mask cuts.
+    val iLegacy = Multimodal.decodeIco(icoOf(2, 2, dib(2, 2, 32, Nil,
+      (_, _) => 0x112233, (x, y) => x == 0 && y == 0,
+      alpha = (_, _) => 0))).get
+    assert((iLegacy.pixels(3) & 0xFF) === 0) // masked corner
+    assert((iLegacy.pixels(7) & 0xFF) === 255) // opaque elsewhere
+    // Truncated DIB (mask missing): drop.
+    val whole = dib(5, 3, 8, pal, (x, y) => 0, (_, _) => false)
+    assert(Multimodal.decodeIco(icoOf(5, 3, whole.take(whole.length - 8))).isEmpty)
   }
 
   /** Independent EBML element writer: 2-byte IDs written verbatim,
