@@ -1508,6 +1508,152 @@ object TextSim {
         .orderBy("lang")
     },
 
+    // Epoch allocation — the step AFTER choosing mixture weights: how
+    // many times each source is actually repeated to hit its smoothed
+    // target share (the LLaMA-style per-source epochs table). Natural
+    // token shares are smoothed with alpha = 0.5 (sqrt upsampling of
+    // tail sources), epochs = target/natural capped at 4.0 (repeating
+    // a tiny source more than ~4x degrades quality faster than it
+    // balances the mix), effective tokens = epochs x tokens, and the
+    // REALIZED share the cap actually yields. Scale shape: everything
+    // after the one corpus-wide token count runs on |sources| rows —
+    // two broadcast normalizers, no second corpus pass.
+    q("q_mix_epochs",
+      """WITH t AS (SELECT source,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM t),
+        |p AS (SELECT source, n_tokens, n_tokens / total AS p
+        |      FROM t CROSS JOIN tot),
+        |z AS (SELECT sum(sqrt(p)) AS z FROM p),
+        |e AS (SELECT source, n_tokens, p,
+        |        least(4.0, (sqrt(p) / z) / p) AS epochs
+        |      FROM p CROSS JOIN z),
+        |eff AS (SELECT source, n_tokens, p, epochs,
+        |          CAST(round(epochs * n_tokens) AS BIGINT) AS eff_tokens
+        |        FROM e),
+        |efft AS (SELECT CAST(sum(eff_tokens) AS DOUBLE) AS et FROM eff)
+        |SELECT source, n_tokens, round(p, 6) AS p,
+        |  round(epochs, 6) AS epochs, eff_tokens,
+        |  round(eff_tokens / et, 6) AS realized
+        |FROM eff CROSS JOIN efft
+        |ORDER BY source""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(words)).as("n_tokens"))
+      val p = t.crossJoin(broadcast(
+          t.agg(sum("n_tokens").cast("double").as("total"))))
+        .select(col("source"), col("n_tokens"),
+          (col("n_tokens") / col("total")).as("p"))
+      val e = p.crossJoin(broadcast(p.agg(sum(sqrt(col("p"))).as("z"))))
+        .select(col("source"), col("n_tokens"), col("p"),
+          least(lit(4.0), (sqrt(col("p")) / col("z")) / col("p"))
+            .as("epochs"))
+      val eff = e.withColumn("eff_tokens",
+        round(col("epochs") * col("n_tokens")).cast("long"))
+      eff.crossJoin(broadcast(
+          eff.agg(sum("eff_tokens").cast("double").as("et"))))
+        .select(col("source"), col("n_tokens"), round(col("p"), 6).as("p"),
+          round(col("epochs"), 6).as("epochs"), col("eff_tokens"),
+          round(col("eff_tokens") / col("et"), 6).as("realized"))
+        .orderBy("source")
+    },
+
+    // Corpus-internal boilerplate detection — the template/navigation
+    // screen a crawl pipeline runs BEFORE dedup: a distinct word-8-gram
+    // appearing in >= 5 documents is boilerplate (real text repeats
+    // within a doc, templates repeat ACROSS docs); each doc reports its
+    // boilerplate-gram fraction. Same inverted-index shape as
+    // decontamination: one distinct-gram explode -> df aggregation ->
+    // join back through the gram key, never doc x doc. At 100 TB the
+    // hot-gram table is the small side (df >= 5 of 8-grams is rare)
+    // and broadcasts.
+    q("q_text_boilerplate",
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(ws[i:i+7], ' ')
+        |          for i in range(1, greatest(len(ws) - 7, 0) + 1)]) AS gram
+        |      FROM w),
+        |hot AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING CAST(count(*) AS BIGINT) >= 5),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |      FROM g GROUP BY doc_id),
+        |h AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hot
+        |      FROM g JOIN hot ON g.gram = hot.gram GROUP BY g.doc_id)
+        |SELECT n.doc_id, n.n_grams,
+        |  COALESCE(h.n_hot, 0) AS n_hot,
+        |  round(COALESCE(h.n_hot, 0) / CAST(n.n_grams AS DOUBLE), 6)
+        |    AS boilerplate_frac
+        |FROM n LEFT JOIN h ON n.doc_id = h.doc_id
+        |ORDER BY n.doc_id""") { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), explode(when(size(col("ws")) >= 8, expr(
+            "transform(sequence(1, size(ws) - 7)," +
+              " i -> array_join(slice(ws, i, 8), ' '))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
+        .distinct()
+      val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 5).select("gram")
+      val n = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val h = g.join(broadcast(hot), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
+      n.join(h, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hot"), lit(0L)).as("n_hot"),
+          round(coalesce(col("n_hot"), lit(0L))
+            / col("n_grams").cast("double"), 6).as("boilerplate_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary pruning + OOV accounting — the tokenizer-training
+    // prefilter: keep corpus words with document frequency in
+    // [2, 50% of docs] (hapax noise and stop-like saturation both cut)
+    // and report each document's kept-token fraction, the signal that
+    // flags docs written almost entirely in pruned vocabulary
+    // (gibberish or boilerplate). The vocab build is one (word -> df)
+    // hash aggregation; scoring joins tokens to the kept vocab ON THE
+    // WORD KEY — a shuffle join by design, since a real vocabulary
+    // outgrows broadcast (the same contract as q_text_unigram_nll).
+    q("q_text_vocab_prune",
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS word
+        |             FROM documents),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM tok),
+        |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY word),
+        |kept AS (SELECT word FROM df CROSS JOIN nd
+        |         WHERE df >= 2 AND df <= n_docs * 0.5),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        |      FROM tok GROUP BY doc_id),
+        |k AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+        |      FROM tok JOIN kept ON tok.word = kept.word
+        |      GROUP BY tok.doc_id)
+        |SELECT n.doc_id, n.n_tokens, COALESCE(k.n_kept, 0) AS n_kept,
+        |  round(1 - COALESCE(k.n_kept, 0) / CAST(n.n_tokens AS DOUBLE), 6)
+        |    AS oov_rate
+        |FROM n LEFT JOIN k ON n.doc_id = k.doc_id
+        |ORDER BY n.doc_id""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words).as("word"))
+      val nDocs = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val df = tok.groupBy("word")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val kept = df.crossJoin(broadcast(nDocs))
+        .filter(col("df") >= 2 && col("df") <= col("n_docs") * 0.5)
+        .select("word")
+      val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      val k = tok.join(kept, "word")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+      n.join(k, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(lit(1) - coalesce(col("n_kept"), lit(0L))
+            / col("n_tokens").cast("double"), 6).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+
     // PII redaction — the scrub step every training pipeline runs
     // before anything else: emails, IPv4s, SSN-shaped and card-shaped
     // digit runs replaced by a sentinel, with the hit count per doc.

@@ -330,7 +330,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // one-row query-embedding broadcast + the bm25 stats singleton
       "q_sim_hybrid_rrf",
       // grand-total token count singleton (corpus distribution side)
-      "q_text_jsd")
+      "q_text_jsd",
+      // |sources|-row total/normalizer singletons, q_mix_weights' shape
+      "q_mix_epochs",
+      // one-row corpus doc-count singleton gating the df band
+      "q_text_vocab_prune")
     val offenders = Registry.all.map(_.name).filterNot(declared).filter { n =>
       val p = plan(n)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
