@@ -2429,6 +2429,106 @@ object TextSim {
     // exact shuffle shape. round() on the quantize step is identical
     // half-away-from-zero in both engines; float32-derived inputs never
     // land on exact halves.
+    // First principal component of the embedding corpus — the
+    // dimensionality-health check (and whitening prep) an embedding
+    // pipeline runs after every model/encoder change: a top component
+    // that explains most of the variance means collapsed, anisotropic
+    // embeddings that will break cosine retrieval. NOT
+    // SQL-expressible (power iteration); golden-pinned, and
+    // PipelineOpsSpec replays it from first principles and pins the
+    // variance-maximization property.
+    //
+    // Scale shape (the classic treeAggregate covariance): each
+    // partition accumulates (count, sum[d], outer-product sums[d*d])
+    // in one pass — the ONLY corpus-scale work — and the driver
+    // combines <= numPartitions such rows (O(partitions x d^2),
+    // corpus-independent, same bounded-collect class as the
+    // documented drift probes) and power-iterates the tiny d x d
+    // matrix. No shuffle at all over the vectors.
+    QuerySpec.noOracle("q_embed_pca") { (s, d) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val vecs = Tables.embeddings(s, d).select(col("embedding"))
+      val partials = vecs.rdd.mapPartitions { it =>
+        var cnt = 0L
+        var sum: Array[Double] = null
+        var op: Array[Double] = null
+        it.foreach { r =>
+          val v = r.getSeq[Double](0)
+          val dim = v.length
+          if (sum == null) { sum = new Array[Double](dim); op = new Array[Double](dim * dim) }
+          var i = 0
+          while (i < dim) {
+            val vi = v(i)
+            sum(i) += vi
+            var j = 0
+            while (j < dim) { op(i * dim + j) += vi * v(j); j += 1 }
+            i += 1
+          }
+          cnt += 1
+        }
+        if (cnt == 0) Iterator.empty else Iterator((cnt, sum, op))
+      }.collect()
+      require(partials.nonEmpty, "empty embeddings table")
+      val dim = partials.head._2.length
+      val n = partials.map(_._1).sum
+      val sum = new Array[Double](dim)
+      val op = new Array[Double](dim * dim)
+      partials.foreach { case (_, ps, pop) =>
+        var i = 0
+        while (i < dim) { sum(i) += ps(i); i += 1 }
+        i = 0
+        while (i < dim * dim) { op(i) += pop(i); i += 1 }
+      }
+      val mean = sum.map(_ / n)
+      val cov = Array.tabulate(dim * dim)(k =>
+        op(k) / n - mean(k / dim) * mean(k % dim))
+      // Power iteration with the deterministic uniform start.
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+      var it = 0
+      while (it < 300) {
+        val w = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += cov(i * dim + j) * v(j); j += 1 }
+          w(i) = acc
+          i += 1
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = if (nrm == 0) v else w.map(_ / nrm)
+        it += 1
+      }
+      var lam = 0.0
+      var ti = 0
+      while (ti < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += cov(ti * dim + j) * v(j); j += 1 }
+        lam += v(ti) * acc
+        ti += 1
+      }
+      val trace = (0 until dim).map(i => cov(i * dim + i)).sum
+      // Deterministic sign: the largest-|component| coordinate positive.
+      val piv = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      val sgn = if (v(piv) < 0) -1.0 else 1.0
+      val rows = (0 until dim).map { i =>
+        Row(i.toLong,
+          BigDecimal(mean(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(sgn * v(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(lam).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(lam / trace).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("idx", LongType, nullable = false),
+        StructField("mean_d", DoubleType, nullable = false),
+        StructField("pc1", DoubleType, nullable = false),
+        StructField("eigenvalue", DoubleType, nullable = false),
+        StructField("var_explained", DoubleType, nullable = false))))
+        .orderBy("idx")
+    },
+
     q("q_embed_quantize",
       """WITH e AS (SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) AS idx,

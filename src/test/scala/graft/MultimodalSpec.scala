@@ -1599,6 +1599,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.embed(files.toDS()).collect().length === 200)
   }
 
+  test("VP8 fuzz: mutated and truncated lossy WebP never throws") {
+    import spark.implicits._
+    val in = getClass.getResourceAsStream("/vp8/photo_80x56_q20.webp")
+    val base = try in.readAllBytes() finally in.close()
+    val rnd = new scala.util.Random(123)
+    val files = (0 until 150).map { i =>
+      val b = base.clone()
+      i % 3 match {
+        case 0 => // point mutations anywhere (headers, probs, tokens)
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          Multimodal.MediaFile(s"m$i.webp", b.length, b)
+        case 1 => // truncation at every depth
+          val cut = 1 + rnd.nextInt(b.length - 1)
+          Multimodal.MediaFile(s"t$i.webp", cut, b.take(cut))
+        case _ => // mutation + truncation combined
+          (0 until 4).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          val cut = 12 + rnd.nextInt(b.length - 12)
+          Multimodal.MediaFile(s"mt$i.webp", cut, b.take(cut))
+      }
+    }
+    // Direct decode: Some or None, never a throw.
+    files.foreach(f => Multimodal.decodeWebpLossy(f.content))
+    // And through the full pipeline stages.
+    assert(Multimodal.decodeMeta(files.toDS()).collect().length === 150)
+    assert(Multimodal.embed(files.toDS()).collect().length === 150)
+    assert(Multimodal.webpAsBmp(files.toDS()).collect().length <= 150)
+  }
+
   test("ICO: largest-entry meta; PNG-payload entries decode") {
     import spark.implicits._
     val png16 = pngBytesExt(16, 16, 2, 8,

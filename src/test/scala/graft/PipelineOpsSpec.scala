@@ -136,4 +136,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(gMin <= gAvg + 1e-9, s"label=$label min<=avg")
     }
   }
+
+
+  test("q_embed_pca: first-principles replay + variance maximization") {
+    // Independent replay: collect the sf0.001 vectors, build the
+    // covariance directly, power-iterate with the same deterministic
+    // start, and compare the query's rounded output exactly.
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    val dim = vecs.head.length
+    val mean = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    (0 until 300).foreach { _ =>
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm > 0) v = w.map(_ / nrm)
+    }
+    val lam = (0 until dim).map(i =>
+      v(i) * (0 until dim).map(j => cov(i)(j) * v(j)).sum).sum
+    val piv = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(piv) < 0) v = v.map(-_)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = q("q_embed_pca").collect()
+    assert(got.length === dim)
+    got.foreach { row =>
+      val i = row.getLong(0).toInt
+      assert(row.getDouble(1) === r6(mean(i)), s"mean_d idx=$i")
+      assert(math.abs(row.getDouble(2) - r6(v(i))) <= 1e-6, s"pc1 idx=$i")
+      assert(math.abs(row.getDouble(3) - r6(lam)) <= 1e-6)
+    }
+    // The defining property: the pc1 direction's variance is at least
+    // every coordinate axis's variance (it maximizes variance over all
+    // directions, so in particular over the basis).
+    val axisMax = (0 until dim).map(i => cov(i)(i)).max
+    assert(lam >= axisMax - 1e-9)
+    // And >= the variance along 20 seeded random unit directions.
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { _ =>
+      val u0 = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(u0.map(x => x * x).sum)
+      val u = u0.map(_ / nrm)
+      val varU = (0 until dim).map(i =>
+        u(i) * (0 until dim).map(j => cov(i)(j) * u(j)).sum).sum
+      assert(lam >= varU - 1e-9)
+    }
+  }
 }
