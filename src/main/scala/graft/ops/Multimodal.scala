@@ -2888,6 +2888,275 @@ object Multimodal {
     * entries — refuse to allocate more than this many pixel bytes. */
   private val MaxTiffRawBytes = 64L << 20
 
+  // ---- CCITT G3/G4 (ITU T.4/T.6) bilevel decode ----------------------
+  //
+  // The fax codecs scanned-document TIFFs actually use: modified
+  // Huffman run lengths (terminating + makeup codes per color, makeups
+  // chainable past 2560), 1D rows (compression 2 byte-aligned "RLE",
+  // compression 3 with EOL sync and optional fill), 2D rows (T.4 2D
+  // when T4Options bit 0 is set — each EOL carries a 1D/2D tag bit —
+  // and T.6/G4 where EVERY row codes against the reference line above,
+  // the first against an imaginary all-white one). The code tables
+  // below were extracted BEHAVIORALLY from the system libtiff (longest
+  // common prefixes of single-run encodes — the T.4 published tables;
+  // spot values like white-0 = 00110101 and the black 64-makeup
+  // 0000001111 match the spec text), and TiffSpec pins whole-image
+  // decodes bit-exact against libtiff-encoded fixtures.
+
+  private val FaxWhiteTerm: Array[(Int, Int, Int)] = Array(
+    (7, 4, 2), (8, 4, 3), (11, 4, 4), (12, 4, 5), (14, 4, 6), (15, 4, 7),
+    (7, 5, 10), (8, 5, 11), (19, 5, 8), (20, 5, 9), (3, 6, 13), (7, 6, 1),
+    (8, 6, 12), (42, 6, 16), (43, 6, 17), (52, 6, 14), (53, 6, 15), (3, 7, 22),
+    (4, 7, 23), (8, 7, 20), (12, 7, 19), (19, 7, 26), (23, 7, 21), (24, 7, 28),
+    (36, 7, 27), (39, 7, 18), (40, 7, 24), (43, 7, 25), (2, 8, 29), (3, 8, 30),
+    (4, 8, 45), (5, 8, 46), (10, 8, 47), (11, 8, 48), (18, 8, 33), (19, 8, 34),
+    (20, 8, 35), (21, 8, 36), (22, 8, 37), (23, 8, 38), (26, 8, 31), (27, 8, 32),
+    (36, 8, 53), (37, 8, 54), (40, 8, 39), (41, 8, 40), (42, 8, 41), (43, 8, 42),
+    (44, 8, 43), (45, 8, 44), (50, 8, 61), (51, 8, 62), (52, 8, 63), (53, 8, 0),
+    (74, 8, 59), (75, 8, 60), (82, 8, 49), (83, 8, 50), (84, 8, 51), (85, 8, 52),
+    (88, 8, 55), (89, 8, 56), (90, 8, 57), (91, 8, 58))
+
+  private val FaxWhiteMakeup: Array[(Int, Int, Int)] = Array(
+    (18, 5, 128), (27, 5, 64), (23, 6, 192), (24, 6, 1664), (55, 7, 256), (54, 8, 320),
+    (55, 8, 384), (100, 8, 448), (101, 8, 512), (103, 8, 640), (104, 8, 576), (152, 9, 1472),
+    (153, 9, 1536), (154, 9, 1600), (155, 9, 1728), (204, 9, 704), (205, 9, 768), (210, 9, 832),
+    (211, 9, 896), (212, 9, 960), (213, 9, 1024), (214, 9, 1088), (215, 9, 1152), (216, 9, 1216),
+    (217, 9, 1280), (218, 9, 1344), (219, 9, 1408), (8, 11, 1792), (12, 11, 1856), (13, 11, 1920),
+    (18, 12, 1984), (19, 12, 2048), (20, 12, 2112), (21, 12, 2176), (22, 12, 2240), (23, 12, 2304),
+    (28, 12, 2368), (29, 12, 2432), (30, 12, 2496), (31, 12, 2560))
+
+  private val FaxBlackTerm: Array[(Int, Int, Int)] = Array(
+    (2, 2, 3), (3, 2, 2), (2, 3, 1), (3, 3, 4), (2, 4, 6), (3, 4, 5),
+    (3, 5, 7), (4, 6, 9), (5, 6, 8), (4, 7, 10), (5, 7, 11), (7, 7, 12),
+    (4, 8, 13), (7, 8, 14), (24, 9, 15), (8, 10, 18), (23, 10, 16), (24, 10, 17),
+    (55, 10, 0), (23, 11, 24), (24, 11, 25), (40, 11, 23), (55, 11, 22), (103, 11, 19),
+    (104, 11, 20), (108, 11, 21), (36, 12, 52), (39, 12, 55), (40, 12, 56), (43, 12, 59),
+    (44, 12, 60), (55, 12, 53), (56, 12, 54), (82, 12, 50), (83, 12, 51), (84, 12, 44),
+    (85, 12, 45), (86, 12, 46), (87, 12, 47), (88, 12, 57), (89, 12, 58), (90, 12, 61),
+    (100, 12, 48), (101, 12, 49), (102, 12, 62), (103, 12, 63), (104, 12, 30), (105, 12, 31),
+    (106, 12, 32), (107, 12, 33), (108, 12, 40), (109, 12, 41), (202, 12, 26), (203, 12, 27),
+    (204, 12, 28), (205, 12, 29), (210, 12, 34), (211, 12, 35), (212, 12, 36), (213, 12, 37),
+    (214, 12, 38), (215, 12, 39), (218, 12, 42), (219, 12, 43))
+
+  private val FaxBlackMakeup: Array[(Int, Int, Int)] = Array(
+    (15, 10, 64), (8, 11, 1792), (12, 11, 1856), (13, 11, 1920), (18, 12, 1984), (19, 12, 2048),
+    (20, 12, 2112), (21, 12, 2176), (22, 12, 2240), (23, 12, 2304), (28, 12, 2368), (29, 12, 2432),
+    (30, 12, 2496), (31, 12, 2560), (51, 12, 320), (52, 12, 384), (53, 12, 448), (91, 12, 256),
+    (200, 12, 128), (201, 12, 192), (74, 13, 640), (75, 13, 704), (76, 13, 768), (77, 13, 832),
+    (82, 13, 1280), (83, 13, 1344), (84, 13, 1408), (85, 13, 1472), (90, 13, 1536), (91, 13, 1600),
+    (100, 13, 1664), (101, 13, 1728), (108, 13, 512), (109, 13, 576), (114, 13, 896), (115, 13, 960),
+    (116, 13, 1024), (117, 13, 1088), (118, 13, 1152), (119, 13, 1216))
+
+  /** (code, bitlen) -> (run, isTerminating), per color. */
+  private def faxMap(term: Array[(Int, Int, Int)],
+      makeup: Array[(Int, Int, Int)]): java.util.HashMap[Int, Long] = {
+    val m = new java.util.HashMap[Int, Long]()
+    term.foreach { case (c, l, r) => m.put((l << 16) | c, (r.toLong << 1) | 1L) }
+    makeup.foreach { case (c, l, r) => m.put((l << 16) | c, r.toLong << 1) }
+    m
+  }
+  private val FaxWhite = faxMap(FaxWhiteTerm, FaxWhiteMakeup)
+  private val FaxBlack = faxMap(FaxBlackTerm, FaxBlackMakeup)
+
+  private final class FaxBits(c: Array[Byte], start: Int, end: Int) {
+    private var bit = start.toLong * 8
+    private val endBit = end.toLong * 8
+    def read(): Int =
+      if (bit >= endBit) -1
+      else {
+        val b = (c((bit >> 3).toInt) >> (7 - (bit & 7).toInt)) & 1
+        bit += 1
+        b
+      }
+    def alignByte(): Unit = bit = (bit + 7) & ~7L
+    def exhausted: Boolean = bit >= endBit
+  }
+
+  /** One complete run (chained makeups + a terminating code); -1 on a
+    * code not in the table or stream end. */
+  private def faxRun(br: FaxBits, white: Boolean): Int = {
+    val m = if (white) FaxWhite else FaxBlack
+    var total = 0
+    while (true) {
+      var code = 0
+      var len = 0
+      var hit = -1L
+      while (hit < 0 && len < 14) {
+        val b = br.read()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        len += 1
+        hit = m.getOrDefault((len << 16) | code, -1L)
+      }
+      if (hit < 0) return -1
+      total += (hit >> 1).toInt
+      if ((hit & 1L) == 1L) return total
+      if (total > (1 << 20)) return -1 // runaway makeup chain
+    }
+    -1
+  }
+
+  /** Scan to just past the next EOL (>= 11 zeros then a 1), absorbing
+    * fill bits. */
+  private def faxEol(br: FaxBits): Boolean = {
+    var zeros = 0
+    while (true) {
+      val b = br.read()
+      if (b < 0) return false
+      if (b == 0) zeros += 1
+      else if (zeros >= 11) return true
+      else zeros = 0
+    }
+    false
+  }
+
+  /** 1D (MH) row into a transition list; returns the transition count
+    * or -1. Transitions alternate white->black starting at index 0. */
+  private def fax1dRow(br: FaxBits, w: Int, cur: Array[Int]): Int = {
+    var x = 0
+    var white = true
+    var n = 0
+    while (x < w) {
+      val run = faxRun(br, white)
+      if (run < 0 || x + run > w) return -1
+      x += run
+      if (x < w) {
+        if (n >= cur.length - 2) return -1
+        cur(n) = x
+        n += 1
+      }
+      white = !white
+    }
+    cur(n) = w; cur(n + 1) = w
+    n
+  }
+
+  /** One 2D (T.4 2D / T.6) row against reference transitions `ref`
+    * (terminated by >= two `w` sentinels); fills `cur`, returns its
+    * transition count or -1. */
+  private def fax2dRow(br: FaxBits, w: Int, ref: Array[Int], refN: Int,
+      cur: Array[Int]): Int = {
+    var a0 = -1
+    var white = true
+    var n = 0
+    while (a0 < w) {
+      // b1: first ref transition > a0 whose index parity makes it a
+      // changing element of OPPOSITE color to a0's color; parity: ref
+      // transitions alternate white->black (even index) / black->white.
+      var i = 0
+      while (i < refN && (ref(i) <= a0 || ((i & 1) == 0) != white)) i += 1
+      val b1 = if (i < refN) ref(i) else w
+      val b2 = if (i + 1 < refN) ref(i + 1) else w
+      // mode code
+      var mode = -1
+      var delta = 0
+      val bit1 = br.read()
+      if (bit1 < 0) return -1
+      if (bit1 == 1) mode = 0 // V0
+      else {
+        val bit2 = br.read(); if (bit2 < 0) return -1
+        val bit3 = br.read(); if (bit3 < 0) return -1
+        if (bit2 == 1) { mode = 0; delta = if (bit3 == 1) 1 else -1 } // VR1/VL1
+        else if (bit3 == 1) mode = 1 // 001 horizontal
+        else {
+          val bit4 = br.read(); if (bit4 < 0) return -1
+          if (bit4 == 1) mode = 2 // 0001 pass
+          else {
+            val bit5 = br.read(); if (bit5 < 0) return -1
+            val bit6 = br.read(); if (bit6 < 0) return -1
+            if (bit5 == 1) { mode = 0; delta = if (bit6 == 1) 2 else -2 }
+            else if (bit6 == 1) {
+              val bit7 = br.read(); if (bit7 < 0) return -1
+              mode = 0; delta = if (bit7 == 1) 3 else -3
+            } else return -1 // EOL/extension inside a row: malformed
+          }
+        }
+      }
+      mode match {
+        case 2 => // pass: colour continues through b2
+          if (b2 <= a0) return -1 // corrupt stream: no forward progress
+          a0 = b2
+        case 1 => // horizontal: two MH runs from a0 (first pixel rule)
+          val s = if (a0 < 0) 0 else a0
+          val r1 = faxRun(br, white)
+          if (r1 < 0) return -1
+          val r2 = faxRun(br, !white)
+          if (r2 < 0) return -1
+          val t1 = s + r1
+          val t2 = t1 + r2
+          if (t2 > w || n >= cur.length - 3) return -1
+          cur(n) = t1; cur(n + 1) = t2; n += 2
+          a0 = t2
+        case _ => // vertical
+          val a1 = b1 + delta
+          // changing elements are strictly ordered; a non-advancing a1
+          // only occurs on corrupt input and would stall the row loop.
+          if (a1 < 0 || a1 > w || a1 <= a0 || n >= cur.length - 3)
+            return -1
+          cur(n) = a1; n += 1
+          a0 = a1
+          white = !white
+      }
+    }
+    while (n >= 2 && cur(n - 1) == w && cur(n - 2) == w) n -= 2
+    cur(n) = w; cur(n + 1) = w
+    n
+  }
+
+  /** Decode one CCITT strip/tile (`rows` x `w`) to row-aligned packed
+    * 1-bit data, bit 1 = black — the same layout an uncompressed 1-bit
+    * segment carries, so the shared expansion/polarity path applies. */
+  private def faxDecode(c: Array[Byte], off: Int, len: Int, w: Int,
+      rows: Int, compression: Long, t4opt: Long): Option[Array[Byte]] = {
+    if (off < 0 || len < 0 || off + len > c.length) return None
+    val rb = (w + 7) / 8
+    val out = new Array[Byte](rows * rb)
+    val br = new FaxBits(c, off, off + len)
+    val cur = new Array[Int](2 * w + 4)
+    val ref = new Array[Int](2 * w + 4)
+    ref(0) = w; ref(1) = w
+    var refN = 0
+    var r = 0
+    while (r < rows) {
+      val n = compression match {
+        case 2L =>
+          br.alignByte()
+          fax1dRow(br, w, cur)
+        case 3L =>
+          if (!faxEol(br)) return None
+          if ((t4opt & 1L) == 0L) fax1dRow(br, w, cur)
+          else {
+            val tag = br.read()
+            if (tag < 0) return None
+            if (tag == 1) fax1dRow(br, w, cur)
+            else fax2dRow(br, w, ref, refN, cur)
+          }
+        case _ => // 4: T.6, every row 2D
+          fax2dRow(br, w, ref, refN, cur)
+      }
+      if (n < 0) return None
+      // transitions -> packed black bits
+      var k = 0
+      while (k + 1 < n + 2 && cur(k) < w) {
+        val from = cur(k)
+        val until = if (k + 1 <= n) math.min(cur(k + 1), w) else w
+        if ((k & 1) == 0) { // black span [from, until)
+          var x = from
+          while (x < until) {
+            out(r * rb + (x >> 3)) =
+              (out(r * rb + (x >> 3)) | (0x80 >> (x & 7))).toByte
+            x += 1
+          }
+        }
+        k += 1
+      }
+      System.arraycopy(cur, 0, ref, 0, n + 2)
+      refN = n
+      r += 1
+    }
+    Some(out)
+  }
+
   /** PackBits (TIFF §9 / Apple) decompression into exactly `n` bytes:
     * control c in [0,127] copies c+1 literals; in [-127,-1] repeats the
     * next byte 1-c times; -128 is a no-op. Overrun = structure loss. */
@@ -3018,6 +3287,7 @@ object Multimodal {
     var compression = 1L; var photometric = 1L; var spp = 1L
     var predictor = 1L; var planar = 1L
     var tileWidth = 0L; var tileLength = 0L
+    var t4Options = 0L; var t6Options = 0L
     var bitsPS = 8L // BitsPerSample (uniform across components)
     var bitsOk = true
     var colorMap = Array.empty[Long]
@@ -3045,7 +3315,12 @@ object Multimodal {
         else -1L
       }
       def allVals(): Array[Long] =
-        Array.tabulate(cnt.toInt)(valAt)
+        // A hostile count cannot allocate beyond the file itself: the
+        // values live inline or in the file, so cnt * tsz is bounded
+        // by its length (caught by fuzzing — an unguarded tabulate
+        // OOMed on a mutated IFD before any bounds check ran).
+        if (cnt < 0 || cnt * tsz > c.length.toLong) Array.empty[Long]
+        else Array.tabulate(cnt.toInt)(valAt)
       tagId match {
         case 256 => width = valAt(0)
         case 257 => height = valAt(0)
@@ -3061,6 +3336,8 @@ object Multimodal {
         case 278 => rowsPerStrip = valAt(0)
         case 279 => stripCounts = allVals()
         case 284 => planar = valAt(0)
+        case 292 => t4Options = valAt(0)
+        case 293 => t6Options = valAt(0)
         case 317 => predictor = valAt(0)
         case 320 => colorMap = allVals() // palette: 3 x 256 16-bit
         case 322 => tileWidth = valAt(0)
@@ -3087,8 +3364,14 @@ object Multimodal {
     if ((photometric > 2 && !paletted) || predictor > 2) return None
     if (planar != 1L && planar != 2L) return None
     if (spp != 1L && spp != 3L && spp != 4L) return None
-    if (compression != 1L && compression != 5L && compression != 32773L)
-      return None
+    val ccitt = compression == 2L || compression == 3L || compression == 4L
+    if (compression != 1L && compression != 5L && compression != 32773L &&
+      !ccitt) return None
+    // CCITT streams are bilevel single-sample by definition; T.6
+    // uncompressed mode (T6Options bit 1) is not produced by real
+    // writers and refuses.
+    if (ccitt && (bits != 1 || spp != 1L || planar != 1L ||
+      (compression == 4L && (t6Options & 2L) != 0L))) return None
     val tiled = tileOffsets.nonEmpty
     if (tiled) {
       if (tileWidth <= 0 || tileLength <= 0 ||
@@ -3130,6 +3413,9 @@ object Multimodal {
           if (sc < need) None
           else Some(java.util.Arrays.copyOfRange(c, so.toInt, so.toInt + need))
         case 32773L => tiffPackBits(c, so.toInt, sc.toInt, need)
+        case 2L | 3L | 4L =>
+          faxDecode(c, so.toInt, sc.toInt, rowSamples, rows, compression,
+            t4Options)
         case _ => tiffLzw(c, so.toInt, sc.toInt, need)
       }).getOrElse(return None)
       if (bits == 8) return Some(packed)
