@@ -1887,6 +1887,96 @@ object TextSim {
         .orderBy("keep_id")
     },
 
+    // Normalized near-exact dedup — the first REAL dedup pass of every
+    // pipeline (raw-md5 exact dedup misses trivial variants): texts are
+    // canonicalized (lower, punctuation runs to one space, whitespace
+    // collapsed, trimmed) before grouping, so case/spacing/punctuation
+    // twins collapse into one group. Same one-shuffle shape as
+    // q_dedup_exact, keyed on the canonical form's md5. The regex
+    // subset ([^a-z0-9]+ on lowered text) is Java/RE2-identical; on
+    // the clean fixture corpus normalization is near-identity, so the
+    // group structure matches exact dedup — the SPELLING is what this
+    // row pins (MaskDedupSpec-style variant behavior is covered by the
+    // charMaskDocs capability).
+    q("q_dedup_norm",
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT md5(canon) AS canon_md5, CAST(count(*) AS BIGINT) AS n,
+        |  min(doc_id) AS keep_id
+        |FROM n
+        |GROUP BY canon
+        |ORDER BY keep_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+            .as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+        .select(md5(col("canon")).as("canon_md5"), col("n"), col("keep_id"))
+        .orderBy("keep_id")
+    },
+
+    // Per-source label-balance entropy — the class-mix health check a
+    // curation pipeline runs on every partition key (here: language
+    // mix per source): H = log2(n_s) for a perfectly even mix, 0 for a
+    // single-language source. Same Σ n·log2 n identity as
+    // q_text_entropy (rule-2 rounding absorbs order drift); one tiny
+    // (source, lang) aggregation then |sources| rows.
+    q("q_agg_shannon",
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  round(log2(CAST(sum(n) AS DOUBLE))
+        |    - sum(n * log2(CAST(n AS DOUBLE))) / sum(n), 6) AS lang_entropy
+        |FROM c
+        |GROUP BY source
+        |ORDER BY source""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_langs"), sum("n").as("n_docs"),
+          round(log2(sum("n").cast("double"))
+            - sum(col("n") * log2(col("n").cast("double"))) / sum("n"), 6)
+            .as("lang_entropy"))
+        .orderBy("source")
+    },
+
+    // Token-budget concentration (Gini) per language — "is this slice
+    // dominated by a few huge documents?": G = 2·Σ(rank·len)/(n·Σlen)
+    // − (n+1)/n over length-ranked docs. High Gini flags slices whose
+    // token budget a handful of megadocs would monopolize under
+    // doc-level sampling. One per-lang rank window + one aggregation;
+    // ranks order (n_chars, doc_id) for total determinism.
+    q("q_agg_gini",
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(2.0 * sum(rk * CAST(n_chars AS DOUBLE))
+        |      / (count(*) * sum(CAST(n_chars AS DOUBLE)))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r
+        |GROUP BY lang
+        |ORDER BY lang""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          row_number().over(w).as("rk"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          round(lit(2.0) * sum(col("rk") * col("n_chars").cast("double"))
+              / (count(lit(1)) * sum(col("n_chars").cast("double")))
+            - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+        .orderBy("lang")
+    },
+
     // Source-priority canonical selection: the "keep the best copy" step
     // every multi-source corpus runs after candidate grouping. Duplicate
     // groups are bag-of-words signatures (sorted distinct tokens — order
