@@ -397,6 +397,10 @@ object Multimodal {
     val compQ = new Array[Int](4)
     val compId = new Array[Int](4)
     var restartInterval = 0
+    // Adobe APP14 transform: 0 = stored CMYK/RGB as-is, 2 = YCCK.
+    // 4-component files without the marker default to plain CMYK
+    // (libjpeg's convention).
+    var adobeTransform = -1
     var pos = 2
     var scanDc: Array[Int] = null
     var scanAc: Array[Int] = null
@@ -417,7 +421,8 @@ object Multimodal {
             h = ((c(seg + 1) & 0xFF) << 8) | (c(seg + 2) & 0xFF)
             w = ((c(seg + 3) & 0xFF) << 8) | (c(seg + 4) & 0xFF)
             nComp = c(seg + 5) & 0xFF
-            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            if (w <= 0 || h <= 0 ||
+              (nComp != 1 && nComp != 3 && nComp != 4)) return None
             if (w.toLong * h * 3 > MaxJpegPixelBytes) return None
             var i = 0
             while (i < nComp) {
@@ -488,6 +493,10 @@ object Multimodal {
           case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
               0xCD | 0xCE | 0xCF =>
             return None // lossless / arithmetic / differential
+          case 0xEE if len >= 14 &&
+              new String(c, seg, 5, java.nio.charset.StandardCharsets
+                .US_ASCII) == "Adobe" =>
+            adobeTransform = c(seg + 11) & 0xFF
           case _ => () // APPn, COM, ...: skip
         }
         if (sosAt < 0) pos += 2 + len
@@ -570,7 +579,7 @@ object Multimodal {
       my += 1
     }
     Some(jPlanesToImage(w, h, nComp, planes, planeW, compH, compV,
-      hmax, vmax))
+      hmax, vmax, adobeTransform))
   } catch {
     case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
       None // corrupt/truncated input: drop, don't crash
@@ -619,8 +628,8 @@ object Multimodal {
   private def jPlanesToImage(w: Int, h: Int, nComp: Int,
       planes: Array[Array[Byte]], planeW: Array[Int],
       compH: Array[Int], compV: Array[Int], hmax: Int,
-      vmax: Int): JpegImage = {
-    val out = new Array[Byte](w * h * (if (nComp == 3) 3 else 1))
+      vmax: Int, adobeTransform: Int = -1): JpegImage = {
+    val out = new Array[Byte](w * h * (if (nComp >= 3) 3 else 1))
     if (nComp == 1) {
       val pw = planeW(0)
       var y = 0
@@ -630,20 +639,44 @@ object Multimodal {
         y += 1
       }
     } else {
+      // Adobe 4-component: samples are stored INVERTED (255 = no ink);
+      // YCCK (transform 2) runs the first three planes through the
+      // YCbCr conversion first, yielding the inverted C/M/Y directly,
+      // and plain CMYK (transform 0 / no marker) uses them as stored.
+      // Either way RGB = inverted_component x inverted_K / 255.
+      val ycck = nComp == 4 && adobeTransform == 2
+      val ycc = nComp == 3 || ycck
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val yy = planes(0)(
+          val p0 = planes(0)(
             (y * compV(0) / vmax) * planeW(0) + x * compH(0) / hmax) & 0xFF
-          val cb = (planes(1)(
-            (y * compV(1) / vmax) * planeW(1) + x * compH(1) / hmax) & 0xFF) - 128
-          val cr = (planes(2)(
-            (y * compV(2) / vmax) * planeW(2) + x * compH(2) / hmax) & 0xFF) - 128
+          val p1 = planes(1)(
+            (y * compV(1) / vmax) * planeW(1) + x * compH(1) / hmax) & 0xFF
+          val p2 = planes(2)(
+            (y * compV(2) / vmax) * planeW(2) + x * compH(2) / hmax) & 0xFF
+          var r = p0
+          var g = p1
+          var b = p2
+          if (ycc) {
+            val cb = p1 - 128
+            val cr = p2 - 128
+            r = math.rint(p0 + 1.402 * cr).toInt
+            g = math.rint(p0 - 0.344136 * cb - 0.714136 * cr).toInt
+            b = math.rint(p0 + 1.772 * cb).toInt
+            if (r < 0) r = 0 else if (r > 255) r = 255
+            if (g < 0) g = 0 else if (g > 255) g = 255
+            if (b < 0) b = 0 else if (b > 255) b = 255
+          }
+          if (nComp == 4) {
+            val k = planes(3)(
+              (y * compV(3) / vmax) * planeW(3) + x * compH(3) / hmax) & 0xFF
+            r = (r * k + 127) / 255
+            g = (g * k + 127) / 255
+            b = (b * k + 127) / 255
+          }
           val o = (y * w + x) * 3
-          val r = math.rint(yy + 1.402 * cr).toInt
-          val g = math.rint(yy - 0.344136 * cb - 0.714136 * cr).toInt
-          val b = math.rint(yy + 1.772 * cb).toInt
           out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
           out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
           out(o + 2) = (if (b < 0) 0 else if (b > 255) 255 else b).toByte
@@ -652,7 +685,7 @@ object Multimodal {
         y += 1
       }
     }
-    JpegImage(w, h, if (nComp == 3) 3 else 1, out)
+    JpegImage(w, h, if (nComp >= 3) 3 else 1, out)
   }
 
   /** Progressive (SOF2) JFIF decode, pure JVM — the multi-scan

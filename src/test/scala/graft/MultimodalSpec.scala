@@ -1199,6 +1199,106 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpeg(arith).isEmpty)
   }
 
+  /** 4-component Adobe JPEG (CMYK / YCCK) spec-side encoder: the
+    * baseline machinery (flat tables, FDCT, 1x1 sampling) with four
+    * planes and the APP14 marker carrying the transform byte. Input
+    * `cmyk` uses the STORED convention (Adobe-inverted: 255 = no
+    * ink); transform 2 (YCCK) routes the first three planes through
+    * the YCbCr forward transform, transform 0 stores them as-is. */
+  private def jpegCmykBytes(w: Int, h: Int, cmyk: Array[Byte], qval: Int,
+      transform: Int): Array[Byte] = {
+    def ch(i: Int)(x0: Int, y0: Int): Double = {
+      val x = math.max(0, math.min(x0, w - 1))
+      val y = math.max(0, math.min(y0, h - 1))
+      (cmyk((y * w + x) * 4 + i) & 0xFF).toDouble
+    }
+    def yOf(x: Int, y: Int) =
+      0.299 * ch(0)(x, y) + 0.587 * ch(1)(x, y) + 0.114 * ch(2)(x, y)
+    def cbOf(x: Int, y: Int) =
+      -0.168736 * ch(0)(x, y) - 0.331264 * ch(1)(x, y) + 0.5 * ch(2)(x, y) + 128
+    def crOf(x: Int, y: Int) =
+      0.5 * ch(0)(x, y) - 0.418688 * ch(1)(x, y) - 0.081312 * ch(2)(x, y) + 128
+    val samplers: Array[(Int, Int) => Double] =
+      if (transform == 2) Array(yOf, cbOf, crOf, ch(3))
+      else Array(ch(0), ch(1), ch(2), ch(3))
+    def block(f: (Int, Int) => Double, x0: Int, y0: Int): Array[Double] =
+      Array.tabulate(64)(i => f(x0 + i % 8, y0 + i / 8) - 128.0)
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xFF); out.write(marker)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xFF)
+      payload.foreach(p => out.write(p & 0xFF))
+    }
+    out.write(0xFF); out.write(0xD8)
+    seg(0xEE, "Adobe".getBytes("US-ASCII").map(_.toInt) ++
+      Array(0, 100, 0, 0, 0, 0, transform)) // APP14
+    seg(0xDB, 0 +: Array.fill(64)(qval))
+    seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 4) ++
+      (0 until 4).flatMap(i => Seq(i + 1, 0x11, 0)))
+    seg(0xC4, 0x00 +: (jDcBits.drop(1) ++ jDcVals))
+    seg(0xC4, 0x10 +: (jAcBits.drop(1) ++ jAcVals))
+    seg(0xDA, 4 +: ((0 until 4).flatMap(i => Seq(i + 1, 0x00)) ++
+      Seq(0, 63, 0)).toArray)
+    val dcC = jhuffCodes(jDcBits, jDcVals)
+    val acC = jhuffCodes(jAcBits, jAcVals)
+    val bw = new JBitW(out)
+    val dc = new Array[Int](4)
+    for (my <- 0 until (h + 7) / 8; mx <- 0 until (w + 7) / 8; ci <- 0 until 4)
+      dc(ci) = jEmitBlock(jFdctQuant(block(samplers(ci), mx * 8, my * 8),
+        qval), dc(ci), bw, dcC, acC)
+    bw.flush()
+    out.write(0xFF); out.write(0xD9)
+    out.toByteArray
+  }
+
+  test("JPEG decode: Adobe CMYK and YCCK 4-component") {
+    val (w, h) = (19, 13) // partial MCUs both axes
+    val rnd = new scala.util.Random(61)
+    // Stored-convention CMYK (inverted). Smooth-ish fields keep the
+    // qval=1 round-trip error in the same band as the RGB tests.
+    val cmyk = new Array[Byte](w * h * 4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 4
+      cmyk(o) = (120 + 6 * x).toByte
+      cmyk(o + 1) = (230 - 5 * y).toByte
+      cmyk(o + 2) = (60 + 4 * x + 3 * y).toByte
+      cmyk(o + 3) = (250 - 2 * x).toByte
+    }
+    // Expected RGB via the documented math on the ORIGINAL samples.
+    def expected(o: Int): (Int, Int, Int) = {
+      val k = cmyk(o + 3) & 0xFF
+      def m(v: Int) = (v * k + 127) / 255
+      (m(cmyk(o) & 0xFF), m(cmyk(o + 1) & 0xFF), m(cmyk(o + 2) & 0xFF))
+    }
+    for (transform <- Seq(0, 2)) {
+      val img = Multimodal.decodeJpeg(
+        jpegCmykBytes(w, h, cmyk, qval = 1, transform)).get
+      assert(img.width === w && img.height === h && img.channels === 3,
+        s"transform $transform")
+      var worst = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val (er, eg, eb) = expected((y * w + x) * 4)
+        val o = (y * w + x) * 3
+        worst = math.max(worst, math.abs((img.pixels(o) & 0xFF) - er))
+        worst = math.max(worst, math.abs((img.pixels(o + 1) & 0xFF) - eg))
+        worst = math.max(worst, math.abs((img.pixels(o + 2) & 0xFF) - eb))
+      }
+      // quantization + (for YCCK) two colorspace trips; the K scaling
+      // divides absolute error, so the band matches the RGB tests.
+      assert(worst <= 5, s"transform $transform: max error $worst")
+    }
+    // Pipeline: meta + embed see the 4-component file.
+    import spark.implicits._
+    val bytes = jpegCmykBytes(w, h, cmyk, qval = 1, 2)
+    val meta = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("c.jpg", bytes.length, bytes)).toDS()).collect().head
+    assert(meta.format === "jpeg" && meta.width === w && meta.height === h)
+    val emb = Multimodal.embed(Seq(
+      Multimodal.MediaFile("c.jpg", bytes.length, bytes)).toDS()).collect().head
+    assert(math.abs(emb.embedding.sum - 1.0) < 1e-9)
+  }
+
   test("JPEG decode: restart intervals with and without fill bytes") {
     val (w, h) = (24, 17) // 3x3 MCUs at 4:4:4 → two restart boundaries
     val rgb = jTestRgb(w, h)
