@@ -250,6 +250,31 @@ class PlanShapeSpec extends AnyFunSuite {
         s"got $tops:\n$p")
   }
 
+  test("q_text_boilerplate broadcasts the hot-gram set back onto the grams") {
+    // The inverted-index contract: the df >= 5 gram table is the small
+    // side by construction (cross-doc 8-gram repeats are rare) and must
+    // come back as a broadcast join, never a gram-keyed shuffle join of
+    // two corpus-scale frames.
+    val p = plan("q_text_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q_dedup_norm: one canonical-text exchange, no join") {
+    // Normalized dedup is exactly q_dedup_exact's shape: narrow
+    // canonicalization into ONE hash aggregation on the canonical key.
+    val p = plan("q_dedup_norm")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nEx <= 1, s"expected <= 1 hash exchange, got $nEx:\n$p")
+  }
+
+  test("q_agg_gini: rank window and aggregate share one lang exchange") {
+    val p = plan("q_agg_gini")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nEx <= 1, s"expected one lang exchange, got $nEx:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
   test("q_agg_outliers broadcasts the stats table — no Window over the fact") {
     // The scale-safe spelling: a 3-row per-group stats aggregate is
     // broadcast back onto the fact scan. A Window here would funnel
