@@ -1877,10 +1877,12 @@ object Multimodal {
   private def isWebp(c: Array[Byte]): Boolean =
     c.length >= 20 && tag(c, 0) == "RIFF" && tag(c, 8) == "WEBP"
 
-  /** WebP whose FIRST payload chunk is VP8L (simple lossless file). */
+  /** WebP whose payload is a VP8L lossless stream — the simple layout
+    * (VP8L first) or an extended VP8X container carrying one. */
   private def isWebpLossless(c: Array[Byte]): Boolean =
-    isWebp(c) && tag(c, 12) == "VP8L" && c.length >= 25 &&
-      (c(20) & 0xFF) == 0x2F
+    isWebp(c) && webpChunk(c, "VP8L").exists { case (off, len) =>
+      len >= 5 && off < c.length && (c(off) & 0xFF) == 0x2F
+    }
 
   /** Decompression-bomb guard, same discipline as PNG/JPEG: the 5-byte
     * VP8L header can declare up to 16384x16384; refuse to allocate more
@@ -2210,10 +2212,13 @@ object Multimodal {
     * the PNG/JPEG downstream (histogram embed, BMP bridge, resize)
     * composes unchanged. Unsupported/corrupt input returns None. */
   def decodeWebpLossless(c: Array[Byte]): Option[PngImage] = try {
-    if (!isWebpLossless(c)) return None
-    val chunkLen = le32(c, 16)
-    val end = math.min(c.length.toLong, 20L + chunkLen).toInt
-    val br = new VlBits(c, 21, end) // skip the 0x2F signature byte
+    // Simple layout (VP8L first) or an extended VP8X container whose
+    // payload chunk is VP8L — the RIFF walk finds it either way.
+    if (!isWebp(c)) return None
+    val (chunkOff, chunkLen) = webpChunk(c, "VP8L").getOrElse(return None)
+    if (chunkOff + 1 > c.length || (c(chunkOff) & 0xFF) != 0x2F) return None
+    val end = math.min(c.length.toLong, chunkOff.toLong + chunkLen).toInt
+    val br = new VlBits(c, chunkOff + 1, end) // skip the 0x2F signature
     val w = br.bits(14) + 1
     val h = br.bits(14) + 1
     br.bits(1) // alpha hint
@@ -2410,12 +2415,14 @@ object Multimodal {
     * header for lossy (real since r10 — no entropy decode needed),
     * VP8X canvas dims for extended files. */
   private def webpMeta(path: String, c: Array[Byte]): MediaMeta = {
+    val lossless = if (isWebpLossless(c)) webpChunk(c, "VP8L") else None
     val (w, h, ch) =
-      if (isWebpLossless(c)) {
-        val b1 = c(21) & 0xFF
-        val b2 = c(22) & 0xFF
-        val b3 = c(23) & 0xFF
-        val b4 = c(24) & 0xFF
+      if (lossless.isDefined) {
+        val o = lossless.get._1
+        val b1 = c(o + 1) & 0xFF
+        val b2 = c(o + 2) & 0xFF
+        val b3 = c(o + 3) & 0xFF
+        val b4 = c(o + 4) & 0xFF
         (1 + (b1 | ((b2 & 0x3F) << 8)),
           1 + ((b2 >> 6) | (b3 << 2) | ((b4 & 0x0F) << 10)), 4)
       } else {

@@ -464,6 +464,42 @@ class WebpSpec extends AnyFunSuite {
     try in.readAllBytes() finally in.close()
   }
 
+  test("VP8X extended container: VP8L payload decodes; canvas meta") {
+    // Rewrap a simple lossless file's VP8L chunk inside a VP8X
+    // container (the layout every transparent/EXIF-carrying WebP
+    // uses): the RIFF walk must find and decode it identically.
+    val simple = encode(9, 7, litsOf(testImage(9, 7, 11).toSeq))
+    val want = Multimodal.decodeWebpLossless(simple).get
+    val chunkLen = (simple(16) & 0xFF) | ((simple(17) & 0xFF) << 8) |
+      ((simple(18) & 0xFF) << 16) | ((simple(19) & 0xFF) << 24)
+    val vp8l = java.util.Arrays.copyOfRange(simple, 12,
+      12 + 8 + chunkLen + (chunkLen & 1))
+    val b = java.nio.ByteBuffer
+      .allocate(12 + 18 + vp8l.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(4 + 18 + vp8l.length).put("WEBP".getBytes)
+    b.put("VP8X".getBytes).putInt(10)
+    b.put(0x10.toByte) // alpha-hint flag bits
+    b.put(0.toByte).put(0.toByte).put(0.toByte)
+    def le24(v: Int): Unit = { b.put((v & 0xFF).toByte)
+      .put(((v >> 8) & 0xFF).toByte).put(((v >> 16) & 0xFF).toByte) }
+    le24(9 - 1); le24(7 - 1)
+    b.put(vp8l)
+    val ext = b.array()
+    val got = Multimodal.decodeWebpLossless(ext).get
+    assert((got.width, got.height) === ((want.width, want.height)))
+    assert(got.pixels.toSeq === want.pixels.toSeq)
+    // meta reads the VP8L header through the walk, and the BMP bridge
+    // accepts the extended file.
+    import spark.implicits._
+    val meta = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("x.webp", ext.length, ext)).toDS()).collect().head
+    assert(meta.width === 9 && meta.height === 7)
+    assert(Multimodal.webpAsBmp(Seq(
+      Multimodal.MediaFile("x.webp", ext.length, ext)).toDS())
+      .collect().length === 1)
+  }
+
   test("VP8: bit-exact vs reference-decoder YUV goldens (51 streams)") {
     val names = vp8Fixtures
     assert(names.size >= 51)
