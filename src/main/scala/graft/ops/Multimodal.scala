@@ -1966,7 +1966,7 @@ object Multimodal {
 
   /** The spec's code-length-code read order. */
   private val VlClOrder: Array[Int] =
-    Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
   /** One prefix code from the stream: simple (1-2 listed symbols) or
     * code-length-coded over `alphabetSize` symbols. */
@@ -2224,6 +2224,29 @@ object Multimodal {
     br.bits(1) // alpha hint
     if (br.bits(3) != 0) return None // version must be 0
     if (w.toLong * h > MaxWebpPixels) return None
+    val px = vlDecodePixels(br, w, h).getOrElse(return None)
+    val out = new Array[Byte](w * h * 4)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      out(i * 4) = ((p >>> 16) & 0xFF).toByte
+      out(i * 4 + 1) = ((p >>> 8) & 0xFF).toByte
+      out(i * 4 + 2) = (p & 0xFF).toByte
+      out(i * 4 + 3) = ((p >>> 24) & 0xFF).toByte
+      i += 1
+    }
+    Some(PngImage(w, h, 4, out))
+  } catch {
+    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException =>
+      None // corrupt/truncated/hostile input: drop, don't crash
+  }
+
+  /** The VP8L image decode proper — optional transforms, the ARGB
+    * image stream, then transform inversion — shared by the lossless
+    * path and (since r10) the ALPH alpha-plane decode, whose lossless
+    * method is exactly this stream with implicit dimensions. */
+  private def vlDecodePixels(br: VlBits, w: Int, h: Int): Option[Array[Int]] = {
     // Transforms, each at most once, in stream order. Color indexing
     // narrows the effective width of everything read after it.
     var effW = w
@@ -2345,21 +2368,7 @@ object Multimodal {
       }
     }
     if (curW != w) return None // packing bookkeeping must restore w
-    val out = new Array[Byte](w * h * 4)
-    var i = 0
-    while (i < px.length) {
-      val p = px(i)
-      out(i * 4) = ((p >>> 16) & 0xFF).toByte
-      out(i * 4 + 1) = ((p >>> 8) & 0xFF).toByte
-      out(i * 4 + 2) = (p & 0xFF).toByte
-      out(i * 4 + 3) = ((p >>> 24) & 0xFF).toByte
-      i += 1
-    }
-    Some(PngImage(w, h, 4, out))
-  } catch {
-    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
-        _: NegativeArraySizeException =>
-      None // corrupt/truncated/hostile input: drop, don't crash
+    Some(px)
   }
 
   /** RIFF walk: (offset, length) of the first chunk named `want`
@@ -2382,13 +2391,82 @@ object Multimodal {
   private def isWebpLossy(c: Array[Byte]): Boolean =
     isWebp(c) && webpChunk(c, "VP8 ").isDefined && !isWebpLossless(c)
 
+  /** ALPH chunk decode — the alpha plane of a lossy (VP8X) WebP.
+    * 1-byte header: bits 0-1 compression (0 raw, 1 the VP8L lossless
+    * image stream with implicit dims, alpha in the GREEN channel),
+    * bits 2-3 filter (0 none, 1 horizontal, 2 vertical, 3 gradient
+    * — predictions added mod 256 with the spec's edge rules), bits
+    * 4-5 pre-processing (informational; decoders may ignore it).
+    * Returns the w*h alpha plane, or None on malformed data. */
+  private def decodeAlph(c: Array[Byte], off: Int, len: Int, w: Int,
+      h: Int): Option[Array[Byte]] = try {
+    if (len < 1 || off + len > c.length) return None
+    val hdr = c(off) & 0xFF
+    val method = hdr & 3
+    val filter = (hdr >> 2) & 3
+    if (method > 1) return None
+    val plane = new Array[Byte](w * h)
+    if (method == 0) {
+      if (len - 1 < w * h) return None
+      System.arraycopy(c, off + 1, plane, 0, w * h)
+    } else {
+      val br = new VlBits(c, off + 1, off + len)
+      val px = vlDecodePixels(br, w, h).getOrElse(return None)
+      var i = 0
+      while (i < w * h) { plane(i) = ((px(i) >>> 8) & 0xFF).toByte; i += 1 }
+    }
+    if (filter > 0) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val pred =
+            if (x == 0 && y == 0) 0
+            else filter match {
+              case 1 => // horizontal: left; first column falls to top
+                if (x > 0) plane(y * w + x - 1) & 0xFF
+                else plane((y - 1) * w) & 0xFF
+              case 2 => // vertical: top; first row falls to left
+                if (y > 0) plane((y - 1) * w + x) & 0xFF
+                else plane(x - 1) & 0xFF
+              case _ => // gradient: clamp(a + b - c) with same edges
+                if (y == 0) plane(x - 1) & 0xFF
+                else if (x == 0) plane((y - 1) * w) & 0xFF
+                else {
+                  val a = plane(y * w + x - 1) & 0xFF
+                  val b = plane((y - 1) * w + x) & 0xFF
+                  val d = plane((y - 1) * w + x - 1) & 0xFF
+                  val g = a + b - d
+                  if (g < 0) 0 else if (g > 255) 255 else g
+                }
+            }
+          plane(y * w + x) = ((plane(y * w + x) & 0xFF) + pred).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some(plane)
+  } catch {
+    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException =>
+      None
+  }
+
   /** Lossy WebP -> RGB: VP8 key-frame decode + BT.601 limited-range
     * ("video range", the convention VP8 streams carry) integer
     * conversion of the 4:2:0 planes, cropped to the frame dims. */
   def decodeWebpLossy(c: Array[Byte]): Option[PngImage] =
     webpChunk(c, "VP8 ").flatMap { case (off, len) =>
       Vp8.decodeFrame(c, off, len).map { yuv =>
-        val out = new Array[Byte](yuv.w * yuv.h * 3)
+        // Transparent lossy files (VP8X + ALPH) get their real alpha
+        // plane; a malformed ALPH degrades to opaque RGB rather than
+        // dropping the whole image.
+        val alpha = webpChunk(c, "ALPH").flatMap { case (ao, al) =>
+          decodeAlph(c, ao, al, yuv.w, yuv.h)
+        }
+        val ch = if (alpha.isDefined) 4 else 3
+        val out = new Array[Byte](yuv.w * yuv.h * ch)
         var y = 0
         while (y < yuv.h) {
           var x = 0
@@ -2396,18 +2474,19 @@ object Multimodal {
             val yy = 1.164 * ((yuv.y(y * yuv.yStride + x) & 0xFF) - 16)
             val cb = (yuv.u((y >> 1) * yuv.uvStride + (x >> 1)) & 0xFF) - 128
             val cr = (yuv.v((y >> 1) * yuv.uvStride + (x >> 1)) & 0xFF) - 128
-            val o = (y * yuv.w + x) * 3
+            val o = (y * yuv.w + x) * ch
             val r = math.rint(yy + 1.596 * cr).toInt
             val g = math.rint(yy - 0.391 * cb - 0.813 * cr).toInt
             val b = math.rint(yy + 2.018 * cb).toInt
             out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
             out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
             out(o + 2) = (if (b < 0) 0 else if (b > 255) 255 else b).toByte
+            if (ch == 4) out(o + 3) = alpha.get(y * yuv.w + x)
             x += 1
           }
           y += 1
         }
-        PngImage(yuv.w, yuv.h, 3, out)
+        PngImage(yuv.w, yuv.h, ch, out)
       }
     }
 

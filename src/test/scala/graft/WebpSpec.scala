@@ -74,7 +74,7 @@ object WebpTestEncoder {
   }
 
   private val ClOrder =
-    Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
   /** One prefix code onto the wire. Single-symbol and two-small-symbol
     * sets use the simple representation; everything else goes through
@@ -498,6 +498,61 @@ class WebpSpec extends AnyFunSuite {
     assert(Multimodal.webpAsBmp(Seq(
       Multimodal.MediaFile("x.webp", ext.length, ext)).toDS())
       .collect().length === 1)
+  }
+
+  // Fixture provenance (src/test/resources/webp_ref/): files encoded
+  // by the system libwebp (the format's reference implementation);
+  // .rgba goldens are libwebp's own decode. These exist because the
+  // spec-side encoder can only prove SELF-consistency: a shared
+  // transcription error on both sides round-trips green while every
+  // real-world file fails. Exactly that happened — the code-length
+  // symbol order (17,18,0..5,16,6..15; 16 interposed after 5) was
+  // transcribed as trailing-16 in BOTH the decoder and the test
+  // encoder, so all r9 round-trips passed while every libwebp-encoded
+  // lossless file refused. These pins make that class of bug
+  // impossible to reintroduce.
+
+  private def refBytes(p: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("VP8L: libwebp-encoded lossless files decode bit-exact") {
+    for (n <- Seq("ll_grad_48x32", "ll_noise_33x17", "ll_blocks_64x48")) {
+      val webp = refBytes(s"/webp_ref/$n.webp")
+      val gold = refBytes(s"/webp_ref/$n.rgba")
+      val w = (gold(0) & 0xFF) | ((gold(1) & 0xFF) << 8)
+      val h = (gold(2) & 0xFF) | ((gold(3) & 0xFF) << 8)
+      val img = Multimodal.decodeWebpLossless(webp)
+        .getOrElse(fail(s"$n refused"))
+      assert((img.width, img.height, img.channels) === ((w, h, 4)), n)
+      var i = 0
+      while (i < w * h * 4) {
+        assert(img.pixels(i) === gold(4 + i), s"$n byte $i")
+        i += 1
+      }
+    }
+  }
+
+  test("ALPH: transparent lossy WebP carries the exact alpha plane") {
+    // Alpha fixtures cover the raw method, the lossless method (with
+    // transforms), and block/gradient/noise planes that exercise the
+    // prediction filters libwebp selects.
+    for (n <- Seq("a_grad_48x32_q75", "a_noise_33x17_q90",
+        "a_blocks_64x48_q50")) {
+      val webp = refBytes(s"/webp_ref/$n.webp")
+      val gold = refBytes(s"/webp_ref/$n.alpha")
+      val w = (gold(0) & 0xFF) | ((gold(1) & 0xFF) << 8)
+      val h = (gold(2) & 0xFF) | ((gold(3) & 0xFF) << 8)
+      val img = Multimodal.decodeWebpLossy(webp).getOrElse(fail(s"$n refused"))
+      assert((img.width, img.height, img.channels) === ((w, h, 4)), n)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.pixels((y * w + x) * 4 + 3) & 0xFF) ===
+          (gold(4 + y * w + x) & 0xFF), s"$n alpha($x,$y)")
+    }
+    // No ALPH chunk: plain RGB output.
+    val opaque = refBytes("/webp_ref/a_opaque_32x32_q75.webp")
+    assert(Multimodal.decodeWebpLossy(opaque).get.channels === 3)
   }
 
   test("VP8: bit-exact vs reference-decoder YUV goldens (51 streams)") {
