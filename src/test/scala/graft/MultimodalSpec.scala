@@ -1299,6 +1299,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(emb.embedding.sum - 1.0) < 1e-9)
   }
 
+  test("PNG: zlib-reference files decode bit-exact (independent deflate)") {
+    // Fixture provenance (src/test/resources/png_ref/): IDAT streams
+    // produced by a REAL zlib (python) at levels 1/6/9 — dynamic-
+    // huffman deflate from an independent implementation, the input
+    // class a self-consistent spec-encoder round-trip can never cover
+    // (the VP8L code-length-order lesson applied to the inflate path).
+    def res(p: String) = {
+      val in = getClass.getResourceAsStream(p)
+      try in.readAllBytes() finally in.close()
+    }
+    for (n <- Seq("grad_l1", "grad_l6", "grad_l9", "noise_l1", "noise_l6",
+        "noise_l9", "text_l1", "text_l6", "text_l9")) {
+      val png = res(s"/png_ref/$n.png")
+      val gold = res(s"/png_ref/$n.rgb")
+      val w = (gold(0) & 0xFF) | ((gold(1) & 0xFF) << 8)
+      val h = (gold(2) & 0xFF) | ((gold(3) & 0xFF) << 8)
+      val img = Multimodal.decodePng(png).getOrElse(fail(s"$n refused"))
+      assert((img.width, img.height) === ((w, h)), n)
+      var i = 0
+      while (i < w * h * 3) {
+        assert(img.pixels(i) === gold(4 + i), s"$n byte $i")
+        i += 1
+      }
+    }
+  }
+
   test("JPEG decode: restart intervals with and without fill bytes") {
     val (w, h) = (24, 17) // 3x3 MCUs at 4:4:4 → two restart boundaries
     val rgb = jTestRgb(w, h)
