@@ -583,6 +583,32 @@ class TiffSpec extends AnyFunSuite {
   // must reproduce them bit-exactly through the normal decodeTiff path
   // (photometric 0: black pixel = 0 after polarity).
 
+  test("LZW and PackBits: libtiff-encoded files decode bit-exact") {
+    // Independent-reference pins for the general-compression paths
+    // (the VP8L code-length-order lesson): real libtiff LZW (with and
+    // without Predictor 2, single- and multi-strip) and PackBits
+    // streams, vs the exact source pixels.
+    def res(p: String) = {
+      val in = getClass.getResourceAsStream(p)
+      try in.readAllBytes() finally in.close()
+    }
+    for (n <- Seq("lzw_grad", "lzw_grad_pred", "lzw_noise",
+        "lzw_runs_strips", "pb_runs", "pb_grad")) {
+      val tif = res(s"/tiff_ref/$n.tif")
+      val gold = res(s"/tiff_ref/$n.rgb")
+      val w = (gold(0) & 0xFF) | ((gold(1) & 0xFF) << 8)
+      val h = (gold(2) & 0xFF) | ((gold(3) & 0xFF) << 8)
+      val ch = (gold(4) & 0xFF) | ((gold(5) & 0xFF) << 8)
+      val img = Multimodal.decodeTiff(tif).getOrElse(fail(s"$n refused"))
+      assert((img.width, img.height, img.channels) === ((w, h, ch)), n)
+      var i = 0
+      while (i < w * h * ch) {
+        assert(img.pixels(i) === gold(6 + i), s"$n byte $i")
+        i += 1
+      }
+    }
+  }
+
   test("CCITT fax: libtiff-encoded fixtures decode bit-exact (all modes)") {
     val url = getClass.getResource("/fax")
     val names = new java.io.File(url.toURI).listFiles()
