@@ -21,9 +21,11 @@ import scala.util.hashing.MurmurHash3
   * (RIFF walk, MJPEG + uncompressed-DIB frame streams) are REAL
   * pure-JVM parsers — header fields decoded from the bytes, pixel and
   * sample payloads located/decompressed and featurized — including
-  * (since r10) lossy VP8 key frames, the [[Vp8]] decoder. Formats that
-  * need codecs this container doesn't ship (MP4/H.264,
-  * 16-bit TIFF, ...) fall back to a clearly-marked
+  * (since r10) lossy VP8 key frames, the [[Vp8]] decoder, TIFF
+  * 16/4/1-bit samples and CCITT fax, and every WAV format tag down to
+  * MS-ADPCM and float64 PCM. Formats that
+  * need codecs this container doesn't ship (MP4/H.264, ...) fall back
+  * to a clearly-marked
   * deterministic fake derived from the content bytes, so the pipeline
   * shape stays exercised end-to-end for every file. Everything around the kernels is real and tested
   * (MultimodalSpec): the binaryFile source schema, the typed Dataset
@@ -581,7 +583,7 @@ object Multimodal {
     Some(jPlanesToImage(w, h, nComp, planes, planeW, compH, compV,
       hmax, vmax, adobeTransform))
   } catch {
-    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
       None // corrupt/truncated input: drop, don't crash
   }
 
@@ -1069,7 +1071,7 @@ object Multimodal {
     Some(jPlanesToImage(w, h, nComp, planes, planeW, compH, compV,
       hmax, vmax))
   } catch {
-    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
       None // corrupt/truncated input: drop, don't crash
   }
 
@@ -1135,7 +1137,7 @@ object Multimodal {
     var channels = 0
     var byteRate = 0
     var dataLen = 0L
-    while (off + 8 <= c.length) {
+    while (off + 8 <= c.length && off >= 0) {
       val sz = le32(c, off + 4)
       tag(c, off) match {
         case "fmt " if off + 20 <= c.length =>
@@ -1144,7 +1146,11 @@ object Multimodal {
         case "data" => dataLen = sz.toLong & 0xFFFFFFFFL
         case _ => ()
       }
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
+      // Long walk: a negative or near-Int.MaxValue declared size must
+      // stop the scan, not wrap `off` (negative sz would loop forever).
+      val next = if (sz < 0) Long.MaxValue
+        else off.toLong + 8 + sz + (sz & 1) // chunks are word-aligned
+      off = if (next > c.length) c.length else next.toInt
     }
     MediaMeta(path, c.length, "wav", width = 0, height = 0,
       channels = channels,
@@ -1210,7 +1216,7 @@ object Multimodal {
       }
     }
     try walk(0L, c.length.toLong, 0)
-    catch { case _: ArrayIndexOutOfBoundsException => () }
+    catch { case _: IndexOutOfBoundsException => () }
     MediaMeta(path, c.length, "mp4", width = w, height = h,
       channels = if (w > 0) 3 else 0, duration_ms = durMs)
   }
@@ -1530,7 +1536,7 @@ object Multimodal {
       }
     }
     try walk(0L, c.length.toLong, 0)
-    catch { case _: ArrayIndexOutOfBoundsException => () }
+    catch { case _: IndexOutOfBoundsException => () }
     val durMs =
       if (durTicks.isNaN || tcScale <= 0) 0L
       else (durTicks * tcScale / 1e6).toLong
@@ -1657,9 +1663,12 @@ object Multimodal {
     *    through the public step/index tables, clamped.
     *  - 17/IMA ADPCM (stereo): per-channel block headers, 4-byte data
     *    chunks alternating channels, interleaved L/R output;
-    *  - 3/IEEE float32 PCM: clamped to [-1, 1], scaled to int16.
-    * Anything else (float64 PCM, MS-ADPCM, ...) returns
-    * None honestly and the caller falls back. Truncated data decodes
+    *  - 3/IEEE float32 AND float64 PCM: clamped to [-1, 1], scaled to
+    *    int16;
+    *  - 2/MS-ADPCM (mono + stereo): per-block decode through the
+    *    published coefficient pairs and delta-adaptation table.
+    * Anything else (compressed codecs this container doesn't ship)
+    * returns None honestly and the caller falls back. Truncated data decodes
     * to the bytes present (RIFF sizes routinely overrun on streamed
     * files); a data chunk without fmt drops. */
   def decodeWav(c: Array[Byte]): Option[WavAudio] = try {
@@ -1682,7 +1691,10 @@ object Multimodal {
           dataLen = math.min(sz.toLong, (c.length - dataOff).toLong).toInt
         case _ => ()
       }
-      off += 8 + sz + (sz & 1)
+      // Long walk (chunk is still PROCESSED above first — a truncated
+      // final data chunk decodes the bytes present, per the doc).
+      val next = off.toLong + 8 + sz + (sz & 1)
+      off = if (next > c.length) c.length else next.toInt
     }
     if (dataOff < 0 || nCh <= 0 || rate <= 0) return None
     val samples: Array[Short] = fmt match {
@@ -1865,7 +1877,7 @@ object Multimodal {
     }
     Some(WavAudio(rate, nCh, samples))
   } catch {
-    case _: ArrayIndexOutOfBoundsException |
+    case _: IndexOutOfBoundsException |
         _: NegativeArraySizeException => None
   }
 
@@ -2237,7 +2249,7 @@ object Multimodal {
     }
     Some(PngImage(w, h, 4, out))
   } catch {
-    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException |
         _: NegativeArraySizeException =>
       None // corrupt/truncated/hostile input: drop, don't crash
   }
@@ -2379,7 +2391,9 @@ object Multimodal {
     var p = 12
     while (p + 8 <= c.length) {
       val sz = le32(c, p + 4)
-      if (sz < 0 || p + 8 + sz > c.length) return None
+      // Long arithmetic: a declared size near Int.MaxValue would wrap
+      // `p + 8 + sz` negative and pass an Int-only bounds check.
+      if (sz < 0 || p.toLong + 8 + sz > c.length) return None
       if (tag(c, p) == want) return Some((p + 8, sz))
       p += 8 + sz + (sz & 1)
     }
@@ -2448,7 +2462,7 @@ object Multimodal {
     }
     Some(plane)
   } catch {
-    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException |
         _: NegativeArraySizeException =>
       None
   }
@@ -2509,7 +2523,10 @@ object Multimodal {
           Vp8.dims(c, off, len)
         }
         lossy match {
-          case Some((lw, lh)) => (lw, lh, 3)
+          case Some((lw, lh)) =>
+            // Transparent lossy files (VP8X + ALPH) decode to RGBA;
+            // metadata must agree with decodeWebpLossy's output.
+            (lw, lh, if (webpChunk(c, "ALPH").isDefined) 4 else 3)
           case None =>
             if (tag(c, 12) == "VP8X" && c.length >= 30) {
               def le24(o: Int): Int =
@@ -2774,7 +2791,7 @@ object Multimodal {
     }
     if (frames.isEmpty) None else Some(GifAnim(w, h, frames.toSeq))
   } catch {
-    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException |
         _: NegativeArraySizeException =>
       None // corrupt/truncated/hostile input: drop, don't crash
   }
@@ -2807,7 +2824,7 @@ object Multimodal {
           case _ => done = true
         }
       }
-    } catch { case _: ArrayIndexOutOfBoundsException => () }
+    } catch { case _: IndexOutOfBoundsException => () }
     MediaMeta(path, c.length, "gif", width = le16(c, 6), height = le16(c, 8),
       channels = 3, duration_ms = if (nFrames > 1) totalMs else 0L)
   }
@@ -2882,7 +2899,9 @@ object Multimodal {
         val id = tag(c, off)
         val sz = le32(c, off + 4)
         val body = off + 8
-        if (sz < 0 || body + sz > end) { malformed = true; return }
+        // Long check: Int `body + sz` wraps negative for sz near
+        // Int.MaxValue and would pass, then index out of bounds.
+        if (sz < 0 || body.toLong + sz > end) { malformed = true; return }
         if (id == "LIST" && sz >= 4) walk(body + 4, body + sz)
         else if (id == "avih" && sz >= 40) {
           usPerFrame = le32(c, body).toLong & 0xFFFFFFFFL
@@ -2937,7 +2956,7 @@ object Multimodal {
     if (malformed || w <= 0 || frames.isEmpty) None
     else Some(AviVideo(w, h, usPerFrame, frames.toSeq))
   } catch {
-    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException |
         _: NegativeArraySizeException =>
       None // corrupt/truncated/hostile input: drop, don't crash
   }
@@ -2953,7 +2972,7 @@ object Multimodal {
       while (!done && off + 8 <= c.length) {
         val id = tag(c, off)
         val sz = le32(c, off + 4)
-        if (sz < 0 || off + 8 + sz > c.length) done = true
+        if (sz < 0 || off.toLong + 8 + sz > c.length) done = true
         else if (id == "LIST") off += 12 // descend: avih lives in hdrl
         else if (id == "avih" && sz >= 40) {
           val usPf = le32(c, off + 8).toLong & 0xFFFFFFFFL
@@ -2964,7 +2983,7 @@ object Multimodal {
           done = true
         } else off += 8 + sz + (sz & 1)
       }
-    } catch { case _: ArrayIndexOutOfBoundsException => () }
+    } catch { case _: IndexOutOfBoundsException => () }
     MediaMeta(path, c.length, "avi", width = w, height = h,
       channels = 3, duration_ms = durMs)
   }
@@ -3382,12 +3401,14 @@ object Multimodal {
     * StripByteCounts) and tiles (TileWidth/TileLength/TileOffsets/
     * TileByteCounts, edge tiles padded per TIFF 6.0 §15) — in BOTH
     * sample layouts (PlanarConfiguration 1 chunky and 2 planar, one
-    * component per segment set), 8-bit gray (both photometric
-    * polarities) and RGB(A) samples, Compression 1 (none) / 5 (LZW,
-    * with Predictor 2 horizontal differencing, applied at the
-    * segment's own sample stride) / 32773 (PackBits), and 8-bit
-    * PALETTE images (photometric 3, indices through the 16-bit
-    * ColorMap's high bytes). Anything else — 1/4/16-bit samples,
+    * component per segment set), gray (both photometric polarities)
+    * and RGB(A) samples at 16/8/4/1 bits per sample (16-bit keeps the
+    * high byte, 4-bit nibbles MSB-first, 1-bit MSB-first bilevel),
+    * Compression 1 (none) / 5 (LZW, with Predictor 2 horizontal
+    * differencing, applied at the segment's own sample stride) /
+    * 32773 (PackBits) / 2-3-4 (CCITT RLE, T.4 G3 1D+2D, T.6 G4 fax),
+    * and 8-bit PALETTE images (photometric 3, indices through the
+    * 16-bit ColorMap's high bytes). Anything else —
     * JPEG-in-TIFF — returns None honestly. Alpha
     * drops to the shared 3-channel layout; gray stays 1-channel
     * ([[PngImage]] contract). Bomb-guarded before allocation;
@@ -3671,7 +3692,7 @@ object Multimodal {
       } else (ch, raw)
     Some(PngImage(w, h, outCh, out))
   } catch {
-    case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException |
         _: NegativeArraySizeException =>
       None // corrupt/truncated/hostile input: drop, don't crash
   }
@@ -3700,7 +3721,7 @@ object Multimodal {
         else if (tagId == 277) ch = v0
         i += 1
       }
-    } catch { case _: ArrayIndexOutOfBoundsException => () }
+    } catch { case _: IndexOutOfBoundsException => () }
     MediaMeta(path, c.length, "tiff", width = w, height = h,
       channels = ch, duration_ms = 0L)
   }
@@ -3728,9 +3749,11 @@ object Multimodal {
       var off = 12
       while (off + 8 <= c.length) {
         val sz = le32(c, off + 4)
+        if (sz < 0) return None
         if (tag(c, off) == "data")
-          return Some((off + 8, math.min(sz, c.length - off - 8)))
-        off += 8 + sz + (sz & 1)
+          return Some((off + 8, math.max(0, math.min(sz, c.length - off - 8))))
+        val next = off.toLong + 8 + sz + (sz & 1)
+        off = if (next > c.length) c.length else next.toInt
       }
       None
     } else None

@@ -366,6 +366,35 @@ class WavCodecSpec extends AnyFunSuite {
     assert(emb(0) === 0.0 && emb(7) === 0.0)
   }
 
+  test("hostile chunk sizes (negative / near Int.MaxValue) refuse, no hang") {
+    // The RIFF walks must do their bounds math in Long: an Int check
+    // wraps negative for sizes near Int.MaxValue, and a negative size
+    // without a guard walks backwards forever.
+    def crafted(sz: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+      b.put("junk".getBytes).putInt(sz).putInt(0)
+      b.array()
+    }
+    import TestSpark._
+    import spark.implicits._
+    for (sz <- Seq(-8, -1, 0x7FFFFFEC, Int.MaxValue)) {
+      val c = crafted(sz)
+      assert(Multimodal.decodeWav(c).isEmpty, s"sz=$sz")
+      // meta path: must terminate and not throw
+      val meta = Multimodal.decodeMeta(Seq(
+        Multimodal.MediaFile("x.wav", c.length, c)).toDS()).collect().head
+      assert(meta.format === "wav")
+    }
+    // A truncated FINAL data chunk must still decode the bytes present.
+    val good = wav(1, 1, 8000, 16, 2,
+      Array[Byte](1, 0, 2, 0, 3, 0, 4, 0))
+    val trunc = good.take(good.length - 4) // data declares 8, carries 4
+    val dec = Multimodal.decodeWav(trunc)
+    assert(dec.isDefined && dec.get.samples.length === 2)
+  }
+
   test("float32 PCM decodes clamp-scaled to int16") {
     val vals = Array(0f, 0.5f, -0.5f, 1f, -1f, 2f, -3f, Float.NaN)
     val data = new Array[Byte](vals.length * 4)

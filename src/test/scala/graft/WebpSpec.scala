@@ -439,6 +439,36 @@ class WebpSpec extends AnyFunSuite {
     assert(Multimodal.decodeWebpLossless(bomb).isEmpty)
   }
 
+  test("RIFF chunk sizes near Int.MaxValue are refused, not Int-wrapped") {
+    // A ~24-byte container whose first chunk declares a size that
+    // overflows `p + 8 + sz` in Int arithmetic: the walk must refuse
+    // (Long bounds check), not wrap p negative and throw.
+    def crafted(tag4: String, sz: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(16)
+      b.put("WEBP".getBytes("US-ASCII"))
+      b.put(tag4.getBytes("US-ASCII")).putInt(sz)
+      b.putInt(0)
+      b.array()
+    }
+    import spark.implicits._
+    for {
+      t <- Seq("VP8 ", "VP8L", "VP8X", "ALPH")
+      sz <- Seq(0x7FFFFFEC, 0x7FFFFFF4, Int.MaxValue)
+    } {
+      val c = crafted(t, sz)
+      assert(Multimodal.decodeWebpLossless(c).isEmpty, s"$t/$sz lossless")
+      assert(Multimodal.decodeWebpLossy(c).isEmpty, s"$t/$sz lossy")
+      // The meta and BMP-bridge paths walk the same chunks.
+      Multimodal.decodeMeta(Seq(
+        Multimodal.MediaFile("x.webp", c.length, c)).toDS()).collect()
+      assert(Multimodal.webpAsBmp(Seq(
+        Multimodal.MediaFile("x.webp", c.length, c)).toDS())
+        .collect().isEmpty, s"$t/$sz bridge")
+    }
+  }
+
   // ---- lossy VP8 (ops/Vp8.scala) ---------------------------------------
   // Fixture provenance (src/test/resources/vp8/): each <name>.webp is a
   // REAL lossy WebP stream and <name>.yuv is the REFERENCE DECODER's
