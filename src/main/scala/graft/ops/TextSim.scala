@@ -2530,46 +2530,51 @@ object TextSim {
     //
     // Scale shape (the classic treeAggregate covariance): each
     // partition accumulates (count, sum[d], outer-product sums[d*d])
-    // in one pass — the ONLY corpus-scale work — and the driver
-    // combines <= numPartitions such rows (O(partitions x d^2),
-    // corpus-independent, same bounded-collect class as the
-    // documented drift probes) and power-iterates the tiny d x d
-    // matrix. No shuffle at all over the vectors.
+    // in one pass — the ONLY corpus-scale work — and the partials
+    // merge EXECUTOR-SIDE in a depth-2 tree (treeAggregate), so the
+    // driver receives one already-combined accumulator regardless of
+    // partition count. At 100 TB (~10^5-10^6 input splits) a flat
+    // collect of 33 KB-per-partition partials would be GBs at the
+    // driver; the tree combine keeps the driver's share at the
+    // intermediate fan-in (~sqrt(P) rows, MBs). The driver then
+    // power-iterates only the tiny d x d matrix. No shuffle at all
+    // over the vectors.
     QuerySpec.noOracle("q_embed_pca") { (s, d) =>
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
       val vecs = Tables.embeddings(s, d).select(col("embedding"))
-      val partials = vecs.rdd.mapPartitions { it =>
-        var cnt = 0L
-        var sum: Array[Double] = null
-        var op: Array[Double] = null
-        it.foreach { r =>
-          val v = r.getSeq[Double](0)
-          val dim = v.length
-          if (sum == null) { sum = new Array[Double](dim); op = new Array[Double](dim * dim) }
-          var i = 0
-          while (i < dim) {
-            val vi = v(i)
-            sum(i) += vi
-            var j = 0
-            while (j < dim) { op(i * dim + j) += vi * v(j); j += 1 }
-            i += 1
-          }
-          cnt += 1
-        }
-        if (cnt == 0) Iterator.empty else Iterator((cnt, sum, op))
-      }.collect()
-      require(partials.nonEmpty, "empty embeddings table")
-      val dim = partials.head._2.length
-      val n = partials.map(_._1).sum
-      val sum = new Array[Double](dim)
-      val op = new Array[Double](dim * dim)
-      partials.foreach { case (_, ps, pop) =>
+      // (count, sum[d], outer[d*d]); arrays allocated on first row.
+      type Acc = (Long, Array[Double], Array[Double])
+      val seqOp = (acc: Acc, r: Row) => {
+        val v = r.getSeq[Double](0)
+        val dim = v.length
+        val sum = if (acc._2 == null) new Array[Double](dim) else acc._2
+        val op = if (acc._3 == null) new Array[Double](dim * dim) else acc._3
         var i = 0
-        while (i < dim) { sum(i) += ps(i); i += 1 }
-        i = 0
-        while (i < dim * dim) { op(i) += pop(i); i += 1 }
+        while (i < dim) {
+          val vi = v(i)
+          sum(i) += vi
+          var j = 0
+          while (j < dim) { op(i * dim + j) += vi * v(j); j += 1 }
+          i += 1
+        }
+        (acc._1 + 1, sum, op)
       }
+      val combOp = (a: Acc, b: Acc) => {
+        if (a._1 == 0) b
+        else if (b._1 == 0) a
+        else {
+          var i = 0
+          while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+          i = 0
+          while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
+          (a._1 + b._1, a._2, a._3)
+        }
+      }
+      val (n, sum, op) = vecs.rdd.treeAggregate(
+        (0L, null: Array[Double], null: Array[Double]))(seqOp, combOp, 2)
+      require(n > 0, "empty embeddings table")
+      val dim = sum.length
       val mean = sum.map(_ / n)
       val cov = Array.tabulate(dim * dim)(k =>
         op(k) / n - mean(k / dim) * mean(k % dim))
