@@ -581,7 +581,9 @@ object Multimodal {
       my += 1
     }
     Some(jPlanesToImage(w, h, nComp, planes, planeW, compH, compV,
-      hmax, vmax, adobeTransform))
+      hmax, vmax, adobeTransform,
+      rgbIds = nComp == 3 && compId(0) == 'R' && compId(1) == 'G' &&
+        compId(2) == 'B'))
   } catch {
     case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
       None // corrupt/truncated input: drop, don't crash
@@ -623,14 +625,103 @@ object Multimodal {
     }
   }
 
+  /** Full-resolution plane from a subsampled JPEG component plane.
+    * The 2x cases (h2v1, h2v2) use the triangular "fancy" filter of
+    * the de facto reference decoder — each output sample is centered
+    * between inputs with 3:1 weights and the standard rounding — so
+    * decoded output matches system decoders within IDCT noise; other
+    * ratios fall back to sample replication. */
+  private def jUpsamplePlane(p: Array[Byte], stride: Int,
+      compHi: Int, compVi: Int, hmax: Int, vmax: Int,
+      w: Int, h: Int): Array[Byte] = {
+    if (compHi == hmax && compVi == vmax) {
+      if (stride == w) return p
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(p, y * stride, out, y * w, w); y += 1
+      }
+      out
+    } else if (hmax == 2 * compHi && compVi == vmax) { // h2v1
+      val dw = (w + 1) / 2
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val ib = y * stride
+        val ob = y * w
+        var x = 0
+        while (x < dw) {
+          val v = p(ib + x) & 0xFF
+          val o0 =
+            if (x == 0) v
+            else (v * 3 + (p(ib + x - 1) & 0xFF) + 1) >> 2
+          val o1 =
+            if (x == dw - 1) v
+            else (v * 3 + (p(ib + x + 1) & 0xFF) + 2) >> 2
+          out(ob + 2 * x) = o0.toByte
+          if (2 * x + 1 < w) out(ob + 2 * x + 1) = o1.toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else if (hmax == 2 * compHi && vmax == 2 * compVi) { // h2v2
+      val dw = (w + 1) / 2
+      val dh = (h + 1) / 2
+      val out = new Array[Byte](w * h)
+      var oy = 0
+      while (oy < h) {
+        val r = oy >> 1
+        // nearer row weighted 3, further row 1; edges duplicate
+        val rFar =
+          if ((oy & 1) == 0) math.max(0, r - 1)
+          else math.min(dh - 1, r + 1)
+        val b0 = r * stride
+        val b1 = rFar * stride
+        val ob = oy * w
+        var cur = (p(b0) & 0xFF) * 3 + (p(b1) & 0xFF)
+        var last = cur
+        var x = 0
+        while (x < dw) {
+          val next =
+            if (x == dw - 1) cur
+            else (p(b0 + x + 1) & 0xFF) * 3 + (p(b1 + x + 1) & 0xFF)
+          val o0 =
+            if (x == 0) (cur * 4 + 8) >> 4 else (cur * 3 + last + 8) >> 4
+          val o1 = (cur * 3 + next + 7) >> 4
+          out(ob + 2 * x) = o0.toByte
+          if (2 * x + 1 < w) out(ob + 2 * x + 1) = o1.toByte
+          last = cur; cur = next
+          x += 1
+        }
+        oy += 1
+      }
+      out
+    } else { // odd ratios: replication (rare in real streams)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val ib = (y * compVi / vmax) * stride
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = p(ib + x * compHi / hmax); x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   /** Component planes (own resolution, MCU-padded) → interleaved
-    * output image: nearest-neighbor upsample driven by the sampling
-    * factors, JFIF BT.601 YCbCr→RGB for 3 components, plane copy for
-    * grayscale. Shared by the baseline and progressive decode paths. */
+    * output image: triangular/replicated upsample driven by the
+    * sampling factors ([[jUpsamplePlane]]), JFIF BT.601 YCbCr→RGB for
+    * 3 components, plane copy for grayscale. Shared by the baseline
+    * and progressive decode paths. */
   private def jPlanesToImage(w: Int, h: Int, nComp: Int,
       planes: Array[Array[Byte]], planeW: Array[Int],
       compH: Array[Int], compV: Array[Int], hmax: Int,
-      vmax: Int, adobeTransform: Int = -1): JpegImage = {
+      vmax: Int, adobeTransform: Int = -1,
+      rgbIds: Boolean = false): JpegImage = {
     val out = new Array[Byte](w * h * (if (nComp >= 3) 3 else 1))
     if (nComp == 1) {
       val pw = planeW(0)
@@ -641,23 +732,27 @@ object Multimodal {
         y += 1
       }
     } else {
+      val full = Array.tabulate(nComp)(i => jUpsamplePlane(planes(i),
+        planeW(i), compH(i), compV(i), hmax, vmax, w, h))
       // Adobe 4-component: samples are stored INVERTED (255 = no ink);
       // YCCK (transform 2) runs the first three planes through the
       // YCbCr conversion first, yielding the inverted C/M/Y directly,
       // and plain CMYK (transform 0 / no marker) uses them as stored.
       // Either way RGB = inverted_component x inverted_K / 255.
       val ycck = nComp == 4 && adobeTransform == 2
-      val ycc = nComp == 3 || ycck
+      // 3-component streams are YCbCr UNLESS the writer says RGB:
+      // Adobe APP14 transform 0, or component IDs 'R','G','B' (the
+      // public convention libjpeg emits for JCS_RGB — JPEG-in-TIFF
+      // with PhotometricInterpretation 2 uses exactly this).
+      val rgbStored = nComp == 3 && (adobeTransform == 0 || rgbIds)
+      val ycc = (nComp == 3 && !rgbStored) || ycck
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val p0 = planes(0)(
-            (y * compV(0) / vmax) * planeW(0) + x * compH(0) / hmax) & 0xFF
-          val p1 = planes(1)(
-            (y * compV(1) / vmax) * planeW(1) + x * compH(1) / hmax) & 0xFF
-          val p2 = planes(2)(
-            (y * compV(2) / vmax) * planeW(2) + x * compH(2) / hmax) & 0xFF
+          val p0 = full(0)(y * w + x) & 0xFF
+          val p1 = full(1)(y * w + x) & 0xFF
+          val p2 = full(2)(y * w + x) & 0xFF
           var r = p0
           var g = p1
           var b = p2
@@ -672,8 +767,7 @@ object Multimodal {
             if (b < 0) b = 0 else if (b > 255) b = 255
           }
           if (nComp == 4) {
-            val k = planes(3)(
-              (y * compV(3) / vmax) * planeW(3) + x * compH(3) / hmax) & 0xFF
+            val k = full(3)(y * w + x) & 0xFF
             r = (r * k + 127) / 255
             g = (g * k + 127) / 255
             b = (b * k + 127) / 255
@@ -1069,7 +1163,9 @@ object Multimodal {
       ci += 1
     }
     Some(jPlanesToImage(w, h, nComp, planes, planeW, compH, compV,
-      hmax, vmax))
+      hmax, vmax,
+      rgbIds = nComp == 3 && compId(0) == 'R' && compId(1) == 'G' &&
+        compId(2) == 'B'))
   } catch {
     case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
       None // corrupt/truncated input: drop, don't crash
@@ -3406,10 +3502,14 @@ object Multimodal {
     * high byte, 4-bit nibbles MSB-first, 1-bit MSB-first bilevel),
     * Compression 1 (none) / 5 (LZW, with Predictor 2 horizontal
     * differencing, applied at the segment's own sample stride) /
-    * 32773 (PackBits) / 2-3-4 (CCITT RLE, T.4 G3 1D+2D, T.6 G4 fax),
+    * 32773 (PackBits) / 2-3-4 (CCITT RLE, T.4 G3 1D+2D, T.6 G4 fax) /
+    * 7 (new-style JPEG — each segment a JIF stream, JPEGTables tag
+    * spliced in, gray + YCbCr + component-ID-tagged RGB) / 6
+    * (old-style JPEG via the JPEGInterchangeFormat whole-image
+    * stream; the fragmented table-tag variant refuses),
     * and 8-bit PALETTE images (photometric 3, indices through the
-    * 16-bit ColorMap's high bytes). Anything else —
-    * JPEG-in-TIFF — returns None honestly. Alpha
+    * 16-bit ColorMap's high bytes). Anything outside that envelope
+    * returns None honestly. Alpha
     * drops to the shared 3-channel layout; gray stays 1-channel
     * ([[PngImage]] contract). Bomb-guarded before allocation;
     * truncated segments drop the file. */
@@ -3428,6 +3528,8 @@ object Multimodal {
     var predictor = 1L; var planar = 1L
     var tileWidth = 0L; var tileLength = 0L
     var t4Options = 0L; var t6Options = 0L
+    var jpegTablesOff = -1L; var jpegTablesLen = 0L
+    var jifOff = -1L; var jifLen = 0L // old-style interchange stream
     var bitsPS = 8L // BitsPerSample (uniform across components)
     var bitsOk = true
     var colorMap = Array.empty[Long]
@@ -3484,6 +3586,10 @@ object Multimodal {
         case 323 => tileLength = valAt(0)
         case 324 => tileOffsets = allVals()
         case 325 => tileCounts = allVals()
+        case 347 => // JPEGTables: raw abbreviated stream (type 7 bytes)
+          jpegTablesOff = vOff; jpegTablesLen = cnt
+        case 513 => jifOff = valAt(0) // JPEGInterchangeFormat
+        case 514 => jifLen = valAt(0)
         case _ => ()
       }
       i += 1
@@ -3501,26 +3607,44 @@ object Multimodal {
     if (bits == 4 && !paletted && spp != 1L) return None
     if (bits == 16 && spp != 1L && spp != 3L && spp != 4L) return None
     if (bits != 8 && predictor == 2L) return None
-    if ((photometric > 2 && !paletted) || predictor > 2) return None
+    val jpegc = compression == 6L || compression == 7L
+    if ((photometric > 2 && !paletted && !(jpegc && photometric == 6L)) ||
+      predictor > 2) return None
     if (planar != 1L && planar != 2L) return None
     if (spp != 1L && spp != 3L && spp != 4L) return None
+    // JPEG-in-TIFF (old-style 6 via the interchange stream, new-style
+    // 7 with JPEGTables splicing): the payload is a JIF stream, so
+    // only its natural shapes make sense — 8-bit, chunky, gray or
+    // 3-component (stored YCbCr with photometric 6, or RGB).
+    if (jpegc && (bits != 8 || planar != 1L || paletted ||
+      (spp != 1L && spp != 3L) || predictor == 2L)) return None
     val ccitt = compression == 2L || compression == 3L || compression == 4L
     if (compression != 1L && compression != 5L && compression != 32773L &&
-      !ccitt) return None
+      !ccitt && !jpegc) return None
     // CCITT streams are bilevel single-sample by definition; T.6
     // uncompressed mode (T6Options bit 1) is not produced by real
     // writers and refuses.
     if (ccitt && (bits != 1 || spp != 1L || planar != 1L ||
       (compression == 4L && (t6Options & 2L) != 0L))) return None
+    // Old-style JPEG (compression 6): the only layout real writers
+    // produced that decodes in practice is the complete interchange
+    // stream behind JPEGInterchangeFormat/-Length (513/514); the
+    // fragmented per-table-tag variant refuses. New-style 6-with-
+    // strips-of-SOS-fragments also refuses (no SOF to decode from).
+    val oldStyle = compression == 6L
+    if (oldStyle && (jifOff <= 0 || jifLen < 4 ||
+      jifOff + jifLen > c.length)) return None
     val tiled = tileOffsets.nonEmpty
-    if (tiled) {
-      if (tileWidth <= 0 || tileLength <= 0 ||
-          tileOffsets.length != tileCounts.length) return None
-      if (tileOffsets.exists(_ < 0) || tileCounts.exists(_ < 0)) return None
-    } else {
-      if (stripOffsets.isEmpty ||
-          stripOffsets.length != stripCounts.length) return None
-      if (stripOffsets.exists(_ < 0) || stripCounts.exists(_ < 0)) return None
+    if (!oldStyle) {
+      if (tiled) {
+        if (tileWidth <= 0 || tileLength <= 0 ||
+            tileOffsets.length != tileCounts.length) return None
+        if (tileOffsets.exists(_ < 0) || tileCounts.exists(_ < 0)) return None
+      } else {
+        if (stripOffsets.isEmpty ||
+            stripOffsets.length != stripCounts.length) return None
+        if (stripOffsets.exists(_ < 0) || stripCounts.exists(_ < 0)) return None
+      }
     }
     val ch = spp.toInt
     val rawBytes = width * height * ch
@@ -3536,6 +3660,46 @@ object Multimodal {
 
     // Row-aligned packed bytes for `n` samples at the file's bit depth.
     def packedRowBytes(n: Int): Int = (n * bits + 7) / 8
+    // JPEG-in-TIFF segment: the segment bytes are a complete JIF
+    // stream; when a JPEGTables tag (347) is present — new-style
+    // abbreviated streams — its body (sans its own SOI/EOI) is
+    // spliced after the segment's SOI so the entropy data sees its
+    // quant/Huffman tables. MCU-padded segments crop to the declared
+    // grid; undersized ones refuse.
+    def jpegSeg(off: Int, len: Int, rows: Int,
+        rowSamples: Int): Option[Array[Byte]] = {
+      if (off < 0 || len < 4 || off.toLong + len > c.length) return None
+      val to = jpegTablesOff.toInt
+      val tl = jpegTablesLen.toInt
+      val hasTables = jpegTablesOff > 0 && tl > 4 &&
+        jpegTablesOff + jpegTablesLen <= c.length &&
+        (c(to) & 0xFF) == 0xFF && (c(to + 1) & 0xFF) == 0xD8
+      val stream =
+        if (hasTables && (c(off) & 0xFF) == 0xFF &&
+            (c(off + 1) & 0xFF) == 0xD8) {
+          val tEnd = if ((c(to + tl - 2) & 0xFF) == 0xFF &&
+            (c(to + tl - 1) & 0xFF) == 0xD9) tl - 2 else tl
+          val out = new Array[Byte](tEnd + len - 2)
+          out(0) = 0xFF.toByte; out(1) = 0xD8.toByte
+          System.arraycopy(c, to + 2, out, 2, tEnd - 2)
+          System.arraycopy(c, off + 2, out, tEnd, len - 2)
+          out
+        } else java.util.Arrays.copyOfRange(c, off, off + len)
+      val img = decodeJpeg(stream).getOrElse(return None)
+      val jw = img.width
+      if (img.channels != sps || jw * sps < rowSamples ||
+        img.height < rows) return None
+      if (jw * sps == rowSamples && img.height == rows)
+        return Some(img.pixels)
+      val outB = new Array[Byte](rows * rowSamples)
+      var r = 0
+      while (r < rows) {
+        System.arraycopy(img.pixels, r * jw * sps, outB,
+          r * rowSamples, rowSamples)
+        r += 1
+      }
+      Some(outB)
+    }
     // Decompress one segment (`rows` x `rowSamples` samples) and expand
     // to one byte per sample: 16-bit keeps the high byte (either file
     // byte order), 4-bit nibbles MSB-first (x17 gray scaling, raw
@@ -3556,6 +3720,7 @@ object Multimodal {
         case 2L | 3L | 4L =>
           faxDecode(c, so.toInt, sc.toInt, rowSamples, rows, compression,
             t4Options)
+        case 7L => jpegSeg(so.toInt, sc.toInt, rows, rowSamples)
         case _ => tiffLzw(c, so.toInt, sc.toInt, need)
       }).getOrElse(return None)
       if (bits == 8) return Some(packed)
@@ -3596,7 +3761,20 @@ object Multimodal {
       }
     }
 
-    if (!tiled) {
+    if (oldStyle) {
+      // Whole-image interchange stream: decode once, crop the (MCU-
+      // padded) frame into the raster.
+      val img = decodeJpeg(java.util.Arrays.copyOfRange(c, jifOff.toInt,
+        (jifOff + jifLen).toInt)).getOrElse(return None)
+      if (img.channels != ch || img.width < w || img.height < h)
+        return None
+      var r = 0
+      while (r < h) {
+        System.arraycopy(img.pixels, r * img.width * ch, raw,
+          r * w * ch, w * ch)
+        r += 1
+      }
+    } else if (!tiled) {
       val rps = math.min(rowsPerStrip, height).toInt
       val stripsPerPlane = (h + rps - 1) / rps
       if (stripOffsets.length != stripsPerPlane * planes) return None

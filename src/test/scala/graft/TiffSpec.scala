@@ -540,7 +540,7 @@ class TiffSpec extends AnyFunSuite {
     assert(got1w.pixels.toSeq === g1.map(b => (255 - (b & 0xFF)).toByte).toSeq)
   }
 
-  test("rejection: truncation, JPEG-in-TIFF, bombs") {
+  test("rejection: truncation, relabeled compression, bombs") {
     val good = tiffBytes(4, 3, 3, Array.tabulate(36)(_.toByte))
     assert(Multimodal.decodeTiff(good).isDefined)
     assert(Multimodal.decodeTiff(good.take(20)).isEmpty)
@@ -560,7 +560,8 @@ class TiffSpec extends AnyFunSuite {
       out
     }
     // A gray file relabeled 16-bit (strip bytes now half of what the
-    // decode needs) drops; JPEG compression refuses.
+    // decode needs) drops; a file relabeled JPEG drops (strips are
+    // not JIF streams, so the per-segment decode refuses).
     val gray = tiffBytes(4, 3, 1, Array.tabulate(12)(_.toByte))
     assert(Multimodal.decodeTiff(gray).isDefined)
     assert(Multimodal.decodeTiff(patchShort(gray, 258, 16)).isEmpty)
@@ -659,5 +660,138 @@ class TiffSpec extends AnyFunSuite {
     // patch tag 293 value if present; otherwise append is complex — the
     // fixtures don't carry it, so just assert a clean decode here.
     assert(Multimodal.decodeTiff(g4).isDefined)
+  }
+
+  // ---- JPEG-in-TIFF (compression 6 + 7) ---------------------------------
+  // Fixture provenance (src/test/resources/tiffjpeg/): each <name>.tif
+  // was written by the system libtiff through its libjpeg
+  // (tools/gen_tiffjpeg.py) — gray/YCbCr(4:2:0, 4:2:2, 4:4:4)/RGB
+  // photometrics, strips and tiles, with the JPEGTables tag and with
+  // per-strip inline tables — and <name>.rgb is libtiff's OWN decoded
+  // pixels. The old-style (compression 6) container is hand-assembled
+  // around a complete libtiff-encoded interchange stream, the one
+  // old-style layout real writers produced. Dims/channels must match
+  // exactly; pixel values within IDCT rounding of the reference
+  // decode (the container stitching itself is proven exact below).
+
+  private def jres(p: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("JPEG-in-TIFF: libtiff-written fixtures decode (new- and old-style)") {
+    for (n <- Seq("gray_strips", "ycbcr_420_strips", "ycbcr_422_strips",
+        "ycbcr_444_onestrip", "rgb_strips", "ycbcr_tiles", "gray_tiles",
+        "notables_strips", "oldstyle_jif")) {
+      val tif = jres(s"/tiffjpeg/$n.tif")
+      val gold = jres(s"/tiffjpeg/$n.rgb")
+      val w = (gold(0) & 0xFF) | ((gold(1) & 0xFF) << 8)
+      val h = (gold(2) & 0xFF) | ((gold(3) & 0xFF) << 8)
+      val ch = (gold(4) & 0xFF) | ((gold(5) & 0xFF) << 8)
+      val img = Multimodal.decodeTiff(tif).getOrElse(fail(s"$n refused"))
+      assert((img.width, img.height, img.channels) === ((w, h, ch)), n)
+      var maxd = 0
+      var sum = 0L
+      var i = 0
+      while (i < w * h * ch) {
+        val d = math.abs((img.pixels(i) & 0xFF) - (gold(6 + i) & 0xFF))
+        if (d > maxd) maxd = d
+        sum += d
+        i += 1
+      }
+      // IDCT implementations legitimately differ by a code or two;
+      // anything structural (wrong strip order, bad table splice,
+      // missing upsample filter) blows far past this.
+      assert(maxd <= 3, s"$n max diff $maxd")
+      assert(sum.toDouble / (w * h * ch) <= 0.1, s"$n mean diff")
+    }
+  }
+
+  test("JPEG-in-TIFF: strip stitching is exact vs per-strip decode") {
+    // Independent re-composition: extract each strip and the
+    // JPEGTables stream from the fixture's IFD, splice + decode each
+    // strip with the PUBLIC decodeJpeg, stack the rows — the TIFF
+    // path must reproduce that byte-for-byte (no tolerance: same
+    // codec both sides, so this isolates the container logic).
+    val tif = jres("/tiffjpeg/ycbcr_420_strips.tif")
+    def le16at(o: Int) = (tif(o) & 0xFF) | ((tif(o + 1) & 0xFF) << 8)
+    def le32at(o: Int) = le16at(o) | (le16at(o + 2) << 16)
+    val ifd = le32at(4)
+    val n = le16at(ifd)
+    var tables = Array.empty[Byte]
+    var offs = Array.empty[Int]
+    var cnts = Array.empty[Int]
+    var w = 0; var h = 0; var rps = 0
+    for (i <- 0 until n) {
+      val e = ifd + 2 + i * 12
+      val tagId = le16at(e)
+      val typ = le16at(e + 2)
+      val cnt = le32at(e + 4)
+      def vals: Array[Int] = {
+        val base = if ((if (typ == 3) 2 else 4) * cnt <= 4) e + 8
+          else le32at(e + 8)
+        Array.tabulate(cnt)(k =>
+          if (typ == 3) le16at(base + 2 * k) else le32at(base + 4 * k))
+      }
+      tagId match {
+        case 256 => w = vals(0)
+        case 257 => h = vals(0)
+        case 278 => rps = vals(0)
+        case 273 => offs = vals
+        case 279 => cnts = vals
+        case 347 =>
+          val off = le32at(e + 8)
+          tables = java.util.Arrays.copyOfRange(tif, off, off + cnt)
+        case _ => ()
+      }
+    }
+    assert(offs.length >= 2 && tables.length > 4, "fixture shape")
+    val want = new Array[Byte](w * h * 3)
+    var row = 0
+    for (s <- offs.indices) {
+      val seg = java.util.Arrays.copyOfRange(tif, offs(s), offs(s) + cnts(s))
+      val spliced = new Array[Byte](tables.length - 2 + seg.length - 2)
+      spliced(0) = 0xFF.toByte; spliced(1) = 0xD8.toByte
+      System.arraycopy(tables, 2, spliced, 2, tables.length - 4)
+      System.arraycopy(seg, 2, spliced, tables.length - 2, seg.length - 2)
+      val img = Multimodal.decodeJpeg(spliced)
+        .getOrElse(fail(s"strip $s refused"))
+      val rows = math.min(rps, h - row)
+      assert(img.width === w && img.height === rows && img.channels === 3)
+      System.arraycopy(img.pixels, 0, want, row * w * 3, rows * w * 3)
+      row += rows
+    }
+    val got = Multimodal.decodeTiff(tif).getOrElse(fail("tiff refused"))
+    assert(got.pixels.toSeq === want.toSeq)
+  }
+
+  test("JPEG-in-TIFF: refusals and hostile input drop, never throw") {
+    // Old-style with the interchange pointer removed (the fragmented
+    // variant) must refuse, not misread.
+    val old = jres("/tiffjpeg/oldstyle_jif.tif").clone()
+    def le16at(b: Array[Byte], o: Int) =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    val ifd = le16at(old, 4) | (le16at(old, 6) << 16)
+    val n = le16at(old, ifd)
+    for (i <- 0 until n) {
+      val e = ifd + 2 + i * 12
+      if (le16at(old, e) == 513) old(e) = 0xFF.toByte // kill tag 513
+    }
+    assert(Multimodal.decodeTiff(old).isEmpty)
+    // Mutation fuzz over both container styles: Some or None, never
+    // throw or hang.
+    val rnd = new scala.util.Random(99)
+    for (base <- Seq("ycbcr_420_strips", "ycbcr_tiles", "oldstyle_jif",
+        "notables_strips"); i <- 0 until 40) {
+      val b = jres(s"/tiffjpeg/$base.tif").clone()
+      if (i % 2 == 0) {
+        (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        Multimodal.decodeTiff(b)
+      } else {
+        Multimodal.decodeTiff(b.take(8 + rnd.nextInt(b.length - 8)))
+      }
+    }
   }
 }
