@@ -10,17 +10,24 @@ object Bench {
   // a contaminated run (spin times well above the host's idle baseline)
   // instead of reading per-query regressions as code changes.
   @volatile private var spinSink = 0L
-  private def spinCal(): Double = {
+  private def spin(iters: Int): Double = {
     val t0 = System.nanoTime()
     var acc = 0x9E3779B97F4A7C15L
     var i = 0
-    while (i < (1 << 26)) {
+    while (i < iters) {
       acc = acc * 6364136223846793005L + 1442695040888963407L
       acc ^= acc >>> 33
       i += 1
     }
     spinSink = acc // defeat dead-code elimination
     (System.nanoTime() - t0) / 1e9
+  }
+  private def spinCal(): Double = spin(1 << 26)
+  /** Cumulative stop-the-world GC milliseconds of this JVM. */
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
   def main(args: Array[String]): Unit = {
@@ -126,30 +133,60 @@ object Bench {
     // reports its min time, but is listed in "flaky" so a transient
     // failure is never silently laundered into a clean success; a
     // query with NO successful run stays -1 in "errors" as before.
+    // Per-query noise evidence (r10 verdict: three untouched queries
+    // drifted with zero attribution signal). Alongside the min time,
+    // each query records: the SPREAD across its runs (max-min; a large
+    // spread on identical code = scheduler/JIT noise, not a plan
+    // change), the stop-the-world GC milliseconds its min run paid
+    // (allocation-pressure drift shows up here, the r9 entropy/
+    // fingerprint mechanism), and a ~15 ms single-thread spin probe
+    // timed immediately before each run (the co-residency sentinel at
+    // query granularity — contention arriving mid-run is visible at
+    // the query it hit, not just at the end of the session).
+    val ProbeIters = 1 << 23
     val Runs = 2
+    final case class QRun(sec: Double, gcMs: Long, probeS: Double)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val attempts = (1 to Runs).map { _ =>
+        val probe = spin(ProbeIters)
+        val gc0 = gcMs()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try {
+          fn(spark, sfDir).count()
+          Some(QRun((System.nanoTime() - t0) / 1e9, gcMs() - gc0, probe))
+        }
         catch { case e: Throwable =>
           System.err.println(s"bench: $name failed: ${e.getMessage}"); None }
       }
       val times = attempts.flatten
-      (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty,
+      val best = if (times.nonEmpty) times.minBy(_.sec)
+        else QRun(-1.0, 0L, -1.0)
+      val spread =
+        if (times.size >= 2) times.map(_.sec).max - times.map(_.sec).min
+        else 0.0
+      (name, best, spread, times.nonEmpty,
         times.length < attempts.length && times.nonEmpty)
     }
     // 3-dp times keep the one-line JSON short enough that a fixed-size
     // tail capture of stdout cannot truncate the leading per-query data.
-    val qs = results.map { case (k, v, ok, _) =>
-      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
+    val qs = results.map { case (k, v, _, ok, _) =>
+      "\"" + k + "\":" + (if (ok) f"${v.sec}%.3f" else "-1") }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    // Noise detail per query: [spread_s, gc_ms, probe_s] for the min
+    // run — lives only in the (file-persisted) full line.
+    val qnoise = results.collect { case (k, v, spread, true, _) =>
+      "\"" + k + f"""\":[$spread%.3f,${v.gcMs},${v.probeS}%.3f]""" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val flaky = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+    val flaky = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    val total = results.collect { case (_, v, _, true, _) => v.sec }.sum
+    val gcTotal = results.collect { case (_, v, _, true, _) => v.gcMs }.sum
+    val probeMax = (0.0 +: results.collect {
+      case (_, v, _, true, _) => v.probeS }).max
     val stageJson = {
       import scala.jdk.CollectionConverters._
       stageDetail.asScala.toSeq.sortBy(-_._2)
@@ -164,13 +201,14 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val sentinel =
       f""""spin_cal":{"start_s":$spinStart%.3f,"end_s":$spinEnd%.3f},"load_avg":$loadAvg%.2f"""
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"stage_build_detail":$stageJson,"warm":$warm,"runs":$Runs,$sentinel,"n_errors":${results.count(!_._3)},"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+    val nErr = results.count(!_._4)
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"stage_build_detail":$stageJson,"warm":$warm,"runs":$Runs,$sentinel,"gc_total_ms":$gcTotal,"probe_max_s":$probeMax%.3f,"n_errors":$nErr,"queries":$qs,"query_noise":$qnoise,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     println(json)
     // A second, TINY summary line AFTER the full one: the driver keeps only
     // a fixed-size tail of stdout, and the full line (100+ queries) can
     // overflow it — losing exactly the leading headline fields. The tail
     // always retains this last line.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,$sentinel,"n_queries":${results.length},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,$sentinel,"gc_total_ms":$gcTotal,"probe_max_s":$probeMax%.3f,"n_queries":${results.length},"n_errors":$nErr,"sf":"$sfDir"}""")
     // Also persist to a file: a fixed-size tail capture of stdout
     // truncated BENCH_r05 mid-line and lost the headline totals — the
     // file copy makes the stdout capture redundant.
