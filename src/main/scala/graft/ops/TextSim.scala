@@ -582,6 +582,50 @@ object TextSim {
     ()
   }
 
+  /** Bloom-pruned variant of q_text_vocab_prune's scoring join — the
+    * runtime-filter treatment that query's deliberate shuffle join
+    * wants at 100 TB. The vocab join shuffles tok on the word key by
+    * design (a real vocabulary outgrows broadcast), but MOST of the
+    * fact side's rows are pruned vocabulary that the join will drop
+    * anyway; shuffling them first is the avoidable cost. Spark's own
+    * InjectRuntimeFilter would plant exactly this bloom, but its
+    * eligibility check requires a filter-over-scan creation side and
+    * the kept vocab sits behind an aggregation — so this builds the
+    * identical filter by hand from the same Catalyst expressions
+    * (graft_bloom_agg / graft_might_contain): aggregate the kept
+    * words' xxhash64 into a bloom (distributed), ship the one-row
+    * result as a literal (same bytes a scalar subquery would carry),
+    * and probe BEFORE the fact side's exchange. False positives just
+    * ride into the join that drops them — results are EXACTLY equal
+    * (pinned, RuntimeFilterSpec), only the shuffled row count shrinks.
+    */
+  def vocabPruneBloom(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words).as("word"))
+    val nDocs = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = tok.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = df.crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 2 && col("df") <= col("n_docs") * 0.5)
+      .select("word")
+    val bf = kept
+      .agg(expr("graft_bloom_agg(xxhash64(word))").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val pruned = tok.filter(
+      org.apache.spark.sql.graftnative.VectorNative.mightContain(
+        lit(bf), xxhash64(col("word"))))
+    val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val k = pruned.join(kept, "word")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+    n.join(k, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(lit(1) - coalesce(col("n_kept"), lit(0L))
+          / col("n_tokens").cast("double"), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+
   /** Force-build the shared corpus bigram stage (q_text_bigram_nll +
     * q_text_pmi) — an independent DAG, so Bench warms it on its own
     * thread next to the other artifact chains. */

@@ -762,6 +762,14 @@ object VectorNative {
   def wordGramHashes(ws: Column): Column =
     ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(ws)))
 
+  /** Spark's own runtime-filter probe as a Column (see the
+    * graft_might_contain registration): hand-planted bloom pruning for
+    * join shapes InjectRuntimeFilter's eligibility check skips. */
+  def mightContain(bloom: Column, hash: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloom), ExpressionUtils.expression(hash)))
+
   def sortedIdPairs(ids: Column): Column =
     ExpressionUtils.column(SortedIdPairs(ExpressionUtils.expression(ids)))
 
@@ -840,6 +848,41 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_hamming takes exactly 2 arguments")
         HammingDist(children.head, children(1))
+      }))
+    // Spark's OWN runtime-filter bloom primitives, SQL-exposed. The
+    // InjectRuntimeFilter rule only fires when the creation side is a
+    // selective filter over a scan; a pipeline that KNOWS a join side
+    // is selective but derived (e.g. a pruned vocabulary behind an
+    // aggregation) builds the identical filter by hand: aggregate the
+    // build side's xxhash64 keys into a bloom, probe the probe side
+    // BEFORE its exchange. Both are the very expressions the optimizer
+    // rule plants, so semantics/sizing match runtime filtering exactly.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getCanonicalName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        children.length match {
+          case 1 => new BloomFilterAggregate(children.head)
+          case 2 => new BloomFilterAggregate(children.head, children(1))
+          case 3 =>
+            new BloomFilterAggregate(children.head, children(1), children(2))
+          case n => throw new IllegalArgumentException(
+            s"graft_bloom_agg takes 1-3 arguments, got $n")
+        }
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getCanonicalName, "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_might_contain takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
       }))
   }
 }

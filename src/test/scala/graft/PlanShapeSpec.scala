@@ -259,6 +259,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("q_text_vocab_prune: word join degrades to a shuffle join, never a loop") {
+    // The scoring join is DECLARED a shuffle join at scale (a real
+    // vocabulary outgrows broadcast). At fixture scale Catalyst may
+    // broadcast the tiny vocab — fine — but the query must not DEPEND
+    // on that: with broadcast off, the word join has to become a
+    // sort-merge/shuffled-hash join keyed on word, not a nested loop
+    // (the shape that actually ships at 100 TB). Pinned so a refactor
+    // cannot silently introduce a non-equi condition or a loop join.
+    val old = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_text_vocab_prune")
+      val wordJoin = p.linesIterator
+        .filter(l => l.contains("Join") && l.contains("[word"))
+        .toSeq
+      assert(wordJoin.nonEmpty, s"no word-keyed join found:\n$p")
+      assert(wordJoin.forall(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+        s"word join is not a shuffle join under no-broadcast:\n$wordJoin")
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q_dedup_norm: one canonical-text exchange, no join") {
     // Normalized dedup is exactly q_dedup_exact's shape: narrow
     // canonicalization into ONE hash aggregation on the canonical key.

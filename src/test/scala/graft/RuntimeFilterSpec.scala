@@ -56,4 +56,48 @@ class RuntimeFilterSpec extends AnyFunSuite {
       assert(got === plain)
     }
   }
+
+  test("vocab-prune bloom variant: hand-planted filter, identical rows") {
+    // q_text_vocab_prune's scoring join shuffles tokens on the word
+    // key by design (real vocabularies outgrow broadcast), and its
+    // creation side sits behind an aggregation — a shape
+    // InjectRuntimeFilter's filter-over-scan eligibility check skips.
+    // The hand-planted variant builds the SAME bloom from Spark's own
+    // expressions and probes before the exchange; false positives are
+    // dropped by the join itself, so the result set must be EXACTLY
+    // the reference query's.
+    val ref = q("q_text_vocab_prune").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val variant = graft.ops.TextSim.vocabPruneBloom(spark, sf)
+    val got = variant.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === ref.toSeq)
+    // The probe must sit in the plan (on the token side, before the
+    // join), proving rows are dropped pre-shuffle, not post-join.
+    val plan = variant.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no bloom probe in the variant plan:\n$plan")
+    // And the bloom genuinely prunes pre-shuffle rows: rebuild the
+    // same bloom over the kept vocab and count the token stream
+    // through the probe — strictly fewer rows than the raw stream
+    // (the fixture corpus has hapax words, which df >= 2 excludes).
+    import org.apache.spark.sql.functions._
+    val tok = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(expr("graft_tokens(text)")).as("word"))
+    val nDocs = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val kept = tok.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 2 && col("df") <= col("n_docs") * 0.5)
+      .select("word")
+    val bf = kept.agg(expr("graft_bloom_agg(xxhash64(word))").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val total = tok.count()
+    val surviving = tok.filter(
+      org.apache.spark.sql.graftnative.VectorNative.mightContain(
+        lit(bf), xxhash64(col("word")))).count()
+    assert(surviving < total,
+      s"bloom pruned nothing: $surviving of $total tokens survive")
+  }
 }
