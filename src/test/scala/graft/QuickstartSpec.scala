@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable README: the Quickstart section's fenced code blocks are
+  * pinned VERBATIM here and then actually run, so the front-door
+  * documentation cannot drift from the library (the CliSpec discipline
+  * applied to docs). If you edit README.md's Quickstart, this spec
+  * tells you exactly which block to update — and if you change an API
+  * a snippet uses, the run half fails before a user ever sees it.
+  */
+class QuickstartSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def quickstartBlocks: Seq[String] = {
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val section = readme.split("## Quickstart", 2)(1).split("\n## ", 2)(0)
+    "(?s)```(?:scala|bash)\n(.*?)```".r
+      .findAllMatchIn(section).map(_.group(1).trim).toSeq
+  }
+
+  test("README quickstart has exactly the four pinned blocks") {
+    val blocks = quickstartBlocks
+    assert(blocks.length === 4, s"expected 4 fenced blocks, got ${blocks.length}")
+    assert(blocks(0) ===
+      """import graft.{Tables, Registry}
+        |val docs = Tables.documents(spark, sfDir)
+        |val agg  = Registry.byName("q_agg_group").df(spark, sfDir)
+        |agg.show(3)""".stripMargin)
+    assert(blocks(1) ===
+      """graft.Cli sql "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang" $SF_DIR /tmp/graft_sql_out""")
+    assert(blocks(2) ===
+      """import graft.ops.Sketches
+        |val queries = Sketches.defaultQueries(spark, sfDir)
+        |val hits = Sketches.ivfSearch(spark, sfDir, queries,
+        |  nprobe = c => math.max(1, (c * 3) / 10), k = 3)
+        |hits.show(5)""".stripMargin)
+    assert(blocks(3) ===
+      """val verdicts = Sketches.ingestBatch(spark, sfDir,
+        |  Sketches.defaultBatch(spark, sfDir), name = "quickstart")
+        |verdicts.groupBy("is_dup").count().show()""".stripMargin)
+  }
+
+  test("block 1 runs: table loader + registry query by name") {
+    val sfDir = sf
+    // -- verbatim from README (show() output suppressed to the log) --
+    import graft.{Tables, Registry}
+    val docs = Tables.documents(spark, sfDir)
+    val agg  = Registry.byName("q_agg_group").df(spark, sfDir)
+    agg.show(3)
+    // -- sanity beyond the snippet --
+    assert(docs.count() > 0)
+    assert(agg.count() > 0)
+  }
+
+  test("block 2 runs: the CLI sql verb with the exact statement") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_quickstart_sql").toString + "/out"
+    Cli.runSql(spark,
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang",
+      sf, out)
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.length === 5, s"expected 5 langs, got ${lines.toSeq}")
+    assert(lines.forall(_.matches("[a-z]{2}\t\\d+")), lines.toSeq)
+  }
+
+  test("block 3 runs: ANN index build + search with (qid, qv) queries") {
+    val sfDir = sf
+    import graft.ops.Sketches
+    val queries = Sketches.defaultQueries(spark, sfDir)
+    val hits = Sketches.ivfSearch(spark, sfDir, queries,
+      nprobe = c => math.max(1, (c * 3) / 10), k = 3)
+    hits.show(5)
+    val rows = hits.collect()
+    assert(rows.nonEmpty)
+    // contract: per-query ranks 1..k, neighbor is never the query itself
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 3))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("block 4 runs: incremental dedup ingest into a named index") {
+    val sfDir = sf
+    import graft.ops.Sketches
+    val verdicts = Sketches.ingestBatch(spark, sfDir,
+      Sketches.defaultBatch(spark, sfDir), name = "quickstart")
+    verdicts.groupBy("is_dup").count().show()
+    val counts = verdicts.groupBy("is_dup").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    // the fixture batch is half verbatim dups, half novel reversals
+    assert(counts.getOrElse(true, 0L) > 0, s"no dups caught: $counts")
+    assert(counts.getOrElse(false, 0L) > 0, s"nothing admitted: $counts")
+  }
+}
