@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measured scaling curve (round-11 verdict task #1): runs the heavy
+  * operator chains at the sf0.1 fixture tier AND at a self-generated
+  * `mult`× tier ([[ScaleGen]]), reporting per-stage wall times plus
+  * the CANDIDATE/INTERMEDIATE ROW COUNTS that decide whether a path
+  * survives a 100 TB scale-up — candidate pairs, bucket-pair sums,
+  * cell-size second moments. Counts are exact and noise-free, so the
+  * count exponents are the load-bearing evidence; walls contextualize
+  * them. One JSON line per tier on stdout and in
+  * `target/scale/scale_<tag>.json`; SCALE.md holds the analyzed
+  * curve.
+  *
+  *   sbt "runMain graft.ScaleBench [mult] [srcDir] [outBase]"
+  *
+  * The two brute-force oracle witnesses (q_sim_cosine_knn,
+  * q_sim_threshold) are EXCLUDED by contract: they are O(n²) on
+  * purpose (correctness witnesses for the ANN family, which is the
+  * scale path and IS measured here).
+  */
+object ScaleBench {
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The measured registry queries: the bench's heaviest non-witness
+    * queries + the two headline relational shapes. */
+  val ScaleQueries: Seq[String] = Seq(
+    "q_agg_group", "q_join_inner", "q_text_tokens", "q_dedup_substring",
+    "q_dedup_jaccard", "q_dedup_minhash", "q_sim_ann_lsh",
+    "q_sim_ann_ivf", "q_sim_ann_ivfpq", "q_sim_hybrid_rrf",
+    "q_graph_pagerank", "q_graph_pagerank_w", "q_graph_cc")
+
+  /** All stage walls + structural counts for one tier. Returns
+    * (label -> seconds, label -> count). */
+  def measure(s: SparkSession, d: String): (Seq[(String, Double)],
+      Seq[(String, Long)]) = {
+    val walls = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def wall(label: String)(body: => Unit): Unit = {
+      val (_, t) = timed(body); walls += label -> t
+    }
+    def cnt(label: String)(body: => Long): Unit = counts += label -> body
+
+    // corpus size baselines
+    cnt("n_docs")(Tables.documents(s, d).count())
+    cnt("n_tokens")(Tables.documents(s, d)
+      .select(sum(size(split(col("text"), " ")))).head().getLong(0))
+    cnt("n_vectors")(Tables.embeddings(s, d).count())
+
+    // stage builds, timed individually (sequential on purpose: clean
+    // attribution beats the bench's concurrent wall-clock envelope)
+    wall("build_text_postings")(ops.TextSim.warmStages(s, d))
+    wall("build_bigrams")(ops.TextSim.warmBigramStage(s, d))
+    wall("build_mask")(ops.TextSim.warmMaskStage(s, d))
+    wall("build_ivf")(ops.Sketches.warmIvfStage(s, d))
+    wall("build_pq")(ops.Sketches.warmPqStage(s, d))
+    wall("build_lsh_sigs")(ops.Sketches.warmLshSigStage(s, d))
+    wall("build_simhash_sigs")(ops.Sketches.warmSimhashStage(s, d))
+    wall("build_minhash_bands")(ops.Sketches.warmMinhashStage(s, d))
+
+    // structural counts: the quadratic-risk quantities per family
+    cnt("neardup_edges")(ops.TextSim.nearDupEdges(s, d).count())
+    cnt("lsh_pair_candidates")(ops.Sketches.lshPairCandidates(s, d).count())
+    val bands = ops.Sketches.minhashBandTable(s, d)
+    cnt("minhash_band_rows")(bands.count())
+    cnt("minhash_bucket_pairs")(bands.groupBy("band", "bh")
+      .agg(count(lit(1)).as("n"))
+      .select(sum((col("n") * (col("n") - 1) / 2).cast("long")))
+      .head().getLong(0))
+    val cells = ops.Sketches.ivfAssignments(s, d)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    cnt("ivf_cells")(cells.count())
+    cnt("ivf_max_cell")(cells.select(max("n")).head().getLong(0))
+    cnt("ivf_cell_sumsq")(cells.select(sum(col("n") * col("n")))
+      .head().getLong(0))
+
+    // the measured queries (single pass; counts above carry the signal)
+    for (q <- ScaleQueries) {
+      val fn = Registry.byName(q)
+      wall(s"q:$q")(fn.df(s, d).count(): Unit)
+    }
+    (walls.toSeq, counts.toSeq)
+  }
+
+  private def jsonLine(tag: String, d: String,
+      walls: Seq[(String, Double)], counts: Seq[(String, Long)]): String = {
+    val w = walls.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val c = counts.map { case (k, v) => "\"" + k + s"""\":$v""" }
+      .mkString("{", ",", "}")
+    s"""{"tier":"$tag","dir":"$d","walls":$w,"counts":$c}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val outBase = args.lift(2).getOrElse("target/scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    val genDir = s"$outBase/x$mult"
+    val (_, tGen) = timed(ScaleGen.generate(s, srcDir, genDir, mult))
+    System.err.println(f"scalebench: generation $tGen%.1f s")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outBase))
+    for ((tag, dir) <- Seq("base" -> srcDir, s"x$mult" -> genDir)) {
+      val (walls, counts) = measure(s, dir)
+      val line = jsonLine(tag, dir, walls, counts)
+      println(line)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outBase, s"scale_$tag.json"),
+        (line + "\n").getBytes)
+    }
+    s.stop()
+  }
+}

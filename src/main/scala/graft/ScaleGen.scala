@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up corpus generator (round-11 verdict task #1:
+  * convert the repo's plan-shape scale arguments into MEASURED
+  * evidence). The driver fixtures stop at sf0.1 and are read-only, so
+  * this bootstraps their empirical distributions (vocab + word
+  * frequencies, document length range, lang/source mixes, unit-norm
+  * 64-dim embeddings, label mix) from a source tier and emits a
+  * `mult`× corpus with the SAME statistical shape into a writable dir
+  * — every row a pure function of (seed, id), so any two runs (and
+  * any partitioning) produce byte-identical tables.
+  *
+  * Structure the dedup chains need is PLANTED at fixture-like rates:
+  * ~10% of documents are near-copies of an earlier document (one word
+  * substituted + one adjacent swap — high shingle overlap, non-exact)
+  * and ~0.5% are verbatim copies (the fixture carries 8 exact dups per
+  * 5000). Each copy references one earlier source doc, so true-pair
+  * count grows O(n) by construction — the crawl shape — and any
+  * superlinear candidate growth a measurement finds is the INDEX'S
+  * doing, not the data's.
+  *
+  * Tables emitted: documents, embeddings (generated); lineitem, orders
+  * (fixture replicated `mult`× with disjoint order-key ranges — join
+  * consistency with the unchanged dimension tables is preserved
+  * because o_custkey/l_partkey/l_suppkey are untouched); region,
+  * nation, customer, supplier, part, events (copied verbatim).
+  */
+object ScaleGen {
+
+  /** SplitMix64 — the standard public 64-bit mixer; gives every id its
+    * own well-scrambled stream regardless of partition order. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  final case class GenDoc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+  final case class GenEmb(vec_id: Long, embedding: Seq[Float], label: Int)
+
+  /** Empirical knobs lifted from the source tier (driver-side; the
+    * source corpus is <= a few thousand rows by contract). */
+  private final case class Profile(
+      vocab: Array[String], vocabCum: Array[Double],
+      lengths: Array[Int], langs: Array[String], langCum: Array[Double],
+      sources: Array[String], nDocs: Long, nEmb: Long, dim: Int)
+
+  private def profile(s: SparkSession, srcDir: String): Profile = {
+    val docs = Tables.documents(s, srcDir)
+      .select("text", "lang", "source").collect()
+    val words = docs.flatMap(_.getString(0).toLowerCase.split(" "))
+    val freq = words.groupBy(identity).view.mapValues(_.length).toArray
+      .sortBy(_._1)
+    val vocab = freq.map(_._1)
+    val total = freq.map(_._2.toDouble).sum
+    val vocabCum = freq.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val lengths = docs.map(_.getString(0).split(" ").length).sorted
+    val langFreq = docs.map(_.getString(1)).groupBy(identity).view
+      .mapValues(_.length).toArray.sortBy(_._1)
+    val langCum = {
+      val t = langFreq.map(_._2.toDouble).sum
+      langFreq.map(_._2 / t).scanLeft(0.0)(_ + _).tail
+    }
+    val sources = docs.map(_.getString(2)).distinct.sorted
+    val emb = Tables.embeddings(s, srcDir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    Profile(vocab, vocabCum, lengths, langFreq.map(_._1), langCum,
+      sources, docs.length.toLong, emb.count(), dim)
+  }
+
+  private def pick(cum: Array[Double], u: Double): Int = {
+    var i = java.util.Arrays.binarySearch(cum, u)
+    if (i < 0) i = -i - 1
+    math.min(i, cum.length - 1)
+  }
+
+  /** The words of document `id` — a pure function of (seed, id), so a
+    * planted near-copy can RE-DERIVE its source doc's words without
+    * any cross-row state. */
+  private def baseWords(p: Profile, seed: Long, id: Long): Array[String] = {
+    val r = new java.util.Random(mix(seed ^ (id * 0x5851F42D4C957F2DL)))
+    val len = p.lengths(r.nextInt(p.lengths.length))
+    Array.fill(len)(p.vocab(pick(p.vocabCum, r.nextDouble())))
+  }
+
+  private def docFor(p: Profile, seed: Long, id: Long): GenDoc = {
+    val r = new java.util.Random(mix(seed ^ id))
+    val lang = p.langs(pick(p.langCum, r.nextDouble()))
+    val source = p.sources(r.nextInt(p.sources.length))
+    val words: Array[String] =
+      if (id > 64 && id % 200 == 13) {
+        baseWords(p, seed, id - 1 - r.nextInt(50)) // verbatim copy
+      } else if (id > 64 && id % 10 == 7) {
+        // near-copy: one substitution + one adjacent swap
+        val w = baseWords(p, seed, id - 1 - r.nextInt(50)).clone()
+        w(r.nextInt(w.length)) = p.vocab(r.nextInt(p.vocab.length))
+        if (w.length > 2) {
+          val k = r.nextInt(w.length - 1)
+          val t = w(k); w(k) = w(k + 1); w(k + 1) = t
+        }
+        w
+      } else baseWords(p, seed, id)
+    val text = words.mkString(" ")
+    GenDoc(id, text, lang, source, text.length.toLong)
+  }
+
+  private def embFor(p: Profile, seed: Long, id: Long): GenEmb = {
+    val r = new java.util.Random(mix(seed ^ (id * 0xDA942042E4DD58B5L)))
+    val v = Array.fill(p.dim)(r.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    GenEmb(id, v.map(x => (x / n).toFloat).toSeq, r.nextInt(10))
+  }
+
+  /** Generate the `mult`× tier into `outDir` (idempotent: a marker
+    * file records (srcDir, mult, seed); a matching marker skips the
+    * whole build). Returns outDir for chaining. */
+  def generate(s: SparkSession, srcDir: String, outDir: String,
+      mult: Int, seed: Long = 42L): String = {
+    import s.implicits._
+    val marker = java.nio.file.Paths.get(outDir, "_SCALE_META")
+    val stamp = s"src=$srcDir mult=$mult seed=$seed v=1"
+    if (java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker)) == stamp)
+      return outDir
+    val p = profile(s, srcDir)
+    val bc = s.sparkContext.broadcast(p)
+    val nDocs = p.nDocs * mult
+    val nEmb = p.nEmb * mult
+    s.range(nDocs).repartition(s.sparkContext.defaultParallelism)
+      .map(id => docFor(bc.value, seed, id))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(Tables.path(outDir, "documents"))
+    s.range(nEmb).repartition(s.sparkContext.defaultParallelism)
+      .map(id => embFor(bc.value, seed, id))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(Tables.path(outDir, "embeddings"))
+    // fact tables: fixture replicated with disjoint order-key ranges
+    val off = 1000000000L
+    def replicate(name: String, keys: Seq[String]): Unit = {
+      val base = Tables(s, srcDir, name)
+      (0 until mult).map { k =>
+        keys.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(k * off)))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(Tables.path(outDir, name))
+    }
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("orders", Seq("o_orderkey"))
+    // dimensions + events: verbatim copies (events keeps its physical
+    // timestamp encoding by being copied at the file level)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "events")) {
+      val src = java.nio.file.Paths.get(Tables.path(srcDir, t))
+      val dst = java.nio.file.Paths.get(Tables.path(outDir, t))
+      java.nio.file.Files.createDirectories(dst.getParent)
+      if (java.nio.file.Files.isDirectory(src)) {
+        java.nio.file.Files.walk(src).forEach { f =>
+          val rel = dst.resolve(src.relativize(f).toString)
+          if (java.nio.file.Files.isDirectory(f))
+            java.nio.file.Files.createDirectories(rel)
+          else java.nio.file.Files.copy(f, rel,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      } else java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    java.nio.file.Files.write(marker, stamp.getBytes)
+    outDir
+  }
+}

@@ -538,7 +538,7 @@ object TextSim {
     * times across the unrolled rounds) — with the materialization the
     * gram->pair->jaccard pipeline runs once per session, not once per
     * reference. */
-  private def nearDupEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def nearDupEdges(s: SparkSession, d: String): DataFrame =
     graft.StageCache.memoized(s, d, "edges05")(
       ngramJaccardPairs(s, d, NearDupJac).select("ida", "idb"))
 

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured scaling invariants (round-11: plan-shape arguments →
+  * evidence). Two tiers are generated from the SAME empirical profile
+  * ([[ScaleGen]], seeded), so count ratios between them measure the
+  * INDEX STRUCTURES' growth, not distribution drift. Counts are exact
+  * — no timing noise — which is what makes these assertable in CI.
+  *
+  * The asserted exponents (log-ratio / log-mult):
+  *  - near-dup edge chain, minhash bucket pairs: ≤ 1.35 (the planted
+  *    dup structure grows O(n); the gram/band indexes must not
+  *    manufacture superlinear candidates from it)
+  *  - minhash band rows: exactly linear (rows = bands × n)
+  *  - IVF cell second moment: ≤ 1.75 (designed n^1.5: √n cells of √n
+  *    — the partition-prune tradeoff, per-query scan ~ √n × probe
+  *    fraction)
+  *  - LSH pair candidates: ≤ 2.02 — QUADRATIC BY DATA on this
+  *    corpus and documented as such (SCALE.md): the fixture/generated
+  *    vectors are isotropic unit gaussians, the known worst case for
+  *    LSH bucketing (no similarity gap → random 10-bit signatures
+  *    collide at a constant rate per table, so candidates track all
+  *    pairs). The assert still catches anything WORSE than all-pairs
+  *    (e.g. duplicate candidate emission). Clustered real corpora are
+  *    the selective regime; recall pins live in SketchesSpec.
+  */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val base = "/root/testdata/sf0.001"
+  private val Mult = 4
+
+  private lazy val tier1: String = ScaleGen.generate(spark, base,
+    java.nio.file.Files.createTempDirectory("graft_scale_t1").toString +
+      "/x1", 1)
+  private lazy val tierN: String = ScaleGen.generate(spark, base,
+    java.nio.file.Files.createTempDirectory("graft_scale_tn").toString +
+      s"/x$Mult", Mult)
+
+  private def exponent(c1: Long, cN: Long): Double =
+    math.log(cN.toDouble / c1) / math.log(Mult.toDouble)
+
+  test("generation is seed-deterministic and plants dup structure") {
+    // Same (src, mult, seed) into a DIFFERENT directory → identical
+    // corpus, byte-for-byte (order-insensitive content hash).
+    val again = ScaleGen.generate(spark, base,
+      java.nio.file.Files.createTempDirectory("graft_scale_det")
+        .toString + "/x1", 1)
+    def corpusHash(d: String): Long = Tables.documents(spark, d)
+      .select(expr(
+        "bit_xor(xxhash64(doc_id, text, lang, source))")) // no-overflow
+      .head().getLong(0)
+    assert(corpusHash(tier1) === corpusHash(again))
+    // The planted structure is present: exact dups and near-dups.
+    val n = Tables.documents(spark, tier1).count()
+    val distinct = Tables.documents(spark, tier1)
+      .select("text").distinct().count()
+    assert(n === Tables.documents(spark, base).count())
+    assert(distinct < n, "no exact duplicates planted")
+  }
+
+  test("dedup/index structures grow near-linearly across generated tiers") {
+    def counts(d: String): Map[String, Long] = {
+      ops.TextSim.warmStages(spark, d)
+      ops.Sketches.warmMinhashStage(spark, d)
+      val bands = ops.Sketches.minhashBandTable(spark, d)
+      Map(
+        "edges" -> ops.TextSim.nearDupEdges(spark, d).count(),
+        "band_rows" -> bands.count(),
+        "bucket_pairs" -> bands.groupBy("band", "bh")
+          .agg(count(lit(1)).as("n"))
+          .select(coalesce(sum((col("n") * (col("n") - 1) / 2)
+            .cast("long")), lit(0L))).head().getLong(0))
+    }
+    val c1 = counts(tier1)
+    val cN = counts(tierN)
+    assert(cN("band_rows") === c1("band_rows") * Mult,
+      "band table must be exactly linear in n")
+    for (k <- Seq("edges", "bucket_pairs")) {
+      assert(c1(k) > 0, s"$k empty at tier 1 — planted structure missing")
+      val e = exponent(c1(k), cN(k))
+      assert(e <= 1.35,
+        s"$k grows superlinearly: ${c1(k)} -> ${cN(k)} (exponent $e)")
+    }
+  }
+
+  test("IVF cell second moment stays within the designed n^1.5 curve") {
+    def sumsq(d: String): Long = {
+      ops.Sketches.warmIvfStage(spark, d)
+      ops.Sketches.ivfAssignments(spark, d)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .select(sum(col("n") * col("n"))).head().getLong(0)
+    }
+    val s1 = sumsq(tier1)
+    val sN = sumsq(tierN)
+    val e = exponent(s1, sN)
+    assert(e <= 1.75, s"IVF cell sumsq: $s1 -> $sN (exponent $e)")
+  }
+
+  test("LSH pair candidates never exceed the all-pairs bound") {
+    def cand(d: String): Long = {
+      ops.Sketches.warmLshSigStage(spark, d)
+      ops.Sketches.lshPairCandidates(spark, d).count()
+    }
+    val c1 = cand(tier1)
+    val cN = cand(tierN)
+    val n1 = Tables.embeddings(spark, tier1).count()
+    val nN = Tables.embeddings(spark, tierN).count()
+    assert(c1 <= n1 * (n1 - 1) / 2, "duplicate candidate emission")
+    assert(cN <= nN * (nN - 1) / 2, "duplicate candidate emission")
+    // quadratic BY DATA here (isotropic worst case — see scaladoc);
+    // anything above all-pairs growth means emitted duplicates.
+    assert(exponent(c1, cN) <= 2.02)
+  }
+}
