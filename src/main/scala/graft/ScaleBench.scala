@@ -66,6 +66,9 @@ object ScaleBench {
     wall("build_minhash_bands")(ops.Sketches.warmMinhashStage(s, d))
 
     // structural counts: the quadratic-risk quantities per family
+    cnt("gram_pair_rows")(ops.TextSim.gramPostings(s, d, ops.TextSim.DfCap)
+      .select(sum((size(col("ids")).cast("long") *
+        (size(col("ids")) - 1) / 2).cast("long"))).head().getLong(0))
     cnt("neardup_edges")(ops.TextSim.nearDupEdges(s, d).count())
     cnt("lsh_pair_candidates")(ops.Sketches.lshPairCandidates(s, d).count())
     val bands = ops.Sketches.minhashBandTable(s, d)
