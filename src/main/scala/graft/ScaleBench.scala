@@ -101,10 +101,16 @@ object ScaleBench {
     s"""{"tier":"$tag","dir":"$d","walls":$w,"counts":$c}"""
   }
 
+  /** args: [mult] [srcDir] [outBase] [openVocab]. With openVocab > 0
+    * the run measures TWO GENERATED tiers (1× and mult×, both
+    * open-vocabulary — the finding-1 counter-experiment: same
+    * generator, unsaturated gram space) instead of fixture-vs-
+    * generated. */
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val outBase = args.lift(2).getOrElse("target/scale")
+    val openVocab = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = SparkSession.builder()
       .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
@@ -116,12 +122,25 @@ object ScaleBench {
       .config("spark.driver.memory", "8g")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    val genDir = s"$outBase/x$mult"
-    val (_, tGen) = timed(ScaleGen.generate(s, srcDir, genDir, mult))
-    System.err.println(f"scalebench: generation $tGen%.1f s")
+    val tiers: Seq[(String, String)] =
+      if (openVocab > 0) {
+        val t1 = s"$outBase/ov${openVocab}_x1"
+        val tN = s"$outBase/ov${openVocab}_x$mult"
+        val (_, g1) = timed(ScaleGen.generate(s, srcDir, t1, 1,
+          openVocab = openVocab))
+        val (_, gN) = timed(ScaleGen.generate(s, srcDir, tN, mult,
+          openVocab = openVocab))
+        System.err.println(f"scalebench: generation $g1%.1f + $gN%.1f s")
+        Seq(s"ov${openVocab}_x1" -> t1, s"ov${openVocab}_x$mult" -> tN)
+      } else {
+        val genDir = s"$outBase/x$mult"
+        val (_, tGen) = timed(ScaleGen.generate(s, srcDir, genDir, mult))
+        System.err.println(f"scalebench: generation $tGen%.1f s")
+        Seq("base" -> srcDir, s"x$mult" -> genDir)
+      }
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outBase))
-    for ((tag, dir) <- Seq("base" -> srcDir, s"x$mult" -> genDir)) {
+    for ((tag, dir) <- tiers) {
       val (walls, counts) = measure(s, dir)
       val line = jsonLine(tag, dir, walls, counts)
       println(line)

@@ -81,30 +81,49 @@ object ScaleGen {
 
   /** The words of document `id` — a pure function of (seed, id), so a
     * planted near-copy can RE-DERIVE its source doc's words without
-    * any cross-row state. */
-  private def baseWords(p: Profile, seed: Long, id: Long): Array[String] = {
+    * any cross-row state.
+    *
+    * `openVocab > 0` switches to an OPEN-VOCABULARY corpus (the
+    * realism counter-experiment to the fixture's closed 31-word
+    * vocabulary, SCALE.md finding 1): each base word is suffixed with
+    * a Zipf-ish draw from `openVocab` variants, multiplying the
+    * vocabulary — per-gram document frequency then stays roughly flat
+    * as the corpus grows (Heaps-law shape), instead of saturating the
+    * df cap. */
+  private def baseWords(p: Profile, seed: Long, id: Long,
+      openVocab: Int): Array[String] = {
     val r = new java.util.Random(mix(seed ^ (id * 0x5851F42D4C957F2DL)))
     val len = p.lengths(r.nextInt(p.lengths.length))
-    Array.fill(len)(p.vocab(pick(p.vocabCum, r.nextDouble())))
+    Array.fill(len) {
+      val w = p.vocab(pick(p.vocabCum, r.nextDouble()))
+      if (openVocab <= 0) w
+      else {
+        // Zipf-ish variant index: P(k) ~ 1/(k+1)
+        val u = r.nextDouble()
+        val k = ((math.exp(u * math.log(openVocab + 1.0)) - 1)).toInt
+        s"$w$k"
+      }
+    }
   }
 
-  private def docFor(p: Profile, seed: Long, id: Long): GenDoc = {
+  private def docFor(p: Profile, seed: Long, id: Long,
+      openVocab: Int): GenDoc = {
     val r = new java.util.Random(mix(seed ^ id))
     val lang = p.langs(pick(p.langCum, r.nextDouble()))
     val source = p.sources(r.nextInt(p.sources.length))
     val words: Array[String] =
       if (id > 64 && id % 200 == 13) {
-        baseWords(p, seed, id - 1 - r.nextInt(50)) // verbatim copy
+        baseWords(p, seed, id - 1 - r.nextInt(50), openVocab) // verbatim copy
       } else if (id > 64 && id % 10 == 7) {
         // near-copy: one substitution + one adjacent swap
-        val w = baseWords(p, seed, id - 1 - r.nextInt(50)).clone()
+        val w = baseWords(p, seed, id - 1 - r.nextInt(50), openVocab).clone()
         w(r.nextInt(w.length)) = p.vocab(r.nextInt(p.vocab.length))
         if (w.length > 2) {
           val k = r.nextInt(w.length - 1)
           val t = w(k); w(k) = w(k + 1); w(k + 1) = t
         }
         w
-      } else baseWords(p, seed, id)
+      } else baseWords(p, seed, id, openVocab)
     val text = words.mkString(" ")
     GenDoc(id, text, lang, source, text.length.toLong)
   }
@@ -120,10 +139,10 @@ object ScaleGen {
     * file records (srcDir, mult, seed); a matching marker skips the
     * whole build). Returns outDir for chaining. */
   def generate(s: SparkSession, srcDir: String, outDir: String,
-      mult: Int, seed: Long = 42L): String = {
+      mult: Int, seed: Long = 42L, openVocab: Int = 0): String = {
     import s.implicits._
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_META")
-    val stamp = s"src=$srcDir mult=$mult seed=$seed v=1"
+    val stamp = s"src=$srcDir mult=$mult seed=$seed ov=$openVocab v=1"
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker)) == stamp)
       return outDir
@@ -132,7 +151,7 @@ object ScaleGen {
     val nDocs = p.nDocs * mult
     val nEmb = p.nEmb * mult
     s.range(nDocs).repartition(s.sparkContext.defaultParallelism)
-      .map(id => docFor(bc.value, seed, id))
+      .map(id => docFor(bc.value, seed, id, openVocab))
       .write.mode(SaveMode.Overwrite)
       .parquet(Tables.path(outDir, "documents"))
     s.range(nEmb).repartition(s.sparkContext.defaultParallelism)

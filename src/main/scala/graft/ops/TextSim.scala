@@ -350,10 +350,18 @@ object TextSim {
       "|\\b\\d{3}-\\d{2}-\\d{4}\\b" +
       "|\\b\\d{13,19}\\b"
 
-  /** The fast-path alphabet of the char-set mask: space + a..z. Chosen
-    * to cover the fixture corpus, but NOT assumed — documents with any
-    * other character are flagged and take the exact set-op branch. */
-  private val MaskAlphabet: Seq[Char] = ' ' +: ('a' to 'z')
+  /** The fast-path alphabet of the char-set mask: space + a..z + 0..9
+    * + A..Z — 63 members, one bit each in a single long. The r10 mask
+    * covered only {space, a-z} (the fixture corpus), which made the
+    * fast path fixture-shaped: ANY real document carries digits, so in
+    * practice every pair fell to the exact set-op branch (measured on
+    * the round-11 open-vocab scale corpus: the digit-bearing exact
+    * branch was the dominant term of q_dedup_jaccard's wall). The
+    * alphabet is still NOT assumed — documents with any other
+    * character (punctuation, Unicode) are flagged and take the exact
+    * branch, so nothing is silently dropped. */
+  private val MaskAlphabet: Seq[Char] =
+    ' ' +: (('a' to 'z') ++ ('0' to '9') ++ ('A' to 'Z'))
 
   /** (doc_id, lang, blk, cs, cm, clean): each document's DISTINCT
     * character set plus its (lang, n_chars/100) blocking keys.
@@ -361,9 +369,9 @@ object TextSim {
     *  - `cs` is the character set itself, canonicalized (distinct
     *    chars, sorted, joined) — EXACT for any alphabet: digits,
     *    uppercase, Unicode all survive. It is the dedup key.
-    *  - `cm` is the 27-bit mask over [[MaskAlphabet]] (bit 0 = space,
-    *    bits 1..26 = a..z) — a popcount fast path, meaningful only
-    *    when `clean`.
+    *  - `cm` is the 63-bit mask over [[MaskAlphabet]] (bit 0 = space,
+    *    bits 1..26 = a..z, 27..36 = 0..9, 37..62 = A..Z) — a popcount
+    *    fast path, meaningful only when `clean`.
     *  - `clean` marks cs ⊆ MaskAlphabet (checked by `translate`
     *    deleting the alphabet and testing emptiness). A pair of clean
     *    docs compares by popcount(and)/popcount(or); any pair touching
@@ -1820,15 +1828,22 @@ object TextSim {
     // repeat inside the same doc) marks its instance as duplicated.
     // Output is the per-doc duplicated-window fraction — the signal
     // that recipe thresholds on before cutting spans. The paper builds
-    // a corpus suffix array; distributed, the same detection is a
-    // window-hash groupBy: O(total tokens) window instances, one
-    // exchange on the 64-bit window hash (count and instances shuffle
-    // on the SAME key, so the count join is co-partitioned), then one
-    // doc_id agg. No suffix array, no quadratic stage, no driver state
-    // — the shape survives 100 TB unchanged. Window text never reaches
-    // the output, so Spark shuffles xxhash64 keys (q_dedup_chunks'
-    // argument; the oracle groups the strings themselves). Docs
-    // shorter than k tokens have no windows and drop on both sides.
+    // a corpus suffix array; distributed, the same detection is ONE
+    // exchange of the window instances on the 64-bit window hash with
+    // a count-over-partition window function attaching each instance's
+    // corpus-wide occurrence count, then one doc_id agg. No suffix
+    // array, no quadratic stage, no driver state — the shape survives
+    // 100 TB unchanged. (The r10 spelling joined the instance table to
+    // a separate count aggregate of ITSELF: the tokenize+hash explode
+    // ran twice, and at scale — measured on the round-11 open-vocab
+    // 10x corpus, where distinct windows grow with the corpus — the
+    // count side outgrew broadcast and the join became a second full
+    // sort-merge of the same rows. The window-function spelling
+    // computes the explode once and joins nothing.) Window text never
+    // reaches the output, so Spark shuffles xxhash64 keys
+    // (q_dedup_chunks' argument; the oracle groups the strings
+    // themselves). Docs shorter than k tokens have no windows and
+    // drop on both sides.
     q("q_dedup_substring",
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
@@ -1851,8 +1866,8 @@ object TextSim {
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(ws) - ${k - 1})," +
             s" i -> xxhash64(array_join(slice(ws, i, $k), ' ')))")).as("wh"))
-      val c = win.groupBy("wh").agg(count(lit(1)).as("c"))
-      win.join(c, "wh")
+      val byWh = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+      win.withColumn("c", count(lit(1)).over(byWh))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_win"),
           sum(when(col("c") > 1, 1).otherwise(0)).as("n_dup"))
@@ -1902,8 +1917,13 @@ object TextSim {
             s" i -> xxhash64(array_join(slice(ws, i, $k), ' ')))"))
           .as(Seq("idx", "wh")))
         .select(col("doc_id"), (col("idx") + 1).as("i"), col("wh"))
-      val c = win.groupBy("wh").agg(count(lit(1)).as("c"))
-      val ncov = win.join(c, "wh").filter(col("c") > 1)
+      // Same no-self-join spelling as the detect query: occurrence
+      // counts attach by a count-over-partition window on the one wh
+      // exchange instead of joining the instance table to an aggregate
+      // of itself (which recomputed the explode twice).
+      val byWh = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+      val ncov = win.withColumn("c", count(lit(1)).over(byWh))
+        .filter(col("c") > 1)
         .select(col("doc_id"),
           explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
         .distinct()
@@ -2168,10 +2188,11 @@ object TextSim {
     // fan back in via two hash joins keyed on their (lang, block, cs).
     //
     // Per-pair similarity is alphabet-general (charMaskDocs): pairs of
-    // {space, a..z}-only docs compare by 27-bit-mask popcounts (the
-    // codegen fast path — the whole fixture corpus); any pair touching
-    // an out-of-alphabet doc computes exact set ops on the canonical
-    // charset string, so digits/uppercase/Unicode are never silently
+    // alphanumeric-only docs compare by 63-bit-mask popcounts (the
+    // codegen fast path — fixture corpus AND ordinary digit/uppercase
+    // text); any pair touching an out-of-alphabet doc computes exact
+    // set ops on the canonical charset string, so punctuation/Unicode
+    // are never silently
     // dropped. Orientation: for cs_a < cs_b each unordered doc pair
     // appears exactly once (one doc matched each side); for
     // cs_a = cs_b the ida < idb filter keeps one of the two orderings.

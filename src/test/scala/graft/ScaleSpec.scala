@@ -99,6 +99,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(e <= 1.75, s"IVF cell sumsq: $s1 -> $sN (exponent $e)")
   }
 
+  test("open-vocabulary corpora keep the gram-pair stage near-linear") {
+    // The finding-1 counter-experiment (SCALE.md): the fixture's
+    // 31-word CLOSED vocabulary saturates the df cap, which is what
+    // makes the gram-pair stage superlinear there. With an open
+    // vocabulary (64 Zipf-weighted variants per word — the gram space
+    // no longer saturates), per-gram df stays roughly flat and the
+    // pair explode must grow near-linearly.
+    def pairRows(d: String): Long =
+      ops.TextSim.gramPostings(spark, d, ops.TextSim.DfCap)
+        .select(coalesce(sum((size(col("ids")).cast("long") *
+          (size(col("ids")) - 1) / 2).cast("long")), lit(0L)))
+        .head().getLong(0)
+    val ov1 = ScaleGen.generate(spark, base,
+      java.nio.file.Files.createTempDirectory("graft_scale_ov1")
+        .toString + "/x1", 1, openVocab = 64)
+    val ovN = ScaleGen.generate(spark, base,
+      java.nio.file.Files.createTempDirectory("graft_scale_ovn")
+        .toString + s"/x$Mult", Mult, openVocab = 64)
+    val p1 = pairRows(ov1)
+    val pN = pairRows(ovN)
+    assert(p1 > 0, "no shared grams at tier 1 — planted dups missing")
+    val e = exponent(p1, pN)
+    assert(e <= 1.35,
+      s"open-vocab gram pairs superlinear: $p1 -> $pN (exponent $e)")
+  }
+
   test("LSH pair candidates never exceed the all-pairs bound") {
     def cand(d: String): Long = {
       ops.Sketches.warmLshSigStage(spark, d)
