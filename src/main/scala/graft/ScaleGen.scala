@@ -128,9 +128,24 @@ object ScaleGen {
     GenDoc(id, text, lang, source, text.length.toLong)
   }
 
-  private def embFor(p: Profile, seed: Long, id: Long): GenEmb = {
+  private def rawGauss(p: Profile, seed: Long, id: Long): Array[Double] = {
     val r = new java.util.Random(mix(seed ^ (id * 0xDA942042E4DD58B5L)))
-    val v = Array.fill(p.dim)(r.nextGaussian())
+    Array.fill(p.dim)(r.nextGaussian())
+  }
+
+  /** `plantVecDups` plants embedding near-copies at the document rate:
+    * 5% of vectors are a perturbed earlier vector (sigma 0.03 per
+    * coordinate before re-normalization — cos ~ 0.97 to the source),
+    * giving the corpus a linear population of true high-cosine pairs
+    * for threshold-tuned ANN/dedup experiments (SCALE.md finding 2). */
+  private def embFor(p: Profile, seed: Long, id: Long,
+      plantVecDups: Boolean): GenEmb = {
+    val r = new java.util.Random(mix(seed ^ (id * 0xDA942042E4DD58B5L)))
+    val v =
+      if (plantVecDups && id > 64 && id % 20 == 11) {
+        val src = id - 1 - r.nextInt(50)
+        rawGauss(p, seed, src).map(x => x + 0.03 * r.nextGaussian())
+      } else rawGauss(p, seed, id)
     val n = math.sqrt(v.map(x => x * x).sum)
     GenEmb(id, v.map(x => (x / n).toFloat).toSeq, r.nextInt(10))
   }
@@ -139,10 +154,12 @@ object ScaleGen {
     * file records (srcDir, mult, seed); a matching marker skips the
     * whole build). Returns outDir for chaining. */
   def generate(s: SparkSession, srcDir: String, outDir: String,
-      mult: Int, seed: Long = 42L, openVocab: Int = 0): String = {
+      mult: Int, seed: Long = 42L, openVocab: Int = 0,
+      plantVecDups: Boolean = false): String = {
     import s.implicits._
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_META")
-    val stamp = s"src=$srcDir mult=$mult seed=$seed ov=$openVocab v=1"
+    val stamp = s"src=$srcDir mult=$mult seed=$seed ov=$openVocab v=1" +
+      (if (plantVecDups) " pvd=1" else "")
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker)) == stamp)
       return outDir
@@ -155,7 +172,7 @@ object ScaleGen {
       .write.mode(SaveMode.Overwrite)
       .parquet(Tables.path(outDir, "documents"))
     s.range(nEmb).repartition(s.sparkContext.defaultParallelism)
-      .map(id => embFor(bc.value, seed, id))
+      .map(id => embFor(bc.value, seed, id, plantVecDups))
       .write.mode(SaveMode.Overwrite)
       .parquet(Tables.path(outDir, "embeddings"))
     // fact tables: fixture replicated with disjoint order-key ranges

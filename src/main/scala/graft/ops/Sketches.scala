@@ -111,6 +111,44 @@ object Sketches {
     explode(array(sig0 +: (0 until LshBits)
       .map(j => sig0.bitwiseXOR(lit(1L << j))): _*))
 
+  /** All-pairs LSH candidates at an EXPLICIT operating point — the
+    * selectivity/recall knob the fixed registry index (10 bits × 48
+    * tables × 1-bit probe, recall-tuned for cos >= 0.4) deliberately
+    * does not expose. For HIGH-threshold embedding dedup (near-exact
+    * copies, cos >= ~0.9) the right point is a few WIDE tables with no
+    * probe: a random cos-0 pair agrees on a b-bit signature with
+    * probability 2^-b, so the background candidate rate is
+    * ~tables/2^bits of all pairs (16 bits x 24 tables ≈ 4e-4 — five
+    * orders below the registry point's ~0.42 on isotropic data), while
+    * a cos 0.97 pair (theta ≈ 14°) collides in at least one of 24
+    * tables with probability ~1. Measured + recall-pinned in ScaleSpec
+    * on planted near-duplicate vectors; SCALE.md finding 2 carries the
+    * 10x-tier numbers. Same one-exchange join shape as
+    * [[lshPairCandidates]]; signatures are computed inline (callers
+    * exploring operating points shouldn't pollute the maintained
+    * signature index). */
+  def lshPairCandidatesTuned(s: SparkSession, d: String, bits: Int,
+      tables: Int, probe: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions.lshSig
+    require(bits >= 1 && bits <= 63 && tables >= 1)
+    val sigs = Tables.embeddings(s, d)
+      .select(col("vec_id") +: (0 until tables)
+        .map(t => lshSig(col("embedding"), bits, 7000 + t).as(s"s$t")): _*)
+      .select(col("vec_id"), posexplode(
+        array((0 until tables).map(t => col(s"s$t")): _*))
+        .as(Seq("t", "sig")))
+    val probes =
+      if (!probe) sigs
+      else sigs.select(col("vec_id"), col("t"),
+        explode(array(col("sig") +: (0 until bits)
+          .map(j => col("sig").bitwiseXOR(lit(1L << j))): _*)).as("sig"))
+    probes.toDF("ida", "t", "sig")
+      .join(sigs.toDF("idb", "t", "sig"), Seq("t", "sig"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb")
+      .distinct()
+  }
+
   /** Candidate (qid, vec_id) pairs for an arbitrary query frame
     * `(qid, qv)`. A query whose qid equals a corpus vec_id is treated
     * as that vector querying the rest (self-match excluded). */

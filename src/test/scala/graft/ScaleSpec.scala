@@ -125,6 +125,36 @@ class ScaleSpec extends AnyFunSuite {
       s"open-vocab gram pairs superlinear: $p1 -> $pN (exponent $e)")
   }
 
+  test("threshold-tuned LSH: selective background, recall on planted dups") {
+    // SCALE.md finding 2's constructive half: the registry operating
+    // point (10 bits x 48 tables x probe) is recall-tuned for cos 0.4
+    // and collides ~42% of ALL pairs on isotropic data; a 16-bit x
+    // 24-table no-probe point keeps cos >= 0.9 recall while its
+    // background rate is ~tables/2^bits ≈ 4e-4 of all pairs. Verified
+    // on a planted-near-dup tier: ground truth by brute force.
+    val dir = ScaleGen.generate(spark, base,
+      java.nio.file.Files.createTempDirectory("graft_scale_vd")
+        .toString + "/x1", 1, plantVecDups = true)
+    val vecs = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val truth = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      cos = vecs(i)._2.zip(vecs(j)._2).map(p => p._1 * p._2).sum
+      if cos >= 0.9
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(truth.size >= 10, s"planted dups missing: ${truth.size}")
+    val cand = ops.Sketches
+      .lshPairCandidatesTuned(spark, dir, bits = 16, tables = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = vecs.length.toLong
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"tuned recall $recall over ${truth.size} pairs")
+    assert(cand.size <= n * (n - 1) / 2 / 100,
+      s"tuned point not selective: ${cand.size} of ${n * (n - 1) / 2}")
+  }
+
   test("LSH pair candidates never exceed the all-pairs bound") {
     def cand(d: String): Long = {
       ops.Sketches.warmLshSigStage(spark, d)
