@@ -35,7 +35,8 @@ object ScaleBench {
     "q_agg_group", "q_join_inner", "q_text_tokens", "q_dedup_substring",
     "q_dedup_jaccard", "q_dedup_minhash", "q_sim_ann_lsh",
     "q_sim_ann_ivf", "q_sim_ann_ivfpq", "q_sim_hybrid_rrf",
-    "q_graph_pagerank", "q_graph_pagerank_w", "q_graph_cc")
+    "q_graph_pagerank", "q_graph_pagerank_w", "q_graph_cc",
+    "q_ev_session", "q_ev_interp", "q_ev_cohort", "q_ev_anomaly")
 
   /** All stage walls + structural counts for one tier. Returns
     * (label -> seconds, label -> count). */

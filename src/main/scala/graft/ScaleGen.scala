@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * Tables emitted: documents, embeddings (generated); lineitem, orders
   * (fixture replicated `mult`× with disjoint order-key ranges — join
   * consistency with the unchanged dimension tables is preserved
-  * because o_custkey/l_partkey/l_suppkey are untouched); region,
-  * nation, customer, supplier, part, events (copied verbatim).
+  * because o_custkey/l_partkey/l_suppkey are untouched); events
+  * (replicated with disjoint ids/users and a millisecond phase shift);
+  * region, nation, customer, supplier, part (copied verbatim).
   */
 object ScaleGen {
 
@@ -158,7 +159,7 @@ object ScaleGen {
       plantVecDups: Boolean = false): String = {
     import s.implicits._
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_META")
-    val stamp = s"src=$srcDir mult=$mult seed=$seed ov=$openVocab v=1" +
+    val stamp = s"src=$srcDir mult=$mult seed=$seed ov=$openVocab v=2" +
       (if (plantVecDups) " pvd=1" else "")
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker)) == stamp)
@@ -187,10 +188,27 @@ object ScaleGen {
     }
     replicate("lineitem", Seq("l_orderkey"))
     replicate("orders", Seq("o_orderkey"))
-    // dimensions + events: verbatim copies (events keeps its physical
-    // timestamp encoding by being copied at the file level)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "events")) {
+    // events: replicated with disjoint event/user ids and a
+    // per-replica millisecond phase shift — the windows/sessions stay
+    // densely populated instead of holding exact timestamp duplicates,
+    // and the user population grows with the corpus (the dimension the
+    // per-user exchanges shuffle on). Physical ts encoding follows the
+    // source footer (int64 ns under nanosAsLong, or native timestamp).
+    locally {
+      val ev = s.read.parquet(Tables.path(srcDir, "events"))
+      val isNs = ev.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      (0 until mult).map { k =>
+        ev.withColumn("event_id", col("event_id") + lit(k * off))
+          .withColumn("user_id", col("user_id") + lit(k * 1000L))
+          .withColumn("ts",
+            if (isNs) col("ts") + lit(k.toLong * 1000000L)
+            else col("ts") + expr(s"INTERVAL $k MILLISECONDS"))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(Tables.path(outDir, "events"))
+    }
+    // dimensions: verbatim copies
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val src = java.nio.file.Paths.get(Tables.path(srcDir, t))
       val dst = java.nio.file.Paths.get(Tables.path(outDir, t))
       java.nio.file.Files.createDirectories(dst.getParent)
