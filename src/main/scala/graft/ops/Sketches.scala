@@ -1303,6 +1303,38 @@ object Sketches {
         .orderBy("vec_id")
     },
 
+    // LSH OPERATING-POINT report — the selectivity/recall tradeoff as
+    // a driver-visible table (SCALE.md finding 2, driver-facing): for
+    // the registry point (10 bits x 48 tables x 1-bit probe,
+    // recall-tuned for cos >= 0.4) and the threshold-tuned dedup point
+    // (16 bits x 24 tables, no probe — 579x fewer candidates at the
+    // measured 10x tier), the candidate count, the verified
+    // cos >= 0.9 pair count among candidates, and the candidate rate
+    // in ppm of all pairs. Not SQL-expressible (signature kernels);
+    // golden-pinned, recall/selectivity property-pinned in ScaleSpec.
+    QuerySpec.noOracle("q_sim_lsh_points") { (s, d) =>
+      val base = embBase(s, d)
+      val tot = base.agg(count(lit(1)).as("n_vec"))
+      def report(label: String, cand: DataFrame): DataFrame =
+        cand.join(base.toDF("ida", "va", "na"), "ida")
+          .join(base.toDF("idb", "vb", "nb"), "idb")
+          .withColumn("cos",
+            graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+              / (col("na") * col("nb")))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("cos") >= 0.9, 1).otherwise(0)).as("n_verified"))
+          .withColumn("point", lit(label))
+      report("registry_10x48_probe", lshPairCandidates(s, d))
+        .unionByName(
+          report("tuned_16x24", lshPairCandidatesTuned(s, d, 16, 24)))
+        .crossJoin(broadcast(tot))
+        .select(col("point"), col("n_candidates"),
+          coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+          round(col("n_candidates") * lit(2000000.0)
+            / (col("n_vec") * (col("n_vec") - 1)), 3).as("cand_ppm"))
+        .orderBy("point")
+    },
+
     // LSH ANN: hyperplane-signature buckets + multiprobe generate the
     // candidates (see lshCandidates), then the exact codegen cosine
     // reranks candidates to top-3 per query — the second scale path

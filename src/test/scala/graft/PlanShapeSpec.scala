@@ -385,7 +385,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // |sources|-row total/normalizer singletons, q_mix_weights' shape
       "q_mix_epochs",
       // one-row corpus doc-count singleton gating the df band
-      "q_text_vocab_prune")
+      "q_text_vocab_prune",
+      // one-row vector-count singleton joined onto the 2-row report
+      "q_sim_lsh_points")
     val offenders = Registry.all.map(_.name).filterNot(declared).filter { n =>
       val p = plan(n)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
