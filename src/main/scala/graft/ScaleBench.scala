@@ -85,10 +85,15 @@ object ScaleBench {
     cnt("ivf_cell_sumsq")(cells.select(sum(col("n") * col("n")))
       .head().getLong(0))
 
-    // the measured queries (single pass; counts above carry the signal)
+    // the measured queries — min-of-2, like Bench: single-JVM walls at
+    // this scale carry large session-state variance (SCALE.md
+    // methodology; the counts above are the load-bearing evidence)
     for (q <- ScaleQueries) {
       val fn = Registry.byName(q)
-      wall(s"q:$q")(fn.df(s, d).count(): Unit)
+      val ts = (1 to 2).map { _ =>
+        val (_, t) = timed(fn.df(s, d).count(): Unit); t
+      }
+      walls += s"q:$q" -> ts.min
     }
     (walls.toSeq, counts.toSeq)
   }
