@@ -1168,6 +1168,44 @@ object TextSim {
         .orderBy("doc_id")
     },
 
+    // Learned-BPE token accounting — the real-tokenizer step behind
+    // q_text_tokcount's BPE-ish regex proxy: train a 128-merge BPE on
+    // the corpus WORD-FREQUENCY table (the standard trainer input —
+    // one corpus-scale groupBy, Heaps-bounded and top-64k-capped,
+    // then a driver-side merge loop over that bounded table; Sennrich
+    // et al. 2016), broadcast the learned ranks, and tokenize every
+    // document under them in a narrow per-partition map with a
+    // distinct-word memo. Output: per-doc whitespace vs learned-BPE
+    // token counts and the ratio — the budget signal an actual
+    // tokenizer yields. NOT SQL-expressible (iterative training);
+    // golden-pinned; training replay, greedy-application round-trip,
+    // and merge-monotonicity pinned in BpeSpec.
+    QuerySpec.noOracle("q_text_bpe") { (s, d) =>
+      val wf = Tables.documents(s, d)
+        .select(explode(words).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w")).limit(65536)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val ranks = Bpe.train(wf, 128).zipWithIndex.toMap
+      val bc = s.sparkContext.broadcast(ranks)
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), words.as("ws"))
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val memo = scala.collection.mutable.HashMap.empty[String, Int]
+          it.map { case (id, ws) =>
+            val nBpe = ws.iterator.map(w =>
+              memo.getOrElseUpdate(w, Bpe.encode(w, bc.value).length)).sum
+            (id, ws.length.toLong, nBpe.toLong)
+          }
+        }
+        .toDF("doc_id", "n_ws_tokens", "n_bpe_tokens")
+        .withColumn("ratio", round(
+          col("n_bpe_tokens") / col("n_ws_tokens").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprint: min MD5 over sliding char 8-grams (winnowing
     // shape). MD5 hex is identical cross-engine, unlike hash()/xxhash64.
     // The min is a native rolling-digest kernel (graftnative.MinGramMd5):
