@@ -1546,6 +1546,39 @@ object TextSim {
     // Domain mixing weights: per-source document and token counts with
     // the token-share sampling weight — the corpus-mixing table every
     // training-data pipeline derives before sampling.
+    // Deterministic hash split — the train/val/test assignment every
+    // pipeline materializes before anything touches the data. Split
+    // by a hash OF THE DOC ID, not by position or random(): the
+    // assignment is then (a) reproducible across engines and runs,
+    // (b) STABLE UNDER CORPUS GROWTH — ingesting tomorrow's crawl
+    // never reshuffles today's docs across splits (the leakage
+    // mechanism of ratio-based resplits), and (c) join-free per row.
+    // The hash is the first md5 hex nibble of the decimal id string —
+    // byte-identical in both engines, 16 buckets: 0..b train (75%),
+    // c..d val, e..f test. Output is the per-(source, split) manifest
+    // (docs + chars) a pipeline ships with the split definition.
+    q("q_mix_split",
+      """WITH s AS (SELECT source, n_chars,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM s GROUP BY source, split
+        |ORDER BY source, split""") { (s, d) =>
+      val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          when(nib <= "b", "train").when(nib <= "d", "val")
+            .otherwise("test").as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("source", "split")
+    },
+
     q("q_mix_weights",
       """WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
