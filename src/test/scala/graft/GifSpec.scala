@@ -271,4 +271,42 @@ class GifSpec extends AnyFunSuite {
     bomb(8) = 0xFF.toByte; bomb(9) = 0x7F.toByte // height 32767
     assert(Multimodal.decodeGif(bomb).isEmpty)
   }
+
+  // Fixture provenance (src/test/resources/gif_ref/): each <name>.gif
+  // was encoded by the system giflib (the format's reference
+  // implementation, tools/gen_gif.py) and <name>.px holds the exact
+  // source indices palette-mapped + composited per GIF89a by an
+  // INDEPENDENT python implementation. These exist because the
+  // spec-side encoder above can only prove SELF-consistency — the
+  // VP8L code-length-order lesson: a shared transcription error
+  // round-trips green while every real-world file refuses.
+  test("giflib-encoded files decode bit-exact (independent reference)") {
+    def res(p: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(p)
+      try in.readAllBytes() finally in.close()
+    }
+    def le16(b: Array[Byte], o: Int) =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def le32(b: Array[Byte], o: Int) =
+      le16(b, o).toLong | (le16(b, o + 2).toLong << 16)
+    for (n <- Seq("grad64", "noise_i", "pal4", "anim")) {
+      val bytes = res(s"/gif_ref/$n.gif")
+      val px = res(s"/gif_ref/$n.px")
+      val w = le16(px, 0); val h = le16(px, 2); val nf = le16(px, 4)
+      val anim = Multimodal.decodeGif(bytes).getOrElse(fail(s"$n refused"))
+      assert((anim.width, anim.height, anim.frames.length) ===
+        ((w, h, nf)), n)
+      var off = 6
+      anim.frames.zipWithIndex.foreach { case (fr, i) =>
+        val delay = le32(px, off); off += 4
+        assert(fr.delayMs === delay, s"$n frame $i delay")
+        var k = 0
+        while (k < w * h * 3) {
+          assert(fr.pixels(k) === px(off + k), s"$n frame $i byte $k")
+          k += 1
+        }
+        off += w * h * 3
+      }
+    }
+  }
 }
