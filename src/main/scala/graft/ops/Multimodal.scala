@@ -2324,6 +2324,17 @@ object Multimodal {
     // payload chunk is VP8L — the RIFF walk finds it either way.
     if (!isWebp(c)) return None
     val (chunkOff, chunkLen) = webpChunk(c, "VP8L").getOrElse(return None)
+    decodeVp8lPayload(c, chunkOff, chunkLen)
+  } catch {
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+        _: NegativeArraySizeException =>
+      None // corrupt/truncated/hostile input: drop, don't crash
+  }
+
+  /** One VP8L stream at (off, len) — shared by still lossless files
+    * and (since r11) ANMF animation frames. */
+  private def decodeVp8lPayload(c: Array[Byte], chunkOff: Int,
+      chunkLen: Int): Option[PngImage] = try {
     if (chunkOff + 1 > c.length || (c(chunkOff) & 0xFF) != 0x2F) return None
     val end = math.min(c.length.toLong, chunkOff.toLong + chunkLen).toInt
     val br = new VlBits(c, chunkOff + 1, end) // skip the 0x2F signature
@@ -2568,37 +2579,220 @@ object Multimodal {
     * conversion of the 4:2:0 planes, cropped to the frame dims. */
   def decodeWebpLossy(c: Array[Byte]): Option[PngImage] =
     webpChunk(c, "VP8 ").flatMap { case (off, len) =>
-      Vp8.decodeFrame(c, off, len).map { yuv =>
-        // Transparent lossy files (VP8X + ALPH) get their real alpha
-        // plane; a malformed ALPH degrades to opaque RGB rather than
-        // dropping the whole image.
-        val alpha = webpChunk(c, "ALPH").flatMap { case (ao, al) =>
-          decodeAlph(c, ao, al, yuv.w, yuv.h)
+      // Transparent lossy files (VP8X + ALPH) get their real alpha
+      // plane; a malformed ALPH degrades to opaque RGB rather than
+      // dropping the whole image.
+      decodeVp8Payload(c, off, len, webpChunk(c, "ALPH"))
+    }
+
+  /** One lossy VP8 key frame at (off, len), with an optional ALPH
+    * chunk range — shared by still lossy files and (since r11) ANMF
+    * animation frames. */
+  private def decodeVp8Payload(c: Array[Byte], off: Int, len: Int,
+      alph: Option[(Int, Int)]): Option[PngImage] =
+    Vp8.decodeFrame(c, off, len).map { yuv =>
+      val alpha = alph.flatMap { case (ao, al) =>
+        decodeAlph(c, ao, al, yuv.w, yuv.h)
+      }
+      val ch = if (alpha.isDefined) 4 else 3
+      // Chroma to full resolution through the shared triangular
+      // ("fancy") h2v2 filter — the same 9:3:3:1 kernel the reference
+      // decoder applies, replacing the r10 nearest-neighbor lookup
+      // (diffs to ~100 at chroma edges; now within conversion
+      // rounding of libwebp's RGB output).
+      val uf = jUpsamplePlane(yuv.u, yuv.uvStride, 1, 1, 2, 2,
+        yuv.w, yuv.h)
+      val vf = jUpsamplePlane(yuv.v, yuv.uvStride, 1, 1, 2, 2,
+        yuv.w, yuv.h)
+      val out = new Array[Byte](yuv.w * yuv.h * ch)
+      var y = 0
+      while (y < yuv.h) {
+        var x = 0
+        while (x < yuv.w) {
+          val yy = 1.164 * ((yuv.y(y * yuv.yStride + x) & 0xFF) - 16)
+          val cb = (uf(y * yuv.w + x) & 0xFF) - 128
+          val cr = (vf(y * yuv.w + x) & 0xFF) - 128
+          val o = (y * yuv.w + x) * ch
+          val r = math.rint(yy + 1.596 * cr).toInt
+          val g = math.rint(yy - 0.391 * cb - 0.813 * cr).toInt
+          val b = math.rint(yy + 2.018 * cb).toInt
+          out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+          out(o + 2) = (if (b < 0) 0 else if (b > 255) 255 else b).toByte
+          if (ch == 4) out(o + 3) = alpha.get(y * yuv.w + x)
+          x += 1
         }
-        val ch = if (alpha.isDefined) 4 else 3
-        val out = new Array[Byte](yuv.w * yuv.h * ch)
-        var y = 0
-        while (y < yuv.h) {
-          var x = 0
-          while (x < yuv.w) {
-            val yy = 1.164 * ((yuv.y(y * yuv.yStride + x) & 0xFF) - 16)
-            val cb = (yuv.u((y >> 1) * yuv.uvStride + (x >> 1)) & 0xFF) - 128
-            val cr = (yuv.v((y >> 1) * yuv.uvStride + (x >> 1)) & 0xFF) - 128
-            val o = (y * yuv.w + x) * ch
-            val r = math.rint(yy + 1.596 * cr).toInt
-            val g = math.rint(yy - 0.391 * cb - 0.813 * cr).toInt
-            val b = math.rint(yy + 2.018 * cb).toInt
-            out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
-            out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
-            out(o + 2) = (if (b < 0) 0 else if (b > 255) 255 else b).toByte
-            if (ch == 4) out(o + 3) = alpha.get(y * yuv.w + x)
-            x += 1
+        y += 1
+      }
+      PngImage(yuv.w, yuv.h, ch, out)
+    }
+
+  /** One composited animation frame: the FULL RGBA canvas as
+    * displayed, plus its duration. */
+  final case class WebpFrame(delayMs: Long, pixels: Array[Byte])
+
+  /** A decoded animated WebP: canvas dims, loop count, composited
+    * RGBA frames. */
+  final case class WebpAnim(width: Int, height: Int, loops: Int,
+      frames: Seq[WebpFrame])
+
+  /** ANIMATED WebP (VP8X + ANIM/ANMF, the public container spec):
+    * each ANMF frame rect decodes through the SAME payload decoders
+    * as stills (lossy VP8 ± ALPH, VP8L) and composites onto the
+    * persistent RGBA canvas — blending per the frame's flag (alpha-
+    * over, or none = overwrite) and disposal (none, or fill the frame
+    * rect with the ANIM background color). The canvas starts fully
+    * transparent. Same bomb discipline as GIF: canvas pixels × frames
+    * bounded BEFORE decoding any of them; malformed frames drop the
+    * file, not the executor. */
+  def decodeWebpAnim(c: Array[Byte]): Option[WebpAnim] = try {
+    if (!isWebp(c) || c.length < 30 || tag(c, 12) != "VP8X") return None
+    if ((c(20) & 0x02) == 0) return None // VP8X animation flag
+    def le24(o: Int) =
+      (c(o) & 0xFF) | ((c(o + 1) & 0xFF) << 8) | ((c(o + 2) & 0xFF) << 16)
+    val w = 1 + le24(24)
+    val h = 1 + le24(27)
+    if (w.toLong * h > MaxWebpPixels) return None
+    // Pre-count ANMF chunks for the bomb guard.
+    var nFrames = 0L
+    var p = 30
+    while (p + 8 <= c.length) {
+      val sz = le32(c, p + 4)
+      if (sz < 0 || p.toLong + 8 + sz > c.length) return None
+      if (tag(c, p) == "ANMF") nFrames += 1
+      p += 8 + sz + (sz & 1)
+    }
+    if (nFrames == 0 || nFrames * w * h > MaxGifPixels) return None
+    var bg = 0 // BGRA background color (dispose fill)
+    var loops = 0
+    val canvas = new Array[Byte](w * h * 4)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[WebpFrame]
+    p = 30
+    while (p + 8 <= c.length) {
+      val sz = le32(c, p + 4)
+      tag(c, p) match {
+        case "ANIM" if sz >= 6 =>
+          bg = le32(c, p + 8)
+          loops = le16(c, p + 12)
+        case "ANMF" if sz >= 16 =>
+          val fo = p + 8
+          val fx = le24(fo) * 2
+          val fy = le24(fo + 3) * 2
+          val fw = 1 + le24(fo + 6)
+          val fh = 1 + le24(fo + 9)
+          val dur = le24(fo + 12)
+          val flags = c(fo + 15) & 0xFF
+          val noBlend = (flags & 0x02) != 0
+          val disposeBg = (flags & 0x01) != 0
+          if (fx + fw > w || fy + fh > h) return None
+          // frame data: sub-chunks inside the ANMF payload
+          var alph: Option[(Int, Int)] = None
+          var img: Option[PngImage] = None
+          var q = fo + 16
+          val qEnd = fo + sz
+          while (q + 8 <= qEnd) {
+            val ssz = le32(c, q + 4)
+            if (ssz < 0 || q.toLong + 8 + ssz > qEnd) return None
+            tag(c, q) match {
+              case "ALPH" => alph = Some((q + 8, ssz))
+              case "VP8 " if img.isEmpty =>
+                img = decodeVp8Payload(c, q + 8, ssz, alph)
+              case "VP8L" if img.isEmpty =>
+                img = decodeVp8lPayload(c, q + 8, ssz)
+              case _ => ()
+            }
+            q += 8 + ssz + (ssz & 1)
           }
-          y += 1
+          val fr = img.getOrElse(return None)
+          if (fr.width != fw || fr.height != fh) return None
+          // composite onto the canvas
+          var y = 0
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              val src = (y * fw + x) * fr.channels
+              val dst = ((fy + y) * w + fx + x) * 4
+              val fa = if (fr.channels == 4) fr.pixels(src + 3) & 0xFF
+                else 255
+              if (noBlend || fa == 255) {
+                canvas(dst) = fr.pixels(src)
+                canvas(dst + 1) = fr.pixels(src + 1)
+                canvas(dst + 2) = fr.pixels(src + 2)
+                canvas(dst + 3) = fa.toByte
+              } else if (fa > 0) {
+                // alpha-over, rounded integer arithmetic
+                val ba = canvas(dst + 3) & 0xFF
+                val oa255 = fa * 255 + ba * (255 - fa) // alpha x 255
+                def ch(i: Int): Unit = {
+                  val fv = fr.pixels(src + i) & 0xFF
+                  val bv = canvas(dst + i) & 0xFF
+                  val num = fv * fa * 255 + bv * ba * (255 - fa)
+                  canvas(dst + i) =
+                    (if (oa255 == 0) 0
+                    else (num + oa255 / 2) / oa255).toByte
+                }
+                ch(0); ch(1); ch(2)
+                canvas(dst + 3) = ((oa255 + 127) / 255).toByte
+              } // fa == 0: keep canvas
+              x += 1
+            }
+            y += 1
+          }
+          frames += WebpFrame(dur.toLong,
+            java.util.Arrays.copyOf(canvas, canvas.length))
+          if (disposeBg) {
+            // fill the frame rect with the background color (BGRA)
+            val br_ = (bg & 0xFF).toByte
+            val bgc = ((bg >>> 8) & 0xFF).toByte
+            val brr = ((bg >>> 16) & 0xFF).toByte
+            val ba = ((bg >>> 24) & 0xFF).toByte
+            var y2 = 0
+            while (y2 < fh) {
+              var x2 = 0
+              while (x2 < fw) {
+                val dst = ((fy + y2) * w + fx + x2) * 4
+                canvas(dst) = brr; canvas(dst + 1) = bgc
+                canvas(dst + 2) = br_; canvas(dst + 3) = ba
+                x2 += 1
+              }
+              y2 += 1
+            }
+          }
+        case _ => ()
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    if (frames.isEmpty) None else Some(WebpAnim(w, h, loops, frames.toSeq))
+  } catch {
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+        _: NegativeArraySizeException =>
+      None // corrupt/truncated/hostile input: drop, don't crash
+  }
+
+  /** Animated-WebP -> per-frame BMP fan-out, [[gifFramesAsBmp]]'s
+    * twin: one MediaFile per composited frame (`#frame<i>` suffix),
+    * `everyMs` sampling the animation timeline (0 = every frame). */
+  def webpFramesAsBmp(ds: Dataset[MediaFile],
+      everyMs: Long = 0L): Dataset[MediaFile] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
+    ds.mapPartitions { files =>
+      files.flatMap { f =>
+        if (!isWebp(f.content)) Iterator.empty
+        else decodeWebpAnim(f.content).iterator.flatMap { anim =>
+          var nextSample = 0L
+          var clock = 0L
+          anim.frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
+            val take = everyMs <= 0 || clock >= nextSample
+            if (take && everyMs > 0) nextSample += everyMs
+            clock += math.max(fr.delayMs, 1L)
+            if (!take) None
+            else pixelsAsBmp(s"${f.path}#frame$i", anim.width,
+              anim.height, 4, fr.pixels)
+          }
         }
-        PngImage(yuv.w, yuv.h, ch, out)
       }
     }
+  }
 
   /** WebP metadata: VP8L header dims for lossless, the VP8 key-frame
     * header for lossy (real since r10 — no entropy decode needed),
@@ -2632,8 +2826,28 @@ object Multimodal {
             } else (0, 0, 0)
         }
       }
+    // Animated files (VP8X animation flag): total timeline duration
+    // from the ANMF headers — cheap-metadata contract, payloads
+    // untouched.
+    val durMs: Long =
+      if (c.length >= 30 && tag(c, 12) == "VP8X" && (c(20) & 0x02) != 0) {
+        var total = 0L
+        var p = 30
+        var ok = true
+        while (ok && p + 8 <= c.length) {
+          val sz = le32(c, p + 4)
+          if (sz < 0 || p.toLong + 8 + sz > c.length) ok = false
+          else {
+            if (tag(c, p) == "ANMF" && sz >= 16)
+              total += (c(p + 20) & 0xFF) | ((c(p + 21) & 0xFF) << 8) |
+                ((c(p + 22) & 0xFF) << 16)
+            p += 8 + sz + (sz & 1)
+          }
+        }
+        total
+      } else 0L
     MediaMeta(path, c.length, "webp", width = w, height = h,
-      channels = if (w > 0) ch else 0, duration_ms = 0L)
+      channels = if (w > 0) ch else 0, duration_ms = durMs)
   }
 
   /** WebP -> 24-bpp BMP bridge, the [[pngAsBmp]] twin for the most

@@ -439,6 +439,93 @@ class WebpSpec extends AnyFunSuite {
     assert(Multimodal.decodeWebpLossless(bomb).isEmpty)
   }
 
+  // ---- animated WebP (VP8X + ANIM/ANMF) -------------------------------
+  // Fixture provenance: frame payloads encoded by the system libwebp,
+  // container assembled per the public spec, goldens composited in
+  // python from libwebp's own frame decode (tools/gen_webpanim.py).
+  // Frame alphas are {0,255} so blend semantics are exact.
+
+  private def refBytes2(p: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def checkAnim(name: String, tol: Int): Unit = {
+    val webp = refBytes2(s"/webp_ref/$name.webp")
+    val px = refBytes2(s"/webp_ref/$name.px")
+    def le16(o: Int) = (px(o) & 0xFF) | ((px(o + 1) & 0xFF) << 8)
+    val (w, h, nf) = (le16(0), le16(2), le16(4))
+    val anim = Multimodal.decodeWebpAnim(webp)
+      .getOrElse(fail(s"$name refused"))
+    assert((anim.width, anim.height, anim.frames.length) === ((w, h, nf)))
+    assert(anim.loops === 2)
+    var off = 6
+    anim.frames.zipWithIndex.foreach { case (fr, i) =>
+      val delay = (px(off) & 0xFF) | ((px(off + 1) & 0xFF) << 8) |
+        ((px(off + 2) & 0xFF) << 16)
+      off += 4
+      assert(fr.delayMs === delay, s"$name frame $i delay")
+      var maxd = 0
+      var k = 0
+      while (k < w * h * 4) {
+        val d = math.abs((fr.pixels(k) & 0xFF) - (px(off + k) & 0xFF))
+        if (d > maxd) maxd = d
+        k += 1
+      }
+      assert(maxd <= tol, s"$name frame $i max diff $maxd")
+      off += w * h * 4
+    }
+  }
+
+  test("animated WebP: all-lossless fixture composites BIT-EXACT") {
+    checkAnim("anim_lossless", tol = 0)
+  }
+
+  test("animated WebP: mixed lossy/lossless within conversion tolerance") {
+    // lossy frames pass through OUR BT.601 YUV->RGB (nearest chroma)
+    // vs libwebp's fancy-upsampled conversion in the golden — the
+    // same class of difference the still-image pins isolate by
+    // comparing YUV planes; here the CONTAINER semantics are under
+    // test, so pixels carry a conversion tolerance.
+    checkAnim("anim_mixed", tol = 8)
+  }
+
+  test("animated WebP: meta reports canvas + total duration; frame fan-out") {
+    import spark.implicits._
+    val webp = refBytes2("/webp_ref/anim_lossless.webp")
+    val meta = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("a.webp", webp.length, webp)).toDS())
+      .collect().head
+    assert(meta.width === 48 && meta.height === 32)
+    assert(meta.duration_ms === 280L) // 40+60+80+100
+    val frames = Multimodal.webpFramesAsBmp(Seq(
+      Multimodal.MediaFile("a.webp", webp.length, webp)).toDS()).collect()
+    assert(frames.length === 4)
+    assert(frames.forall(f => Multimodal.decodeMeta(Seq(f).toDS())
+      .head().format == "bmp"))
+    // timeline sampling thins the frames
+    val sampled = Multimodal.webpFramesAsBmp(Seq(
+      Multimodal.MediaFile("a.webp", webp.length, webp)).toDS(),
+      everyMs = 90L).collect()
+    assert(sampled.length < 4 && sampled.nonEmpty)
+  }
+
+  test("animated WebP: mutated/truncated containers drop, never throw") {
+    val rnd = new scala.util.Random(31)
+    val base = refBytes2("/webp_ref/anim_lossless.webp")
+    for (i <- 0 until 60) {
+      val b = base.clone()
+      if (i % 2 == 0) {
+        (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        Multimodal.decodeWebpAnim(b) // Some or None, never throw
+      } else {
+        Multimodal.decodeWebpAnim(b.take(12 + rnd.nextInt(b.length - 12)))
+      }
+    }
+  }
+
   test("RIFF chunk sizes near Int.MaxValue are refused, not Int-wrapped") {
     // A ~24-byte container whose first chunk declares a size that
     // overflows `p + 8 + sz` in Int arithmetic: the walk must refuse
