@@ -1217,7 +1217,228 @@ object Multimodal {
       width = be32(c, 16), height = be32(c, 20),
       channels = c(25) match { case 0 => 1; case 2 | 3 => 3; case 4 | 6 => 4
         case _ => 0 }, // palette->RGB, gray+alpha->RGBA, per decodePng
-      duration_ms = 0L)
+      duration_ms = apngDurationMs(c))
+
+  /** Total animation duration for APNG files (acTL present): sum of
+    * the fcTL delays — cheap-metadata contract, frame payloads
+    * untouched. 0 for still PNGs. */
+  private def apngDurationMs(c: Array[Byte]): Long = {
+    var p = 8
+    var isAnim = false
+    var total = 0L
+    while (p + 8 <= c.length) {
+      val len = be32(c, p)
+      if (len < 0 || p.toLong + 12 + len > c.length) return if (isAnim) total else 0L
+      val t = tag(c, p + 4)
+      if (t == "acTL") isAnim = true
+      else if (t == "fcTL" && len >= 26) {
+        val num = ((c(p + 28) & 0xFF) << 8) | (c(p + 29) & 0xFF)
+        val den0 = ((c(p + 30) & 0xFF) << 8) | (c(p + 31) & 0xFF)
+        val den = if (den0 == 0) 100 else den0
+        total += num.toLong * 1000 / den
+      }
+      p += 12 + len
+    }
+    if (isAnim) total else 0L
+  }
+
+  /** A decoded APNG: canvas dims, play count, composited RGBA frames
+    * (frame shape shared with animated WebP). */
+  final case class ApngAnim(width: Int, height: Int, plays: Int,
+      frames: Seq[WebpFrame])
+
+  /** ANIMATED PNG (acTL/fcTL/fdAT, the public APNG spec): each
+    * frame's data chunks (IDAT for a default-image first frame, fdAT
+    * minus its sequence number otherwise) are REWRAPPED as a
+    * standalone still PNG — same IHDR type/depth, frame dims — and
+    * decoded by [[decodePng]], so the whole filter/inflate/palette
+    * machinery is reused rather than duplicated. Composition per the
+    * spec: blend op source (overwrite) or over (alpha compositing),
+    * dispose op none / background (clear the frame rect to
+    * transparent) / previous (revert the rect); canvas starts fully
+    * transparent. GIF bomb discipline: frames × canvas bounded before
+    * any decode. */
+  def decodeApng(c: Array[Byte]): Option[ApngAnim] = try {
+    if (!isPng(c)) return None
+    val w = be32(c, 16)
+    val h = be32(c, 20)
+    if (w <= 0 || h <= 0) return None
+    final case class Fctl(fw: Int, fh: Int, fx: Int, fy: Int,
+        delayMs: Long, dispose: Int, blend: Int)
+    var acFrames = -1
+    var plays = 0
+    var plteChunk: Array[Byte] = null
+    var trnsChunk: Array[Byte] = null
+    var cur: Fctl = null
+    var curData = new java.io.ByteArrayOutputStream()
+    val raw = scala.collection.mutable.ArrayBuffer
+      .empty[(Fctl, Array[Byte])]
+    def flush(): Unit = {
+      if (cur != null && curData.size() > 0) {
+        raw += ((cur, curData.toByteArray))
+      }
+      cur = null
+      curData = new java.io.ByteArrayOutputStream()
+    }
+    var p = 8
+    while (p + 8 <= c.length) {
+      val len = be32(c, p)
+      if (len < 0 || p.toLong + 12 + len > c.length) return None
+      tag(c, p + 4) match {
+        case "acTL" if len >= 8 =>
+          acFrames = be32(c, p + 8)
+          plays = be32(c, p + 12)
+        case "PLTE" =>
+          plteChunk = java.util.Arrays.copyOfRange(c, p, p + 12 + len)
+        case "tRNS" =>
+          trnsChunk = java.util.Arrays.copyOfRange(c, p, p + 12 + len)
+        case "fcTL" if len >= 26 =>
+          flush()
+          val num = ((c(p + 28) & 0xFF) << 8) | (c(p + 29) & 0xFF)
+          val den0 = ((c(p + 30) & 0xFF) << 8) | (c(p + 31) & 0xFF)
+          val den = if (den0 == 0) 100 else den0
+          cur = Fctl(be32(c, p + 12), be32(c, p + 16), be32(c, p + 20),
+            be32(c, p + 24), num.toLong * 1000 / den,
+            c(p + 32) & 0xFF, c(p + 33) & 0xFF)
+        case "IDAT" if cur != null =>
+          curData.write(c, p + 8, len)
+        case "fdAT" if cur != null && len >= 4 =>
+          curData.write(c, p + 12, len - 4)
+        case "IEND" => flush()
+        case _ => ()
+      }
+      p += 12 + len
+    }
+    flush()
+    if (acFrames <= 0 || raw.isEmpty || raw.length != acFrames) return None
+    if (raw.length.toLong * w * h > MaxGifPixels) return None
+    // Rewrap each frame as a standalone PNG (same IHDR type/depth).
+    val crc = new java.util.zip.CRC32
+    def chunk(tag4: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+      out.putInt(payload.length)
+      val tb = tag4.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.put(tb).put(payload)
+      crc.reset()
+      crc.update(tb)
+      crc.update(payload)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val sig = java.util.Arrays.copyOfRange(c, 0, 8)
+    val canvas = new Array[Byte](w * h * 4)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[WebpFrame]
+    for ((f, data) <- raw) {
+      if (f.fw <= 0 || f.fh <= 0 || f.fx < 0 || f.fy < 0 ||
+        f.fx + f.fw > w || f.fy + f.fh > h) return None
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(f.fw).putInt(f.fh)
+      ihdr.put(c(24)).put(c(25)).put(c(26)).put(c(27)).put(c(28))
+      val still = new java.io.ByteArrayOutputStream()
+      still.write(sig)
+      still.write(chunk("IHDR", ihdr.array()))
+      if (plteChunk != null) still.write(plteChunk)
+      if (trnsChunk != null) still.write(trnsChunk)
+      still.write(chunk("IDAT", data))
+      still.write(chunk("IEND", Array.emptyByteArray))
+      val img = decodePng(still.toByteArray).getOrElse(return None)
+      if (img.width != f.fw || img.height != f.fh) return None
+      // dispose previous: save the rect before drawing
+      val before =
+        if (f.dispose == 2) {
+          val b = new Array[Byte](f.fw * f.fh * 4)
+          var y = 0
+          while (y < f.fh) {
+            System.arraycopy(canvas, ((f.fy + y) * w + f.fx) * 4,
+              b, y * f.fw * 4, f.fw * 4)
+            y += 1
+          }
+          b
+        } else null
+      var y = 0
+      while (y < f.fh) {
+        var x = 0
+        while (x < f.fw) {
+          val src = (y * f.fw + x) * img.channels
+          val dst = ((f.fy + y) * w + f.fx + x) * 4
+          val (fr, fg, fb, fa) = img.channels match {
+            case 1 =>
+              (img.pixels(src), img.pixels(src), img.pixels(src), 255)
+            case 3 =>
+              (img.pixels(src), img.pixels(src + 1), img.pixels(src + 2),
+                255)
+            case _ =>
+              (img.pixels(src), img.pixels(src + 1), img.pixels(src + 2),
+                img.pixels(src + 3) & 0xFF)
+          }
+          if (f.blend == 0 || fa == 255) {
+            canvas(dst) = fr; canvas(dst + 1) = fg
+            canvas(dst + 2) = fb; canvas(dst + 3) = fa.toByte
+          } else if (fa > 0) {
+            val ba = canvas(dst + 3) & 0xFF
+            val oa255 = fa * 255 + ba * (255 - fa)
+            def ch(i: Int, fv: Byte): Unit = {
+              val bv = canvas(dst + i) & 0xFF
+              val num = (fv & 0xFF) * fa * 255 + bv * ba * (255 - fa)
+              canvas(dst + i) =
+                (if (oa255 == 0) 0 else (num + oa255 / 2) / oa255).toByte
+            }
+            ch(0, fr); ch(1, fg); ch(2, fb)
+            canvas(dst + 3) = ((oa255 + 127) / 255).toByte
+          } // fa == 0 with blend over: keep canvas
+          x += 1
+        }
+        y += 1
+      }
+      frames += WebpFrame(f.delayMs,
+        java.util.Arrays.copyOf(canvas, canvas.length))
+      f.dispose match {
+        case 1 => // background: clear the rect to transparent black
+          var y2 = 0
+          while (y2 < f.fh) {
+            java.util.Arrays.fill(canvas, ((f.fy + y2) * w + f.fx) * 4,
+              ((f.fy + y2) * w + f.fx + f.fw) * 4, 0.toByte)
+            y2 += 1
+          }
+        case 2 => // previous: revert the rect
+          var y2 = 0
+          while (y2 < f.fh) {
+            System.arraycopy(before, y2 * f.fw * 4, canvas,
+              ((f.fy + y2) * w + f.fx) * 4, f.fw * 4)
+            y2 += 1
+          }
+        case _ => ()
+      }
+    }
+    Some(ApngAnim(w, h, plays, frames.toSeq))
+  } catch {
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+        _: NegativeArraySizeException =>
+      None // corrupt/truncated/hostile input: drop, don't crash
+  }
+
+  /** APNG -> per-frame BMP fan-out ([[gifFramesAsBmp]]'s PNG twin). */
+  def apngFramesAsBmp(ds: Dataset[MediaFile],
+      everyMs: Long = 0L): Dataset[MediaFile] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
+    ds.mapPartitions { files =>
+      files.flatMap { f =>
+        if (!isPng(f.content)) Iterator.empty
+        else decodeApng(f.content).iterator.flatMap { anim =>
+          var nextSample = 0L
+          var clock = 0L
+          anim.frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
+            val take = everyMs <= 0 || clock >= nextSample
+            if (take && everyMs > 0) nextSample += everyMs
+            clock += math.max(fr.delayMs, 1L)
+            if (!take) None
+            else pixelsAsBmp(s"${f.path}#frame$i", anim.width,
+              anim.height, 4, fr.pixels)
+          }
+        }
+      }
+    }
+  }
 
   /** BITMAPINFOHEADER fields: width @18, height @22 (negative =
     * top-down), bits-per-pixel @28. A still image: duration 0. */

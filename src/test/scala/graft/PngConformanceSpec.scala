@@ -44,4 +44,67 @@ class PngConformanceSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("APNG: composited frames BIT-EXACT vs the independent golden") {
+    // apng_mixed (tools/gen_apng.py): 4 RGBA frames exercising split
+    // IDAT on the first frame, fdAT frames, blend source AND over
+    // (alphas {0,255} — exact semantics), dispose none / background /
+    // previous, fractional fcTL delay encoding (den = 1000).
+    val png = res("/png_ref/apng_mixed.png")
+    val px = res("/png_ref/apng_mixed.px")
+    def le16(o: Int) = (px(o) & 0xFF) | ((px(o + 1) & 0xFF) << 8)
+    val (w, h, nf) = (le16(0), le16(2), le16(4))
+    val anim = Multimodal.decodeApng(png).getOrElse(fail("refused"))
+    assert((anim.width, anim.height, anim.frames.length) === ((w, h, nf)))
+    assert(anim.plays === 3)
+    var off = 6
+    anim.frames.zipWithIndex.foreach { case (fr, i) =>
+      val delay = (px(off) & 0xFF) | ((px(off + 1) & 0xFF) << 8) |
+        ((px(off + 2) & 0xFF) << 16)
+      off += 4
+      assert(fr.delayMs === delay, s"frame $i delay")
+      var k = 0
+      while (k < w * h * 4) {
+        assert(fr.pixels(k) === px(off + k), s"frame $i byte $k")
+        k += 1
+      }
+      off += w * h * 4
+    }
+    // a STILL png must refuse the animation path but keep decoding
+    val still = res("/png_ref/conf_t6d8i0.png")
+    assert(Multimodal.decodeApng(still).isEmpty)
+    assert(Multimodal.decodePng(still).isDefined)
+    // decodePng on the APNG yields the default (first) image unchanged
+    assert(Multimodal.decodePng(png).exists(img =>
+      img.width == w && img.height == h))
+  }
+
+  test("APNG: meta duration, frame fan-out, and hostile-input fuzz") {
+    import TestSpark._
+    import spark.implicits._
+    val png = res("/png_ref/apng_mixed.png")
+    val meta = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("a.png", png.length, png)).toDS())
+      .collect().head
+    assert(meta.duration_ms === 320L) // 50+70+90+110
+    val frames = Multimodal.apngFramesAsBmp(Seq(
+      Multimodal.MediaFile("a.png", png.length, png)).toDS()).collect()
+    assert(frames.length === 4)
+    val sampled = Multimodal.apngFramesAsBmp(Seq(
+      Multimodal.MediaFile("a.png", png.length, png)).toDS(),
+      everyMs = 100L).collect()
+    assert(sampled.length < 4 && sampled.nonEmpty)
+    val rnd = new scala.util.Random(57)
+    for (i <- 0 until 60) {
+      val b = png.clone()
+      if (i % 2 == 0) {
+        (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        Multimodal.decodeApng(b) // Some or None, never throw
+      } else {
+        Multimodal.decodeApng(b.take(8 + rnd.nextInt(b.length - 8)))
+      }
+    }
+  }
 }
