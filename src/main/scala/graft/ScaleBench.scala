@@ -125,7 +125,9 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // NOTE: heap must come from the launcher (SPARK_DRIVER_MEM env ->
+      // build.sbt's forked -Xmx): spark.driver.memory set here is a
+      // silent no-op in local mode (the JVM is already running).
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val tiers: Seq[(String, String)] =

@@ -107,6 +107,24 @@ object ScaleGen {
     }
   }
 
+  /** Largest id' <= cand that is itself a BASE document (not a
+    * planted copy), so every planted copy references real base
+    * content — a copy of a copy would otherwise re-derive the
+    * SOURCE's base words, matching no actual document and silently
+    * under-planting the true-pair population (~10%). */
+  private def baseDocId(cand: Long): Long = {
+    var i = math.max(0L, cand)
+    while (i > 0 && (i % 200 == 13 || i % 10 == 7)) i -= 1
+    i
+  }
+
+  /** [[baseDocId]]'s vector twin (planted vector dups). */
+  private def baseVecId(cand: Long): Long = {
+    var i = math.max(0L, cand)
+    while (i > 0 && i % 20 == 11) i -= 1
+    i
+  }
+
   private def docFor(p: Profile, seed: Long, id: Long,
       openVocab: Int): GenDoc = {
     val r = new java.util.Random(mix(seed ^ id))
@@ -114,10 +132,10 @@ object ScaleGen {
     val source = p.sources(r.nextInt(p.sources.length))
     val words: Array[String] =
       if (id > 64 && id % 200 == 13) {
-        baseWords(p, seed, id - 1 - r.nextInt(50), openVocab) // verbatim copy
+        baseWords(p, seed, baseDocId(id - 1 - r.nextInt(50)), openVocab) // verbatim copy
       } else if (id > 64 && id % 10 == 7) {
         // near-copy: one substitution + one adjacent swap
-        val w = baseWords(p, seed, id - 1 - r.nextInt(50), openVocab).clone()
+        val w = baseWords(p, seed, baseDocId(id - 1 - r.nextInt(50)), openVocab).clone()
         w(r.nextInt(w.length)) = p.vocab(r.nextInt(p.vocab.length))
         if (w.length > 2) {
           val k = r.nextInt(w.length - 1)
@@ -144,7 +162,7 @@ object ScaleGen {
     val r = new java.util.Random(mix(seed ^ (id * 0xDA942042E4DD58B5L)))
     val v =
       if (plantVecDups && id > 64 && id % 20 == 11) {
-        val src = id - 1 - r.nextInt(50)
+        val src = baseVecId(id - 1 - r.nextInt(50))
         rawGauss(p, seed, src).map(x => x + 0.03 * r.nextGaussian())
       } else rawGauss(p, seed, id)
     val n = math.sqrt(v.map(x => x * x).sum)
@@ -159,7 +177,7 @@ object ScaleGen {
       plantVecDups: Boolean = false): String = {
     import s.implicits._
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_META")
-    val stamp = s"src=$srcDir mult=$mult seed=$seed ov=$openVocab v=2" +
+    val stamp = s"src=$srcDir mult=$mult seed=$seed ov=$openVocab v=3" +
       (if (plantVecDups) " pvd=1" else "")
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker)) == stamp)
@@ -200,7 +218,7 @@ object ScaleGen {
         org.apache.spark.sql.types.LongType
       (0 until mult).map { k =>
         ev.withColumn("event_id", col("event_id") + lit(k * off))
-          .withColumn("user_id", col("user_id") + lit(k * 1000L))
+          .withColumn("user_id", col("user_id") + lit(k * off))
           .withColumn("ts",
             if (isNs) col("ts") + lit(k.toLong * 1000000L)
             else col("ts") + expr(s"INTERVAL $k MILLISECONDS"))

@@ -608,22 +608,42 @@ object TextSim {
     * (pinned, RuntimeFilterSpec), only the shuffled row count shrinks.
     */
   def vocabPruneBloom(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(words).as("word"))
-    val nDocs = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val df = tok.groupBy("word")
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val kept = df.crossJoin(broadcast(nDocs))
-      .filter(col("df") >= 2 && col("df") <= col("n_docs") * 0.5)
-      .select("word")
+    val (tok, kept) = vocabPruneFrames(s, d)
     val bf = kept
       .agg(expr("graft_bloom_agg(xxhash64(word))").as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val pruned = tok.filter(
       org.apache.spark.sql.graftnative.VectorNative.mightContain(
         lit(bf), xxhash64(col("word"))))
+    vocabPruneScore(tok, pruned, kept)
+  }
+
+  /** q_text_vocab_prune's shared frames — the token stream and the
+    * df-band-kept vocabulary — ONE definition serving the registry
+    * query and [[vocabPruneBloom]], so the band ([2, 50% of docs])
+    * cannot drift between the two result-equal-by-contract spellings
+    * (RuntimeFilterSpec pins the equality). */
+  private def vocabPruneFrames(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words).as("word"))
+    val nDocs = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val kept = tok.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 2 && col("df") <= col("n_docs") * 0.5)
+      .select("word")
+    (tok, kept)
+  }
+
+  /** The shared scoring tail: per-doc totals from `tok`, kept counts
+    * from `scoredTok` (the full stream, or its bloom-pruned subset —
+    * identical results either way since the kept join drops what the
+    * bloom would have). */
+  private def vocabPruneScore(tok: DataFrame, scoredTok: DataFrame,
+      kept: DataFrame): DataFrame = {
     val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-    val k = pruned.join(kept, "word")
+    val k = scoredTok.join(kept, "word")
       .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
     n.join(k, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -1758,23 +1778,8 @@ object TextSim {
         |    AS oov_rate
         |FROM n LEFT JOIN k ON n.doc_id = k.doc_id
         |ORDER BY n.doc_id""") { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(words).as("word"))
-      val nDocs = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
-      val df = tok.groupBy("word")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val kept = df.crossJoin(broadcast(nDocs))
-        .filter(col("df") >= 2 && col("df") <= col("n_docs") * 0.5)
-        .select("word")
-      val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-      val k = tok.join(kept, "word")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
-      n.join(k, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          round(lit(1) - coalesce(col("n_kept"), lit(0L))
-            / col("n_tokens").cast("double"), 6).as("oov_rate"))
-        .orderBy("doc_id")
+      val (tok, kept) = vocabPruneFrames(s, d)
+      vocabPruneScore(tok, tok, kept)
     },
 
     // PII redaction — the scrub step every training pipeline runs

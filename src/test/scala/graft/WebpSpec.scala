@@ -482,11 +482,12 @@ class WebpSpec extends AnyFunSuite {
   }
 
   test("animated WebP: mixed lossy/lossless within conversion tolerance") {
-    // lossy frames pass through OUR BT.601 YUV->RGB (nearest chroma)
-    // vs libwebp's fancy-upsampled conversion in the golden — the
-    // same class of difference the still-image pins isolate by
-    // comparing YUV planes; here the CONTAINER semantics are under
-    // test, so pixels carry a conversion tolerance.
+    // lossy frames share libwebp's triangular chroma upsample since
+    // r11, but the YUV->RGB coefficient rounding still differs (our
+    // float BT.601 + rint vs libwebp's fixed-point kernel) — the
+    // still-image pins isolate this by comparing YUV planes; here the
+    // CONTAINER semantics are under test, so pixels carry a small
+    // rounding tolerance.
     checkAnim("anim_mixed", tol = 8)
   }
 
