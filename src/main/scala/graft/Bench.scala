@@ -111,6 +111,7 @@ object Bench {
         timed("ivf") { ops.Sketches.warmIvfStage(spark, sfDir) },
         timed("pq") { ops.Sketches.warmPqStage(spark, sfDir) },
         timed("lsh_sigs") { ops.Sketches.warmLshSigStage(spark, sfDir) },
+        timed("dedup_lsh_sigs") { ops.Sketches.warmDedupLshStage(spark, sfDir) },
         timed("simhash_sigs") { ops.Sketches.warmSimhashStage(spark, sfDir) },
         timed("minhash_sigs") { ops.Sketches.warmMinhashStage(spark, sfDir) })),
         30.minutes)

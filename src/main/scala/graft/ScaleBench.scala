@@ -63,6 +63,7 @@ object ScaleBench {
     wall("build_ivf")(ops.Sketches.warmIvfStage(s, d))
     wall("build_pq")(ops.Sketches.warmPqStage(s, d))
     wall("build_lsh_sigs")(ops.Sketches.warmLshSigStage(s, d))
+    wall("build_dedup_lsh_sigs")(ops.Sketches.warmDedupLshStage(s, d))
     wall("build_simhash_sigs")(ops.Sketches.warmSimhashStage(s, d))
     wall("build_minhash_bands")(ops.Sketches.warmMinhashStage(s, d))
 
@@ -72,6 +73,16 @@ object ScaleBench {
         (size(col("ids")) - 1) / 2).cast("long"))).head().getLong(0))
     cnt("neardup_edges")(ops.TextSim.nearDupEdges(s, d).count())
     cnt("lsh_pair_candidates")(ops.Sketches.lshPairCandidates(s, d).count())
+    // the dedup query's measured cos-0.4 point (constant-factor dent on
+    // isotropic data — see the DedupLshBits scaladoc) and a
+    // high-threshold point (24 bits x 18 tables, recall-pinned on
+    // planted cos≈0.97 dups in ScaleSpec) whose background vanishes:
+    // on planted-dup tiers its candidates track the TRUE duplicate
+    // population — the exponent-~1 regime.
+    cnt("lsh_pair_candidates_dedup")(
+      ops.Sketches.dedupPairCandidates(s, d).count())
+    cnt("lsh_pair_candidates_hi24x18")(
+      ops.Sketches.lshPairCandidatesTuned(s, d, 24, 18).count())
     val bands = ops.Sketches.minhashBandTable(s, d)
     cnt("minhash_band_rows")(bands.count())
     cnt("minhash_bucket_pairs")(bands.groupBy("band", "bh")

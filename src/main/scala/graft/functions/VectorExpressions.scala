@@ -20,6 +20,13 @@ object VectorFunctions {
   def lshSig(a: Column, bits: Int, seed: Int): Column =
     VectorNative.lshSig(a, bits, seed)
 
+  /** ALL `tables` signatures at once as array<long> (element t ==
+    * lshSig with seed seedBase + t) — one kernel call per row, one
+    * narrow expression instead of a `tables`-wide projection (see
+    * graftnative.HyperplaneSigs). */
+  def lshSigs(a: Column, bits: Int, tables: Int, seedBase: Int): Column =
+    VectorNative.lshSigs(a, bits, tables, seedBase)
+
   /** Hashed word-3-grams of an array<string> column, one pass, no
     * string materialization (see graftnative.WordGramHashes). */
   def wordGramHashes(ws: Column): Column = VectorNative.wordGramHashes(ws)

@@ -120,16 +120,36 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Int)
     h
   }
 
+  /** The Rademacher sign matrix, materialized ONCE per expression
+    * instance and grown lazily to the widest vector seen: the signs
+    * are a pure function of (seed, j, i), and re-running the mixer per
+    * ROW was measured at ~8x the arithmetic of the projection itself
+    * (bits x dim mixes vs bits x dim adds — dominant in the 128-table
+    * dedup signature build). Benign-race init: concurrent tasks
+    * compute the same matrix; the volatile publish keeps readers from
+    * seeing a half-built array. */
+  @transient @volatile private var signsCache: Array[Array[Boolean]] = _
+  private def signsFor(d: Int): Array[Array[Boolean]] = {
+    var s = signsCache
+    if (s == null || s(0).length < d) {
+      s = Array.tabulate(bits, d)((j, i) => (mix(j, i) & 1) != 0)
+      signsCache = s
+    }
+    s
+  }
+
   def sigOf(a: ArrayData): Long = {
     val d = a.numElements()
+    val neg = signsFor(d)
     var sig = 0L
     var j = 0
     while (j < bits) {
+      val nj = neg(j)
       var acc = 0.0
       var i = 0
       while (i < d) {
         val x = a.getDouble(i)
-        acc += (if ((mix(j, i) & 1) == 0) x else -x)
+        acc += (if (nj(i)) -x else x)
         i += 1
       }
       if (acc > 0) sig |= (1L << j)
@@ -146,6 +166,88 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** ALL `tables` hyperplane signatures of a vector in ONE expression,
+  * as array<long> — element t is bit-identical to
+  * [[HyperplaneSig]](bits, seedBase + t). The wide form (one
+  * HyperplaneSig column per table, then array(...) + posexplode)
+  * carried a 128-expression projection through every analyzer/
+  * optimizer pass of every execution — measured at ~1 s of DRIVER
+  * time per run for the 128-table dedup point, an order more than
+  * the executor-side signing itself. One kernel call per row also
+  * reads the vector once for all tables. */
+case class HyperplaneSigs(child: Expression, bits: Int, tables: Int,
+    seedBase: Int) extends UnaryExpression with ExpectsInputTypes {
+
+  require(bits > 0 && bits <= 63, "bits must be in [1, 63]")
+  require(tables > 0, "tables must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_sigs"
+
+  /** Identical plane derivation to [[HyperplaneSig]] with
+    * seed = seedBase + t — the single-table and multi-table forms
+    * MUST agree bit-for-bit (goldens and the maintained signature
+    * index depend on it; SketchesSpec pins the equality). */
+  private def mixFor(t: Int, j: Int, i: Int): Int = {
+    var h = (seedBase + t) * 0x9E3779B9 + j * 0x85EBCA6B + i * 0xC2B2AE35
+    h ^= h >>> 16; h *= 0x85EBCA6B
+    h ^= h >>> 13; h *= 0xC2B2AE35
+    h ^= h >>> 16
+    h
+  }
+
+  /** Rademacher signs for plane (t, j), row-major [t * bits + j][i] —
+    * built once per instance, grown to the widest vector seen (benign
+    * race, volatile publish; see [[HyperplaneSig.signsFor]]). */
+  @transient @volatile private var signsCache: Array[Array[Boolean]] = _
+  private def signsFor(d: Int): Array[Array[Boolean]] = {
+    var s = signsCache
+    if (s == null || s(0).length < d) {
+      s = Array.tabulate(tables * bits, d)((p, i) =>
+        (mixFor(p / bits, p % bits, i) & 1) != 0)
+      signsCache = s
+    }
+    s
+  }
+
+  def sigsOf(a: ArrayData): ArrayData = {
+    val d = a.numElements()
+    val neg = signsFor(d)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        val nj = neg(t * bits + j)
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          val x = a.getDouble(i)
+          acc += (if (nj(i)) -x else x)
+          i += 1
+        }
+        if (acc > 0) sig |= (1L << j)
+        j += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = sigsOf(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshSigs", this, classOf[HyperplaneSigs].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.sigsOf($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
     copy(child = newChild)
 }
 
@@ -758,6 +860,10 @@ object VectorNative {
   def lshSig(a: Column, bits: Int, seed: Int): Column =
     ExpressionUtils.column(
       HyperplaneSig(ExpressionUtils.expression(a), bits, seed))
+
+  def lshSigs(a: Column, bits: Int, tables: Int, seedBase: Int): Column =
+    ExpressionUtils.column(
+      HyperplaneSigs(ExpressionUtils.expression(a), bits, tables, seedBase))
 
   def wordGramHashes(ws: Column): Column =
     ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(ws)))

@@ -386,7 +386,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_mix_epochs",
       // one-row corpus doc-count singleton gating the df band
       "q_text_vocab_prune",
-      // one-row vector-count singleton joined onto the 2-row report
+      // one-row sample-count singleton joined onto the 3-row report
       "q_sim_lsh_points")
     val offenders = Registry.all.map(_.name).filterNot(declared).filter { n =>
       val p = plan(n)

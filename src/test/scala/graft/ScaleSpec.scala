@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Measured scaling invariants (round-11: plan-shape arguments →
@@ -25,19 +26,39 @@ import org.scalatest.funsuite.AnyFunSuite
   *    pairs). The assert still catches anything WORSE than all-pairs
   *    (e.g. duplicate candidate emission). Clustered real corpora are
   *    the selective regime; recall pins live in SketchesSpec.
+  *  - HIGH-threshold LSH pair candidates (24 bits x 18 tables) on
+  *    planted-dup tiers: ≤ 1.35 — the background rate (~18/2^24 of
+  *    pairs) is negligible against the linear planted population, so
+  *    candidates track TRUE duplicates. This is the exponent-~1 regime
+  *    the dedup family rides at production thresholds.
   */
-class ScaleSpec extends AnyFunSuite {
+class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
   import TestSpark._
 
   private val base = "/root/testdata/sf0.001"
   private val Mult = 4
 
-  private lazy val tier1: String = ScaleGen.generate(spark, base,
-    java.nio.file.Files.createTempDirectory("graft_scale_t1").toString +
-      "/x1", 1)
-  private lazy val tierN: String = ScaleGen.generate(spark, base,
-    java.nio.file.Files.createTempDirectory("graft_scale_tn").toString +
-      s"/x$Mult", Mult)
+  /** Temp roots created by this suite, swept in afterAll — repeated CI
+    * runs must not accumulate multi-MB parquet trees under /tmp. */
+  private val tmpRoots =
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private def tmpRoot(prefix: String): String = synchronized {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_scale_$prefix")
+    tmpRoots += p
+    p.toString
+  }
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    tmpRoots.foreach(p => rm(p.toFile))
+    super.afterAll()
+  }
+
+  private lazy val tier1: String =
+    ScaleGen.generate(spark, base, tmpRoot("t1") + "/x1", 1)
+  private lazy val tierN: String =
+    ScaleGen.generate(spark, base, tmpRoot("tn") + s"/x$Mult", Mult)
 
   private def exponent(c1: Long, cN: Long): Double =
     math.log(cN.toDouble / c1) / math.log(Mult.toDouble)
@@ -45,9 +66,7 @@ class ScaleSpec extends AnyFunSuite {
   test("generation is seed-deterministic and plants dup structure") {
     // Same (src, mult, seed) into a DIFFERENT directory → identical
     // corpus, byte-for-byte (order-insensitive content hash).
-    val again = ScaleGen.generate(spark, base,
-      java.nio.file.Files.createTempDirectory("graft_scale_det")
-        .toString + "/x1", 1)
+    val again = ScaleGen.generate(spark, base, tmpRoot("det") + "/x1", 1)
     def corpusHash(d: String): Long = Tables.documents(spark, d)
       .select(expr(
         "bit_xor(xxhash64(doc_id, text, lang, source))")) // no-overflow
@@ -111,12 +130,10 @@ class ScaleSpec extends AnyFunSuite {
         .select(coalesce(sum((size(col("ids")).cast("long") *
           (size(col("ids")) - 1) / 2).cast("long")), lit(0L)))
         .head().getLong(0)
-    val ov1 = ScaleGen.generate(spark, base,
-      java.nio.file.Files.createTempDirectory("graft_scale_ov1")
-        .toString + "/x1", 1, openVocab = 64)
-    val ovN = ScaleGen.generate(spark, base,
-      java.nio.file.Files.createTempDirectory("graft_scale_ovn")
-        .toString + s"/x$Mult", Mult, openVocab = 64)
+    val ov1 = ScaleGen.generate(spark, base, tmpRoot("ov1") + "/x1", 1,
+      openVocab = 64)
+    val ovN = ScaleGen.generate(spark, base, tmpRoot("ovn") + s"/x$Mult",
+      Mult, openVocab = 64)
     val p1 = pairRows(ov1)
     val pN = pairRows(ovN)
     assert(p1 > 0, "no shared grams at tier 1 — planted dups missing")
@@ -125,34 +142,64 @@ class ScaleSpec extends AnyFunSuite {
       s"open-vocab gram pairs superlinear: $p1 -> $pN (exponent $e)")
   }
 
-  test("threshold-tuned LSH: selective background, recall on planted dups") {
-    // SCALE.md finding 2's constructive half: the registry operating
-    // point (10 bits x 48 tables x probe) is recall-tuned for cos 0.4
-    // and collides ~42% of ALL pairs on isotropic data; a 16-bit x
-    // 24-table no-probe point keeps cos >= 0.9 recall while its
-    // background rate is ~tables/2^bits ≈ 4e-4 of all pairs. Verified
-    // on a planted-near-dup tier: ground truth by brute force.
-    val dir = ScaleGen.generate(spark, base,
-      java.nio.file.Files.createTempDirectory("graft_scale_vd")
-        .toString + "/x1", 1, plantVecDups = true)
-    val vecs = Tables.embeddings(spark, dir)
+  /** Planted-near-dup tiers (ground truth by brute force) shared by the
+    * tuned-LSH tests below. */
+  private lazy val vd1: String =
+    ScaleGen.generate(spark, base, tmpRoot("vd") + "/x1", 1,
+      plantVecDups = true)
+  private lazy val vdN: String =
+    ScaleGen.generate(spark, base, tmpRoot("vdn") + s"/x$Mult", Mult,
+      plantVecDups = true)
+
+  private def bruteTruth(d: String, minCos: Double): Set[(Long, Long)] = {
+    val vecs = Tables.embeddings(spark, d)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    val truth = (for {
+    (for {
       i <- vecs.indices.iterator
       j <- (i + 1) until vecs.length
       cos = vecs(i)._2.zip(vecs(j)._2).map(p => p._1 * p._2).sum
-      if cos >= 0.9
+      if cos >= minCos
     } yield (vecs(i)._1, vecs(j)._1)).toSet
+  }
+
+  test("threshold-tuned LSH: selective background, recall on planted dups") {
+    // SCALE.md finding 2's constructive half: the registry operating
+    // point (10 bits x 48 tables x probe) is recall-tuned for cos 0.4
+    // and collides ~42% of ALL pairs on isotropic data; wide-bit
+    // no-probe points keep cos >= 0.9 recall while their background
+    // rate is ~tables/2^bits of all pairs (16x24 ≈ 4e-4, 24x18 ≈
+    // 1e-6). Verified on a planted-near-dup tier: ground truth by
+    // brute force, for BOTH high-threshold points.
+    val truth = bruteTruth(vd1, 0.9)
     assert(truth.size >= 10, s"planted dups missing: ${truth.size}")
-    val cand = ops.Sketches
-      .lshPairCandidatesTuned(spark, dir, bits = 16, tables = 24)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val n = vecs.length.toLong
-    val recall = truth.count(cand.contains).toDouble / truth.size
-    assert(recall >= 0.9, s"tuned recall $recall over ${truth.size} pairs")
-    assert(cand.size <= n * (n - 1) / 2 / 100,
-      s"tuned point not selective: ${cand.size} of ${n * (n - 1) / 2}")
+    val n = Tables.embeddings(spark, vd1).count()
+    for ((bits, tables, selDiv) <- Seq((16, 24, 100L), (24, 18, 1000L))) {
+      val cand = ops.Sketches
+        .lshPairCandidatesTuned(spark, vd1, bits = bits, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = truth.count(cand.contains).toDouble / truth.size
+      assert(recall >= 0.9,
+        s"${bits}x$tables recall $recall over ${truth.size} pairs")
+      assert(cand.size <= n * (n - 1) / 2 / selDiv,
+        s"${bits}x$tables not selective: ${cand.size} of ${n * (n - 1) / 2}")
+    }
+  }
+
+  test("high-threshold LSH candidates grow ~linearly on planted-dup tiers") {
+    // The exponent-~1 regime (ScaleBench lsh_pair_candidates_hi24x18):
+    // at 24 bits x 18 tables the isotropic background rate is ~1e-6 of
+    // all pairs, so candidates are dominated by the LINEAR planted
+    // population — unlike the cos-0.4 fixture point, whose constant
+    // background fraction makes it quadratic by data (SCALE.md).
+    def cand(d: String): Long =
+      ops.Sketches.lshPairCandidatesTuned(spark, d, 24, 18).count()
+    val c1 = cand(vd1)
+    val cN = cand(vdN)
+    assert(c1 > 0, "no candidates at tier 1 — planted dups missing")
+    val e = exponent(c1, cN)
+    assert(e <= 1.35,
+      s"hi-threshold candidates superlinear: $c1 -> $cN (exponent $e)")
   }
 
   test("LSH pair candidates never exceed the all-pairs bound") {
@@ -169,5 +216,31 @@ class ScaleSpec extends AnyFunSuite {
     // quadratic BY DATA here (isotropic worst case — see scaladoc);
     // anything above all-pairs growth means emitted duplicates.
     assert(exponent(c1, cN) <= 2.02)
+  }
+
+  test("the operating-point report's work is sample-bounded at any tier") {
+    // q_sim_lsh_points (r11 Wrong #1b fix): the report runs on the
+    // LshSampleN vectors with the smallest xxhash64(vec_id), so its
+    // candidate work is O(sample²) CONSTANT — the corpus grows 4x
+    // between these tiers, the sample (and the in-sample pair bound)
+    // does not.
+    val cap = ops.Sketches.LshSampleN.toLong
+    for (d <- Seq(tier1, tierN)) {
+      val rows = Registry.byName("q_sim_lsh_points").df(spark, d).collect()
+      assert(rows.length === 3, s"expected 3 operating-point rows at $d")
+      rows.foreach { r =>
+        val nSample = r.getAs[Long]("n_sample")
+        val nCand = r.getAs[Long]("n_candidates")
+        assert(nSample <= cap, s"sample exceeded the pin at $d")
+        assert(nCand <= cap * (cap - 1) / 2,
+          s"report materialized beyond the sample bound at $d")
+      }
+    }
+    // and the sample genuinely saturates at the cap once n >= cap
+    val nN = Tables.embeddings(spark, tierN).count()
+    assert(nN >= cap, "tierN too small to exercise the cap")
+    val satur = Registry.byName("q_sim_lsh_points").df(spark, tierN)
+      .select(max("n_sample")).head().getLong(0)
+    assert(satur === cap)
   }
 }

@@ -333,6 +333,24 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table LSH signatures agree bit-for-bit with the single-table kernel") {
+    // HyperplaneSigs element t MUST equal HyperplaneSig(seed = base+t):
+    // the maintained signature index and every golden depend on the
+    // narrow multi-sig form being a pure re-spelling of the wide form.
+    import graft.functions.VectorFunctions.{lshSig, lshSigs}
+    for ((bits, tables, base) <- Seq((10, 48, 0), (13, 16, 7000))) {
+      val bad = Tables.embeddings(spark, sf).limit(64)
+        .select(
+          lshSigs(col("embedding"), bits, tables, base).as("multi"),
+          array((0 until tables)
+            .map(t => lshSig(col("embedding"), bits, base + t)): _*)
+            .as("wide"))
+        .filter(not(col("multi") === col("wide")))
+        .count()
+      assert(bad === 0, s"multi/single sig mismatch at ${bits}x$tables+$base")
+    }
+  }
+
   test("LSH cosine dedup agrees with the exact brute-force dedup") {
     tiers.foreach { dir =>
       val exact = qAt("q_dedup_cosine", dir).collect()
