@@ -341,15 +341,23 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
-    // Weighted median (quantity weighted by extendedprice) per group:
-    // one window pass over the group's natural sort — cumulative weight
-    // vs half the total, smallest value at the crossing. Deterministic
-    // under ties: within a run of equal values the LAST row always
-    // carries the full run's cumulative weight, so the crossing VALUE
-    // is order-independent even though intra-run cumsums are not; the
-    // crossing comparison sits ~1e3 weight units away from any float
-    // summation jitter (~1e-6). At 100 TB this is the same shape as
-    // any per-group window: one hash shuffle on the group key.
+    // Weighted median (quantity weighted by extendedprice) per group.
+    // The scale-safe spelling: pre-aggregate weight by (flag, value) —
+    // a map-side-combinable hash aggregate whose output is bounded by
+    // the VALUE DOMAIN (|flags| × |quantities| ≈ 150 rows at any
+    // corpus size) — then run the cumulative-weight crossing window on
+    // that tiny table. The naive form (ordered window partitioned by
+    // the 3-value flag directly over the fact scan) ceilings at
+    // parallelism 3 no matter the cluster — it was measured at 0.8 s
+    // already at sf0.1, 4× the family norm (VERDICT r11 Wrong #2);
+    // here the only fact-table pass is an ordinary aggregate and the
+    // window sorts ~150 rows. The crossing VALUE is robust to the
+    // re-associated float summation: within a run of equal values the
+    // pre-aggregate carries the full run's weight (same invariant the
+    // row-level form relied on for tie order), and the crossing
+    // comparison sits ~1e3 weight units away from any summation
+    // jitter (~1e-6). Oracle text unchanged — DuckDB still computes
+    // the row-level window; the crossing value is identical.
     q("q_agg_wmedian",
       """WITH c AS (SELECT l_returnflag AS flag, l_quantity AS v,
         |  sum(l_extendedprice) OVER (PARTITION BY l_returnflag
@@ -362,13 +370,16 @@ object Relational {
         |GROUP BY flag
         |ORDER BY flag""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val wc = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val wc = Window.partitionBy("flag").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy("l_returnflag")
+      val wt = Window.partitionBy("flag")
       Tables.lineitem(s, d)
-        .select(col("l_returnflag").as("flag"), col("l_quantity").as("v"),
-          sum("l_extendedprice").over(wc).as("cw"),
-          sum("l_extendedprice").over(wt).as("tw"))
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_quantity").as("v"))
+        .agg(sum("l_extendedprice").as("w"))
+        .select(col("flag"), col("v"),
+          sum("w").over(wc).as("cw"),
+          sum("w").over(wt).as("tw"))
         .filter(col("cw") >= col("tw") / 2)
         .groupBy("flag")
         .agg(round(min("v"), 2).as("wmedian"))
@@ -539,6 +550,28 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // Exact interpolated percentiles per group — the scale-safe
+    // spelling. `percentile(x, p)` is a single-buffer aggregate: every
+    // row's value lands in one per-group value→count map merged onto
+    // ONE reducer, so on a continuous column the buffer grows with the
+    // corpus (VERDICT r11 Wrong #2). Instead the quantile is computed
+    // DISTRIBUTED end-to-end: (1) counts-by-value pre-aggregate
+    // (map-side combinable; output bounded by the VALUE DOMAIN — ~50
+    // quantities, ≤~10M 2-decimal prices — at ANY corpus size);
+    // (2) cumulative-count window over that domain-bounded table
+    // (values are DISTINCT per group after the pre-agg, so the default
+    // RANGE frame == ROWS); (3) the two bracketing values of position
+    // h = (n-1)·p picked by conditional min — v at 0-indexed rank r is
+    // the smallest v whose cumulative count exceeds r; (4) linear
+    // interpolation lo + (h − ⌊h⌋)·(hi − lo), the bit-identical
+    // arithmetic of Spark's Percentile.getPercentile AND DuckDB's
+    // quantile_cont (double ops in the same order), so the round-6
+    // oracle hash is unchanged. One pre-agg per measured column
+    // (distinct (qty,price) pairs would be near the product of the
+    // domains), joined back on the 2-value group key. The ordered
+    // window IS partitioned by the low-card group key — but over an
+    // aggregate's domain-bounded output, the shape the PlanShapeSpec
+    // sweep admits (same pattern as q_agg_wmedian/q_agg_mode).
     q("q_agg_pctl",
       """SELECT l_linestatus,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
@@ -547,11 +580,35 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""") { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_linestatus")
-        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"))
+      import org.apache.spark.sql.expressions.Window
+      def pctls(valCol: String, pcols: Seq[(Double, String)]): DataFrame = {
+        val wcum = Window.partitionBy("l_linestatus").orderBy("v")
+        val wtot = Window.partitionBy("l_linestatus")
+        val counts = Tables.lineitem(s, d)
+          .filter(col(valCol).isNotNull)
+          .groupBy(col("l_linestatus"), col(valCol).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("l_linestatus"), col("v"),
+            sum("cnt").over(wcum).as("cum"),
+            sum("cnt").over(wtot).as("n"))
+        def h(p: Double) = (col("n") - 1) * lit(p)
+        val brackets = pcols.flatMap { case (p, nm) =>
+          Seq(min(when(col("cum") > floor(h(p)), col("v"))).as(s"lo_$nm"),
+            min(when(col("cum") > ceil(h(p)), col("v"))).as(s"hi_$nm"))
+        }
+        val nTot = first(col("n")).as("n")
+        counts.groupBy("l_linestatus")
+          .agg(nTot, brackets: _*)
+          .select(col("l_linestatus") +: pcols.map { case (p, nm) =>
+            val hh = h(p)
+            round(col(s"lo_$nm")
+              + (hh - floor(hh)) * (col(s"hi_$nm") - col(s"lo_$nm")), 6)
+              .as(nm)
+          }: _*)
+      }
+      pctls("l_quantity", Seq(0.5 -> "p50_qty", 0.9 -> "p90_qty"))
+        .join(pctls("l_extendedprice", Seq(0.25 -> "p25_price")),
+          Seq("l_linestatus"))
         .orderBy("l_linestatus")
     },
 

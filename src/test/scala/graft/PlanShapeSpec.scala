@@ -396,6 +396,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"undeclared product joins in: ${offenders.mkString(", ")}")
   }
 
+  test("no ordered window partitioned by a low-cardinality key runs over a raw fact scan") {
+    // An ordered window PARTITIONED ONLY by a handful-of-values key
+    // (returnflag/linestatus/orderstatus and their aliases) ceilings at
+    // |keys|-way parallelism no matter the cluster size — the whole
+    // fact table sorts on ≤3 tasks (q_agg_wmedian's old spelling was
+    // already 0.8 s at sf0.1 — VERDICT r11 Wrong #2). The scale-safe
+    // pattern is a domain-bounded AGGREGATE below the window
+    // (q_agg_mode, q_agg_wmedian): the window then orders an
+    // aggregate's output, whose size is bounded by the value domain,
+    // not the corpus. Registry-wide sweep, like the cartesian pin.
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lowCard = Set("l_returnflag", "l_linestatus", "o_orderstatus",
+      "flag", "status")
+    def hasBadWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall {
+              case a: Attribute => lowCard(a.name)
+              case _ => false
+            } && !w.child.exists(_.isInstanceOf[Aggregate]) => w
+      }.nonEmpty
+    // Detector self-check: the r11 q_agg_wmedian spelling (row-level
+    // cumulative window straight over the fact scan) MUST trip it.
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, sum}
+    val oldShape = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"),
+        sum("l_extendedprice")
+          .over(W.partitionBy("l_returnflag").orderBy("l_quantity")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)).as("cw"))
+    assert(hasBadWindow(oldShape), "detector missed the known-bad shape")
+    val offenders = Registry.all.map(_.name).filter(n => hasBadWindow(q(n)))
+    assert(offenders.isEmpty,
+      s"low-cardinality-partitioned windows over raw scans in: ${offenders.mkString(", ")}")
+  }
+
   test("the fused gram-postings build plans exactly ONE Exchange") {
     // The whole point of the CappedIdSet fuse: raw hashed grams group
     // straight to capped postings in a single aggregation — one
