@@ -1271,14 +1271,16 @@ object Multimodal {
     var trnsChunk: Array[Byte] = null
     var cur: Fctl = null
     var curData = new java.io.ByteArrayOutputStream()
+    var curFromIdat = false
     val raw = scala.collection.mutable.ArrayBuffer
-      .empty[(Fctl, Array[Byte])]
+      .empty[(Fctl, Array[Byte], Boolean)]
     def flush(): Unit = {
       if (cur != null && curData.size() > 0) {
-        raw += ((cur, curData.toByteArray))
+        raw += ((cur, curData.toByteArray, curFromIdat))
       }
       cur = null
       curData = new java.io.ByteArrayOutputStream()
+      curFromIdat = false
     }
     var p = 8
     while (p + 8 <= c.length) {
@@ -1302,6 +1304,7 @@ object Multimodal {
             c(p + 32) & 0xFF, c(p + 33) & 0xFF)
         case "IDAT" if cur != null =>
           curData.write(c, p + 8, len)
+          curFromIdat = true
         case "fdAT" if cur != null && len >= 4 =>
           curData.write(c, p + 12, len - 4)
         case "IEND" => flush()
@@ -1312,6 +1315,14 @@ object Multimodal {
     flush()
     if (acFrames <= 0 || raw.isEmpty || raw.length != acFrames) return None
     if (raw.length.toLong * w * h > MaxGifPixels) return None
+    // tRNS transparency on gray/RGB/palette frames: decodePng
+    // deliberately drops it (palette expands to opaque RGB), so an
+    // over-blend would composite color-keyed pixels as opaque —
+    // silently wrong frames. Refuse honestly instead (color types 4/6
+    // carry a real alpha channel; tRNS is invalid there per spec).
+    val colorType = c(25) & 0xFF
+    if (trnsChunk != null &&
+      (colorType == 0 || colorType == 2 || colorType == 3)) return None
     // Rewrap each frame as a standalone PNG (same IHDR type/depth).
     val crc = new java.util.zip.CRC32
     def chunk(tag4: String, payload: Array[Byte]): Array[Byte] = {
@@ -1328,9 +1339,16 @@ object Multimodal {
     val sig = java.util.Arrays.copyOfRange(c, 0, 8)
     val canvas = new Array[Byte](w * h * 4)
     val frames = scala.collection.mutable.ArrayBuffer.empty[WebpFrame]
-    for ((f, data) <- raw) {
+    for ((f, data, fromIdat) <- raw) {
       if (f.fw <= 0 || f.fh <= 0 || f.fx < 0 || f.fy < 0 ||
         f.fx + f.fw > w || f.fy + f.fh > h) return None
+      // APNG rule: an fcTL covering the IDAT default image must span
+      // the full canvas at the origin. The IDAT scanlines were
+      // filtered at the CANVAS width — rewrapping them under a
+      // narrower IHDR would "decode" to garbage rows silently if the
+      // inflated stream happens to be long enough.
+      if (fromIdat &&
+        (f.fx != 0 || f.fy != 0 || f.fw != w || f.fh != h)) return None
       val ihdr = java.nio.ByteBuffer.allocate(13)
       ihdr.putInt(f.fw).putInt(f.fh)
       ihdr.put(c(24)).put(c(25)).put(c(26)).put(c(27)).put(c(28))
@@ -1417,6 +1435,27 @@ object Multimodal {
       None // corrupt/truncated/hostile input: drop, don't crash
   }
 
+  /** Timeline sampling shared by every animation fan-out (GIF / APNG /
+    * animated WebP / AVI — the loop was quadruplicated verbatim before
+    * r12): yields (frame, original index) for each TAKEN frame.
+    * `everyMs <= 0` takes every frame. A take advances the next sample
+    * point PAST the taking frame's start time, to the next everyMs
+    * multiple — the r11 loop advanced one step per take, so a single
+    * frame LONGER than everyMs left nextSample behind the clock and
+    * the following frames were over-sampled in a catch-up burst. */
+  private[graft] def sampleTimeline[A](frames: Iterator[A],
+      delayMs: A => Long, everyMs: Long): Iterator[(A, Int)] = {
+    var nextSample = 0L
+    var clock = 0L
+    frames.zipWithIndex.flatMap { case (fr, i) =>
+      val take = everyMs <= 0 || clock >= nextSample
+      if (take && everyMs > 0)
+        nextSample = clock - clock % everyMs + everyMs
+      clock += math.max(delayMs(fr), 1L)
+      if (take) Some((fr, i)) else None
+    }
+  }
+
   /** APNG -> per-frame BMP fan-out ([[gifFramesAsBmp]]'s PNG twin). */
   def apngFramesAsBmp(ds: Dataset[MediaFile],
       everyMs: Long = 0L): Dataset[MediaFile] = {
@@ -1425,14 +1464,9 @@ object Multimodal {
       files.flatMap { f =>
         if (!isPng(f.content)) Iterator.empty
         else decodeApng(f.content).iterator.flatMap { anim =>
-          var nextSample = 0L
-          var clock = 0L
-          anim.frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
-            val take = everyMs <= 0 || clock >= nextSample
-            if (take && everyMs > 0) nextSample += everyMs
-            clock += math.max(fr.delayMs, 1L)
-            if (!take) None
-            else pixelsAsBmp(s"${f.path}#frame$i", anim.width,
+          sampleTimeline(anim.frames.iterator, (fr: WebpFrame) =>
+            fr.delayMs, everyMs).flatMap { case (fr, i) =>
+            pixelsAsBmp(s"${f.path}#frame$i", anim.width,
               anim.height, 4, fr.pixels)
           }
         }
@@ -3000,14 +3034,9 @@ object Multimodal {
       files.flatMap { f =>
         if (!isWebp(f.content)) Iterator.empty
         else decodeWebpAnim(f.content).iterator.flatMap { anim =>
-          var nextSample = 0L
-          var clock = 0L
-          anim.frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
-            val take = everyMs <= 0 || clock >= nextSample
-            if (take && everyMs > 0) nextSample += everyMs
-            clock += math.max(fr.delayMs, 1L)
-            if (!take) None
-            else pixelsAsBmp(s"${f.path}#frame$i", anim.width,
+          sampleTimeline(anim.frames.iterator, (fr: WebpFrame) =>
+            fr.delayMs, everyMs).flatMap { case (fr, i) =>
+            pixelsAsBmp(s"${f.path}#frame$i", anim.width,
               anim.height, 4, fr.pixels)
           }
         }
@@ -3371,16 +3400,12 @@ object Multimodal {
       files.flatMap { f =>
         if (!isGif(f.content)) Iterator.empty
         else decodeGif(f.content).iterator.flatMap { anim =>
-          var nextSample = 0L
-          var clock = 0L
-          anim.frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
-            val take = everyMs <= 0 || clock >= nextSample
-            if (take && everyMs > 0) nextSample += everyMs
-            clock += math.max(fr.delayMs, 1L)
-            if (!take) None
-            else pixelsAsBmp(s"${f.path}#frame$i", anim.width, anim.height,
-              3, fr.pixels)
-          }
+          sampleTimeline(anim.frames.iterator,
+            (fr: GifFrame) => fr.delayMs, everyMs)
+            .flatMap { case (fr, i) =>
+              pixelsAsBmp(s"${f.path}#frame$i", anim.width, anim.height,
+                3, fr.pixels)
+            }
         }
       }
     }
@@ -3531,14 +3556,9 @@ object Multimodal {
         if (!isAvi(f.content)) Iterator.empty
         else decodeAvi(f.content).iterator.flatMap { vid =>
           val frameMs = math.max(vid.usPerFrame / 1000L, 1L)
-          var nextSample = 0L
-          var clock = 0L
-          vid.frames.iterator.zipWithIndex.flatMap { case (px, i) =>
-            val take = everyMs <= 0 || clock >= nextSample
-            if (take && everyMs > 0) nextSample += everyMs
-            clock += frameMs
-            if (!take) None
-            else pixelsAsBmp(s"${f.path}#frame$i", vid.width, vid.height,
+          sampleTimeline(vid.frames.iterator, (_: Array[Byte]) => frameMs,
+            everyMs).flatMap { case (px, i) =>
+            pixelsAsBmp(s"${f.path}#frame$i", vid.width, vid.height,
               3, px)
           }
         }

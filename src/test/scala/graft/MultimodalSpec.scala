@@ -2052,4 +2052,24 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.MediaFile("j.mp3", junk.length, junk)).toDS()).collect().head
     assert(mj.format === "mp3") // extension-named stub fallback
   }
+
+  test("sampleTimeline: long frames advance the sample point past the clock, no burst") {
+    // frames (delayMs): one long frame then rapid short ones. The r11
+    // loop advanced nextSample by ONE everyMs per take, so after a
+    // frame longer than everyMs it lagged the clock and every
+    // following frame was taken in a catch-up burst.
+    def sampled(delays: Seq[Long], everyMs: Long): Seq[Int] =
+      Multimodal.sampleTimeline(delays.iterator, (d: Long) => d, everyMs)
+        .map(_._2).toSeq
+    // clocks: 0, 1000, 1010, 1020, 1030 - the long frame covers
+    // [0,1000); the next sample point is 1000+ (not a burst of all).
+    assert(sampled(Seq(1000L, 10L, 10L, 10L, 10L), 100L) === Seq(0, 1))
+    // everyMs <= 0: every frame, indices preserved
+    assert(sampled(Seq(5L, 5L, 5L), 0L) === Seq(0, 1, 2))
+    // regular cadence unchanged: clocks 0,50,120,210 @ 100ms -> 0,2,3
+    assert(sampled(Seq(50L, 70L, 90L, 110L), 100L) === Seq(0, 2, 3))
+    // a take at an exact multiple advances to the NEXT multiple:
+    // clocks 0,100,200 @ 100 -> all taken
+    assert(sampled(Seq(100L, 100L, 100L), 100L) === Seq(0, 1, 2))
+  }
 }

@@ -79,6 +79,21 @@ class PngConformanceSpec extends AnyFunSuite {
       img.width == w && img.height == h))
   }
 
+  test("APNG: refuses tRNS-keyed palette frames and a non-canvas default-image fcTL") {
+    // Palette + tRNS (tools/gen_apng.py negative fixture): the frame
+    // decoder expands palettes to OPAQUE RGB — compositing would
+    // silently paint color-keyed pixels, so the animation path must
+    // refuse. The STILL path keeps decoding (its tRNS drop is a
+    // documented scope boundary with no compositing to corrupt).
+    val pal = res("/png_ref/apng_pal_trns.png")
+    assert(Multimodal.decodeApng(pal).isEmpty)
+    assert(Multimodal.decodePng(pal).isDefined)
+    // Default-image fcTL narrower than the canvas: IDAT scanlines are
+    // filtered at CANVAS width — refuse rather than rewrap garbage.
+    val bad = res("/png_ref/apng_bad_default_fctl.png")
+    assert(Multimodal.decodeApng(bad).isEmpty)
+  }
+
   test("APNG: meta duration, frame fan-out, and hostile-input fuzz") {
     import TestSpark._
     import spark.implicits._

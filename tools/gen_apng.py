@@ -137,3 +137,54 @@ with open(os.path.join(OUT, "apng_mixed.px"), "wb") as f:
 
 print("apng_mixed.png", os.path.getsize(os.path.join(OUT, "apng_mixed.png")),
       "frames", len(golden), "dur", sum(g[0] for g in golden))
+
+# ---- negative fixtures (decoder must refuse with None) ---------------
+
+def encode_pal_idat(fw, fh, idx):
+    """Palette-index rows (1 byte/px), filter 0, zlib."""
+    stream = bytearray()
+    for y in range(fh):
+        stream.append(0)
+        stream += bytes(idx[y * fw:(y + 1) * fw])
+    return zlib.compress(bytes(stream), 6)
+
+# 1) Palette APNG WITH tRNS (color-keyed transparency): the Scala
+#    frame decoder expands palettes to opaque RGB, so compositing
+#    would silently paint transparent pixels — must refuse.
+PW, PH = 8, 6
+plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])   # 3 entries
+trns = bytes([0])                                  # entry 0 transparent
+idx0 = bytes((x + y) % 3 for y in range(PH) for x in range(PW))
+idx1 = bytes((x * y) % 3 for y in range(PH) for x in range(PW))
+seq = 0
+out = b"\x89PNG\r\n\x1a\n"
+out += chunk(b"IHDR", struct.pack(">IIBBBBB", PW, PH, 8, 3, 0, 0, 0))
+out += chunk(b"acTL", struct.pack(">II", 2, 0))
+out += chunk(b"PLTE", plte)
+out += chunk(b"tRNS", trns)
+out += chunk(b"fcTL", struct.pack(">IIIIIHHBB", next_seq(), PW, PH,
+                                  0, 0, 40, 1000, 0, 0))
+out += chunk(b"IDAT", encode_pal_idat(PW, PH, idx0))
+out += chunk(b"fcTL", struct.pack(">IIIIIHHBB", next_seq(), PW, PH,
+                                  0, 0, 40, 1000, 0, 1))
+out += chunk(b"fdAT", struct.pack(">I", next_seq()) +
+             encode_pal_idat(PW, PH, idx1))
+out += chunk(b"IEND", b"")
+with open(os.path.join(OUT, "apng_pal_trns.png"), "wb") as f:
+    f.write(out)
+print("apng_pal_trns.png", len(out))
+
+# 2) Default-image fcTL NOT covering the canvas: IDAT scanlines are
+#    filtered at the canvas width; a narrower rewrap "decodes" to
+#    garbage rows if the stream is long enough — must refuse.
+seq = 0
+out = b"\x89PNG\r\n\x1a\n"
+out += chunk(b"IHDR", struct.pack(">IIBBBBB", W, H, 8, 6, 0, 0, 0))
+out += chunk(b"acTL", struct.pack(">II", 1, 0))
+out += chunk(b"fcTL", struct.pack(">IIIIIHHBB", next_seq(), W - 2, H - 2,
+                                  0, 0, 40, 1000, 0, 0))
+out += chunk(b"IDAT", encode_idat(W, H, frame_pixels(W, H, 9)))
+out += chunk(b"IEND", b"")
+with open(os.path.join(OUT, "apng_bad_default_fctl.png"), "wb") as f:
+    f.write(out)
+print("apng_bad_default_fctl.png", len(out))
