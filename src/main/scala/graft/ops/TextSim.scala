@@ -1189,24 +1189,31 @@ object TextSim {
     },
 
     // Learned-BPE token accounting — the real-tokenizer step behind
-    // q_text_tokcount's BPE-ish regex proxy: train a 128-merge BPE on
-    // the corpus WORD-FREQUENCY table (the standard trainer input —
-    // one corpus-scale groupBy, Heaps-bounded and top-64k-capped,
-    // then a driver-side merge loop over that bounded table; Sennrich
-    // et al. 2016), broadcast the learned ranks, and tokenize every
+    // q_text_tokcount's BPE-ish regex proxy: train a BPE on the
+    // corpus WORD-FREQUENCY table (the standard trainer input — one
+    // corpus-scale groupBy, Heaps-bounded and top-64k-capped, then a
+    // driver-side INCREMENTAL merge loop over that bounded table;
+    // Sennrich et al. 2016, subword-nmt-style index maintenance —
+    // see Bpe.train), broadcast the learned ranks, and tokenize every
     // document under them in a narrow per-partition map with a
-    // distinct-word memo. Output: per-doc whitespace vs learned-BPE
-    // token counts and the ratio — the budget signal an actual
-    // tokenizer yields. NOT SQL-expressible (iterative training);
-    // golden-pinned; training replay, greedy-application round-trip,
-    // and merge-monotonicity pinned in BpeSpec.
+    // distinct-word memo. Merge count is a session knob
+    // (spark.graft.bpe.merges, default 128 — the golden-pinned
+    // operating point; real vocabularies run 8k-32k, which the
+    // incremental trainer sustains — wall measured in SCALE.md).
+    // Output: per-doc whitespace vs learned-BPE token counts and the
+    // ratio — the budget signal an actual tokenizer yields. NOT
+    // SQL-expressible (iterative training); golden-pinned; training
+    // replay vs the naive reference recount, greedy-application
+    // round-trip, and merge-monotonicity pinned in BpeSpec.
     QuerySpec.noOracle("q_text_bpe") { (s, d) =>
+      val nMerges = s.conf.getOption("spark.graft.bpe.merges")
+        .map(_.toInt).getOrElse(128)
       val wf = Tables.documents(s, d)
         .select(explode(words).as("w"))
         .groupBy("w").agg(count(lit(1)).as("f"))
         .orderBy(col("f").desc, col("w")).limit(65536)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      val ranks = Bpe.train(wf, 128).zipWithIndex.toMap
+      val ranks = Bpe.train(wf, nMerges).zipWithIndex.toMap
       val bc = s.sparkContext.broadcast(ranks)
       import s.implicits._
       Tables.documents(s, d)

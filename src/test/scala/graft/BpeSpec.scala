@@ -66,6 +66,77 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental trainer replays the naive recount EXACTLY (fixture corpus)") {
+    // The r12 trainer maintains pair counts + a pair→word index
+    // incrementally with a lazy max-heap; the r11 full-recount
+    // spelling is kept as the reference. Identical merge SEQUENCES on
+    // the real fixture word-frequency table — not just same token
+    // counts — pin that the index maintenance and the heap's
+    // (count desc, pair asc) tie-break reproduce the naive argmax.
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val wf = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(2048)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val inc = Bpe.train(wf, 300)
+    val ref = Bpe.trainNaive(wf, 300)
+    assert(inc === ref)
+    // and on an adversarial overlap-heavy synthetic table
+    val tricky = Seq("aaaa" -> 9L, "aaab" -> 5L, "abab" -> 7L,
+      "bbbb" -> 4L, "abba" -> 6L, "aa" -> 11L, "ab" -> 3L)
+    assert(Bpe.train(tricky, 40) === Bpe.trainNaive(tricky, 40))
+  }
+
+  test("tool-scale training: >=1k merges on an open-vocabulary corpus") {
+    // The r11 trainer was demo-scale (128 merges on a 31-word closed
+    // vocabulary). Real vocabularies need thousands of merges over an
+    // open vocabulary — the ScaleGen open-vocab regime (Zipf-ish
+    // variant suffixes) supplies one. The incremental trainer must
+    // sustain >=1k merges and the learned table must satisfy the
+    // tokenizer contract on every training word.
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_bpe_ov")
+    try {
+      val dir = ScaleGen.generate(spark, sf, root.toString + "/x1", 1,
+        openVocab = 512)
+      val wf = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w")).limit(65536)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(wf.size > 1500, s"open-vocab table too small: ${wf.size}")
+      val nMerges = 1500
+      val t0 = System.nanoTime
+      val merges = Bpe.train(wf, nMerges)
+      val wallS = (System.nanoTime - t0) / 1e9
+      info(f"trained ${merges.length} merges over ${wf.size} words " +
+        f"in $wallS%.2f s")
+      assert(merges.length === nMerges,
+        s"vocabulary exhausted at ${merges.length} merges")
+      assert(merges.distinct.length === merges.length, "duplicate merge")
+      val ranks = merges.zipWithIndex.toMap
+      for ((w, _) <- wf.take(50) ++ wf.takeRight(50)) {
+        val syms = Bpe.encode(w, ranks)
+        assert(syms.mkString === w + Bpe.EndOfWord, w)
+        syms.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(!ranks.contains((a, b)), s"$w left mergeable ($a,$b)")
+          case _ => ()
+        }
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("q_text_bpe: learned tokens <= whitespace-token chars, ratio sane") {
     import TestSpark._
     val rows = q("q_text_bpe").collect()
