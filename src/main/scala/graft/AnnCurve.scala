@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured IVFPQ recall-vs-nprobe curve (round-12 verdict task #6):
+  * the registry's ANN queries open nprobe to ~70-80% of cells because
+  * the FIXTURE embeddings are measured-isotropic — on structureless
+  * data every directional partitioning has recall ≈ scan fraction, so
+  * a narrow probe would be dishonest there. The long-standing prose
+  * claim was that CLUSTERED corpora (the shape of real embedding
+  * corpora) run nprobe 2-8 at 10-30× less scan; this main turns that
+  * prose into numbers, on the ScaleGen clustered regime vs the
+  * isotropic regime at the same size.
+  *
+  * Method: nQ deterministic queries (smallest xxhash64(vec_id)),
+  * ground truth by brute-force top-k cosine over the full corpus
+  * (linear in N — not the quadratic witness shape), then
+  * [[graft.ops.Sketches.ivfpqSearch]] at each nprobe with the pool
+  * knob held at max(4k, N/50). Scan fraction = mean over queries of
+  * (probed cells' population / N) — the realized candidate share, not
+  * the nominal nprobe/C (cells are unequal).
+  *
+  *   sbt "runMain graft.AnnCurve [mult] [srcDir] [outBase] [clusters]"
+  *
+  * One JSON line per tier on stdout and in
+  * outBase/ann_curve_<tag>.json; SCALE.md holds the analyzed curve.
+  */
+object AnnCurve {
+
+  final case class Point(nprobe: Int, recallIvf: Double,
+      recallIvfpq: Double, scanFrac: Double)
+
+  /** The curve on one corpus: (N, C, points). */
+  def curve(s: SparkSession, d: String, k: Int = 10, nQ: Int = 128,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 100)): (Long, Int, Seq[Point]) = {
+    import graft.functions.VectorFunctions.{dot, l2norm}
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val n = emb.count()
+    val q = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .localCheckpoint(true)
+    val qb = broadcast(q.select(col("qid"), col("qv"),
+      l2norm(col("qv")).as("qn")))
+    val base = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nn"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val truth: Map[Long, Set[Long]] = base.join(qb,
+        col("qid") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("embedding"))
+        / (col("qn") * col("nn")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(1)).toSet }
+
+    val cents = ops.Sketches.ivfCodebook(s, d)
+    val c = cents.count().toInt
+    val cellSizes = ops.Sketches.ivfAssignments(s, d)
+      .groupBy("cell").agg(count(lit(1)).as("csize"))
+    // per-query ranked cells (nQ x C rows — tiny), joined to sizes
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+    val rankedCells = qb
+      .join(broadcast(cents.select(col("cid"), col("cv"), col("cn"))),
+        lit(true))
+      .withColumn("ccos", dot(col("qv"), col("cv"))
+        / (col("qn") * col("cn")))
+      .withColumn("crn", row_number().over(wc))
+      .join(broadcast(cellSizes), col("cid") === col("cell"), "left")
+      .select(col("qid"), col("crn"),
+        coalesce(col("csize"), lit(0L)).as("csize"))
+      .localCheckpoint(true)
+
+    def recallOf(df: DataFrame): Double = {
+      val res = df.select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).map { case (qid, rs) =>
+          qid -> rs.map(_.getLong(1)).toSet }
+      truth.toSeq.map { case (qid, t) =>
+        res.get(qid).map(r => (r & t).size.toDouble / t.size).getOrElse(0.0)
+      }.sum / truth.size
+    }
+    val points = nprobes.filter(_ <= c).map { np =>
+      val rIvf = recallOf(ops.Sketches.ivfSearch(s, d, q,
+        nprobe = _ => np, k = k))
+      val rPq = recallOf(ops.Sketches.ivfpqSearch(s, d, q,
+        nprobe = _ => np, rerank = nn => math.max(4 * k, (nn / 20).toInt),
+        k = k))
+      val scanned = rankedCells.filter(col("crn") <= np)
+        .agg(sum("csize")).head().getLong(0)
+      Point(np, rIvf, rPq, scanned.toDouble / (truth.size.toLong * n))
+    }
+    (n, c, points)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val outBase = args.lift(2).getOrElse("target/scale")
+    val clusters = args.lift(3).map(_.toInt).getOrElse(32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outBase))
+    val tiers = Seq(
+      s"cl${clusters}_x$mult" -> ScaleGen.generate(s, srcDir,
+        s"$outBase/cl${clusters}_x$mult", mult, clusters = clusters),
+      s"iso_x$mult" -> ScaleGen.generate(s, srcDir,
+        s"$outBase/x$mult", mult))
+    for ((tag, dir) <- tiers) {
+      val (n, c, pts) = curve(s, dir)
+      val pj = pts.map(p =>
+        f"""{"nprobe":${p.nprobe},"recall_ivf":${p.recallIvf}%.3f,""" +
+          f""""recall_ivfpq":${p.recallIvfpq}%.3f,""" +
+          f""""scan_frac":${p.scanFrac}%.4f}""").mkString("[", ",", "]")
+      val line =
+        s"""{"tier":"$tag","n":$n,"cells":$c,"k":10,"points":$pj}"""
+      println(line)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outBase, s"ann_curve_$tag.json"),
+        (line + "\n").getBytes)
+    }
+    s.stop()
+  }
+}

@@ -152,19 +152,53 @@ object ScaleGen {
     Array.fill(p.dim)(r.nextGaussian())
   }
 
+  /** Per-coordinate noise sigma of the clustered regime: center norms
+    * are ~sqrt(dim), so cos(vector, its center) ≈ 1/sqrt(1+sigma²)
+    * ≈ 0.89 and within-cluster pair cos ≈ 1/(1+sigma²) ≈ 0.8 — tight
+    * enough that nearest neighbors live in the vector's own cell,
+    * loose enough that PQ/rerank still have ordering work to do.
+    * Cross-cluster cos stays ~0 ± 1/sqrt(dim) (independent centers). */
+  private val ClusterSigma = 0.5
+
+  /** Base (pre-duplicate-planting) vector for `id`: isotropic gaussian,
+    * or — `clusters > 0` (the CLUSTERED regime, the shape of real
+    * embedding corpora: topical mass concentrated around modes, the
+    * regime where IVF's nprobe 2–8 claim lives) — a deterministic
+    * pseudorandom center plus per-coordinate noise. Centers draw from
+    * a DISJOINT id namespace of the same generator; the cluster pick
+    * and the noise stream use their own mix keys so they cannot
+    * correlate with the dup-planting draws. */
+  private def rawVec(p: Profile, seed: Long, id: Long,
+      clusters: Int): Array[Double] =
+    if (clusters <= 0) rawGauss(p, seed, id)
+    else {
+      val c = java.lang.Math.floorMod(
+        mix(seed ^ 0x27D4EB2F165667C5L ^ id), clusters.toLong).toInt
+      val center = rawGauss(p, seed ^ 0x165667B19E3779F9L, -(c + 1).toLong)
+      val rn = new java.util.Random(
+        mix(seed ^ 0x85EBCA77C2B2AE63L ^ (id * 0xDA942042E4DD58B5L)))
+      val v = new Array[Double](p.dim)
+      var i = 0
+      while (i < p.dim) {
+        v(i) = center(i) + ClusterSigma * rn.nextGaussian()
+        i += 1
+      }
+      v
+    }
+
   /** `plantVecDups` plants embedding near-copies at the document rate:
     * 5% of vectors are a perturbed earlier vector (sigma 0.03 per
     * coordinate before re-normalization — cos ~ 0.97 to the source),
     * giving the corpus a linear population of true high-cosine pairs
     * for threshold-tuned ANN/dedup experiments (SCALE.md finding 2). */
   private def embFor(p: Profile, seed: Long, id: Long,
-      plantVecDups: Boolean): GenEmb = {
+      plantVecDups: Boolean, clusters: Int): GenEmb = {
     val r = new java.util.Random(mix(seed ^ (id * 0xDA942042E4DD58B5L)))
     val v =
       if (plantVecDups && id > 64 && id % 20 == 11) {
         val src = baseVecId(id - 1 - r.nextInt(50))
-        rawGauss(p, seed, src).map(x => x + 0.03 * r.nextGaussian())
-      } else rawGauss(p, seed, id)
+        rawVec(p, seed, src, clusters).map(x => x + 0.03 * r.nextGaussian())
+      } else rawVec(p, seed, id, clusters)
     val n = math.sqrt(v.map(x => x * x).sum)
     GenEmb(id, v.map(x => (x / n).toFloat).toSeq, r.nextInt(10))
   }
@@ -174,11 +208,12 @@ object ScaleGen {
     * whole build). Returns outDir for chaining. */
   def generate(s: SparkSession, srcDir: String, outDir: String,
       mult: Int, seed: Long = 42L, openVocab: Int = 0,
-      plantVecDups: Boolean = false): String = {
+      plantVecDups: Boolean = false, clusters: Int = 0): String = {
     import s.implicits._
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_META")
     val stamp = s"src=$srcDir mult=$mult seed=$seed ov=$openVocab v=3" +
-      (if (plantVecDups) " pvd=1" else "")
+      (if (plantVecDups) " pvd=1" else "") +
+      (if (clusters > 0) s" cl=$clusters" else "")
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker)) == stamp)
       return outDir
@@ -191,7 +226,7 @@ object ScaleGen {
       .write.mode(SaveMode.Overwrite)
       .parquet(Tables.path(outDir, "documents"))
     s.range(nEmb).repartition(s.sparkContext.defaultParallelism)
-      .map(id => embFor(bc.value, seed, id, plantVecDups))
+      .map(id => embFor(bc.value, seed, id, plantVecDups, clusters))
       .write.mode(SaveMode.Overwrite)
       .parquet(Tables.path(outDir, "embeddings"))
     // fact tables: fixture replicated with disjoint order-key ranges

@@ -386,12 +386,15 @@ object Sketches {
     * nprobe * N/C candidate dots.
     *
     * `nprobe` is the caller's recall/cost knob, a FUNCTION of the
-    * codebook size. Real clustered embedding corpora run nprobe 2–8;
-    * the fixture call site supplies ceil(0.7 * C) because the fixture
-    * vectors are measured-isotropic (same-label and cross-label cosine
-    * both ~0.00) — on structureless data every directional
-    * partitioning has recall ~ scan fraction, so no codebook default
-    * can be both honest here and sensible at scale.
+    * codebook size. Real clustered embedding corpora run nprobe 2–8 —
+    * MEASURED since r12 (graft.AnnCurve, SCALE.md): on the ScaleGen
+    * clustered regime recall hits 0.996 at nprobe 8 / 5.3% scan, 13×
+    * less scan than this fixture point for the same recall. The
+    * fixture call site supplies ceil(0.7 * C) because the fixture
+    * vectors are measured-isotropic (same-label and cross-label
+    * cosine both ~0.00) — there the measured recall TAIL is heavy
+    * (0.876 at nprobe 1, but 1.000 only at ~70% scan), so the wide
+    * point is the honest choice for recall ~1.0 on this data.
     *
     * The C handed to `nprobe` is the REALIZED codebook size — the
     * post-Lloyd row count, which can be smaller than the seeded
@@ -1575,9 +1578,12 @@ object Sketches {
     // IVF+PQ composed (see ivfpqSearch): probe cells, ADC-score only
     // the probed cells' codes, exact-rerank the pool. Both fixture
     // knobs open wide — the two pruning stages' misses COMPOUND on
-    // isotropic data (≈0.85 x 0.95 here), so each must run looser than
-    // it would alone; clustered real corpora run nprobe 2-8 with
-    // single-digit-percent pools.
+    // isotropic data (measured since r12: with a bounded pool, wider
+    // probes DEGRADE isotropic recall 0.941→0.893 as ADC near-ties
+    // flood truth out of the pool — SCALE.md finding 3), so each must
+    // run looser than it would alone; on the MEASURED clustered
+    // regime IVFPQ tracks plain IVF exactly at nprobe 2-8 with
+    // single-digit-percent scan (graft.AnnCurve, SCALE.md).
     QuerySpec.noOracle("q_sim_ann_ivfpq") { (s, d) =>
       ivfpqSearch(s, d, defaultQueries(s, d),
         nprobe = c => math.ceil(0.8 * c).toInt.max(2),
