@@ -40,7 +40,8 @@ object ScaleBench {
 
   /** All stage walls + structural counts for one tier. Returns
     * (label -> seconds, label -> count). */
-  def measure(s: SparkSession, d: String): (Seq[(String, Double)],
+  def measure(s: SparkSession, d: String,
+      countsOnly: Boolean = false): (Seq[(String, Double)],
       Seq[(String, Long)]) = {
     val walls = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
@@ -53,18 +54,27 @@ object ScaleBench {
     cnt("n_docs")(Tables.documents(s, d).count())
     cnt("n_tokens")(Tables.documents(s, d)
       .select(sum(size(split(col("text"), " ")))).head().getLong(0))
-    cnt("n_vectors")(Tables.embeddings(s, d).count())
+    val nVec = Tables.embeddings(s, d).count()
+    cnt("n_vectors")(nVec)
 
     // stage builds, timed individually (sequential on purpose: clean
-    // attribution beats the bench's concurrent wall-clock envelope)
+    // attribution beats the bench's concurrent wall-clock envelope).
+    // In counts-only mode (the ×100-equivalent tier, SCALE.md third
+    // point) only the builds the counted chains read are run, and
+    // their walls are recorded as context, not evidence — a tier this
+    // size shares the JVM with its own generation.
     wall("build_text_postings")(ops.TextSim.warmStages(s, d))
-    wall("build_bigrams")(ops.TextSim.warmBigramStage(s, d))
-    wall("build_mask")(ops.TextSim.warmMaskStage(s, d))
+    if (!countsOnly) {
+      wall("build_bigrams")(ops.TextSim.warmBigramStage(s, d))
+      wall("build_mask")(ops.TextSim.warmMaskStage(s, d))
+    }
     wall("build_ivf")(ops.Sketches.warmIvfStage(s, d))
-    wall("build_pq")(ops.Sketches.warmPqStage(s, d))
-    wall("build_lsh_sigs")(ops.Sketches.warmLshSigStage(s, d))
-    wall("build_dedup_lsh_sigs")(ops.Sketches.warmDedupLshStage(s, d))
-    wall("build_simhash_sigs")(ops.Sketches.warmSimhashStage(s, d))
+    if (!countsOnly) {
+      wall("build_pq")(ops.Sketches.warmPqStage(s, d))
+      wall("build_lsh_sigs")(ops.Sketches.warmLshSigStage(s, d))
+      wall("build_dedup_lsh_sigs")(ops.Sketches.warmDedupLshStage(s, d))
+      wall("build_simhash_sigs")(ops.Sketches.warmSimhashStage(s, d))
+    }
     wall("build_minhash_bands")(ops.Sketches.warmMinhashStage(s, d))
 
     // structural counts: the quadratic-risk quantities per family
@@ -72,15 +82,24 @@ object ScaleBench {
       .select(sum((size(col("ids")).cast("long") *
         (size(col("ids")) - 1) / 2).cast("long"))).head().getLong(0))
     cnt("neardup_edges")(ops.TextSim.nearDupEdges(s, d).count())
-    cnt("lsh_pair_candidates")(ops.Sketches.lshPairCandidates(s, d).count())
-    // the dedup query's measured cos-0.4 point (constant-factor dent on
-    // isotropic data — see the DedupLshBits scaladoc) and a
-    // high-threshold point (24 bits x 18 tables, recall-pinned on
-    // planted cos≈0.97 dups in ScaleSpec) whose background vanishes:
-    // on planted-dup tiers its candidates track the TRUE duplicate
-    // population — the exponent-~1 regime.
-    cnt("lsh_pair_candidates_dedup")(
-      ops.Sketches.dedupPairCandidates(s, d).count())
+    // The two isotropic-background-quadratic LSH points (registry ANN
+    // point and the cos-0.4 dedup point) are counted only while the
+    // corpus is small enough that a ~quadratic candidate count is a
+    // feasible job: SCALE.md already measured them at exp 2.00 / ~24%
+    // of all pairs, so at the counts-only ×100-equivalent tier (200k
+    // vectors → ~10^9-row candidate sets) they'd be a multi-billion-
+    // row count proving a known number — dropped BY CONTRACT there,
+    // like the brute-force witnesses. The high-threshold 24×18 point
+    // (background ~1e-6 of pairs) stays at every tier: it is the
+    // exponent-~1 claim under test.
+    if (!countsOnly || nVec <= 50000) {
+      cnt("lsh_pair_candidates")(
+        ops.Sketches.lshPairCandidates(s, d).count())
+      // the dedup query's measured cos-0.4 point (constant-factor dent
+      // on isotropic data — see the DedupLshBits scaladoc)
+      cnt("lsh_pair_candidates_dedup")(
+        ops.Sketches.dedupPairCandidates(s, d).count())
+    }
     cnt("lsh_pair_candidates_hi24x18")(
       ops.Sketches.lshPairCandidatesTuned(s, d, 24, 18).count())
     val bands = ops.Sketches.minhashBandTable(s, d)
@@ -99,7 +118,7 @@ object ScaleBench {
     // the measured queries — min-of-2, like Bench: single-JVM walls at
     // this scale carry large session-state variance (SCALE.md
     // methodology; the counts above are the load-bearing evidence)
-    for (q <- ScaleQueries) {
+    for (q <- ScaleQueries if !countsOnly) {
       val fn = Registry.byName(q)
       val ts = (1 to 2).map { _ =>
         val (_, t) = timed(fn.df(s, d).count(): Unit); t
@@ -118,16 +137,21 @@ object ScaleBench {
     s"""{"tier":"$tag","dir":"$d","walls":$w,"counts":$c}"""
   }
 
-  /** args: [mult] [srcDir] [outBase] [openVocab]. With openVocab > 0
-    * the run measures TWO GENERATED tiers (1× and mult×, both
-    * open-vocabulary — the finding-1 counter-experiment: same
-    * generator, unsaturated gram space) instead of fixture-vs-
-    * generated. */
+  /** args: [mult] [srcDir] [outBase] [openVocab] [mode]. With
+    * openVocab > 0 the run measures TWO GENERATED tiers (1× and
+    * mult×, both open-vocabulary — the finding-1 counter-experiment:
+    * same generator, unsaturated gram space) instead of fixture-vs-
+    * generated. mode="counts" (requires openVocab > 0) is the
+    * third-decade campaign: THREE generated tiers (1×, 10×, mult× —
+    * the ×100 point), structural counts only — no walls, no measured
+    * queries, quadratic candidate counts dropped above 50k vectors
+    * (see [[measure]]). */
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val outBase = args.lift(2).getOrElse("target/scale")
     val openVocab = args.lift(3).map(_.toInt).getOrElse(0)
+    val countsOnly = args.lift(4).contains("counts")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = SparkSession.builder()
       .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
@@ -142,7 +166,15 @@ object ScaleBench {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val tiers: Seq[(String, String)] =
-      if (openVocab > 0) {
+      if (countsOnly && openVocab > 0) {
+        Seq(1, 10, mult).distinct.map { m =>
+          val dir = s"$outBase/ov${openVocab}_x$m"
+          val (_, g) = timed(ScaleGen.generate(s, srcDir, dir, m,
+            openVocab = openVocab))
+          System.err.println(f"scalebench: generation x$m $g%.1f s")
+          s"ov${openVocab}_x${m}_counts" -> dir
+        }
+      } else if (openVocab > 0) {
         val t1 = s"$outBase/ov${openVocab}_x1"
         val tN = s"$outBase/ov${openVocab}_x$mult"
         val (_, g1) = timed(ScaleGen.generate(s, srcDir, t1, 1,
@@ -160,7 +192,7 @@ object ScaleBench {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outBase))
     for ((tag, dir) <- tiers) {
-      val (walls, counts) = measure(s, dir)
+      val (walls, counts) = measure(s, dir, countsOnly)
       val line = jsonLine(tag, dir, walls, counts)
       println(line)
       java.nio.file.Files.write(
