@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * ground truth by brute-force top-k cosine over the full corpus
   * (linear in N — not the quadratic witness shape), then
   * [[graft.ops.Sketches.ivfpqSearch]] at each nprobe with the pool
-  * knob held at max(4k, N/50). Scan fraction = mean over queries of
+  * knob held at max(4k, N/20). Scan fraction = mean over queries of
   * (probed cells' population / N) — the realized candidate share, not
   * the nominal nprobe/C (cells are unequal).
   *
@@ -101,16 +101,7 @@ object AnnCurve {
     val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val outBase = args.lift(2).getOrElse("target/scale")
     val clusters = args.lift(3).map(_.toInt).getOrElse(32)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = SparkSession.builder()
-      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    val s = Local.session(defaultCpus = "32")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outBase))
     val tiers = Seq(
       s"cl${clusters}_x$mult" -> ScaleGen.generate(s, srcDir,

@@ -33,24 +33,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val spinStart = spinCal()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // FAIR job scheduling, for the stage-build pre-pass only: the six
-      // artifact chains submit jobs from six threads, and under FIFO a
-      // 32-task stage fills every local[32] slot, serializing the
-      // chains end-to-end (measured: concurrency bought almost nothing).
-      // FAIR round-robins runnable tasks across the concurrent jobs, so
-      // the chains genuinely overlap; the timed per-query loop below is
-      // single-threaded, where FAIR == FIFO.
-      .config("spark.scheduler.mode", "FAIR")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // FAIR job scheduling, for the stage-build pre-pass only: the six
+    // artifact chains submit jobs from six threads, and under FIFO a
+    // 32-task stage fills every local[32] slot, serializing the
+    // chains end-to-end (measured: concurrency bought almost nothing).
+    // FAIR round-robins runnable tasks across the concurrent jobs, so
+    // the chains genuinely overlap; the timed per-query loop below is
+    // single-threaded, where FAIR == FIFO.
+    val spark = Local.session(fair = true)
     // Untimed warmup: absorbs JVM/codegen/scan warmup so the first timed
     // query isn't polluted (r1's first map entry carried ~4s of warmup).
     try {

@@ -7,12 +7,7 @@ import org.apache.spark.sql.functions._
 object BpeProbe {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Local.session(defaultCpus = "8")
     val root = java.nio.file.Files.createTempDirectory("graft_bpe_probe")
     val ov = ScaleGen.generate(spark, d, root.toString + "/x1", 1,
       openVocab = 4096)
@@ -36,10 +31,7 @@ object BpeProbe {
     wall("inc_512")(graft.ops.Bpe.train(wf, 512))
     wall("inc_4096")(graft.ops.Bpe.train(wf, 4096))
     wall("inc_8192")(graft.ops.Bpe.train(wf, 8192))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(root.toFile)
+    Local.rmTree(root.toFile)
     spark.stop()
   }
 }

@@ -229,15 +229,7 @@ object Cli {
       System.err.println(Usage)
       sys.exit(2)
     }
-    val spark = SparkSession.builder()
-      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Local.session()
     args(0) match {
       case "put" =>
         put(spark, args(1), args(2),

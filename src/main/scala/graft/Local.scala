@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE local-session factory and small filesystem helpers every
+  * main/probe shares. Before r12 the session-builder block was
+  * hand-copied across seven entry points and had already drifted
+  * (probes missing the nanosAsLong/timezone configs Bench relies on);
+  * a probe must measure the SAME session configuration the bench
+  * runs, so the config lives here once.
+  */
+object Local {
+
+  /** Local session with the harness config (graft extensions, cpus =
+    * SPARK_GRAFT_CPUS default `defaultCpus`, shuffle partitions =
+    * cpus, UTC, ns-timestamp parquet reads, UI off). `fair` enables
+    * FAIR job scheduling — Bench's stage-build pre-pass only (see the
+    * comment there). */
+  def session(defaultCpus: String = "4", fair: Boolean = false): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    var b = SparkSession.builder()
+      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    if (fair) b = b.config("spark.scheduler.mode", "FAIR")
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Recursive tree delete (no symlink traversal concerns in this
+    * repo's temp-dir usage; listFiles does not follow into anything
+    * we did not create). Shared by the stage cache's shutdown sweep,
+    * the probes, and the test suites. */
+  def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete()
+    ()
+  }
+}

@@ -90,8 +90,12 @@ object ScaleBench {
     // vectors → ~10^9-row candidate sets) they'd be a multi-billion-
     // row count proving a known number — dropped BY CONTRACT there,
     // like the brute-force witnesses. The high-threshold 24×18 point
-    // (background ~1e-6 of pairs) stays at every tier: it is the
-    // exponent-~1 claim under test.
+    // stays at every tier because its COUNT stays feasible: its
+    // background is also ~quadratic on unplanted tiers, but with a
+    // ~5e-6-of-pairs constant (~100k rows at the ×100 tier — SCALE.md
+    // finding 5). Its exponent-~1 claim lives on PLANTED-dup tiers,
+    // where true duplicates dominate the count; that claim is pinned
+    // live in ScaleSpec, not by these artifacts.
     if (!countsOnly || nVec <= 50000) {
       cnt("lsh_pair_candidates")(
         ops.Sketches.lshPairCandidates(s, d).count())
@@ -152,19 +156,13 @@ object ScaleBench {
     val outBase = args.lift(2).getOrElse("target/scale")
     val openVocab = args.lift(3).map(_.toInt).getOrElse(0)
     val countsOnly = args.lift(4).contains("counts")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = SparkSession.builder()
-      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // NOTE: heap must come from the launcher (SPARK_DRIVER_MEM env ->
-      // build.sbt's forked -Xmx): spark.driver.memory set here is a
-      // silent no-op in local mode (the JVM is already running).
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    require(!countsOnly || openVocab > 0,
+      "mode=counts requires openVocab > 0 (the three-tier campaign " +
+        "is defined on the open-vocabulary regime)")
+    // NOTE: heap must come from the launcher (SPARK_DRIVER_MEM env ->
+    // build.sbt's forked -Xmx): spark.driver.memory set in the builder
+    // is a silent no-op in local mode (the JVM is already running).
+    val s = Local.session(defaultCpus = "32")
     val tiers: Seq[(String, String)] =
       if (countsOnly && openVocab > 0) {
         Seq(1, 10, mult).distinct.map { m =>

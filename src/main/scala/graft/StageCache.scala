@@ -50,12 +50,8 @@ object StageCache {
   /** A fresh temp data path for `stage`, swept on JVM exit. */
   private def freshPath(stage: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$stage")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Local.rmTree(dir.toFile)))
     dir.resolve("data").toString
   }
 

@@ -9,16 +9,7 @@ object Verify {
     // prefix (dev loop; the driver always passes exactly two args).
     val Array(sfDir, outDir) = args.take(2)
     val onlyPrefix = args.lift(2).getOrElse("")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Local.session()
     new java.io.File(outDir).mkdirs()
     // A query that throws must leave a durable red mark the driver can
     // surface (r8 lesson: stderr-only failures made 23 broken queries

@@ -1439,10 +1439,14 @@ object Sketches {
       def labeled(df: DataFrame, label: String): DataFrame =
         df.select(lit(label).as("point"),
           col("vec_id"), col("t"), col("sig"))
-      val sigs = fams.map { case (l, b, t, _, sb) =>
-        labeled(sigRowsOf(sample, b, t, sb), l) }.reduce(_ unionByName _)
-      val probes = fams.map { case (l, b, t, p, sb) =>
-        val sg = sigRowsOf(sample, b, t, sb)
+      // one signature frame per family, shared by BOTH unions — the
+      // signing kernel subtree appears once per family in the plan,
+      // not once per union branch
+      val famSigs = fams.map { case (l, b, t, p, sb) =>
+        (l, b, p, sigRowsOf(sample, b, t, sb)) }
+      val sigs = famSigs.map { case (l, _, _, sg) =>
+        labeled(sg, l) }.reduce(_ unionByName _)
+      val probes = famSigs.map { case (l, b, p, sg) =>
         labeled(if (p) probeRowsOf(sg, b) else sg, l)
       }.reduce(_ unionByName _)
       val cand = probes.toDF("point", "ida", "t", "sig")

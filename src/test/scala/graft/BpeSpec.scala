@@ -129,12 +129,7 @@ class BpeSpec extends AnyFunSuite {
           case _ => ()
         }
       }
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(root.toFile)
-    }
+    } finally Local.rmTree(root.toFile)
   }
 
   test("q_text_bpe: learned tokens <= whitespace-token chars, ratio sane") {

@@ -117,10 +117,7 @@ class IncrementalSpec extends AnyFunSuite {
     assert(before.nonEmpty)
 
     // Upstream takedown: the source partition for langs.head vanishes.
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(s"$inDir/lang=${langs.head}"))
+    Local.rmTree(new java.io.File(s"$inDir/lang=${langs.head}"))
 
     // Re-sync reports the retraction; the output partition is gone,
     // the memo entry with it, and the data equals a full recompute of

@@ -48,10 +48,7 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     p.toString
   }
   override def afterAll(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    tmpRoots.foreach(p => rm(p.toFile))
+    tmpRoots.foreach(p => Local.rmTree(p.toFile))
     super.afterAll()
   }
 
