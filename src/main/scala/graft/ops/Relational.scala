@@ -100,6 +100,56 @@ object Relational {
       .filter(abs(col("z")) > threshold)
   }
 
+  /** DISTRIBUTED exact interpolated quantiles of `valCol` per
+    * `group` — the scale-safe quantile operator (r12): never a
+    * single-buffer percentile aggregate. (1) counts-by-value
+    * pre-aggregate: map-side combinable, output bounded by the VALUE
+    * DOMAIN at any corpus size; (2) cumulative-count window over the
+    * domain-bounded table (values are distinct per group after the
+    * pre-agg, so the default RANGE frame == ROWS); (3) the two
+    * bracketing values of position h = (n−1)·p by conditional min —
+    * v at 0-indexed rank r is the smallest v whose cumulative count
+    * exceeds r; (4) linear interpolation lo + (h − ⌊h⌋)·(hi − lo),
+    * bit-identical double arithmetic to Spark's
+    * Percentile.getPercentile and DuckDB's quantile_cont. NULL values
+    * are ignored, like both of those. Returns one row per group with
+    * one UNROUNDED double column per requested (p, alias).
+    *
+    * Every ordered step runs over the pre-aggregated table, so the
+    * only fact-scale work is one hash aggregate; the per-group sort
+    * is bounded by the value domain (e.g. ≤ ~10M rows for a
+    * 2-decimal price domain) regardless of corpus size. Used by
+    * q_agg_pctl and q_agg_winsor; shape pinned by the PlanShapeSpec
+    * low-cardinality-window sweep (the window sits above an
+    * Aggregate). */
+  def interpQuantiles(df: DataFrame, group: Seq[String], valCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0 && p <= 1 })
+    val gcols = group.map(col)
+    val wcum = Window.partitionBy(gcols: _*).orderBy("v")
+    val wtot = Window.partitionBy(gcols: _*)
+    val counts = df
+      .filter(col(valCol).isNotNull)
+      .groupBy(gcols :+ col(valCol).as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(gcols ++ Seq(col("v"),
+        sum("cnt").over(wcum).as("cum"),
+        sum("cnt").over(wtot).as("n")): _*)
+    def h(p: Double) = (col("n") - 1) * lit(p)
+    val brackets = ps.flatMap { case (p, nm) =>
+      Seq(min(when(col("cum") > floor(h(p)), col("v"))).as(s"lo_$nm"),
+        min(when(col("cum") > ceil(h(p)), col("v"))).as(s"hi_$nm"))
+    }
+    counts.groupBy(gcols: _*)
+      .agg(first(col("n")).as("n"), brackets: _*)
+      .select(gcols ++ ps.map { case (p, nm) =>
+        val hh = h(p)
+        (col(s"lo_$nm")
+          + (hh - floor(hh)) * (col(s"hi_$nm") - col(s"lo_$nm"))).as(nm)
+      }: _*)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- §2.1 scans -----------------------------------------------------
@@ -580,36 +630,53 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      def pctls(valCol: String, pcols: Seq[(Double, String)]): DataFrame = {
-        val wcum = Window.partitionBy("l_linestatus").orderBy("v")
-        val wtot = Window.partitionBy("l_linestatus")
-        val counts = Tables.lineitem(s, d)
-          .filter(col(valCol).isNotNull)
-          .groupBy(col("l_linestatus"), col(valCol).as("v"))
-          .agg(count(lit(1)).as("cnt"))
-          .select(col("l_linestatus"), col("v"),
-            sum("cnt").over(wcum).as("cum"),
-            sum("cnt").over(wtot).as("n"))
-        def h(p: Double) = (col("n") - 1) * lit(p)
-        val brackets = pcols.flatMap { case (p, nm) =>
-          Seq(min(when(col("cum") > floor(h(p)), col("v"))).as(s"lo_$nm"),
-            min(when(col("cum") > ceil(h(p)), col("v"))).as(s"hi_$nm"))
-        }
-        val nTot = first(col("n")).as("n")
-        counts.groupBy("l_linestatus")
-          .agg(nTot, brackets: _*)
-          .select(col("l_linestatus") +: pcols.map { case (p, nm) =>
-            val hh = h(p)
-            round(col(s"lo_$nm")
-              + (hh - floor(hh)) * (col(s"hi_$nm") - col(s"lo_$nm")), 6)
-              .as(nm)
-          }: _*)
-      }
+      def pctls(valCol: String, pcols: Seq[(Double, String)]): DataFrame =
+        interpQuantiles(Tables.lineitem(s, d), Seq("l_linestatus"),
+          valCol, pcols)
+          .select(col("l_linestatus") +: pcols.map { case (_, nm) =>
+            round(col(nm), 6).as(nm) }: _*)
       pctls("l_quantity", Seq(0.5 -> "p50_qty", 0.9 -> "p90_qty"))
         .join(pctls("l_extendedprice", Seq(0.25 -> "p25_price")),
           Seq("l_linestatus"))
         .orderBy("l_linestatus")
+    },
+
+    // Winsorized mean — the robust-statistics shape a quality pipeline
+    // clips outliers with (cap extremes at p05/p95, then average):
+    // the [[interpQuantiles]] operator computes the per-group clip
+    // brackets scale-safely, the tiny bracket table broadcasts back
+    // onto the fact scan, and the clipped mean is one ordinary
+    // map-side-combinable aggregate. The quantile arithmetic is
+    // bit-identical to DuckDB's quantile_cont (see interpQuantiles),
+    // so the oracle hash-matches at round 6.
+    q("q_agg_winsor",
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT b.flag, round(b.lo, 6) AS lo, round(b.hi, 6) AS hi,
+        |  round(avg(least(greatest(l_extendedprice, b.lo), b.hi)), 6)
+        |    AS wins_mean,
+        |  round(avg(l_extendedprice), 6) AS raw_mean,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.flag
+        |GROUP BY b.flag, b.lo, b.hi
+        |ORDER BY b.flag""") { (s, d) =>
+      val brackets = interpQuantiles(Tables.lineitem(s, d),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.05 -> "lo", 0.95 -> "hi"))
+        .select(col("l_returnflag").as("flag"), col("lo"), col("hi"))
+      Tables.lineitem(s, d)
+        .join(broadcast(brackets), col("l_returnflag") === col("flag"))
+        .groupBy("flag", "lo", "hi")
+        .agg(round(avg(least(greatest(col("l_extendedprice"), col("lo")),
+          col("hi"))), 6).as("wins_mean"),
+          round(avg("l_extendedprice"), 6).as("raw_mean"),
+          count(lit(1)).as("n"))
+        .select(col("flag"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"), col("wins_mean"),
+          col("raw_mean"), col("n"))
+        .orderBy("flag")
     },
 
     q("q_agg_collect",
