@@ -1606,6 +1606,52 @@ object TextSim {
         .orderBy("source", "split")
     },
 
+    // Per-source frequency capping — the "at most K documents per
+    // domain" rule every crawl-curation pipeline applies, spelled
+    // SCALE-SAFE: the naive form is a row_number window partitioned
+    // by source — a low-cardinality ordered window over the fact scan,
+    // the exact shape the PlanShapeSpec sweep outlaws (a 100 TB source
+    // sorts on one task). Instead the per-source cut is computed by
+    // the bounded-heap top-k AGGREGATE (O(K) state at every stage,
+    // map-side combinable), the |sources|-row cut table broadcasts
+    // back, and each row decides kept = (priority, id) <= cut locally.
+    // Priority is the first 13 md5 hex chars of the decimal doc id —
+    // cross-engine byte-identical (the q_mix_split discipline), a
+    // 52-bit value that is exact in the aggregate's double score; the
+    // (priority, doc_id) tie-break makes the cap fully deterministic
+    // even on priority collisions, at any corpus size. Under-K
+    // sources keep everything (null cut). The DuckDB oracle IS the
+    // naive window — same semantics, different plan.
+    q("q_mix_source_cap",
+      """WITH p AS (SELECT doc_id, source,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS pr
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY pr, doc_id)
+        |      AS rn
+        |  FROM p)
+        |SELECT doc_id, source, rn <= 20 AS kept
+        |FROM r ORDER BY doc_id""") { (s, d) =>
+      import graft.functions.VectorFunctions.topKByScore
+      val Cap = 20
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+            16, 10).cast("long").as("p"))
+      val cuts = docs.groupBy("source")
+        .agg(get(topKByScore((-col("p")).cast("double"), col("doc_id"),
+          Cap), lit(Cap - 1)).as("kth"))
+        .select(col("source").as("csrc"),
+          (-col("kth.score")).cast("long").as("kp"),
+          col("kth.id").as("kid"))
+      docs.join(broadcast(cuts), col("source") === col("csrc"), "left")
+        .select(col("doc_id"), col("source"),
+          (col("kp").isNull || col("p") < col("kp") ||
+            (col("p") === col("kp") && col("doc_id") <= col("kid")))
+            .as("kept"))
+        .orderBy("doc_id")
+    },
+
     q("q_mix_weights",
       """WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
