@@ -187,4 +187,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(lam >= varU - 1e-9)
     }
   }
+
+  test("q_mix_source_cap: exactly min(K, |source|) kept, winsor brackets bracket") {
+    import TestSpark._
+    // Cap contract: every source keeps exactly min(20, its size) docs,
+    // deterministically (two runs identical) — the heap-aggregate
+    // spelling must reproduce the naive window's cap semantics, which
+    // the DuckDB oracle pins value-for-value at two tiers; this is the
+    // structural half at golden scale.
+    val rows = q("q_mix_source_cap").collect()
+    val bySrc = rows.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rs) =>
+      val kept = rs.count(_.getBoolean(2))
+      assert(kept === math.min(20, rs.length), s"$src kept $kept of ${rs.length}")
+    }
+    assert(q("q_mix_source_cap").collect().toSeq === rows.toSeq)
+    // Winsor contract: lo <= hi, and the winsorized mean sits between
+    // them and differs from the raw mean only inside [lo, hi].
+    q("q_agg_winsor").collect().foreach { r =>
+      val (lo, hi, wm) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(lo <= hi && wm >= lo && wm <= hi, r.toString)
+    }
+  }
 }
