@@ -109,11 +109,21 @@ object Relational {
     * pre-agg, so the default RANGE frame == ROWS); (3) the two
     * bracketing values of position h = (n−1)·p by conditional min —
     * v at 0-indexed rank r is the smallest v whose cumulative count
-    * exceeds r; (4) linear interpolation lo + (h − ⌊h⌋)·(hi − lo),
-    * bit-identical double arithmetic to Spark's
-    * Percentile.getPercentile and DuckDB's quantile_cont. NULL values
-    * are ignored, like both of those. Returns one row per group with
-    * one UNROUNDED double column per requested (p, alias).
+    * exceeds r; (4) linear interpolation in the TWO-SIDED weighted
+    * form (⌈h⌉−h)·lo + (h−⌊h⌋)·hi with the ⌊h⌋=⌈h⌉ case returning lo
+    * directly — the exact expression (and guard) Spark's
+    * Percentile.getPercentile and DuckDB's quantile_cont evaluate
+    * (verified against spark-catalyst 4.1.2 bytecode; the one-sided
+    * lo + frac·(hi−lo) spelling can differ by an ulp and land across
+    * a round-6 boundary on a fine-grained value domain). NULL values
+    * are ignored, like both engines; a group whose values are ALL
+    * null is OMITTED from the output (both engines instead emit the
+    * group with NULL quantiles — callers needing that boundary must
+    * left-join this result from their group domain; q_agg_winsor
+    * documents the same boundary). Group/alias names must not
+    * collide with the internal v/cum/n columns (require below).
+    * Returns one row per group with one UNROUNDED double column per
+    * requested (p, alias).
     *
     * Every ordered step runs over the pre-aggregated table, so the
     * only fact-scale work is one hash aggregate; the per-group sort
@@ -126,6 +136,10 @@ object Relational {
       ps: Seq[(Double, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0 && p <= 1 })
+    val reserved = Set("v", "cum", "n")
+    require(group.forall(!reserved(_)) &&
+      ps.forall { case (_, nm) => !reserved(nm) },
+      s"group/alias names must avoid the internal columns $reserved")
     val gcols = group.map(col)
     val wcum = Window.partitionBy(gcols: _*).orderBy("v")
     val wtot = Window.partitionBy(gcols: _*)
@@ -145,8 +159,10 @@ object Relational {
       .agg(first(col("n")).as("n"), brackets: _*)
       .select(gcols ++ ps.map { case (p, nm) =>
         val hh = h(p)
-        (col(s"lo_$nm")
-          + (hh - floor(hh)) * (col(s"hi_$nm") - col(s"lo_$nm"))).as(nm)
+        when(floor(hh) === ceil(hh), col(s"lo_$nm"))
+          .otherwise((ceil(hh) - hh) * col(s"lo_$nm")
+            + (hh - floor(hh)) * col(s"hi_$nm"))
+          .as(nm)
       }: _*)
   }
 
@@ -663,6 +679,11 @@ object Relational {
     // grows with the corpus — the same argument as q_agg_pctl, paid
     // twice here because the brackets stay live under the final
     // aggregate.
+    //
+    // Boundary (latent on TPC-H, where l_extendedprice is NOT NULL):
+    // a group whose prices are ALL null is omitted by interpQuantiles
+    // and therefore by this inner join, while the oracle would emit it
+    // with NULL brackets/means — see the interpQuantiles scaladoc.
     q("q_agg_winsor",
       """WITH b AS (SELECT l_returnflag AS flag,
         |    quantile_cont(l_extendedprice, 0.05) AS lo,

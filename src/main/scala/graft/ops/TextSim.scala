@@ -868,12 +868,25 @@ object TextSim {
     // curated corpus into fixed-budget training sequences: documents
     // are concatenated in a deterministic order per language shard and
     // chopped every 512 tokens, so each doc lands at sequence
-    // floor(prior_tokens / 512), spanning one or more sequences. One
-    // window pass over the shard's (doc_id) order — the exclusive
-    // prefix-sum is the whole computation, so packing a 100 TB corpus
-    // is one range-partitioned cumsum per shard, no driver loop.
+    // floor(prior_tokens / 512), spanning one or more sequences.
     // Zero-token docs still occupy a row (n_seqs 1) so corpus
     // accounting stays exact.
+    //
+    // SCALE-SAFE prefix sum (r12 — caught by the widened PlanShapeSpec
+    // sweep): the r11 spelling was one exclusive-cumsum window
+    // partitioned by lang directly over the fact — a corpus-sized sort
+    // at |langs| parallelism. Now the classic TWO-LEVEL distributed
+    // scan: doc_ids bucket by div 1024; per-(lang, bucket) token sums
+    // aggregate map-side; the EXCLUSIVE bucket-offset cumsum runs over
+    // that 1024×-smaller table (partitioned by lang — admitted by the
+    // sweep: an Aggregate sits below, and the construction NESTS — the
+    // same bucketing applies to the bucket table itself for another
+    // 1024× per level, log₁₀₂₄(n) levels to any scale); the intra-
+    // bucket exclusive cumsum windows over (lang, bucket) — a HIGH-
+    // cardinality key whose partitions hold ≤1024 rows by
+    // construction. cb values are identical integers to the single-
+    // window form, so the oracle (which stays the naive window) and
+    // every hash are unchanged.
     q("q_text_pack",
       """WITH tc AS (SELECT lang, doc_id,
         |    CAST(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS BIGINT) AS n
@@ -888,12 +901,20 @@ object TextSim {
         |FROM c
         |ORDER BY lang, doc_id""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
+      val tc = Tables.documents(s, d)
         .select(col("lang"), col("doc_id"),
-          size(words).cast("long").as("n"))
-        .withColumn("cb", coalesce(sum("n").over(w), lit(0L)))
+          size(words).cast("long").as("n"),
+          expr("doc_id div 1024").as("bk"))
+      val wboff = Window.partitionBy("lang").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boff = tc.groupBy("lang", "bk").agg(sum("n").as("bn"))
+        .withColumn("boff", coalesce(sum("bn").over(wboff), lit(0L)))
+        .select("lang", "bk", "boff")
+      val win = Window.partitionBy("lang", "bk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      tc.join(boff, Seq("lang", "bk"))
+        .withColumn("cb",
+          col("boff") + coalesce(sum("n").over(win), lit(0L)))
         .select(col("lang"), col("doc_id"), col("n").as("n_tokens"),
           expr("cb div 512").as("seq_id"),
           (expr("(cb + greatest(n, 1) - 1) div 512")
@@ -1644,7 +1665,10 @@ object TextSim {
         .select(col("source").as("csrc"),
           (-col("kth.score")).cast("long").as("kp"),
           col("kth.id").as("kid"))
-      docs.join(broadcast(cuts), col("source") === col("csrc"), "left")
+      // null-safe equality: a NULL-source partition must still meet
+      // its cut row (the oracle's window partitions NULL like any
+      // other source value)
+      docs.join(broadcast(cuts), col("source") <=> col("csrc"), "left")
         .select(col("doc_id"), col("source"),
           (col("kp").isNull || col("p") < col("kp") ||
             (col("p") === col("kp") && col("doc_id") <= col("kid")))
@@ -2141,8 +2165,23 @@ object TextSim {
     // dominated by a few huge documents?": G = 2·Σ(rank·len)/(n·Σlen)
     // − (n+1)/n over length-ranked docs. High Gini flags slices whose
     // token budget a handful of megadocs would monopolize under
-    // doc-level sampling. One per-lang rank window + one aggregation;
-    // ranks order (n_chars, doc_id) for total determinism.
+    // doc-level sampling.
+    //
+    // SCALE-SAFE spelling (r12 — caught by the widened PlanShapeSpec
+    // sweep): the naive per-lang rank window sorts the whole corpus at
+    // |langs| parallelism. Instead the rank SUM per length value has a
+    // closed form: a value v with c occurrences ending at cumulative
+    // position `cum` occupies ranks (cum−c, cum], so
+    // Σ rank·v over the run = v·(c·cum − c·(c−1)/2) — ranks never
+    // need materializing per document. Counts-by-value pre-aggregate
+    // (bounded by the n_chars domain), cumulative window on the
+    // bounded table, closed-form contribution, per-lang aggregate.
+    // All rank arithmetic stays in LONG (integer-exact; the oracle's
+    // double sum of integer-valued terms < 2^53 is exact too), so the
+    // result is bit-identical to the window oracle — hashes unchanged.
+    // The oracle's doc_id tie-break inside equal lengths is
+    // immaterial: Σ rank·v over a tie run does not depend on which
+    // doc got which rank.
     q("q_agg_gini",
       """WITH r AS (SELECT lang, n_chars,
         |    row_number() OVER (PARTITION BY lang
@@ -2157,16 +2196,24 @@ object TextSim {
         |GROUP BY lang
         |ORDER BY lang""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      val w = Window.partitionBy("lang").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
-        .select(col("lang"), col("n_chars"),
-          row_number().over(w).as("rk"))
+        .groupBy(col("lang"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+        // Σ rank·v over this value's run of ranks (cum−c, cum]
+        .withColumn("rsum",
+          col("v") * (col("c") * col("cum")
+            - col("c") * (col("c") - 1) / 2))
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_chars").as("total_chars"),
-          round(lit(2.0) * sum(col("rk") * col("n_chars").cast("double"))
-              / (count(lit(1)) * sum(col("n_chars").cast("double")))
-            - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+        .agg(sum("c").as("n_docs"),
+          sum(col("v") * col("c")).as("total_chars"),
+          sum("rsum").as("s"))
+        .select(col("lang"), col("n_docs"), col("total_chars"),
+          round(lit(2.0) * col("s").cast("double")
+              / (col("n_docs") * col("total_chars").cast("double"))
+            - (col("n_docs") + lit(1.0)) / col("n_docs"), 6).as("gini"))
         .orderBy("lang")
     },
 

@@ -294,11 +294,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nEx <= 1, s"expected <= 1 hash exchange, got $nEx:\n$p")
   }
 
-  test("q_agg_gini: rank window and aggregate share one lang exchange") {
+  test("q_agg_gini: closed-form rank sum over counts — window input is an aggregate") {
+    // r12 respell (caught by the widened low-card-window sweep): the
+    // per-doc rank window over the fact is gone; the cumulative window
+    // runs over the (lang, n_chars) counts aggregate, whose size is
+    // bounded by the length domain. Two hash exchanges — the counts
+    // pre-agg and the lang window — and still no join.
     val p = plan("q_agg_gini")
     val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(nEx <= 1, s"expected one lang exchange, got $nEx:\n$p")
+    assert(nEx <= 2, s"expected counts + lang exchanges only, got $nEx:\n$p")
     assert(!p.contains("Join"), s"unexpected join:\n$p")
+    // the fact-scan side must aggregate BEFORE any window
+    val lp = q("q_agg_gini").queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    lp.collect { case w: LW => w }.foreach { w =>
+      assert(w.child.exists(_.isInstanceOf[Aggregate]),
+        s"window no longer sits above the counts aggregate:\n$lp")
+    }
   }
 
   test("q_agg_outliers broadcasts the stats table — no Window over the fact") {
@@ -409,7 +421,7 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.Attribute
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val lowCard = Set("l_returnflag", "l_linestatus", "o_orderstatus",
-      "flag", "status")
+      "flag", "status", "source", "lang")
     def hasBadWindow(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.nonEmpty &&
