@@ -249,13 +249,36 @@ object Events {
         |FROM w
         |GROUP BY event_type
         |ORDER BY event_type""") { (s, d) =>
-      val arrival = Window.orderBy("event_id")
+      // SCALE-SAFE prefix max (r12 — caught by the new global-window
+      // sweep): the r11 spelling ran the running-watermark max as ONE
+      // global ordered window over the event stream — a corpus-sized
+      // single-task sort at 100 TB. Prefix max is an associative scan,
+      // so the q_text_pack two-level construction applies verbatim:
+      // bucket event_ids (div 8192; bucket order == event order), an
+      // exclusive prefix max over the 8192×-smaller bucket aggregate
+      // (global window ADMITTED by the sweep: Aggregate below; the
+      // construction nests for more decades), and an exclusive
+      // intra-bucket running max over the high-cardinality bucket key.
+      // wm = greatest(bucket offset, intra-bucket max) — Spark's
+      // greatest skips nulls, so the first row of the stream gets a
+      // NULL watermark exactly like the empty window frame did. Values
+      // identical; oracle (still the naive window) and hashes
+      // unchanged.
+      val intra = Window.partitionBy("bk").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wOffB = Window.orderBy("bk")
         .rowsBetween(Window.unboundedPreceding, -1)
       val late = col("wm") - col("us") > GapUs
-      Tables.events(s, d)
+      val e = Tables.events(s, d)
         .select(col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .withColumn("wm", max("us").over(arrival))
+          unix_micros(col("ts")).as("us"),
+          expr("event_id div 8192").as("bk"))
+      val boff = e.groupBy("bk").agg(max("us").as("bmax"))
+        .withColumn("bprev", max("bmax").over(wOffB))
+        .select("bk", "bprev")
+      e.join(boff, Seq("bk"))
+        .withColumn("wm",
+          greatest(col("bprev"), max("us").over(intra)))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum(when(late, 1L).otherwise(0L)).as("n_late"),

@@ -445,6 +445,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"low-cardinality-partitioned windows over raw scans in: ${offenders.mkString(", ")}")
   }
 
+  test("no global ordered window runs over an unbounded input") {
+    // The single-partition twin of the low-cardinality sweep: a
+    // Window with NO partition key and an ordering sorts its whole
+    // input on one task. Admitted shapes: an Aggregate below (the
+    // input is a bounded/grouped table — e.g. q_ev_latearrival's
+    // bucket offsets, q_text_heaps' per-lang curve) or a Limit below
+    // (LimitPushDownThroughWindow turned the rank-then-filter into a
+    // distributed top-k — q_sim_hybrid_rrf, pinned separately).
+    // Registry-wide, self-validating like the low-card sweep.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      GlobalLimit, LocalLimit, Window => LW}
+    def hasBad(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LW if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+            !w.child.exists(n => n.isInstanceOf[Aggregate] ||
+              n.isInstanceOf[GlobalLimit] || n.isInstanceOf[LocalLimit])
+          => w
+      }.nonEmpty
+    // detector self-check: the r11 q_ev_latearrival shape (global
+    // running max straight over the event scan) must trip it
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, max, unix_micros}
+    val oldShape = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("wm", max("us").over(W.orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)))
+    assert(hasBad(oldShape), "detector missed the known-bad shape")
+    val offenders = Registry.all.map(_.name).filter(n => hasBad(q(n)))
+    assert(offenders.isEmpty,
+      s"global ordered windows over unbounded input in: ${offenders.mkString(", ")}")
+  }
+
   test("the fused gram-postings build plans exactly ONE Exchange") {
     // The whole point of the CappedIdSet fuse: raw hashed grams group
     // straight to capped postings in a single aggregation — one
