@@ -1315,14 +1315,14 @@ object Multimodal {
     flush()
     if (acFrames <= 0 || raw.isEmpty || raw.length != acFrames) return None
     if (raw.length.toLong * w * h > MaxGifPixels) return None
-    // tRNS transparency on gray/RGB/palette frames: decodePng
+    // tRNS transparency: on gray/RGB/palette frames decodePng
     // deliberately drops it (palette expands to opaque RGB), so an
     // over-blend would composite color-keyed pixels as opaque —
-    // silently wrong frames. Refuse honestly instead (color types 4/6
-    // carry a real alpha channel; tRNS is invalid there per spec).
-    val colorType = c(25) & 0xFF
-    if (trnsChunk != null &&
-      (colorType == 0 || colorType == 2 || colorType == 3)) return None
+    // silently wrong frames; on color types 4/6 (real alpha channel)
+    // the chunk is invalid per spec, and forwarding it into the
+    // per-frame rewrap would hand the frame decoder a spec-invalid
+    // stream. Refuse honestly on ALL color types (ADVICE r12).
+    if (trnsChunk != null) return None
     // Rewrap each frame as a standalone PNG (same IHDR type/depth).
     val crc = new java.util.zip.CRC32
     def chunk(tag4: String, payload: Array[Byte]): Array[Byte] = {
@@ -1356,7 +1356,6 @@ object Multimodal {
       still.write(sig)
       still.write(chunk("IHDR", ihdr.array()))
       if (plteChunk != null) still.write(plteChunk)
-      if (trnsChunk != null) still.write(trnsChunk)
       still.write(chunk("IDAT", data))
       still.write(chunk("IEND", Array.emptyByteArray))
       val img = decodePng(still.toByteArray).getOrElse(return None)

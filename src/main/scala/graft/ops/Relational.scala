@@ -628,11 +628,13 @@ object Relational {
     // (values are DISTINCT per group after the pre-agg, so the default
     // RANGE frame == ROWS); (3) the two bracketing values of position
     // h = (n-1)·p picked by conditional min — v at 0-indexed rank r is
-    // the smallest v whose cumulative count exceeds r; (4) linear
-    // interpolation lo + (h − ⌊h⌋)·(hi − lo), the bit-identical
-    // arithmetic of Spark's Percentile.getPercentile AND DuckDB's
-    // quantile_cont (double ops in the same order), so the round-6
-    // oracle hash is unchanged. One pre-agg per measured column
+    // the smallest v whose cumulative count exceeds r; (4) the
+    // two-sided weighted interpolation (⌈h⌉−h)·lo + (h−⌊h⌋)·hi — the
+    // bit-identical arithmetic of Spark's Percentile.getPercentile AND
+    // DuckDB's quantile_cont (double ops in the same order; the
+    // one-sided form lo + (h−⌊h⌋)·(hi−lo) can differ by an ulp — see
+    // interpQuantiles' scaladoc), so the round-6 oracle hash is
+    // unchanged. One pre-agg per measured column
     // (distinct (qty,price) pairs would be near the product of the
     // domains), joined back on the 2-value group key. The ordered
     // window IS partitioned by the low-card group key — but over an

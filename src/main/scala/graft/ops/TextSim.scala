@@ -2202,10 +2202,14 @@ object TextSim {
         .groupBy(col("lang"), col("n_chars").as("v"))
         .agg(count(lit(1)).as("c"))
         .withColumn("cum", sum("c").over(w))
-        // Σ rank·v over this value's run of ranks (cum−c, cum]
+        // Σ rank·v over this value's run of ranks (cum−c, cum].
+        // `div` (integer division; c·(c−1) is always even so it is
+        // exact) keeps the whole term LONG — Spark's `/` is Divide,
+        // which would cast to DOUBLE and silently demote rsum to the
+        // oracle's <2^53 exactness bound.
         .withColumn("rsum",
           col("v") * (col("c") * col("cum")
-            - col("c") * (col("c") - 1) / 2))
+            - expr("c * (c - 1) div 2")))
         .groupBy("lang")
         .agg(sum("c").as("n_docs"),
           sum(col("v") * col("c")).as("total_chars"),
