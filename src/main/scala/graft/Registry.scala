@@ -15,6 +15,7 @@ object Registry {
     ops.Sketches.specs,
     ops.Events.specs,
     ops.Udx.specs,
+    ops.Clustering.specs,
     ops.Graph.specs,
     ops.SeaSegment.specs
   ).flatten

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the integer-exact k-means family (ops/Clustering.scala):
+  * the module's whole claim is that training is fixed-point integer
+  * arithmetic, so its output must be BIT-identical under any
+  * partitioning — plus the SemDeDup subset property tying
+  * q_dedup_semantic to the brute-force q_dedup_cosine witness.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def kmeansAt(dir: String) =
+    Registry.byName("q_embed_kmeans").df(spark, dir)
+  private def semanticAt(dir: String) =
+    Registry.byName("q_dedup_semantic").df(spark, dir)
+
+  test("training is partitioning-invariant (bit-exact, not approximate)") {
+    val b = ops.Clustering.base(spark, sf)
+    val c7 = ops.Clustering.train(b.repartition(7))
+    val c3 = ops.Clustering.train(b.repartition(3))
+    assert(c7.length === c3.length)
+    c7.indices.foreach { j =>
+      assert(java.util.Arrays.equals(c7(j), c3(j)),
+        s"centroid $j differs across partitionings")
+    }
+  }
+
+  test("quantization guard refuses coordinates at or below the -4 shift") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, 0, Seq(5L, -1L)), (2L, 0, Seq(3L, 4L)))
+      .toDF("vec_id", "label", "xq")
+    val ex = intercept[IllegalArgumentException] {
+      ops.Clustering.train(bad)
+    }
+    assert(ex.getMessage.contains("kmeans quantization"))
+  }
+
+  test("cluster report partitions the corpus; sizes and shares are sane") {
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val rows = kmeansAt(dir).collect()
+      val total = rows.map(_.getAs[Long]("n")).sum
+      val nVec = ops.Clustering.base(spark, dir).count()
+      assert(total === nVec, s"cluster sizes must sum to the corpus at $dir")
+      rows.foreach { r =>
+        assert(r.getAs[Double]("rms_dist") >= 0.0)
+        // unit-norm vectors live on the sphere: no member can be
+        // farther than the diameter from its centroid
+        assert(r.getAs[Double]("rms_dist") <= 2.0)
+        val share = r.getAs[Double]("top_share")
+        assert(share > 0.0 && share <= 1.0)
+      }
+    }
+  }
+
+  test("semantic near-dup pairs are a subset of the brute-force cos>=0.4 witness") {
+    // Every (vec_id, keep_id) edge the cluster-bounded screen emits
+    // must be a genuinely similar pair: exact double cosine >= 0.399
+    // (1e-3 slack absorbs the 1e-6/coordinate quantization, which is
+    // orders of magnitude smaller). The reverse direction is NOT
+    // asserted — losing cross-cluster pairs is the SemDeDup trade.
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val vecs = Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val dups = semanticAt(dir).filter(col("n_nbrs") > 0)
+        .select("vec_id", "keep_id").collect()
+      assert(dups.nonEmpty, s"semantic dedup is vacuous at $dir")
+      dups.foreach { r =>
+        val (a, b) = (vecs(r.getLong(0)), vecs(r.getLong(1)))
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val cos = dot / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+        assert(cos >= 0.399,
+          s"pair (${r.getLong(0)}, ${r.getLong(1)}) cos $cos below bar at $dir")
+      }
+    }
+  }
+
+  test("semantic keep_id is always <= vec_id and within the same run's ids") {
+    val rows = semanticAt(sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keep_id") <= r.getAs[Long]("vec_id"))
+    }
+  }
+}
