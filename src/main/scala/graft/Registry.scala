@@ -16,6 +16,7 @@ object Registry {
     ops.Events.specs,
     ops.Udx.specs,
     ops.Clustering.specs,
+    ops.Learn.specs,
     ops.Graph.specs,
     ops.SeaSegment.specs
   ).flatten

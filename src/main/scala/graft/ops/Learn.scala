@@ -1,0 +1,181 @@
+package graft.ops
+
+import graft.{QuerySpec, StageCache, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine model training: a linear quality classifier learned by
+  * full-batch gradient descent INSIDE the engine — the "train a small
+  * fasttext-ish scorer on corpus features, then score every document
+  * with it" loop a curation pipeline runs to bootstrap quality labels.
+  *
+  * DETERMINISM DESIGN (same discipline as Clustering.scala): float GD
+  * is not reproducible across engines — `exp()` differs in the last
+  * ulp between libm and the JVM, and per-iteration weight drift
+  * compounds. So the entire recurrence is FIXED-POINT INTEGER
+  * arithmetic, bit-exact by construction:
+  *
+  *   - features are integer ratios scaled by S = 1e6 via truncating
+  *     integer division (probed: DuckDB `//`, Spark `div`, and Scala
+  *     Long `/` all truncate toward zero, signed included);
+  *   - the squashing function is the FAST SIGMOID
+  *     σ(z) = 1/2 + z / (2·(1 + |z|)), which is exactly computable in
+  *     fixed point — σ_s = S/2 + z·S // (2·(S + |z|)) — unlike the
+  *     logistic, whose exp() would break cross-engine exactness. The
+  *     operator's contract is THIS recurrence, documented, not "some
+  *     float logistic it approximates";
+  *   - per-row gradient terms are (err·f) // S (each |term| ≤ S), so
+  *     gradient sums are Longs exact to ~9e12 rows — corpus-scale
+  *     safe — and integer sums are partitioning-invariant;
+  *   - the update w ← w − g // (2n) is the lr = 1/2 full-batch step.
+  *
+  * The oracle unrolls the SAME [[LrIters]] iterations in DuckDB CTEs:
+  * no tolerance, no validity precondition.
+  *
+  * 100 TB shape: feature extraction (the only pass over text) runs
+  * ONCE into a materialized narrow stage (4 longs/doc); each iteration
+  * is one map-side-combinable 4-sum aggregate over that stage with a
+  * 1-row driver collect; the readout is one groupBy(lang). Weights are
+  * memoized per (session, dir), so the registry query and any
+  * downstream scorer share one training run.
+  */
+object Learn {
+
+  private val S = 1000000L
+  private[ops] val LrIters = 8
+
+  /** Feature + label frame (doc_id, lang, y, f1, f2, f3 — all LONG):
+    * f1 = capped length, f2 = whitespace ratio, f3 = ascii-alpha
+    * ratio, y = "is English" (the deterministic label the scorer
+    * learns to reproduce from surface statistics). */
+  private[graft] def features(s: SparkSession, d: String): DataFrame =
+    StageCache.memoized(s, d, "lr_features") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .withColumn("ll", expr("CAST(length(text) AS BIGINT)"))
+        .withColumn("lnsp",
+          expr("CAST(length(replace(text, ' ', '')) AS BIGINT)"))
+        .withColumn("la",
+          expr("CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT)"))
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)")
+            .as("y"),
+          expr(s"(least(n_chars, 2000) * $S) div 2000").as("f1"),
+          expr(s"((ll - lnsp) * $S) div greatest(ll, 1)").as("f2"),
+          expr(s"(la * $S) div greatest(ll, 1)").as("f3"))
+    }
+
+  /** z and σ_s spelled once, parameterized by the literal weights —
+    * the Spark twin of the oracle's per-iteration expressions. */
+  private def zExpr(w: Array[Long]): String =
+    s"${w(0)} + (${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3) div $S"
+  private def sigmaExpr(w: Array[Long]): String = {
+    val z = s"(${zExpr(w)})"
+    s"${S / 2} + ($z * $S) div (2 * ($S + abs($z)))"
+  }
+
+  private val wMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private[graft] def weights(s: SparkSession, d: String): Array[Long] = {
+    val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d"
+    wMemo.computeIfAbsent(key, _ => train(features(s, d)))
+  }
+
+  private[graft] def train(f: DataFrame): Array[Long] = {
+    val n = f.count()
+    require(n > 0, "cannot train on an empty corpus")
+    var w = Array(0L, 0L, 0L, 0L)
+    var it = 0
+    while (it < LrIters) {
+      // One 4-sum aggregate per iteration; 1-row driver collect.
+      val g = f
+        .withColumn("err", expr(s"${sigmaExpr(w)} - y * $S"))
+        .agg(sum(col("err")).as("g0"),
+          sum(expr(s"(err * f1) div $S")).as("g1"),
+          sum(expr(s"(err * f2) div $S")).as("g2"),
+          sum(expr(s"(err * f3) div $S")).as("g3"))
+        .head()
+      w = Array(
+        w(0) - g.getLong(0) / (2 * n),
+        w(1) - g.getLong(1) / (2 * n),
+        w(2) - g.getLong(2) / (2 * n),
+        w(3) - g.getLong(3) / (2 * n))
+      it += 1
+    }
+    w
+  }
+
+  /** The same GD recurrence unrolled in DuckDB CTEs. */
+  private def lrOracleSql(iters: Int = LrIters): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""e$i AS (SELECT g.y, g.f1, g.f2, g.f3,
+        |    ${S / 2} + (g.z * $S) // (2 * ($S + abs(g.z))) - g.y * $S AS err
+        |  FROM (SELECT f.*, w.w0 + (w.w1 * f.f1 + w.w2 * f.f2
+        |          + w.w3 * f.f3) // $S AS z
+        |        FROM f CROSS JOIN it${i - 1} w) g),
+        |it$i AS MATERIALIZED (SELECT
+        |    (SELECT w0 FROM it${i - 1})
+        |      - CAST(sum(err) AS BIGINT) // (2 * (SELECT n FROM nn)) AS w0,
+        |    (SELECT w1 FROM it${i - 1})
+        |      - CAST(sum((err * f1) // $S) AS BIGINT)
+        |        // (2 * (SELECT n FROM nn)) AS w1,
+        |    (SELECT w2 FROM it${i - 1})
+        |      - CAST(sum((err * f2) // $S) AS BIGINT)
+        |        // (2 * (SELECT n FROM nn)) AS w2,
+        |    (SELECT w3 FROM it${i - 1})
+        |      - CAST(sum((err * f3) // $S) AS BIGINT)
+        |        // (2 * (SELECT n FROM nn)) AS w3
+        |  FROM e$i)"""
+    }.mkString(",\n")
+    s"""WITH f AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+      |    (least(n_chars, 2000) * $S) // 2000 AS f1,
+      |    ((ll - lnsp) * $S) // greatest(ll, 1) AS f2,
+      |    (la * $S) // greatest(ll, 1) AS f3
+      |  FROM (SELECT doc_id, lang, n_chars,
+      |      CAST(length(text) AS BIGINT) AS ll,
+      |      CAST(length(replace(text, ' ', ''))  AS BIGINT) AS lnsp,
+      |      CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+      |        AS BIGINT) AS la
+      |    FROM documents)),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+      |it0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+      |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+      |$rounds,
+      |sc AS (SELECT g.lang, g.y,
+      |    ${S / 2} + (g.z * $S) // (2 * ($S + abs(g.z))) AS score
+      |  FROM (SELECT f.*, w.w0 + (w.w1 * f.f1 + w.w2 * f.f2
+      |          + w.w3 * f.f3) // $S AS z
+      |        FROM f CROSS JOIN it$iters w) g)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(score) AS DOUBLE) / count(*) / $S.0, 6)
+      |    AS avg_score,
+      |  round(CAST(sum(CASE WHEN (score >= ${S / 2}) = (y = 1)
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS acc
+      |FROM sc GROUP BY lang ORDER BY lang"""
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Train the scorer, then report per-language: corpus share, mean
+    // learned quality score, and accuracy against the deterministic
+    // is-English label — the readout that shows the in-engine GD loop
+    // actually learned the separation (and exactly matches the oracle's
+    // unrolled replay of the same integer recurrence).
+    QuerySpec.sql("q_quality_logreg", lrOracleSql()) { (s, d) =>
+      val w = weights(s, d)
+      features(s, d)
+        .withColumn("score", expr(sigmaExpr(w)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("score").cast("double") / count(lit(1)) / lit(S.toDouble),
+            6).as("avg_score"),
+          round(sum(expr(s"CASE WHEN (score >= ${S / 2}) = (y = 1) " +
+            "THEN 1 ELSE 0 END")).cast("double") / count(lit(1)), 6)
+            .as("acc"))
+        .orderBy("lang")
+    }
+  )
+}
