@@ -200,15 +200,25 @@ object Bench {
     // overflow it — losing exactly the leading headline fields. The tail
     // always retains this last line.
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,$sentinel,"gc_total_ms":$gcTotal,"probe_max_s":$probeMax%.3f,"n_queries":${results.length},"n_errors":$nErr,"sf":"$sfDir"}""")
-    // Also persist to a file: a fixed-size tail capture of stdout
+    // Also persist to files: a fixed-size tail capture of stdout
     // truncated BENCH_r05 mid-line and lost the headline totals — the
-    // file copy makes the stdout capture redundant.
-    try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, json + "\n")
-    } catch { case e: Throwable =>
-      System.err.println(s"bench: could not write target/bench.json: ${e.getMessage}") }
+    // file copy makes the stdout capture redundant. Two copies: the
+    // scratch one under target/, and a TRACKED one under bench/ so the
+    // end-of-round snapshot commit carries every per-query time (the
+    // driver's BENCH_rN.json keeps only a 2,000-char stdout tail, which
+    // left ~2/3 of per-query times unauditable round-over-round).
+    // (partial SPARK_GRAFT_ONLY profiling runs must not clobber the
+    // tracked full-registry record)
+    val outs = if (only.isEmpty) Seq("target/bench.json", "bench/bench_full.json")
+               else Seq("target/bench.json")
+    outs.foreach { p =>
+      try {
+        val out = java.nio.file.Paths.get(p)
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.writeString(out, json + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: could not write $p: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

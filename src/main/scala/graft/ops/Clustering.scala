@@ -39,18 +39,56 @@ import org.apache.spark.sql.functions._
   * tolerance. Quantization granularity (1e-6 of a coordinate) is far
   * below any cluster-structure scale, and identical in both engines.
   *
-  * 100 TB shape: the E-step is a narrow per-row projection against the
-  * K×dim centroid LITERAL (no join, no shuffle); the M-step is one
-  * posexplode + groupBy(cid, idx) — map-side combinable, shuffle
-  * output bounded by K×dim regardless of corpus size. Per iteration
-  * the driver collects exactly K×dim (cid, idx, sum, count) rows — the
-  * same documented bounded-collect class as the BPE vocabulary table.
-  * Long-sum bounds: xi ≤ ~5e6, so Σxi per (cid, idx) stays exact up to
-  * ~1.8e12 members per cluster; the readout's Σdist² (≤ ~1e14 per
-  * vector at dim 64) is exact to ~9e4 × fewer members — at a scale
-  * beyond that, widen the readout sum to a two-level aggregate. Both
-  * bounds are far past any tested tier and documented here rather than
-  * silently assumed.
+  * K IS A KNOB, NOT A CONSTANT (r13 verdict): the registry queries
+  * read `spark.graft.kmeans.k` (default [[K]] = 8 — the value the
+  * oracle text and sf0.001 goldens pin, exactly like
+  * `spark.graft.bpe.merges`), and the public operators
+  * [[kmeansAssign]] / [[semanticDedup]] take k explicitly. SemDeDup at
+  * production scale runs K ~ n/1000, so the in-cluster pair work
+  * Σ n_c² ≈ n²/K stays ~linear in n — measured, not asserted:
+  * ScaleSpec grows K with n across two generated tiers and pins the
+  * pair-work exponent and the planted-near-dup recall.
+  *
+  * TWO E-STEP PATHS, bit-identical by pin (ClusteringSpec):
+  *   - `literal` (K ≤ [[LiteralMaxK]]): the nearest centroid is a
+  *     narrow per-row projection against the K×dim centroid LITERAL —
+  *     no join, no shuffle, no driver round-trip per row. A least()
+  *     over K struct literals stops compiling usefully somewhere in
+  *     the hundreds of K, so past the threshold:
+  *   - `join`: centroids become a broadcast frame; each vector meets
+  *     all K via a broadcast cross join and argmin is the
+  *     min(struct(d, cid)) AGGREGATE — struct ordering is
+  *     lexicographic, so ties break by cid exactly like least(). The
+  *     partial (map-side) min collapses the K-fold row blowup before
+  *     the shuffle, so the exchanged data is one row per vector.
+  *   `spark.graft.kmeans.estep` ∈ auto|literal|join forces a path
+  *   (tests, ops); auto dispatches on K.
+  *
+  * 100 TB shape: per iteration the M-step is one posexplode +
+  * groupBy(cid, idx) — map-side combinable, shuffle output bounded by
+  * K×dim regardless of corpus size — and the driver collects exactly
+  * K×dim (cid, idx, sum, count) rows — the same documented
+  * bounded-collect class as the BPE vocabulary table. Long-sum bounds:
+  * xi ≤ ~5e6, so Σxi per (cid, idx) stays exact up to ~1.8e12 members
+  * per cluster; the readout's Σdist² (≤ ~1e14 per vector at dim 64) is
+  * exact to ~9e4 × fewer members — at a scale beyond that, widen the
+  * readout sum to a two-level aggregate. Both bounds are far past any
+  * tested tier and documented here rather than silently assumed.
+  *
+  * RELATION TO [[Sketches]]' IVF Lloyd loop (r13 verdict #5): the two
+  * training loops deliberately do NOT share code because their
+  * CONTRACTS differ, not just their constants. Sketches.trainIvf
+  * builds a maintained ANN index: √N cells, double-cosine assignment
+  * (max_by over a broadcast cross join — the same argmin-as-aggregate
+  * shape as this module's join E-step), scaled-long sums feeding a
+  * DOUBLE mean, bit-deterministic across partitionings but NOT
+  * replayable in another engine — and none is needed, since IVF
+  * correctness is measured by recall curves. This module's contract is
+  * a DuckDB-unrolled bit-exact oracle: integer L2 on quantized
+  * coordinates, truncating integer mean, md5-order seeds — every
+  * choice forced by cross-engine exactness. Collapsing them would
+  * either burden the index build with oracle arithmetic or silently
+  * weaken this module's replay guarantee.
   */
 object Clustering {
 
@@ -64,11 +102,31 @@ object Clustering {
     * any embedding-like data with coordinates > −4 (the fixtures and
     * ScaleGen vectors live in (−1, 1)). Guarded at train time. */
   private val ShiftD = 4.0
-  /** Cluster count and Lloyd iterations — compile-time constants: the
-    * oracle text is generated from the SAME values, so they cannot
-    * drift apart. */
+  /** Default cluster count and Lloyd iterations: the registry oracle
+    * text and the sf0.001 goldens are generated from THESE values, so
+    * the driver-checked contract cannot drift. A session overriding
+    * `spark.graft.kmeans.k` gets the same bit-exact training at its
+    * own K — and diverges from the pinned oracle, exactly like a
+    * non-default `spark.graft.bpe.merges`. */
   private[ops] val K = 8
   private[ops] val Iters = 4
+  /** Largest K routed to the literal E-step under `auto`: past a few
+    * hundred struct literals the least() expression tree dominates
+    * compile time, so the broadcast-join path takes over well before. */
+  private[graft] val LiteralMaxK = 64
+
+  private[graft] def kOf(s: SparkSession): Int = {
+    val k = s.conf.get("spark.graft.kmeans.k", K.toString).toInt
+    require(k >= 1, s"spark.graft.kmeans.k must be >= 1, got $k")
+    k
+  }
+
+  private def estepOf(s: SparkSession): String = {
+    val m = s.conf.get("spark.graft.kmeans.estep", "auto")
+    require(Set("auto", "literal", "join")(m),
+      s"spark.graft.kmeans.estep must be auto|literal|join, got $m")
+    m
+  }
 
   /** Quantized training frame (vec_id, label, xq: array<long>),
     * materialized once per (session, dir) via the stage cache — shared
@@ -95,49 +153,124 @@ object Clustering {
       struct(dist2(c).as("d"), lit(j.toLong).as("cid"))
     }: _*)
 
-  /** Final centroids after [[Iters]] integer Lloyd rounds, memoized per
-    * (session, dir): training runs ONCE even though two registry
-    * queries ride it. */
-  private val centMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+  /** Literal-path assignment: `b` plus (cid, dist2), one narrow
+    * projection, no join, no shuffle. */
+  private[graft] def assignLiteral(b: DataFrame,
+      cents: Array[Array[Long]]): DataFrame =
+    b.withColumn("_dc", best(cents))
+      .withColumn("cid", col("_dc.cid"))
+      .withColumn("dist2", col("_dc.d"))
+      .drop("_dc")
 
-  private[ops] def centroids(s: SparkSession, d: String): Array[Array[Long]] = {
-    val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d"
-    centMemo.computeIfAbsent(key, _ => train(base(s, d)))
+  /** Broadcast-join assignment — the large-K path: same (cid, dist2)
+    * columns, bit-identical values (pinned against the literal path in
+    * ClusteringSpec). min(struct(d, cid)) compares lexicographically,
+    * reproducing least()'s (distance, cid) tie-break; the partial
+    * aggregate collapses the K-fold cross-join blowup map-side, so the
+    * shuffle carries one row per vector. */
+  private[graft] def assignJoin(b: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val s = b.sparkSession
+    import s.implicits._
+    val cdf = cents.zipWithIndex.toIndexedSeq
+      .map { case (c, j) => (j.toLong, c.toIndexedSeq) }
+      .toDF("_ccid", "_cq")
+    val d2 = aggregate(
+      zip_with(col("xq"), col("_cq"), (a, c) => (a - c) * (a - c)),
+      lit(0L), (acc, v) => acc + v)
+    val keep = b.columns
+    b.crossJoin(broadcast(cdf))
+      .withColumn("_dc", struct(d2.as("d"), col("_ccid").as("cid")))
+      .groupBy(keep.map(col).toIndexedSeq: _*)
+      .agg(min(col("_dc")).as("_dc"))
+      .withColumn("cid", col("_dc.cid"))
+      .withColumn("dist2", col("_dc.d"))
+      .drop("_dc")
   }
 
-  private[graft] def train(b: DataFrame): Array[Array[Long]] = {
+  /** E-step dispatch: knob override, else literal for small K. */
+  private[graft] def assign(b: DataFrame,
+      cents: Array[Array[Long]]): DataFrame =
+    estepOf(b.sparkSession) match {
+      case "literal" => assignLiteral(b, cents)
+      case "join"    => assignJoin(b, cents)
+      case _ if cents.length <= LiteralMaxK => assignLiteral(b, cents)
+      case _         => assignJoin(b, cents)
+    }
+
+  /** Per-iteration centroid history (seeds c0 .. final c_iters),
+    * memoized per (session, dir, k): training runs ONCE even though
+    * several registry queries ride it (final centroids for the
+    * report/dedup, the full trace for the elbow readout). */
+  private val centMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Array[Array[Long]]]]()
+
+  private[graft] def centroidHistory(s: SparkSession, d: String,
+      k: Int): Seq[Array[Array[Long]]] = {
+    val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d|$k"
+    centMemo.computeIfAbsent(key, _ => trainHistory(base(s, d), k, Iters))
+  }
+
+  private[ops] def centroids(s: SparkSession, d: String,
+      k: Int): Array[Array[Long]] =
+    centroidHistory(s, d, k).last
+
+  /** Spec-compat overload: default contract constants. */
+  private[graft] def train(b: DataFrame): Array[Array[Long]] =
+    train(b, K, Iters)
+
+  private[graft] def train(b: DataFrame, k: Int,
+      iters: Int): Array[Array[Long]] =
+    trainHistory(b, k, iters).last
+
+  private[graft] def trainHistory(b: DataFrame, k: Int,
+      iters: Int): Seq[Array[Array[Long]]] = {
+    require(k >= 1, s"kmeans k must be >= 1, got $k")
     // Non-negativity guard for the truncating-division contract: one
     // scan of the materialized narrow stage, once per (session, dir).
-    val mn = b.agg(min(array_min(col("xq")))).head().getLong(0)
+    // min() over zero rows is NULL — read nullable so an empty corpus
+    // reaches the clear seed-count require below instead of an NPE.
+    val mnRow = b.agg(min(array_min(col("xq")))).head()
+    require(!mnRow.isNullAt(0), s"need >= $k vectors to seed kmeans (got 0)")
+    val mn = mnRow.getLong(0)
     require(mn >= 0L,
       s"kmeans quantization saw coordinate <= -$ShiftD (min scaled $mn)")
-    // Seeds: K smallest (md5(vec_id), vec_id) — one TakeOrdered pass.
+    // Seeds: k smallest (md5(vec_id), vec_id) — one TakeOrdered pass.
     var cents: Array[Array[Long]] = b
       .select(col("xq"), md5(col("vec_id").cast("string")).as("h"),
         col("vec_id"))
-      .orderBy(col("h"), col("vec_id")).limit(K)
+      .orderBy(col("h"), col("vec_id")).limit(k)
       .select("xq").collect()
       .map(_.getSeq[Long](0).toArray)
-    require(cents.length == K, s"need >= $K vectors to seed kmeans")
+    require(cents.length == k, s"need >= $k vectors to seed kmeans")
+    val hist = Seq.newBuilder[Array[Array[Long]]]
+    hist += cents
     var it = 0
-    while (it < Iters) {
-      // One job: literal-centroid E-step, bounded K×dim M-step.
-      val m = b
-        .withColumn("cid", best(cents).getField("cid"))
+    while (it < iters) {
+      // One job: E-step via the path fitting k, bounded k×dim M-step.
+      val m = assign(b, cents)
         .select(col("cid"), posexplode(col("xq")).as(Seq("idx", "xi")))
         .groupBy("cid", "idx")
         .agg(sum("xi").as("s"), count(lit(1)).as("n"))
-        .collect() // bounded: ≤ K×dim rows
+        .collect() // bounded: ≤ k×dim rows
       val next = cents.map(_.clone()) // empty clusters carry forward
       m.foreach { r =>
         next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
       }
       cents = next
+      hist += cents
       it += 1
     }
-    cents
+    hist.result()
   }
+
+  /** PUBLIC OPERATOR: per-vector cluster assignment at an explicit k —
+    * (vec_id, label, cid, dist2), dist2 in quantized squared-integer
+    * units. Trains (memoized) at k, then assigns via the path fitting
+    * k. */
+  def kmeansAssign(s: SparkSession, d: String, k: Int): DataFrame =
+    assign(base(s, d), centroids(s, d, k))
+      .select(col("vec_id"), col("label"), col("cid"), col("dist2"))
 
   /** The k-means recurrence unrolled in DuckDB — same quantization,
     * same integer ops, same tie-breaks; bit-exact by construction. */
@@ -187,6 +320,39 @@ object Clustering {
     * exactly representable, identical literal in both engines. */
   private val DupD2 = 1200000000000L
 
+  /** Per-cluster cap for the diversity sample — binds at every fixture
+    * tier (~60+ members per cluster at K=8). */
+  private val SampleCap = 8
+
+  /** PUBLIC OPERATOR: SemDeDup-style cluster-bounded semantic near-dup
+    * screen at an explicit k — (vec_id, cid, keep_id, n_nbrs), same
+    * shape and cos ≥ 0.4 bar as the brute-force q_dedup_cosine
+    * witness. Pairwise distance is only ever computed INSIDE a
+    * cluster, so total pair work is Σ n_c² — ~n²/k, which stays
+    * ~linear in n when k grows with the corpus (SemDeDup runs
+    * K ~ n/1000 at production scale; measured across generated tiers
+    * in ScaleSpec). Cross-cluster pairs are deliberately unseen — that
+    * recall trade IS the algorithm. */
+  def semanticDedup(s: SparkSession, d: String, k: Int): DataFrame = {
+    val v = assign(base(s, d), centroids(s, d, k))
+      .select(col("vec_id"), col("xq"), col("cid"))
+    val pd2 = aggregate(
+      zip_with(col("a.xq"), col("b.xq"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, t) => acc + t)
+    val nbrs = v.as("a").join(v.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(pd2 <= lit(DupD2))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+    v.select(col("vec_id"), col("cid"))
+      .join(nbrs, col("vec_id") === col("ib"), "left")
+      .groupBy("vec_id", "cid")
+      .agg(coalesce(min("ia"), col("vec_id")).as("keep_id"),
+        count(col("ia")).as("n_nbrs"))
+      .select(col("vec_id"), col("cid"), col("keep_id"), col("n_nbrs"))
+      .orderBy("vec_id")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Distributed k-means cluster report: per cluster its size, the
@@ -194,6 +360,7 @@ object Clustering {
     // dominant label with its share (does the unsupervised structure
     // recover the labels?). The readout every embedding-curation
     // pipeline prints before trusting cluster-bounded dedup.
+    // K rides the session knob (oracle/golden pin the default 8).
     q("q_embed_kmeans",
       s"""WITH ${kmeansCtes()},
         |g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
@@ -211,9 +378,8 @@ object Clustering {
         |  round(CAST(tp.c AS DOUBLE) / g.n, 6) AS top_share
         |FROM g JOIN tp USING (cid)
         |ORDER BY cid""") { (s, d) =>
-      val b = best(centroids(s, d))
-      val a = base(s, d).select(col("vec_id"), col("label"),
-        b.getField("cid").as("cid"), b.getField("d").as("dist2"))
+      val a = assign(base(s, d), centroids(s, d, kOf(s)))
+        .select(col("vec_id"), col("label"), col("cid"), col("dist2"))
       val g = a.groupBy("cid")
         .agg(count(lit(1)).as("n"), sum("dist2").as("sd2"))
       // Dominant label without a window: min(struct(-count, label))
@@ -246,14 +412,11 @@ object Clustering {
     // stays in the registry as the oracle-witness upper bound.
     //
     // 100 TB shape: the only fact-scale shuffle is the self-join on
-    // cid. K here is a fixture-sized compile-time constant (the oracle
-    // must replay the same training); at production scale K grows with
-    // the corpus (SemDeDup runs tens of thousands of clusters, K ~
-    // n/1000), so the join key cardinality — and with it parallelism
-    // and the Σ n_c² pair bound — scales by construction, not by hope.
-    // The pairwise stage is integer arithmetic on the quantized
-    // vectors, so the oracle (same clustering CTEs + a pair join)
-    // matches bit-exact.
+    // cid. The registry runs the knob default k=8 (what the oracle
+    // replays); the PUBLIC [[semanticDedup]] takes k explicitly, and
+    // ScaleSpec measures that with K grown alongside the corpus the
+    // pair work scales ~linearly and planted near-dup recall holds —
+    // the production regime (K ~ n/1000) by measurement, not comment.
     q("q_dedup_semantic",
       s"""WITH ${kmeansCtes()},
         |pr AS MATERIALIZED (
@@ -270,23 +433,144 @@ object Clustering {
         |FROM af v LEFT JOIN pr ON pr.ib = v.vec_id
         |GROUP BY v.vec_id, v.cid
         |ORDER BY v.vec_id""") { (s, d) =>
-      val cents = centroids(s, d)
-      val v = base(s, d).select(col("vec_id"), col("xq"),
-        best(cents).getField("cid").as("cid"))
+      semanticDedup(s, d, kOf(s))
+    },
+
+    // Per-cluster medoid: the REAL member vector minimizing the sum of
+    // squared distances to its cluster — the representative a curation
+    // pipeline keeps when it collapses a semantic cluster to one
+    // exemplar (a centroid is a synthetic average; the medoid is an
+    // actual document). Integer pair distances → bit-exact argmin,
+    // ties by vec_id. Work is Σ n_c² in-cluster pairs — the same
+    // cluster-bounded class as q_dedup_semantic, ~n²/K, linear when K
+    // grows with the corpus. Long bound: per-member sums stay exact to
+    // ~3.6e4 members/cluster at dim 64 (pair d² ≤ ~2.6e14); beyond
+    // that, widen to a two-level aggregate — documented, far past any
+    // tested tier.
+    q("q_embed_medoid",
+      s"""WITH ${kmeansCtes()},
+        |p AS (SELECT a.cid, a.vec_id,
+        |    CAST(sum((ea.xi - eb.xi) * (ea.xi - eb.xi)) AS BIGINT) AS sd
+        |  FROM af a JOIN af b ON a.cid = b.cid
+        |    JOIN e ea ON ea.vec_id = a.vec_id
+        |    JOIN e eb ON eb.vec_id = b.vec_id AND eb.idx = ea.idx
+        |  GROUP BY 1, 2),
+        |m AS (SELECT cid, vec_id, sd, row_number() OVER (
+        |    PARTITION BY cid ORDER BY sd, vec_id) AS rn FROM p),
+        |g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM af GROUP BY 1)
+        |SELECT CAST(m.cid AS BIGINT) AS cid, m.vec_id AS medoid_id, g.n,
+        |  round(sqrt(CAST(m.sd AS DOUBLE) / g.n) / 1000000.0, 6)
+        |    AS rms_medoid
+        |FROM m JOIN g USING (cid) WHERE rn = 1
+        |ORDER BY cid""") { (s, d) =>
+      val v = assign(base(s, d), centroids(s, d, kOf(s)))
+        .select(col("vec_id"), col("xq"), col("cid"))
       val pd2 = aggregate(
         zip_with(col("a.xq"), col("b.xq"), (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, t) => acc + t)
-      val nbrs = v.as("a").join(v.as("b"),
-          col("a.cid") === col("b.cid") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .filter(pd2 <= lit(DupD2))
-        .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
-      v.select(col("vec_id"), col("cid"))
-        .join(nbrs, col("vec_id") === col("ib"), "left")
-        .groupBy("vec_id", "cid")
-        .agg(coalesce(min("ia"), col("vec_id")).as("keep_id"),
-          count(col("ia")).as("n_nbrs"))
-        .select(col("vec_id"), col("cid"), col("keep_id"), col("n_nbrs"))
+      // full in-cluster product INCLUDING the self pair (d² = 0 adds
+      // nothing and keeps the join predicate one equality)
+      val sums = v.as("a").join(v.as("b"), col("a.cid") === col("b.cid"))
+        .select(col("a.cid").as("cid"), col("a.vec_id").as("vec_id"),
+          pd2.as("pd2"))
+        .groupBy("cid", "vec_id").agg(sum("pd2").as("sd"))
+      // argmin (sd, vec_id) per cluster as an aggregate — no window
+      val med = sums.groupBy("cid")
+        .agg(min(struct(col("sd").as("sd"),
+          col("vec_id").as("vec_id"))).as("m"))
+        .select(col("cid"), col("m.vec_id").as("medoid_id"),
+          col("m.sd").as("sd"))
+      val g = v.groupBy("cid").agg(count(lit(1)).as("n"))
+      med.join(g, "cid")
+        .select(col("cid"), col("medoid_id"), col("n"),
+          round(sqrt(col("sd").cast("double") / col("n"))
+            / lit(1000000.0), 6).as("rms_medoid"))
+        .orderBy("cid")
+    },
+
+    // Lloyd convergence trace (the elbow/It-converged readout): total
+    // inertia Σ_v min_c d²(v, c) at the seeds and after every
+    // iteration — the number a pipeline watches to pick K and iters.
+    // Each point is one shuffle-free linear pass over the narrow
+    // quantized stage (the E-step projection) + a 1-row aggregate; at
+    // production scale the same sum falls out of the training pass
+    // itself, here it replays against the memoized history so training
+    // still runs once per session. The oracle reads the SAME recurrence
+    // CTEs' distance tables (d1..dN = distance to the previous round's
+    // centroids, dF = to the final), so the trace is bit-exact.
+    q("q_embed_elbow", {
+      val steps = (1 to Iters).map(i =>
+        s"""SELECT CAST(${i - 1} AS BIGINT) AS iter,
+          |  CAST(sum(md) AS BIGINT) AS inertia FROM (
+          |  SELECT vec_id, min(d) AS md FROM d$i GROUP BY 1)""")
+        .mkString("", "\n  UNION ALL\n  ", "")
+      s"""WITH ${kmeansCtes()},
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |tr AS (
+        |  $steps
+        |  UNION ALL
+        |  SELECT CAST($Iters AS BIGINT) AS iter,
+        |    CAST(sum(md) AS BIGINT) AS inertia FROM (
+        |    SELECT vec_id, min(d) AS md FROM dF GROUP BY 1))
+        |SELECT iter, inertia,
+        |  round(sqrt(CAST(inertia AS DOUBLE) / (SELECT n FROM nv))
+        |    / 1000000.0, 6) AS rms
+        |FROM tr ORDER BY iter"""
+    }) { (s, d) =>
+      val b = base(s, d)
+      centroidHistory(s, d, kOf(s)).zipWithIndex.map { case (c, j) =>
+        assign(b, c)
+          .agg(sum("dist2").as("inertia"), count(lit(1)).as("nv"))
+          .select(lit(j.toLong).as("iter"), col("inertia"),
+            round(sqrt(col("inertia").cast("double") / col("nv"))
+              / lit(1000000.0), 6).as("rms"))
+      }.reduce(_ unionAll _).orderBy("iter")
+    },
+
+    // Cluster-balanced diversity sampling: keep at most M documents
+    // PER SEMANTIC CLUSTER, chosen by a deterministic hash priority —
+    // the "sample uniformly across the embedding space, not the raw
+    // distribution" curation step (a dominant content cluster cannot
+    // crowd the sample). Spelled SCALE-SAFE exactly like
+    // q_mix_source_cap: the naive form is a row_number window
+    // partitioned by the low-cardinality cid over the fact scan (the
+    // shape the PlanShapeSpec sweep outlaws), so the per-cluster cut
+    // comes from the bounded-heap top-k AGGREGATE (O(M) state,
+    // map-side combinable), the K-row cut table broadcasts back, and
+    // each row decides kept locally. Priority = first 13 md5 hex chars
+    // of the decimal vec_id (cross-engine byte-identical, 52-bit-exact
+    // in the aggregate's double score; (priority, vec_id) tie-break).
+    // The DuckDB oracle IS the naive window — same semantics,
+    // different plan.
+    q("q_embed_sample", {
+      val m = SampleCap
+      s"""WITH ${kmeansCtes()},
+        |p AS (SELECT vec_id, cid,
+        |    substr(md5(CAST(vec_id AS VARCHAR)), 1, 13) AS pr
+        |  FROM af),
+        |r AS (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY cid ORDER BY pr, vec_id)
+        |      AS rn
+        |  FROM p)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cid, rn <= $m AS kept
+        |FROM r ORDER BY vec_id"""
+    }) { (s, d) =>
+      import graft.functions.VectorFunctions.topKByScore
+      val a = assign(base(s, d), centroids(s, d, kOf(s)))
+        .select(col("vec_id"), col("cid"),
+          conv(substring(md5(col("vec_id").cast("string")), 1, 13),
+            16, 10).cast("long").as("p"))
+      val cuts = a.groupBy("cid")
+        .agg(get(topKByScore((-col("p")).cast("double"), col("vec_id"),
+          SampleCap), lit(SampleCap - 1)).as("kth"))
+        .select(col("cid").as("ccid"),
+          (-col("kth.score")).cast("long").as("kp"),
+          col("kth.id").as("kid"))
+      a.join(broadcast(cuts), col("cid") === col("ccid"), "left")
+        .select(col("vec_id"), col("cid"),
+          (col("kp").isNull || col("p") < col("kp") ||
+            (col("p") === col("kp") && col("vec_id") <= col("kid")))
+            .as("kept"))
         .orderBy("vec_id")
     }
   )

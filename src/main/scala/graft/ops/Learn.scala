@@ -82,6 +82,24 @@ object Learn {
     wMemo.computeIfAbsent(key, _ => train(features(s, d)))
   }
 
+  /** The q_mix_split discipline: assignment by the first md5 hex
+    * nibble of the decimal doc id — cross-engine byte-identical,
+    * growth-stable, join-free. ≤ 'b' is the 75% train split. */
+  private def splitCol =
+    when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "b",
+      "train").otherwise("holdout")
+
+  private val wHoldMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** Weights trained on the train split ONLY — the holdout readout's
+    * whole point is that these never saw the held-out quarter. */
+  private[graft] def holdoutWeights(s: SparkSession, d: String): Array[Long] = {
+    val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d"
+    wHoldMemo.computeIfAbsent(key,
+      _ => train(features(s, d).filter(splitCol === "train")))
+  }
+
   private[graft] def train(f: DataFrame): Array[Long] = {
     val n = f.count()
     require(n > 0, "cannot train on an empty corpus")
@@ -106,14 +124,20 @@ object Learn {
     w
   }
 
-  /** The same GD recurrence unrolled in DuckDB CTEs. */
-  private def lrOracleSql(iters: Int = LrIters): String = {
+  /** The same GD recurrence unrolled in DuckDB CTEs. `holdout = true`
+    * is the generalization variant: the GD rounds read ONLY the md5
+    * train split (`ft`), the final scoring pass covers every doc, and
+    * the readout groups by split instead of lang — identical
+    * recurrence text otherwise, so the two oracles cannot drift. */
+  private def lrOracleSql(iters: Int = LrIters,
+      holdout: Boolean = false): String = {
+    val src = if (holdout) "ft" else "f"
     val rounds = (1 to iters).map { i =>
       s"""e$i AS (SELECT g.y, g.f1, g.f2, g.f3,
         |    ${S / 2} + (g.z * $S) // (2 * ($S + abs(g.z))) - g.y * $S AS err
-        |  FROM (SELECT f.*, w.w0 + (w.w1 * f.f1 + w.w2 * f.f2
-        |          + w.w3 * f.f3) // $S AS z
-        |        FROM f CROSS JOIN it${i - 1} w) g),
+        |  FROM (SELECT $src.*, w.w0 + (w.w1 * $src.f1 + w.w2 * $src.f2
+        |          + w.w3 * $src.f3) // $S AS z
+        |        FROM $src CROSS JOIN it${i - 1} w) g),
         |it$i AS MATERIALIZED (SELECT
         |    (SELECT w0 FROM it${i - 1})
         |      - CAST(sum(err) AS BIGINT) // (2 * (SELECT n FROM nn)) AS w0,
@@ -128,33 +152,50 @@ object Learn {
         |        // (2 * (SELECT n FROM nn)) AS w3
         |  FROM e$i)"""
     }.mkString(",\n")
+    val splitDef = if (!holdout) "" else
+      s""",
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+        |      THEN 'train' ELSE 'holdout' END AS split""".stripMargin
+    val ftDef = if (!holdout) "" else
+      s"""ft AS MATERIALIZED (SELECT * FROM f WHERE split = 'train'),
+        |""".stripMargin
+    val readKey = if (holdout) "split" else "lang"
     s"""WITH f AS MATERIALIZED (
       |  SELECT doc_id, lang,
       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
       |    (least(n_chars, 2000) * $S) // 2000 AS f1,
       |    ((ll - lnsp) * $S) // greatest(ll, 1) AS f2,
-      |    (la * $S) // greatest(ll, 1) AS f3
+      |    (la * $S) // greatest(ll, 1) AS f3$splitDef
       |  FROM (SELECT doc_id, lang, n_chars,
       |      CAST(length(text) AS BIGINT) AS ll,
       |      CAST(length(replace(text, ' ', ''))  AS BIGINT) AS lnsp,
       |      CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
       |        AS BIGINT) AS la
       |    FROM documents)),
-      |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+      |${ftDef}nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM $src),
       |it0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
       |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
       |$rounds,
-      |sc AS (SELECT g.lang, g.y,
+      |sc AS (SELECT g.$readKey, g.y,
       |    ${S / 2} + (g.z * $S) // (2 * ($S + abs(g.z))) AS score
       |  FROM (SELECT f.*, w.w0 + (w.w1 * f.f1 + w.w2 * f.f2
       |          + w.w3 * f.f3) // $S AS z
       |        FROM f CROSS JOIN it$iters w) g)
-      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |SELECT $readKey, CAST(count(*) AS BIGINT) AS n_docs,
       |  round(CAST(sum(score) AS DOUBLE) / count(*) / $S.0, 6)
       |    AS avg_score,
       |  round(CAST(sum(CASE WHEN (score >= ${S / 2}) = (y = 1)
       |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS acc
-      |FROM sc GROUP BY lang ORDER BY lang"""
+      |FROM sc GROUP BY $readKey ORDER BY $readKey"""
+  }
+
+  /** Feature frame plus the learned fixed-point score column — the
+    * shared scoring surface for the registry readout and the specs
+    * (the score is σ_s of the trained weights, so 0 ≤ score ≤ S by the
+    * fast-sigmoid range bound — pinned in LearnSpec). */
+  private[graft] def scored(s: SparkSession, d: String): DataFrame = {
+    val w = weights(s, d)
+    features(s, d).withColumn("score", expr(sigmaExpr(w)))
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -165,9 +206,7 @@ object Learn {
     // actually learned the separation (and exactly matches the oracle's
     // unrolled replay of the same integer recurrence).
     QuerySpec.sql("q_quality_logreg", lrOracleSql()) { (s, d) =>
-      val w = weights(s, d)
-      features(s, d)
-        .withColumn("score", expr(sigmaExpr(w)))
+      scored(s, d)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           round(sum("score").cast("double") / count(lit(1)) / lit(S.toDouble),
@@ -176,6 +215,28 @@ object Learn {
             "THEN 1 ELSE 0 END")).cast("double") / count(lit(1)), 6)
             .as("acc"))
         .orderBy("lang")
+    },
+
+    // The generalization readout (r13 verdict #7): train the SAME
+    // integer-GD recurrence on the 75% md5 train split only, score
+    // EVERY document with the resulting weights, and report accuracy
+    // per split. A label echo would show train ≈ 1.0 and holdout ≈
+    // chance; a learned surface-statistics separation holds accuracy
+    // on documents the gradient never saw. Same bit-exact oracle
+    // discipline — the CTEs replay the identical split + recurrence.
+    QuerySpec.sql("q_quality_holdout", lrOracleSql(holdout = true)) { (s, d) =>
+      val w = holdoutWeights(s, d)
+      features(s, d)
+        .withColumn("split", splitCol)
+        .withColumn("score", expr(sigmaExpr(w)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("score").cast("double") / count(lit(1)) / lit(S.toDouble),
+            6).as("avg_score"),
+          round(sum(expr(s"CASE WHEN (score >= ${S / 2}) = (y = 1) " +
+            "THEN 1 ELSE 0 END")).cast("double") / count(lit(1)), 6)
+            .as("acc"))
+        .orderBy("split")
     }
   )
 }

@@ -82,8 +82,57 @@ class ClusteringSpec extends AnyFunSuite {
 
   test("semantic keep_id is always <= vec_id and within the same run's ids") {
     val rows = semanticAt(sf).collect()
+    val ids = rows.map(_.getAs[Long]("vec_id")).toSet
     rows.foreach { r =>
       assert(r.getAs[Long]("keep_id") <= r.getAs[Long]("vec_id"))
+      assert(ids.contains(r.getAs[Long]("keep_id")),
+        s"keep_id ${r.getAs[Long]("keep_id")} is not an existing vec_id")
     }
+  }
+
+  test("join E-step assignment is bit-identical to the literal path") {
+    val b = ops.Clustering.base(spark, sf)
+    val cents = ops.Clustering.train(b)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid", "dist2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows(ops.Clustering.assignJoin(b, cents)) ===
+      rows(ops.Clustering.assignLiteral(b, cents)))
+  }
+
+  test("training through the join E-step reproduces the literal path bit-exact") {
+    val b = ops.Clustering.base(spark, sf)
+    val litC = ops.Clustering.train(b)
+    spark.conf.set("spark.graft.kmeans.estep", "join")
+    try {
+      val jn = ops.Clustering.train(b)
+      assert(jn.length === litC.length)
+      jn.indices.foreach { j =>
+        assert(java.util.Arrays.equals(jn(j), litC(j)),
+          s"centroid $j differs between E-step paths")
+      }
+    } finally spark.conf.set("spark.graft.kmeans.estep", "auto")
+  }
+
+  test("public semanticDedup at a non-default k partitions the corpus") {
+    val out = ops.Clustering.semanticDedup(spark, sf, k = 3).collect()
+    val n = ops.Clustering.base(spark, sf).count()
+    assert(out.length.toLong === n, "one row per vector")
+    val cids = out.map(_.getAs[Long]("cid")).toSet
+    assert(cids.subsetOf((0L until 3L).toSet), s"cids out of range: $cids")
+    out.foreach { r =>
+      assert(r.getAs[Long]("keep_id") <= r.getAs[Long]("vec_id"))
+    }
+  }
+
+  test("empty corpus produces the clear seed-count error, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Int, Seq[Long])]
+      .toDF("vec_id", "label", "xq")
+    val ex = intercept[IllegalArgumentException] {
+      ops.Clustering.train(empty)
+    }
+    assert(ex.getMessage.contains("need >="))
   }
 }
