@@ -128,14 +128,18 @@ object Clustering {
     m
   }
 
+  /** The per-coordinate quantization map — exposed so the streaming
+    * scoring twin applies the IDENTICAL constants. */
+  private[graft] def quantize(x: Column): Column =
+    ((x + lit(ShiftD)) * lit(ScaleD)).cast("long")
+
   /** Quantized training frame (vec_id, label, xq: array<long>),
     * materialized once per (session, dir) via the stage cache — shared
     * by q_embed_kmeans and q_dedup_semantic. */
   private[graft] def base(s: SparkSession, d: String): DataFrame =
     StageCache.memoized(s, d, "kmeans_base") {
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => ((x + lit(ShiftD)) * lit(ScaleD)).cast("long")).as("xq"))
+        transform(col("embedding"), quantize _).as("xq"))
     }
 
   /** Squared integer distance from xq to the literal centroid `c`. */

@@ -242,6 +242,37 @@ object StreamDemos {
     q.awaitTermination()
   }
 
+  /** Streaming k-means scoring (CAP-STREAM-KMEANS): each arriving
+    * (vec_id, embedding) is routed to its nearest corpus-trained
+    * centroid — (vec_id, cid, dist2), the online twin of
+    * [[graft.ops.Clustering.kmeansAssign]]. This is the live half of
+    * the cluster-bounded curation family: route a fresh embedding feed
+    * to semantic shards / dedup buckets at line rate. Training stays a
+    * batch concern (frozen centroids, memoized per session — the same
+    * frozen-artifact contract as [[ingestVecBatches]]' codebooks); the
+    * scoring itself is the LITERAL E-step, a stateless narrow
+    * projection — no watermark, no state store, no shuffle, so the
+    * stream ≡ batch equality is structural (pinned in StreamingSpec).
+    * At K past the literal threshold a production stream would apply
+    * the broadcast-join E-step inside foreachBatch per micro-batch
+    * (the per-vector argmin aggregate is batch-local, not
+    * cross-batch state); the registry-default K rides the stateless
+    * path. */
+  def scoredVecStream(spark: SparkSession, corpusDir: String,
+      inDir: String): DataFrame = {
+    import graft.ops.Clustering
+    val cents = Clustering
+      .centroidHistory(spark, corpusDir, Clustering.kOf(spark)).last
+    val src = spark.readStream.schema(vecBatchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .select(col("vec_id"),
+        transform(col("embedding").cast(ArrayType(DoubleType)),
+          Clustering.quantize _).as("xq"))
+    Clustering.assignLiteral(src, cents)
+      .select(col("vec_id"), col("cid"), col("dist2"))
+  }
+
   /** Bounded-state streaming dedup (CAP-STREAM-DEDUP-WM): exactly-once
     * row identity on an at-least-once transport. Plain dropDuplicates
     * (curatedDocuments) keeps every key ever seen — correct, but its

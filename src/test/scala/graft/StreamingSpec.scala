@@ -292,6 +292,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === n)
   }
 
+  test("CAP-STREAM-KMEANS: streamed embedding scoring == batch kmeansAssign") {
+    // The stateless literal E-step over a stream must route every
+    // vector to the SAME (cid, dist2) as the batch operator — the
+    // equality is structural (same frozen centroids, same projection),
+    // asserted end-to-end through the streaming source and sink.
+    val inDir = tmpDir("graft_kms_in").toString
+    val sample = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    // two files => two micro-batches under maxFilesPerTrigger=1
+    sample.filter(col("vec_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    sample.filter(col("vec_id") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val streamed = StreamDemos.runAvailableNow(spark,
+      StreamDemos.scoredVecStream(spark, sf, inDir),
+      "append", "kmeans_scored")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val expectIds = sample.select("vec_id").collect().map(_.getLong(0)).toSet
+    val batch = ops.Clustering
+      .kmeansAssign(spark, sf, ops.Clustering.kOf(spark))
+      .filter(col("vec_id").isInCollection(expectIds))
+      .select("vec_id", "cid", "dist2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("CAP-STREAM-INGEST: streamed embedding batches become ANN search targets") {
     import graft.ops.Sketches
     val inDir = tmpDir("graft_vec_in").toString
