@@ -531,6 +531,62 @@ object Clustering {
       }.reduce(_ unionAll _).orderBy("iter")
     },
 
+    // Cluster↔label agreement, information-theoretically: mutual
+    // information between the unsupervised k-means assignment and the
+    // ground-truth label, with both entropies and the normalized MI —
+    // the single number a pipeline reads to decide whether semantic
+    // clusters are trustworthy routing keys (top_share in the cluster
+    // report is per-cluster; NMI is the corpus-level summary). All
+    // counts integer and exact; the log2 readout follows the
+    // q_agg_shannon discipline (round 6 absorbs engine ulp). Work is
+    // one K×|labels| aggregate over the assignment projection — every
+    // downstream term lives on ≤ K·|labels| rows.
+    q("q_embed_nmi",
+      s"""WITH ${kmeansCtes()},
+        |cl AS (SELECT af.cid, em.label, CAST(count(*) AS BIGINT) AS n
+        |  FROM af JOIN embeddings em USING (vec_id) GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cl),
+        |mc AS (SELECT cid, CAST(sum(n) AS DOUBLE) AS nc FROM cl GROUP BY 1),
+        |ml AS (SELECT label, CAST(sum(n) AS DOUBLE) AS nl FROM cl GROUP BY 1),
+        |mi AS (SELECT sum(cl.n / t.nn
+        |      * log2(t.nn * cl.n / (mc.nc * ml.nl))) AS mi
+        |  FROM cl JOIN mc USING (cid) JOIN ml USING (label)
+        |    CROSS JOIN tot t),
+        |hc AS (SELECT -sum(nc / t.nn * log2(nc / t.nn)) AS h
+        |  FROM mc CROSS JOIN tot t),
+        |hl AS (SELECT -sum(nl / t.nn * log2(nl / t.nn)) AS h
+        |  FROM ml CROSS JOIN tot t)
+        |SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n_vecs,
+        |  round(mi.mi, 6) AS mi,
+        |  round(hc.h, 6) AS h_cluster,
+        |  round(hl.h, 6) AS h_label,
+        |  round(mi.mi / sqrt(hc.h * hl.h), 6) AS nmi
+        |FROM mi CROSS JOIN hc CROSS JOIN hl""") { (s, d) =>
+      val cl = assign(base(s, d), centroids(s, d, kOf(s)))
+        .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+      val tot = cl.agg(sum("n").cast("double").as("nn"))
+      val mc = cl.groupBy("cid").agg(sum("n").cast("double").as("nc"))
+      val ml = cl.groupBy("label").agg(sum("n").cast("double").as("nl"))
+      val mi = cl.join(mc, "cid").join(ml, "label")
+        .crossJoin(broadcast(tot))
+        .agg(sum(col("n") / col("nn")
+          * log2(col("nn") * col("n") / (col("nc") * col("nl"))))
+          .as("mi"))
+      val hc = mc.crossJoin(broadcast(tot))
+        .agg((-sum(col("nc") / col("nn") * log2(col("nc") / col("nn"))))
+          .as("h_cluster"))
+      val hl = ml.crossJoin(broadcast(tot))
+        .agg((-sum(col("nl") / col("nn") * log2(col("nl") / col("nn"))))
+          .as("h_label"))
+      mi.crossJoin(hc).crossJoin(hl).crossJoin(tot)
+        .select(col("nn").cast("long").as("n_vecs"),
+          round(col("mi"), 6).as("mi"),
+          round(col("h_cluster"), 6).as("h_cluster"),
+          round(col("h_label"), 6).as("h_label"),
+          round(col("mi") / sqrt(col("h_cluster") * col("h_label")), 6)
+            .as("nmi"))
+    },
+
     // Cluster-balanced diversity sampling: keep at most M documents
     // PER SEMANTIC CLUSTER, chosen by a deterministic hash priority —
     // the "sample uniformly across the embedding space, not the raw

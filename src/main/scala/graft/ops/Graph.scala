@@ -392,6 +392,89 @@ object Graph {
     */
   val KcoreOracleRounds = 4
 
+  /** Synchronous label-propagation rounds unrolled in [[lpaOracleSql]]
+    * — fixed like PageRank's 10 (the round count IS the contract, not
+    * a convergence test), so the oracle is bit-exact on any graph. */
+  val LpaRounds = 4
+
+  /** `iters` SYNCHRONOUS label-propagation rounds over an undirected
+    * edge list (ida, idb): every node starts as its own label, and
+    * each round every connected node simultaneously adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label.
+    * Integer counts + a total tie-break make each round — and thus the
+    * whole run — bit-deterministic across partitionings and engines
+    * (no float, no ordering dependence), unlike classic randomized
+    * LPA. Isolated nodes keep their own label (closed form, appended
+    * at the end like PageRank's teleport-only nodes).
+    *
+    * Shape: each round is one join (labels × symmetric edges) + two
+    * hash aggregates (count per (node, label), then argmax-as-
+    * aggregate min(struct(-c, lab)) — no window over the fact scan).
+    * Labels are referenced once per round, so the logical plan grows
+    * linearly with iters and compiles to one job (the PageRank
+    * lesson); only the edge frame is checkpointed, because every
+    * round references it. Returns (doc_id, community, csize). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = phase("lpa-edges-checkpoint")(
+      edges.select(col("ida"), col("idb")).localCheckpoint(true))
+    val nb = e.unionByName(
+      e.select(col("idb").as("ida"), col("ida").as("idb")))
+    var lab = nb.select(col("ida").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    var i = 0
+    while (i < iters) {
+      lab = nb.join(lab, nb("idb") === lab("id"))
+        .groupBy(nb("ida"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("ida"))
+        .agg(min(struct((-col("c")).as("negc"), col("lab").as("lab")))
+          .as("m"))
+        .select(col("ida").as("id"), col("m.lab").as("lab"))
+      i += 1
+    }
+    val res = nodes.select(col("doc_id"))
+      .join(lab, nodes("doc_id") === lab("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("community"))
+    val sz = res.groupBy("community").agg(count(lit(1)).as("csize"))
+    res.join(sz, "community")
+      .select(col("doc_id"), col("community"), col("csize"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for q_graph_lpa: the same gram-built jac >= 0.1
+    * edge set, then [[LpaRounds]] unrolled synchronous rounds — each
+    * the argmax-by-(count desc, label asc) over neighbor labels via a
+    * row_number window (the oracle may window; the Spark side must
+    * not). Bit-exact by construction: integer counts, total
+    * tie-break, fixed round count. */
+  def lpaOracleSql(iters: Int = LpaRounds): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT src AS id, lab FROM (
+        |    SELECT n.src, l.lab, count(*) AS c, row_number() OVER (
+        |      PARTITION BY n.src ORDER BY count(*) DESC, l.lab) AS rn
+        |    FROM nb n JOIN l${r - 1} l ON l.id = n.dst
+        |    GROUP BY n.src, l.lab) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH $gramStatCtes,
+      |e0 AS MATERIALIZED (SELECT ida, idb
+      |      FROM p JOIN sz sa ON p.ida = sa.doc_id
+      |             JOIN sz sb ON p.idb = sb.doc_id
+      |      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.1),
+      |nb AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM e0
+      |      UNION ALL SELECT idb, ida FROM e0),
+      |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lab FROM nb),
+      |$rounds,
+      |res AS (SELECT d.doc_id, coalesce(l.lab, d.doc_id) AS community
+      |  FROM documents d LEFT JOIN l$iters l ON l.id = d.doc_id),
+      |csz AS (SELECT community, CAST(count(*) AS BIGINT) AS csize
+      |  FROM res GROUP BY 1)
+      |SELECT r.doc_id, r.community, s.csize
+      |FROM res r JOIN csz s USING (community)
+      |ORDER BY doc_id"""
+  }
+
   /** DuckDB oracle for q_graph_kcore: the same gram-built jac >= 0.1
     * edge set the triangles oracle spells, then [[KcoreOracleRounds]]
     * unrolled peel rounds — each round keeps nodes with degree >= k
@@ -604,6 +687,21 @@ object Graph {
           docs.filter(col("lang") === "en").select("doc_id"),
           maxHops = 6)
         .orderBy("doc_id")
+    },
+
+    // Community detection by deterministic synchronous label
+    // propagation over the jac >= 0.1 similarity graph — coarser than
+    // q_graph_cc's exact components (it groups by label-flow majority,
+    // not mere reachability) and the standard cheap community pass a
+    // curation pipeline runs to find content neighborhoods (template
+    // farms, mirrored sites) that near-dup thresholds are too strict
+    // to join. 4 fixed rounds, ties to the smallest label — the whole
+    // recurrence is integer argmax with a total tie-break, so the
+    // unrolled oracle matches bit-exact with no validity precondition.
+    QuerySpec.sql("q_graph_lpa", lpaOracleSql()) { (s, d) =>
+      labelPropagation(Tables.documents(s, d).select("doc_id"),
+        graft.ops.TextSim.similarityEdges(s, d, minJac = 0.1),
+        iters = LpaRounds)
     },
 
     // Triangle participation per document on the jac >= 0.1 similarity

@@ -267,6 +267,39 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("LPA: disjoint triangles converge to their min labels; partition of the nodes; bit-stable") {
+    val s = spark
+    import s.implicits._
+    // Two disjoint triangles: synchronous LPA with ties-to-smallest
+    // converges each to its minimum member label by round 3 (hand
+    // simulation in the scaladoc's recurrence); node 99 is isolated
+    // and must keep itself with csize 1.
+    val nodes = (Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L)).toDF("doc_id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("ida", "idb")
+    val out = ops.Graph.labelPropagation(nodes, edges, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(out === Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), (99L, 99L, 1L)))
+    // bit-stability under a different edge partitioning — integer
+    // counts + total tie-break leave nothing order-dependent
+    val out7 = ops.Graph.labelPropagation(nodes, edges.repartition(7),
+      iters = 4).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).sorted.toSeq
+    assert(out7 === out)
+    // and on the fixture graph the output is a PARTITION: one row per
+    // doc, csize consistent with the community multiplicity
+    val fix = Registry.byName("q_graph_lpa").df(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(fix.length.toLong === nDocs)
+    val byComm = fix.groupBy(_.getAs[Long]("community"))
+    byComm.foreach { case (c, rows) =>
+      rows.foreach(r => assert(r.getAs[Long]("csize") === rows.length.toLong,
+        s"csize mismatch for community $c"))
+    }
+  }
+
   test("rank mass is conserved up to integer truncation; hubs outrank leaves") {
     val out = q("q_graph_pagerank")
     val n = out.count()
