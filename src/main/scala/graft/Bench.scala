@@ -207,10 +207,13 @@ object Bench {
     // end-of-round snapshot commit carries every per-query time (the
     // driver's BENCH_rN.json keeps only a 2,000-char stdout tail, which
     // left ~2/3 of per-query times unauditable round-over-round).
-    // (partial SPARK_GRAFT_ONLY profiling runs must not clobber the
-    // tracked full-registry record)
-    val outs = if (only.isEmpty) Seq("target/bench.json", "bench/bench_full.json")
-               else Seq("target/bench.json")
+    // (partial SPARK_GRAFT_ONLY profiling runs and full runs at a
+    // NON-DEFAULT tier — e.g. an sf0.001 smoke — must not clobber the
+    // tracked sf0.1 full-registry record)
+    val outs =
+      if (only.isEmpty && sfDir == "/root/testdata/sf0.1")
+        Seq("target/bench.json", "bench/bench_full.json")
+      else Seq("target/bench.json")
     outs.foreach { p =>
       try {
         val out = java.nio.file.Paths.get(p)

@@ -118,6 +118,22 @@ object ScaleBench {
     cnt("ivf_max_cell")(cells.select(max("n")).head().getLong(0))
     cnt("ivf_cell_sumsq")(cells.select(sum(col("n") * col("n")))
       .head().getLong(0))
+    // SemDeDup production-regime chain (r14): k-means with K grown
+    // WITH the corpus (n/125, the ScaleSpec regime) — the in-cluster
+    // pair bound Σ n_c(n_c−1)/2 must then stay ~linear in n (≈ n²/2K
+    // balanced-cluster algebra), unlike the √n-cell IVF second moment
+    // above, whose designed law is n^1.5. Training cost here is the
+    // E-step's n×K ≈ n²/125 — the price SemDeDup pays distributed;
+    // counted once per artifact refresh. The K-row cell table is
+    // checkpointed so the three counts don't re-run the E-step.
+    val kmK = math.max(2, (nVec / 125).toInt)
+    val kmCells = ops.Clustering.kmeansAssign(s, d, kmK)
+      .groupBy("cid").agg(count(lit(1)).as("n")).localCheckpoint(true)
+    cnt("kmeans_cells")(kmCells.count())
+    cnt("kmeans_max_cell")(kmCells.select(max("n")).head().getLong(0))
+    cnt("kmeans_pair_work")(kmCells
+      .select(sum((col("n") * (col("n") - 1) / 2).cast("long")))
+      .head().getLong(0))
 
     // the measured queries — min-of-2, like Bench: single-JVM walls at
     // this scale carry large session-state variance (SCALE.md

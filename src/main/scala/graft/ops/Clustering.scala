@@ -142,12 +142,16 @@ object Clustering {
         transform(col("embedding"), quantize _).as("xq"))
     }
 
+  /** Quantized squared L2 between two array<long> columns — the
+    * module's ONE distance expression (the bit-exactness contract
+    * lives here; every path and query composes this). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
   /** Squared integer distance from xq to the literal centroid `c`. */
   private def dist2(c: Array[Long]): Column =
-    aggregate(
-      zip_with(col("xq"), typedLit(c.toSeq),
-        (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
+    l2sq(col("xq"), typedLit(c.toSeq))
 
   /** struct(d, cid) of the nearest centroid — least() over K struct
     * literals orders by (distance, cid), so ties (possible only for
@@ -179,17 +183,21 @@ object Clustering {
     val cdf = cents.zipWithIndex.toIndexedSeq
       .map { case (c, j) => (j.toLong, c.toIndexedSeq) }
       .toDF("_ccid", "_cq")
-    val d2 = aggregate(
-      zip_with(col("xq"), col("_cq"), (a, c) => (a - c) * (a - c)),
-      lit(0L), (acc, v) => acc + v)
+    // A per-row id keeps FULLY-DUPLICATE input rows distinct through
+    // the argmin group-by: the literal path (and the oracle's e CTE)
+    // weights a double-ingested vector twice, so this path must too —
+    // the id is only a grouping key, dropped before output, so its
+    // (partitioning-dependent) values never reach a result.
+    val keyed = b.withColumn("_rid", monotonically_increasing_id())
     val keep = b.columns
-    b.crossJoin(broadcast(cdf))
-      .withColumn("_dc", struct(d2.as("d"), col("_ccid").as("cid")))
-      .groupBy(keep.map(col).toIndexedSeq: _*)
+    keyed.crossJoin(broadcast(cdf))
+      .withColumn("_dc",
+        struct(l2sq(col("xq"), col("_cq")).as("d"), col("_ccid").as("cid")))
+      .groupBy((keep :+ "_rid").map(col).toIndexedSeq: _*)
       .agg(min(col("_dc")).as("_dc"))
       .withColumn("cid", col("_dc.cid"))
       .withColumn("dist2", col("_dc.d"))
-      .drop("_dc")
+      .drop("_dc", "_rid")
   }
 
   /** E-step dispatch: knob override, else literal for small K. */
@@ -340,9 +348,7 @@ object Clustering {
   def semanticDedup(s: SparkSession, d: String, k: Int): DataFrame = {
     val v = assign(base(s, d), centroids(s, d, k))
       .select(col("vec_id"), col("xq"), col("cid"))
-    val pd2 = aggregate(
-      zip_with(col("a.xq"), col("b.xq"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, t) => acc + t)
+    val pd2 = l2sq(col("a.xq"), col("b.xq"))
     val nbrs = v.as("a").join(v.as("b"),
         col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -469,9 +475,7 @@ object Clustering {
         |ORDER BY cid""") { (s, d) =>
       val v = assign(base(s, d), centroids(s, d, kOf(s)))
         .select(col("vec_id"), col("xq"), col("cid"))
-      val pd2 = aggregate(
-        zip_with(col("a.xq"), col("b.xq"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, t) => acc + t)
+      val pd2 = l2sq(col("a.xq"), col("b.xq"))
       // full in-cluster product INCLUDING the self pair (d² = 0 adds
       // nothing and keeps the join predicate one equality)
       val sums = v.as("a").join(v.as("b"), col("a.cid") === col("b.cid"))
@@ -560,7 +564,8 @@ object Clustering {
         |  round(mi.mi, 6) AS mi,
         |  round(hc.h, 6) AS h_cluster,
         |  round(hl.h, 6) AS h_label,
-        |  round(mi.mi / sqrt(hc.h * hl.h), 6) AS nmi
+        |  CASE WHEN hc.h > 0 AND hl.h > 0
+        |    THEN round(mi.mi / sqrt(hc.h * hl.h), 6) END AS nmi
         |FROM mi CROSS JOIN hc CROSS JOIN hl""") { (s, d) =>
       val cl = assign(base(s, d), centroids(s, d, kOf(s)))
         .groupBy("cid", "label").agg(count(lit(1)).as("n"))
@@ -583,7 +588,11 @@ object Clustering {
           round(col("mi"), 6).as("mi"),
           round(col("h_cluster"), 6).as("h_cluster"),
           round(col("h_label"), 6).as("h_label"),
-          round(col("mi") / sqrt(col("h_cluster") * col("h_label")), 6)
+          // degenerate corpora (k=1 session knob, or one label) have a
+          // zero entropy: NMI is undefined there — NULL in both
+          // engines, never 0/sqrt(0) = NaN
+          when(col("h_cluster") > 0 && col("h_label") > 0,
+            round(col("mi") / sqrt(col("h_cluster") * col("h_label")), 6))
             .as("nmi"))
     },
 
@@ -591,17 +600,12 @@ object Clustering {
     // PER SEMANTIC CLUSTER, chosen by a deterministic hash priority —
     // the "sample uniformly across the embedding space, not the raw
     // distribution" curation step (a dominant content cluster cannot
-    // crowd the sample). Spelled SCALE-SAFE exactly like
-    // q_mix_source_cap: the naive form is a row_number window
-    // partitioned by the low-cardinality cid over the fact scan (the
-    // shape the PlanShapeSpec sweep outlaws), so the per-cluster cut
-    // comes from the bounded-heap top-k AGGREGATE (O(M) state,
-    // map-side combinable), the K-row cut table broadcasts back, and
-    // each row decides kept locally. Priority = first 13 md5 hex chars
-    // of the decimal vec_id (cross-engine byte-identical, 52-bit-exact
-    // in the aggregate's double score; (priority, vec_id) tie-break).
-    // The DuckDB oracle IS the naive window — same semantics,
-    // different plan.
+    // crowd the sample). Rides the SAME scale-safe capped-keep
+    // mechanism as q_mix_source_cap ([[TextSim.cappedKeepByHashPriority]]:
+    // bounded-heap top-k aggregate cut, broadcast-back, row-local keep
+    // — never a row_number window over the fact scan). The DuckDB
+    // oracle IS the naive per-cid window — same semantics, different
+    // plan.
     q("q_embed_sample", {
       val m = SampleCap
       s"""WITH ${kmeansCtes()},
@@ -615,22 +619,11 @@ object Clustering {
         |SELECT vec_id, CAST(cid AS BIGINT) AS cid, rn <= $m AS kept
         |FROM r ORDER BY vec_id"""
     }) { (s, d) =>
-      import graft.functions.VectorFunctions.topKByScore
-      val a = assign(base(s, d), centroids(s, d, kOf(s)))
-        .select(col("vec_id"), col("cid"),
-          conv(substring(md5(col("vec_id").cast("string")), 1, 13),
-            16, 10).cast("long").as("p"))
-      val cuts = a.groupBy("cid")
-        .agg(get(topKByScore((-col("p")).cast("double"), col("vec_id"),
-          SampleCap), lit(SampleCap - 1)).as("kth"))
-        .select(col("cid").as("ccid"),
-          (-col("kth.score")).cast("long").as("kp"),
-          col("kth.id").as("kid"))
-      a.join(broadcast(cuts), col("cid") === col("ccid"), "left")
-        .select(col("vec_id"), col("cid"),
-          (col("kp").isNull || col("p") < col("kp") ||
-            (col("p") === col("kp") && col("vec_id") <= col("kid")))
-            .as("kept"))
+      TextSim.cappedKeepByHashPriority(
+          assign(base(s, d), centroids(s, d, kOf(s)))
+            .select("vec_id", "cid"),
+          keyCol = "cid", idCol = "vec_id", cap = SampleCap)
+        .select("vec_id", "cid", "kept")
         .orderBy("vec_id")
     }
   )

@@ -579,6 +579,40 @@ object TextSim {
       minJac: Double = 0.1): DataFrame =
     ngramJaccardPairs(s, d, minJac)
 
+  /** The capped-keep mechanism (at most `cap` rows PER key-group,
+    * chosen by deterministic hash priority) that q_mix_source_cap and
+    * q_embed_sample share: the per-key cut is computed by the
+    * bounded-heap top-k AGGREGATE (O(cap) state at every stage,
+    * map-side combinable — never a row_number window over the fact
+    * scan), the |keys|-row cut table broadcasts back, and each row
+    * decides kept = (priority, id) <= cut locally. Priority is the
+    * first 13 md5 hex chars of the decimal id — cross-engine
+    * byte-identical (the q_mix_split discipline), a 52-bit value exact
+    * in the aggregate's double score; the (priority, id) tie-break
+    * makes the cap fully deterministic even on priority collisions.
+    * Under-cap keys keep everything (null cut). The key join is
+    * NULL-SAFE (<=>): a NULL-key group must still meet its cut row,
+    * exactly as a window oracle partitions NULL. Returns `df`'s
+    * columns plus `kept`. */
+  private[ops] def cappedKeepByHashPriority(df: DataFrame, keyCol: String,
+      idCol: String, cap: Int): DataFrame = {
+    import graft.functions.VectorFunctions.topKByScore
+    val withP = df.withColumn("_p",
+      conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+        .cast("long"))
+    val cuts = withP.groupBy(keyCol)
+      .agg(get(topKByScore((-col("_p")).cast("double"), col(idCol), cap),
+        lit(cap - 1)).as("_kth"))
+      .select(col(keyCol).as("_ckey"),
+        (-col("_kth.score")).cast("long").as("_kp"),
+        col("_kth.id").as("_kid"))
+    withP.join(broadcast(cuts), col(keyCol) <=> col("_ckey"), "left")
+      .withColumn("kept",
+        col("_kp").isNull || col("_p") < col("_kp") ||
+          (col("_p") === col("_kp") && col(idCol) <= col("_kid")))
+      .drop("_p", "_ckey", "_kp", "_kid")
+  }
+
   /** Force-build the dedup family's stage-cached artifacts (postings →
     * pair stats → jac ≥ 0.5 edges — the edge build chains through the
     * other two). Bench calls this BEFORE the timed loop and reports the
@@ -1629,20 +1663,11 @@ object TextSim {
 
     // Per-source frequency capping — the "at most K documents per
     // domain" rule every crawl-curation pipeline applies, spelled
-    // SCALE-SAFE: the naive form is a row_number window partitioned
-    // by source — a low-cardinality ordered window over the fact scan,
-    // the exact shape the PlanShapeSpec sweep outlaws (a 100 TB source
-    // sorts on one task). Instead the per-source cut is computed by
-    // the bounded-heap top-k AGGREGATE (O(K) state at every stage,
-    // map-side combinable), the |sources|-row cut table broadcasts
-    // back, and each row decides kept = (priority, id) <= cut locally.
-    // Priority is the first 13 md5 hex chars of the decimal doc id —
-    // cross-engine byte-identical (the q_mix_split discipline), a
-    // 52-bit value that is exact in the aggregate's double score; the
-    // (priority, doc_id) tie-break makes the cap fully deterministic
-    // even on priority collisions, at any corpus size. Under-K
-    // sources keep everything (null cut). The DuckDB oracle IS the
-    // naive window — same semantics, different plan.
+    // SCALE-SAFE via the shared [[cappedKeepByHashPriority]]
+    // mechanism (the naive form is a row_number window partitioned by
+    // the low-cardinality source over the fact scan — the exact shape
+    // the PlanShapeSpec sweep outlaws; the DuckDB oracle IS that
+    // naive window — same semantics, different plan).
     q("q_mix_source_cap",
       """WITH p AS (SELECT doc_id, source,
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS pr
@@ -1653,26 +1678,10 @@ object TextSim {
         |  FROM p)
         |SELECT doc_id, source, rn <= 20 AS kept
         |FROM r ORDER BY doc_id""") { (s, d) =>
-      import graft.functions.VectorFunctions.topKByScore
-      val Cap = 20
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          conv(substring(md5(col("doc_id").cast("string")), 1, 13),
-            16, 10).cast("long").as("p"))
-      val cuts = docs.groupBy("source")
-        .agg(get(topKByScore((-col("p")).cast("double"), col("doc_id"),
-          Cap), lit(Cap - 1)).as("kth"))
-        .select(col("source").as("csrc"),
-          (-col("kth.score")).cast("long").as("kp"),
-          col("kth.id").as("kid"))
-      // null-safe equality: a NULL-source partition must still meet
-      // its cut row (the oracle's window partitions NULL like any
-      // other source value)
-      docs.join(broadcast(cuts), col("source") <=> col("csrc"), "left")
-        .select(col("doc_id"), col("source"),
-          (col("kp").isNull || col("p") < col("kp") ||
-            (col("p") === col("kp") && col("doc_id") <= col("kid")))
-            .as("kept"))
+      cappedKeepByHashPriority(
+          Tables.documents(s, d).select("doc_id", "source"),
+          keyCol = "source", idCol = "doc_id", cap = 20)
+        .select("doc_id", "source", "kept")
         .orderBy("doc_id")
     },
 

@@ -261,8 +261,16 @@ object StreamDemos {
   def scoredVecStream(spark: SparkSession, corpusDir: String,
       inDir: String): DataFrame = {
     import graft.ops.Clustering
-    val cents = Clustering
-      .centroidHistory(spark, corpusDir, Clustering.kOf(spark)).last
+    val k = Clustering.kOf(spark)
+    // the stateless path IS the literal E-step; past the literal
+    // threshold the least()-over-K-structs tree is exactly the blowup
+    // LiteralMaxK exists to prevent — fail loudly with the prescribed
+    // alternative instead of stalling codegen
+    require(k <= Clustering.LiteralMaxK,
+      s"scoredVecStream is the stateless literal-E-step path (k <= " +
+        s"${Clustering.LiteralMaxK}); at k=$k apply Clustering." +
+        "assignJoin inside foreachBatch per micro-batch instead")
+    val cents = Clustering.centroidHistory(spark, corpusDir, k).last
     val src = spark.readStream.schema(vecBatchSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)

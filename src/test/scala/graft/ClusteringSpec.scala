@@ -100,6 +100,18 @@ class ClusteringSpec extends AnyFunSuite {
       rows(ops.Clustering.assignLiteral(b, cents)))
   }
 
+  test("join E-step keeps fully-duplicate input rows, like the literal path") {
+    // a double-ingested vector must weigh twice in both paths (and in
+    // the oracle's e CTE) — the argmin group-by must not collapse it
+    val b = ops.Clustering.base(spark, sf)
+    val dup = b.unionAll(b.limit(25))
+    val cents = ops.Clustering.train(b)
+    val nLit = ops.Clustering.assignLiteral(dup, cents).count()
+    val nJoin = ops.Clustering.assignJoin(dup, cents).count()
+    assert(nLit === b.count() + 25)
+    assert(nJoin === nLit, "assignJoin collapsed duplicate rows")
+  }
+
   test("training through the join E-step reproduces the literal path bit-exact") {
     val b = ops.Clustering.base(spark, sf)
     val litC = ops.Clustering.train(b)

@@ -399,7 +399,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // one-row corpus doc-count singleton gating the df band
       "q_text_vocab_prune",
       // one-row sample-count singleton joined onto the 3-row report
-      "q_sim_lsh_points")
+      "q_sim_lsh_points",
+      // MI/H(C)/H(L)/total are each ONE-row aggregates of the
+      // K x |labels| contingency table, composed by singleton
+      // cross joins — q_mix_weights' shape on k-means output
+      "q_embed_nmi")
     val offenders = Registry.all.map(_.name).filterNot(declared).filter { n =>
       val p = plan(n)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
