@@ -596,6 +596,67 @@ object Clustering {
             .as("nmi"))
     },
 
+    // Embedding-distribution drift between two deterministic halves of
+    // the corpus (md5-nibble split, the q_mix_split discipline — at
+    // production scale the two sides are yesterday's index and today's
+    // crawl batch): per-dimension TRUNCATING-INTEGER means of the
+    // quantized coordinates (bit-exact, partitioning-invariant — the
+    // same arithmetic contract as training), then the readout is the
+    // L2 shift between the two mean vectors and the worst single
+    // dimension. The number a pipeline alarms on before trusting a
+    // frozen centroid set / ANN codebook on new data (the drift
+    // trigger retrainAnnIndex responds to). Work: one posexplode +
+    // (split, dim) aggregate — map-side combinable, output 2×dim rows.
+    q("q_embed_drift",
+      s"""WITH e AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS idx,
+        |    CAST(trunc((unnest(CAST(embedding AS DOUBLE[])) + 4.0)
+        |      * 1000000.0) AS BIGINT) AS xi,
+        |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7'
+        |      THEN 'a' ELSE 'b' END AS half
+        |  FROM embeddings),
+        |m AS (SELECT half, idx,
+        |    CAST(sum(xi) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+        |  FROM e GROUP BY 1, 2),
+        |n AS (SELECT
+        |    CAST(count(DISTINCT CASE WHEN half = 'a' THEN vec_id END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(count(DISTINCT CASE WHEN half = 'b' THEN vec_id END)
+        |      AS BIGINT) AS n_b FROM e),
+        |d AS (SELECT CAST(sum((a.mu - b.mu) * (a.mu - b.mu)) AS BIGINT)
+        |      AS ss,
+        |    CAST(max(abs(a.mu - b.mu)) AS BIGINT) AS mx
+        |  FROM m a JOIN m b ON a.idx = b.idx
+        |  WHERE a.half = 'a' AND b.half = 'b')
+        |SELECT n.n_a, n.n_b,
+        |  round(sqrt(CAST(d.ss AS DOUBLE)) / 1000000.0, 6) AS shift_l2,
+        |  round(CAST(d.mx AS DOUBLE) / 1000000.0, 6) AS shift_max
+        |FROM n CROSS JOIN d""") { (s, d) =>
+      val half = when(
+        substring(md5(col("vec_id").cast("string")), 1, 1) <= "7", "a")
+        .otherwise("b")
+      val e = base(s, d).select(col("vec_id"), half.as("half"),
+        posexplode(col("xq")).as(Seq("idx", "xi")))
+      val m = e.groupBy("half", "idx")
+        .agg(expr("sum(xi) div count(1)").as("mu"))
+      // half counts from the unexploded frame (1 row per vector)
+      val n = base(s, d).agg(
+        sum(when(half === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(half === "b", 1L).otherwise(0L)).as("n_b"))
+      val diff = m.filter(col("half") === "a").as("a")
+        .join(m.filter(col("half") === "b").as("b"),
+          col("a.idx") === col("b.idx"))
+        .select((col("a.mu") - col("b.mu")).as("dm"))
+        .agg(sum(col("dm") * col("dm")).as("ss"),
+          max(abs(col("dm"))).as("mx"))
+      n.crossJoin(diff)
+        .select(col("n_a"), col("n_b"),
+          round(sqrt(col("ss").cast("double")) / lit(1000000.0), 6)
+            .as("shift_l2"),
+          round(col("mx").cast("double") / lit(1000000.0), 6)
+            .as("shift_max"))
+    },
+
     // Cluster-balanced diversity sampling: keep at most M documents
     // PER SEMANTIC CLUSTER, chosen by a deterministic hash priority —
     // the "sample uniformly across the embedding space, not the raw

@@ -403,7 +403,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // MI/H(C)/H(L)/total are each ONE-row aggregates of the
       // K x |labels| contingency table, composed by singleton
       // cross joins — q_mix_weights' shape on k-means output
-      "q_embed_nmi")
+      "q_embed_nmi",
+      // half-counts singleton x shift singleton (both 1-row aggregates)
+      "q_embed_drift")
     val offenders = Registry.all.map(_.name).filterNot(declared).filter { n =>
       val p = plan(n)
       p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")

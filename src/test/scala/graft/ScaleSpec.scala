@@ -290,17 +290,18 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("three-point campaign artifacts: exponents bounded on BOTH decade pairs") {
     // The committed x1/x10/x100 counts-only artifacts (bench/
-    // scale_ov64_*_counts_r12.json, regenerated by
+    // scale_ov64_*_counts_r14.json, regenerated by
     // `runMain graft.ScaleBench 100 /root/testdata/sf0.1 target/scale
-    // 64 counts`) are the repo's measured scaling curve; this pin
-    // re-derives every chain's exponent on EACH decade pair from the
-    // artifacts themselves, so an artifact refresh that regresses a
-    // growth law fails CI even though the x100 tier is too big to
-    // regenerate per test run. The live-generation tests above cover
-    // the generator+operators end to end at small tiers.
+    // 64 counts` — the r14 refresh added the kmeans chain) are the
+    // repo's measured scaling curve; this pin re-derives every chain's
+    // exponent on EACH decade pair from the artifacts themselves, so
+    // an artifact refresh that regresses a growth law fails CI even
+    // though the x100 tier is too big to regenerate per test run. The
+    // live-generation tests above cover the generator+operators end to
+    // end at small tiers.
     def counts(tag: String): Map[String, Long] = {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"bench/scale_ov64_${tag}_counts_r12.json")))
+        java.nio.file.Paths.get(s"bench/scale_ov64_${tag}_counts_r14.json")))
       val body = txt.substring(txt.indexOf("\"counts\":"))
       "\"([a-z0-9_]+)\":(\\d+)".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toLong).toMap
@@ -308,14 +309,22 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (c1, c10, c100) = (counts("x1"), counts("x10"), counts("x100"))
     def expOf(k: String, a: Map[String, Long], b: Map[String, Long]): Double =
       math.log(b(k).toDouble / a(k)) / math.log(10.0)
-    // near-linear chains: both decades
+    // near-linear chains: both decades. kmeans_pair_work is the
+    // SemDeDup production regime at its third decade (K = n/125 grows
+    // with the corpus, so the in-cluster pair bound must stay ~linear
+    // — the ×1/×4 live pin above, continued to ×100).
     for (k <- Seq("gram_pair_rows", "neardup_edges", "minhash_band_rows",
-      "minhash_bucket_pairs")) {
+      "minhash_bucket_pairs", "kmeans_pair_work")) {
       val e1 = expOf(k, c1, c10)
       val e2 = expOf(k, c10, c100)
       assert(e1 <= 1.35 && e2 <= 1.35,
         f"$k superlinear: exp $e1%.2f / $e2%.2f")
     }
+    // kmeans cell count tracks K = n/125 exactly: linear by design
+    val k1 = expOf("kmeans_cells", c1, c10)
+    val k2 = expOf("kmeans_cells", c10, c100)
+    assert(k1 >= 0.9 && k1 <= 1.1 && k2 >= 0.9 && k2 <= 1.1,
+      f"kmeans cell count not ~linear: $k1%.2f / $k2%.2f")
     // the designed n^1.5 IVF second moment, stable across both decades
     val s1 = expOf("ivf_cell_sumsq", c1, c10)
     val s2 = expOf("ivf_cell_sumsq", c10, c100)
