@@ -2494,6 +2494,61 @@ object TextSim {
         .orderBy("ida", "idb")
     },
 
+    // Pairwise SOURCE overlap: shared distinct df-capped word-3-grams
+    // and the gram-set jaccard for every source pair — the
+    // mirrored-site / template-farm detector a crawl-curation pipeline
+    // reads before deciding which domains to collapse (doc-level
+    // near-dup thresholds miss sources that copy each other loosely
+    // but pervasively). Scale shape: the only fact-scale work is the
+    // distinct (gram, source) projection of the stage-cached postings;
+    // the self-join keys on gram and each gram's source set is bounded
+    // by the df cap (≤ DfCap docs ⇒ ≤ DfCap sources), so per-gram pair
+    // expansion is ≤ C(DfCap, 2) — no hot key at any corpus size — and
+    // the output is |sources|² bounded. Grams are the same 64-bit
+    // hashed space as the dedup family (counts agree with the oracle's
+    // string grams; collision odds ~1e-8 — the declared trade).
+    q("q_source_overlap",
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |      FROM w),
+        |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
+        |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+        |sg AS (SELECT DISTINCT d.source, g.gram
+        |      FROM g JOIN documents d USING (doc_id)),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |      FROM sg GROUP BY 1),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        CAST(count(*) AS BIGINT) AS shared
+        |      FROM sg a JOIN sg b
+        |        ON a.gram = b.gram AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT pr.source_a, pr.source_b, pr.shared,
+        |  round(CAST(pr.shared AS DOUBLE) / (na.n + nb.n - pr.shared), 6)
+        |    AS jaccard
+        |FROM pr JOIN ns na ON na.source = pr.source_a
+        |        JOIN ns nb ON nb.source = pr.source_b
+        |ORDER BY source_a, source_b""") { (s, d) =>
+      val sg = gramIndex(s, d, DfCap)
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .select("source", "gram").distinct()
+      val ns = sg.groupBy("source").agg(count(lit(1)).as("n"))
+      val pr = sg.as("a").join(sg.as("b"),
+          col("a.gram") === col("b.gram") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared"))
+      pr.join(broadcast(ns.toDF("source_a", "na")), "source_a")
+        .join(broadcast(ns.toDF("source_b", "nb")), "source_b")
+        .select(col("source_a"), col("source_b"), col("shared"),
+          round(col("shared").cast("double")
+            / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Collocation mining by pointwise mutual information over the
     // corpus bigram table: pmi(a,b) = log2( p(ab) / (p(a)p(b)) ) with
     // both unigram probabilities taken over the SAME first-position
