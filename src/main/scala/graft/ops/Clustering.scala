@@ -608,21 +608,22 @@ object Clustering {
     // trigger retrainAnnIndex responds to). Work: one posexplode +
     // (split, dim) aggregate — map-side combinable, output 2×dim rows.
     q("q_embed_drift",
-      s"""WITH e AS (SELECT vec_id,
-        |    generate_subscripts(embedding, 1) AS idx,
-        |    CAST(trunc((unnest(CAST(embedding AS DOUBLE[])) + 4.0)
-        |      * 1000000.0) AS BIGINT) AS xi,
+      s"""WITH v AS (SELECT vec_id, embedding,
         |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7'
         |      THEN 'a' ELSE 'b' END AS half
         |  FROM embeddings),
+        |e AS (SELECT vec_id, half,
+        |    generate_subscripts(embedding, 1) AS idx,
+        |    CAST(trunc((unnest(CAST(embedding AS DOUBLE[])) + 4.0)
+        |      * 1000000.0) AS BIGINT) AS xi
+        |  FROM v),
         |m AS (SELECT half, idx,
         |    CAST(sum(xi) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
         |  FROM e GROUP BY 1, 2),
         |n AS (SELECT
-        |    CAST(count(DISTINCT CASE WHEN half = 'a' THEN vec_id END)
-        |      AS BIGINT) AS n_a,
-        |    CAST(count(DISTINCT CASE WHEN half = 'b' THEN vec_id END)
-        |      AS BIGINT) AS n_b FROM e),
+        |    CAST(count(CASE WHEN half = 'a' THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(count(CASE WHEN half = 'b' THEN 1 END) AS BIGINT) AS n_b
+        |  FROM v),
         |d AS (SELECT CAST(sum((a.mu - b.mu) * (a.mu - b.mu)) AS BIGINT)
         |      AS ss,
         |    CAST(max(abs(a.mu - b.mu)) AS BIGINT) AS mx
@@ -632,6 +633,17 @@ object Clustering {
         |  round(sqrt(CAST(d.ss AS DOUBLE)) / 1000000.0, 6) AS shift_l2,
         |  round(CAST(d.mx AS DOUBLE) / 1000000.0, 6) AS shift_max
         |FROM n CROSS JOIN d""") { (s, d) =>
+      // Same non-negativity precondition as training (the truncating-
+      // division contract): drift is the one base() consumer that can
+      // run without ever training, so it must carry the guard itself —
+      // out-of-domain coordinates fail loudly here exactly like they
+      // do in trainHistory, never silently skew the alarm metric. One
+      // scan of the materialized narrow stage (empty corpus passes:
+      // both engines then emit one (0, 0, NULL, NULL) row).
+      val mnRow = base(s, d).agg(min(array_min(col("xq")))).head()
+      require(mnRow.isNullAt(0) || mnRow.getLong(0) >= 0L,
+        s"drift quantization saw coordinate <= -$ShiftD " +
+          s"(min scaled ${if (mnRow.isNullAt(0)) "-" else mnRow.getLong(0)})")
       val half = when(
         substring(md5(col("vec_id").cast("string")), 1, 1) <= "7", "a")
         .otherwise("b")
@@ -639,10 +651,12 @@ object Clustering {
         posexplode(col("xq")).as(Seq("idx", "xi")))
       val m = e.groupBy("half", "idx")
         .agg(expr("sum(xi) div count(1)").as("mu"))
-      // half counts from the unexploded frame (1 row per vector)
+      // half counts from the unexploded frame — one row per STORED
+      // vector (duplicates count twice, empty-embedding rows count, in
+      // BOTH engines); count() so an empty corpus reads 0, not NULL
       val n = base(s, d).agg(
-        sum(when(half === "a", 1L).otherwise(0L)).as("n_a"),
-        sum(when(half === "b", 1L).otherwise(0L)).as("n_b"))
+        count(when(half === "a", 1)).as("n_a"),
+        count(when(half === "b", 1)).as("n_b"))
       val diff = m.filter(col("half") === "a").as("a")
         .join(m.filter(col("half") === "b").as("b"),
           col("a.idx") === col("b.idx"))

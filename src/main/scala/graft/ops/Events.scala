@@ -900,6 +900,83 @@ object Events {
           when(attributed, col("us") - col("c_us")).otherwise(-1L)
             .cast("long").as("lag_us"))
         .orderBy("event_id")
+    },
+
+    // CUSUM changepoint detection over hourly event volume — the
+    // sustained-shift detector that complements the POINT detectors
+    // already in the family (z-score q_ev_anomaly, 5-minute
+    // q_ev_burst): a level change too small to trip any single-hour
+    // threshold accumulates in the CUSUM statistic until it flags.
+    // ALL-INTEGER variant (counts are integers; mean/slack/threshold
+    // by truncating division), so the recurrence
+    //   s_up   <- max(0, s_up   + n_t - mu - k)
+    //   s_down <- max(0, s_down + mu - k - n_t)      (k = mu div 20)
+    // is bit-exact in both engines — the DuckDB oracle replays it as a
+    // recursive CTE (the q_graph_bfs precedent). The max-clamp makes
+    // the recurrence genuinely sequential (no associative scan
+    // decomposition exists), but its input is the HOURLY aggregate —
+    // bounded by the time domain, not the corpus (~10^4 rows per year
+    // at any event volume) — so the driver pass over the collected
+    // hourly table is the same documented bounded-collect class as the
+    // k×dim M-step and the BPE vocabulary. Hours with zero events are
+    // not zero-filled: the statistic runs over OBSERVED hours (the
+    // resample grid q_ev_resample builds is the zero-filling
+    // counterpart). Flags fire while the statistic exceeds mu.
+    q("q_ev_changepoint",
+      """WITH RECURSIVE
+        |h0 AS (SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |hr AS (SELECT hour_us, n,
+        |    row_number() OVER (ORDER BY hour_us) AS rn FROM h0),
+        |st AS (SELECT CAST(sum(n) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS mu FROM hr),
+        |c AS (
+        |  SELECT hr.rn, hr.hour_us, hr.n,
+        |    greatest(CAST(0 AS BIGINT),
+        |      hr.n - st.mu - st.mu // 20) AS s_up,
+        |    greatest(CAST(0 AS BIGINT),
+        |      st.mu - st.mu // 20 - hr.n) AS s_down
+        |  FROM hr CROSS JOIN st WHERE hr.rn = 1
+        |  UNION ALL
+        |  SELECT hr.rn, hr.hour_us, hr.n,
+        |    greatest(CAST(0 AS BIGINT),
+        |      c.s_up + hr.n - st.mu - st.mu // 20),
+        |    greatest(CAST(0 AS BIGINT),
+        |      c.s_down + st.mu - st.mu // 20 - hr.n)
+        |  FROM c JOIN hr ON hr.rn = c.rn + 1 CROSS JOIN st)
+        |SELECT hour_us, n, s_up, s_down,
+        |  s_up > (SELECT mu FROM st) AS flag_up,
+        |  s_down > (SELECT mu FROM st) AS flag_down
+        |FROM c ORDER BY hour_us""") { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(expr("unix_micros(date_trunc('HOUR', ts))").as("hour_us"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour_us")
+        .collect() // bounded by the hour domain, never the corpus
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val sess = s
+      import sess.implicits._
+      cusum(hourly.toIndexedSeq)
+        .toDF("hour_us", "n", "s_up", "s_down", "flag_up", "flag_down")
+        .orderBy("hour_us")
     }
   )
+
+  /** The integer CUSUM recurrence on an hour-ordered (hour_us, n)
+    * series — factored out so EventsSpec can drive it with a planted
+    * level shift (the fixtures' uniform volume never trips the flags;
+    * the spec proves the detector actually fires). */
+  private[graft] def cusum(hourly: IndexedSeq[(Long, Long)])
+      : IndexedSeq[(Long, Long, Long, Long, Boolean, Boolean)] = {
+    if (hourly.isEmpty) return IndexedSeq.empty
+    val mu = hourly.map(_._2).sum / hourly.length
+    val k = mu / 20
+    var sUp = 0L
+    var sDown = 0L
+    hourly.map { case (hourUs, n) =>
+      sUp = math.max(0L, sUp + n - mu - k)
+      sDown = math.max(0L, sDown + mu - k - n)
+      (hourUs, n, sUp, sDown, sUp > mu, sDown > mu)
+    }
+  }
 }

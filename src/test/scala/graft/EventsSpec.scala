@@ -259,4 +259,41 @@ class EventsSpec extends AnyFunSuite {
       if (r.isNullAt(4)) null else r.getLong(4))).toSeq
     assert(got === want)
   }
+
+  test("CUSUM changepoint: a planted level shift fires; steady volume never does") {
+    // 48 hours at 100/hr, then 48 at 130/hr — a +30% sustained shift
+    // no single hour of which trips a point detector on this scale.
+    // The baseline is the GLOBAL mean (mu = 115, k = 5), so the
+    // retrospective statistic sees BOTH sides of the changepoint:
+    // the below-mean prefix accumulates s_down at +10/hour (s_down =
+    // 120 > mu first at hour 11), the above-mean suffix accumulates
+    // s_up at +10/hour (s_up = 120 > mu first at hour 59) while
+    // draining s_down at -20/hour (last > mu at hour 65). All
+    // hand-derivable from the integer recurrence.
+    val shifted = (0 until 96).map(h =>
+      (h.toLong * 3600000000L, if (h < 48) 100L else 130L))
+    val out = ops.Events.cusum(shifted.toIndexedSeq)
+    assert(out.take(11).forall(r => !r._5 && !r._6),
+      "no flag may fire before the statistic accumulates")
+    assert(out.slice(11, 48).forall(_._6),
+      "the below-mean prefix must keep flag_down firing from hour 11")
+    assert(out.drop(59).forall(_._5),
+      "the sustained +30% shift must keep flag_up firing from hour 59")
+    assert(out.drop(66).forall(!_._6),
+      "s_down must drain below threshold within 19 hours of the shift")
+    assert(out.take(59).forall(!_._5),
+      "flag_up must not fire before hour 59")
+    // steady series: statistic never accumulates, no flags
+    val steady = (0 until 96).map(h => (h.toLong * 3600000000L, 100L))
+    assert(ops.Events.cusum(steady.toIndexedSeq).forall(r => !r._5 && !r._6))
+    // empty series: empty result, no crash
+    assert(ops.Events.cusum(IndexedSeq.empty).isEmpty)
+    // and on the fixtures the statistic is live even though no flag
+    // fires (non-vacuous at the statistic level)
+    val fix = q("q_ev_changepoint").collect()
+    assert(fix.nonEmpty)
+    assert(fix.exists(r => r.getAs[Long]("s_up") > 0 ||
+      r.getAs[Long]("s_down") > 0),
+      "CUSUM statistic is identically zero on fixtures — check the slack")
+  }
 }

@@ -290,9 +290,12 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("three-point campaign artifacts: exponents bounded on BOTH decade pairs") {
     // The committed x1/x10/x100 counts-only artifacts (bench/
-    // scale_ov64_*_counts_r14.json, regenerated by
-    // `runMain graft.ScaleBench 100 /root/testdata/sf0.1 target/scale
-    // 64 counts` — the r14 refresh added the kmeans chain) are the
+    // scale_ov64_*_counts_r14.json — regenerate ALL THREE with
+    // `runMain graft.ScaleBench 100 /root/testdata/sf0.1
+    // target/scale_r14 64 counts` (counts mode generates and measures
+    // the 1/10/100 tiers in one run), then copy target/scale_r14/
+    // scale_ov64_x{1,10,100}_counts.json over the bench/ copies; the
+    // r14 refresh added the kmeans chain) are the
     // repo's measured scaling curve; this pin re-derives every chain's
     // exponent on EACH decade pair from the artifacts themselves, so
     // an artifact refresh that regresses a growth law fails CI even
