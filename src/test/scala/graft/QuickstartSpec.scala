@@ -21,9 +21,9 @@ class QuickstartSpec extends AnyFunSuite {
       .findAllMatchIn(section).map(_.group(1).trim).toSeq
   }
 
-  test("README quickstart has exactly the four pinned blocks") {
+  test("README quickstart has exactly the five pinned blocks") {
     val blocks = quickstartBlocks
-    assert(blocks.length === 4, s"expected 4 fenced blocks, got ${blocks.length}")
+    assert(blocks.length === 5, s"expected 5 fenced blocks, got ${blocks.length}")
     assert(blocks(0) ===
       """import graft.{Tables, Registry}
         |val docs = Tables.documents(spark, sfDir)
@@ -41,6 +41,11 @@ class QuickstartSpec extends AnyFunSuite {
       """val verdicts = Sketches.ingestBatch(spark, sfDir,
         |  Sketches.defaultBatch(spark, sfDir), name = "quickstart")
         |verdicts.groupBy("is_dup").count().show()""".stripMargin)
+    assert(blocks(4) ===
+      """import graft.ops.Clustering
+        |import org.apache.spark.sql.functions.col
+        |val dedup = Clustering.semanticDedup(spark, sfDir, k = 8)
+        |dedup.filter(col("n_nbrs") > 0).show(5)""".stripMargin)
   }
 
   test("block 1 runs: table loader + registry query by name") {
@@ -91,5 +96,16 @@ class QuickstartSpec extends AnyFunSuite {
     // the fixture batch is half verbatim dups, half novel reversals
     assert(counts.getOrElse(true, 0L) > 0, s"no dups caught: $counts")
     assert(counts.getOrElse(false, 0L) > 0, s"nothing admitted: $counts")
+  }
+
+  test("block 5 runs: public semantic dedup at an explicit k") {
+    val sfDir = sf
+    import graft.ops.Clustering
+    import org.apache.spark.sql.functions.col
+    val dedup = Clustering.semanticDedup(spark, sfDir, k = 8)
+    dedup.filter(col("n_nbrs") > 0).show(5)
+    // one row per vector; the fixture corpus carries genuine near-dups
+    assert(dedup.count() === Tables.embeddings(spark, sfDir).count())
+    assert(dedup.filter(col("n_nbrs") > 0).count() > 0)
   }
 }
