@@ -285,42 +285,47 @@ object Clustering {
       .select(col("vec_id"), col("label"), col("cid"), col("dist2"))
 
   /** The k-means recurrence unrolled in DuckDB — same quantization,
-    * same integer ops, same tie-breaks; bit-exact by construction. */
-  private[ops] def kmeansCtes(k: Int = K, iters: Int = Iters): String = {
+    * same integer ops, same tie-breaks; bit-exact by construction.
+    * `p` prefixes every CTE name so several recurrences (the
+    * q_embed_kelbow K-sweep) can coexist in one WITH clause; the
+    * default "" keeps every existing oracle text byte-identical. */
+  private[ops] def kmeansCtes(k: Int = K, iters: Int = Iters,
+      p: String = ""): String = {
     val rounds = (1 to iters).map { i =>
-      s"""d$i AS (SELECT e.vec_id, c.cid,
+      s"""${p}d$i AS (SELECT e.vec_id, c.cid,
         |    CAST(sum((e.xi - c.c) * (e.xi - c.c)) AS BIGINT) AS d
-        |  FROM e JOIN c${i - 1} c ON e.idx = c.idx GROUP BY 1, 2),
-        |a$i AS MATERIALIZED (SELECT vec_id, cid FROM (
+        |  FROM ${p}e e JOIN ${p}c${i - 1} c ON e.idx = c.idx GROUP BY 1, 2),
+        |${p}a$i AS MATERIALIZED (SELECT vec_id, cid FROM (
         |    SELECT vec_id, cid, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$i)
+        |      PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ${p}d$i)
         |  WHERE rn = 1),
-        |c$i AS MATERIALIZED (
+        |${p}c$i AS MATERIALIZED (
         |  SELECT p.cid, p.idx, coalesce(m.c, p.c) AS c
-        |  FROM c${i - 1} p LEFT JOIN (
+        |  FROM ${p}c${i - 1} p LEFT JOIN (
         |    SELECT a.cid, e.idx,
         |      CAST(sum(e.xi) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
-        |    FROM a$i a JOIN e USING (vec_id) GROUP BY 1, 2) m
+        |    FROM ${p}a$i a JOIN ${p}e e USING (vec_id) GROUP BY 1, 2) m
         |  ON p.cid = m.cid AND p.idx = m.idx)"""
     }.mkString(",\n")
-    s"""e AS MATERIALIZED (
+    s"""${p}e AS MATERIALIZED (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
       |    CAST(trunc((unnest(CAST(embedding AS DOUBLE[])) + 4.0)
       |      * 1000000.0) AS BIGINT) AS xi
       |  FROM embeddings),
-      |sd0 AS MATERIALIZED (SELECT vec_id, cid FROM (
+      |${p}sd0 AS MATERIALIZED (SELECT vec_id, cid FROM (
       |    SELECT vec_id, row_number() OVER (
       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
       |    FROM embeddings) WHERE cid < $k),
-      |c0 AS MATERIALIZED (
-      |  SELECT sd0.cid, e.idx, e.xi AS c FROM sd0 JOIN e USING (vec_id)),
+      |${p}c0 AS MATERIALIZED (
+      |  SELECT sd0.cid, e.idx, e.xi AS c
+      |  FROM ${p}sd0 sd0 JOIN ${p}e e USING (vec_id)),
       |$rounds,
-      |dF AS (SELECT e.vec_id, c.cid,
+      |${p}dF AS (SELECT e.vec_id, c.cid,
       |    CAST(sum((e.xi - c.c) * (e.xi - c.c)) AS BIGINT) AS d
-      |  FROM e JOIN c$iters c ON e.idx = c.idx GROUP BY 1, 2),
-      |af AS MATERIALIZED (SELECT vec_id, cid, d FROM (
+      |  FROM ${p}e e JOIN ${p}c$iters c ON e.idx = c.idx GROUP BY 1, 2),
+      |${p}af AS MATERIALIZED (SELECT vec_id, cid, d FROM (
       |    SELECT vec_id, cid, d, row_number() OVER (
-      |      PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dF)
+      |      PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ${p}dF)
       |  WHERE rn = 1)"""
   }
 
@@ -594,6 +599,41 @@ object Clustering {
           when(col("h_cluster") > 0 && col("h_label") > 0,
             round(col("mi") / sqrt(col("h_cluster") * col("h_label")), 6))
             .as("nmi"))
+    },
+
+    // The K-SELECTION elbow curve: final within-cluster inertia at
+    // K ∈ {2, 4, 8, 16} — the sweep a pipeline actually reads to pick
+    // K (q_embed_elbow is the per-iteration convergence trace at ONE
+    // K; this is the across-K curve). Each K trains the same bit-exact
+    // integer recurrence (memoized per (session, dir, k) — the K=8 run
+    // is shared with the rest of the family), and the oracle unrolls
+    // ALL FOUR recurrences in one WITH clause via the CTE prefix.
+    // Work: 4 bounded trainings + 4 shuffle-free assignment passes.
+    q("q_embed_kelbow", {
+      val ks = Seq(2, 4, 8, 16)
+      val ctes = ks.map(k => kmeansCtes(k, Iters, s"k${k}_")).mkString(",\n")
+      val rows = ks.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+          |  CAST(sum(md) AS BIGINT) AS inertia FROM (
+          |  SELECT vec_id, min(d) AS md FROM k${k}_dF GROUP BY 1)"""
+      }.mkString("", "\n  UNION ALL\n  ", "")
+      s"""WITH $ctes,
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |tr AS (
+        |  $rows)
+        |SELECT k, inertia,
+        |  round(sqrt(CAST(inertia AS DOUBLE) / (SELECT n FROM nv))
+        |    / 1000000.0, 6) AS rms
+        |FROM tr ORDER BY k"""
+    }) { (s, d) =>
+      val b = base(s, d)
+      Seq(2, 4, 8, 16).map { k =>
+        assign(b, centroids(s, d, k))
+          .agg(sum("dist2").as("inertia"), count(lit(1)).as("nv"))
+          .select(lit(k.toLong).as("k"), col("inertia"),
+            round(sqrt(col("inertia").cast("double") / col("nv"))
+              / lit(1000000.0), 6).as("rms"))
+      }.reduce(_ unionAll _).orderBy("k")
     },
 
     // Embedding-distribution drift between two deterministic halves of

@@ -137,6 +137,22 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("K-sweep elbow: inertia decreases monotonically in K on the fixtures") {
+    // more clusters can only tighten the fit on this corpus (seeded,
+    // deterministic); a non-monotone curve would mean a broken
+    // recurrence or seed ordering, not statistics
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val rows = Registry.byName("q_embed_kelbow").df(spark, dir).collect()
+      assert(rows.map(_.getAs[Long]("k")).toSeq === Seq(2L, 4L, 8L, 16L))
+      val inertia = rows.map(_.getAs[Long]("inertia"))
+      inertia.sliding(2).foreach {
+        case Array(a, b) => assert(b < a,
+          s"inertia not strictly decreasing at $dir: ${inertia.toSeq}")
+        case _ => ()
+      }
+    }
+  }
+
   test("empty corpus produces the clear seed-count error, not an NPE") {
     val s = spark
     import s.implicits._
