@@ -925,7 +925,8 @@ object Events {
     q("q_ev_changepoint",
       """WITH RECURSIVE
         |h0 AS (SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
-        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |    CAST(count(*) AS BIGINT) AS n FROM events
+        |  WHERE ts IS NOT NULL GROUP BY 1),
         |hr AS (SELECT hour_us, n,
         |    row_number() OVER (ORDER BY hour_us) AS rn FROM h0),
         |st AS (SELECT CAST(sum(n) AS BIGINT) // CAST(count(*) AS BIGINT)
@@ -948,7 +949,11 @@ object Events {
         |  s_up > (SELECT mu FROM st) AS flag_up,
         |  s_down > (SELECT mu FROM st) AS flag_down
         |FROM c ORDER BY hour_us""") { (s, d) =>
+      // a NULL-ts event has no hour: excluded in BOTH engines (the
+      // recurrence is order-sensitive and the engines place a null
+      // group at opposite ends — and the driver map below reads longs)
       val hourly = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
         .groupBy(expr("unix_micros(date_trunc('HOUR', ts))").as("hour_us"))
         .agg(count(lit(1)).as("n"))
         .orderBy("hour_us")
