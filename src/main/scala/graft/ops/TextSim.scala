@@ -1661,6 +1661,49 @@ object TextSim {
         .orderBy("source", "split")
     },
 
+    // Split-leakage audit — the "did dedup run BEFORE splitting" check
+    // every pipeline owes its eval: an exact duplicate whose copies
+    // land in different splits (by the id-hash assignment, which is
+    // blind to content) leaks training text into val/test. Per split:
+    // docs, docs whose exact text (md5) also appears in ANOTHER split,
+    // and the leaked fraction. Non-vacuous on the fixtures (the corpus
+    // plants exact dups; id-hash scatters them across splits). Scale
+    // shape: one (text-hash → distinct-split count) aggregate + one
+    // hash join back on the text hash — both key on md5(text), the
+    // exact-dedup family's shuffle key; no window, no product.
+    q("q_mix_split_leakage",
+      """WITH s AS (SELECT doc_id, md5(text) AS h,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |x AS (SELECT h, count(DISTINCT split) AS nsp
+        |      FROM s GROUP BY h)
+        |SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN x.nsp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaked,
+        |  round(sum(CASE WHEN x.nsp > 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS leak_frac
+        |FROM s JOIN x USING (h)
+        |GROUP BY s.split
+        |ORDER BY s.split""") { (s, d) =>
+      val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val sdf = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          when(nib <= "b", "train").when(nib <= "d", "val")
+            .otherwise("test").as("split"))
+      val x = sdf.groupBy("h").agg(countDistinct("split").as("nsp"))
+      sdf.join(x, "h")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nsp") > 1, 1).otherwise(0)).as("n_leaked"),
+          round(sum(when(col("nsp") > 1, 1).otherwise(0))
+            / count(lit(1)).cast("double"), 6).as("leak_frac"))
+        .orderBy("split")
+    },
+
     // Per-source frequency capping — the "at most K documents per
     // domain" rule every crawl-curation pipeline applies, spelled
     // SCALE-SAFE via the shared [[cappedKeepByHashPriority]]
