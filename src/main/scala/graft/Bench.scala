@@ -209,11 +209,20 @@ object Bench {
     // left ~2/3 of per-query times unauditable round-over-round).
     // (partial SPARK_GRAFT_ONLY profiling runs and full runs at a
     // NON-DEFAULT tier — e.g. an sf0.001 smoke — must not clobber the
-    // tracked sf0.1 full-registry record)
+    // tracked sf0.1 full-registry record). The tier compare normalizes
+    // both sides (r14 advice): a trailing slash / relative spelling /
+    // symlink of the default tier still refreshes the tracked record.
+    def realOrNorm(p: String): String = {
+      val path = java.nio.file.Paths.get(p)
+      try path.toRealPath().toString
+      catch { case _: java.io.IOException =>
+        path.toAbsolutePath.normalize.toString }
+    }
     val outs =
-      if (only.isEmpty && sfDir == "/root/testdata/sf0.1")
+      if (only.isEmpty && realOrNorm(sfDir) == realOrNorm("/root/testdata/sf0.1"))
         Seq("target/bench.json", "bench/bench_full.json")
       else Seq("target/bench.json")
+    System.err.println(s"bench: writing ${outs.mkString(", ")}")
     outs.foreach { p =>
       try {
         val out = java.nio.file.Paths.get(p)

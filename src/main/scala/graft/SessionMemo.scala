@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped driver-side memo for small derived values (centroid
+  * histories, trained weights, domain-check verdicts) that several
+  * queries share within one session but that must never leak across
+  * sessions.
+  *
+  * Keying discipline (r14 advice): the outer map holds the
+  * SparkSession itself under WEAK keys, so entries die with their
+  * session instead of accumulating forever in long-lived multi-session
+  * processes — and a new session can never collide with a dead one
+  * (the previous identity-hash-string keys had both defects). Values
+  * must be plain data (no references back to the session), or the
+  * weak entry never clears; every current value is an integer
+  * array/history or a boxed verdict.
+  *
+  * The BUILD runs inside the slot's own lock, never inside the map's
+  * computeIfAbsent — same recursion hazard StageCache documents
+  * (nested computeIfAbsent on one ConcurrentHashMap is undefined):
+  * builds here trigger StageCache stage builds and can re-enter this
+  * memo through them. A failed build leaves the slot empty, so the
+  * next caller retries instead of caching the failure.
+  */
+object SessionMemo {
+
+  private final class Slot {
+    @volatile private var v: AnyRef = _
+    def get(build: => AnyRef): AnyRef = {
+      if (v == null) synchronized { if (v == null) v = build }
+      v
+    }
+  }
+
+  /** WeakHashMap wrapped in Collections.synchronizedMap: the wrapper
+    * synchronizes computeIfAbsent (a compound default method) on
+    * itself, so slot creation is atomic; the slot build itself runs
+    * outside the wrapper lock. */
+  private val perSession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Slot]]())
+
+  def memo[A <: AnyRef](s: SparkSession, key: String)(build: => A): A = {
+    val m = perSession.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Slot]())
+    m.computeIfAbsent(key, _ => new Slot).get(build).asInstanceOf[A]
+  }
+}

@@ -204,19 +204,16 @@ object Clustering {
     * the materialized narrow stage the FIRST time a training-free
     * consumer (q_embed_drift) needs the truncating-division
     * precondition; later polls reuse the verdict like training reuses
-    * centMemo. Throws (and does not cache) on violation. */
-  private val domainMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-
+    * the centroid memo. Throws (and does not cache) on violation.
+    * Weak-keyed on the session ([[graft.SessionMemo]], r14 advice). */
   private def checkDomain(s: SparkSession, d: String): Unit = {
-    val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d"
-    domainMemo.computeIfAbsent(key, _ => {
+    graft.SessionMemo.memo(s, s"kmeans_domain|$d") {
       val mnRow = base(s, d).agg(min(array_min(col("xq")))).head()
       require(mnRow.isNullAt(0) || mnRow.getLong(0) >= 0L,
         s"drift quantization saw coordinate <= -$ShiftD " +
           s"(min scaled ${if (mnRow.isNullAt(0)) "-" else mnRow.getLong(0)})")
       java.lang.Boolean.TRUE
-    })
+    }
     ()
   }
 
@@ -231,17 +228,19 @@ object Clustering {
     }
 
   /** Per-iteration centroid history (seeds c0 .. final c_iters),
-    * memoized per (session, dir, k): training runs ONCE even though
-    * several registry queries ride it (final centroids for the
-    * report/dedup, the full trace for the elbow readout). */
-  private val centMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[Array[Array[Long]]]]()
-
+    * memoized per (session, dir, k, E-step mode): training runs ONCE
+    * even though several registry queries ride it (final centroids for
+    * the report/dedup, the full trace for the elbow readout). The
+    * E-step mode is part of the key because past [[LiteralMaxK]] the
+    * routed path trains (deterministically) DIFFERENT centroids than
+    * the exact paths — a session that flips the knob must not be
+    * served the other mode's history. Weak-keyed on the session
+    * ([[graft.SessionMemo]], r14 advice). */
   private[graft] def centroidHistory(s: SparkSession, d: String,
-      k: Int): Seq[Array[Array[Long]]] = {
-    val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d|$k"
-    centMemo.computeIfAbsent(key, _ => trainHistory(base(s, d), k, Iters))
-  }
+      k: Int): Seq[Array[Array[Long]]] =
+    graft.SessionMemo.memo(s, s"kmeans_cents|$d|$k|${estepOf(s)}") {
+      trainHistory(base(s, d), k, Iters)
+    }
 
   private[ops] def centroids(s: SparkSession, d: String,
       k: Int): Array[Array[Long]] =

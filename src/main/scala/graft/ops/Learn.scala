@@ -74,13 +74,10 @@ object Learn {
     s"${S / 2} + ($z * $S) div (2 * ($S + abs($z)))"
   }
 
-  private val wMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-
-  private[graft] def weights(s: SparkSession, d: String): Array[Long] = {
-    val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d"
-    wMemo.computeIfAbsent(key, _ => train(features(s, d)))
-  }
+  /** Trained weights per (session, dir) — weak-keyed on the session
+    * ([[graft.SessionMemo]], r14 advice). */
+  private[graft] def weights(s: SparkSession, d: String): Array[Long] =
+    graft.SessionMemo.memo(s, s"learn_w|$d")(train(features(s, d)))
 
   /** The q_mix_split discipline: assignment by the first md5 hex
     * nibble of the decimal doc id — cross-engine byte-identical,
@@ -89,16 +86,12 @@ object Learn {
     when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "b",
       "train").otherwise("holdout")
 
-  private val wHoldMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-
   /** Weights trained on the train split ONLY — the holdout readout's
     * whole point is that these never saw the held-out quarter. */
-  private[graft] def holdoutWeights(s: SparkSession, d: String): Array[Long] = {
-    val key = s"${Integer.toHexString(System.identityHashCode(s))}|$d"
-    wHoldMemo.computeIfAbsent(key,
-      _ => train(features(s, d).filter(splitCol === "train")))
-  }
+  private[graft] def holdoutWeights(s: SparkSession, d: String): Array[Long] =
+    graft.SessionMemo.memo(s, s"learn_whold|$d") {
+      train(features(s, d).filter(splitCol === "train"))
+    }
 
   private[graft] def train(f: DataFrame): Array[Long] = {
     val n = f.count()

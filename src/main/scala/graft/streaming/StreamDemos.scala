@@ -277,7 +277,22 @@ object StreamDemos {
       .select(col("vec_id"),
         transform(col("embedding").cast(ArrayType(DoubleType)),
           Clustering.quantize _).as("xq"))
-    Clustering.assignLiteral(src, cents)
+    // Per-row domain guard (r14 advice): every BATCH entry point fails
+    // loudly on a coordinate <= -4 (train-time require / checkDomain),
+    // so the stream must too — a negative quantized value would
+    // otherwise score a plausible-looking (cid, dist2) silently.
+    // assert_true returns NULL when the predicate holds and raises
+    // otherwise; routing xq through the when() keeps the check alive
+    // in the projection (it cannot be pruned as unused). An empty
+    // embedding passes (array_min = NULL -> coalesce true), matching
+    // the batch paths, which only constrain present coordinates.
+    val guarded = src.select(col("vec_id"),
+      when(assert_true(
+        coalesce(array_min(col("xq")) >= 0L, lit(true)),
+        concat(lit("scoredVecStream: coordinate <= -4 (out of the " +
+          "quantization domain) in vec_id "), col("vec_id"))).isNull,
+        col("xq")).as("xq"))
+    Clustering.assignLiteral(guarded, cents)
       .select(col("vec_id"), col("cid"), col("dist2"))
   }
 

@@ -323,6 +323,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("scoredVecStream fails loudly on an out-of-domain coordinate (r14 advice)") {
+    // Batch entry points guard the -4 quantization shift at train time
+    // (checkDomain / trainHistory require); a streamed coordinate at or
+    // below the shift must terminate the query with the domain error,
+    // never score a plausible-looking (cid, dist2) from a silently
+    // negative quantized value.
+    val inDir = tmpDir("graft_kms_bad_in").toString
+    val s = spark
+    import s.implicits._
+    Seq((999999L, Seq(-5.0f) ++ Seq.fill(63)(0.1f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamDemos.runAvailableNow(spark,
+        StreamDemos.scoredVecStream(spark, sf, inDir),
+        "append", "kmeans_scored_bad")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("out of the quantization domain")),
+      s"unexpected failure: ${messages(ex)}")
+  }
+
   test("CAP-STREAM-INGEST: streamed embedding batches become ANN search targets") {
     import graft.ops.Sketches
     val inDir = tmpDir("graft_vec_in").toString
