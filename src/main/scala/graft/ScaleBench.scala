@@ -118,22 +118,47 @@ object ScaleBench {
     cnt("ivf_max_cell")(cells.select(max("n")).head().getLong(0))
     cnt("ivf_cell_sumsq")(cells.select(sum(col("n") * col("n")))
       .head().getLong(0))
-    // SemDeDup production-regime chain (r14): k-means with K grown
-    // WITH the corpus (n/125, the ScaleSpec regime) — the in-cluster
-    // pair bound Σ n_c(n_c−1)/2 must then stay ~linear in n (≈ n²/2K
-    // balanced-cluster algebra), unlike the √n-cell IVF second moment
-    // above, whose designed law is n^1.5. Training cost here is the
-    // E-step's n×K ≈ n²/125 — the price SemDeDup pays distributed;
-    // counted once per artifact refresh. The K-row cell table is
-    // checkpointed so the three counts don't re-run the E-step.
+    // SemDeDup production-regime chain (r14, r15): k-means with K
+    // grown WITH the corpus (n/125, the ScaleSpec regime) — the
+    // in-cluster pair bound Σ n_c(n_c−1)/2 must then stay ~linear in n
+    // (≈ n²/2K balanced-cluster algebra), unlike the √n-cell IVF
+    // second moment above, whose designed law is n^1.5. Training runs
+    // the ROUTED E-step (forced, r15) — the path `auto` takes in this
+    // regime past RoutedMinK, and the fix for the r14-flagged n×K ≈
+    // n²/125 training cost; at K ≤ LiteralMaxK (the ×1 tier) routed
+    // falls back to the literal path by construction. The K-row cell
+    // table is checkpointed so the three counts don't re-run the
+    // E-step.
     val kmK = math.max(2, (nVec / 125).toInt)
-    val kmCells = ops.Clustering.kmeansAssign(s, d, kmK)
-      .groupBy("cid").agg(count(lit(1)).as("n")).localCheckpoint(true)
-    cnt("kmeans_cells")(kmCells.count())
-    cnt("kmeans_max_cell")(kmCells.select(max("n")).head().getLong(0))
-    cnt("kmeans_pair_work")(kmCells
-      .select(sum((col("n") * (col("n") - 1) / 2).cast("long")))
-      .head().getLong(0))
+    val estepPrev = s.conf.get("spark.graft.kmeans.estep", "auto")
+    s.conf.set("spark.graft.kmeans.estep", "routed")
+    try {
+      val kmCells = ops.Clustering.kmeansAssign(s, d, kmK)
+        .groupBy("cid").agg(count(lit(1)).as("n")).localCheckpoint(true)
+      cnt("kmeans_cells")(kmCells.count())
+      cnt("kmeans_max_cell")(kmCells.select(max("n")).head().getLong(0))
+      cnt("kmeans_pair_work")(kmCells
+        .select(sum((col("n") * (col("n") - 1) / 2).cast("long")))
+        .head().getLong(0))
+      // The r15 E-step work chain: flat evaluations are exactly n×K
+      // (the r14-flagged quadratic, recorded arithmetically); the
+      // routed count is MEASURED (n·√K routing + per-vector probed
+      // branch sizes) and must grow ~n^1.5 across the decades. The
+      // agreement count (routed cid == exact flat cid, one flat
+      // assignment pass — the chain's only remaining n×K job) measures
+      // the approximation the way LSH recall is measured.
+      val kmBase = ops.Clustering.base(s, d)
+      val kmCents = ops.Clustering.centroids(s, d, kmK)
+      cnt("estep_evals_flat")(nVec * kmK)
+      cnt("estep_evals_routed")(
+        ops.Clustering.routedEstepEvals(kmBase, kmCents))
+      val flatA = ops.Clustering.assignJoin(kmBase, kmCents)
+        .select(col("vec_id"), col("cid").as("cf"))
+      val routedA = ops.Clustering.assignRouted(kmBase, kmCents)
+        .select(col("vec_id"), col("cid").as("cr"))
+      cnt("estep_routed_agree")(flatA.join(routedA, "vec_id")
+        .filter(col("cf") === col("cr")).count())
+    } finally s.conf.set("spark.graft.kmeans.estep", estepPrev)
 
     // the measured queries — min-of-2, like Bench: single-JVM walls at
     // this scale carry large session-state variance (SCALE.md

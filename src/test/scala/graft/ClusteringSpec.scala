@@ -137,6 +137,94 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  // ---- the two-level routed E-step (r15: the K∝n scale path) ----
+  // Exact-path-trained centroids at a K past the literal threshold, so
+  // the routed hierarchy is exercised for real (r = ⌈√80⌉ = 9 coarse).
+  private lazy val routedFixture = {
+    val b = ops.Clustering.base(spark, sf)
+    (b, ops.Clustering.train(b, k = 80, iters = 2))
+  }
+
+  test("routed E-step is partitioning-invariant and loses no rows") {
+    val (b, cents) = routedFixture
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid", "dist2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val r7 = rows(ops.Clustering.assignRouted(b.repartition(7), cents))
+    val r3 = rows(ops.Clustering.assignRouted(b.repartition(3), cents))
+    assert(r7 === r3, "routed assignment differs across partitionings")
+    assert(r7.length.toLong === b.count(),
+      "routed assignment lost rows (empty-branch compaction broken?)")
+  }
+
+  test("routed E-step keeps fully-duplicate input rows, like the exact paths") {
+    val (b, cents) = routedFixture
+    val dup = b.unionAll(b.limit(25))
+    assert(ops.Clustering.assignRouted(dup, cents).count() ===
+      b.count() + 25, "assignRouted collapsed or dropped duplicate rows")
+  }
+
+  test("routed vs flat: dist2 never below the exact argmin; agreement high") {
+    // The routed trade measured like LSH recall (r14 verdict #1): the
+    // assignment may differ from exact ONLY where routing errs, dist2
+    // is then strictly worse (it is the true L2 to the chosen
+    // centroid, a subset argmin); where the cid agrees the dist2 is
+    // bit-identical. Isotropic fixture = routing's worst case (no
+    // cluster structure, every boundary is contested): measured 0.662
+    // single-probe, 0.946 at the default 3 probes (k=80, r=9 coarse);
+    // pinned ≥ 0.9 to leave margin for fixture regen.
+    val (b, cents) = routedFixture
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid", "dist2").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val flat = byId(ops.Clustering.assignJoin(b, cents))
+    val routed = byId(ops.Clustering.assignRouted(b, cents))
+    assert(routed.keySet === flat.keySet)
+    routed.foreach { case (id, (cid, d2)) =>
+      assert(d2 >= flat(id)._2,
+        s"routed dist2 $d2 below the exact argmin ${flat(id)._2} at $id")
+      if (cid == flat(id)._1)
+        assert(d2 === flat(id)._2,
+          s"same cid but different dist2 at $id — distance kernel diverged")
+    }
+    val agree = routed.count { case (id, (cid, _)) => cid == flat(id)._1 }
+      .toDouble / routed.size
+    info(f"routed-vs-flat agreement at k=80: $agree%.4f")
+    assert(agree >= 0.9, f"routing errs too often: agreement $agree%.4f")
+  }
+
+  test("routed training is deterministic across partitionings") {
+    val b = ops.Clustering.base(spark, sf)
+    spark.conf.set("spark.graft.kmeans.estep", "routed")
+    try {
+      val c7 = ops.Clustering.train(b.repartition(7), 80, 2)
+      val c3 = ops.Clustering.train(b.repartition(3), 80, 2)
+      assert(c7.length === c3.length)
+      c7.indices.foreach { j =>
+        assert(java.util.Arrays.equals(c7(j), c3(j)),
+          s"routed-trained centroid $j differs across partitionings")
+      }
+    } finally spark.conf.set("spark.graft.kmeans.estep", "auto")
+  }
+
+  test("routed E-step work is below flat n×K even at toy scale") {
+    // At k=80 / r=9 the 3 probes still cover a third of all centroids,
+    // so the saving here is modest BY CONSTRUCTION — the asymptotic
+    // claim (work ~ n^1.5 when K ∝ n, vs n² flat) is measured in
+    // ScaleSpec across generated tiers and the committed three-decade
+    // artifacts; this pin checks the counter itself and that routed
+    // work stays strictly below flat even where the constants are
+    // least favorable.
+    val (b, cents) = routedFixture
+    val n = b.count()
+    val k = cents.length.toLong
+    val evals = ops.Clustering.routedEstepEvals(b, cents)
+    info(s"routed evals $evals vs flat ${n * k} (n=$n, k=$k)")
+    assert(evals >= n, "fewer evaluations than vectors — count is broken")
+    assert(evals < n * k,
+      s"routed work $evals not below flat ${n * k}")
+  }
+
   test("K-sweep elbow: inertia falls across the K range on the fixtures") {
     // NOTE: fixed-iteration (non-converged) Lloyd gives NO structural
     // monotonicity guarantee across K, so this pin asserts only the
@@ -151,6 +239,48 @@ class ClusteringSpec extends AnyFunSuite {
       assert(inertia.last < inertia.head,
         s"K=16 does not beat K=2 at $dir: ${inertia.toSeq}")
     }
+  }
+
+  test("persistent centroid store: second session loads, changed corpus retrains") {
+    // r14 verdict #5: the training memo must survive sessions. The
+    // observable is WORK, not just results — trainCounter counts
+    // trainHistory invocations in this JVM (suites run sequentially in
+    // the forked test JVM, so the counter is race-free here).
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_kmstore").toString
+    val k = 5 // unused by any other test: the session memo is cold
+    val c0 = ops.Clustering.trainCounter.get()
+    val h1 = ops.Clustering.persistentCentroidHistory(spark, sf, k, store)
+    assert(ops.Clustering.trainCounter.get() === c0 + 1,
+      "first call must train exactly once")
+    // 'second session': newSession() is a distinct instance sharing
+    // the context — the weak-keyed session memo is empty for it, so
+    // only the store can explain a no-train answer
+    val s2 = spark.newSession()
+    val h2 = ops.Clustering.persistentCentroidHistory(s2, sf, k, store)
+    assert(ops.Clustering.trainCounter.get() === c0 + 1,
+      "second session retrained despite the persisted artifact")
+    assert(h1.length === h2.length)
+    h1.zip(h2).foreach { case (a, b) =>
+      assert(a.length === b.length)
+      a.indices.foreach(j => assert(java.util.Arrays.equals(a(j), b(j)),
+        s"persisted history diverges at centroid $j"))
+    }
+    // the load seeded the session memo: downstream in-session
+    // consumers skip training too
+    ops.Clustering.centroidHistory(s2, sf, k)
+    assert(ops.Clustering.trainCounter.get() === c0 + 1)
+    // changed corpus -> changed fingerprint -> retrain (stale artifact
+    // is simply never addressed again)
+    val changedDir = java.nio.file.Files
+      .createTempDirectory("graft_kmstore_corpus").toString
+    val emb = Tables.embeddings(spark, sf)
+    val dropId = emb.select(min("vec_id")).head().getLong(0)
+    emb.filter(col("vec_id") =!= dropId)
+      .write.parquet(Tables.path(changedDir, "embeddings"))
+    ops.Clustering.persistentCentroidHistory(spark, changedDir, k, store)
+    assert(ops.Clustering.trainCounter.get() === c0 + 2,
+      "changed corpus must retrain")
   }
 
   test("empty corpus produces the clear seed-count error, not an NPE") {
