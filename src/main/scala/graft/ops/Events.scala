@@ -964,8 +964,87 @@ object Events {
       cusum(hourly.toIndexedSeq)
         .toDF("hour_us", "n", "s_up", "s_down", "flag_up", "flag_down")
         .orderBy("hour_us")
+    },
+
+    // Per-key CUSUM (r14 verdict #2): the changepoint detector run
+    // independently PER EVENT TYPE — each type alarms on its own
+    // baseline (a level shift in a minority type is invisible to the
+    // global detector, drowned by the majority volume). Unlike the
+    // global query's driver pass, this spelling never collects: the
+    // hourly aggregate groups per key and the sequential recurrence
+    // runs inside flatMapGroups over that key's hour-ordered series
+    // ([[cusumByKey]]) — per-group state is one key's hourly table,
+    // bounded by the TIME DOMAIN (~10^4 rows/year at any event
+    // volume), held in an executor task, so |keys| × series never
+    // meets the driver. Same all-integer recurrence, replayed by the
+    // oracle as a PARTITION BY-keyed recursive CTE (the q_graph_bfs
+    // precedent, carried per key).
+    q("q_ev_changepoint_key",
+      """WITH RECURSIVE
+        |h0 AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    CAST(count(*) AS BIGINT) AS n FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |hr AS (SELECT event_type, hour_us, n, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY hour_us) AS rn FROM h0),
+        |st AS (SELECT event_type,
+        |    CAST(sum(n) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+        |  FROM hr GROUP BY 1),
+        |c AS (
+        |  SELECT hr.event_type, hr.rn, hr.hour_us, hr.n,
+        |    greatest(CAST(0 AS BIGINT),
+        |      hr.n - st.mu - st.mu // 20) AS s_up,
+        |    greatest(CAST(0 AS BIGINT),
+        |      st.mu - st.mu // 20 - hr.n) AS s_down
+        |  FROM hr JOIN st ON st.event_type = hr.event_type
+        |  WHERE hr.rn = 1
+        |  UNION ALL
+        |  SELECT hr.event_type, hr.rn, hr.hour_us, hr.n,
+        |    greatest(CAST(0 AS BIGINT),
+        |      c.s_up + hr.n - st.mu - st.mu // 20),
+        |    greatest(CAST(0 AS BIGINT),
+        |      c.s_down + st.mu - st.mu // 20 - hr.n)
+        |  FROM c JOIN hr ON hr.event_type = c.event_type
+        |    AND hr.rn = c.rn + 1
+        |    JOIN st ON st.event_type = hr.event_type)
+        |SELECT c.event_type, c.hour_us, c.n, c.s_up, c.s_down,
+        |  c.s_up > st.mu AS flag_up, c.s_down > st.mu AS flag_down
+        |FROM c JOIN st ON st.event_type = c.event_type
+        |ORDER BY c.event_type, c.hour_us""") { (s, d) =>
+      cusumByKey(Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('HOUR', ts))").as("hour_us"))
+        .agg(count(lit(1)).as("n")))
+        .orderBy("event_type", "hour_us")
     }
   )
+
+  /** The per-key CUSUM plan (factored so EventsSpec can drive it with
+    * a planted per-key level shift): `hourly` is (event_type, hour_us,
+    * n); each key's hour-ordered series runs the [[cusum]] recurrence
+    * against ITS OWN mean inside flatMapGroups. flatMapGroups
+    * guarantees grouping, not order, so the group materializes and
+    * sorts its series in task memory — bounded by the time domain per
+    * key, the same documented class as the global query's driver
+    * collect, but distributed across keys instead of serialized
+    * through the driver. */
+  private[graft] def cusumByKey(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
+    hourly.select(col("event_type").cast("string"),
+        col("hour_us").cast("long"), col("n").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.map(t => (t._2, t._3)).toIndexedSeq.sortBy(_._1)
+        cusum(rows).map { case (h, n, su, sd, fu, fd) =>
+          (key, h, n, su, sd, fu, fd) }
+      }
+      .toDF("event_type", "hour_us", "n", "s_up", "s_down",
+        "flag_up", "flag_down")
+  }
 
   /** The integer CUSUM recurrence on an hour-ordered (hour_us, n)
     * series — factored out so EventsSpec can drive it with a planted

@@ -1704,6 +1704,40 @@ object TextSim {
         .orderBy("split")
     },
 
+    // Dedup-BEFORE-split — the operator that FIXES what
+    // q_mix_split_leakage detects (r14 verdict #4): split assignment
+    // is computed on the exact-dedup group's keep_id (min doc_id per
+    // md5(text), the q_dedup_exact convention), so every copy of a
+    // text lands in the SAME split by construction and cross-split
+    // exact-dup leakage is structurally zero (pinned on its own output
+    // in PipelineOpsSpec, and non-vacuous: on the fixtures some docs
+    // provably move relative to the naive id-hash split). Same md5
+    // nibble thresholds as q_mix_split (a..b train, c..d val, e..f
+    // test) applied to the keep_id. Scale shape: one groupBy + one
+    // hash join back, both keyed on md5(text) — the exact-dedup
+    // family's shuffle key; no window, no product.
+    q("q_mix_split_dedup",
+      """WITH k AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |g AS (SELECT h, min(doc_id) AS keep_id FROM k GROUP BY h)
+        |SELECT k.doc_id, g.keep_id,
+        |  CASE WHEN substr(md5(CAST(g.keep_id AS VARCHAR)), 1, 1) <= 'b'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(g.keep_id AS VARCHAR)), 1, 1) <= 'd'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM k JOIN g ON g.h = k.h
+        |ORDER BY k.doc_id""") { (s, d) =>
+      val k = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val g = k.groupBy("h").agg(min("doc_id").as("keep_id"))
+      val nib = substring(md5(col("keep_id").cast("string")), 1, 1)
+      k.join(g, "h")
+        .select(col("doc_id"), col("keep_id"),
+          when(nib <= "b", "train").when(nib <= "d", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     // Per-source frequency capping — the "at most K documents per
     // domain" rule every crawl-curation pipeline applies, spelled
     // SCALE-SAFE via the shared [[cappedKeepByHashPriority]]

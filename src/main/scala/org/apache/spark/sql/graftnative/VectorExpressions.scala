@@ -906,55 +906,52 @@ object VectorNative {
   * for SQL-text users.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[DotProduct].getCanonicalName, "graft_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_dot takes exactly 2 arguments")
-        DotProduct(children.head, children(1))
-      }))
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "graft_nfc takes exactly 1 argument")
-        NfcNormalize(children.head)
-      }))
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tokens"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[NormalizedTokens].getCanonicalName, "graft_tokens"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "graft_tokens takes exactly 1 argument")
-        NormalizedTokens(children.head)
-      }))
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaro_winkler"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[JaroWinklerSim].getCanonicalName, "graft_jaro_winkler"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_jaro_winkler takes exactly 2 arguments")
-        JaroWinklerSim(children.head, children(1))
-      }))
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_damerau_lev"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[DamerauLevenshtein].getCanonicalName, "graft_damerau_lev"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_damerau_lev takes exactly 2 arguments")
-        DamerauLevenshtein(children.head, children(1))
-      }))
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hamming"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[HammingDist].getCanonicalName, "graft_hamming"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_hamming takes exactly 2 arguments")
-        HammingDist(children.head, children(1))
-      }))
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+/** The function descriptions themselves, shared by the build-time hook
+  * above and [[GraftExtensions.registerOn]] (the `graft.Graft
+  * .registerAll` path for sessions built WITHOUT `.withExtensions` —
+  * notebooks, foreign harnesses — r14 verdict #3). */
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def fn(name: String, clazz: Class[_])(
+      build: Seq[Expression] => Expression): (FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getCanonicalName, name), build)
+
+  private[graftnative] val functions: Seq[(FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("graft_dot", classOf[DotProduct]) { children =>
+      require(children.length == 2, "graft_dot takes exactly 2 arguments")
+      DotProduct(children.head, children(1))
+    },
+    fn("graft_nfc", classOf[NfcNormalize]) { children =>
+      require(children.length == 1, "graft_nfc takes exactly 1 argument")
+      NfcNormalize(children.head)
+    },
+    fn("graft_tokens", classOf[NormalizedTokens]) { children =>
+      require(children.length == 1, "graft_tokens takes exactly 1 argument")
+      NormalizedTokens(children.head)
+    },
+    fn("graft_jaro_winkler", classOf[JaroWinklerSim]) { children =>
+      require(children.length == 2,
+        "graft_jaro_winkler takes exactly 2 arguments")
+      JaroWinklerSim(children.head, children(1))
+    },
+    fn("graft_damerau_lev", classOf[DamerauLevenshtein]) { children =>
+      require(children.length == 2,
+        "graft_damerau_lev takes exactly 2 arguments")
+      DamerauLevenshtein(children.head, children(1))
+    },
+    fn("graft_hamming", classOf[HammingDist]) { children =>
+      require(children.length == 2, "graft_hamming takes exactly 2 arguments")
+      HammingDist(children.head, children(1))
+    },
     // Spark's OWN runtime-filter bloom primitives, SQL-exposed. The
     // InjectRuntimeFilter rule only fires when the creation side is a
     // selective filter over a scan; a pipeline that KNOWS a join side
@@ -963,32 +960,32 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // build side's xxhash64 keys into a bloom, probe the probe side
     // BEFORE its exchange. Both are the very expressions the optimizer
     // rule plants, so semantics/sizing match runtime filtering exactly.
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate].getCanonicalName, "graft_bloom_agg"),
-      (children: Seq[Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-        children.length match {
-          case 1 => new BloomFilterAggregate(children.head)
-          case 2 => new BloomFilterAggregate(children.head, children(1))
-          case 3 =>
-            new BloomFilterAggregate(children.head, children(1), children(2))
-          case n => throw new IllegalArgumentException(
-            s"graft_bloom_agg takes 1-3 arguments, got $n")
-        }
-      }))
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain].getCanonicalName, "graft_might_contain"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-          "graft_might_contain takes exactly 2 arguments")
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children.head, children(1))
-      }))
-  }
+    fn("graft_bloom_agg", classOf[org.apache.spark.sql.catalyst
+      .expressions.aggregate.BloomFilterAggregate]) { children =>
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      children.length match {
+        case 1 => new BloomFilterAggregate(children.head)
+        case 2 => new BloomFilterAggregate(children.head, children(1))
+        case 3 =>
+          new BloomFilterAggregate(children.head, children(1), children(2))
+        case n => throw new IllegalArgumentException(
+          s"graft_bloom_agg takes 1-3 arguments, got $n")
+      }
+    },
+    fn("graft_might_contain", classOf[org.apache.spark.sql.catalyst
+      .expressions.BloomFilterMightContain]) { children =>
+      require(children.length == 2,
+        "graft_might_contain takes exactly 2 arguments")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1))
+    })
+
+  /** Register the same graft_* functions on an ALREADY-BUILT session —
+    * the `.withExtensions` hook can only run at session construction,
+    * but the function registry accepts late registration; idempotent
+    * (re-registration overwrites with the identical builder). */
+  def registerOn(s: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      s.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -296,4 +296,39 @@ class EventsSpec extends AnyFunSuite {
       r.getAs[Long]("s_down") > 0),
       "CUSUM statistic is identically zero on fixtures — check the slack")
   }
+
+  test("per-key CUSUM: a planted shift in one key fires only that key") {
+    // The r14 verdict #2 pin: cusumByKey must equal the factored
+    // recurrence run per key — a +30% level shift planted in ONE event
+    // type alarms there and nowhere else, and each key's statistic
+    // uses its OWN mean (the 'steady' key's higher absolute volume
+    // must not leak into the shifted key's baseline).
+    val s = TestSpark.spark
+    import s.implicits._
+    val shifted = (0 until 96).map(h =>
+      ("canary", h.toLong * 3600000000L, if (h < 48) 100L else 130L))
+    val steady = (0 until 96).map(h =>
+      ("steady", h.toLong * 3600000000L, 1000L))
+    val hourly = (shifted ++ steady)
+      .toDF("event_type", "hour_us", "n")
+      .repartition(7) // order/partitioning must not matter
+    val out = ops.Events.cusumByKey(hourly).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    val byKey = out.groupBy(_._1)
+    assert(byKey.keySet === Set("canary", "steady"))
+    // exact equality with the single-series recurrence, per key
+    val canary = byKey("canary").sortBy(_._2).map(t =>
+      (t._2, t._3, t._4, t._5, t._6, t._7)).toSeq
+    assert(canary === ops.Events.cusum(shifted.map(t => (t._2, t._3))))
+    assert(byKey("steady").forall(r => !r._6 && !r._7),
+      "steady key must never flag")
+    assert(canary.exists(_._5), "planted shift did not fire flag_up")
+    // and the registry query is live on the fixtures (statistic > 0
+    // somewhere even though the uniform volume never flags)
+    val fix = q("q_ev_changepoint_key").collect()
+    assert(fix.nonEmpty)
+    assert(fix.map(_.getAs[String]("event_type")).distinct.length > 1,
+      "per-key output collapsed to one key on the fixtures")
+  }
 }

@@ -209,4 +209,51 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(lo <= hi && wm >= lo && wm <= hi, r.toString)
     }
   }
+
+  test("q_mix_split_dedup: zero cross-split leakage on its own output, non-vacuously") {
+    // The defining property of dedup-before-split (r14 verdict #4):
+    // every exact-dup group (same md5(text)) lands wholly in ONE
+    // split — the leakage q_mix_split_leakage measures is structurally
+    // zero on this assignment. Checked at all three fixture tiers
+    // (sf0.1 is the only one whose planted dups straddle naive splits,
+    // so it carries the non-vacuity half).
+    Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val out = Registry.byName("q_mix_split_dedup").df(spark, dir)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val joined = docs.join(out, "doc_id")
+      val nDocs = docs.count()
+      assert(out.count() === nDocs, s"one row per document at $dir")
+      val leaky = joined.groupBy("h")
+        .agg(countDistinct("split").as("nsp"))
+        .filter(col("nsp") > 1).count()
+      assert(leaky === 0L, s"$leaky text groups span splits at $dir")
+      // Non-vacuous exactly where it should be: a document moves
+      // relative to the NAIVE id-hash split iff its text group spans
+      // naive splits — so moved > 0 ⟺ the naive assignment leaks.
+      // (sf0.001's dup groups happen to land wholly inside one naive
+      // split, so nothing moves there; sf0.01 leaks and must move.)
+      val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val naive = when(nib <= "b", "train").when(nib <= "d", "val")
+        .otherwise("test")
+      val naiveLeakyGroups = docs.withColumn("naive", naive)
+        .groupBy("h").agg(countDistinct("naive").as("nsp"))
+        .filter(col("nsp") > 1).count()
+      val moved = out.withColumn("naive", naive)
+        .filter(col("split") =!= col("naive")).count()
+      assert((moved > 0L) === (naiveLeakyGroups > 0L),
+        s"moved=$moved but naive-leaky groups=$naiveLeakyGroups at $dir")
+      if (dir.endsWith("sf0.1"))
+        assert(moved > 0L, "sf0.1 plants cross-split dups " +
+          "(q_mix_split_leakage is non-vacuous there) — the fix must move docs")
+      // and non-dup docs (keep_id == doc_id) keep their id-hash split
+      val keepersMoved = out.filter(col("keep_id") === col("doc_id"))
+        .withColumn("naive",
+          when(nib <= "b", "train").when(nib <= "d", "val")
+            .otherwise("test"))
+        .filter(col("split") =!= col("naive")).count()
+      assert(keepersMoved === 0L,
+        "a group representative moved away from its own id-hash split")
+    }
+  }
 }

@@ -21,9 +21,9 @@ class QuickstartSpec extends AnyFunSuite {
       .findAllMatchIn(section).map(_.group(1).trim).toSeq
   }
 
-  test("README quickstart has exactly the five pinned blocks") {
+  test("README quickstart has exactly the six pinned blocks") {
     val blocks = quickstartBlocks
-    assert(blocks.length === 5, s"expected 5 fenced blocks, got ${blocks.length}")
+    assert(blocks.length === 6, s"expected 6 fenced blocks, got ${blocks.length}")
     assert(blocks(0) ===
       """import graft.{Tables, Registry}
         |val docs = Tables.documents(spark, sfDir)
@@ -46,6 +46,10 @@ class QuickstartSpec extends AnyFunSuite {
         |import org.apache.spark.sql.functions.col
         |val dedup = Clustering.semanticDedup(spark, sfDir, k = 8)
         |dedup.filter(col("n_nbrs") > 0).show(5)""".stripMargin)
+    assert(blocks(5) ===
+      """graft.Graft.registerAll(spark, sfDir)
+        |spark.sql("SELECT source, count(*) AS n FROM documents GROUP BY source ORDER BY n DESC, source").show()
+        |spark.sql("SELECT a.vec_id AS qa, b.vec_id AS qb, graft_dot(a.embedding, b.embedding) AS cos FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id ORDER BY cos DESC, qa LIMIT 3").show()""".stripMargin)
   }
 
   test("block 1 runs: table loader + registry query by name") {
@@ -107,5 +111,34 @@ class QuickstartSpec extends AnyFunSuite {
     // one row per vector; the fixture corpus carries genuine near-dups
     assert(dedup.count() === Tables.embeddings(spark, sfDir).count())
     assert(dedup.filter(col("n_nbrs") > 0).count() > 0)
+  }
+
+  test("block 6 runs: registerAll then pure spark.sql one-liners") {
+    val sfDir = sf
+    // -- verbatim from README --
+    graft.Graft.registerAll(spark, sfDir)
+    spark.sql("SELECT source, count(*) AS n FROM documents GROUP BY source ORDER BY n DESC, source").show()
+    spark.sql("SELECT a.vec_id AS qa, b.vec_id AS qb, graft_dot(a.embedding, b.embedding) AS cos FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id ORDER BY cos DESC, qa LIMIT 3").show()
+    // -- sanity beyond the snippet --
+    val srcs = spark.sql(
+      "SELECT source, count(*) AS n FROM documents GROUP BY source").collect()
+    assert(srcs.length > 1 && srcs.forall(_.getLong(1) > 0))
+    val top = spark.sql("SELECT a.vec_id AS qa, b.vec_id AS qb, " +
+      "graft_dot(a.embedding, b.embedding) AS cos FROM embeddings a " +
+      "JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "ORDER BY cos DESC, qa LIMIT 3").collect()
+    assert(top.length === 3)
+    // the fixture plants cos >= 0.4 near-dup pairs (the q_dedup_cosine
+    // bar) — the SQL-surface top-3 must surface them
+    assert(top.forall(_.getDouble(2) > 0.4), top.mkString(","))
+    // every fixture table answers through its view, with the recipe
+    // loaders applied (a raw events view would throw on the ns type)
+    graft.Graft.TableNames.foreach { t =>
+      assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) > 0,
+        s"view $t is empty")
+    }
+    // and events timestamps came through the normalization recipe
+    assert(spark.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL")
+      .head().getLong(0) > 0)
   }
 }
