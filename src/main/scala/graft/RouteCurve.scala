@@ -11,22 +11,40 @@ import org.apache.spark.sql.functions._
   * every branch boundary is contested); clustered real corpora sit
   * above this curve.
   *
-  *   sbt "runMain graft.RouteCurve [dir] [k] [probes...]"
+  *   sbt "runMain graft.RouteCurve [dir] [k] [trainMode] [probes...]"
   *
-  * One JSON line per probe point on stdout.
+  * One JSON line per probe point on stdout. `trainMode` (join|routed,
+  * default join) picks how the centroids are TRAINED before the curve
+  * measures assignment against them: join isolates pure routing error
+  * on exactly-trained centroids; routed measures the production
+  * configuration, whose assignments are self-consistent with the
+  * hierarchy and agree substantially more (measured — see SCALE.md).
+  * Either way the agreement baseline is the exact flat argmin on the
+  * SAME centroids.
   */
 object RouteCurve {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dirArg = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(160)
-    val probes = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+    val trainMode = args.lift(2).getOrElse("join")
+    require(Set("join", "routed")(trainMode),
+      s"trainMode must be join|routed, got $trainMode")
+    val probes = if (args.length > 3) args.drop(3).map(_.toInt).toSeq
                  else Seq(1, 2, 3, 4, 6, 8)
     val s = Local.session(defaultCpus = "32")
+    // "clustered:<mult>:<nclusters>" generates a ScaleGen clustered
+    // tier from sf0.1 on the fly — the contrast point for the
+    // isotropic-is-worst-case claim (the AnnCurve clustered-tier
+    // precedent).
+    val dir = dirArg.split(":") match {
+      case Array("clustered", m, c) =>
+        ScaleGen.generate(s, "/root/testdata/sf0.1",
+          s"target/scale_curve/cl${c}_x$m", m.toInt, clusters = c.toInt)
+      case _ => dirArg
+    }
     val b = ops.Clustering.base(s, dir)
     val n = b.count()
-    // exact-path training: the curve isolates ASSIGNMENT error, so
-    // both sides must score against the same exactly-trained centroids
-    s.conf.set("spark.graft.kmeans.estep", "join")
+    s.conf.set("spark.graft.kmeans.estep", trainMode)
     val cents = ops.Clustering.centroids(s, dir, k)
     val flat = ops.Clustering.assignJoin(b, cents)
       .select(col("vec_id"), col("cid").as("cf")).localCheckpoint(true)
@@ -37,8 +55,8 @@ object RouteCurve {
       val agree = flat.join(routed, "vec_id")
         .filter(col("cf") === col("cr")).count()
       val evals = ops.Clustering.routedEstepEvals(b, cents)
-      println(s"""{"dir":"$dir","k":$k,"rprobe":$p,"n":$n,""" +
-        f""""agree":${agree.toDouble / n}%.4f,"evals":$evals,""" +
+      println(s"""{"dir":"$dir","k":$k,"train":"$trainMode","rprobe":$p,""" +
+        f""""n":$n,"agree":${agree.toDouble / n}%.4f,"evals":$evals,""" +
         s""""evals_flat":${n * k}}""")
     }
     s.stop()
