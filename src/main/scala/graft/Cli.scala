@@ -184,25 +184,17 @@ object Cli {
     finally out.close()
   }
 
-  /** Table names `sql` registers as temp views (via [[Tables]], so the
-    * timestamp/embedding recipes apply — raw ad-hoc SQL sees the same
-    * logical schema every registry query sees). */
-  private val SqlTables = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
-
   /** `sql <statement> <sf-dir> <out-dir>`: ad-hoc Spark SQL over the
     * standard tables from the shell — the escape hatch when none of
-    * the named registry queries is the question being asked. Missing
-    * tables are skipped (a partial dataset dir still serves the tables
-    * it has); output is the same TSV-parts + header-file layout as
-    * `query`. */
+    * the named registry queries is the question being asked. View +
+    * function registration is [[Graft.registerAll]] (one copy of the
+    * table list and the missing-table tolerance; via [[Tables]], so
+    * the timestamp/embedding recipes apply — raw ad-hoc SQL sees the
+    * same logical schema every registry query sees); output is the
+    * same TSV-parts + header-file layout as `query`. */
   def runSql(spark: SparkSession, statement: String, sfDir: String,
       outDir: String): Unit = {
-    SqlTables.foreach { t =>
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(Tables.path(sfDir, t))))
-        Tables(spark, sfDir, t).createOrReplaceTempView(t)
-    }
+    Graft.registerAll(spark, sfDir)
     val df = spark.sql(statement)
     val cols = df.columns
     df.select(concat_ws("\t",

@@ -25,13 +25,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Graft {
 
-  /** Every fixture table (TESTDATA.md). */
+  /** Every fixture table (TESTDATA.md) — the ONE copy of this list
+    * (Cli.runSql shares it, r15 review #4). */
   val TableNames: Seq[String] = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
 
+  /** Missing tables are skipped, matching the CLI's long-standing
+    * tolerance: a partial dataset dir still serves the tables it has
+    * (querying an unregistered view fails with Spark's own
+    * TABLE_OR_VIEW_NOT_FOUND, which names the problem). */
   def registerAll(s: SparkSession, dir: String): Unit = {
-    TableNames.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    TableNames.foreach { t =>
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(Tables.path(dir, t))))
+        Tables(s, dir, t).createOrReplaceTempView(t)
+    }
     org.apache.spark.sql.graftnative.GraftExtensions.registerOn(s)
   }
 }

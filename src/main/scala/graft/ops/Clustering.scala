@@ -389,9 +389,20 @@ object Clustering {
     if (cents.length <= LiteralMaxK) return assignLiteral(b, cents)
     val s = b.sparkSession
     val (coarse, memberOf) = coarsen(cents, routeCount(cents.length))
+    // A NULL xq row would be dropped SILENTLY by the top-k routing
+    // branch (null distance -> aggregate-skips-nulls -> empty probe
+    // list), diverging from the exact paths (r15 review #6) — fail
+    // loudly instead; every in-repo producer quantizes through
+    // [[base]], so this fires only on malformed foreign input. (The
+    // stream-guard trick: assert_true is NULL when the row is fine,
+    // and wiring it through the kept column keeps it un-prunable.)
+    val guarded = b.withColumn("xq",
+      when(assert_true(col("xq").isNotNull,
+        lit("assignRouted: NULL xq row — quantize embeddings via " +
+          "Clustering.base / Clustering.quantize")).isNull, col("xq")))
     // same per-row grouping-key discipline as assignJoin: duplicates
     // stay distinct through the argmin, the id never reaches output
-    val keyed = b.withColumn("_rid", monotonically_increasing_id())
+    val keyed = guarded.withColumn("_rid", monotonically_increasing_id())
     val probed = routeProbe(keyed, coarse, rprobeOf(s))
     val keep = b.columns
     probed.join(membersDf(s, cents, memberOf), "_rt")
@@ -408,7 +419,11 @@ object Clustering {
     * routed path — n·r routing evaluations plus the sizes of each
     * vector's P probed branches. The ScaleBench/ScaleSpec evidence
     * chain: this count must grow ~n^1.5 when K ∝ n, vs the flat
-    * paths' exact n·K ≈ n². */
+    * paths' exact n·K ≈ n². MEASUREMENT TOOL, deliberately standalone:
+    * it re-runs coarsen + the n·r probe pass rather than entangling
+    * [[assignRouted]]'s API with count plumbing — one extra ~n√K
+    * routing job per ARTIFACT REFRESH (seconds at the ×100 tier,
+    * never on a query path). */
   private[graft] def routedEstepEvals(b: DataFrame,
       cents: Array[Array[Long]]): Long = {
     val n = b.count()
@@ -457,18 +472,31 @@ object Clustering {
       case _         => assignRouted(b, cents)
     }
 
+  /** The RESOLVED training-result class of the session's E-step knob
+    * at this k — the memo/store key component. "exact" covers literal,
+    * join, AND auto below [[RoutedMinK]]: those paths are bit-identical
+    * by pin, so sharing one memo entry between them is sound and
+    * avoids duplicate trainings (r15 review #3 — a forced 'routed'
+    * session and an 'auto' session past RoutedMinK likewise share). */
+  private[graft] def modeKey(s: SparkSession, k: Int): String =
+    estepOf(s) match {
+      case "routed"                         => "routed"
+      case "auto" if k > RoutedMinK         => "routed"
+      case _                                => "exact"
+    }
+
   /** Per-iteration centroid history (seeds c0 .. final c_iters),
-    * memoized per (session, dir, k, E-step mode): training runs ONCE
-    * even though several registry queries ride it (final centroids for
-    * the report/dedup, the full trace for the elbow readout). The
-    * E-step mode is part of the key because past [[LiteralMaxK]] the
-    * routed path trains (deterministically) DIFFERENT centroids than
-    * the exact paths — a session that flips the knob must not be
-    * served the other mode's history. Weak-keyed on the session
-    * ([[graft.SessionMemo]], r14 advice). */
+    * memoized per (session, dir, k, resolved E-step class): training
+    * runs ONCE even though several registry queries ride it (final
+    * centroids for the report/dedup, the full trace for the elbow
+    * readout). The class is part of the key because past
+    * [[LiteralMaxK]] the routed path trains (deterministically)
+    * DIFFERENT centroids than the exact paths — a session that flips
+    * the knob must not be served the other class's history. Weak-keyed
+    * on the session ([[graft.SessionMemo]], r14 advice). */
   private[graft] def centroidHistory(s: SparkSession, d: String,
       k: Int): Seq[Array[Array[Long]]] =
-    graft.SessionMemo.memo(s, s"kmeans_cents|$d|$k|${estepOf(s)}") {
+    graft.SessionMemo.memo(s, s"kmeans_cents|$d|$k|${modeKey(s, k)}") {
       trainHistory(base(s, d), k, Iters)
     }
 
@@ -485,13 +513,19 @@ object Clustering {
   /** Order-insensitive corpus fingerprint over the embeddings table —
     * the staleness key for [[persistentCentroidHistory]]: one narrow
     * scan, xor of per-row xxhash64 over every column the training
-    * reads (id, label, raw embedding). Any row added, dropped, or
-    * edited flips it; partitioning and row order cannot (xor is
-    * commutative/associative). 0 on an empty corpus. */
+    * reads (id, label, raw embedding) MIXED WITH the row count.
+    * Partitioning and row order cannot flip it (xor is commutative/
+    * associative); the count term closes xor's even-multiplicity
+    * blindness (r15 review #2: a batch double-appended verbatim xors
+    * its own hashes away — the count still moves). A same-count
+    * corpus edit flips the xor term. 0 on an empty corpus. */
   private[graft] def corpusFingerprint(s: SparkSession, d: String): Long = {
     val r = Tables.embeddings(s, d)
-      .agg(expr("bit_xor(xxhash64(vec_id, label, embedding))")).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+      .agg(expr("bit_xor(xxhash64(vec_id, label, embedding))"),
+        count(lit(1))).head()
+    if (r.isNullAt(0)) 0L
+    else java.lang.Long.rotateLeft(r.getLong(0), 17) ^
+      (r.getLong(1) * 0x9E3779B97F4A7C15L)
   }
 
   /** CROSS-SESSION training memo (r14 verdict #5): the centroid
@@ -512,8 +546,25 @@ object Clustering {
     * too. */
   def persistentCentroidHistory(s: SparkSession, d: String, k: Int,
       storeDir: String): Seq[Array[Array[Long]]] = {
-    val mode = estepOf(s)
-    val fp = java.lang.Long.toHexString(corpusFingerprint(s, d))
+    val mode = modeKey(s, k)
+    val fpNow = corpusFingerprint(s, d)
+    // Session-immutability guard (r15 review #1): the in-session memos
+    // and StageCache stages assume the corpus at `d` does not change
+    // WITHIN a session (StageCache's documented contract — edits
+    // between sessions are the supported case). Without this check, a
+    // mid-session corpus swap could pair a STALE memoized history with
+    // the FRESH fingerprint and poison the store for every future
+    // session. The fingerprint observed at this session's first store
+    // touch is memoized; a later mismatch fails loudly instead.
+    val fp0 = graft.SessionMemo.memo(s, s"kmeans_fp|$d")(
+      java.lang.Long.valueOf(fpNow))
+    require(fp0.longValue == fpNow,
+      s"corpus at $d changed within this session (fingerprint " +
+        s"${java.lang.Long.toHexString(fp0.longValue)} -> " +
+        s"${java.lang.Long.toHexString(fpNow)}); session memos and " +
+        "stage materializations are per-session-immutable — use a " +
+        "fresh session for the regenerated corpus")
+    val fp = java.lang.Long.toHexString(fpNow)
     val file = java.nio.file.Paths.get(storeDir,
       s"kmeans_k${k}_${mode}_fp$fp.txt")
     if (java.nio.file.Files.isRegularFile(file)) {

@@ -283,6 +283,71 @@ class ClusteringSpec extends AnyFunSuite {
       "changed corpus must retrain")
   }
 
+  test("routed path fails loudly on a NULL xq row instead of dropping it") {
+    // r15 review #6: the top-k routing branch would silently drop a
+    // null-xq vector (null distance -> aggregate skips -> no probes);
+    // the entry guard makes every routed call fail loudly instead.
+    val s = spark
+    import s.implicits._
+    val (_, cents) = routedFixture
+    val bad = ops.Clustering.base(spark, sf)
+      .unionAll(Seq((999999L, 0L, null.asInstanceOf[Seq[Long]]))
+        .toDF("vec_id", "label", "xq"))
+    val ex = intercept[Exception] {
+      ops.Clustering.assignRouted(bad, cents).count()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("NULL xq row"), msgs(ex))
+  }
+
+  test("modeKey: exact paths share one training; auto resolves by K") {
+    // r15 review #3: 'auto' past RoutedMinK and a forced 'routed' must
+    // share the memo/store key (identical training); literal, join and
+    // small-K auto share the 'exact' key (bit-identical by pin).
+    def at(mode: String, k: Int): String = {
+      spark.conf.set("spark.graft.kmeans.estep", mode)
+      try ops.Clustering.modeKey(spark, k)
+      finally spark.conf.set("spark.graft.kmeans.estep", "auto")
+    }
+    assert(at("auto", 8) === "exact")
+    assert(at("auto", 500) === "exact")
+    assert(at("auto", 2000) === "routed")
+    assert(at("literal", 8) === "exact")
+    assert(at("join", 2000) === "exact")
+    assert(at("routed", 8) === "routed")
+  }
+
+  test("corpus fingerprint moves on even-multiplicity changes; mid-session mutation is refused") {
+    // r15 review #1/#2. Even-multiplicity: duplicating every row xors
+    // the per-row hashes away — the count term must still move the
+    // fingerprint.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fp_corpus").toString
+    val emb = Tables.embeddings(spark, sf)
+    emb.write.parquet(Tables.path(dir, "embeddings"))
+    val fp1 = ops.Clustering.corpusFingerprint(spark, dir)
+    assert(fp1 === ops.Clustering.corpusFingerprint(spark, sf),
+      "same rows, different dir must fingerprint identically")
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_fp_corpus2").toString
+    emb.unionAll(emb).write.parquet(Tables.path(dir2, "embeddings"))
+    assert(ops.Clustering.corpusFingerprint(spark, dir2) !== fp1,
+      "doubled corpus kept its fingerprint (xor blindness)")
+    // Mid-session mutation: the store touch memoizes the fingerprint;
+    // swapping the corpus under the same dir in the same session must
+    // fail loudly, not poison the cross-session store.
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_fp_store").toString
+    ops.Clustering.persistentCentroidHistory(spark, dir, 6, store)
+    Local.rmTree(new java.io.File(Tables.path(dir, "embeddings")))
+    emb.limit(400).write.parquet(Tables.path(dir, "embeddings"))
+    val ex = intercept[IllegalArgumentException] {
+      ops.Clustering.persistentCentroidHistory(spark, dir, 6, store)
+    }
+    assert(ex.getMessage.contains("changed within this session"))
+  }
+
   test("empty corpus produces the clear seed-count error, not an NPE") {
     val s = spark
     import s.implicits._

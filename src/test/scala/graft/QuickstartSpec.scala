@@ -141,4 +141,19 @@ class QuickstartSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL")
       .head().getLong(0) > 0)
   }
+
+  test("registerAll tolerates a partial dataset dir (the CLI contract)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_partial_ds").toString
+    Tables.documents(spark, sf).write
+      .parquet(Tables.path(dir, "documents"))
+    val s2 = spark.newSession()
+    graft.Graft.registerAll(s2, dir) // must not throw on 9 missing tables
+    assert(s2.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+    val ex = intercept[Exception] {
+      s2.sql("SELECT count(*) FROM lineitem").collect()
+    }
+    assert(ex.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"),
+      s"unexpected failure shape: ${ex.getMessage.take(200)}")
+  }
 }
