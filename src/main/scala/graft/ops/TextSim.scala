@@ -1738,6 +1738,83 @@ object TextSim {
         .orderBy("doc_id")
     },
 
+    // NEAR-dup split-leakage audit — what dedup-before-split does NOT
+    // fix: q_mix_split_dedup provably zeroes EXACT cross-split dups
+    // (same md5 ⇒ same split), but near-duplicates have different
+    // hashes, get independent split assignments, and still leak
+    // train-adjacent text into val/test. Per split (the DEDUP-KEYED
+    // assignment — auditing the pipeline's best practice, not the
+    // naive one): docs, docs with a jac ≥ 0.5 near-dup in ANOTHER
+    // split, leaked fraction. Non-vacuous at every tier (8/12/104
+    // cross-split edges at sf0.001/0.01/0.1) — the finding that
+    // motivates fuzzy decontamination. Scale shape: rides the
+    // stage-cached postings-bounded edge artifact (the dedup family's
+    // candidate pipeline, measured ~linear in SCALE.md) + the md5
+    // split join; the only new work is |edges|-bounded.
+    q("q_mix_split_neardup",
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |      FROM w),
+        |ok AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= $DfCap),
+        |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id),
+        |e AS (SELECT ida, idb FROM p
+        |      JOIN sz sa ON p.ida = sa.doc_id
+        |      JOIN sz sb ON p.idb = sb.doc_id
+        |      WHERE round(c / (sa.n + sb.n - c), 6) >= $NearDupJac),
+        |k AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |gk AS (SELECT h, min(doc_id) AS keep_id FROM k GROUP BY h),
+        |sp AS (SELECT k.doc_id,
+        |    CASE WHEN substr(md5(CAST(gk.keep_id AS VARCHAR)), 1, 1) <= 'b'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(gk.keep_id AS VARCHAR)), 1, 1) <= 'd'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM k JOIN gk ON gk.h = k.h),
+        |x AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT e.ida AS doc_id FROM e
+        |      JOIN sp sa ON e.ida = sa.doc_id
+        |      JOIN sp sb ON e.idb = sb.doc_id WHERE sa.split <> sb.split
+        |    UNION ALL
+        |    SELECT e.idb FROM e
+        |      JOIN sp sa ON e.ida = sa.doc_id
+        |      JOIN sp sb ON e.idb = sb.doc_id WHERE sa.split <> sb.split))
+        |SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(x.doc_id) AS BIGINT) AS n_leaked_near,
+        |  round(count(x.doc_id) / CAST(count(*) AS DOUBLE), 6) AS leak_frac
+        |FROM sp LEFT JOIN x ON x.doc_id = sp.doc_id
+        |GROUP BY sp.split
+        |ORDER BY sp.split""") { (s, d) =>
+      val k = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val gk = k.groupBy("h").agg(min("doc_id").as("keep_id"))
+      val nib = substring(md5(col("keep_id").cast("string")), 1, 1)
+      val sp = k.join(gk, "h")
+        .select(col("doc_id"),
+          when(nib <= "b", "train").when(nib <= "d", "val")
+            .otherwise("test").as("split"))
+      val ej = nearDupEdges(s, d)
+        .join(sp.toDF("ida", "sa"), "ida")
+        .join(sp.toDF("idb", "sb"), "idb")
+        .filter(col("sa") =!= col("sb"))
+      val x = ej.select(col("ida").as("doc_id"))
+        .unionAll(ej.select(col("idb").as("doc_id")))
+        .distinct().withColumn("leak", lit(1))
+      sp.join(x, Seq("doc_id"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("leak")).as("n_leaked_near"),
+          round(count(col("leak")) / count(lit(1)).cast("double"), 6)
+            .as("leak_frac"))
+        .orderBy("split")
+    },
+
     // Per-source frequency capping — the "at most K documents per
     // domain" rule every crawl-curation pipeline applies, spelled
     // SCALE-SAFE via the shared [[cappedKeepByHashPriority]]

@@ -210,6 +210,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mix_split_neardup: replays from collected edges + splits; non-vacuous") {
+    // First-principles replay at sf0.001: leaked docs recomputed in
+    // plain Scala from the near-dup edge list and the dedup-keyed
+    // split map must equal the query's per-split counts — and the
+    // audit must be non-vacuous (near-dups DO leak across the
+    // exact-dedup-keyed split; that finding is the query's reason to
+    // exist).
+    val splits = Registry.byName("q_mix_split_dedup").df(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = ops.TextSim.nearDupEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val leaked = edges.filter { case (a, b) => splits(a) != splits(b) }
+      .flatMap { case (a, b) => Seq(a, b) }.toSet
+    assert(leaked.nonEmpty, "no cross-split near-dups at sf0.001 — " +
+      "the audit is vacuous; fixture drift?")
+    val expected = splits.groupBy(_._2).map { case (sp, m) =>
+      sp -> (m.size.toLong, m.keys.count(leaked).toLong)
+    }
+    val got = Registry.byName("q_mix_split_neardup").df(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+  }
+
   test("q_mix_split_dedup: zero cross-split leakage on its own output, non-vacuously") {
     // The defining property of dedup-before-split (r14 verdict #4):
     // every exact-dup group (same md5(text)) lands wholly in ONE
