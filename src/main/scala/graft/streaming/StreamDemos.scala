@@ -258,6 +258,35 @@ object StreamDemos {
     * (the per-vector argmin aggregate is batch-local, not
     * cross-batch state); the registry-default K rides the stateless
     * path. */
+  /** Quantized, domain-guarded streaming source over a vec-batch
+    * directory — the shared front half of both scoring twins.
+    *
+    * Per-row domain guard (r14 advice): every BATCH entry point fails
+    * loudly on a coordinate <= -4 (train-time require / checkDomain),
+    * so the stream must too — a negative quantized value would
+    * otherwise score a plausible-looking (cid, dist2) silently.
+    * assert_true returns NULL when the predicate holds and raises
+    * otherwise; routing xq through the when() keeps the check alive
+    * in the projection (it cannot be pruned as unused). An empty
+    * embedding passes (array_min = NULL -> coalesce true), matching
+    * the batch paths, which only constrain present coordinates. */
+  private def quantizedVecSource(spark: SparkSession,
+      inDir: String): DataFrame = {
+    import graft.ops.Clustering
+    spark.readStream.schema(vecBatchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .select(col("vec_id"),
+        transform(col("embedding").cast(ArrayType(DoubleType)),
+          Clustering.quantize _).as("xq"))
+      .select(col("vec_id"),
+        when(assert_true(
+          coalesce(array_min(col("xq")) >= 0L, lit(true)),
+          concat(lit("scoredVecStream: coordinate <= -4 (out of the " +
+            "quantization domain) in vec_id "), col("vec_id"))).isNull,
+          col("xq")).as("xq"))
+  }
+
   def scoredVecStream(spark: SparkSession, corpusDir: String,
       inDir: String): DataFrame = {
     import graft.ops.Clustering
@@ -268,32 +297,42 @@ object StreamDemos {
     // alternative instead of stalling codegen
     require(k <= Clustering.LiteralMaxK,
       s"scoredVecStream is the stateless literal-E-step path (k <= " +
-        s"${Clustering.LiteralMaxK}); at k=$k apply Clustering." +
-        "assignJoin inside foreachBatch per micro-batch instead")
+        s"${Clustering.LiteralMaxK}); at k=$k use scoredVecBatches " +
+        "(foreachBatch through the batch assign dispatch) instead")
     val cents = Clustering.centroidHistory(spark, corpusDir, k).last
-    val src = spark.readStream.schema(vecBatchSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inDir)
-      .select(col("vec_id"),
-        transform(col("embedding").cast(ArrayType(DoubleType)),
-          Clustering.quantize _).as("xq"))
-    // Per-row domain guard (r14 advice): every BATCH entry point fails
-    // loudly on a coordinate <= -4 (train-time require / checkDomain),
-    // so the stream must too — a negative quantized value would
-    // otherwise score a plausible-looking (cid, dist2) silently.
-    // assert_true returns NULL when the predicate holds and raises
-    // otherwise; routing xq through the when() keeps the check alive
-    // in the projection (it cannot be pruned as unused). An empty
-    // embedding passes (array_min = NULL -> coalesce true), matching
-    // the batch paths, which only constrain present coordinates.
-    val guarded = src.select(col("vec_id"),
-      when(assert_true(
-        coalesce(array_min(col("xq")) >= 0L, lit(true)),
-        concat(lit("scoredVecStream: coordinate <= -4 (out of the " +
-          "quantization domain) in vec_id "), col("vec_id"))).isNull,
-        col("xq")).as("xq"))
-    Clustering.assignLiteral(guarded, cents)
+    Clustering.assignLiteral(quantizedVecSource(spark, inDir), cents)
       .select(col("vec_id"), col("cid"), col("dist2"))
+  }
+
+  /** Large-K twin of [[scoredVecStream]] (the path its require
+    * prescribes): past the literal threshold the stateless projection
+    * would be the least()-over-K-structs blowup, so each micro-batch
+    * scores through the SAME [[graft.ops.Clustering.assign]] dispatch
+    * production batch scoring uses — exact join through RoutedMinK,
+    * the two-level ROUTED path beyond (the K∝n regime) — inside
+    * foreachBatch: the per-vector argmin is batch-local, never
+    * cross-batch state, so no watermark and no state store. Frozen
+    * corpus-trained centroids (memoized/persistable like every batch
+    * consumer), same quantization map and domain guard as the
+    * stateless twin. One call = one Trigger.AvailableNow pass,
+    * exactly-once via `checkpointDir`; (vec_id, cid, dist2) appends
+    * to `outDir` as parquet. */
+  def scoredVecBatches(spark: SparkSession, corpusDir: String,
+      inDir: String, checkpointDir: String, outDir: String,
+      k: Int): Unit = {
+    import graft.ops.Clustering
+    val cents = Clustering.centroidHistory(spark, corpusDir, k).last
+    val q = quantizedVecSource(spark, inDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Clustering.assign(batch.toDF(), cents)
+          .select(col("vec_id"), col("cid"), col("dist2"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
   }
 
   /** Bounded-state streaming dedup (CAP-STREAM-DEDUP-WM): exactly-once
