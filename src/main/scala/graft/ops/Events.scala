@@ -1053,10 +1053,20 @@ object Events {
   private[graft] def cusum(hourly: IndexedSeq[(Long, Long)])
       : IndexedSeq[(Long, Long, Long, Long, Boolean, Boolean)] = {
     if (hourly.isEmpty) return IndexedSeq.empty
-    val mu = hourly.map(_._2).sum / hourly.length
+    cusumFrom(hourly, hourly.map(_._2).sum / hourly.length)
+  }
+
+  /** The recurrence against an EXPLICIT baseline mean, resumable from
+    * carried state — the half the streaming twin needs: the batch
+    * queries are retrospective (mu from the observed series), while a
+    * live monitor scores new hours against a FROZEN baseline and
+    * carries (s_up, s_down) across micro-batches. */
+  private[graft] def cusumFrom(hourly: IndexedSeq[(Long, Long)],
+      mu: Long, sUp0: Long = 0L, sDown0: Long = 0L)
+      : IndexedSeq[(Long, Long, Long, Long, Boolean, Boolean)] = {
     val k = mu / 20
-    var sUp = 0L
-    var sDown = 0L
+    var sUp = sUp0
+    var sDown = sDown0
     hourly.map { case (hourUs, n) =>
       sUp = math.max(0L, sUp + n - mu - k)
       sDown = math.max(0L, sDown + mu - k - n)

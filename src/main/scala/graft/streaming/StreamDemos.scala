@@ -209,6 +209,60 @@ object StreamDemos {
     q.awaitTermination()
   }
 
+  /** (event_type, hour_us, n) batch-file schema for the hourly-rollup
+    * stream the live changepoint monitor consumes. */
+  val hourlyBatchSchema: StructType = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("hour_us", LongType),
+    StructField("n", LongType)))
+
+  /** Live per-key CUSUM (the streaming twin of q_ev_changepoint_key):
+    * a monitor over an hourly-rollup stream — one row per (event_type,
+    * hour), files arriving in time order, the shape a pipeline's first
+    * aggregation stage emits. The batch queries are RETROSPECTIVE
+    * (mean from the observed series); a live monitor can't know the
+    * future mean, so it scores each key's new hours against a FROZEN
+    * per-key `baseline` mean (computed batch-side from the reference
+    * corpus — the q_embed_drift discipline: batch owns the baseline,
+    * the stream owns the alarm) and carries (s_up, s_down) per key
+    * across micro-batches via flatMapGroupsWithState. Keys WITHOUT a
+    * baseline are deliberately unscored — emitting nothing is the
+    * monitored-keys contract, never an implicit mu = 0 (which would
+    * flag every observation). Within a micro-batch a key's hours
+    * replay in hour order; state is two longs per key — bounded by
+    * |monitored keys|, the smallest state in the module. */
+  def changepointStream(spark: SparkSession, inDir: String,
+      baseline: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    spark.readStream.schema(hourlyBatchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long),
+        (String, Long, Long, Long, Long, Boolean, Boolean)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[(Long, Long)]) =>
+          baseline.get(key) match {
+            case None => Iterator.empty
+            case Some(mu) =>
+              val (su0, sd0) = state.getOption.getOrElse((0L, 0L))
+              val hours = rows.map(t => (t._2, t._3)).toIndexedSeq
+                .sortBy(_._1)
+              val out = graft.ops.Events.cusumFrom(hours, mu, su0, sd0)
+              out.lastOption.foreach { last =>
+                state.update((last._3, last._4))
+              }
+              out.iterator.map { case (h, n, su, sd, fu, fd) =>
+                (key, h, n, su, sd, fu, fd)
+              }
+          }
+      }
+      .toDF("event_type", "hour_us", "n", "s_up", "s_down",
+        "flag_up", "flag_down")
+  }
+
   /** (vec_id, embedding) batch-file schema for the ANN ingest stream
     * (embeddings as float arrays on disk, like the fixture table). */
   val vecBatchSchema: StructType = StructType(Seq(

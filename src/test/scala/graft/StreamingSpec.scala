@@ -363,6 +363,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.kmeans.estep", "auto")
   }
 
+  test("CAP-STREAM-CUSUM: per-key monitor carries state across batches == one-shot replay") {
+    // The live changepoint monitor: a planted +30% shift in 'canary'
+    // split across TWO micro-batch files (hours 0-59, 60-95) must
+    // produce EXACTLY the rows of a one-shot cusumFrom replay over the
+    // whole series — the state handoff at the file boundary is the
+    // thing under test. 'steady' never flags; 'unmonitored' (no
+    // baseline) emits nothing.
+    val s = spark
+    import s.implicits._
+    val inDir = tmpDir("graft_cusum_in").toString
+    def rows(key: String, hours: Range, n: Long => Long) =
+      hours.map(h => (key, h.toLong * 3600000000L, n(h.toLong)))
+    val canary = rows("canary", 0 until 96,
+      h => if (h < 48) 100L else 130L)
+    val steady = rows("steady", 0 until 96, _ => 1000L)
+    val ghost = rows("unmonitored", 0 until 96, _ => 7L)
+    def file(part: Range): Unit =
+      (canary ++ steady ++ ghost).filter(t =>
+          part.contains((t._2 / 3600000000L).toInt))
+        .toDF("event_type", "hour_us", "n")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    file(0 until 60)
+    file(60 until 96)
+    val baseline = Map("canary" -> 100L, "steady" -> 1000L)
+    val got = StreamDemos.runAvailableNow(spark,
+      StreamDemos.changepointStream(spark, inDir, baseline),
+      "append", "cusum_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(!got.exists(_._1 == "unmonitored"),
+      "keys without a baseline must be unscored")
+    def replay(key: String, series: Seq[(String, Long, Long)], mu: Long) =
+      ops.Events.cusumFrom(series.map(t => (t._2, t._3)).toIndexedSeq, mu)
+        .map { case (h, n, su, sd, fu, fd) => (key, h, n, su, sd, fu, fd) }
+    val expected = (replay("canary", canary, 100L) ++
+      replay("steady", steady, 1000L)).sorted.toSeq
+    assert(got.sorted.toSeq === expected)
+    // the planted shift actually fires through the stream
+    assert(got.exists(r => r._1 == "canary" && r._6), "flag_up never fired")
+    assert(got.filter(_._1 == "steady").forall(r => !r._6 && !r._7))
+  }
+
   test("scoredVecStream fails loudly on an out-of-domain coordinate (r14 advice)") {
     // Batch entry points guard the -4 quantization shift at train time
     // (checkDomain / trainHistory require); a streamed coordinate at or
