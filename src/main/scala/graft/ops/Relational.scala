@@ -676,6 +676,15 @@ object Relational {
     // alternatives (fusing the mean into the counts pipeline via
     // window-aggs to drop the second scan) measured no faster (1.58 s
     // — the window passes cost what the scan+broadcast-join cost).
+    // r15 re-probe: replacing the per-group cum window with the
+    // q_text_pack two-level prefix scan (range buckets off per-group
+    // min/max, offset window over buckets, intra-bucket cumsum)
+    // measured STRICTLY WORSE — 2.4-2.9 s even with the counts table
+    // localCheckpointed — because the |groups|-parallel sort of the
+    // 583k-value domain was never the bottleneck here (~0.2 s); the
+    // extra exchanges/joins were pure cost. The two-level spelling
+    // only pays past domains ~10-100x this one; at THIS tier the
+    // single fused window stage is the right plan.
     // The trade inverts at scale: the window input saturates at the
     // ~10M-value domain while the naive plan's parallelism-3 sort
     // grows with the corpus — the same argument as q_agg_pctl, paid
