@@ -480,7 +480,10 @@ object Clustering {
     * session and an 'auto' session past RoutedMinK likewise share). */
   private[graft] def modeKey(s: SparkSession, k: Int): String =
     estepOf(s) match {
-      case "routed"                         => "routed"
+      // forced routed at k ≤ LiteralMaxK falls back to the literal
+      // path inside assignRouted, so the trained history is the exact
+      // class's — same key, no duplicate training/artifact
+      case "routed" if k > LiteralMaxK      => "routed"
       case "auto" if k > RoutedMinK         => "routed"
       case _                                => "exact"
     }
@@ -497,6 +500,14 @@ object Clustering {
   private[graft] def centroidHistory(s: SparkSession, d: String,
       k: Int): Seq[Array[Array[Long]]] =
     graft.SessionMemo.memo(s, s"kmeans_cents|$d|$k|${modeKey(s, k)}") {
+      // Anchor the session's corpus fingerprint AT TRAINING TIME (one
+      // narrow scan, once per session+dir): persistentCentroidHistory
+      // compares against this anchor, so a corpus swapped AFTER an
+      // in-session training can never pair the stale memoized history
+      // with the fresh fingerprint and poison the cross-session store
+      // (anchoring only at first store touch left that window open).
+      graft.SessionMemo.memo(s, s"kmeans_fp|$d")(
+        java.lang.Long.valueOf(corpusFingerprint(s, d)))
       trainHistory(base(s, d), k, Iters)
     }
 
@@ -554,8 +565,9 @@ object Clustering {
     // between sessions are the supported case). Without this check, a
     // mid-session corpus swap could pair a STALE memoized history with
     // the FRESH fingerprint and poison the store for every future
-    // session. The fingerprint observed at this session's first store
-    // touch is memoized; a later mismatch fails loudly instead.
+    // session. The fingerprint anchors at the session's FIRST
+    // training over `d` (inside centroidHistory) or, failing that, at
+    // the first store touch here; a later mismatch fails loudly.
     val fp0 = graft.SessionMemo.memo(s, s"kmeans_fp|$d")(
       java.lang.Long.valueOf(fpNow))
     require(fp0.longValue == fpNow,

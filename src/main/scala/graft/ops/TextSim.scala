@@ -550,6 +550,25 @@ object TextSim {
     graft.StageCache.memoized(s, d, "edges05")(
       ngramJaccardPairs(s, d, NearDupJac).select("ida", "idb"))
 
+  /** The dedup-keyed split assignment (doc_id, keep_id, split): split
+    * by the md5 nibble of the exact-dedup group's keep_id (min doc_id
+    * per md5(text) — the q_dedup_exact convention; a..b train, c..d
+    * val, e..f test — the q_mix_split thresholds), so every copy of a
+    * text lands in ONE split. The single Spark spelling of the
+    * convention, shared by q_mix_split_dedup (the operator) and
+    * q_mix_split_neardup (the audit over its output) — the two must
+    * never desynchronize. */
+  private def dedupKeyedSplit(s: SparkSession, d: String): DataFrame = {
+    val k = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val g = k.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val nib = substring(md5(col("keep_id").cast("string")), 1, 1)
+    k.join(g, "h")
+      .select(col("doc_id"), col("keep_id"),
+        when(nib <= "b", "train").when(nib <= "d", "val")
+          .otherwise("test").as("split"))
+  }
+
   /** The jac >= `minJac` document-similarity graph: documents as
     * nodes, meaningful 3-gram overlap as edges — the substrate for
     * graph analytics ([[Graph.pagerank]]). A threshold matters
@@ -1705,7 +1724,11 @@ object TextSim {
     },
 
     // Dedup-BEFORE-split — the operator that FIXES what
-    // q_mix_split_leakage detects (r14 verdict #4): split assignment
+    // q_mix_split_leakage detects (r14 verdict #4; the ONE Spark
+    // spelling of the keep_id convention + nibble thresholds lives in
+    // [[dedupKeyedSplit]], shared with the q_mix_split_neardup audit
+    // so the audit can never desynchronize from the split it audits):
+    // split assignment
     // is computed on the exact-dedup group's keep_id (min doc_id per
     // md5(text), the q_dedup_exact convention), so every copy of a
     // text lands in the SAME split by construction and cross-split
@@ -1727,15 +1750,7 @@ object TextSim {
         |       ELSE 'test' END AS split
         |FROM k JOIN g ON g.h = k.h
         |ORDER BY k.doc_id""") { (s, d) =>
-      val k = Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("h"))
-      val g = k.groupBy("h").agg(min("doc_id").as("keep_id"))
-      val nib = substring(md5(col("keep_id").cast("string")), 1, 1)
-      k.join(g, "h")
-        .select(col("doc_id"), col("keep_id"),
-          when(nib <= "b", "train").when(nib <= "d", "val")
-            .otherwise("test").as("split"))
-        .orderBy("doc_id")
+      dedupKeyedSplit(s, d).orderBy("doc_id")
     },
 
     // NEAR-dup split-leakage audit — what dedup-before-split does NOT
@@ -1791,14 +1806,7 @@ object TextSim {
         |FROM sp LEFT JOIN x ON x.doc_id = sp.doc_id
         |GROUP BY sp.split
         |ORDER BY sp.split""") { (s, d) =>
-      val k = Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("h"))
-      val gk = k.groupBy("h").agg(min("doc_id").as("keep_id"))
-      val nib = substring(md5(col("keep_id").cast("string")), 1, 1)
-      val sp = k.join(gk, "h")
-        .select(col("doc_id"),
-          when(nib <= "b", "train").when(nib <= "d", "val")
-            .otherwise("test").as("split"))
+      val sp = dedupKeyedSplit(s, d).select("doc_id", "split")
       val ej = nearDupEdges(s, d)
         .join(sp.toDF("ida", "sa"), "ida")
         .join(sp.toDF("idb", "sb"), "idb")

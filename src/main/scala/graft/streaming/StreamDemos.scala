@@ -229,8 +229,14 @@ object StreamDemos {
     * baseline are deliberately unscored — emitting nothing is the
     * monitored-keys contract, never an implicit mu = 0 (which would
     * flag every observation). Within a micro-batch a key's hours
-    * replay in hour order; state is two longs per key — bounded by
-    * |monitored keys|, the smallest state in the module. */
+    * replay in hour order, and the state carries the last scored hour
+    * so an OUT-OF-ORDER delivery (a backfill file landing after later
+    * hours were scored) fails loudly instead of silently scoring
+    * baseline-level counts against post-accumulation state — the
+    * recurrence is order-sensitive, so monotonicity is a correctness
+    * precondition, enforced like every other guard in this module.
+    * State is three longs per key — bounded by |monitored keys|, the
+    * smallest state in the module. */
   def changepointStream(spark: SparkSession, inDir: String,
       baseline: Map[String, Long]): DataFrame = {
     import spark.implicits._
@@ -239,20 +245,28 @@ object StreamDemos {
       .parquet(inDir)
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long),
+      .flatMapGroupsWithState[(Long, Long, Long),
         (String, Long, Long, Long, Long, Boolean, Boolean)](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
-        (key, rows, state: GroupState[(Long, Long)]) =>
+        (key, rows, state: GroupState[(Long, Long, Long)]) =>
           baseline.get(key) match {
             case None => Iterator.empty
             case Some(mu) =>
-              val (su0, sd0) = state.getOption.getOrElse((0L, 0L))
+              val (su0, sd0, lastHour) =
+                state.getOption.getOrElse((0L, 0L, Long.MinValue))
               val hours = rows.map(t => (t._2, t._3)).toIndexedSeq
                 .sortBy(_._1)
+              hours.headOption.foreach { h =>
+                require(h._1 > lastHour,
+                  s"changepointStream: out-of-order hourly rollup for " +
+                    s"key '$key' (hour ${h._1} <= last scored $lastHour) " +
+                    "— the CUSUM recurrence is order-sensitive; feed " +
+                    "rollup files in time order")
+              }
               val out = graft.ops.Events.cusumFrom(hours, mu, su0, sd0)
               out.lastOption.foreach { last =>
-                state.update((last._3, last._4))
+                state.update((last._3, last._4, last._1))
               }
               out.iterator.map { case (h, n, su, sd, fu, fd) =>
                 (key, h, n, su, sd, fu, fd)
@@ -336,7 +350,7 @@ object StreamDemos {
       .select(col("vec_id"),
         when(assert_true(
           coalesce(array_min(col("xq")) >= 0L, lit(true)),
-          concat(lit("scoredVecStream: coordinate <= -4 (out of the " +
+          concat(lit("vec-batch stream: coordinate <= -4 (out of the " +
             "quantization domain) in vec_id "), col("vec_id"))).isNull,
           col("xq")).as("xq"))
   }
@@ -368,9 +382,14 @@ object StreamDemos {
     * cross-batch state, so no watermark and no state store. Frozen
     * corpus-trained centroids (memoized/persistable like every batch
     * consumer), same quantization map and domain guard as the
-    * stateless twin. One call = one Trigger.AvailableNow pass,
-    * exactly-once via `checkpointDir`; (vec_id, cid, dist2) appends
-    * to `outDir` as parquet. */
+    * stateless twin. One call = one Trigger.AvailableNow pass; output
+    * is EXACTLY-ONCE by idempotent batch-keyed partitions, not by
+    * blind append: each micro-batch OVERWRITES `outDir/batch=<id>`,
+    * so a crash between a write and its checkpoint commit makes the
+    * replayed batch rewrite its own partition instead of duplicating
+    * rows (plain mode-append here would only be at-least-once).
+    * Readers see (vec_id, cid, dist2, batch) via ordinary partition
+    * discovery on `outDir`. */
   def scoredVecBatches(spark: SparkSession, corpusDir: String,
       inDir: String, checkpointDir: String, outDir: String,
       k: Int): Unit = {
@@ -379,10 +398,10 @@ object StreamDemos {
     val q = quantizedVecSource(spark, inDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         Clustering.assign(batch.toDF(), cents)
           .select(col("vec_id"), col("cid"), col("dist2"))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .start()

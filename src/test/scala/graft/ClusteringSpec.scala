@@ -315,7 +315,10 @@ class ClusteringSpec extends AnyFunSuite {
     assert(at("auto", 2000) === "routed")
     assert(at("literal", 8) === "exact")
     assert(at("join", 2000) === "exact")
-    assert(at("routed", 8) === "routed")
+    // forced routed at k <= LiteralMaxK falls back to the literal path
+    // inside assignRouted, so its training IS the exact class's
+    assert(at("routed", 8) === "exact")
+    assert(at("routed", 80) === "routed")
   }
 
   test("corpus fingerprint moves on even-multiplicity changes; mid-session mutation is refused") {

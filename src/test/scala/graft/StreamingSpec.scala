@@ -344,6 +344,7 @@ class StreamingSpec extends AnyFunSuite {
     try {
       StreamDemos.scoredVecBatches(spark, sf, inDir, ck, out, k = 80)
       val streamed = spark.read.parquet(out)
+        .select("vec_id", "cid", "dist2") // + a `batch` partition column
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .sorted.toSeq
       val expectIds = sample.select("vec_id").collect()
@@ -403,6 +404,23 @@ class StreamingSpec extends AnyFunSuite {
     // the planted shift actually fires through the stream
     assert(got.exists(r => r._1 == "canary" && r._6), "flag_up never fired")
     assert(got.filter(_._1 == "steady").forall(r => !r._6 && !r._7))
+    // OUT-OF-ORDER delivery is refused, not silently mis-scored: a
+    // backfill file carrying hours BEFORE the already-scored ones must
+    // terminate the query with the monotonicity error (the recurrence
+    // is order-sensitive; this is the loud-guard discipline)
+    rows("canary", 96 until 100, _ => 100L)
+      .toDF("event_type", "hour_us", "n")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    file(0 until 10) // stale backfill arrives AFTER later hours
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamDemos.runAvailableNow(spark,
+        StreamDemos.changepointStream(spark, inDir, baseline),
+        "append", "cusum_stream2",
+        checkpoint = Some(tmpDir("graft_cusum_ck2").toString))
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("out-of-order hourly rollup"), msgs(ex))
   }
 
   test("scoredVecStream fails loudly on an out-of-domain coordinate (r14 advice)") {
