@@ -44,4 +44,33 @@ class ConcurrencySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SessionMemo: concurrent first access builds exactly once; sessions isolated") {
+    // The r15 memo layer under the same race the StageCache test runs:
+    // 16 threads hit one (session, key) cold — the Slot's
+    // double-checked lock must admit exactly one build, everyone reads
+    // its value; a second session with the same key gets its OWN build
+    // (weak-keyed isolation), and distinct keys never share a slot.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build(): java.lang.Integer = {
+      Thread.sleep(50) // widen the race window
+      Integer.valueOf(builds.incrementAndGet())
+    }
+    val got = Await.result(Future.traverse(1 to 16) { _ =>
+      Future(SessionMemo.memo(spark, "concspec|k1")(build()))
+    }, 2.minutes)
+    assert(builds.get() === 1, s"build ran ${builds.get()} times")
+    assert(got.forall(_ == got.head))
+    val s2 = spark.newSession()
+    assert(SessionMemo.memo(s2, "concspec|k1")(build()).intValue === 2,
+      "a distinct session must not read another session's slot")
+    assert(SessionMemo.memo(spark, "concspec|k2")(build()).intValue === 3,
+      "a distinct key must not share a slot")
+    // and re-reads serve the memo, never the build
+    assert(SessionMemo.memo(spark, "concspec|k1")(build()).intValue === 1)
+    assert(builds.get() === 3)
+  }
 }

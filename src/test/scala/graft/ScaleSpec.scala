@@ -409,6 +409,58 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c100("n_docs") === 10 * c10("n_docs"))
   }
 
+  test("route-curve artifacts: agreement/work monotone in probes, clustered above isotropic") {
+    // The committed agreement-vs-probes operating curves
+    // (bench/route_curve_*_r15.jsonl; regenerate with `runMain
+    // graft.RouteCurve <dir|clustered:mult:c> <k> <join|routed>
+    // <probes...>`) are the CAP-ESTEP-SCALE evidence — this pin
+    // re-derives their structural claims so an artifact refresh that
+    // breaks one fails CI: agreement and evals are monotone
+    // non-decreasing in rprobe, evals always beat flat, the clustered
+    // curve dominates the isotropic one pointwise, and the
+    // production-decade default-P agreement stays above the 0.75
+    // artifact floor.
+    def pts(name: String): Seq[Map[String, Double]] = {
+      val p = java.nio.file.Paths.get(s"bench/$name")
+      new String(java.nio.file.Files.readAllBytes(p))
+        .linesIterator.filter(_.nonEmpty).map { l =>
+          "\"(rprobe|agree|evals|evals_flat)\":([0-9.]+)".r
+            .findAllMatchIn(l)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.toSeq
+    }
+    val files = Seq("route_curve_iso_join_x10_r15.jsonl",
+      "route_curve_iso_routed_x10_r15.jsonl",
+      "route_curve_clustered16_x10_r15.jsonl",
+      "route_curve_iso_routed_x100_r15.jsonl")
+    val curves = files.map(f => f -> pts(f)).toMap
+    curves.foreach { case (f, c) =>
+      assert(c.nonEmpty, s"$f is empty")
+      c.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b("rprobe") > a("rprobe"), s"$f not probe-ordered")
+          assert(b("agree") >= a("agree") - 1e-9,
+            s"$f agreement not monotone in probes")
+          assert(b("evals") >= a("evals"), s"$f evals not monotone")
+        case _ => ()
+      }
+      c.foreach(p => assert(p("evals") < p("evals_flat"),
+        s"$f routed evals not below flat"))
+    }
+    // clustered dominates isotropic at every shared probe count
+    val iso = curves("route_curve_iso_routed_x10_r15.jsonl")
+      .map(p => p("rprobe") -> p("agree")).toMap
+    curves("route_curve_clustered16_x10_r15.jsonl").foreach { p =>
+      iso.get(p("rprobe")).foreach(a =>
+        assert(p("agree") >= a,
+          f"clustered below isotropic at P=${p("rprobe")}%.0f"))
+    }
+    // production decade, default P=3: the ScaleBench artifact floor
+    val x100p3 = curves("route_curve_iso_routed_x100_r15.jsonl")
+      .find(_("rprobe") == 3.0).get
+    assert(x100p3("agree") >= 0.75, s"x100 default-P agreement: $x100p3")
+  }
+
   test("IVF recall/nprobe curve: clustered corpora saturate at narrow probes") {
     // The measured shape behind the 'clustered corpora run nprobe 2-8'
     // claim (r12 verdict task #6; full x10 curve in SCALE.md /
