@@ -1823,6 +1823,65 @@ object TextSim {
         .orderBy("split")
     },
 
+    // Split decontamination — the operator that FIXES what
+    // q_mix_split_neardup measures: after dedup-keyed splitting, scrub
+    // the train/val sides of anything still sharing ≥ 3 distinct
+    // word-3-grams with ANY test-split document (the
+    // q_text_decontaminate bar, aimed at one's own held-out split
+    // instead of an external benchmark source — fuzzy decontamination,
+    // which catches the near-dups exact split-keying cannot). Same
+    // scale shape as the source-benchmark original: the test split's
+    // gram set is the small side BY CONSTRUCTION (an eval split is a
+    // fixed sliver; train is the 100 TB side) and broadcasts, so the
+    // corpus never shuffles; grams are 64-bit-hashed on the Spark side
+    // (fixed-width keys), string-joined in the oracle — same counts.
+    // Output: one row per non-test doc sharing ≥ 1 gram with the test
+    // split, flagged at the ≥ 3 bar.
+    q("q_mix_decontam_split",
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
+        |           FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+        |      FROM w),
+        |k AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |gk AS (SELECT h, min(doc_id) AS keep_id FROM k GROUP BY h),
+        |sp AS (SELECT k.doc_id,
+        |    CASE WHEN substr(md5(CAST(gk.keep_id AS VARCHAR)), 1, 1) <= 'b'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(gk.keep_id AS VARCHAR)), 1, 1) <= 'd'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM k JOIN gk ON gk.h = k.h),
+        |ev AS (SELECT DISTINCT g0.gram FROM g0
+        |       JOIN sp ON g0.doc_id = sp.doc_id WHERE sp.split = 'test'),
+        |tr AS (SELECT g0.doc_id, sp.split, g0.gram FROM g0
+        |       JOIN sp ON g0.doc_id = sp.doc_id WHERE sp.split <> 'test')
+        |SELECT tr.doc_id, tr.split, CAST(count(*) AS BIGINT) AS n_shared,
+        |  CAST(CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS INT)
+        |    AS contaminated
+        |FROM tr JOIN ev ON tr.gram = ev.gram
+        |GROUP BY tr.doc_id, tr.split
+        |ORDER BY tr.doc_id""") { (s, d) =>
+      val g0 = Tables.documents(s, d)
+        .select(col("doc_id"), normTokens(col("text")).as("ws"))
+        .select(col("doc_id"),
+          explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
+            .as("gram"))
+        .distinct()
+      val sp = dedupKeyedSplit(s, d).select("doc_id", "split")
+      val gs = g0.join(sp, "doc_id")
+      val ev = gs.filter(col("split") === "test")
+        .select("gram").distinct()
+      gs.filter(col("split") =!= "test")
+        .join(broadcast(ev), "gram")
+        .groupBy("doc_id", "split")
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("contaminated",
+          when(col("n_shared") >= 3, 1).otherwise(0))
+        .orderBy("doc_id")
+    },
+
     // Per-source frequency capping — the "at most K documents per
     // domain" rule every crawl-curation pipeline applies, spelled
     // SCALE-SAFE via the shared [[cappedKeepByHashPriority]]

@@ -235,6 +235,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q_mix_decontam_split: covers every near-dup into test; train/val only") {
+    // The fix-side contract: any non-test doc with a jac >= 0.5
+    // near-dup edge INTO the test split shares at least one gram with
+    // it by edge construction, so it MUST surface in the decontam
+    // output — the operator catches exactly what q_mix_split_neardup
+    // flags (and more: the >= 3-gram bar fires below the 0.5-jaccard
+    // bar). Plus shape sanity and non-vacuity at sf0.001.
+    val splits = Registry.byName("q_mix_split_dedup").df(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Registry.byName("q_mix_decontam_split").df(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, sp, nsh, c) =>
+      assert(sp === splits(id), s"split mismatch for $id")
+      assert(sp !== "test", "test docs must never appear")
+      assert(nsh >= 1L)
+      assert((c == 1) === (nsh >= 3L), s"flag/threshold mismatch for $id")
+    }
+    assert(out.exists(_._4 == 1), "no contaminated docs at sf0.001 — vacuous")
+    val inOut = out.map(_._1).toSet
+    val edges = ops.TextSim.nearDupEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mustCover = edges.flatMap { case (a, b) =>
+      (splits(a), splits(b)) match {
+        case ("test", s2) if s2 != "test" => Seq(b)
+        case (s1, "test") if s1 != "test" => Seq(a)
+        case _ => Seq.empty
+      }
+    }.toSet
+    assert(mustCover.nonEmpty, "no near-dups into test at sf0.001")
+    assert(mustCover.subsetOf(inOut),
+      s"missed near-dups into test: ${mustCover.diff(inOut)}")
+  }
+
   test("q_mix_split_dedup: zero cross-split leakage on its own output, non-vacuously") {
     // The defining property of dedup-before-split (r14 verdict #4):
     // every exact-dup group (same md5(text)) lands wholly in ONE
