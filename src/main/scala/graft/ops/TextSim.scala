@@ -1823,20 +1823,28 @@ object TextSim {
         .orderBy("split")
     },
 
-    // Split decontamination — the operator that FIXES what
-    // q_mix_split_neardup measures: after dedup-keyed splitting, scrub
-    // the train/val sides of anything still sharing ≥ 3 distinct
-    // word-3-grams with ANY test-split document (the
-    // q_text_decontaminate bar, aimed at one's own held-out split
-    // instead of an external benchmark source — fuzzy decontamination,
-    // which catches the near-dups exact split-keying cannot). Same
-    // scale shape as the source-benchmark original: the test split's
-    // gram set is the small side BY CONSTRUCTION (an eval split is a
-    // fixed sliver; train is the 100 TB side) and broadcasts, so the
-    // corpus never shuffles; grams are 64-bit-hashed on the Spark side
-    // (fixed-width keys), string-joined in the oracle — same counts.
-    // Output: one row per non-test doc sharing ≥ 1 gram with the test
-    // split, flagged at the ≥ 3 bar.
+    // Split decontamination — the fix-side counterpart of the
+    // q_mix_split_neardup audit: after dedup-keyed splitting, flag
+    // train/val docs sharing ≥ 3 distinct word-3-grams with ANY
+    // test-split document (the q_text_decontaminate bar, aimed at
+    // one's own held-out split instead of an external benchmark
+    // source — fuzzy decontamination, which catches near-dups exact
+    // split-keying cannot). The two bars differ BY DESIGN: ≥ 3 shared
+    // grams fires far below jaccard 0.5 (every neardup-audit hit
+    // SURFACES here — ≥ 1 shared gram by edge construction, the
+    // PipelineOpsSpec coverage pin — but a tiny doc can be a
+    // jac ≥ 0.5 twin on 2 grams and sit below the 3-gram flag bar);
+    // a pipeline tunes the bar to its leak tolerance. Scale shape:
+    // UNLIKE q_text_decontaminate's fixed external benchmark, a
+    // 12.5%-nibble test split's gram set grows WITH the corpus, so
+    // no broadcast is forced — the planner takes a hash join on the
+    // fixed-width 64-bit gram keys (AQE broadcasts while the split is
+    // small; at 100 TB it shuffles both sides, and the bloom-pruned
+    // probe-before-exchange treatment q_text_decontam_bloom
+    // demonstrates is the drop-in upgrade). Grams are hashed on the
+    // Spark side, string-joined in the oracle — same counts. Output:
+    // one row per non-test doc sharing ≥ 1 gram with the test split,
+    // flagged at the ≥ 3 bar.
     q("q_mix_decontam_split",
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS ws
         |           FROM documents),
@@ -1870,11 +1878,20 @@ object TextSim {
             .as("gram"))
         .distinct()
       val sp = dedupKeyedSplit(s, d).select("doc_id", "split")
-      val gs = g0.join(sp, "doc_id")
+      // localCheckpoint: both the ev build and the non-test branch
+      // read this frame, and the split-filter pushdown makes the two
+      // subtrees differ, so without it the tokenize→gram→distinct
+      // pipeline AND the md5 split join execute twice (the
+      // q_text_decontam_bloom precedent). Measured cost honesty: at
+      // the fixture tiers the checkpoint is roughly a wash (cold A/B
+      // 1.43 vs 1.59 s — materialization ≈ the avoided recompute);
+      // it is kept for the scale shape, where the doubled corpus-wide
+      // gram build dominates the one narrow materialization.
+      val gs = g0.join(sp, "doc_id").localCheckpoint(true)
       val ev = gs.filter(col("split") === "test")
         .select("gram").distinct()
       gs.filter(col("split") =!= "test")
-        .join(broadcast(ev), "gram")
+        .join(ev, "gram")
         .groupBy("doc_id", "split")
         .agg(count(lit(1)).as("n_shared"))
         .withColumn("contaminated",

@@ -51,9 +51,6 @@ class ConcurrencySpec extends AnyFunSuite {
     // double-checked lock must admit exactly one build, everyone reads
     // its value; a second session with the same key gets its OWN build
     // (weak-keyed isolation), and distinct keys never share a slot.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)
     def build(): java.lang.Integer = {
       Thread.sleep(50) // widen the race window

@@ -238,10 +238,13 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("q_mix_decontam_split: covers every near-dup into test; train/val only") {
     // The fix-side contract: any non-test doc with a jac >= 0.5
     // near-dup edge INTO the test split shares at least one gram with
-    // it by edge construction, so it MUST surface in the decontam
-    // output — the operator catches exactly what q_mix_split_neardup
-    // flags (and more: the >= 3-gram bar fires below the 0.5-jaccard
-    // bar). Plus shape sanity and non-vacuity at sf0.001.
+    // it by edge construction, so it MUST SURFACE in the decontam
+    // output. Surfacing, not flagging: the >= 3-gram flag bar and the
+    // 0.5-jaccard audit bar are different thresholds by design (a
+    // 2-gram doc can be a jaccard twin yet sit below the flag bar),
+    // so the pin asserts presence plus the flag/threshold identity —
+    // never that every audit hit is auto-flagged. Plus shape sanity
+    // and non-vacuity at sf0.001.
     val splits = Registry.byName("q_mix_split_dedup").df(spark, sf)
       .select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
