@@ -1878,16 +1878,18 @@ object TextSim {
             .as("gram"))
         .distinct()
       val sp = dedupKeyedSplit(s, d).select("doc_id", "split")
-      // localCheckpoint: both the ev build and the non-test branch
-      // read this frame, and the split-filter pushdown makes the two
-      // subtrees differ, so without it the tokenize→gram→distinct
-      // pipeline AND the md5 split join execute twice (the
-      // q_text_decontam_bloom precedent). Measured cost honesty: at
-      // the fixture tiers the checkpoint is roughly a wash (cold A/B
-      // 1.43 vs 1.59 s — materialization ≈ the avoided recompute);
-      // it is kept for the scale shape, where the doubled corpus-wide
-      // gram build dominates the one narrow materialization.
-      val gs = g0.join(sp, "doc_id").localCheckpoint(true)
+      // Two subtrees (the ev build and the non-test branch) read this
+      // frame, so the tokenize→gram→distinct pipeline and the md5
+      // split join execute twice — ACCEPTED at fixture tiers by
+      // measurement: a localCheckpoint here benched a wash cold
+      // (1.43 vs 1.59 s) and SLOWER + noisier warm (0.84 → 1.1-1.9 s;
+      // eager materialization of the gram frame trades compute for
+      // memory/GC), the inverse of the q_text_decontam_bloom case,
+      // whose checkpointed frame is the tiny post-prune sliver. At
+      // 100 TB the right fix is not a checkpoint but sharing the
+      // gram build as a maintained STAGE (the gramPostings pattern) —
+      // documented, not speculatively pre-paid.
+      val gs = g0.join(sp, "doc_id")
       val ev = gs.filter(col("split") === "test")
         .select("gram").distinct()
       gs.filter(col("split") =!= "test")
