@@ -218,14 +218,23 @@ object Clustering {
     // (partitioning-dependent) values never reach a result.
     val keyed = b.withColumn("_rid", monotonically_increasing_id())
     val keep = b.columns
+    // Group ONLY on the _rid row key — never on payload columns: a
+    // caller frame carrying a map-typed column would make a
+    // group-by-everything fail (grouping on MapType is unsupported),
+    // and a single long grouping key is the narrower shuffle anyway.
+    // The payload rides as first() partial aggregates — every row in
+    // a _rid group came from ONE input row, so first() is exact.
+    val aggs = keep.toIndexedSeq.map(c => first(col(c)).as(c)) :+
+      min(col("_dc")).as("_dc")
     keyed.crossJoin(broadcast(cdf))
       .withColumn("_dc",
         struct(l2sq(col("xq"), col("_cq")).as("d"), col("_ccid").as("cid")))
-      .groupBy((keep :+ "_rid").map(col).toIndexedSeq: _*)
-      .agg(min(col("_dc")).as("_dc"))
+      .groupBy(col("_rid"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("cid", col("_dc.cid"))
       .withColumn("dist2", col("_dc.d"))
       .drop("_dc", "_rid")
+      .select((keep :+ "cid" :+ "dist2").map(col).toIndexedSeq: _*)
   }
 
   /** Coarse (routing) centroid count for the two-level E-step: ⌈√K⌉
@@ -330,9 +339,12 @@ object Clustering {
     * distance as a negated double, whose 53-bit mantissa can merge
     * near-ties that the literal path's integer sort keeps distinct —
     * that can only reorder WHICH branches are probed, deterministically
-    * either way, and routing is approximate by contract. */
-  private def routeProbe(keyed: DataFrame, coarse: Array[Array[Long]],
-      p: Int): DataFrame = {
+    * either way, and routing is approximate by contract. `keyed` must
+    * carry the `_rid` per-row key (both callers add it): the aggregate
+    * path groups on it ALONE — payload columns (which may be
+    * map-typed, ungroupable) ride as first() partial aggregates. */
+  private[graft] def routeProbe(keyed: DataFrame,
+      coarse: Array[Array[Long]], p: Int): DataFrame = {
     val r = coarse.length
     val pEff = math.min(p, r)
     if (r <= LiteralMaxK) {
@@ -348,11 +360,13 @@ object Clustering {
       val cdf = coarse.zipWithIndex.toIndexedSeq
         .map { case (c, j) => (j.toLong, c.toIndexedSeq) }
         .toDF("_rtc", "_rcq")
-      val keep = keyed.columns
+      val keep = keyed.columns.filterNot(_ == "_rid")
+      val aggs = keep.toIndexedSeq.map(c => first(col(c)).as(c)) :+
+        topKByScore((-l2sq(col("xq"), col("_rcq"))).cast("double"),
+          col("_rtc"), pEff).as("_tops")
       keyed.crossJoin(broadcast(cdf))
-        .groupBy(keep.map(col).toIndexedSeq: _*)
-        .agg(topKByScore((-l2sq(col("xq"), col("_rcq"))).cast("double"),
-          col("_rtc"), pEff).as("_tops"))
+        .groupBy(col("_rid"))
+        .agg(aggs.head, aggs.tail: _*)
         .withColumn("_pr", explode(col("_tops")))
         .withColumn("_rt", col("_pr.id"))
         .drop("_tops", "_pr")
@@ -405,14 +419,19 @@ object Clustering {
     val keyed = guarded.withColumn("_rid", monotonically_increasing_id())
     val probed = routeProbe(keyed, coarse, rprobeOf(s))
     val keep = b.columns
+    // _rid-only grouping, payload as first() — same map-column-safe
+    // discipline as assignJoin (see the comment there).
+    val aggs = keep.toIndexedSeq.map(c => first(col(c)).as(c)) :+
+      min(col("_dc")).as("_dc")
     probed.join(membersDf(s, cents, memberOf), "_rt")
       .withColumn("_dc", struct(l2sq(col("xq"), col("_cq")).as("d"),
         col("_ccid").as("cid")))
-      .groupBy((keep :+ "_rid").map(col).toIndexedSeq: _*)
-      .agg(min(col("_dc")).as("_dc"))
+      .groupBy(col("_rid"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("cid", col("_dc.cid"))
       .withColumn("dist2", col("_dc.d"))
       .drop("_dc", "_rid")
+      .select((keep :+ "cid" :+ "dist2").map(col).toIndexedSeq: _*)
   }
 
   /** Distance-evaluation count of ONE E-step pass over `b` via the

@@ -264,6 +264,20 @@ object StreamDemos {
                     "— the CUSUM recurrence is order-sensitive; feed " +
                     "rollup files in time order")
               }
+              // Strict monotonicity WITHIN the sorted batch too: a
+              // duplicate (key, hour) row — e.g. an at-least-once
+              // upstream writer emitting the same rollup twice in one
+              // file — would double-accumulate the order-sensitive
+              // state while passing the head-vs-carried check above.
+              var i = 1
+              while (i < hours.length) {
+                require(hours(i)._1 > hours(i - 1)._1,
+                  s"changepointStream: duplicate hourly rollup for " +
+                    s"key '$key' at hour ${hours(i)._1} within one " +
+                    "micro-batch — each (key, hour) must appear once; " +
+                    "pre-aggregate at-least-once upstream output")
+                i += 1
+              }
               val out = graft.ops.Events.cusumFrom(hours, mu, su0, sd0)
               out.lastOption.foreach { last =>
                 state.update((last._3, last._4, last._1))
@@ -389,7 +403,13 @@ object StreamDemos {
     * replayed batch rewrite its own partition instead of duplicating
     * rows (plain mode-append here would only be at-least-once).
     * Readers see (vec_id, cid, dist2, batch) via ordinary partition
-    * discovery on `outDir`. */
+    * discovery on `outDir`. The overwrite scheme is sound only while
+    * outDir and checkpointDir live and die TOGETHER: a fresh
+    * checkpoint restarts batch ids at 0, so reusing an outDir from a
+    * longer prior run would leave its surviving higher-numbered
+    * partitions mixed into the new output — guarded below by failing
+    * loudly when batch 0 fires into an outDir that already holds
+    * other batch partitions. */
   def scoredVecBatches(spark: SparkSession, corpusDir: String,
       inDir: String, checkpointDir: String, outDir: String,
       k: Int): Unit = {
@@ -399,6 +419,24 @@ object StreamDemos {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (batchId == 0L) {
+          // batch 0 means a FRESH checkpoint; a pre-existing batch
+          // partition OTHER than batch=0 is necessarily an orphan from
+          // a longer prior run (a same-run crash-replay of batch 0 can
+          // only have written batch=0, which the overwrite reclaims) —
+          // its rows would survive partition discovery alongside the
+          // new output, so fail loudly instead of silently mixing.
+          val existing = Option(new java.io.File(outDir).list())
+            .map(_.toSeq.filter(n =>
+              n.startsWith("batch=") && n != "batch=0"))
+            .getOrElse(Seq.empty)
+          require(existing.isEmpty,
+            s"scoredVecBatches: fresh checkpoint (batch 0) but outDir " +
+              s"'$outDir' already holds partitions ${existing.sorted
+                .mkString(", ")} from a prior run — outDir and " +
+              "checkpointDir must be created/retired together; clear " +
+              "the stale output or reuse the matching checkpoint")
+        }
         Clustering.assign(batch.toDF(), cents)
           .select(col("vec_id"), col("cid"), col("dist2"))
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")

@@ -301,6 +301,44 @@ class ClusteringSpec extends AnyFunSuite {
     assert(msgs(ex).contains("NULL xq row"), msgs(ex))
   }
 
+  test("map-typed payload columns survive every grouped assign path (r15 advice)") {
+    // r15 advice #3: the join/routed argmin (and the large-r probe)
+    // used to group by every input column, so a caller frame carrying
+    // a MapType column failed with AnalysisException (grouping on
+    // MapType is unsupported). They now group on the _rid row key
+    // alone with the payload riding as first() aggregates — a map
+    // column must flow through untouched, values unchanged.
+    val (b, cents80) = routedFixture
+    val withMap = b.withColumn("meta",
+      map(lit("id"), col("vec_id").cast("string")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid", "dist2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // exact join path: bit-identical to the literal path on the SAME frame
+    val cents8 = ops.Clustering.train(b)
+    val j = ops.Clustering.assignJoin(withMap, cents8)
+    assert(j.columns.toSeq ===
+      (withMap.columns.toSeq ++ Seq("cid", "dist2")),
+      "assignJoin changed the column contract")
+    assert(rows(j) === rows(ops.Clustering.assignLiteral(withMap, cents8)))
+    // routed path at k=80 (literal probe branch + grouped argmin)
+    val r = ops.Clustering.assignRouted(withMap, cents80)
+    assert(rows(r) === rows(ops.Clustering.assignRouted(b, cents80)),
+      "a payload map column changed the routed assignment")
+    // the map VALUES survive the group-by round-trip
+    val m = r.filter(col("vec_id") === b.select(min("vec_id")).head().getLong(0))
+      .select(col("meta")("id"), col("vec_id").cast("string")).head()
+    assert(m.getString(0) === m.getString(1), "map payload corrupted")
+    // large-r probe branch (r > LiteralMaxK forces the topKByScore
+    // aggregate): 65 coarse entries, 3 probes per vector
+    val coarse65 = cents80.take(ops.Clustering.LiteralMaxK + 1)
+    val keyed = withMap.withColumn("_rid",
+      monotonically_increasing_id())
+    val probed = ops.Clustering.routeProbe(keyed, coarse65, 3)
+    assert(probed.count() === b.count() * 3,
+      "large-r probe lost rows on a map-carrying frame")
+  }
+
   test("modeKey: exact paths share one training; auto resolves by K") {
     // r15 review #3: 'auto' past RoutedMinK and a forced 'routed' must
     // share the memo/store key (identical training); literal, join and

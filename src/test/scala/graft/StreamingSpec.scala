@@ -423,6 +423,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(msgs(ex).contains("out-of-order hourly rollup"), msgs(ex))
   }
 
+  test("CAP-STREAM-CUSUM: intra-batch duplicate (key, hour) rollup is refused (r15 advice)") {
+    // r15 advice #1: the order guard only compared the first sorted
+    // in-batch hour against the carried state, so a duplicate
+    // (key, hour) row arriving WITHIN one micro-batch file (an
+    // at-least-once upstream writer emitting the same rollup twice)
+    // passed silently and double-accumulated the order-sensitive
+    // CUSUM state. Strict monotonicity now holds across consecutive
+    // sorted in-batch entries too.
+    val s = spark
+    import s.implicits._
+    val inDir = tmpDir("graft_cusum_dup_in").toString
+    val rows = (0 until 24).map(h => ("canary", h.toLong * 3600000000L, 100L))
+    (rows ++ rows.slice(10, 11)) // hour 10 delivered twice in ONE file
+      .toDF("event_type", "hour_us", "n")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamDemos.runAvailableNow(spark,
+        StreamDemos.changepointStream(spark, inDir, Map("canary" -> 100L)),
+        "append", "cusum_dup")
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("duplicate hourly rollup"), msgs(ex))
+  }
+
+  test("CAP-STREAM-KMEANS-LARGE-K: fresh checkpoint into a reused outDir is refused (r15 advice)") {
+    // r15 advice #2: batch ids restart at 0 under a new checkpointDir,
+    // so partitions surviving from a longer prior run would mix into
+    // the new output via partition discovery. batch 0 firing into an
+    // outDir already holding OTHER batch partitions must fail loudly
+    // (batch=0 itself is the legitimate same-run crash-replay target).
+    val inDir = tmpDir("graft_kmsG_in").toString
+    val out = tmpDir("graft_kmsG_out").toString + "/scored"
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    // simulate the longer prior run: an orphan batch=1 partition
+    spark.range(1).select(lit(1L).as("vec_id"), lit(0L).as("cid"),
+        lit(0L).as("dist2"))
+      .write.parquet(out + "/batch=1")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamDemos.scoredVecBatches(spark, sf, inDir,
+        tmpDir("graft_kmsG_ck").toString, out, k = 80)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("must be created/retired together"), msgs(ex))
+  }
+
   test("scoredVecStream fails loudly on an out-of-domain coordinate (r14 advice)") {
     // Batch entry points guard the -4 quantization shift at train time
     // (checkDomain / trainHistory require); a streamed coordinate at or
