@@ -66,7 +66,9 @@ object Bench {
     val needsStages = only.forall(_.exists(n =>
       n.startsWith("q_dedup_") || n.startsWith("q_sim_ann_") ||
         n.startsWith("q_graph_") ||
-        n == "q_curate" || n == "q_text_bigram_nll" || n == "q_text_pmi"))
+        n == "q_curate" || n == "q_text_bigram_nll" || n == "q_text_pmi" ||
+        n == "q_text_decontaminate" || n == "q_text_decontam_bloom" ||
+        n == "q_mix_decontam_split"))
     // Shared stage-cache builds (gram postings -> pair stats -> edge
     // list; IVF codebook -> assignments -> PQ codebook/codes) run ONCE
     // here, timed as their own line: they are one-time per-session
@@ -96,6 +98,7 @@ object Bench {
       }
       Await.result(Future.sequence(Seq(
         timed("text_postings") { ops.TextSim.warmStages(spark, sfDir) },
+        timed("docgrams") { ops.TextSim.warmDocGramStage(spark, sfDir) },
         timed("bigrams") { ops.TextSim.warmBigramStage(spark, sfDir) },
         timed("mask") { ops.TextSim.warmMaskStage(spark, sfDir) },
         timed("ivf") { ops.Sketches.warmIvfStage(spark, sfDir) },

@@ -204,22 +204,81 @@ object Cli {
     writeColumnsHeader(spark, outDir, cols)
   }
 
+  /** `cluster-train <sf-dir> <store-dir> [k]`: train-or-load the
+    * persistent centroid store ([[ops.Clustering
+    * .persistentCentroidHistory]]) from the shell — the round-15
+    * machinery behind one verb. Prints one summary line whose
+    * `trained|loaded` word is the work observable (the trainCounter
+    * discipline): a second invocation over an unchanged corpus must
+    * say `loaded`. `cluster-retrain` is the sanctioned recovery after
+    * an in-place corpus refresh or a tripped q_embed_drift alarm
+    * ([[ops.Clustering.retrainCentroids]]). */
+  def clusterTrain(spark: SparkSession, sfDir: String, storeDir: String,
+      k: Int, retrain: Boolean = false): String = {
+    val c0 = ops.Clustering.trainCounter.get()
+    val hist =
+      if (retrain) ops.Clustering.retrainCentroids(spark, sfDir, k, storeDir)
+      else ops.Clustering.persistentCentroidHistory(spark, sfDir, k, storeDir)
+    val did = if (ops.Clustering.trainCounter.get() > c0) "trained"
+              else "loaded"
+    val dim = if (hist.head.isEmpty) 0 else hist.head.head.length
+    s"$did k=$k dim=$dim iters=${hist.length - 1} store=$storeDir"
+  }
+
+  /** `cluster-store <store-dir>`: list the store's centroid artifacts
+    * — one TSV line per artifact (k, estep mode, corpus fingerprint,
+    * dim, iters), parsed from the content-addressed names + headers
+    * [[ops.Clustering.persistentCentroidHistory]] writes. */
+  def clusterStore(storeDir: String): Seq[String] = {
+    val dir = new java.io.File(storeDir)
+    val names = Option(dir.list()).map(_.toSeq).getOrElse(Seq.empty)
+    val Art = "kmeans_k(\\d+)_([a-z]+)_fp([0-9a-f]+)\\.txt".r
+    names.sorted.flatMap {
+      case n @ Art(k, mode, fp) =>
+        val hdr = scala.util.Using(scala.io.Source.fromFile(
+          new java.io.File(dir, n)))(_.getLines().next()).get.split(" ")
+        Some(s"$k\t$mode\t$fp\t${hdr(1)}\t${hdr(2)}")
+      case _ => None
+    }
+  }
+
+  /** `views <sf-dir>`: register the dir's tables + graft_* functions
+    * ([[Graft.registerAll]]) and list what a SQL user now has — the
+    * discovery verb for the ad-hoc surface. */
+  def views(spark: SparkSession, sfDir: String): Seq[String] = {
+    Graft.registerAll(spark, sfDir)
+    val tables = Graft.TableNames.filter(t =>
+      spark.catalog.tableExists(t)).map(t => s"view\t$t")
+    val fns = org.apache.spark.sql.graftnative.GraftExtensions
+      .functionNames.map(f => s"function\t$f")
+    tables ++ fns
+  }
+
   private val Usage =
     """usage: graft.Cli <input-glob> <out-dir> <map-cmd> [<reduce-cmd> [buckets]]
       |       graft.Cli put <input-glob> <tree-dir> [buckets]
       |       graft.Cli get <tree-dir> <out-dir> [bucket ...]
       |       graft.Cli media <input-glob> <out-dir>
       |       graft.Cli query <name>|list <sf-dir> <out-dir>
-      |       graft.Cli sql <statement> <sf-dir> <out-dir>""".stripMargin
+      |       graft.Cli sql <statement> <sf-dir> <out-dir>
+      |       graft.Cli cluster-train|cluster-retrain <sf-dir> <store-dir> [k]
+      |       graft.Cli cluster-store <store-dir>
+      |       graft.Cli views <sf-dir>""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val queryList = args.length == 2 && args(0) == "query" && args(1) == "list"
+    val twoArgVerb = args.length == 2 &&
+      (args(0) == "cluster-store" || args(0) == "views")
     val badQuery = args.length > 0 &&
       (args(0) == "query" || args(0) == "sql") && !queryList &&
       args.length < 4
-    if ((args.length < 3 && !queryList) || badQuery) {
+    if ((args.length < 3 && !queryList && !twoArgVerb) || badQuery) {
       System.err.println(Usage)
       sys.exit(2)
+    }
+    if (args(0) == "cluster-store") { // no session needed
+      clusterStore(args(1)).foreach(println)
+      return
     }
     val spark = Local.session()
     args(0) match {
@@ -237,6 +296,12 @@ object Cli {
         runQuery(spark, args(1), args(2), args(3))
       case "sql" =>
         runSql(spark, args(1), args(2), args(3))
+      case "cluster-train" | "cluster-retrain" =>
+        println(clusterTrain(spark, args(1), args(2),
+          if (args.length > 3) args(3).toInt else ops.Clustering.kOf(spark),
+          retrain = args(0) == "cluster-retrain"))
+      case "views" =>
+        views(spark, args(1)).foreach(println)
       case _ =>
         run(spark, args(0), args(1), args(2),
           if (args.length > 3) Some(args(3)) else None,

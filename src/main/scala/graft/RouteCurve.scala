@@ -29,8 +29,15 @@ object RouteCurve {
     val trainMode = args.lift(2).getOrElse("join")
     require(Set("join", "routed")(trainMode),
       s"trainMode must be join|routed, got $trainMode")
-    val probes = if (args.length > 3) args.drop(3).map(_.toInt).toSeq
-                 else Seq(1, 2, 3, 4, 6, 8)
+    // "auto" as a probe token resolves to the K-adaptive default
+    // (Clustering.adaptiveProbes) so the curve marks the point the
+    // production knob actually lands on at this K.
+    val probeArgs = if (args.length > 3) args.drop(3).toSeq
+                    else Seq("1", "2", "3", "4", "6", "8", "auto")
+    val probes = probeArgs.map {
+      case "auto" => ops.Clustering.adaptiveProbes(k)
+      case i => i.toInt
+    }.distinct.sorted
     val s = Local.session(defaultCpus = "32")
     // "clustered:<mult>:<nclusters>" generates a ScaleGen clustered
     // tier from sf0.1 on the fly — the contrast point for the
@@ -56,6 +63,7 @@ object RouteCurve {
         .filter(col("cf") === col("cr")).count()
       val evals = ops.Clustering.routedEstepEvals(b, cents)
       println(s"""{"dir":"$dir","k":$k,"train":"$trainMode","rprobe":$p,""" +
+        s""""p_auto":${ops.Clustering.adaptiveProbes(k)},""" +
         f""""n":$n,"agree":${agree.toDouble / n}%.4f,"evals":$evals,""" +
         s""""evals_flat":${n * k}}""")
     }

@@ -150,14 +150,32 @@ object ScaleBench {
       val kmBase = ops.Clustering.base(s, d)
       val kmCents = ops.Clustering.centroids(s, d, kmK)
       cnt("estep_evals_flat")(nVec * kmK)
-      cnt("estep_evals_routed")(
-        ops.Clustering.routedEstepEvals(kmBase, kmCents))
+      // Two routed measurements per tier (r16): the FIXED-P3 chain
+      // keeps the pure two-level cost law on record (designed n^1.5
+      // when K ∝ n), and the ADAPTIVE-default chain (rprobe=auto,
+      // P = ⌈K^¼⌉) is the production configuration — it spends
+      // ~n^1.75 to hold assignment agreement scale-stable instead of
+      // letting a fixed probe count decay with K (r15 verdict #1).
+      // One flat assignment pass serves both agreement counts.
+      val rprobePrev = s.conf.get("spark.graft.kmeans.rprobe", "auto")
       val flatA = ops.Clustering.assignJoin(kmBase, kmCents)
-        .select(col("vec_id"), col("cid").as("cf"))
-      val routedA = ops.Clustering.assignRouted(kmBase, kmCents)
-        .select(col("vec_id"), col("cid").as("cr"))
-      cnt("estep_routed_agree")(flatA.join(routedA, "vec_id")
-        .filter(col("cf") === col("cr")).count())
+        .select(col("vec_id"), col("cid").as("cf")).localCheckpoint(true)
+      def agreeOf(routed: org.apache.spark.sql.DataFrame): Long =
+        flatA.join(routed.select(col("vec_id"), col("cid").as("cr")),
+          "vec_id").filter(col("cf") === col("cr")).count()
+      try {
+        s.conf.set("spark.graft.kmeans.rprobe", "3")
+        cnt("estep_evals_routed")(
+          ops.Clustering.routedEstepEvals(kmBase, kmCents))
+        cnt("estep_routed_agree")(
+          agreeOf(ops.Clustering.assignRouted(kmBase, kmCents)))
+        s.conf.set("spark.graft.kmeans.rprobe", "auto")
+        cnt("estep_evals_routed_auto")(
+          ops.Clustering.routedEstepEvals(kmBase, kmCents))
+        cnt("estep_routed_agree_auto")(
+          agreeOf(ops.Clustering.assignRouted(kmBase, kmCents)))
+        cnt("estep_p_auto")(ops.Clustering.adaptiveProbes(kmK).toLong)
+      } finally s.conf.set("spark.graft.kmeans.rprobe", rprobePrev)
     } finally s.conf.set("spark.graft.kmeans.estep", estepPrev)
 
     // the measured queries — min-of-2, like Bench: single-JVM walls at

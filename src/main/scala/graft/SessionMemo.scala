@@ -46,4 +46,26 @@ object SessionMemo {
       _ => new java.util.concurrent.ConcurrentHashMap[String, Slot]())
     m.computeIfAbsent(key, _ => new Slot).get(build).asInstanceOf[A]
   }
+
+  /** Drop every entry of this session whose key starts with `prefix` —
+    * the invalidation hook of the retrain-and-swap verbs
+    * ([[graft.ops.Clustering.retrainCentroids]]): an EXPLICIT retrain
+    * is the one sanctioned way session-immutable memos may be
+    * replaced, and it must clear every stale derivation (histories,
+    * fingerprint anchors, domain verdicts) in one move so no consumer
+    * pairs old state with new. Not for general use — ordinary code
+    * relies on the per-session-immutability contract. */
+  def dropByPrefix(s: SparkSession, prefix: String): Unit = {
+    val m = perSession.get(s)
+    if (m != null) m.keySet.removeIf(_.startsWith(prefix))
+  }
+
+  /** Drop one exact key — for memo families whose key is not
+    * separator-terminated (a PREFIX drop on `kmeans_fp|/a/b` would
+    * also clear `/a/bc`'s anchor, silently weakening that dir's
+    * mid-session-swap guard). */
+  def drop(s: SparkSession, key: String): Unit = {
+    val m = perSession.get(s)
+    if (m != null) { m.remove(key); () }
+  }
 }

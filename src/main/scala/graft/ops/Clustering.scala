@@ -161,14 +161,17 @@ object Clustering {
   private[graft] def quantize(x: Column): Column =
     ((x + lit(ShiftD)) * lit(ScaleD)).cast("long")
 
+  /** The quantized-frame BUILD pipeline — factored out of [[base]] so
+    * [[retrainCentroids]] can rebuild the stage from the live corpus. */
+  private def baseFrame(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      transform(col("embedding"), quantize _).as("xq"))
+
   /** Quantized training frame (vec_id, label, xq: array<long>),
     * materialized once per (session, dir) via the stage cache — shared
     * by q_embed_kmeans and q_dedup_semantic. */
   private[graft] def base(s: SparkSession, d: String): DataFrame =
-    StageCache.memoized(s, d, "kmeans_base") {
-      Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-        transform(col("embedding"), quantize _).as("xq"))
-    }
+    StageCache.memoized(s, d, "kmeans_base")(baseFrame(s, d))
 
   /** Quantized squared L2 between two array<long> columns — the
     * module's ONE distance expression (the bit-exactness contract
@@ -311,19 +314,38 @@ object Clustering {
     (used.map(coarse), memberOf.map(remap))
   }
 
-  /** Routing probes per vector (multi-probe, the IVF-nprobe
+  /** Floor on routing probes per vector (multi-probe, the IVF-nprobe
     * precedent): single-probe routing errs whenever the true nearest
     * centroid sits just across a branch boundary — on the isotropic
     * fixture that costs ~1/3 of assignments. Probing the P nearest
     * branches and taking the exact argmin across their members
-    * recovers most of it at P× the in-branch work — still ~n√K total.
-    * Session knob `spark.graft.kmeans.rprobe` (default [[RouteProbes]]). */
+    * recovers most of it at P× the in-branch work.
+    * Session knob `spark.graft.kmeans.rprobe`: an explicit integer
+    * pins P; the default `auto` derives it from K via
+    * [[adaptiveProbes]] so approximation QUALITY is scale-stable. */
   private[graft] val RouteProbes = 3
 
-  private def rprobeOf(s: SparkSession): Int = {
-    val p = s.conf.get("spark.graft.kmeans.rprobe",
-      RouteProbes.toString).toInt
-    require(p >= 1, s"spark.graft.kmeans.rprobe must be >= 1, got $p")
+  /** K-adaptive probe default: P(K) = max([[RouteProbes]], ⌈√r⌉)
+    * where r = ⌈√K⌉ is the branch count. A FIXED P silently decays as
+    * K grows — the committed operating curves measured isotropic
+    * agreement 0.877 at K=160 falling to 0.817 at K=1600 at P=3,
+    * because the probed fraction P/r shrinks. Holding P/r constant
+    * (P ∝ √K) would restore the flat path's n·K cost; the measured
+    * curve family says the REQUIRED P for ~0.9 agreement grows much
+    * slower — ×10 in K needed only 3 → ~6 (route_curve_iso_routed
+    * artifacts) — and P = ⌈√r⌉ = ⌈K^¼⌉ tracks exactly that: P(160)=4
+    * (agreement 0.928 measured), P(1600)=7 (0.93–0.95 measured
+    * bracket), so quality HOLDS across decades at per-vector work
+    * √K·(1+√r) ≈ K^¾ — n^1.75 when K ∝ n, still K^¼-fold below the
+    * flat n² (5× at K=1600, 30× at K=10⁶). */
+  private[graft] def adaptiveProbes(k: Int): Int =
+    math.max(RouteProbes,
+      math.ceil(math.sqrt(routeCount(k).toDouble)).toInt)
+
+  private def rprobeOf(s: SparkSession, k: Int): Int = {
+    val v = s.conf.get("spark.graft.kmeans.rprobe", "auto")
+    val p = if (v == "auto") adaptiveProbes(k) else v.toInt
+    require(p >= 1, s"spark.graft.kmeans.rprobe must be >= 1, got $v")
     p
   }
 
@@ -417,13 +439,24 @@ object Clustering {
     // same per-row grouping-key discipline as assignJoin: duplicates
     // stay distinct through the argmin, the id never reaches output
     val keyed = guarded.withColumn("_rid", monotonically_increasing_id())
-    val probed = routeProbe(keyed, coarse, rprobeOf(s))
-    val keep = b.columns
-    // _rid-only grouping, payload as first() — same map-column-safe
-    // discipline as assignJoin (see the comment there).
+    val probed = routeProbe(keyed, coarse, rprobeOf(s, cents.length))
+    argminOverMembers(probed, membersDf(s, cents, memberOf),
+      b.columns.toIndexedSeq)
+  }
+
+  /** Stage 2 of the routed E-step, shared by the driver-array and
+    * frame-state paths: exact argmin over each vector's probed
+    * members. `probed` carries `_rid` + `_rt`; `members` is the
+    * (branch, centroid id, centroid) table in EITHER spelling — a
+    * √K-row local relation ([[membersDf]]) or a K-row distributed
+    * frame (the frame-state path), the join is the same. _rid-only
+    * grouping, payload as first() — the map-column-safe discipline
+    * (see assignJoin). */
+  private def argminOverMembers(probed: DataFrame, members: DataFrame,
+      keep: Seq[String]): DataFrame = {
     val aggs = keep.toIndexedSeq.map(c => first(col(c)).as(c)) :+
       min(col("_dc")).as("_dc")
-    probed.join(membersDf(s, cents, memberOf), "_rt")
+    probed.join(members, "_rt")
       .withColumn("_dc", struct(l2sq(col("xq"), col("_cq")).as("d"),
         col("_ccid").as("cid")))
       .groupBy(col("_rid"))
@@ -455,11 +488,235 @@ object Clustering {
       .map { case (rid, a) => (rid.toLong, a.length.toLong) }
       .toDF("_rt", "_bs")
     val keyed = b.withColumn("_rid", monotonically_increasing_id())
-    val branchSum = routeProbe(keyed, coarse, rprobeOf(s))
+    val branchSum = routeProbe(keyed, coarse, rprobeOf(s, cents.length))
       .join(broadcast(sizes), "_rt")
       .agg(coalesce(sum("_bs"), lit(0L))).head().getLong(0)
     n * coarse.length + branchSum
   }
+
+  // -------------------------------------------------------------------
+  // FRAME-STATE TRAINING (r16, verdict #2): past [[DriverStateMaxK]]
+  // even HOLDING the K×dim centroid array on the driver is the scale
+  // defect — the routed E-step's n^1.5 work law survives (measured),
+  // but coarsen was O(K^1.5) driver compute and the M-step collected
+  // K×dim rows. In this regime centroids live as a DataFrame
+  // end-to-end: seeds are a distributed top-K frame, coarsening is
+  // one more level of the distributed loop over the K-row centroid
+  // frame, the member table is a K-row frame join (never a local
+  // relation), and the M-step result never reaches the driver — the
+  // only driver-held state is the √K-row COARSE level (⌈√K⌉×dim
+  // longs: ~1.6 MB at K = 10⁷, the 100 TB K∝n design point). Bit
+  // parity with the driver-array routed path is PINNED, not assumed
+  // (ClusteringSpec: same seeds, same coarsening, same truncating
+  // integer M-step ⇒ identical centroids at overlapping K).
+  // -------------------------------------------------------------------
+
+  /** Largest K the driver-array training paths accept: K×dim longs ≈
+    * 50 MB at this bound — fine on a driver, and the cheapest spelling
+    * at test/oracle K. Beyond it [[trainHistory]] REFUSES (fail-loud
+    * discipline) and `auto` state dispatch serves the frame path. */
+  private[graft] val DriverStateMaxK = 131072
+
+  /** Session knob `spark.graft.kmeans.state`: driver | frame | auto
+    * (auto = frame past [[DriverStateMaxK]], driver below). */
+  private[graft] def stateOf(s: SparkSession, k: Int): String = {
+    val m = s.conf.get("spark.graft.kmeans.state", "auto")
+    require(Set("auto", "driver", "frame")(m),
+      s"spark.graft.kmeans.state must be auto|driver|frame, got $m")
+    if (m == "auto") { if (k > DriverStateMaxK) "frame" else "driver" }
+    else m
+  }
+
+  /** Driver-collected centroid-state rows this JVM (seeds + M-step
+    * collects + coarse-level collects) — the frame path's scale claim
+    * is about WORK PLACEMENT, so the evidence is a counter, like
+    * [[trainCounter]] for persistence: the array path collects
+    * Θ(K×dim) rows per training, the frame path Θ(√K×dim). */
+  private[graft] val driverStateRows =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Distributed coarsening — [[coarsen]] spelled as Spark jobs over
+    * the K-row centroid FRAME, bit-identical by construction (pinned):
+    * same stride seeds over cid order, same integer L2 with ties to
+    * the smaller branch id, same truncating integer mean with empty
+    * branches carried forward, same used-branch compaction. The
+    * driver holds only the r×dim coarse level (r = ⌈√K⌉); membership
+    * stays a frame. The E-step here is the join spelling (cross join
+    * against the broadcast r-row coarse frame, map-side argmin) — an
+    * O(K·r·iters) = O(K^1.5) DISTRIBUTED job, vs the same arithmetic
+    * as driver loops in [[coarsen]].
+    *
+    * @return (coarse centroids — √K driver state by design, and the
+    *         (cid, _rt) membership frame, localCheckpointed) */
+  private[graft] def coarsenDf(cents: DataFrame, r0: Int,
+      iters: Int = Iters): (Array[Array[Long]], DataFrame) = {
+    val s = cents.sparkSession
+    import s.implicits._
+    val k = cents.count()
+    require(k >= 1, "coarsenDf needs at least one centroid")
+    val r = math.min(math.max(r0, 1), k).toInt
+    // stride seeds: centroid rows at positions j·k/r in cid order
+    val seedPos = Array.tabulate(r)(j => j.toLong * k / r)
+    var coarse: Array[Array[Long]] = {
+      val picked = cents.filter(col("cid").isInCollection(seedPos))
+        .orderBy("cid").collect()
+        .map(row => (row.getLong(0), row.getSeq[Long](1).toArray)).toMap
+      driverStateRows.addAndGet(r.toLong)
+      require(picked.size == seedPos.distinct.length,
+        s"coarsenDf seeds: cids must be dense 0..k-1 (k=$k, found " +
+          s"${picked.size} of ${seedPos.distinct.length} stride seeds)")
+      seedPos.map(p => picked(p).clone())
+    }
+    def coarseDf = coarse.zipWithIndex.toIndexedSeq
+      .map { case (c, j) => (j.toLong, c.toIndexedSeq) }
+      .toDF("_rt", "_rq")
+    def estep: DataFrame = // argmin over r branches; ties to smaller _rt
+      cents.crossJoin(broadcast(coarseDf))
+        .groupBy(col("cid"))
+        .agg(first(col("cq")).as("cq"),
+          min(struct(l2sq(col("cq"), col("_rq")).as("d"),
+            col("_rt").as("rt"))).as("_dr"))
+        .select(col("cid"), col("cq"), col("_dr.rt").as("_rt"))
+    var member: DataFrame = null
+    var it = 0
+    while (it <= iters) {
+      member = estep.localCheckpoint(true)
+      if (it < iters) { // M: truncating integer mean per branch
+        val m = member
+          .select(col("_rt"), posexplode(col("cq")).as(Seq("idx", "xi")))
+          .groupBy("_rt", "idx")
+          .agg(sum("xi").as("sm"), count(lit(1)).as("n"))
+          .collect() // bounded: ≤ r×dim rows — the √K driver level
+        driverStateRows.addAndGet(m.length.toLong)
+        val next = coarse.map(_.clone()) // empty branches carry forward
+        m.foreach { row =>
+          next(row.getLong(0).toInt)(row.getInt(1)) =
+            row.getLong(2) / row.getLong(3)
+        }
+        coarse = next
+      }
+      it += 1
+    }
+    // compact away branches no centroid routed to (same remap as
+    // coarsen: used branch ids in sorted order get dense new ids)
+    val used = member.select("_rt").distinct()
+      .collect().map(_.getLong(0)).sorted // ≤ r rows
+    driverStateRows.addAndGet(used.length.toLong)
+    val remap = used.zipWithIndex.map { case (u, i) => (u, i.toLong) }
+      .toIndexedSeq.toDF("_rt", "_rtNew")
+    val memberOf = member.join(broadcast(remap), "_rt")
+      .select(col("cid"), col("_rtNew").as("_rt"))
+    (used.map(u => coarse(u.toInt)), memberOf)
+  }
+
+  /** Routed assignment from FRAME centroids — same two stages as
+    * [[assignRouted]], but the member table is the K-row centroid
+    * frame joined with the coarsening membership (shuffled at scale,
+    * exactly the unhinted-join design the array path documents) and
+    * nothing K-sized touches the driver. Unlike assignRouted there is
+    * no literal fallback: this IS the state-path witness at any K —
+    * and at tiny K it is still EXACT, because pEff = min(P, r) probes
+    * every branch (e.g. K=8: r=3, P=3 ⇒ the argmin sees all members,
+    * reproducing the flat assignment bit-for-bit — the property the
+    * oracle-checked frame query rides). */
+  private[graft] def assignFrame(b: DataFrame, cents: DataFrame,
+      k: Int): DataFrame = {
+    val s = b.sparkSession
+    val (coarse, memberOf) = coarsenDf(cents, routeCount(k))
+    val members = cents.join(memberOf, "cid")
+      .select(col("_rt"), col("cid").as("_ccid"), col("cq").as("_cq"))
+    val guarded = b.withColumn("xq",
+      when(assert_true(col("xq").isNotNull,
+        lit("assignFrame: NULL xq row — quantize embeddings via " +
+          "Clustering.base / Clustering.quantize")).isNull, col("xq")))
+    val keyed = guarded.withColumn("_rid", monotonically_increasing_id())
+    val probed = routeProbe(keyed, coarse, rprobeOf(s, k))
+    argminOverMembers(probed, members, b.columns.toIndexedSeq)
+  }
+
+  /** Frame-native Lloyd training: the [[trainHistory]] recurrence with
+    * centroids as a (cid, cq) DataFrame end-to-end — identical seeds
+    * (k smallest (md5(vec_id), vec_id)), identical integer E/M
+    * arithmetic, so the result is BIT-IDENTICAL to the driver-array
+    * routed path at the same knobs (pinned). Each iteration
+    * localCheckpoints the K-row centroid frame (the Graph.scala
+    * fixed-round discipline): lineage stays flat across iterations
+    * and the frame's blocks live on executors, never the driver. */
+  private[graft] def trainFrame(b: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 1, s"kmeans k must be >= 1, got $k")
+    trainCounter.incrementAndGet()
+    val mnRow = b.agg(min(array_min(col("xq")))).head()
+    require(!mnRow.isNullAt(0), s"need >= $k vectors to seed kmeans (got 0)")
+    require(mnRow.getLong(0) >= 0L,
+      s"kmeans quantization saw coordinate <= -$ShiftD " +
+        s"(min scaled ${mnRow.getLong(0)})")
+    // Seeds as a frame: top-k by (md5, vec_id) — a distributed
+    // TakeOrdered into ONE k-row partition (k×dim on an executor, not
+    // the driver), cid by rank within that partition, then
+    // REPARTITIONED before the checkpoint: everything downstream
+    // (coarsenDf's cross join, the member join, the M-step) inherits
+    // the centroid frame's parallelism, and a single-partition seed
+    // frame would serialize the whole first iteration (measured: the
+    // K=10⁵ StateBench run sat on one core until this spread it).
+    // cid is assigned BEFORE the repartition, so the shuffle cannot
+    // perturb it — all later state is partitioning-invariant by the
+    // module's integer-arithmetic contract.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_h"), col("vec_id"))
+    var cents = b
+      .select(col("xq"), md5(col("vec_id").cast("string")).as("_h"),
+        col("vec_id"))
+      .orderBy(col("_h"), col("vec_id")).limit(k)
+      .select((row_number().over(w) - 1).cast("long").as("cid"),
+        col("xq").as("cq"))
+      .repartition(b.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    require(cents.count() == k, s"need >= $k vectors to seed kmeans")
+    var it = 0
+    while (it < iters) {
+      val m = assignFrame(b, cents, k)
+        .select(col("cid"), posexplode(col("xq")).as(Seq("idx", "xi")))
+        .groupBy("cid", "idx")
+        .agg(sum("xi").as("sm"), count(lit(1)).as("n"))
+      // next centroids as a frame: truncating integer mean where the
+      // cluster is non-empty (div == Scala / on the guarded
+      // non-negative domain), previous coordinate where it is (empty
+      // clusters carry forward, like the array path)
+      cents = cents
+        .select(col("cid"), posexplode(col("cq")).as(Seq("idx", "c0")))
+        .join(m, Seq("cid", "idx"), "left")
+        .withColumn("c", coalesce(expr("sm div n"), col("c0")))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("idx"), col("c")))),
+          x => x.getField("c")).as("cq"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    cents
+  }
+
+  /** Frame-state centroids per (session, dir, k), materialized via the
+    * stage cache — the frame analogue of [[centroidHistory]]'s memo
+    * (and of the persistent store: the materialization IS a parquet
+    * table a 100 TB pipeline would maintain). */
+  private[graft] def frameCentroids(s: SparkSession, d: String,
+      k: Int): DataFrame =
+    StageCache.memoized(s, d, s"kmeans_frame_k$k") {
+      trainFrame(base(s, d), k, Iters)
+    }
+
+  /** PUBLIC OPERATOR (frame state): per-vector assignment at k with
+    * centroid state distributed end-to-end — the far-K twin of
+    * [[kmeansAssign]]. At default knobs and tiny K the result is
+    * bit-identical to the exact paths (all branches probed — see
+    * [[assignFrame]]), which is what the oracle checks; past
+    * [[DriverStateMaxK]] this is the ONLY path that does not grow
+    * driver state with K. */
+  def kmeansAssignFrame(s: SparkSession, d: String, k: Int): DataFrame =
+    assignFrame(base(s, d), frameCentroids(s, d, k), k)
+      .select(col("vec_id"), col("label"), col("cid"), col("dist2"))
 
   /** Memoized non-negativity verdict per (session, dir): one scan of
     * the materialized narrow stage the FIRST time a training-free
@@ -633,6 +890,43 @@ object Clustering {
     }
   }
 
+  /** Retrain-and-swap for the persistent centroid store (r15 verdict
+    * #4) — [[graft.ops.Sketches.retrainAnnIndex]]'s pattern on the
+    * k-means surface. The store is content-addressed by corpus
+    * fingerprint, so BETWEEN sessions a changed corpus retrains by
+    * construction; what this verb owns is the LIVE-SESSION path a
+    * tripped q_embed_drift alarm or an in-place corpus refresh
+    * (CAP-INCREMENTAL appends) demands — where the plain store call
+    * deliberately REFUSES on the moved fingerprint (an implicit swap
+    * under a consumer's feet is the poison case the r15 guard closed;
+    * an explicit retrain verb is the sanctioned one):
+    *   1. rebuild the quantized base stage from the live corpus
+    *      (StageCache.rewrite — the swap is atomic for readers),
+    *   2. drop every kmeans session memo for `d` (histories of any k,
+    *      fingerprint anchor, domain verdict) in one move, so nothing
+    *      downstream can pair stale state with the fresh corpus,
+    *   3. re-run the plain store call: it re-anchors the fingerprint,
+    *      trains over the fresh base, and writes the new-fp artifact
+    *      atomically. If the fingerprint did NOT move (an alarm on an
+    *      unchanged corpus), training is a bit-exact no-op by
+    *      determinism and the existing artifact simply reloads —
+    *      "retrain" and "restore" agree by construction.
+    * Old-fingerprint artifacts stay: content addressing makes them
+    * valid for exactly the corpus that produced them (a rolled-back
+    * corpus rightfully reloads its own history), and they are
+    * (iters+1)×k×dim text files, not data-scale state. Not safe to
+    * run CONCURRENTLY with consumers mid-query in the same session —
+    * same contract as retrainAnnIndex's swap. */
+  def retrainCentroids(s: SparkSession, d: String, k: Int,
+      storeDir: String): Seq[Array[Array[Long]]] = {
+    StageCache.rewrite(s, d, "kmeans_base")(baseFrame(s, d))(
+      _ => baseFrame(s, d))
+    graft.SessionMemo.dropByPrefix(s, s"kmeans_cents|$d|")
+    graft.SessionMemo.drop(s, s"kmeans_fp|$d")
+    graft.SessionMemo.drop(s, s"kmeans_domain|$d")
+    persistentCentroidHistory(s, d, k, storeDir)
+  }
+
   /** Spec-compat overload: default contract constants. */
   private[graft] def train(b: DataFrame): Array[Array[Long]] =
     train(b, K, Iters)
@@ -644,6 +938,16 @@ object Clustering {
   private[graft] def trainHistory(b: DataFrame, k: Int,
       iters: Int): Seq[Array[Array[Long]]] = {
     require(k >= 1, s"kmeans k must be >= 1, got $k")
+    // Hard bound (r15 verdict #2): past this K the driver-array
+    // spelling IS the scale defect — K×dim seeds/M-step collects and
+    // O(K^1.5) driver coarsening. Refuse loudly; the frame-state path
+    // ([[trainFrame]] / [[kmeansAssignFrame]], auto-dispatched by
+    // [[stateOf]]) is the supported spelling there.
+    require(k <= DriverStateMaxK,
+      s"k=$k exceeds DriverStateMaxK=$DriverStateMaxK for driver-array " +
+        "training: centroid state must not grow on the driver at this " +
+        "scale — use the frame-state path (kmeansAssignFrame / " +
+        "spark.graft.kmeans.state=frame)")
     trainCounter.incrementAndGet()
     // Non-negativity guard for the truncating-division contract: one
     // scan of the materialized narrow stage, once per (session, dir).
@@ -661,6 +965,7 @@ object Clustering {
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select("xq").collect()
       .map(_.getSeq[Long](0).toArray)
+    driverStateRows.addAndGet(cents.length.toLong)
     require(cents.length == k, s"need >= $k vectors to seed kmeans")
     val hist = Seq.newBuilder[Array[Array[Long]]]
     hist += cents
@@ -671,7 +976,8 @@ object Clustering {
         .select(col("cid"), posexplode(col("xq")).as(Seq("idx", "xi")))
         .groupBy("cid", "idx")
         .agg(sum("xi").as("s"), count(lit(1)).as("n"))
-        .collect() // bounded: ≤ k×dim rows
+        .collect() // bounded: ≤ k×dim rows (and k ≤ DriverStateMaxK)
+      driverStateRows.addAndGet(m.length.toLong)
       val next = cents.map(_.clone()) // empty clusters carry forward
       m.foreach { r =>
         next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
@@ -686,9 +992,12 @@ object Clustering {
   /** PUBLIC OPERATOR: per-vector cluster assignment at an explicit k —
     * (vec_id, label, cid, dist2), dist2 in quantized squared-integer
     * units. Trains (memoized) at k, then assigns via the path fitting
-    * k. */
+    * k. State dispatch ([[stateOf]]): past [[DriverStateMaxK]] (or
+    * forced via `spark.graft.kmeans.state=frame`) the centroid state
+    * is a DataFrame end-to-end — [[kmeansAssignFrame]]. */
   def kmeansAssign(s: SparkSession, d: String, k: Int): DataFrame =
-    assign(base(s, d), centroids(s, d, k))
+    if (stateOf(s, k) == "frame") kmeansAssignFrame(s, d, k)
+    else assign(base(s, d), centroids(s, d, k))
       .select(col("vec_id"), col("label"), col("cid"), col("dist2"))
 
   /** The quantization CTE (vec_id, idx, xi) the recurrence reads —
@@ -831,6 +1140,30 @@ object Clustering {
             / lit(1000000.0), 6).as("rms_dist"),
           col("top_label"),
           round(col("topc").cast("double") / col("n"), 6).as("top_share"))
+        .orderBy("cid")
+    },
+
+    // The frame-state path's oracle witness: the SAME bit-exact
+    // recurrence, but trained and assigned with centroid state as a
+    // DataFrame end-to-end (kmeansAssignFrame). At the default K the
+    // frame path is EXACT — pEff = min(P, r) probes every branch (see
+    // assignFrame) — so the DuckDB CTE unroll of the flat recurrence
+    // replays it bit-for-bit; cluster sizes, integer inertia, and the
+    // min member id per cluster all hash-match. A different projection
+    // than q_embed_kmeans on purpose: this row certifies the far-K
+    // STATE spelling, not the report shape.
+    q("q_embed_kmeans_frame",
+      s"""WITH ${kmeansCtes()}
+        |SELECT CAST(cid AS BIGINT) AS cid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(d) AS BIGINT) AS sum_d2,
+        |  CAST(min(vec_id) AS BIGINT) AS min_vec
+        |FROM af GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      kmeansAssignFrame(s, d, kOf(s))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), sum("dist2").as("sum_d2"),
+          min("vec_id").as("min_vec"))
+        .select(col("cid"), col("n"), col("sum_d2"), col("min_vec"))
         .orderBy("cid")
     },
 

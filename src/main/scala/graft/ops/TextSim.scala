@@ -174,6 +174,32 @@ object TextSim {
     graft.StageCache.memoized(s, d, s"postings$dfCap")(
       gramPostingsFrame(s, d, dfCap))
 
+  /** Materialized per-document distinct word-3-gram stage
+    * (doc_id, source, gram) — the gramPostings pattern applied to the
+    * decontamination family (r15 verdict #3): q_text_decontam,
+    * q_text_decontam_bloom and q_mix_decontam_split each consume the
+    * tokenize→gram→distinct pipeline from MULTIPLE subtrees (the eval
+    * gram set and the corpus side), so without a stage the full-corpus
+    * tokenize pass executed once per subtree — real money at 100 TB,
+    * where this is the maintained gram table the pipeline owns. Built
+    * once per (session, dir), warmed on a bench thread like the other
+    * stages. */
+  private[graft] def docGrams(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "docgrams") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          normTokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
+            .as("gram"))
+        .distinct()
+    }
+
+  def warmDocGramStage(s: SparkSession, d: String): Unit = {
+    docGrams(s, d).count()
+    ()
+  }
+
   /** The postings BUILD pipeline as a plannable frame — exposed so
     * PlanShapeSpec can pin the fuse's whole point: exactly ONE
     * Exchange (the memoized read-back would hide the build plan). */
@@ -1561,13 +1587,10 @@ object TextSim {
         |    AS contaminated
         |FROM c
         |ORDER BY doc_id""") { (s, d) =>
-      val g0 = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          normTokens(col("text")).as("ws"))
-        .select(col("doc_id"), col("source"),
-          explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
-            .as("gram"))
-        .distinct()
+      // both subtrees read the materialized [[docGrams]] stage — the
+      // full-corpus tokenize pass runs once per session, not once per
+      // consuming subtree (r15 verdict #3)
+      val g0 = docGrams(s, d)
       val ev = g0.filter(col("source") === "src0").select("gram").distinct()
       // The benchmark gram set is the small side BY CONSTRUCTION (eval
       // sets are fixed-size; the training corpus is the 100 TB side) —
@@ -1615,13 +1638,8 @@ object TextSim {
         |    AS contaminated
         |FROM c
         |ORDER BY doc_id""") { (s, d) =>
-      val g0 = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          normTokens(col("text")).as("ws"))
-        .select(col("doc_id"), col("source"),
-          explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
-            .as("gram"))
-        .distinct()
+      // reads the materialized [[docGrams]] stage like its exact twin
+      val g0 = docGrams(s, d)
       // ev is referenced twice (Bloom build + exact verify) and there
       // is no cross-subtree sharing — checkpoint it so the eval-set
       // gram build runs once, not once per reference.
@@ -1871,24 +1889,14 @@ object TextSim {
         |FROM tr JOIN ev ON tr.gram = ev.gram
         |GROUP BY tr.doc_id, tr.split
         |ORDER BY tr.doc_id""") { (s, d) =>
-      val g0 = Tables.documents(s, d)
-        .select(col("doc_id"), normTokens(col("text")).as("ws"))
-        .select(col("doc_id"),
-          explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
-            .as("gram"))
-        .distinct()
+      // Both subtrees (the ev build and the non-test branch) read the
+      // MATERIALIZED [[docGrams]] stage (r15 verdict #3; an eager
+      // localCheckpoint here had measured strictly worse — the stage
+      // is the columnar, prunable spelling of the same sharing): the
+      // tokenize→gram→distinct pipeline runs once per session, and at
+      // 100 TB it is the maintained gram table this family owns.
+      val g0 = docGrams(s, d).select("doc_id", "gram")
       val sp = dedupKeyedSplit(s, d).select("doc_id", "split")
-      // Two subtrees (the ev build and the non-test branch) read this
-      // frame, so the tokenize→gram→distinct pipeline and the md5
-      // split join execute twice — ACCEPTED at fixture tiers by
-      // measurement: a localCheckpoint here benched a wash cold
-      // (1.43 vs 1.59 s) and SLOWER + noisier warm (0.84 → 1.1-1.9 s;
-      // eager materialization of the gram frame trades compute for
-      // memory/GC), the inverse of the q_text_decontam_bloom case,
-      // whose checkpointed frame is the tiny post-prune sliver. At
-      // 100 TB the right fix is not a checkpoint but sharing the
-      // gram build as a maintained STAGE (the gramPostings pattern) —
-      // documented, not speculatively pre-paid.
       val gs = g0.join(sp, "doc_id")
       val ev = gs.filter(col("split") === "test")
         .select("gram").distinct()

@@ -980,6 +980,9 @@ object GraftExtensions {
         children.head, children(1))
     })
 
+  /** The registered SQL names — the `graft.Cli views` listing. */
+  def functionNames: Seq[String] = functions.map(_._1.funcName)
+
   /** Register the same graft_* functions on an ALREADY-BUILT session —
     * the `.withExtensions` hook can only run at session construction,
     * but the function registry accepts late registration; idempotent

@@ -243,4 +243,51 @@ class CliSpec extends AnyFunSuite {
     val hdr = Files.readString(java.nio.file.Paths.get(out, "_columns.tsv"))
     assert(hdr.trim === "event_type\tn")
   }
+
+  test("cluster-train / cluster-store / cluster-retrain verbs drive the persistent store") {
+    // r15 verdict #5: the shell user reaches the round-15 centroid
+    // machinery. train → summary says "trained"; again → "loaded"
+    // (the trainCounter observable through the CLI); cluster-store
+    // lists the artifact; after an in-place corpus refresh,
+    // cluster-retrain recovers and the store shows both fingerprints.
+    val store = tmp("graft_cli_kmstore")
+    val dir = tmp("graft_cli_kmcorpus")
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    emb.write.mode("overwrite").parquet(Tables.path(dir, "embeddings"))
+    val first = Cli.clusterTrain(spark, dir, store, 7)
+    assert(first.startsWith("trained k=7 "), first)
+    val second = Cli.clusterTrain(spark, dir, store, 7)
+    assert(second.startsWith("loaded k=7 "), second)
+    val listed1 = Cli.clusterStore(store)
+    assert(listed1.length === 1, listed1)
+    assert(listed1.head.startsWith("7\t"), listed1.head)
+    // refresh the corpus in place -> plain train refuses, retrain recovers
+    emb.limit(5).withColumn("vec_id", col("vec_id") + lit(800000L))
+      .write.mode("append").parquet(Tables.path(dir, "embeddings"))
+    intercept[IllegalArgumentException] {
+      Cli.clusterTrain(spark, dir, store, 7)
+    }
+    val third = Cli.clusterTrain(spark, dir, store, 7, retrain = true)
+    assert(third.startsWith("trained k=7 "), third)
+    val listed2 = Cli.clusterStore(store)
+    assert(listed2.length === 2, listed2)
+    // TSV shape: k, mode, fingerprint, dim, iters
+    listed2.foreach { l =>
+      val f = l.split("\t")
+      assert(f.length === 5, l)
+      assert(f(1) === "exact", l)
+    }
+  }
+
+  test("views verb registers the tables and lists views + graft_* functions") {
+    val got = Cli.views(spark, TestSpark.sf)
+    val views = got.filter(_.startsWith("view\t")).map(_.split("\t")(1))
+    val fns = got.filter(_.startsWith("function\t")).map(_.split("\t")(1))
+    assert(views.contains("documents") && views.contains("embeddings"),
+      views.toString)
+    assert(fns.contains("graft_dot") && fns.contains("graft_tokens"),
+      fns.toString)
+    // and the listing is live: the views it names are queryable now
+    assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+  }
 }

@@ -347,7 +347,7 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // end at small tiers.
     def counts(tag: String): Map[String, Long] = {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"bench/scale_ov64_${tag}_counts_r15.json")))
+        java.nio.file.Paths.get(s"bench/scale_ov64_${tag}_counts_r16.json")))
       val body = txt.substring(txt.indexOf("\"counts\":"))
       "\"([a-z0-9_]+)\":(\\d+)".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toLong).toMap
@@ -395,15 +395,37 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c100("estep_evals_routed") * 5 <= c100("estep_evals_flat"))
     // routed-vs-flat agreement on the ISOTROPIC tiers — routing's
     // measured worst case (no similarity gap, every branch boundary
-    // contested): 0.877 at ×10, 0.817 at ×100 with the default 3
-    // probes. The floor catches a collapse; the planted-dup RECALL
-    // (the dedup product metric) is pinned ≥ 0.9 in the live routed
-    // test above, and clustered corpora sit above this curve
-    // (bench/route_curve_* + SCALE.md).
+    // contested). The fixed-P3 chain exists for the COST law (the 1.50
+    // exponent above); its agreement decays with K by construction
+    // (P/√K coverage shrinks) and is now also measured against
+    // AUTO-trained centroids (0.835 at ×10, 0.659 at ×100 — lower
+    // than r15's self-consistent P3-trained 0.877/0.817, exactly the
+    // silent degradation the adaptive default exists to close), so
+    // the floor only catches a collapse. The ADAPTIVE default (r16,
+    // rprobe=auto, P=⌈K^¼⌉) is the production knob and must HOLD
+    // ≥ 0.85 at BOTH decades — the r15-verdict done bar: quality no
+    // longer degrades when a user scales K up at unchanged settings
+    // (measured 0.911 / 0.898).
     val a10 = c10("estep_routed_agree").toDouble / c10("n_vectors")
     val a100 = c100("estep_routed_agree").toDouble / c100("n_vectors")
-    assert(a10 >= 0.75 && a100 >= 0.75,
-      f"routed agreement collapsed: $a10%.3f / $a100%.3f")
+    assert(a10 >= 0.70 && a100 >= 0.55,
+      f"routed fixed-P3 agreement collapsed: $a10%.3f / $a100%.3f")
+    val aa10 = c10("estep_routed_agree_auto").toDouble / c10("n_vectors")
+    val aa100 = c100("estep_routed_agree_auto").toDouble / c100("n_vectors")
+    assert(aa10 >= 0.85 && aa100 >= 0.85,
+      f"adaptive-probe agreement fell below the scale-stability bar: " +
+        f"$aa10%.3f / $aa100%.3f")
+    // the adaptive default buys that quality at ~n^1.75 (designed
+    // K^¾ per-vector work) — still decisively below the flat n²
+    val ra1 = expOf("estep_evals_routed_auto", c1, c10)
+    val ra2 = expOf("estep_evals_routed_auto", c10, c100)
+    assert(ra1 <= 1.85 && ra2 <= 1.85,
+      f"adaptive routed work exponent regressed: $ra1%.2f / $ra2%.2f")
+    assert(c10("estep_evals_routed_auto") * 2 <= c10("estep_evals_flat"))
+    assert(c100("estep_evals_routed_auto") * 4 <= c100("estep_evals_flat"))
+    // and the artifact records which P the default resolved to
+    assert(c10("estep_p_auto") === 4L && c100("estep_p_auto") === 7L,
+      s"adaptive P drifted: ${c10("estep_p_auto")} / ${c100("estep_p_auto")}")
     // corpus-size sanity: the artifacts really span two decades
     assert(c10("n_docs") === 10 * c1("n_docs"))
     assert(c100("n_docs") === 10 * c10("n_docs"))
@@ -424,15 +446,15 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       val p = java.nio.file.Paths.get(s"bench/$name")
       new String(java.nio.file.Files.readAllBytes(p))
         .linesIterator.filter(_.nonEmpty).map { l =>
-          "\"(rprobe|agree|evals|evals_flat)\":([0-9.]+)".r
+          "\"(rprobe|p_auto|agree|evals|evals_flat)\":([0-9.]+)".r
             .findAllMatchIn(l)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }.toSeq
     }
-    val files = Seq("route_curve_iso_join_x10_r15.jsonl",
-      "route_curve_iso_routed_x10_r15.jsonl",
-      "route_curve_clustered16_x10_r15.jsonl",
-      "route_curve_iso_routed_x100_r15.jsonl")
+    val files = Seq("route_curve_iso_join_x10_r16.jsonl",
+      "route_curve_iso_routed_x10_r16.jsonl",
+      "route_curve_clustered16_x10_r16.jsonl",
+      "route_curve_iso_routed_x100_r16.jsonl")
     val curves = files.map(f => f -> pts(f)).toMap
     curves.foreach { case (f, c) =>
       assert(c.nonEmpty, s"$f is empty")
@@ -448,17 +470,61 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$f routed evals not below flat"))
     }
     // clustered dominates isotropic at every shared probe count
-    val iso = curves("route_curve_iso_routed_x10_r15.jsonl")
+    val iso = curves("route_curve_iso_routed_x10_r16.jsonl")
       .map(p => p("rprobe") -> p("agree")).toMap
-    curves("route_curve_clustered16_x10_r15.jsonl").foreach { p =>
+    curves("route_curve_clustered16_x10_r16.jsonl").foreach { p =>
       iso.get(p("rprobe")).foreach(a =>
         assert(p("agree") >= a,
           f"clustered below isotropic at P=${p("rprobe")}%.0f"))
     }
-    // production decade, default P=3: the ScaleBench artifact floor
-    val x100p3 = curves("route_curve_iso_routed_x100_r15.jsonl")
-      .find(_("rprobe") == 3.0).get
-    assert(x100p3("agree") >= 0.75, s"x100 default-P agreement: $x100p3")
+    // THE r16 scale-stability bar: at both routed-trained isotropic
+    // decades, the point the ADAPTIVE default lands on (rprobe ==
+    // p_auto, P = ⌈K^¼⌉: 4 at K=160, 7 at K=1600) holds agreement ≥
+    // 0.85 — a user scaling K up at unchanged settings no longer
+    // silently loses approximation quality (fixed P=3 measured
+    // 0.877 → 0.817 across the same decades at r15).
+    for (f <- Seq("route_curve_iso_routed_x10_r16.jsonl",
+        "route_curve_iso_routed_x100_r16.jsonl")) {
+      val c = curves(f)
+      val auto = c.find(p => p("rprobe") == p("p_auto")).getOrElse(
+        fail(s"$f has no point at the adaptive default"))
+      assert(auto("agree") >= 0.85,
+        s"$f adaptive-default agreement ${auto("agree")} < 0.85")
+    }
+  }
+
+  test("frame-state artifacts: driver rows grow ~√K, decisively below the array path") {
+    // The committed K=10⁴/10⁵ frame-training chain (bench/
+    // state_frame_r16.jsonl; regenerate with `runMain graft.StateBench
+    // target/scale_r15/ov64_x100 10000,100000 1`) — the r15-verdict #2
+    // evidence that no driver-side collection scales with K: the
+    // measured frame_driver_rows must grow ~√10 across the decade
+    // (only the ⌈√K⌉ coarse level is driver-held) and sit far below
+    // the array path's K(1+dim) arithmetic row count at the far tier
+    // (where trainHistory REFUSES outright — pinned in
+    // ClusteringSpec). The live small-K twin of this pin (4×K → ~2×
+    // rows) runs in ClusteringSpec on the fixtures.
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench/state_frame_r16.jsonl")))
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        "\"(k|frame_driver_rows|array_driver_rows|cells|n)\":(\\d+)".r
+          .findAllMatchIn(l)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      }.toSeq
+    assert(lines.map(_("k")) === Seq(10000L, 100000L), lines.toString)
+    val Seq(k4, k5) = lines
+    val exp = math.log(k5("frame_driver_rows").toDouble /
+      k4("frame_driver_rows")) / math.log(10.0)
+    assert(exp <= 0.65,
+      f"frame driver rows grew with exponent $exp%.2f (want ~0.5)")
+    assert(k5("frame_driver_rows") * 20 <= k5("array_driver_rows"),
+      s"frame rows ${k5("frame_driver_rows")} not decisively below " +
+        s"array ${k5("array_driver_rows")}")
+    // structural sanity: the measured runs really trained/assigned
+    lines.foreach { m =>
+      assert(m("cells") >= m("k") / 2,
+        s"k=${m("k")} produced only ${m("cells")} cells")
+    }
   }
 
   test("IVF recall/nprobe curve: clustered corpora saturate at narrow probes") {
