@@ -232,7 +232,8 @@ object Cli {
   def clusterStore(storeDir: String): Seq[String] = {
     val dir = new java.io.File(storeDir)
     val names = Option(dir.list()).map(_.toSeq).getOrElse(Seq.empty)
-    val Art = "kmeans_k(\\d+)_([a-z]+)_fp([0-9a-f]+)\\.txt".r
+    // mode may carry the resolved probe count (exact | routed_p<P>)
+    val Art = "kmeans_k(\\d+)_([a-z0-9_]+)_fp([0-9a-f]+)\\.txt".r
     names.sorted.flatMap {
       case n @ Art(k, mode, fp) =>
         val hdr = scala.util.Using(scala.io.Source.fromFile(

@@ -106,6 +106,20 @@ object StageCache {
     }
   }
 
+  /** Drop every stage of (session, dir) whose name starts with
+    * `stagePrefix` — the retrain-and-swap verbs' invalidation hook
+    * (the [[graft.SessionMemo.dropByPrefix]] discipline at the stage
+    * tier): the slot disappears, so the NEXT memoized() read rebuilds
+    * from the live corpus, while readers already holding a DataFrame
+    * keep their consistent old materialization (its temp dir lives
+    * until JVM exit). Not for general use — ordinary code relies on
+    * the per-session-immutability contract. */
+  def invalidatePrefix(s: SparkSession, d: String,
+      stagePrefix: String): Unit = {
+    val p = s"${Integer.toHexString(System.identityHashCode(s))}|$d|$stagePrefix"
+    cache.keySet.removeIf(_.startsWith(p))
+  }
+
   /** Number of parquet data files currently materialized for `stage` —
     * the compaction spec's observable (inputFiles of a fresh read). */
   def fileCount(s: SparkSession, d: String, stage: String)(

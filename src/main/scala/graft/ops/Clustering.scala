@@ -220,18 +220,25 @@ object Clustering {
     // the id is only a grouping key, dropped before output, so its
     // (partitioning-dependent) values never reach a result.
     val keyed = b.withColumn("_rid", monotonically_increasing_id())
-    val keep = b.columns
-    // Group ONLY on the _rid row key — never on payload columns: a
-    // caller frame carrying a map-typed column would make a
-    // group-by-everything fail (grouping on MapType is unsupported),
-    // and a single long grouping key is the narrower shuffle anyway.
-    // The payload rides as first() partial aggregates — every row in
-    // a _rid group came from ONE input row, so first() is exact.
+    argminByRid(keyed.crossJoin(broadcast(cdf))
+      .withColumn("_dc",
+        struct(l2sq(col("xq"), col("_cq")).as("d"), col("_ccid").as("cid"))),
+      b.columns.toIndexedSeq)
+  }
+
+  /** The grouped-argmin tail shared by every blown-up assignment path
+    * (join, routed, frame): `joined` carries one `_dc` = struct(d,
+    * cid) candidate per (input row × candidate centroid), keyed by
+    * `_rid`. Group ONLY on the _rid row key — never on payload
+    * columns: a caller frame carrying a map-typed column would make a
+    * group-by-everything fail (grouping on MapType is unsupported),
+    * and a single long grouping key is the narrower shuffle anyway.
+    * The payload rides as first() partial aggregates — every row in a
+    * _rid group came from ONE input row, so first() is exact. */
+  private def argminByRid(joined: DataFrame, keep: Seq[String]): DataFrame = {
     val aggs = keep.toIndexedSeq.map(c => first(col(c)).as(c)) :+
       min(col("_dc")).as("_dc")
-    keyed.crossJoin(broadcast(cdf))
-      .withColumn("_dc",
-        struct(l2sq(col("xq"), col("_cq")).as("d"), col("_ccid").as("cid")))
+    joined
       .groupBy(col("_rid"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("cid", col("_dc.cid"))
@@ -449,23 +456,14 @@ object Clustering {
     * members. `probed` carries `_rid` + `_rt`; `members` is the
     * (branch, centroid id, centroid) table in EITHER spelling — a
     * √K-row local relation ([[membersDf]]) or a K-row distributed
-    * frame (the frame-state path), the join is the same. _rid-only
-    * grouping, payload as first() — the map-column-safe discipline
-    * (see assignJoin). */
+    * frame (the frame-state path), the join is the same. Delegates to
+    * [[argminByRid]] for the map-column-safe grouped argmin. */
   private def argminOverMembers(probed: DataFrame, members: DataFrame,
-      keep: Seq[String]): DataFrame = {
-    val aggs = keep.toIndexedSeq.map(c => first(col(c)).as(c)) :+
-      min(col("_dc")).as("_dc")
-    probed.join(members, "_rt")
+      keep: Seq[String]): DataFrame =
+    argminByRid(probed.join(members, "_rt")
       .withColumn("_dc", struct(l2sq(col("xq"), col("_cq")).as("d"),
-        col("_ccid").as("cid")))
-      .groupBy(col("_rid"))
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("cid", col("_dc.cid"))
-      .withColumn("dist2", col("_dc.d"))
-      .drop("_dc", "_rid")
-      .select((keep :+ "cid" :+ "dist2").map(col).toIndexedSeq: _*)
-  }
+        col("_ccid").as("cid"))),
+      keep)
 
   /** Distance-evaluation count of ONE E-step pass over `b` via the
     * routed path — n·r routing evaluations plus the sizes of each
@@ -697,13 +695,16 @@ object Clustering {
     cents
   }
 
-  /** Frame-state centroids per (session, dir, k), materialized via the
-    * stage cache — the frame analogue of [[centroidHistory]]'s memo
-    * (and of the persistent store: the materialization IS a parquet
-    * table a 100 TB pipeline would maintain). */
+  /** Frame-state centroids per (session, dir, k, resolved probes),
+    * materialized via the stage cache — the frame analogue of
+    * [[centroidHistory]]'s memo (and of the persistent store: the
+    * materialization IS a parquet table a 100 TB pipeline would
+    * maintain). The probe count is in the key for the same reason it
+    * is in [[modeKey]] (r16 review #2): frame training routes, so its
+    * result depends on P. */
   private[graft] def frameCentroids(s: SparkSession, d: String,
       k: Int): DataFrame =
-    StageCache.memoized(s, d, s"kmeans_frame_k$k") {
+    StageCache.memoized(s, d, s"kmeans_frame_k${k}_p${rprobeOf(s, k)}") {
       trainFrame(base(s, d), k, Iters)
     }
 
@@ -753,15 +754,22 @@ object Clustering {
     * join, AND auto below [[RoutedMinK]]: those paths are bit-identical
     * by pin, so sharing one memo entry between them is sound and
     * avoids duplicate trainings (r15 review #3 — a forced 'routed'
-    * session and an 'auto' session past RoutedMinK likewise share). */
+    * session and an 'auto' session past RoutedMinK likewise share).
+    * The routed class carries the RESOLVED probe count (r16 review
+    * #2): routed-trained centroids depend on P — with the default now
+    * K-adaptive, a P3-pinned session and an auto session at large K
+    * train DIFFERENT histories and must never serve each other's memo
+    * or store artifact (this also quietly retires every pre-r16
+    * 'routed' store artifact, trained at the old fixed default, whose
+    * training r16 would not reproduce). */
   private[graft] def modeKey(s: SparkSession, k: Int): String =
     estepOf(s) match {
       // forced routed at k ≤ LiteralMaxK falls back to the literal
       // path inside assignRouted, so the trained history is the exact
       // class's — same key, no duplicate training/artifact
-      case "routed" if k > LiteralMaxK      => "routed"
-      case "auto" if k > RoutedMinK         => "routed"
-      case _                                => "exact"
+      case "routed" if k > LiteralMaxK => s"routed_p${rprobeOf(s, k)}"
+      case "auto" if k > RoutedMinK    => s"routed_p${rprobeOf(s, k)}"
+      case _                           => "exact"
     }
 
   /** Per-iteration centroid history (seeds c0 .. final c_iters),
@@ -921,6 +929,11 @@ object Clustering {
       storeDir: String): Seq[Array[Array[Long]]] = {
     StageCache.rewrite(s, d, "kmeans_base")(baseFrame(s, d))(
       _ => baseFrame(s, d))
+    // the frame-state centroid stages are derivations of the corpus
+    // too (r16 review #1): drop them all so the next frame read
+    // retrains over the rebuilt base instead of silently pairing
+    // old-corpus centroids with it
+    StageCache.invalidatePrefix(s, d, "kmeans_frame_k")
     graft.SessionMemo.dropByPrefix(s, s"kmeans_cents|$d|")
     graft.SessionMemo.drop(s, s"kmeans_fp|$d")
     graft.SessionMemo.drop(s, s"kmeans_domain|$d")
@@ -995,10 +1008,22 @@ object Clustering {
     * k. State dispatch ([[stateOf]]): past [[DriverStateMaxK]] (or
     * forced via `spark.graft.kmeans.state=frame`) the centroid state
     * is a DataFrame end-to-end — [[kmeansAssignFrame]]. */
-  def kmeansAssign(s: SparkSession, d: String, k: Int): DataFrame =
-    if (stateOf(s, k) == "frame") kmeansAssignFrame(s, d, k)
+  def kmeansAssign(s: SparkSession, d: String, k: Int): DataFrame = {
+    // State dispatch defers to a user-FORCED exact E-step (r16 review
+    // #3): the frame path trains/assigns through the routed machinery,
+    // so silently taking it would swap a pinned exact class for an
+    // approximate one. With estep forced literal/join the array path
+    // runs — and past DriverStateMaxK its require refuses LOUDLY,
+    // naming the conflict, instead of returning the wrong class. A
+    // forced state=frame is the more specific knob and wins.
+    val exactForced =
+      Set("literal", "join")(s.conf.get("spark.graft.kmeans.estep", "auto"))
+    if (stateOf(s, k) == "frame" &&
+        (!exactForced || s.conf.get("spark.graft.kmeans.state", "auto") == "frame"))
+      kmeansAssignFrame(s, d, k)
     else assign(base(s, d), centroids(s, d, k))
       .select(col("vec_id"), col("label"), col("cid"), col("dist2"))
+  }
 
   /** The quantization CTE (vec_id, idx, xi) the recurrence reads —
     * emitted once per oracle; the K-sweep shares ONE across its four

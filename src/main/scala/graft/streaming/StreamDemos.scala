@@ -419,6 +419,9 @@ object StreamDemos {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        def parts = Option(new java.io.File(outDir).list())
+          .map(_.toSeq.filter(_.startsWith("batch=")))
+          .getOrElse(Seq.empty)
         if (batchId == 0L) {
           // batch 0 means a FRESH checkpoint; a pre-existing batch
           // partition OTHER than batch=0 is necessarily an orphan from
@@ -426,16 +429,24 @@ object StreamDemos {
           // only have written batch=0, which the overwrite reclaims) —
           // its rows would survive partition discovery alongside the
           // new output, so fail loudly instead of silently mixing.
-          val existing = Option(new java.io.File(outDir).list())
-            .map(_.toSeq.filter(n =>
-              n.startsWith("batch=") && n != "batch=0"))
-            .getOrElse(Seq.empty)
+          val existing = parts.filter(_ != "batch=0")
           require(existing.isEmpty,
             s"scoredVecBatches: fresh checkpoint (batch 0) but outDir " +
               s"'$outDir' already holds partitions ${existing.sorted
                 .mkString(", ")} from a prior run — outDir and " +
               "checkpointDir must be created/retired together; clear " +
               "the stale output or reuse the matching checkpoint")
+        } else if (parts.isEmpty) {
+          // the CONVERSE mismatch (r16 review #4): a resumed
+          // checkpoint (batch id > 0) firing into an EMPTY outDir
+          // means the committed batches' output was retired while the
+          // checkpoint survived — continuing would build a dataset
+          // silently missing every earlier batch.
+          throw new IllegalStateException(
+            s"scoredVecBatches: checkpoint resumed at batch $batchId " +
+              s"but outDir '$outDir' holds no batch partitions — the " +
+              "earlier batches' output is gone; outDir and " +
+              "checkpointDir must be created/retired together")
         }
         Clustering.assign(batch.toDF(), cents)
           .select(col("vec_id"), col("cid"), col("dist2"))

@@ -301,6 +301,11 @@ class ClusteringSpec extends AnyFunSuite {
     val c0 = ops.Clustering.trainCounter.get()
     ops.Clustering.persistentCentroidHistory(spark, dir, k, store)
     assert(ops.Clustering.trainCounter.get() === c0 + 1)
+    // a frame-state consumer trains (and stage-caches) its centroids
+    // over the same corpus — the retrain must invalidate this too
+    assert(ops.Clustering.kmeansAssignFrame(spark, dir, k).count() ===
+      emb.count())
+    assert(ops.Clustering.trainCounter.get() === c0 + 2)
     // in-place refresh: append a re-identified slice (the
     // CAP-INCREMENTAL shape) — the fingerprint moves
     emb.limit(7).withColumn("vec_id", col("vec_id") + lit(900000L))
@@ -314,19 +319,27 @@ class ClusteringSpec extends AnyFunSuite {
     // ... and the explicit verb is the sanctioned recovery: it
     // retrains over the LIVE corpus (work observable moves)
     val h2 = ops.Clustering.retrainCentroids(spark, dir, k, store)
-    assert(ops.Clustering.trainCounter.get() === c0 + 2,
+    assert(ops.Clustering.trainCounter.get() === c0 + 3,
       "retrainCentroids did not retrain")
     // the retrained base really saw the appended rows
     assert(ops.Clustering.base(spark, dir).count() === emb.count() + 7)
+    // the frame-state stage was invalidated too (r16 review #1): the
+    // next frame read retrains over the rebuilt base — fresh-corpus
+    // row count, counter moves — instead of silently pairing
+    // old-corpus centroids with the new base
+    assert(ops.Clustering.kmeansAssignFrame(spark, dir, k).count() ===
+      emb.count() + 7)
+    assert(ops.Clustering.trainCounter.get() === c0 + 4,
+      "retrain left a stale frame-centroid stage in place")
     // load-after-retrain is the new history: bit-stable, no training —
     // in this session (memo seeded by the verb) ...
     val h3 = ops.Clustering.persistentCentroidHistory(spark, dir, k, store)
-    assert(ops.Clustering.trainCounter.get() === c0 + 2,
+    assert(ops.Clustering.trainCounter.get() === c0 + 4,
       "post-retrain load retrained again")
     // ... and in a fresh session (only the swapped artifact explains it)
     val s2 = spark.newSession()
     val h4 = ops.Clustering.persistentCentroidHistory(s2, dir, k, store)
-    assert(ops.Clustering.trainCounter.get() === c0 + 2,
+    assert(ops.Clustering.trainCounter.get() === c0 + 4,
       "fresh session retrained despite the swapped artifact")
     Seq(h3, h4).foreach { h =>
       assert(h.length === h2.length)
@@ -476,6 +489,21 @@ class ClusteringSpec extends AnyFunSuite {
     assert(ops.Clustering.stateOf(spark, 80) === "driver")
   }
 
+  test("state dispatch defers to a forced exact E-step: loud refusal, never silent approximation") {
+    // r16 review #3: a user who pinned estep=join for an exact
+    // comparison must not be silently served the approximate frame
+    // class at large K — the array path runs and its DriverStateMaxK
+    // require names the conflict.
+    spark.conf.set("spark.graft.kmeans.estep", "join")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        ops.Clustering.kmeansAssign(spark, sf,
+          ops.Clustering.DriverStateMaxK + 1).count()
+      }
+      assert(ex.getMessage.contains("DriverStateMaxK"), ex.getMessage)
+    } finally spark.conf.set("spark.graft.kmeans.estep", "auto")
+  }
+
   test("frame state: driver-collected rows grow ~√K while the array path grows ~K") {
     // The scale claim as a WORK-PLACEMENT observable (the trainCounter
     // discipline): training at 4×K must grow the frame path's
@@ -510,13 +538,19 @@ class ClusteringSpec extends AnyFunSuite {
     }
     assert(at("auto", 8) === "exact")
     assert(at("auto", 500) === "exact")
-    assert(at("auto", 2000) === "routed")
+    // the routed class carries the RESOLVED probe count (r16 review
+    // #2): P3-pinned and auto sessions train different centroids at
+    // large K and must not share a memo/store key
+    assert(at("auto", 2000) === "routed_p7")
     assert(at("literal", 8) === "exact")
     assert(at("join", 2000) === "exact")
     // forced routed at k <= LiteralMaxK falls back to the literal path
     // inside assignRouted, so its training IS the exact class's
     assert(at("routed", 8) === "exact")
-    assert(at("routed", 80) === "routed")
+    assert(at("routed", 80) === "routed_p3")
+    spark.conf.set("spark.graft.kmeans.rprobe", "3")
+    try assert(at("auto", 2000) === "routed_p3")
+    finally spark.conf.set("spark.graft.kmeans.rprobe", "auto")
   }
 
   test("corpus fingerprint moves on even-multiplicity changes; mid-session mutation is refused") {

@@ -448,6 +448,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(msgs(ex).contains("duplicate hourly rollup"), msgs(ex))
   }
 
+  test("CAP-STREAM-KMEANS-LARGE-K: resumed checkpoint into a retired outDir is refused") {
+    // r16 review #4 — the converse of the fresh-checkpoint guard: a
+    // surviving checkpoint whose committed batches' output was
+    // deleted would otherwise resume at batch id > 0 and build a
+    // dataset silently missing every earlier batch.
+    val inDir = tmpDir("graft_kmsR_in").toString
+    val ck = tmpDir("graft_kmsR_ck").toString
+    val out = tmpDir("graft_kmsR_out").toString + "/scored"
+    val sample = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    sample.coalesce(1).write.mode("append").parquet(inDir)
+    StreamDemos.scoredVecBatches(spark, sf, inDir, ck, out, k = 80)
+    assert(spark.read.parquet(out).count() > 0)
+    // retire the output but keep the checkpoint, then feed a new file
+    Local.rmTree(new java.io.File(out))
+    sample.limit(3).coalesce(1).write.mode("append").parquet(inDir)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamDemos.scoredVecBatches(spark, sf, inDir, ck, out, k = 80)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("holds no batch partitions"), msgs(ex))
+  }
+
   test("CAP-STREAM-KMEANS-LARGE-K: fresh checkpoint into a reused outDir is refused (r15 advice)") {
     // r15 advice #2: batch ids restart at 0 under a new checkpointDir,
     // so partitions surviving from a longer prior run would mix into
