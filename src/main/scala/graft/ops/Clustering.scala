@@ -940,6 +940,82 @@ object Clustering {
     persistentCentroidHistory(s, d, k, storeDir)
   }
 
+  /** Greedy k-center (Gonzalez farthest-point) selection trace — the
+    * coreset/diversity-sampling primitive training-data pipelines use
+    * when they want MAXIMAL COVERAGE from k examples (the complement
+    * of q_embed_sample's cluster-balanced sampling: k-center picks the
+    * points that minimize the corpus's distance to its nearest pick,
+    * a 2-approximation of the optimal cover by the classic greedy
+    * argument). Same fixed-point integer arithmetic and md5-order
+    * seed as the kmeans family, so the DuckDB unroll replays it
+    * bit-exact. Each of the k−1 steps is ONE narrow distributed pass
+    * (min-dist to the chosen literals, argmax as min(struct(−d, id,
+    * xq)) — ties to the smaller vec_id); the driver holds only the
+    * k×dim chosen set. Inherently sequential in k BY DEFINITION
+    * (greedy), so the operator is for benchmark-sized k — at large k
+    * use q_embed_sample's cluster-balanced draw.
+    *
+    * @return (rank, vec_id, d2sel) — d2sel = the point's min distance
+    *         to the previously-chosen set at selection (None for the
+    *         seed): the classic trace, whose last value bounds the
+    *         cover radius. */
+  private[graft] def kcenterTrace(b: DataFrame,
+      k: Int): Seq[(Long, Long, Option[Long])] = {
+    require(k >= 1, s"kcenter k must be >= 1, got $k")
+    val seed = b
+      .select(col("xq"), md5(col("vec_id").cast("string")).as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select("vec_id", "xq").collect()
+    require(seed.nonEmpty, "kcenter needs a non-empty corpus")
+    var chosen =
+      Vector((seed(0).getLong(0), seed(0).getSeq[Long](1).toArray))
+    val trace = Seq.newBuilder[(Long, Long, Option[Long])]
+    trace += ((0L, chosen(0)._1, None))
+    var i = 1
+    while (i < k) {
+      val mind = chosen.map(c => dist2(c._2)).reduce(least(_, _))
+      val best = b
+        .select(struct((-mind).as("nd"), col("vec_id").as("v"),
+          col("xq").as("x")).as("s"))
+        .agg(min(col("s"))).head().getStruct(0)
+      chosen :+= ((best.getLong(1), best.getSeq[Long](2).toArray))
+      trace += ((i.toLong, best.getLong(1), Some(-best.getLong(0))))
+      i += 1
+    }
+    trace.result()
+  }
+
+  /** The k-center greedy unrolled in DuckDB — m1 is the base case
+    * (distance to the seed), then one (m_i, c_i) CTE pair per step:
+    * m_i carries each vector's min distance to the chosen set, c_i
+    * the argmax (ties to the smaller vec_id) — exactly the Spark
+    * recurrence. The caller's outer SELECT unions c0..c_{k-1} with
+    * their ranks. */
+  private[ops] def kcenterCtes(k: Int): String = {
+    val dist = (ci: String) =>
+      s"""(SELECT x.vec_id, CAST(sum((x.xi - c.xi) * (x.xi - c.xi))
+        |        AS BIGINT) AS md
+        |      FROM e x JOIN e c ON x.idx = c.idx
+        |        AND c.vec_id = (SELECT vec_id FROM $ci)
+        |      GROUP BY 1)"""
+    val steps = (2 until k).map { i =>
+      s"""m$i AS MATERIALIZED (
+        |  SELECT m${i - 1}.vec_id, least(m${i - 1}.md, d.md) AS md
+        |  FROM m${i - 1} JOIN ${dist(s"c${i - 1}")} d USING (vec_id)),
+        |c$i AS MATERIALIZED (SELECT vec_id, md FROM m$i
+        |  ORDER BY md DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    s"""${quantCte("e")},
+      |c0 AS MATERIALIZED (SELECT vec_id FROM (
+      |    SELECT vec_id, row_number() OVER (
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      |    FROM embeddings) WHERE rn = 1),
+      |m1 AS MATERIALIZED (SELECT * FROM ${dist("c0")} mm),
+      |c1 AS MATERIALIZED (SELECT vec_id, md FROM m1
+      |  ORDER BY md DESC, vec_id LIMIT 1)${if (k > 2) ",\n" + steps else ""}"""
+  }
+
   /** Spec-compat overload: default contract constants. */
   private[graft] def train(b: DataFrame): Array[Array[Long]] =
     train(b, K, Iters)
@@ -1190,6 +1266,28 @@ object Clustering {
           min("vec_id").as("min_vec"))
         .select(col("cid"), col("n"), col("sum_d2"), col("min_vec"))
         .orderBy("cid")
+    },
+
+    // Greedy k-center coverage selection (see [[kcenterTrace]]) — the
+    // diversity-coreset complement of q_embed_sample. Output is the
+    // selection trace: rank, picked vector, and its min distance to
+    // the previously-picked set (NULL for the seed; the last values
+    // bound the corpus cover radius — the k-center objective).
+    q("q_embed_kcenter",
+      s"""WITH ${kcenterCtes(K)}
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS sel_rank,
+        |    (SELECT vec_id FROM c0) AS vec_id,
+        |    CAST(NULL AS BIGINT) AS d2sel
+        |${(1 until K).map(i =>
+             s"  UNION ALL SELECT CAST($i AS BIGINT), vec_id, md FROM c$i")
+            .mkString("\n")})
+        |ORDER BY sel_rank""") { (s, d) =>
+      import s.implicits._
+      kcenterTrace(base(s, d), kOf(s))
+        .toDF("sel_rank", "vec_id", "d2sel")
+        .select(col("sel_rank"), col("vec_id"), col("d2sel"))
+        .orderBy("sel_rank")
     },
 
     // SemDeDup-style semantic near-dup screen: pairwise similarity is

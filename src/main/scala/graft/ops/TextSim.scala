@@ -584,7 +584,7 @@ object TextSim {
     * convention, shared by q_mix_split_dedup (the operator) and
     * q_mix_split_neardup (the audit over its output) — the two must
     * never desynchronize. */
-  private def dedupKeyedSplit(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dedupKeyedSplit(s: SparkSession, d: String): DataFrame = {
     val k = Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("h"))
     val g = k.groupBy("h").agg(min("doc_id").as("keep_id"))
@@ -1930,6 +1930,41 @@ object TextSim {
           Tables.documents(s, d).select("doc_id", "source"),
           keyCol = "source", idCol = "doc_id", cap = 20)
         .select("doc_id", "source", "kept")
+        .orderBy("doc_id")
+    },
+
+    // Curriculum staging — quality-bucketed training order (the
+    // "easy/clean first, noisy later" curriculum every staged training
+    // run derives). Stage by FIXED quality thresholds (quality ∈ [0,1]
+    // → 4 equal bands), NOT by ntile: a global-order window would be
+    // the single-partition-window shape PlanShapeSpec outlaws, while
+    // fixed thresholds are embarrassingly parallel AND stable under
+    // corpus growth (tomorrow's crawl never reshuffles today's stage
+    // assignments — the q_mix_split stability argument applied to the
+    // curriculum). Intra-stage order is the md5-prefix sampling
+    // priority (the q_mix_source_cap convention): a pipeline sorts by
+    // (stage, pr) at write time — a partitioned sort, no window.
+    // Zero-token docs score NULL quality → NULL stage (the q_curate
+    // floor drops them; a curriculum must not silently stage junk).
+    q("q_mix_curriculum",
+      """SELECT doc_id,
+        |  round(0.6 * (len(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
+        |      / len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
+        |    + 0.4 * least(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) / 50.0, 1.0), 6)
+        |    AS quality,
+        |  CAST(least(CAST(floor(round(0.6 * (len(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
+        |      / len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
+        |    + 0.4 * least(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) / 50.0, 1.0), 6) * 4) AS INT), 3) AS INT)
+        |    AS stage,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS pr
+        |FROM documents
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          qualityScore.as("quality"))
+        .withColumn("stage",
+          least(floor(col("quality") * 4).cast("int"), lit(3)))
+        .withColumn("pr",
+          substring(md5(col("doc_id").cast("string")), 1, 13))
         .orderBy("doc_id")
     },
 

@@ -410,6 +410,41 @@ object StreamDemos {
     * partitions mixed into the new output — guarded below by failing
     * loudly when batch 0 fires into an outDir that already holds
     * other batch partitions. */
+  /** The two lifecycle guards of the batch-keyed-partition
+    * exactly-once scheme, shared by every foreachBatch sink that
+    * overwrites `outDir/batch=<id>`: (a) batch 0 means a FRESH
+    * checkpoint, so a pre-existing batch partition OTHER than batch=0
+    * is necessarily an orphan from a longer prior run (a same-run
+    * crash-replay of batch 0 can only have written batch=0, which the
+    * overwrite reclaims) — its rows would survive partition discovery
+    * alongside the new output; (b) the converse (r16 review #4): a
+    * RESUMED checkpoint (batch id > 0) firing into an outDir with no
+    * batch partitions means the committed batches' output was retired
+    * while the checkpoint survived — continuing would build a dataset
+    * silently missing every earlier batch. Either way: outDir and
+    * checkpointDir must be created/retired together, so fail loudly. */
+  private def guardBatchDirLifecycle(who: String, outDir: String,
+      batchId: Long): Unit = {
+    val parts = Option(new java.io.File(outDir).list())
+      .map(_.toSeq.filter(_.startsWith("batch=")))
+      .getOrElse(Seq.empty)
+    if (batchId == 0L) {
+      val existing = parts.filter(_ != "batch=0")
+      require(existing.isEmpty,
+        s"$who: fresh checkpoint (batch 0) but outDir '$outDir' " +
+          s"already holds partitions ${existing.sorted.mkString(", ")} " +
+          "from a prior run — outDir and checkpointDir must be " +
+          "created/retired together; clear the stale output or reuse " +
+          "the matching checkpoint")
+    } else if (parts.isEmpty) {
+      throw new IllegalStateException(
+        s"$who: checkpoint resumed at batch $batchId but outDir " +
+          s"'$outDir' holds no batch partitions — the earlier batches' " +
+          "output is gone; outDir and checkpointDir must be " +
+          "created/retired together")
+    }
+  }
+
   def scoredVecBatches(spark: SparkSession, corpusDir: String,
       inDir: String, checkpointDir: String, outDir: String,
       k: Int): Unit = {
@@ -419,37 +454,66 @@ object StreamDemos {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        def parts = Option(new java.io.File(outDir).list())
-          .map(_.toSeq.filter(_.startsWith("batch=")))
-          .getOrElse(Seq.empty)
-        if (batchId == 0L) {
-          // batch 0 means a FRESH checkpoint; a pre-existing batch
-          // partition OTHER than batch=0 is necessarily an orphan from
-          // a longer prior run (a same-run crash-replay of batch 0 can
-          // only have written batch=0, which the overwrite reclaims) —
-          // its rows would survive partition discovery alongside the
-          // new output, so fail loudly instead of silently mixing.
-          val existing = parts.filter(_ != "batch=0")
-          require(existing.isEmpty,
-            s"scoredVecBatches: fresh checkpoint (batch 0) but outDir " +
-              s"'$outDir' already holds partitions ${existing.sorted
-                .mkString(", ")} from a prior run — outDir and " +
-              "checkpointDir must be created/retired together; clear " +
-              "the stale output or reuse the matching checkpoint")
-        } else if (parts.isEmpty) {
-          // the CONVERSE mismatch (r16 review #4): a resumed
-          // checkpoint (batch id > 0) firing into an EMPTY outDir
-          // means the committed batches' output was retired while the
-          // checkpoint survived — continuing would build a dataset
-          // silently missing every earlier batch.
-          throw new IllegalStateException(
-            s"scoredVecBatches: checkpoint resumed at batch $batchId " +
-              s"but outDir '$outDir' holds no batch partitions — the " +
-              "earlier batches' output is gone; outDir and " +
-              "checkpointDir must be created/retired together")
-        }
+        guardBatchDirLifecycle("scoredVecBatches", outDir, batchId)
         Clustering.assign(batch.toDF(), cents)
           .select(col("vec_id"), col("cid"), col("dist2"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming decontamination (CAP-STREAM-DECONTAM): each arriving
+    * (doc_id, text) candidate document is scored against the FROZEN
+    * test-split gram set of the corpus at `corpusDir` — the
+    * q_mix_decontam_split convention (dedup-keyed split, distinct
+    * word-3-gram hashes, contaminated ⇔ ≥ 3 shared grams) applied at
+    * ingest time, which is where a production pipeline wants it: flag
+    * the near-dup-of-eval document BEFORE it lands in a training
+    * shard, not in a quarterly audit. Baseline/alarm split per the
+    * module's monitoring discipline: BATCH owns the eval gram set
+    * (built once from the corpus's [[graft.ops.TextSim.docGrams]]
+    * stage and localCheckpointed — a stream must never rebuild its
+    * own reference mid-flight), the STREAM owns the per-arrival
+    * verdict. The per-doc shared-gram count is batch-local (each doc
+    * arrives whole inside one file), so this runs in foreachBatch
+    * with the batch-keyed-partition exactly-once scheme and both
+    * lifecycle guards. Emits only docs sharing ≥ 1 gram (the audit
+    * surface — clean docs are the overwhelming majority and a flag
+    * table must stay small); readers see (doc_id, n_shared,
+    * contaminated, batch) via partition discovery. */
+  def decontamStream(spark: SparkSession, corpusDir: String,
+      inDir: String, checkpointDir: String, outDir: String): Unit = {
+    import graft.ops.TextSim
+    val ev = TextSim.docGrams(spark, corpusDir)
+      .join(TextSim.dedupKeyedSplit(spark, corpusDir)
+        .filter(col("split") === "test").select("doc_id"), "doc_id")
+      .select("gram").distinct()
+      .localCheckpoint(true)
+    val q = spark.readStream.schema(docBatchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        guardBatchDirLifecycle("decontamStream", outDir, batchId)
+        batch.toDF()
+          .select(col("doc_id"),
+            TextSim.normTokens(col("text")).as("ws"))
+          .select(col("doc_id"),
+            explode(graft.functions.VectorFunctions
+              .wordGramHashes(col("ws"))).as("gram"))
+          .distinct()
+          // the eval gram set is the small side BY CONSTRUCTION
+          // (fixed-size held-out split vs an unbounded ingest) —
+          // broadcast it so the probe never shuffles the batch
+          .join(broadcast(ev), "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .withColumn("contaminated",
+            when(col("n_shared") >= 3, 1).otherwise(0))
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }

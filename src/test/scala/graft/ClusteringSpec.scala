@@ -527,6 +527,26 @@ class ClusteringSpec extends AnyFunSuite {
     assert(f320 < a320, "frame path collected more than the array path")
   }
 
+  test("kcenter greedy trace: distinct picks, non-increasing radius, partitioning-invariant") {
+    val b = ops.Clustering.base(spark, sf)
+    val t7 = ops.Clustering.kcenterTrace(b.repartition(7), 8)
+    val t3 = ops.Clustering.kcenterTrace(b.repartition(3), 8)
+    assert(t7 === t3, "kcenter trace differs across partitionings")
+    assert(t7.map(_._1) === (0L until 8L), "ranks not 0..k-1")
+    assert(t7.map(_._2).distinct.length === 8, "picked a vector twice")
+    assert(t7.head._3.isEmpty && t7.tail.forall(_._3.nonEmpty))
+    // the greedy max-min radius is non-increasing BY CONSTRUCTION
+    // (each step's candidate set of min-distances is pointwise <= the
+    // previous step's); a violation means the min-dist recurrence or
+    // the argmax tie-break broke
+    val ds = t7.tail.map(_._3.get)
+    ds.sliding(2).foreach {
+      case Seq(a, bb) => assert(bb <= a, s"radius increased: $ds")
+      case _ => ()
+    }
+    assert(ds.forall(_ > 0L), "picked a duplicate point while distinct remain")
+  }
+
   test("modeKey: exact paths share one training; auto resolves by K") {
     // r15 review #3: 'auto' past RoutedMinK and a forced 'routed' must
     // share the memo/store key (identical training); literal, join and

@@ -210,6 +210,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mix_curriculum: stage bands match quality; NULL quality stays unstaged") {
+    import TestSpark._
+    // Curriculum contract: stage = the quality quartile band (fixed
+    // thresholds — growth-stable, window-free), pr = the 13-char md5
+    // sampling priority, NULL quality (zero-token docs) ⇒ NULL stage.
+    val rows = q("q_mix_curriculum").collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2), s"junk doc staged: $r")
+      else {
+        val want = math.min(math.floor(r.getDouble(1) * 4).toInt, 3)
+        assert(r.getInt(2) === want, s"stage off its quality band: $r")
+      }
+      assert(r.getString(3).length === 13, s"priority key drift: $r")
+    }
+    // non-vacuous: the fixture corpus spans several quality bands
+    assert(rows.filterNot(_.isNullAt(2)).map(_.getInt(2)).distinct.length >= 2,
+      "curriculum collapsed to one stage")
+  }
+
   test("q_mix_split_neardup: replays from collected edges + splits; non-vacuous") {
     // First-principles replay at sf0.001: leaked docs recomputed in
     // plain Scala from the near-dup edge list and the dedup-keyed

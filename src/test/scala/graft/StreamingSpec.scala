@@ -448,6 +448,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(msgs(ex).contains("duplicate hourly rollup"), msgs(ex))
   }
 
+  test("CAP-STREAM-DECONTAM: streamed flags over the train/val docs == batch q_mix_decontam_split") {
+    // Ingest-time decontamination: the corpus's own non-test docs fed
+    // as TWO micro-batch files must produce exactly the batch query's
+    // (doc_id, n_shared, contaminated) rows — the frozen test-split
+    // gram baseline and the ≥ 3 bar are the same machinery, and the
+    // file boundary must be invisible (each doc arrives whole).
+    val inDir = tmpDir("graft_dcs_in").toString
+    val ck = tmpDir("graft_dcs_ck").toString
+    val out = tmpDir("graft_dcs_out").toString + "/flags"
+    val docs = Tables.documents(spark, sf)
+    val nonTest = docs.join(
+      Registry.byName("q_mix_split_dedup").df(spark, sf)
+        .filter(col("split") =!= "test").select("doc_id"), "doc_id")
+      .select("doc_id", "text")
+    nonTest.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    nonTest.filter(col("doc_id") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    StreamDemos.decontamStream(spark, sf, inDir, ck, out)
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_shared", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    val batch = Registry.byName("q_mix_decontam_split").df(spark, sf)
+      .select("doc_id", "n_shared", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    assert(streamed.nonEmpty, "decontam stream emitted nothing")
+    assert(streamed === batch)
+    // exactly-once: a second AvailableNow pass with nothing new is a
+    // no-op (and the resumed-checkpoint guard accepts the intact dir)
+    StreamDemos.decontamStream(spark, sf, inDir, ck, out)
+    assert(spark.read.parquet(out).count() === streamed.length.toLong)
+  }
+
   test("CAP-STREAM-KMEANS-LARGE-K: resumed checkpoint into a retired outDir is refused") {
     // r16 review #4 — the converse of the fresh-checkpoint guard: a
     // surviving checkpoint whose committed batches' output was
