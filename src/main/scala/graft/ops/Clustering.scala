@@ -704,7 +704,7 @@ object Clustering {
     * result depends on P. */
   private[graft] def frameCentroids(s: SparkSession, d: String,
       k: Int): DataFrame =
-    StageCache.memoized(s, d, s"kmeans_frame_k${k}_p${rprobeOf(s, k)}") {
+    StageCache.memoized(s, d, s"kmeans_frame_k${k}_p${effProbes(s, k)}") {
       trainFrame(base(s, d), k, Iters)
     }
 
@@ -767,10 +767,19 @@ object Clustering {
       // forced routed at k ≤ LiteralMaxK falls back to the literal
       // path inside assignRouted, so the trained history is the exact
       // class's — same key, no duplicate training/artifact
-      case "routed" if k > LiteralMaxK => s"routed_p${rprobeOf(s, k)}"
-      case "auto" if k > RoutedMinK    => s"routed_p${rprobeOf(s, k)}"
+      case "routed" if k > LiteralMaxK => s"routed_p${effProbes(s, k)}"
+      case "auto" if k > RoutedMinK    => s"routed_p${effProbes(s, k)}"
       case _                           => "exact"
     }
+
+  /** The EFFECTIVE probe count at this k — the key component: every
+    * P ≥ routeCount(k) probes all branches and trains identically, so
+    * keying on the raw knob would store duplicate content-identical
+    * artifacts for rprobe=50 vs 60 (r16 review). Clamped at
+    * routeCount(k), not the post-compaction branch count, so the key
+    * stays a pure function of (conf, k) — never of the data. */
+  private def effProbes(s: SparkSession, k: Int): Int =
+    math.min(rprobeOf(s, k), routeCount(k))
 
   /** Per-iteration centroid history (seeds c0 .. final c_iters),
     * memoized per (session, dir, k, resolved E-step class): training
@@ -1092,8 +1101,10 @@ object Clustering {
     // runs — and past DriverStateMaxK its require refuses LOUDLY,
     // naming the conflict, instead of returning the wrong class. A
     // forced state=frame is the more specific knob and wins.
-    val exactForced =
-      Set("literal", "join")(s.conf.get("spark.graft.kmeans.estep", "auto"))
+    // through estepOf, not a raw conf read (r16 review): an invalid
+    // knob value must fail loudly on BOTH dispatch sides, not only
+    // when the array path happens to validate it
+    val exactForced = Set("literal", "join")(estepOf(s))
     if (stateOf(s, k) == "frame" &&
         (!exactForced || s.conf.get("spark.graft.kmeans.state", "auto") == "frame"))
       kmeansAssignFrame(s, d, k)

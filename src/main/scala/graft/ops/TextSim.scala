@@ -184,15 +184,25 @@ object TextSim {
     * where this is the maintained gram table the pipeline owns. Built
     * once per (session, dir), warmed on a bench thread like the other
     * stages. */
+  /** THE per-document distinct word-3-gram derivation over any
+    * (…, text) frame — the ONE spelling of the gram convention the
+    * decontamination family (batch stage AND ingest stream) reads, so
+    * a change to gram width / tokenizer / distinct scope can never
+    * drift between the batch query and its streaming twin (r16
+    * review). Keeps every non-text column alongside `gram`. */
+  private[graft] def docGramsOf(docs: DataFrame): DataFrame = {
+    val keep = docs.columns.filterNot(_ == "text")
+      .map(col).toIndexedSeq
+    docs.select(keep :+ normTokens(col("text")).as("ws"): _*)
+      .select(keep :+ explode(graft.functions.VectorFunctions
+        .wordGramHashes(col("ws"))).as("gram"): _*)
+      .distinct()
+  }
+
   private[graft] def docGrams(s: SparkSession, d: String): DataFrame =
     graft.StageCache.memoized(s, d, "docgrams") {
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          normTokens(col("text")).as("ws"))
-        .select(col("doc_id"), col("source"),
-          explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
-            .as("gram"))
-        .distinct()
+      docGramsOf(Tables.documents(s, d)
+        .select("doc_id", "source", "text"))
     }
 
   def warmDocGramStage(s: SparkSession, d: String): Unit = {
@@ -1947,22 +1957,28 @@ object TextSim {
     // Zero-token docs score NULL quality → NULL stage (the q_curate
     // floor drops them; a curriculum must not silently stage junk).
     q("q_mix_curriculum",
-      """SELECT doc_id,
-        |  round(0.6 * (len(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
-        |      / len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
-        |    + 0.4 * least(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) / 50.0, 1.0), 6)
-        |    AS quality,
-        |  CAST(least(CAST(floor(round(0.6 * (len(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
-        |      / len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)))
-        |    + 0.4 * least(len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) / 50.0, 1.0), 6) * 4) AS INT), 3) AS INT)
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS n,
+        |    len(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> len(x) > 0))) AS nd
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    round(0.6 * (nd / n) + 0.4 * least(n / 50.0, 1.0), 6) AS quality
+        |  FROM t)
+        |SELECT doc_id, quality,
+        |  CAST(CASE WHEN quality IS NULL THEN NULL
+        |       ELSE least(CAST(floor(quality * 4) AS INT), 3) END AS INT)
         |    AS stage,
         |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS pr
-        |FROM documents
+        |FROM q
         |ORDER BY doc_id""") { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
           qualityScore.as("quality"))
+        // explicit NULL branch (r16 review): least() SKIPS nulls in
+        // both engines, so least(floor(NULL*4), 3) would silently
+        // stage a zero-token junk doc at 3 — the TOP quality band
         .withColumn("stage",
-          least(floor(col("quality") * 4).cast("int"), lit(3)))
+          when(col("quality").isNotNull,
+            least(floor(col("quality") * 4).cast("int"), lit(3))))
         .withColumn("pr",
           substring(md5(col("doc_id").cast("string")), 1, 13))
         .orderBy("doc_id")

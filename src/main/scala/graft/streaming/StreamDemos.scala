@@ -499,13 +499,9 @@ object StreamDemos {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         guardBatchDirLifecycle("decontamStream", outDir, batchId)
-        batch.toDF()
-          .select(col("doc_id"),
-            TextSim.normTokens(col("text")).as("ws"))
-          .select(col("doc_id"),
-            explode(graft.functions.VectorFunctions
-              .wordGramHashes(col("ws"))).as("gram"))
-          .distinct()
+        // the SAME gram derivation the batch stage reads — one
+        // spelling of the convention, never a stream-side copy
+        TextSim.docGramsOf(batch.toDF().select("doc_id", "text"))
           // the eval gram set is the small side BY CONSTRUCTION
           // (fixed-size held-out split vs an unbounded ingest) —
           // broadcast it so the probe never shuffles the batch

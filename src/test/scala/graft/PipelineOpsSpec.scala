@@ -227,6 +227,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     // non-vacuous: the fixture corpus spans several quality bands
     assert(rows.filterNot(_.isNullAt(2)).map(_.getInt(2)).distinct.length >= 2,
       "curriculum collapsed to one stage")
+    // The NULL branch, NON-vacuously (r16 review: the fixture has no
+    // zero-token docs, and least() SKIPS nulls in both engines — an
+    // unguarded spelling staged junk at 3, the TOP band): a synthetic
+    // corpus with a punctuation-only doc must leave it unstaged.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curr_junk").toString
+    val s = TestSpark.spark
+    import s.implicits._
+    Seq((1L, "A plain document with several words in it."),
+        (2L, "!!! ... ???"))
+      .toDF("doc_id", "text")
+      .write.parquet(Tables.path(dir, "documents"))
+    val syn = Registry.byName("q_mix_curriculum").df(s, dir).collect()
+    val junk = syn.find(_.getLong(0) == 2L).get
+    assert(junk.isNullAt(1) && junk.isNullAt(2),
+      s"zero-token doc was staged: $junk")
+    assert(!syn.find(_.getLong(0) == 1L).get.isNullAt(2))
   }
 
   test("q_mix_split_neardup: replays from collected edges + splits; non-vacuous") {
