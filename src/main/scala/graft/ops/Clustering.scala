@@ -632,6 +632,59 @@ object Clustering {
     argminOverMembers(probed, members, b.columns.toIndexedSeq)
   }
 
+  /** Max rows any seed-rank task held in the LAST [[seedFrame]] call
+    * this JVM — the seed-stage work-placement observable (StateBench
+    * records it next to the driver-row counters; ScaleSpec pins it
+    * ≪ k): with the rank distributed over md5-prefix buckets, no task
+    * holds Θ(k) rows — the bound is the largest BUCKET (~n/256). */
+  private[graft] val lastSeedMaxTaskRows =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Seed frame for [[trainFrame]]: the k smallest (md5(vec_id),
+    * vec_id) rows as (cid, cq), cid = global rank − 1 — WITHOUT a
+    * global sort-limit (r16 verdict #2: `orderBy.limit(k)` + a
+    * partition-less window put all k seed rows through ONE task,
+    * ~5 GB at the K≈10⁷ design point). Distributed spelling:
+    * md5-PREFIX range partitioning + per-bucket rank + exclusive
+    * prefix offsets. The first two hex chars of the md5 split the
+    * sort order into 256 ranges — a PREFIX of the sort key, so bucket
+    * order refines global order and per-bucket ranks stitch into the
+    * global rank exactly. One bounded aggregate (≤ 256 rows) counts
+    * each bucket; the driver computes exclusive prefix sums and keeps
+    * only the buckets intersecting ranks 0..k−1; a window PARTITIONED
+    * BY bucket ranks within each — one task per bucket, ≤ ~n/256 rows,
+    * never Θ(k) — and cid = bucket offset + in-bucket rank − 1,
+    * filtered to < k. Bit-identical cids to the sort-limit spelling
+    * (pinned), two narrow passes instead of one single-task sort. */
+  private[graft] def seedFrame(b: DataFrame, k: Int): DataFrame = {
+    val s = b.sparkSession
+    import s.implicits._
+    val cand = b
+      .select(col("xq"), md5(col("vec_id").cast("string")).as("_h"),
+        col("vec_id"))
+      .withColumn("_bk",
+        conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    // bounded collect: exactly one row per non-empty bucket (≤ 256)
+    val counts = cand.groupBy("_bk").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    driverStateRows.addAndGet(counts.length.toLong)
+    var off = 0L
+    var maxTask = 0L
+    val kept = Seq.newBuilder[(Int, Long)]
+    counts.foreach { case (bk, n) =>
+      if (off < k) { kept += ((bk, off)); maxTask = math.max(maxTask, n) }
+      off += n
+    }
+    lastSeedMaxTaskRows.set(maxTask)
+    val offDf = kept.result().toDF("_bk", "_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bk")).orderBy(col("_h"), col("vec_id"))
+    cand.join(broadcast(offDf), "_bk")
+      .select((row_number().over(w).cast("long") - 1 + col("_off"))
+        .as("cid"), col("xq").as("cq"))
+      .filter(col("cid") < k)
+  }
+
   /** Frame-native Lloyd training: the [[trainHistory]] recurrence with
     * centroids as a (cid, cq) DataFrame end-to-end — identical seeds
     * (k smallest (md5(vec_id), vec_id)), identical integer E/M
@@ -649,25 +702,16 @@ object Clustering {
     require(mnRow.getLong(0) >= 0L,
       s"kmeans quantization saw coordinate <= -$ShiftD " +
         s"(min scaled ${mnRow.getLong(0)})")
-    // Seeds as a frame: top-k by (md5, vec_id) — a distributed
-    // TakeOrdered into ONE k-row partition (k×dim on an executor, not
-    // the driver), cid by rank within that partition, then
+    // Seeds as a DISTRIBUTED rank (r16 verdict #2: the previous
+    // TakeOrdered + partition-less window funneled all k seed rows
+    // through ONE task — ~5 GB at the K≈10⁷ design point), then
     // REPARTITIONED before the checkpoint: everything downstream
     // (coarsenDf's cross join, the member join, the M-step) inherits
-    // the centroid frame's parallelism, and a single-partition seed
-    // frame would serialize the whole first iteration (measured: the
-    // K=10⁵ StateBench run sat on one core until this spread it).
-    // cid is assigned BEFORE the repartition, so the shuffle cannot
-    // perturb it — all later state is partitioning-invariant by the
-    // module's integer-arithmetic contract.
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_h"), col("vec_id"))
-    var cents = b
-      .select(col("xq"), md5(col("vec_id").cast("string")).as("_h"),
-        col("vec_id"))
-      .orderBy(col("_h"), col("vec_id")).limit(k)
-      .select((row_number().over(w) - 1).cast("long").as("cid"),
-        col("xq").as("cq"))
+    // the centroid frame's parallelism. cid is assigned BEFORE the
+    // repartition, so the shuffle cannot perturb it — all later state
+    // is partitioning-invariant by the module's integer-arithmetic
+    // contract.
+    var cents = seedFrame(b, k)
       .repartition(b.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     require(cents.count() == k, s"need >= $k vectors to seed kmeans")
@@ -988,6 +1032,15 @@ object Clustering {
         .select(struct((-mind).as("nd"), col("vec_id").as("v"),
           col("xq").as("x")).as("s"))
         .agg(min(col("s"))).head().getStruct(0)
+      // d2sel = 0 means every remaining vector coincides with a prior
+      // pick: k exceeds the DISTINCT vector count, and the greedy
+      // tie-break would silently re-pick the globally smallest vec_id
+      // (the DuckDB unroll mirrors the degeneracy, so the oracle could
+      // never catch it) — fail loudly instead (r16 advice).
+      require(-best.getLong(0) > 0L,
+        s"kcenter k=$k exceeds the number of distinct vectors: step " +
+          s"$i's farthest point is at distance 0 (already covered) — " +
+          "lower k")
       chosen :+= ((best.getLong(1), best.getSeq[Long](2).toArray))
       trace += ((i.toLong, best.getLong(1), Some(-best.getLong(0))))
       i += 1
@@ -1099,14 +1152,22 @@ object Clustering {
     // so silently taking it would swap a pinned exact class for an
     // approximate one. With estep forced literal/join the array path
     // runs — and past DriverStateMaxK its require refuses LOUDLY,
-    // naming the conflict, instead of returning the wrong class. A
-    // forced state=frame is the more specific knob and wins.
-    // through estepOf, not a raw conf read (r16 review): an invalid
+    // naming the conflict, instead of returning the wrong class.
+    // Through estepOf, not a raw conf read (r16 review): an invalid
     // knob value must fail loudly on BOTH dispatch sides, not only
-    // when the array path happens to validate it
+    // when the array path happens to validate it. BOTH knobs forced
+    // against each other is a contradiction no silent winner should
+    // resolve (r16 advice: 'the more specific knob wins' partially
+    // undid the never-silently-approximate goal) — refuse, naming it.
     val exactForced = Set("literal", "join")(estepOf(s))
-    if (stateOf(s, k) == "frame" &&
-        (!exactForced || s.conf.get("spark.graft.kmeans.state", "auto") == "frame"))
+    val frameForced =
+      s.conf.get("spark.graft.kmeans.state", "auto") == "frame"
+    require(!(exactForced && frameForced),
+      s"conflicting knobs: spark.graft.kmeans.estep=${estepOf(s)} " +
+        "forces an EXACT assignment class while " +
+        "spark.graft.kmeans.state=frame forces the routed frame path, " +
+        "which cannot serve it — drop one of the two knobs")
+    if (stateOf(s, k) == "frame" && !exactForced)
       kmeansAssignFrame(s, d, k)
     else assign(base(s, d), centroids(s, d, k))
       .select(col("vec_id"), col("label"), col("cid"), col("dist2"))

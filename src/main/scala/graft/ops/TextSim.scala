@@ -174,16 +174,6 @@ object TextSim {
     graft.StageCache.memoized(s, d, s"postings$dfCap")(
       gramPostingsFrame(s, d, dfCap))
 
-  /** Materialized per-document distinct word-3-gram stage
-    * (doc_id, source, gram) — the gramPostings pattern applied to the
-    * decontamination family (r15 verdict #3): q_text_decontam,
-    * q_text_decontam_bloom and q_mix_decontam_split each consume the
-    * tokenize→gram→distinct pipeline from MULTIPLE subtrees (the eval
-    * gram set and the corpus side), so without a stage the full-corpus
-    * tokenize pass executed once per subtree — real money at 100 TB,
-    * where this is the maintained gram table the pipeline owns. Built
-    * once per (session, dir), warmed on a bench thread like the other
-    * stages. */
   /** THE per-document distinct word-3-gram derivation over any
     * (…, text) frame — the ONE spelling of the gram convention the
     * decontamination family (batch stage AND ingest stream) reads, so
@@ -199,15 +189,108 @@ object TextSim {
       .distinct()
   }
 
+  /** Materialized per-document distinct word-3-gram stage
+    * (doc_id, source, gram) — the gramPostings pattern applied to the
+    * decontamination family (r15 verdict #3): q_text_decontam,
+    * q_text_decontam_bloom and q_mix_decontam_split each consume the
+    * tokenize→gram→distinct pipeline from MULTIPLE subtrees (the eval
+    * gram set and the corpus side), so without a stage the full-corpus
+    * tokenize pass executed once per subtree — real money at 100 TB,
+    * where this is the maintained gram table the pipeline owns. Built
+    * once per (session, dir), warmed on a bench thread like the other
+    * stages; the build records its input-file listing so
+    * [[syncDocGrams]] can maintain the table incrementally. */
   private[graft] def docGrams(s: SparkSession, d: String): DataFrame =
     graft.StageCache.memoized(s, d, "docgrams") {
-      docGramsOf(Tables.documents(s, d)
-        .select("doc_id", "source", "text"))
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "text")
+      docGramFiles(s, d).set(docs.inputFiles.toSet)
+      docGramsOf(docs)
     }
 
   def warmDocGramStage(s: SparkSession, d: String): Unit = {
     docGrams(s, d).count()
     ()
+  }
+
+  /** Input-file listing the docgrams stage currently covers — null
+    * until the stage's first build records it. Session-scoped like the
+    * stage itself; an AtomicReference because [[syncDocGrams]] must
+    * advance it after a delta append (SessionMemo entries are
+    * otherwise immutable by contract). */
+  private def docGramFiles(s: SparkSession,
+      d: String): java.util.concurrent.atomic.AtomicReference[Set[String]] =
+    graft.SessionMemo.memo(s, s"docgrams_files|$d")(
+      new java.util.concurrent.atomic.AtomicReference[Set[String]](null))
+
+  /** Incremental maintenance for the [[docGrams]] stage (r16 verdict
+    * #3): bring the maintained gram table up to date with a GROWN
+    * corpus by tokenizing ONLY the new document files and appending
+    * their (doc_id, source, gram) delta — the
+    * [[graft.sources.Incremental.syncChanged]] discipline applied to
+    * the stage a 100 TB decontamination pipeline owns (there: a daily
+    * partition append to the gram table; here: a parquet-file diff
+    * against the listing the build recorded). Three cases, by the
+    * file-listing diff:
+    *
+    *  - nothing moved → no-op (the common re-poll);
+    *  - files ADDED only → delta build: read just the new files,
+    *    derive their grams through [[docGramsOf]] (the one spelling),
+    *    append to the materialization
+    *    ([[graft.StageCache.appendTo]] — O(delta) work, never a
+    *    rebuild). Fail-loud guard: a new file re-carrying an ALREADY
+    *    INDEXED doc_id would duplicate its gram rows (the stage's
+    *    per-document distinct cannot span an append), so overlapping
+    *    doc_ids refuse — in-place document EDITS are the rebuild
+    *    case, not the append case;
+    *  - files REMOVED or replaced → the delta cannot express it:
+    *    rebuild LOUDLY (stage invalidated, next read re-derives the
+    *    full table from the live corpus — never a silently stale
+    *    gram set).
+    *
+    * Like every maintenance verb, single-writer by contract and the
+    * one sanctioned way past the stage's session-immutability
+    * assumption. Readers holding pre-sync frames keep their snapshot
+    * (parquet immutability); every fresh [[docGrams]] read sees the
+    * synced table. Returns the files processed this run (appended or
+    * part of a rebuild's fresh listing) — empty = fully memoized. */
+  def syncDocGrams(s: SparkSession, d: String): Set[String] = {
+    docGrams(s, d) // ensure built — first touch records the listing
+    val ref = docGramFiles(s, d)
+    val seen = ref.get
+    require(seen != null,
+      "docgrams stage built without recording its input listing — " +
+        "stage build and sync verb are out of step")
+    val cur = Tables.documents(s, d)
+      .select("doc_id", "source", "text").inputFiles.toSet
+    val added = cur -- seen
+    val removed = seen -- cur
+    if (removed.nonEmpty) {
+      // shrunk/replaced corpus: append-only delta can't express it —
+      // rebuild the whole stage from the live corpus, loudly
+      graft.StageCache.invalidatePrefix(s, d, "docgrams")
+      ref.set(null)
+      docGrams(s, d) // rebuild now; records the fresh listing
+      added ++ removed
+    } else if (added.nonEmpty) {
+      val deltaDocs = s.read.parquet(added.toSeq.sorted: _*)
+        .select("doc_id", "source", "text")
+      // guard on the RAW delta's ids (no tokenize pass spent on it)
+      val overlap = docGrams(s, d).select("doc_id").distinct()
+        .join(deltaDocs.select("doc_id").distinct(), "doc_id")
+      require(overlap.isEmpty,
+        s"syncDocGrams($d): new document files re-carry doc_ids the " +
+          "gram stage already indexed — an appended delta would " +
+          "duplicate their gram rows. In-place edits are the rebuild " +
+          "case: drop/replace the corpus and use a fresh session, or " +
+          "remove the superseded files so the sync takes the rebuild " +
+          "path")
+      graft.StageCache.appendTo(s, d, "docgrams")(
+        docGramsOf(Tables.documents(s, d)
+          .select("doc_id", "source", "text")))(docGramsOf(deltaDocs))
+      ref.set(cur)
+      added
+    } else Set.empty
   }
 
   /** The postings BUILD pipeline as a plannable frame — exposed so

@@ -613,4 +613,67 @@ class ClusteringSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("need >="))
   }
+
+  test("distributed seed rank: bit-identical to the sort-limit order, no Θ(k) task") {
+    // r16 verdict #2: trainFrame's seed stage was the one
+    // K-proportional single-task structure left in the frame path.
+    // The bucket-rank spelling must (a) reproduce the global
+    // (md5, vec_id) rank bit-for-bit — cid is part of every
+    // downstream bit-parity claim — and (b) bound the largest rank
+    // task by the largest md5-prefix BUCKET, never Θ(k).
+    val b = ops.Clustering.base(spark, sf)
+    val k = 100
+    val got = ops.Clustering.seedFrame(b, k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+    // reference: the old global-sort spelling, computed driver-side
+    val want = b
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("_h"),
+        col("xq"))
+      .collect()
+      .map(r => ((r.getString(1), r.getLong(0)), r.getSeq[Long](2).toSeq))
+      .sortBy(_._1).take(k).zipWithIndex
+      .map { case ((_, xq), i) => (i.toLong, xq) }.toSeq
+    assert(got === want, "bucket-rank cids diverge from the global sort")
+    // the placement observable: with 256 buckets over this corpus no
+    // rank task held anywhere near k rows
+    val maxTask = ops.Clustering.lastSeedMaxTaskRows.get()
+    val n = b.count()
+    assert(maxTask > 0L)
+    assert(maxTask <= n / 32,
+      s"seed rank task held $maxTask rows — not bucket-bounded (n=$n)")
+  }
+
+  test("explicit estep-exact + state=frame conflict refuses loudly (r16 advice)") {
+    // Forcing BOTH an exact E-step class and the frame state is a
+    // contradiction: the frame path routes (approximate class), so no
+    // silent winner may resolve it.
+    spark.conf.set("spark.graft.kmeans.estep", "join")
+    spark.conf.set("spark.graft.kmeans.state", "frame")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        ops.Clustering.kmeansAssign(spark, sf, 8).count()
+      }
+      assert(ex.getMessage.contains("conflicting knobs"), ex.getMessage)
+    } finally {
+      spark.conf.set("spark.graft.kmeans.estep", "auto")
+      spark.conf.set("spark.graft.kmeans.state", "auto")
+    }
+  }
+
+  test("kcenter refuses k past the distinct-vector count instead of re-picking (r16 advice)") {
+    val s = spark
+    import s.implicits._
+    // 3 distinct vectors, one duplicated: k=4 must fail loudly at the
+    // step whose farthest remaining point is already covered
+    val b = Seq(
+      (1L, 0, Seq(0L, 0L)), (2L, 0, Seq(10L, 0L)),
+      (3L, 0, Seq(0L, 10L)), (4L, 0, Seq(0L, 0L)))
+      .toDF("vec_id", "label", "xq")
+    assert(ops.Clustering.kcenterTrace(b, 3).length === 3)
+    val ex = intercept[IllegalArgumentException] {
+      ops.Clustering.kcenterTrace(b, 4)
+    }
+    assert(ex.getMessage.contains("exceeds the number of distinct"),
+      ex.getMessage)
+  }
 }

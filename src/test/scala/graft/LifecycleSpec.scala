@@ -303,4 +303,73 @@ class LifecycleSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq === want.map(_._3).toSeq,
       "rebuilt CMS != from-scratch")
   }
+
+  test("docGrams stage: grown corpus appends a delta only, equal to a full rebuild") {
+    // r16 verdict #3: the maintained gram table must compose with the
+    // Incremental/syncChanged discipline — corpus growth appends the
+    // new files' (doc_id, source, gram) delta instead of re-tokenizing
+    // the world, and the synced stage is bit-equal to a from-scratch
+    // build over the grown corpus.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_docgrams_grow").toString
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.parquet(Tables.path(dir, "documents"))
+    ops.TextSim.warmDocGramStage(spark, dir)
+    val before = ops.TextSim.docGrams(spark, dir)
+    val filesBefore = before.inputFiles.toSet
+    // nothing moved -> no-op
+    assert(ops.TextSim.syncDocGrams(spark, dir) === Set.empty)
+    // the corpus grows by new files carrying NEW documents
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(Tables.path(dir, "documents"))
+    val added = ops.TextSim.syncDocGrams(spark, dir)
+    assert(added.nonEmpty, "sync did not see the appended files")
+    // DELTA, not rebuild: every pre-sync stage file is still served
+    val after = ops.TextSim.docGrams(spark, dir)
+    assert(filesBefore.subsetOf(after.inputFiles.toSet),
+      "sync rebuilt the stage instead of appending the delta")
+    // synced stage == from-scratch build over the grown corpus (a
+    // fresh session's stage slot is cold, so it derives the full table)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+    val s2 = spark.newSession()
+    assert(rows(after) === rows(ops.TextSim.docGrams(s2, dir)),
+      "synced gram table diverges from a full rebuild")
+    // a second sync is a no-op (the listing advanced)
+    assert(ops.TextSim.syncDocGrams(spark, dir) === Set.empty)
+  }
+
+  test("docGrams sync: overlapping doc_ids refuse; a shrunk corpus rebuilds loudly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_docgrams_edit").toString
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.parquet(Tables.path(dir, "documents"))
+    ops.TextSim.warmDocGramStage(spark, dir)
+    // an appended file RE-CARRYING an indexed doc_id would duplicate
+    // its gram rows past the per-document distinct — refuse loudly
+    docs.filter(col("doc_id") % 2 === 0).limit(3)
+      .write.mode("append").parquet(Tables.path(dir, "documents"))
+    val ex = intercept[IllegalArgumentException] {
+      ops.TextSim.syncDocGrams(spark, dir)
+    }
+    assert(ex.getMessage.contains("re-carry"), ex.getMessage)
+    // shrink/replace: the delta cannot express it — the sync REBUILDS
+    // (and says so by returning the moved files), and the rebuilt
+    // stage equals a from-scratch build of the live corpus
+    Local.rmTree(new java.io.File(Tables.path(dir, "documents")))
+    docs.filter(col("doc_id") % 4 === 0)
+      .write.parquet(Tables.path(dir, "documents"))
+    val moved = ops.TextSim.syncDocGrams(spark, dir)
+    assert(moved.nonEmpty)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+    val s2 = spark.newSession()
+    assert(rows(ops.TextSim.docGrams(spark, dir)) ===
+      rows(ops.TextSim.docGrams(s2, dir)),
+      "post-shrink rebuild diverges from a from-scratch build")
+  }
 }
