@@ -205,40 +205,69 @@ object Cli {
   }
 
   /** `cluster-train <sf-dir> <store-dir> [k]`: train-or-load the
-    * persistent centroid store ([[ops.Clustering
-    * .persistentCentroidHistory]]) from the shell — the round-15
+    * persistent centroid store from the shell — the round-15
     * machinery behind one verb. Prints one summary line whose
     * `trained|loaded` word is the work observable (the trainCounter
     * discipline): a second invocation over an unchanged corpus must
     * say `loaded`. `cluster-retrain` is the sanctioned recovery after
-    * an in-place corpus refresh or a tripped q_embed_drift alarm
-    * ([[ops.Clustering.retrainCentroids]]). */
+    * an in-place corpus refresh or a tripped q_embed_drift alarm.
+    * Dispatches on the resolved STATE regime (r16 verdict #7): past
+    * DriverStateMaxK — or at a forced `spark.graft.kmeans.state=frame`
+    * — the verbs are the FRAME store's
+    * ([[ops.Clustering.persistentFrameCentroids]] /
+    * [[ops.Clustering.retrainFrameCentroids]], parquet centroid
+    * table, `state=frame` in the summary line) instead of inheriting
+    * the driver-array refusal; below, the array history store
+    * ([[ops.Clustering.persistentCentroidHistory]] /
+    * [[ops.Clustering.retrainCentroids]]). */
   def clusterTrain(spark: SparkSession, sfDir: String, storeDir: String,
       k: Int, retrain: Boolean = false): String = {
     val c0 = ops.Clustering.trainCounter.get()
-    val hist =
-      if (retrain) ops.Clustering.retrainCentroids(spark, sfDir, k, storeDir)
-      else ops.Clustering.persistentCentroidHistory(spark, sfDir, k, storeDir)
-    val did = if (ops.Clustering.trainCounter.get() > c0) "trained"
-              else "loaded"
-    val dim = if (hist.head.isEmpty) 0 else hist.head.head.length
-    s"$did k=$k dim=$dim iters=${hist.length - 1} store=$storeDir"
+    if (ops.Clustering.stateOf(spark, k) == "frame") {
+      val cents =
+        if (retrain)
+          ops.Clustering.retrainFrameCentroids(spark, sfDir, k, storeDir)
+        else
+          ops.Clustering.persistentFrameCentroids(spark, sfDir, k, storeDir)
+      val did = if (ops.Clustering.trainCounter.get() > c0) "trained"
+                else "loaded"
+      val dim = cents.select(size(col("cq"))).head().getInt(0)
+      s"$did k=$k dim=$dim state=frame store=$storeDir"
+    } else {
+      val hist =
+        if (retrain) ops.Clustering.retrainCentroids(spark, sfDir, k, storeDir)
+        else ops.Clustering.persistentCentroidHistory(spark, sfDir, k, storeDir)
+      val did = if (ops.Clustering.trainCounter.get() > c0) "trained"
+                else "loaded"
+      val dim = if (hist.head.isEmpty) 0 else hist.head.head.length
+      s"$did k=$k dim=$dim iters=${hist.length - 1} store=$storeDir"
+    }
   }
 
   /** `cluster-store <store-dir>`: list the store's centroid artifacts
-    * — one TSV line per artifact (k, estep mode, corpus fingerprint,
-    * dim, iters), parsed from the content-addressed names + headers
-    * [[ops.Clustering.persistentCentroidHistory]] writes. */
+    * — one TSV line per artifact (k, mode, corpus fingerprint, dim,
+    * iters), parsed from the content-addressed names + headers the
+    * two stores write: array-history text files
+    * ([[ops.Clustering.persistentCentroidHistory]]) and frame parquet
+    * tables ([[ops.Clustering.persistentFrameCentroids]], mode
+    * `frame_p<P>`, header from the `_graft_meta.txt` sidecar — no
+    * Spark session needed for either). */
   def clusterStore(storeDir: String): Seq[String] = {
     val dir = new java.io.File(storeDir)
     val names = Option(dir.list()).map(_.toSeq).getOrElse(Seq.empty)
     // mode may carry the resolved probe count (exact | routed_p<P>)
     val Art = "kmeans_k(\\d+)_([a-z0-9_]+)_fp([0-9a-f]+)\\.txt".r
+    val FrameArt = "kmeans_frame_k(\\d+)_p(\\d+)_fp([0-9a-f]+)\\.parquet".r
     names.sorted.flatMap {
       case n @ Art(k, mode, fp) =>
         val hdr = scala.util.Using(scala.io.Source.fromFile(
           new java.io.File(dir, n)))(_.getLines().next()).get.split(" ")
         Some(s"$k\t$mode\t$fp\t${hdr(1)}\t${hdr(2)}")
+      case n @ FrameArt(k, p, fp) =>
+        val hdr = scala.util.Using(scala.io.Source.fromFile(
+          new java.io.File(new java.io.File(dir, n), "_graft_meta.txt")))(
+          _.getLines().next()).get.split(" ")
+        Some(s"$k\tframe_p$p\t$fp\t${hdr(1)}\t${hdr(2)}")
       case _ => None
     }
   }

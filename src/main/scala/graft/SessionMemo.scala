@@ -31,6 +31,7 @@ object SessionMemo {
       if (v == null) synchronized { if (v == null) v = build }
       v
     }
+    def built: AnyRef = v
   }
 
   /** WeakHashMap wrapped in Collections.synchronizedMap: the wrapper
@@ -45,6 +46,17 @@ object SessionMemo {
     val m = perSession.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Slot]())
     m.computeIfAbsent(key, _ => new Slot).get(build).asInstanceOf[A]
+  }
+
+  /** Read-only probe: the memoized value iff it is already built —
+    * never builds. For pointer memos whose PRESENCE is the signal
+    * (e.g. a loaded centroid-artifact path: absent means "derive from
+    * the stage cache", present means "serve the artifact"). */
+  def peek[A <: AnyRef](s: SparkSession, key: String): Option[A] = {
+    val m = perSession.get(s)
+    if (m == null) None
+    else Option(m.get(key)).flatMap(sl => Option(sl.built))
+      .map(_.asInstanceOf[A])
   }
 
   /** Drop every entry of this session whose key starts with `prefix` —

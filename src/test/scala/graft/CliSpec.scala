@@ -279,6 +279,42 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster verbs dispatch to the FRAME store at forced frame state (r16 verdict #7)") {
+    // The fm-style shell user at far K (or a forced
+    // spark.graft.kmeans.state=frame) gets the same train/load/
+    // retrain lifecycle the array store has — never the driver-array
+    // refusal.
+    val store = tmp("graft_cli_fmstore")
+    val dir = tmp("graft_cli_fmcorpus")
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    emb.write.mode("overwrite").parquet(Tables.path(dir, "embeddings"))
+    spark.conf.set("spark.graft.kmeans.state", "frame")
+    try {
+      val first = Cli.clusterTrain(spark, dir, store, 7)
+      assert(first.startsWith("trained k=7 ") &&
+        first.contains("state=frame"), first)
+      val second = Cli.clusterTrain(spark, dir, store, 7)
+      assert(second.startsWith("loaded k=7 ") &&
+        second.contains("state=frame"), second)
+      val listed = Cli.clusterStore(store)
+      assert(listed.length === 1, listed)
+      val f = listed.head.split("\t")
+      assert(f.length === 5 && f(0) === "7" && f(1).startsWith("frame_p"),
+        listed.head)
+      // in-place refresh: plain train refuses; retrain recovers and
+      // the store lists both fingerprints
+      emb.limit(5).withColumn("vec_id", col("vec_id") + lit(800000L))
+        .write.mode("append").parquet(Tables.path(dir, "embeddings"))
+      intercept[IllegalArgumentException] {
+        Cli.clusterTrain(spark, dir, store, 7)
+      }
+      val third = Cli.clusterTrain(spark, dir, store, 7, retrain = true)
+      assert(third.startsWith("trained k=7 ") &&
+        third.contains("state=frame"), third)
+      assert(Cli.clusterStore(store).length === 2)
+    } finally spark.conf.set("spark.graft.kmeans.state", "auto")
+  }
+
   test("views verb registers the tables and lists views + graft_* functions") {
     val got = Cli.views(spark, TestSpark.sf)
     val views = got.filter(_.startsWith("view\t")).map(_.split("\t")(1))

@@ -547,6 +547,49 @@ class ClusteringSpec extends AnyFunSuite {
     assert(ds.forall(_ > 0L), "picked a duplicate point while distinct remain")
   }
 
+  test("kcenter sampled: equals the exact greedy when the cap covers the corpus; radius stays bounded") {
+    // r16 verdict #4: the large-k dispatch must keep the coverage
+    // shape. Two property pins: (a) with a non-binding cap the sample
+    // IS the corpus and the trace is bit-identical to the exact
+    // greedy; (b) with the binding production cap the CORPUS cover
+    // radius of the sampled picks stays within a small factor of the
+    // exact greedy's (the sampling-dispersion composition bound).
+    val b = ops.Clustering.base(spark, sf)
+    val exact = ops.Clustering.kcenterTrace(b, 8)
+    val full = ops.Clustering.kcenterSampled(spark, sf, 8, 8, 1 << 20)
+    assert(full === exact,
+      "non-binding cap must reproduce the exact greedy bit-for-bit")
+    val sampled = ops.Clustering.kcenterSampled(spark, sf, 8, 8, 8)
+    // trace invariants hold on the sampled trace too
+    assert(sampled.map(_._1) === (0L until 8L))
+    assert(sampled.map(_._2).distinct.length === 8)
+    val ds = sampled.tail.map(_._3.get)
+    ds.sliding(2).foreach {
+      case Seq(a, bb) => assert(bb <= a, s"radius increased: $ds")
+      case _ => ()
+    }
+    // corpus cover radius (exact, driver-side on the tiny fixture)
+    val all = b.select("vec_id", "xq").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def d2(a: Array[Long], c: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    def corpusRadius(picks: Seq[Long]): Long = {
+      val sel = all.filter(p => picks.contains(p._1)).map(_._2)
+      all.map { case (_, x) => sel.map(c => d2(x, c)).min }.max
+    }
+    val rExact = corpusRadius(exact.map(_._2))
+    val rSampled = corpusRadius(sampled.map(_._2))
+    assert(rExact > 0L)
+    // squared-distance ratio; 4 on d² = 2 on distance — the classic
+    // sample-then-greedy degradation envelope at this draw size
+    assert(rSampled <= 4L * rExact,
+      s"sampled cover radius² $rSampled vs exact $rExact — " +
+        "coverage shape lost")
+  }
+
   test("modeKey: exact paths share one training; auto resolves by K") {
     // r15 review #3: 'auto' past RoutedMinK and a forced 'routed' must
     // share the memo/store key (identical training); literal, join and
@@ -612,6 +655,67 @@ class ClusteringSpec extends AnyFunSuite {
       ops.Clustering.train(empty)
     }
     assert(ex.getMessage.contains("need >="))
+  }
+
+  test("frame-state store: load-no-retrain, refuse-after-append, retrain recovers (r16 verdict #1)") {
+    // The array store's exact pin set, on the frame surface: at the K
+    // the frame path exists for there must be a content-addressed
+    // artifact, a fingerprint-keyed load that never retrains, and a
+    // completing retrain verb.
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_fmstore").toString
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fmstore_corpus").toString
+    val emb = Tables.embeddings(spark, sf)
+    emb.write.parquet(Tables.path(dir, "embeddings"))
+    val k = 9 // unused by any other test: the session memo is cold
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+        .sortBy(_._1).toSeq
+    val c0 = ops.Clustering.trainCounter.get()
+    val a1 = ops.Clustering.persistentFrameCentroids(spark, dir, k, store)
+    assert(ops.Clustering.trainCounter.get() === c0 + 1,
+      "first call must train exactly once")
+    assert(rows(a1).map(_._1) === (0L until k.toLong).toSeq)
+    // second session loads the artifact — never retrains, bit-identical
+    val s2 = spark.newSession()
+    val a2 = ops.Clustering.persistentFrameCentroids(s2, dir, k, store)
+    assert(ops.Clustering.trainCounter.get() === c0 + 1,
+      "second session retrained despite the persisted frame artifact")
+    assert(rows(a2) === rows(a1), "loaded frame centroids diverge")
+    // the load seeded the artifact pointer: in-session frame consumers
+    // downstream (the registry query's path) skip training too
+    assert(ops.Clustering.kmeansAssignFrame(s2, dir, k).count() ===
+      emb.count())
+    assert(ops.Clustering.trainCounter.get() === c0 + 1,
+      "kmeansAssignFrame retrained after a warm load")
+    // in-place refresh: the plain store call refuses (anchor guard) ...
+    emb.limit(5).withColumn("vec_id", col("vec_id") + lit(700000L))
+      .write.mode("append").parquet(Tables.path(dir, "embeddings"))
+    val ex = intercept[IllegalArgumentException] {
+      ops.Clustering.persistentFrameCentroids(spark, dir, k, store)
+    }
+    assert(ex.getMessage.contains("changed within this session"),
+      ex.getMessage)
+    // ... and the frame retrain verb completes: retrains over the
+    // LIVE corpus and swaps the store
+    val a3 = ops.Clustering.retrainFrameCentroids(spark, dir, k, store)
+    assert(ops.Clustering.trainCounter.get() === c0 + 2,
+      "retrainFrameCentroids did not retrain")
+    assert(ops.Clustering.base(spark, dir).count() === emb.count() + 5)
+    // load-after-retrain: the new table, bit-stable, no training —
+    // in this session and in a fresh one
+    val a4 = ops.Clustering.persistentFrameCentroids(spark, dir, k, store)
+    val s3 = spark.newSession()
+    val a5 = ops.Clustering.persistentFrameCentroids(s3, dir, k, store)
+    assert(ops.Clustering.trainCounter.get() === c0 + 2,
+      "post-retrain load retrained again")
+    assert(rows(a4) === rows(a3) && rows(a5) === rows(a3),
+      "post-retrain frame centroids diverge")
+    // content addressing: both fingerprints' artifacts coexist
+    val files = new java.io.File(store).list().toSeq
+      .filter(_.startsWith(s"kmeans_frame_k${k}_"))
+    assert(files.length === 2, s"store artifacts: $files")
   }
 
   test("distributed seed rank: bit-identical to the sort-limit order, no Θ(k) task") {
