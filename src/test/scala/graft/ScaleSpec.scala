@@ -495,7 +495,7 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("frame-state artifacts: driver rows grow ~√K, decisively below the array path") {
     // The committed K=10⁴/10⁵ frame-training chain (bench/
-    // state_frame_r16.jsonl; regenerate with `runMain graft.StateBench
+    // state_frame_r17.jsonl; regenerate with `runMain graft.StateBench
     // target/scale_r15/ov64_x100 10000,100000 1`) — the r15-verdict #2
     // evidence that no driver-side collection scales with K: the
     // measured frame_driver_rows must grow ~√10 across the decade
@@ -503,11 +503,17 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the array path's K(1+dim) arithmetic row count at the far tier
     // (where trainHistory REFUSES outright — pinned in
     // ClusteringSpec). The live small-K twin of this pin (4×K → ~2×
-    // rows) runs in ClusteringSpec on the fixtures.
+    // rows) runs in ClusteringSpec on the fixtures. Since r17 the
+    // artifact also records seed_max_task_rows (r16 verdict #2): the
+    // largest row count any seed-RANK task held — bucket-bounded
+    // (~n/256 per md5-prefix bucket), never Θ(k), so the last
+    // K-proportional single-task structure in the frame path is
+    // measured closed, not just re-spelled.
     val lines = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("bench/state_frame_r16.jsonl")))
+      java.nio.file.Paths.get("bench/state_frame_r17.jsonl")))
       .linesIterator.filter(_.nonEmpty).map { l =>
-        "\"(k|frame_driver_rows|array_driver_rows|cells|n)\":(\\d+)".r
+        ("\"(k|frame_driver_rows|array_driver_rows|cells|n|" +
+          "seed_max_task_rows)\":(\\d+)").r
           .findAllMatchIn(l)
           .map(m => m.group(1) -> m.group(2).toLong).toMap
       }.toSeq
@@ -520,6 +526,15 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(k5("frame_driver_rows") * 20 <= k5("array_driver_rows"),
       s"frame rows ${k5("frame_driver_rows")} not decisively below " +
         s"array ${k5("array_driver_rows")}")
+    // seed placement: the rank stage's largest task tracks the bucket
+    // size (n/256, with headroom for hash unevenness), NOT k — at
+    // K=10⁵ a Θ(k)-task seed would show ~k here
+    lines.foreach { m =>
+      assert(m("seed_max_task_rows") > 0L, m.toString)
+      assert(m("seed_max_task_rows") <= math.max(1L, m("n") / 64L),
+        s"k=${m("k")}: seed task held ${m("seed_max_task_rows")} rows " +
+          s"of n=${m("n")} — not bucket-bounded")
+    }
     // structural sanity: the measured runs really trained/assigned
     lines.foreach { m =>
       assert(m("cells") >= m("k") / 2,
