@@ -244,6 +244,44 @@ object Cli {
     }
   }
 
+  /** `cluster-assign <sf-dir> <store-dir> <out-dir> [k]`: assignment
+    * FROM THE STORE — the use-the-model verb cluster-train lacked.
+    * Across CLI invocations every `query q_embed_kmeans` call is a
+    * fresh session that retrains before assigning; this verb loads
+    * the persisted centroids (training only if the store has no
+    * artifact for the corpus fingerprint — same content addressing as
+    * cluster-train), assigns every vector, and writes the
+    * (vec_id, label, cid, dist2) TSV with the usual header sidecar.
+    * Dispatches on the state regime like cluster-train; the summary's
+    * `trained|loaded` word is the same work observable (a second
+    * process over an unchanged corpus must say `loaded` — pinned). */
+  def clusterAssign(spark: SparkSession, sfDir: String, storeDir: String,
+      outDir: String, k: Int): String = {
+    val c0 = ops.Clustering.trainCounter.get()
+    val state = ops.Clustering.stateOf(spark, k)
+    val df =
+      if (state == "frame") {
+        // the load seeds the artifact pointer, so the assignment's
+        // frameCentroids read serves the store, never a training
+        ops.Clustering.persistentFrameCentroids(spark, sfDir, k, storeDir)
+        ops.Clustering.kmeansAssignFrame(spark, sfDir, k)
+          .select(col("vec_id"), col("label"), col("cid"), col("dist2"))
+      } else {
+        // the load seeds the in-session history memo kmeansAssign reads
+        ops.Clustering.persistentCentroidHistory(spark, sfDir, k, storeDir)
+        ops.Clustering.kmeansAssign(spark, sfDir, k)
+      }
+    val cols = df.columns
+    df.select(concat_ws("\t",
+        cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+      .as("line"))
+      .write.mode("overwrite").text(outDir)
+    writeColumnsHeader(spark, outDir, cols)
+    val did = if (ops.Clustering.trainCounter.get() > c0) "trained"
+              else "loaded"
+    s"$did k=$k state=$state store=$storeDir out=$outDir"
+  }
+
   /** `cluster-store <store-dir>`: list the store's centroid artifacts
     * — one TSV line per artifact (k, mode, corpus fingerprint, dim,
     * iters), parsed from the content-addressed names + headers the
@@ -292,6 +330,7 @@ object Cli {
       |       graft.Cli query <name>|list <sf-dir> <out-dir>
       |       graft.Cli sql <statement> <sf-dir> <out-dir>
       |       graft.Cli cluster-train|cluster-retrain <sf-dir> <store-dir> [k]
+      |       graft.Cli cluster-assign <sf-dir> <store-dir> <out-dir> [k]
       |       graft.Cli cluster-store <store-dir>
       |       graft.Cli views <sf-dir>""".stripMargin
 
@@ -300,7 +339,8 @@ object Cli {
     val twoArgVerb = args.length == 2 &&
       (args(0) == "cluster-store" || args(0) == "views")
     val badQuery = args.length > 0 &&
-      (args(0) == "query" || args(0) == "sql") && !queryList &&
+      (args(0) == "query" || args(0) == "sql" ||
+        args(0) == "cluster-assign") && !queryList &&
       args.length < 4
     if ((args.length < 3 && !queryList && !twoArgVerb) || badQuery) {
       System.err.println(Usage)
@@ -330,6 +370,9 @@ object Cli {
         println(clusterTrain(spark, args(1), args(2),
           if (args.length > 3) args(3).toInt else ops.Clustering.kOf(spark),
           retrain = args(0) == "cluster-retrain"))
+      case "cluster-assign" =>
+        println(clusterAssign(spark, args(1), args(2), args(3),
+          if (args.length > 4) args(4).toInt else ops.Clustering.kOf(spark)))
       case "views" =>
         views(spark, args(1)).foreach(println)
       case _ =>

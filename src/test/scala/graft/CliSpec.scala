@@ -315,6 +315,43 @@ class CliSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.kmeans.state", "auto")
   }
 
+  test("cluster-assign rides the store: a fresh session assigns without training") {
+    // The use-the-model verb: after cluster-train, a SECOND process
+    // (modeled by a fresh session — cold memos, only the store can
+    // explain a no-train answer) must assign every vector without
+    // retraining, in BOTH state regimes.
+    val store = tmp("graft_cli_asg_store")
+    val dir = tmp("graft_cli_asg_corpus")
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    emb.write.mode("overwrite").parquet(Tables.path(dir, "embeddings"))
+    val n = emb.count()
+    def lines(out: String) =
+      spark.read.textFile(out).count()
+    // array regime
+    assert(Cli.clusterTrain(spark, dir, store, 6).startsWith("trained"))
+    val s2 = spark.newSession()
+    val out1 = tmp("graft_cli_asg_out1")
+    val r1 = Cli.clusterAssign(s2, dir, store, out1, 6)
+    assert(r1.startsWith("loaded k=6 state=driver"), r1)
+    assert(lines(out1) === n, "assignment lost rows")
+    // frame regime (forced)
+    val s3 = spark.newSession()
+    s3.conf.set("spark.graft.kmeans.state", "frame")
+    val storeF = tmp("graft_cli_asg_storef")
+    assert(Cli.clusterTrain(s3, dir, storeF, 6)
+      .startsWith("trained k=6 "), "frame train")
+    val s4 = spark.newSession()
+    s4.conf.set("spark.graft.kmeans.state", "frame")
+    val out2 = tmp("graft_cli_asg_out2")
+    val r2 = Cli.clusterAssign(s4, dir, storeF, out2, 6)
+    assert(r2.startsWith("loaded k=6 state=frame"), r2)
+    assert(lines(out2) === n, "frame assignment lost rows")
+    // the header sidecar names the 4 output columns
+    val hdr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out2, "_columns.tsv"))).trim
+    assert(hdr === "vec_id\tlabel\tcid\tdist2", hdr)
+  }
+
   test("views verb registers the tables and lists views + graft_* functions") {
     val got = Cli.views(spark, TestSpark.sf)
     val views = got.filter(_.startsWith("view\t")).map(_.split("\t")(1))
