@@ -160,14 +160,22 @@ object Cli {
     val spec = Registry.byName.getOrElse(name,
       throw new IllegalArgumentException(
         s"unknown query '$name'; try: graft.Cli query list"))
-    val df = spec.df(spark, sfDir)
+    // One header file alongside the parts (not interleaved per-part:
+    // downstream `sort | uniq`-style pipes must see data lines only).
+    writeTsv(spark, spec.df(spark, sfDir), outDir)
+  }
+
+  /** The ONE TSV-result writer behind `query`, `sql` and
+    * `cluster-assign` (r17 review #6 — three verbatim copies had
+    * accumulated): body as tab-joined casts with literal NULLs, one
+    * text part per partition, plus the header sidecar. */
+  private def writeTsv(spark: SparkSession, df: DataFrame,
+      outDir: String): Unit = {
     val cols = df.columns
     df.select(concat_ws("\t",
         cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
       .as("line"))
       .write.mode("overwrite").text(outDir)
-    // One header file alongside the parts (not interleaved per-part:
-    // downstream `sort | uniq`-style pipes must see data lines only).
     writeColumnsHeader(spark, outDir, cols)
   }
 
@@ -195,13 +203,7 @@ object Cli {
   def runSql(spark: SparkSession, statement: String, sfDir: String,
       outDir: String): Unit = {
     Graft.registerAll(spark, sfDir)
-    val df = spark.sql(statement)
-    val cols = df.columns
-    df.select(concat_ws("\t",
-        cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
-      .as("line"))
-      .write.mode("overwrite").text(outDir)
-    writeColumnsHeader(spark, outDir, cols)
+    writeTsv(spark, spark.sql(statement), outDir)
   }
 
   /** `cluster-train <sf-dir> <store-dir> [k]`: train-or-load the
@@ -224,6 +226,8 @@ object Cli {
       k: Int, retrain: Boolean = false): String = {
     val c0 = ops.Clustering.trainCounter.get()
     if (ops.Clustering.stateOf(spark, k) == "frame") {
+      // same class-conflict refusal as kmeansAssign (r17 review #1)
+      ops.Clustering.requireFrameServesClass(spark)
       val cents =
         if (retrain)
           ops.Clustering.retrainFrameCentroids(spark, sfDir, k, storeDir)
@@ -261,6 +265,10 @@ object Cli {
     val state = ops.Clustering.stateOf(spark, k)
     val df =
       if (state == "frame") {
+        // a user-forced exact E-step class can never be served by the
+        // frame machinery — same refusal as kmeansAssign's dispatch
+        // (r17 review #1: the CLI must not bypass it)
+        ops.Clustering.requireFrameServesClass(spark)
         // the load seeds the artifact pointer, so the assignment's
         // frameCentroids read serves the store, never a training
         ops.Clustering.persistentFrameCentroids(spark, sfDir, k, storeDir)
@@ -271,12 +279,7 @@ object Cli {
         ops.Clustering.persistentCentroidHistory(spark, sfDir, k, storeDir)
         ops.Clustering.kmeansAssign(spark, sfDir, k)
       }
-    val cols = df.columns
-    df.select(concat_ws("\t",
-        cols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
-      .as("line"))
-      .write.mode("overwrite").text(outDir)
-    writeColumnsHeader(spark, outDir, cols)
+    writeTsv(spark, df, outDir)
     val did = if (ops.Clustering.trainCounter.get() > c0) "trained"
               else "loaded"
     s"$did k=$k state=$state store=$storeDir out=$outDir"

@@ -32,13 +32,14 @@ object StateBench {
     val s = Local.session(defaultCpus = "32")
     // Self-bootstrapping: the default tier is a DETERMINISTIC ScaleGen
     // corpus (byte-identical across regenerations), so a cleaned
-    // target/ never orphans the artifact recipe — regenerate in place.
-    if (tier == "target/scale_r15/ov64_x100" &&
-        !new java.io.File(Tables.path(tier, "embeddings")).exists()) {
-      System.err.println(s"statebench: regenerating $tier (ScaleGen x100)")
+    // target/ never orphans the artifact recipe. Call generate
+    // UNCONDITIONALLY (r17 review #3): it no-ops via its own
+    // _SCALE_META marker, which also catches a partial previous write
+    // or a stale recipe — an embeddings-dir existence check would
+    // accept both and measure a corrupt corpus.
+    if (tier == "target/scale_r15/ov64_x100")
       ScaleGen.generate(s, "/root/testdata/sf0.1", tier, 100,
         openVocab = 64)
-    }
     val b = ops.Clustering.base(s, tier).localCheckpoint(true)
     val n = b.count()
     for (k <- ks) {
@@ -58,14 +59,15 @@ object StateBench {
       // k×dim M-step rows per training iteration (trainHistory's two
       // instrumented collects, arithmetically)
       val arrayRows = k.toLong + iters.toLong * k * dim
-      // seed-stage placement (r16 verdict #2): the largest row count
-      // any seed-rank task held in this training — must track the
-      // largest md5-prefix BUCKET (~n/256), never Θ(k)
-      val seedMax = ops.Clustering.lastSeedMaxTaskRows.get()
+      // seed-stage placement (r16 verdict #2): the largest kept
+      // md5-prefix BUCKET (~n/256) — the rank stage's work unit; a
+      // task coalesces ≤ ⌈256/shuffle.partitions⌉ of these, so
+      // per-task rows are Θ(n/partitions), never Θ(k)
+      val seedMax = ops.Clustering.lastSeedMaxBucketRows.get()
       println(s"""{"tier":"$tier","n":$n,"k":$k,"iters":$iters,""" +
         s""""dim":$dim,"p_auto":${ops.Clustering.adaptiveProbes(k)},""" +
         s""""frame_driver_rows":$frameRows,"array_driver_rows":$arrayRows,""" +
-        s""""seed_max_task_rows":$seedMax,""" +
+        s""""seed_max_bucket_rows":$seedMax,""" +
         f""""cells":$cellsOut,"wall_s":$wall%.1f}""")
     }
     s.stop()

@@ -515,6 +515,22 @@ object Clustering {
     * discipline) and `auto` state dispatch serves the frame path. */
   private[graft] val DriverStateMaxK = 131072
 
+  /** The estep-exact vs frame-state contradiction, refused in ONE
+    * place: the frame machinery routes (approximate class), so a
+    * session that FORCED an exact E-step class must never be served
+    * by it — neither by [[kmeansAssign]]'s dispatch nor by the CLI
+    * verbs' frame branches (r17 review #1: the CLI bypassed the
+    * kmeansAssign-local require and silently trained/assigned the
+    * routed class). */
+  private[graft] def requireFrameServesClass(s: SparkSession): Unit = {
+    val e = estepOf(s)
+    require(!Set("literal", "join")(e),
+      s"conflicting knobs: spark.graft.kmeans.estep=$e forces an " +
+        "EXACT assignment class while the resolved state regime is " +
+        "frame (the routed machinery), which cannot serve it — drop " +
+        "one of the two knobs")
+  }
+
   /** Session knob `spark.graft.kmeans.state`: driver | frame | auto
     * (auto = frame past [[DriverStateMaxK]], driver below). */
   private[graft] def stateOf(s: SparkSession, k: Int): String = {
@@ -632,12 +648,15 @@ object Clustering {
     argminOverMembers(probed, members, b.columns.toIndexedSeq)
   }
 
-  /** Max rows any seed-rank task held in the LAST [[seedFrame]] call
+  /** Largest kept md5-prefix BUCKET in the LAST [[seedFrame]] call
     * this JVM — the seed-stage work-placement observable (StateBench
     * records it next to the driver-row counters; ScaleSpec pins it
-    * ≪ k): with the rank distributed over md5-prefix buckets, no task
-    * holds Θ(k) rows — the bound is the largest BUCKET (~n/256). */
-  private[graft] val lastSeedMaxTaskRows =
+    * ≪ k). A rank task coalesces ≤ ⌈256 / shuffle.partitions⌉ buckets
+    * (the window hash-partitions bucket groups), so per-TASK rows are
+    * bounded by that factor × this value — Θ(n / shuffle.partitions),
+    * independent of K — where the old sort-limit spelling held all k
+    * seed rows in ONE task. */
+  private[graft] val lastSeedMaxBucketRows =
     new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Seed frame for [[trainFrame]]: the k smallest (md5(vec_id),
@@ -675,7 +694,7 @@ object Clustering {
       if (off < k) { kept += ((bk, off)); maxTask = math.max(maxTask, n) }
       off += n
     }
-    lastSeedMaxTaskRows.set(maxTask)
+    lastSeedMaxBucketRows.set(maxTask)
     val offDf = kept.result().toDF("_bk", "_off")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_bk")).orderBy(col("_h"), col("vec_id"))
@@ -1217,7 +1236,12 @@ object Clustering {
     * trace equals [[kcenterTrace]]'s bit-for-bit (pinned). */
   def kcenterSampled(s: SparkSession, d: String, k: Int,
       kClusters: Int, cap: Int): Seq[(Long, Long, Option[Long])] =
-    graft.SessionMemo.memo(s, s"kcenter_sampled|$d|$k|$kClusters|$cap") {
+    // the resolved E-step class is in the key (r17 review #2): the
+    // sample derives from centroids trained under it, and a flipped
+    // estep/rprobe knob must recompute, not serve the other class's
+    // draw — the modeKey discipline centroidHistory itself follows
+    graft.SessionMemo.memo(s,
+        s"kcenter_sampled|$d|$k|$kClusters|$cap|${modeKey(s, kClusters)}") {
       val b = base(s, d)
       val sample = TextSim.cappedKeepByHashPriority(
           assign(b, centroids(s, d, kClusters)).select("vec_id", "cid"),
@@ -1324,11 +1348,7 @@ object Clustering {
     val exactForced = Set("literal", "join")(estepOf(s))
     val frameForced =
       s.conf.get("spark.graft.kmeans.state", "auto") == "frame"
-    require(!(exactForced && frameForced),
-      s"conflicting knobs: spark.graft.kmeans.estep=${estepOf(s)} " +
-        "forces an EXACT assignment class while " +
-        "spark.graft.kmeans.state=frame forces the routed frame path, " +
-        "which cannot serve it — drop one of the two knobs")
+    if (exactForced && frameForced) requireFrameServesClass(s)
     if (stateOf(s, k) == "frame" && !exactForced)
       kmeansAssignFrame(s, d, k)
     else assign(base(s, d), centroids(s, d, k))

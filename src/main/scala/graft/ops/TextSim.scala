@@ -285,9 +285,15 @@ object TextSim {
           "case: drop/replace the corpus and use a fresh session, or " +
           "remove the superseded files so the sync takes the rebuild " +
           "path")
+      // the build thunk must never run here — the stage was ensured
+      // built above, and a full-corpus build at THIS point would
+      // already contain the delta, so letting it run and then
+      // appending would double-count every new file's grams (r17
+      // review #4) — fail loudly instead
       graft.StageCache.appendTo(s, d, "docgrams")(
-        docGramsOf(Tables.documents(s, d)
-          .select("doc_id", "source", "text")))(docGramsOf(deltaDocs))
+        sys.error("docgrams stage vanished between ensure-built and " +
+          "delta append — single-writer contract violated"))(
+        docGramsOf(deltaDocs))
       ref.set(cur)
       added
     } else Set.empty

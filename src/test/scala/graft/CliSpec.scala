@@ -315,6 +315,26 @@ class CliSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.kmeans.state", "auto")
   }
 
+  test("CLI frame verbs refuse a forced exact E-step class (no conflict bypass)") {
+    // r17 review #1: kmeansAssign refuses the estep-exact + frame
+    // conflict, and the CLI's frame branches must not bypass that —
+    // cluster-train/assign at a forced exact class never silently
+    // train/serve the routed class.
+    val store = tmp("graft_cli_conflict_store")
+    val out = tmp("graft_cli_conflict_out")
+    val s = spark.newSession()
+    s.conf.set("spark.graft.kmeans.state", "frame")
+    s.conf.set("spark.graft.kmeans.estep", "join")
+    val e1 = intercept[IllegalArgumentException] {
+      Cli.clusterTrain(s, TestSpark.sf, store, 7)
+    }
+    assert(e1.getMessage.contains("conflicting knobs"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.clusterAssign(s, TestSpark.sf, store, out, 7)
+    }
+    assert(e2.getMessage.contains("conflicting knobs"), e2.getMessage)
+  }
+
   test("cluster-assign rides the store: a fresh session assigns without training") {
     // The use-the-model verb: after cluster-train, a SECOND process
     // (modeled by a fresh session — cold memos, only the store can

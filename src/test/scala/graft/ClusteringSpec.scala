@@ -740,7 +740,7 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got === want, "bucket-rank cids diverge from the global sort")
     // the placement observable: with 256 buckets over this corpus no
     // rank task held anywhere near k rows
-    val maxTask = ops.Clustering.lastSeedMaxTaskRows.get()
+    val maxTask = ops.Clustering.lastSeedMaxBucketRows.get()
     val n = b.count()
     assert(maxTask > 0L)
     assert(maxTask <= n / 32,

@@ -504,7 +504,7 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (where trainHistory REFUSES outright — pinned in
     // ClusteringSpec). The live small-K twin of this pin (4×K → ~2×
     // rows) runs in ClusteringSpec on the fixtures. Since r17 the
-    // artifact also records seed_max_task_rows (r16 verdict #2): the
+    // artifact also records seed_max_bucket_rows (r16 verdict #2): the
     // largest row count any seed-RANK task held — bucket-bounded
     // (~n/256 per md5-prefix bucket), never Θ(k), so the last
     // K-proportional single-task structure in the frame path is
@@ -513,7 +513,7 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get("bench/state_frame_r17.jsonl")))
       .linesIterator.filter(_.nonEmpty).map { l =>
         ("\"(k|frame_driver_rows|array_driver_rows|cells|n|" +
-          "seed_max_task_rows)\":(\\d+)").r
+          "seed_max_bucket_rows)\":(\\d+)").r
           .findAllMatchIn(l)
           .map(m => m.group(1) -> m.group(2).toLong).toMap
       }.toSeq
@@ -530,9 +530,9 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // size (n/256, with headroom for hash unevenness), NOT k — at
     // K=10⁵ a Θ(k)-task seed would show ~k here
     lines.foreach { m =>
-      assert(m("seed_max_task_rows") > 0L, m.toString)
-      assert(m("seed_max_task_rows") <= math.max(1L, m("n") / 64L),
-        s"k=${m("k")}: seed task held ${m("seed_max_task_rows")} rows " +
+      assert(m("seed_max_bucket_rows") > 0L, m.toString)
+      assert(m("seed_max_bucket_rows") <= math.max(1L, m("n") / 64L),
+        s"k=${m("k")}: seed task held ${m("seed_max_bucket_rows")} rows " +
           s"of n=${m("n")} — not bucket-bounded")
     }
     // structural sanity: the measured runs really trained/assigned
