@@ -37,9 +37,12 @@ object StateBench {
     // _SCALE_META marker, which also catches a partial previous write
     // or a stale recipe — an embeddings-dir existence check would
     // accept both and measure a corrupt corpus.
-    if (tier == "target/scale_r15/ov64_x100")
+    if (tier == "target/scale_r15/ov64_x100") {
+      System.err.println(
+        s"statebench: ensuring tier $tier (ScaleGen x100; no-op when current)")
       ScaleGen.generate(s, "/root/testdata/sf0.1", tier, 100,
         openVocab = 64)
+    }
     val b = ops.Clustering.base(s, tier).localCheckpoint(true)
     val n = b.count()
     for (k <- ks) {
@@ -61,8 +64,8 @@ object StateBench {
       val arrayRows = k.toLong + iters.toLong * k * dim
       // seed-stage placement (r16 verdict #2): the largest kept
       // md5-prefix BUCKET (~n/256) — the rank stage's work unit; a
-      // task coalesces ≤ ⌈256/shuffle.partitions⌉ of these, so
-      // per-task rows are Θ(n/partitions), never Θ(k)
+      // task hash-coalesces several, so per-task rows are expected
+      // Θ(n/partitions), never Θ(k)
       val seedMax = ops.Clustering.lastSeedMaxBucketRows.get()
       println(s"""{"tier":"$tier","n":$n,"k":$k,"iters":$iters,""" +
         s""""dim":$dim,"p_auto":${ops.Clustering.adaptiveProbes(k)},""" +

@@ -515,6 +515,13 @@ object Clustering {
     * discipline) and `auto` state dispatch serves the frame path. */
   private[graft] val DriverStateMaxK = 131072
 
+  /** Did this session FORCE an exact E-step class? ONE definition
+    * (r17 second review: the set was duplicated between the dispatch
+    * and the refusal — a future exact-class knob value added to one
+    * but not the other would make them silently disagree). */
+  private def exactClassForced(s: SparkSession): Boolean =
+    Set("literal", "join")(estepOf(s))
+
   /** The estep-exact vs frame-state contradiction, refused in ONE
     * place: the frame machinery routes (approximate class), so a
     * session that FORCED an exact E-step class must never be served
@@ -522,14 +529,12 @@ object Clustering {
     * verbs' frame branches (r17 review #1: the CLI bypassed the
     * kmeansAssign-local require and silently trained/assigned the
     * routed class). */
-  private[graft] def requireFrameServesClass(s: SparkSession): Unit = {
-    val e = estepOf(s)
-    require(!Set("literal", "join")(e),
-      s"conflicting knobs: spark.graft.kmeans.estep=$e forces an " +
-        "EXACT assignment class while the resolved state regime is " +
-        "frame (the routed machinery), which cannot serve it — drop " +
-        "one of the two knobs")
-  }
+  private[graft] def requireFrameServesClass(s: SparkSession): Unit =
+    require(!exactClassForced(s),
+      s"conflicting knobs: spark.graft.kmeans.estep=${estepOf(s)} " +
+        "forces an EXACT assignment class while the resolved state " +
+        "regime is frame (the routed machinery), which cannot serve " +
+        "it — drop one of the two knobs")
 
   /** Session knob `spark.graft.kmeans.state`: driver | frame | auto
     * (auto = frame past [[DriverStateMaxK]], driver below). */
@@ -651,11 +656,12 @@ object Clustering {
   /** Largest kept md5-prefix BUCKET in the LAST [[seedFrame]] call
     * this JVM — the seed-stage work-placement observable (StateBench
     * records it next to the driver-row counters; ScaleSpec pins it
-    * ≪ k). A rank task coalesces ≤ ⌈256 / shuffle.partitions⌉ buckets
-    * (the window hash-partitions bucket groups), so per-TASK rows are
-    * bounded by that factor × this value — Θ(n / shuffle.partitions),
-    * independent of K — where the old sort-limit spelling held all k
-    * seed rows in ONE task. */
+    * ≪ k). The window HASH-partitions bucket groups into
+    * shuffle.partitions tasks, so a task holds several buckets
+    * (expected ~256/partitions, more under hash unevenness) and
+    * per-TASK rows are expected Θ(n / shuffle.partitions) —
+    * independent of K either way — where the old sort-limit spelling
+    * held all k seed rows in ONE task. */
   private[graft] val lastSeedMaxBucketRows =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -671,10 +677,12 @@ object Clustering {
     * global rank exactly. One bounded aggregate (≤ 256 rows) counts
     * each bucket; the driver computes exclusive prefix sums and keeps
     * only the buckets intersecting ranks 0..k−1; a window PARTITIONED
-    * BY bucket ranks within each — one task per bucket, ≤ ~n/256 rows,
-    * never Θ(k) — and cid = bucket offset + in-bucket rank − 1,
-    * filtered to < k. Bit-identical cids to the sort-limit spelling
-    * (pinned), two narrow passes instead of one single-task sort. */
+    * BY bucket ranks within each — the rank unit is a ~n/256-row
+    * bucket (a task hash-coalesces several; see
+    * [[lastSeedMaxBucketRows]]), never Θ(k) — and cid = bucket offset
+    * + in-bucket rank − 1, filtered to < k. Bit-identical cids to the
+    * sort-limit spelling (pinned), two narrow passes instead of one
+    * single-task sort. */
   private[graft] def seedFrame(b: DataFrame, k: Int): DataFrame = {
     val s = b.sparkSession
     import s.implicits._
@@ -688,13 +696,13 @@ object Clustering {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     driverStateRows.addAndGet(counts.length.toLong)
     var off = 0L
-    var maxTask = 0L
+    var maxBucket = 0L
     val kept = Seq.newBuilder[(Int, Long)]
     counts.foreach { case (bk, n) =>
-      if (off < k) { kept += ((bk, off)); maxTask = math.max(maxTask, n) }
+      if (off < k) { kept += ((bk, off)); maxBucket = math.max(maxBucket, n) }
       off += n
     }
-    lastSeedMaxBucketRows.set(maxTask)
+    lastSeedMaxBucketRows.set(maxBucket)
     val offDf = kept.result().toDF("_bk", "_off")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_bk")).orderBy(col("_h"), col("vec_id"))
@@ -1345,10 +1353,9 @@ object Clustering {
     // against each other is a contradiction no silent winner should
     // resolve (r16 advice: 'the more specific knob wins' partially
     // undid the never-silently-approximate goal) — refuse, naming it.
-    val exactForced = Set("literal", "join")(estepOf(s))
-    val frameForced =
-      s.conf.get("spark.graft.kmeans.state", "auto") == "frame"
-    if (exactForced && frameForced) requireFrameServesClass(s)
+    val exactForced = exactClassForced(s)
+    if (s.conf.get("spark.graft.kmeans.state", "auto") == "frame")
+      requireFrameServesClass(s) // no-op unless an exact class forced
     if (stateOf(s, k) == "frame" && !exactForced)
       kmeansAssignFrame(s, d, k)
     else assign(base(s, d), centroids(s, d, k))

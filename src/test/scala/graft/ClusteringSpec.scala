@@ -739,7 +739,7 @@ class ClusteringSpec extends AnyFunSuite {
       .map { case ((_, xq), i) => (i.toLong, xq) }.toSeq
     assert(got === want, "bucket-rank cids diverge from the global sort")
     // the placement observable: with 256 buckets over this corpus no
-    // rank task held anywhere near k rows
+    // rank work unit (bucket) held anywhere near k rows
     val maxTask = ops.Clustering.lastSeedMaxBucketRows.get()
     val n = b.count()
     assert(maxTask > 0L)

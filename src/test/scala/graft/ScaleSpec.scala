@@ -504,9 +504,10 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (where trainHistory REFUSES outright — pinned in
     // ClusteringSpec). The live small-K twin of this pin (4×K → ~2×
     // rows) runs in ClusteringSpec on the fixtures. Since r17 the
-    // artifact also records seed_max_bucket_rows (r16 verdict #2): the
-    // largest row count any seed-RANK task held — bucket-bounded
-    // (~n/256 per md5-prefix bucket), never Θ(k), so the last
+    // artifact also records seed_max_bucket_rows (r16 verdict #2):
+    // the largest kept md5-prefix bucket — the seed-rank stage's work
+    // unit (~n/256 rows; a task hash-coalesces several, so per-task
+    // rows are expected Θ(n/partitions)), never Θ(k): the last
     // K-proportional single-task structure in the frame path is
     // measured closed, not just re-spelled.
     val lines = new String(java.nio.file.Files.readAllBytes(
@@ -526,13 +527,13 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(k5("frame_driver_rows") * 20 <= k5("array_driver_rows"),
       s"frame rows ${k5("frame_driver_rows")} not decisively below " +
         s"array ${k5("array_driver_rows")}")
-    // seed placement: the rank stage's largest task tracks the bucket
+    // seed placement: the rank stage's work unit tracks the bucket
     // size (n/256, with headroom for hash unevenness), NOT k — at
-    // K=10⁵ a Θ(k)-task seed would show ~k here
+    // K=10⁵ a Θ(k)-unit seed would show ~k here
     lines.foreach { m =>
       assert(m("seed_max_bucket_rows") > 0L, m.toString)
       assert(m("seed_max_bucket_rows") <= math.max(1L, m("n") / 64L),
-        s"k=${m("k")}: seed task held ${m("seed_max_bucket_rows")} rows " +
+        s"k=${m("k")}: seed bucket held ${m("seed_max_bucket_rows")} rows " +
           s"of n=${m("n")} — not bucket-bounded")
     }
     // structural sanity: the measured runs really trained/assigned
