@@ -360,6 +360,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("seedFrame: distributed rank, no global limit or partition-less window") {
+    // r16 verdict #2's plan-shape half: the k-seed rank must not pass
+    // through a TakeOrdered/GlobalLimit (ONE task holding all k rows)
+    // and its row_number window must be PARTITIONED by the md5-prefix
+    // bucket, not a global order.
+    val df = ops.Clustering.seedFrame(
+      ops.Clustering.base(spark, TestSpark.sf), 100)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("GlobalLimit"),
+      s"seed plan funnels through a global limit:\n$p")
+    assert("Window \\[.*\\], \\[_bk".r.findFirstIn(p).isDefined,
+      s"rank window not partitioned by the bucket column:\n$p")
+  }
+
   test("no registry query gains an undeclared cartesian or nested-loop join") {
     // The scale contract: product-shaped joins appear ONLY where they
     // are the declared design —
