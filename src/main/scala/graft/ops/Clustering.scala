@@ -435,17 +435,15 @@ object Clustering {
     // A NULL xq row would be dropped SILENTLY by the top-k routing
     // branch (null distance -> aggregate-skips-nulls -> empty probe
     // list), diverging from the exact paths (r15 review #6) — fail
-    // loudly instead; every in-repo producer quantizes through
-    // [[base]], so this fires only on malformed foreign input. (The
-    // stream-guard trick: assert_true is NULL when the row is fine,
-    // and wiring it through the kept column keeps it un-prunable.)
-    val guarded = b.withColumn("xq",
-      when(assert_true(col("xq").isNotNull,
-        lit("assignRouted: NULL xq row — quantize embeddings via " +
-          "Clustering.base / Clustering.quantize")).isNull, col("xq")))
+    // loudly instead ([[guardXq]]); every in-repo producer quantizes
+    // through [[base]], so this fires only on malformed foreign
+    // input. (The stream-guard trick: assert_true is NULL when the
+    // row is fine, and wiring it through the kept column keeps it
+    // un-prunable.)
     // same per-row grouping-key discipline as assignJoin: duplicates
     // stay distinct through the argmin, the id never reaches output
-    val keyed = guarded.withColumn("_rid", monotonically_increasing_id())
+    val keyed = guardXq(b, "assignRouted")
+      .withColumn("_rid", monotonically_increasing_id())
     val probed = routeProbe(keyed, coarse, rprobeOf(s, cents.length))
     argminOverMembers(probed, membersDf(s, cents, memberOf),
       b.columns.toIndexedSeq)
@@ -644,13 +642,46 @@ object Clustering {
     val (coarse, memberOf) = coarsenDf(cents, routeCount(k))
     val members = cents.join(memberOf, "cid")
       .select(col("_rt"), col("cid").as("_ccid"), col("cq").as("_cq"))
-    val guarded = b.withColumn("xq",
-      when(assert_true(col("xq").isNotNull,
-        lit("assignFrame: NULL xq row — quantize embeddings via " +
-          "Clustering.base / Clustering.quantize")).isNull, col("xq")))
-    val keyed = guarded.withColumn("_rid", monotonically_increasing_id())
+    val keyed = guardXq(b, "assignFrame")
+      .withColumn("_rid", monotonically_increasing_id())
     val probed = routeProbe(keyed, coarse, rprobeOf(s, k))
     argminOverMembers(probed, members, b.columns.toIndexedSeq)
+  }
+
+  /** The NULL-xq entry guard shared by every routed/frame scorer (see
+    * [[assignRouted]]'s rationale — the top-k routing branch would
+    * drop a NULL row silently; fail loudly instead, naming the
+    * caller). */
+  private def guardXq(b: DataFrame, who: String): DataFrame =
+    b.withColumn("xq",
+      when(assert_true(col("xq").isNotNull,
+        lit(s"$who: NULL xq row — quantize embeddings via " +
+          "Clustering.base / Clustering.quantize")).isNull, col("xq")))
+
+  /** Precomputed frame-state scorer — coarsen ONCE, score MANY: the
+    * streaming twin's shape (r17). [[assignFrame]] derives the
+    * two-level hierarchy per call, which is right for one batch
+    * assignment but would re-pay the O(K^1.5) distributed coarsening
+    * per MICRO-BATCH in a stream; this factory runs it once, freezes
+    * the (branch, cid, centroid) member table (localCheckpoint —
+    * executor-side blocks for the stream's lifetime, never the
+    * driver), and returns the per-batch closure: route + exact argmin
+    * over probed members, identical arithmetic to assignFrame
+    * (pinned: stream ≡ batch row-for-row). */
+  private[graft] def frameScorer(cents: DataFrame,
+      k: Int): DataFrame => DataFrame = {
+    val s = cents.sparkSession
+    val (coarse, memberOf) = coarsenDf(cents, routeCount(k))
+    val members = cents.join(memberOf, "cid")
+      .select(col("_rt"), col("cid").as("_ccid"), col("cq").as("_cq"))
+      .localCheckpoint(true)
+    val p = rprobeOf(s, k)
+    (b: DataFrame) => {
+      val keyed = guardXq(b, "frameScorer")
+        .withColumn("_rid", monotonically_increasing_id())
+      argminOverMembers(routeProbe(keyed, coarse, p), members,
+        b.columns.toIndexedSeq)
+    }
   }
 
   /** Largest kept md5-prefix BUCKET in the LAST [[seedFrame]] call

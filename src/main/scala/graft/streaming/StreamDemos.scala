@@ -464,6 +464,42 @@ object StreamDemos {
     q.awaitTermination()
   }
 
+  /** FAR-K twin of [[scoredVecBatches]] (r17 — the streaming half of
+    * the frame-regime lifecycle): past DriverStateMaxK the
+    * centroidHistory read above REFUSES by design, so the continuous
+    * ingest-scoring job a 100 TB pipeline runs had no path at exactly
+    * the K the frame state exists for. Here the centroids stay a
+    * FRAME end-to-end — trained in-session or served from a warm
+    * [[graft.ops.Clustering.persistentFrameCentroids]] load (the
+    * pointer memo) — and each micro-batch scores through the
+    * precomputed [[graft.ops.Clustering.frameScorer]]: the two-level
+    * hierarchy is coarsened ONCE at stream start (per-batch
+    * re-coarsening would pay the O(K^1.5) distributed job per
+    * micro-batch), the member table is frozen on executors, and the
+    * per-batch work is route + argmin only. Same quantization map,
+    * NULL guard, exactly-once batch-keyed-partition scheme and both
+    * lifecycle guards as every sibling. Pinned: stream ≡
+    * kmeansAssignFrame row-for-row across micro-batches. */
+  def scoredVecBatchesFrame(spark: SparkSession, corpusDir: String,
+      inDir: String, checkpointDir: String, outDir: String,
+      k: Int): Unit = {
+    import graft.ops.Clustering
+    val score = Clustering.frameScorer(
+      Clustering.frameCentroids(spark, corpusDir, k), k)
+    val q = quantizedVecSource(spark, inDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        guardBatchDirLifecycle("scoredVecBatchesFrame", outDir, batchId)
+        score(batch.toDF())
+          .select(col("vec_id"), col("cid"), col("dist2"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming decontamination (CAP-STREAM-DECONTAM): each arriving
     * (doc_id, text) candidate document is scored against the FROZEN
     * test-split gram set of the corpus at `corpusDir` — the

@@ -364,6 +364,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.kmeans.estep", "auto")
   }
 
+  test("CAP-STREAM-KMEANS-FRAME: foreachBatch frame scoring == batch kmeansAssignFrame") {
+    // The far-K streaming twin (r17): past DriverStateMaxK the
+    // array-history stream refuses, so continuous scoring must ride
+    // the centroid FRAME — coarsened once at stream start, scored per
+    // micro-batch, bit-equal to the batch frame assignment across two
+    // micro-batch files, with the exactly-once no-op on a re-run.
+    val inDir = tmpDir("graft_kmsF_in").toString
+    val ck = tmpDir("graft_kmsF_ck").toString
+    val out = tmpDir("graft_kmsF_out").toString + "/scored"
+    val sample = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    sample.filter(col("vec_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    sample.filter(col("vec_id") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    StreamDemos.scoredVecBatchesFrame(spark, sf, inDir, ck, out, k = 80)
+    val streamed = spark.read.parquet(out)
+      .select("vec_id", "cid", "dist2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val expectIds = sample.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val batch = ops.Clustering.kmeansAssignFrame(spark, sf, 80)
+      .filter(col("vec_id").isInCollection(expectIds))
+      .select("vec_id", "cid", "dist2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "frame stream diverges from batch kmeansAssignFrame")
+    // exactly-once: a second AvailableNow pass with nothing new is a no-op
+    StreamDemos.scoredVecBatchesFrame(spark, sf, inDir, ck, out, k = 80)
+    assert(spark.read.parquet(out).count() === streamed.length.toLong)
+  }
+
   test("CAP-STREAM-CUSUM: per-key monitor carries state across batches == one-shot replay") {
     // The live changepoint monitor: a planted +30% shift in 'canary'
     // split across TWO micro-batch files (hours 0-59, 60-95) must
