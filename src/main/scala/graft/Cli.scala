@@ -226,8 +226,9 @@ object Cli {
       k: Int, retrain: Boolean = false): String = {
     val c0 = ops.Clustering.trainCounter.get()
     if (ops.Clustering.stateOf(spark, k) == "frame") {
-      // same class-conflict refusal as kmeansAssign (r17 review #1)
-      ops.Clustering.requireFrameServesClass(spark)
+      // the estep-exact class-conflict refusal fires inside the frame
+      // machinery itself (frameCentroids / the store verbs) — no
+      // per-entry-point check to forget
       val cents =
         if (retrain)
           ops.Clustering.retrainFrameCentroids(spark, sfDir, k, storeDir)
@@ -265,10 +266,7 @@ object Cli {
     val state = ops.Clustering.stateOf(spark, k)
     val df =
       if (state == "frame") {
-        // a user-forced exact E-step class can never be served by the
-        // frame machinery — same refusal as kmeansAssign's dispatch
-        // (r17 review #1: the CLI must not bypass it)
-        ops.Clustering.requireFrameServesClass(spark)
+        // class-conflict refusal fires inside the frame machinery;
         // the load seeds the artifact pointer, so the assignment's
         // frameCentroids read serves the store, never a training
         ops.Clustering.persistentFrameCentroids(spark, sfDir, k, storeDir)

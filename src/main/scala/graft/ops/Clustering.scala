@@ -658,23 +658,55 @@ object Clustering {
         lit(s"$who: NULL xq row — quantize embeddings via " +
           "Clustering.base / Clustering.quantize")).isNull, col("xq")))
 
+  /** The frame scorer's routing state, derived ONCE per (session,
+    * dir, k, resolved probes) and re-served on every later scorer
+    * request (r17 review: a stream-verb re-invocation — the
+    * nothing-new AvailableNow resume — must not re-pay the O(K^1.5)
+    * distributed coarsening). Placement respects the SessionMemo
+    * plain-data contract: the coarse level is a √K×dim long array in
+    * the memo; the K-row member table is a [[StageCache]] parquet
+    * materialization (never a DataFrame captured in a memo value,
+    * which would pin the session against the weak key). Both are
+    * dropped together by [[rebuildAndInvalidate]]. */
+  private def frameRouting(s: SparkSession, d: String,
+      k: Int): (Array[Array[Long]], DataFrame) = {
+    val p = effProbes(s, k)
+    val membersStage = s"kmeans_frame_members_k${k}_p$p"
+    def buildMembers(memberOf: DataFrame): DataFrame =
+      frameCentroids(s, d, k).join(memberOf, "cid")
+        .select(col("_rt"), col("cid").as("_ccid"), col("cq").as("_cq"))
+    val coarse = graft.SessionMemo.memo(s,
+        s"kmeans_frame_coarse|$d|k$k|p$p") {
+      val (c, memberOf) = coarsenDf(frameCentroids(s, d, k), routeCount(k))
+      // materialize the member table while the membership frame is
+      // in hand — the memo and the stage live and die together
+      StageCache.memoized(s, d, membersStage)(buildMembers(memberOf))
+        .count()
+      c
+    }
+    val members = StageCache.memoized(s, d, membersStage)(
+      sys.error(s"$membersStage vanished while its coarse memo " +
+        "survived — the two are built and invalidated together"))
+    (coarse, members)
+  }
+
   /** Precomputed frame-state scorer — coarsen ONCE, score MANY: the
     * streaming twin's shape (r17). [[assignFrame]] derives the
-    * two-level hierarchy per call, which is right for one batch
-    * assignment but would re-pay the O(K^1.5) distributed coarsening
-    * per MICRO-BATCH in a stream; this factory runs it once, freezes
-    * the (branch, cid, centroid) member table (localCheckpoint —
-    * executor-side blocks for the stream's lifetime, never the
-    * driver), and returns the per-batch closure: route + exact argmin
-    * over probed members, identical arithmetic to assignFrame
-    * (pinned: stream ≡ batch row-for-row). */
-  private[graft] def frameScorer(cents: DataFrame,
+    * two-level hierarchy per call, which is right inside the training
+    * loop (the centroid frame changes every iteration) but would
+    * re-pay the O(K^1.5) distributed coarsening per MICRO-BATCH in a
+    * stream — and per VERB INVOCATION on a resume; this factory
+    * serves the memoized routing state ([[frameRouting]]) and returns
+    * the per-batch closure: route + exact argmin over probed members,
+    * identical arithmetic to assignFrame (pinned: stream ≡ batch
+    * row-for-row). */
+  private[graft] def frameScorer(s: SparkSession, d: String,
       k: Int): DataFrame => DataFrame = {
-    val s = cents.sparkSession
-    val (coarse, memberOf) = coarsenDf(cents, routeCount(k))
-    val members = cents.join(memberOf, "cid")
-      .select(col("_rt"), col("cid").as("_ccid"), col("cq").as("_cq"))
-      .localCheckpoint(true)
+    // refuse BEFORE the memo peek: warm routing state from an earlier
+    // (unconflicted) call must not let a later exact-forced session
+    // be served the approximate class
+    requireFrameServesClass(s)
+    val (coarse, members) = frameRouting(s, d, k)
     val p = rprobeOf(s, k)
     (b: DataFrame) => {
       val keyed = guardXq(b, "frameScorer")
@@ -818,7 +850,13 @@ object Clustering {
     * training can never pair the stale stage with a fresh fingerprint
     * and poison the frame store. */
   private[graft] def frameCentroids(s: SparkSession, d: String,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    // the never-silently-approximate refusal lives HERE, inside the
+    // machinery every frame-serving entry point flows through
+    // (kmeansAssignFrame, the stores, the CLI verbs, the stream twin)
+    // — per-entry-point checks proved forgettable (r17 review: the
+    // new stream verb had bypassed them)
+    requireFrameServesClass(s)
     graft.SessionMemo.peek[String](s,
         frameArtKey(d, k, effProbes(s, k))) match {
       case Some(path) => s.read.parquet(path)
@@ -829,6 +867,7 @@ object Clustering {
           trainFrame(base(s, d), k, Iters)
         }
     }
+  }
 
   /** PUBLIC OPERATOR (frame state): per-vector assignment at k with
     * centroid state distributed end-to-end — the far-K twin of
@@ -838,7 +877,7 @@ object Clustering {
     * [[DriverStateMaxK]] this is the ONLY path that does not grow
     * driver state with K. */
   def kmeansAssignFrame(s: SparkSession, d: String, k: Int): DataFrame =
-    assignFrame(base(s, d), frameCentroids(s, d, k), k)
+    frameScorer(s, d, k)(base(s, d)) // memoized routing; ≡ assignFrame
       .select(col("vec_id"), col("label"), col("cid"), col("dist2"))
 
   /** Memoized non-negativity verdict per (session, dir): one scan of
@@ -1078,9 +1117,11 @@ object Clustering {
   private def rebuildAndInvalidate(s: SparkSession, d: String): Unit = {
     StageCache.rewrite(s, d, "kmeans_base")(baseFrame(s, d))(
       _ => baseFrame(s, d))
-    StageCache.invalidatePrefix(s, d, "kmeans_frame_k")
+    // covers the centroid stages AND the scorer's member-table stages
+    StageCache.invalidatePrefix(s, d, "kmeans_frame_")
     graft.SessionMemo.dropByPrefix(s, s"kmeans_cents|$d|")
     graft.SessionMemo.dropByPrefix(s, s"kmeans_frame_art|$d|")
+    graft.SessionMemo.dropByPrefix(s, s"kmeans_frame_coarse|$d|")
     graft.SessionMemo.dropByPrefix(s, s"kcenter|$d|")
     graft.SessionMemo.dropByPrefix(s, s"kcenter_sampled|$d|")
     graft.SessionMemo.drop(s, s"kmeans_fp|$d")
@@ -1117,6 +1158,7 @@ object Clustering {
     * a crashed writer can never serve a half-written table. */
   def persistentFrameCentroids(s: SparkSession, d: String, k: Int,
       storeDir: String): DataFrame = {
+    requireFrameServesClass(s) // the LOAD branch below skips frameCentroids
     val p = effProbes(s, k)
     val fp = anchoredFingerprintHex(s, d)
     val file = java.nio.file.Paths.get(storeDir,

@@ -445,23 +445,38 @@ object StreamDemos {
     }
   }
 
-  def scoredVecBatches(spark: SparkSession, corpusDir: String,
-      inDir: String, checkpointDir: String, outDir: String,
-      k: Int): Unit = {
-    import graft.ops.Clustering
-    val cents = Clustering.centroidHistory(spark, corpusDir, k).last
-    val q = quantizedVecSource(spark, inDir).writeStream
+  /** The batch-keyed-partition exactly-once sink shared by every
+    * per-batch-scoring stream (r17 review: the scaffold had been
+    * copied verbatim per twin, so a lifecycle-guard fix would have to
+    * land in every copy): one AvailableNow pass, each micro-batch
+    * guarded ([[guardBatchDirLifecycle]]) then mapped through `score`
+    * and OVERWRITTEN into `outDir/batch=<id>`. */
+  private def runBatchKeyedSink(who: String, source: DataFrame,
+      checkpointDir: String, outDir: String)(
+      score: DataFrame => DataFrame): Unit = {
+    val q = source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        guardBatchDirLifecycle("scoredVecBatches", outDir, batchId)
-        Clustering.assign(batch.toDF(), cents)
-          .select(col("vec_id"), col("cid"), col("dist2"))
+        guardBatchDirLifecycle(who, outDir, batchId)
+        score(batch.toDF())
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .start()
     q.awaitTermination()
+  }
+
+  def scoredVecBatches(spark: SparkSession, corpusDir: String,
+      inDir: String, checkpointDir: String, outDir: String,
+      k: Int): Unit = {
+    import graft.ops.Clustering
+    val cents = Clustering.centroidHistory(spark, corpusDir, k).last
+    runBatchKeyedSink("scoredVecBatches",
+        quantizedVecSource(spark, inDir), checkpointDir, outDir) { b =>
+      Clustering.assign(b, cents)
+        .select(col("vec_id"), col("cid"), col("dist2"))
+    }
   }
 
   /** FAR-K twin of [[scoredVecBatches]] (r17 — the streaming half of
@@ -484,20 +499,11 @@ object StreamDemos {
       inDir: String, checkpointDir: String, outDir: String,
       k: Int): Unit = {
     import graft.ops.Clustering
-    val score = Clustering.frameScorer(
-      Clustering.frameCentroids(spark, corpusDir, k), k)
-    val q = quantizedVecSource(spark, inDir).writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        guardBatchDirLifecycle("scoredVecBatchesFrame", outDir, batchId)
-        score(batch.toDF())
-          .select(col("vec_id"), col("cid"), col("dist2"))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    val score = Clustering.frameScorer(spark, corpusDir, k)
+    runBatchKeyedSink("scoredVecBatchesFrame",
+        quantizedVecSource(spark, inDir), checkpointDir, outDir) { b =>
+      score(b).select(col("vec_id"), col("cid"), col("dist2"))
+    }
   }
 
   /** Streaming decontamination (CAP-STREAM-DECONTAM): each arriving
@@ -527,17 +533,14 @@ object StreamDemos {
         .filter(col("split") === "test").select("doc_id"), "doc_id")
       .select("gram").distinct()
       .localCheckpoint(true)
-    val q = spark.readStream.schema(docBatchSchema)
+    val source = spark.readStream.schema(docBatchSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        guardBatchDirLifecycle("decontamStream", outDir, batchId)
+    runBatchKeyedSink("decontamStream", source, checkpointDir, outDir) {
+      batch =>
         // the SAME gram derivation the batch stage reads — one
         // spelling of the convention, never a stream-side copy
-        TextSim.docGramsOf(batch.toDF().select("doc_id", "text"))
+        TextSim.docGramsOf(batch.select("doc_id", "text"))
           // the eval gram set is the small side BY CONSTRUCTION
           // (fixed-size held-out split vs an unbounded ingest) —
           // broadcast it so the probe never shuffles the batch
@@ -546,11 +549,7 @@ object StreamDemos {
           .agg(count(lit(1)).as("n_shared"))
           .withColumn("contaminated",
             when(col("n_shared") >= 3, 1).otherwise(0))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    }
   }
 
   /** Bounded-state streaming dedup (CAP-STREAM-DEDUP-WM): exactly-once

@@ -762,6 +762,17 @@ class ClusteringSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.kmeans.estep", "auto")
       spark.conf.set("spark.graft.kmeans.state", "auto")
     }
+    // the refusal lives INSIDE the frame machinery (r17 review: a new
+    // entry point must not be able to forget it): the direct frame
+    // operator refuses under a forced exact class even WITHOUT the
+    // state knob
+    spark.conf.set("spark.graft.kmeans.estep", "join")
+    try {
+      val ex2 = intercept[IllegalArgumentException] {
+        ops.Clustering.kmeansAssignFrame(spark, sf, 8).count()
+      }
+      assert(ex2.getMessage.contains("conflicting knobs"), ex2.getMessage)
+    } finally spark.conf.set("spark.graft.kmeans.estep", "auto")
   }
 
   test("kcenter refuses k past the distinct-vector count instead of re-picking (r16 advice)") {
