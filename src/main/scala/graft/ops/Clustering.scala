@@ -1273,11 +1273,18 @@ object Clustering {
     val seedSrc =
       if (sharedE.isDefined) s"(SELECT DISTINCT vec_id FROM $eN)"
       else "embeddings"
+    // the pick side is PRE-FILTERED to its dim rows via an explicit
+    // join with the 1-row pick CTE, never a correlated scalar in the
+    // idx-join predicate: the correlated spelling let the planner
+    // hash-join the two full unnests on idx FIRST (n²·dim pairs
+    // before the filter — tens of GB at sf0.1, the r17 sweep's OOM)
     val dist = (ci: String) =>
       s"""(SELECT x.vec_id, CAST(sum((x.xi - c.xi) * (x.xi - c.xi))
         |        AS BIGINT) AS md
-        |      FROM $eN x JOIN $eN c ON x.idx = c.idx
-        |        AND c.vec_id = (SELECT vec_id FROM $ci)
+        |      FROM $eN x JOIN (
+        |        SELECT e2.idx, e2.xi FROM $eN e2
+        |        JOIN $ci ON e2.vec_id = $ci.vec_id) c
+        |      ON x.idx = c.idx
         |      GROUP BY 1)"""
     val steps = (2 until k).map { i =>
       s"""m$i AS MATERIALIZED (
@@ -1635,27 +1642,26 @@ object Clustering {
     // before the k-row aggregate); the oracle replays the same argmin
     // from the trace CTEs' pick set.
     q("q_embed_kcenter_report", {
-      val dist = (i: Int) =>
-        s"""(SELECT x.vec_id, CAST(sum((x.xi - c.xi) * (x.xi - c.xi))
-          |        AS BIGINT) AS md
-          |      FROM e x JOIN e c ON x.idx = c.idx
-          |        AND c.vec_id = (SELECT vec_id FROM c$i)
-          |      GROUP BY 1)"""
-      val unions = (0 until K).map(i =>
-        s"SELECT vec_id, md, CAST($i AS BIGINT) AS r FROM ${dist(i)} du$i")
-        .mkString("\n  UNION ALL\n  ")
+      // the per-pick distances come from ONE e×pickCoords join on
+      // (idx), never K correlated e×e scalar-subquery joins — the
+      // correlated spelling blocked DuckDB's pushdown (the c side
+      // filtered AFTER the idx join) and OOM'd the oracle at sf0.1
       s"""WITH ${kcenterCtes(K)},
-        |du AS (
-        |  $unions),
-        |nr AS (SELECT vec_id, md, r FROM (
-        |    SELECT vec_id, md, r, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY md, r) AS rn FROM du)
-        |  WHERE rn = 1),
         |pk AS (SELECT CAST(0 AS BIGINT) AS sel_rank,
         |    (SELECT vec_id FROM c0) AS vec_id
         |  ${(1 until K).map(i =>
              s"UNION ALL SELECT CAST($i AS BIGINT), vec_id FROM c$i")
-            .mkString("\n  ")})
+            .mkString("\n  ")}),
+        |pc AS MATERIALIZED (SELECT pk.sel_rank AS r, e.idx, e.xi
+        |  FROM pk JOIN e ON e.vec_id = pk.vec_id),
+        |du AS (SELECT x.vec_id, pc.r,
+        |    CAST(sum((x.xi - pc.xi) * (x.xi - pc.xi)) AS BIGINT) AS md
+        |  FROM e x JOIN pc ON x.idx = pc.idx
+        |  GROUP BY 1, 2),
+        |nr AS (SELECT vec_id, md, r FROM (
+        |    SELECT vec_id, md, r, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY md, r) AS rn FROM du)
+        |  WHERE rn = 1)
         |SELECT pk.sel_rank, pk.vec_id,
         |  CAST(count(*) AS BIGINT) AS n_members,
         |  CAST(max(nr.md) AS BIGINT) AS max_d2
