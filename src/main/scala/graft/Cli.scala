@@ -297,16 +297,20 @@ object Cli {
     // mode may carry the resolved probe count (exact | routed_p<P>)
     val Art = "kmeans_k(\\d+)_([a-z0-9_]+)_fp([0-9a-f]+)\\.txt".r
     val FrameArt = "kmeans_frame_k(\\d+)_p(\\d+)_fp([0-9a-f]+)\\.parquet".r
+    // A foreign/corrupt artifact (missing or empty header/sidecar)
+    // must not break the whole listing verb — skip that entry
+    // (r17 advice #1); Using already closes the source on failure.
+    def headerFields(f: java.io.File): Option[Array[String]] =
+      scala.util.Using(scala.io.Source.fromFile(f))(
+        _.getLines().next().split(" ")).toOption.filter(_.length >= 3)
     names.sorted.flatMap {
       case n @ Art(k, mode, fp) =>
-        val hdr = scala.util.Using(scala.io.Source.fromFile(
-          new java.io.File(dir, n)))(_.getLines().next()).get.split(" ")
-        Some(s"$k\t$mode\t$fp\t${hdr(1)}\t${hdr(2)}")
+        headerFields(new java.io.File(dir, n)).map(hdr =>
+          s"$k\t$mode\t$fp\t${hdr(1)}\t${hdr(2)}")
       case n @ FrameArt(k, p, fp) =>
-        val hdr = scala.util.Using(scala.io.Source.fromFile(
-          new java.io.File(new java.io.File(dir, n), "_graft_meta.txt")))(
-          _.getLines().next()).get.split(" ")
-        Some(s"$k\tframe_p$p\t$fp\t${hdr(1)}\t${hdr(2)}")
+        headerFields(new java.io.File(new java.io.File(dir, n),
+          "_graft_meta.txt")).map(hdr =>
+          s"$k\tframe_p$p\t$fp\t${hdr(1)}\t${hdr(2)}")
       case _ => None
     }
   }

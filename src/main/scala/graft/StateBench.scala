@@ -40,8 +40,11 @@ object StateBench {
     if (tier == "target/scale_r15/ov64_x100") {
       System.err.println(
         s"statebench: ensuring tier $tier (ScaleGen x100; no-op when current)")
-      ScaleGen.generate(s, "/root/testdata/sf0.1", tier, 100,
-        openVocab = 64)
+      // source corpus resolved like the sibling bench mains (Bench,
+      // QTime, BpeProbe) so the main runs anywhere (r17 advice #4)
+      ScaleGen.generate(s,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        tier, 100, openVocab = 64)
     }
     val b = ops.Clustering.base(s, tier).localCheckpoint(true)
     val n = b.count()

@@ -1169,17 +1169,24 @@ object Clustering {
       java.nio.file.Files.createDirectories(file.getParent)
       val tmp = java.nio.file.Files.createTempDirectory(
         file.getParent, ".kmeans_frame_")
-      cents.write.mode("overwrite").parquet(tmp.toString)
-      java.nio.file.Files.writeString(tmp.resolve("_graft_meta.txt"),
-        s"$k $dim $Iters $p\n")
-      try java.nio.file.Files.move(tmp, file,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // a concurrent writer landed the identical content-addressed
-        // artifact first — serve theirs, drop ours
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-          graft.Local.rmTree(tmp.toFile)
+      // any failure before the move must not leak the temp dir into
+      // the caller-owned store (r17 advice #3)
+      try {
+        cents.write.mode("overwrite").parquet(tmp.toString)
+        java.nio.file.Files.writeString(tmp.resolve("_graft_meta.txt"),
+          s"$k $dim $Iters $p\n")
+        try java.nio.file.Files.move(tmp, file,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // a concurrent writer landed the identical content-addressed
+          // artifact first — serve theirs, drop ours
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            graft.Local.rmTree(tmp.toFile)
+        }
+      } catch {
+        case e: Throwable =>
+          graft.Local.rmTree(tmp.toFile); throw e
       }
     }
     graft.SessionMemo.memo(s, frameArtKey(d, k, p))(file.toString)

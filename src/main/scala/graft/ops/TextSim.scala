@@ -275,8 +275,15 @@ object TextSim {
     } else if (added.nonEmpty) {
       val deltaDocs = s.read.parquet(added.toSeq.sorted: _*)
         .select("doc_id", "source", "text")
-      // guard on the RAW delta's ids (no tokenize pass spent on it)
-      val overlap = docGrams(s, d).select("doc_id").distinct()
+      // guard on the RAW delta's ids (no tokenize pass spent on it).
+      // The indexed-id set comes from the DOCUMENTS under the
+      // recorded listing, not from the gram table: a doc whose text
+      // yields no 3-grams has no gram rows, and deriving "already
+      // indexed" from grams would let a re-carried gram-less doc_id
+      // slip the refusal (r17 advice #2)
+      val indexedIds = s.read.parquet(seen.toSeq.sorted: _*)
+        .select("doc_id").distinct()
+      val overlap = indexedIds
         .join(deltaDocs.select("doc_id").distinct(), "doc_id")
       require(overlap.isEmpty,
         s"syncDocGrams($d): new document files re-carry doc_ids the " +

@@ -372,4 +372,31 @@ class LifecycleSpec extends AnyFunSuite {
       rows(ops.TextSim.docGrams(s2, dir)),
       "post-shrink rebuild diverges from a from-scratch build")
   }
+
+  test("docGrams sync: a re-carried GRAM-LESS doc_id still refuses") {
+    // r17 advice #2: a document with <3 words yields zero 3-grams, so
+    // its doc_id never appears in the gram table — a guard derived
+    // from the gram table would let a re-carried copy slip through.
+    // The guard must come from the documents under the recorded
+    // listing instead.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_docgrams_gramless").toString
+    val base = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+    // doc_id 999999 is gram-less: two words < the 3-gram window
+    val gramless = spark.sql(
+      "select cast(999999 as bigint) as doc_id, 'too short' as text, " +
+        "'en' as lang, 'web' as source, cast(9 as bigint) as n_chars")
+    base.unionByName(gramless.select(base.columns.map(col).toSeq: _*))
+      .write.parquet(Tables.path(dir, "documents"))
+    ops.TextSim.warmDocGramStage(spark, dir)
+    assert(ops.TextSim.docGrams(spark, dir)
+      .filter(col("doc_id") === 999999).isEmpty,
+      "precondition: the short doc must have no gram rows")
+    gramless.select(base.columns.map(col).toSeq: _*)
+      .write.mode("append").parquet(Tables.path(dir, "documents"))
+    val ex = intercept[IllegalArgumentException] {
+      ops.TextSim.syncDocGrams(spark, dir)
+    }
+    assert(ex.getMessage.contains("re-carry"), ex.getMessage)
+  }
 }
