@@ -1894,6 +1894,211 @@ object Multimodal {
       channels = if (w > 0) 3 else 0, duration_ms = durMs)
   }
 
+  /** A decoded WebM/Matroska KEY frame: presentation time (ms) plus
+    * the top-down RGB pixel grid every other frame kernel shares. */
+  final case class MkvFrame(timeMs: Long, pixels: Array[Byte])
+
+  /** Decoded WebM video: the VP8 track's dims + its key frames. */
+  final case class MkvVideo(width: Int, height: Int,
+      frames: Seq[MkvFrame])
+
+  /** Same bomb discipline as GIF/AVI: canvas pixels × frames bounded
+    * BEFORE any frame decode allocates. */
+  private val MaxMkvPixels = 16L << 20
+
+  /** REAL WebM/Matroska KEY-FRAME decode — [[mkvMeta]]'s EBML walk
+    * extended INTO Clusters (r17 verdict #1: the container walk and
+    * the RFC 6386 [[Vp8]] decoder existed side by side; this wires
+    * them). The walk collects the FIRST `V_VP8` video TrackEntry
+    * (number, dims) and every block of that track:
+    *
+    *  - SimpleBlock (0xA3): vint track number, int16 BE relative
+    *    timestamp, flags — bit 0x80 is the keyframe flag; LACED
+    *    blocks (flags bits 0x06 != 0, the audio-packing convention)
+    *    are skipped, never mis-parsed as one frame;
+    *  - BlockGroup (0xA0) → Block (0xA1): same layout without the
+    *    keyframe bit; the group is a key frame iff it carries no
+    *    ReferenceBlock (0xFB), per the Matroska spec.
+    *
+    * Only KEY frames decode: VP8 inter frames need reference-frame
+    * state a frame-SAMPLING pipeline never keeps — key-frame sampling
+    * IS the multimodal-training-data shape, and it keeps the verb
+    * seekable (any key frame decodes alone, so a 100 TB sweep can
+    * split one file across tasks by cluster offsets). Each key
+    * payload goes through the SAME [[Vp8.decodeFrame]] + BT.601
+    * conversion as the single-image lossy-WebP path, so an identical
+    * payload yields bit-identical RGB (pinned by MultimodalSpec).
+    * Frame dims must match the track's declared PixelWidth/Height (a
+    * mismatch is structure loss: drop the file, the AVI discipline);
+    * presentation time = (cluster timestamp + block relative) ×
+    * TimecodeScale. Bomb guard before every frame allocation;
+    * malformed/truncated/hostile → None, never a throw. */
+  def decodeMkv(c: Array[Byte]): Option[MkvVideo] = try {
+    if (!isMkv(c)) return None
+    var tcScale = 1000000L // ns per tick, spec default
+    var vTrack = -1L
+    var w = 0; var h = 0
+    // TrackEntry scratch, committed when the entry's subtree closes
+    var teNo = -1L; var teType = -1L; var teCodec = ""
+    var teW = 0; var teH = 0
+    var clusterTs = 0L
+    // BlockGroup scratch (groups never nest)
+    var grpOff = -1; var grpLen = 0; var grpTrack = -1L; var grpTs = 0L
+    var grpRef = false
+    // (trackNo, timeTicks, payloadOff, payloadLen) per key candidate
+    val keys = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Int)]
+    def vintLen(b: Int): Int = {
+      var m = 0x80; var n = 1
+      while (n <= 8 && (b & m) == 0) { m >>= 1; n += 1 }
+      n
+    }
+    def readUint(o: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (c(o + i) & 0xFF); i += 1 }
+      v
+    }
+    // (Simple)Block header at o: (trackNo, relTicks, flags, payloadOff)
+    def blockHdr(o: Int, end: Long): Option[(Long, Int, Int, Int)] = {
+      if (o >= end) return None
+      val tnLen = vintLen(c(o) & 0xFF)
+      if (tnLen > 8 || o + tnLen + 3 > end) return None
+      val tn = readUint(o, tnLen) - (1L << (8 * tnLen - tnLen))
+      val rel = (((c(o + tnLen) & 0xFF) << 8) |
+        (c(o + tnLen + 1) & 0xFF)).toShort.toInt
+      val flags = c(o + tnLen + 2) & 0xFF
+      Some((tn, rel, flags, o + tnLen + 3))
+    }
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var off = start
+      while (off + 2 <= end) {
+        val idLen = vintLen(c(off.toInt) & 0xFF)
+        if (idLen > 4 || off + idLen >= end) return
+        val id = readUint(off.toInt, idLen)
+        val szB0 = c((off + idLen).toInt) & 0xFF
+        val szLen = vintLen(szB0)
+        if (szLen > 8 || off + idLen + szLen > end) return
+        var size = (szB0 & (0xFF >>> szLen)).toLong
+        var allOnes = (szB0 & (0xFF >>> szLen)) == (0xFF >>> szLen)
+        var i = 1
+        while (i < szLen) {
+          val b = c((off + idLen + i).toInt) & 0xFF
+          size = (size << 8) | b
+          allOnes &&= b == 0xFF
+          i += 1
+        }
+        val body = off + idLen + szLen
+        val bodyEnd = if (allOnes) end else math.min(end, body + size)
+        if (bodyEnd < body) return
+        id match {
+          case 0x18538067 | 0x1549A966 | 0x1654AE6B | 0x1F43B675
+              if depth < 4 => // Segment / Info / Tracks / Cluster
+            walk(body, bodyEnd, depth + 1)
+          case 0xAE if depth < 6 => // TrackEntry
+            teNo = -1L; teType = -1L; teCodec = ""; teW = 0; teH = 0
+            walk(body, bodyEnd, depth + 1)
+            if (vTrack < 0 && teType == 1 && teCodec == "V_VP8" &&
+              teNo > 0 && teW > 0 && teH > 0) {
+              vTrack = teNo; w = teW; h = teH
+            }
+          case 0xE0 if depth < 7 => // Video
+            walk(body, bodyEnd, depth + 1)
+          case 0xD7 if size <= 8 => // TrackNumber
+            teNo = readUint(body.toInt, size.toInt)
+          case 0x83 if size <= 8 => // TrackType
+            teType = readUint(body.toInt, size.toInt)
+          case 0x86 if size <= 32 && body + size <= c.length => // CodecID
+            teCodec = new String(c, body.toInt, size.toInt,
+              java.nio.charset.StandardCharsets.US_ASCII)
+          case 0xB0 if size <= 8 => // PixelWidth
+            teW = readUint(body.toInt, size.toInt).toInt
+          case 0xBA if size <= 8 => // PixelHeight
+            teH = readUint(body.toInt, size.toInt).toInt
+          case 0x2AD7B1 if size <= 8 => // TimecodeScale
+            tcScale = readUint(body.toInt, size.toInt)
+          case 0xE7 if size <= 8 => // Cluster Timestamp
+            clusterTs = readUint(body.toInt, size.toInt)
+          case 0xA3 => // SimpleBlock
+            blockHdr(body.toInt, bodyEnd).foreach {
+              case (tn, rel, flags, po) =>
+                if ((flags & 0x06) == 0 && (flags & 0x80) != 0 &&
+                  po < bodyEnd)
+                  keys += ((tn, clusterTs + rel, po, (bodyEnd - po).toInt))
+            }
+          case 0xA0 if depth < 6 => // BlockGroup
+            grpOff = -1; grpLen = 0; grpTrack = -1L; grpTs = 0L
+            grpRef = false
+            walk(body, bodyEnd, depth + 1)
+            if (!grpRef && grpOff >= 0)
+              keys += ((grpTrack, grpTs, grpOff, grpLen))
+          case 0xA1 => // Block (keyframe-ness from the group)
+            blockHdr(body.toInt, bodyEnd).foreach {
+              case (tn, rel, flags, po) =>
+                if ((flags & 0x06) == 0 && po < bodyEnd) {
+                  grpTrack = tn; grpTs = clusterTs + rel
+                  grpOff = po; grpLen = (bodyEnd - po).toInt
+                }
+            }
+          case 0xFB => grpRef = true // ReferenceBlock: not a key frame
+          case _ => () // skip
+        }
+        off = bodyEnd
+      }
+    }
+    walk(0L, c.length.toLong, 0)
+    if (vTrack < 0 || w <= 0 || h <= 0) return None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[MkvFrame]
+    var ki = 0
+    var bad = false
+    while (!bad && ki < keys.length) {
+      val (tn, ticks, off, len) = keys(ki)
+      if (tn == vTrack) {
+        if (w.toLong * h * (frames.length + 1) > MaxMkvPixels) bad = true
+        else decodeVp8Payload(c, off, len, None) match {
+          case Some(img) if img.width == w && img.height == h =>
+            frames += MkvFrame(ticks * tcScale / 1000000L, img.pixels)
+          case _ => bad = true // torn/mismatched key frame: drop file
+        }
+      }
+      ki += 1
+    }
+    if (bad || frames.isEmpty) None
+    else Some(MkvVideo(w, h, frames.toSeq))
+  } catch {
+    case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+        _: NegativeArraySizeException =>
+      None // corrupt/truncated/hostile input: drop, don't crash
+  }
+
+  /** WebM/Matroska -> per-KEY-frame BMP fan-out, [[gifFramesAsBmp]]'s
+    * contract on the EBML container (CAP-MM-FRAMES on real video):
+    * one MediaFile per decoded key frame (`#frame<i>`, i = key-frame
+    * ordinal), `everyMs` sampling the PRESENTATION timeline — a key
+    * frame's dwell time is the gap to the next key frame (0 = take
+    * every key frame). Each emitted frame is a spec-valid BMP that
+    * flows through meta / histogram-embed / resize unchanged. */
+  def mkvFramesAsBmp(ds: Dataset[MediaFile],
+      everyMs: Long = 0L): Dataset[MediaFile] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
+    ds.mapPartitions { files =>
+      files.flatMap { f =>
+        if (!isMkv(f.content)) Iterator.empty
+        else decodeMkv(f.content).iterator.flatMap { vid =>
+          val ts = vid.frames.map(_.timeMs)
+          val dwell = Array.tabulate(vid.frames.length) { i =>
+            if (i + 1 < ts.length) math.max(ts(i + 1) - ts(i), 1L) else 1L
+          }
+          sampleTimeline(vid.frames.iterator.zipWithIndex,
+            (p: (MkvFrame, Int)) => dwell(p._2), everyMs)
+            .flatMap { case ((fr, _), i) =>
+              pixelsAsBmp(s"${f.path}#frame$i", vid.width, vid.height,
+                3, fr.pixels)
+            }
+        }
+      }
+    }
+  }
+
   // ---- Ogg (REAL header-only metadata: page walk + Vorbis/Opus id) ----
 
   private def isOgg(c: Array[Byte]): Boolean =
@@ -4469,6 +4674,8 @@ object Multimodal {
             decodeGif(f.content).map(_.frames.head.pixels)
           else if (isAvi(f.content))
             decodeAvi(f.content).map(_.frames.head)
+          else if (isMkv(f.content))
+            decodeMkv(f.content).map(_.frames.head.pixels)
           else if (isTiff(f.content))
             decodeTiff(f.content).map(_.pixels)
           else None

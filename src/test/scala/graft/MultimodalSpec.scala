@@ -2072,4 +2072,203 @@ class MultimodalSpec extends AnyFunSuite {
     // clocks 0,100,200 @ 100 -> all taken
     assert(sampled(Seq(100L, 100L, 100L), 100L) === Seq(0, 1, 2))
   }
+
+  // ---- WebM/Matroska key-frame decode (EBML writer + VP8 fixtures) ----
+  // The container is spec-encoded HERE (EBML vint IDs/sizes, Segment →
+  // Info/Tracks/Cluster layout); the VP8 payloads are REAL lossy
+  // streams lifted from the src/test/resources/vp8 fixture set, whose
+  // decodes are already pinned bit-exact against libwebp in WebpSpec.
+
+  private def ebmlEl(id: Long, body: Array[Byte]): Array[Byte] = {
+    val n = if (id <= 0xFF) 1 else if (id <= 0xFFFF) 2
+      else if (id <= 0xFFFFFF) 3 else 4
+    val idB = Array.tabulate(n)(i =>
+      ((id >> (8 * (n - 1 - i))) & 0xFF).toByte)
+    // size as an 8-byte vint (marker 0x01 + 7 size bytes)
+    val szB = new Array[Byte](8)
+    szB(0) = 0x01
+    for (i <- 1 until 8)
+      szB(i) = ((body.length.toLong >> (8 * (7 - i))) & 0xFF).toByte
+    idB ++ szB ++ body
+  }
+
+  private def ebmlUint(v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+    Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte)
+  }
+
+  /** A minimal spec-valid WebM: one V_VP8 track, one cluster at
+    * timestamp `clusterTicks`, `blocks` = (relTicks, flags, payload)
+    * SimpleBlocks on track 1. */
+  private def webmBytes(w: Int, h: Int, tcScaleNs: Long,
+      clusterTicks: Long,
+      blocks: Seq[(Int, Int, Array[Byte])],
+      groups: Seq[(Int, Boolean, Array[Byte])] = Seq.empty): Array[Byte] = {
+    val hdr = ebmlEl(0x1A45DFA3L,
+      ebmlEl(0x4282L, "webm".getBytes("US-ASCII"))) // DocType
+    val info = ebmlEl(0x1549A966L,
+      ebmlEl(0x2AD7B1L, ebmlUint(tcScaleNs)))
+    val video = ebmlEl(0xE0L,
+      ebmlEl(0xB0L, ebmlUint(w)) ++ ebmlEl(0xBAL, ebmlUint(h)))
+    val entry = ebmlEl(0xAEL,
+      ebmlEl(0xD7L, ebmlUint(1)) ++ ebmlEl(0x83L, ebmlUint(1)) ++
+        ebmlEl(0x86L, "V_VP8".getBytes("US-ASCII")) ++ video)
+    val tracks = ebmlEl(0x1654AE6BL, entry)
+    val simpleEls = blocks.map { case (rel, flags, payload) =>
+      ebmlEl(0xA3L, Array[Byte](0x81.toByte, ((rel >> 8) & 0xFF).toByte,
+        (rel & 0xFF).toByte, flags.toByte) ++ payload)
+    }
+    val groupEls = groups.map { case (rel, ref, payload) =>
+      val block = ebmlEl(0xA1L, Array[Byte](0x81.toByte,
+        ((rel >> 8) & 0xFF).toByte, (rel & 0xFF).toByte, 0.toByte) ++
+        payload)
+      val refEl = if (ref) ebmlEl(0xFBL, ebmlUint(0)) else Array.empty[Byte]
+      ebmlEl(0xA0L, block ++ refEl)
+    }
+    val cluster = ebmlEl(0x1F43B675L,
+      ebmlEl(0xE7L, ebmlUint(clusterTicks)) ++
+        (simpleEls ++ groupEls).flatten.toArray)
+    hdr ++ ebmlEl(0x18538067L, info ++ tracks ++ cluster)
+  }
+
+  /** The raw VP8 payload of a fixture lossy .webp (RIFF chunk walk). */
+  private def vp8PayloadOf(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/vp8/$name.webp")
+    val webp = try in.readAllBytes() finally in.close()
+    var off = 12
+    while (off + 8 <= webp.length) {
+      val t = new String(webp, off, 4, "US-ASCII")
+      val sz = (webp(off + 4) & 0xFF) | ((webp(off + 5) & 0xFF) << 8) |
+        ((webp(off + 6) & 0xFF) << 16) | ((webp(off + 7) & 0xFF) << 24)
+      if (t == "VP8 ")
+        return java.util.Arrays.copyOfRange(webp, off + 8, off + 8 + sz)
+      off += 8 + sz + (sz & 1)
+    }
+    sys.error(s"no VP8 chunk in $name.webp")
+  }
+
+  private def fixtureWebp(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/vp8/$name.webp")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("WebM: key frames decode bit-identical to the lossy-WebP path") {
+    import spark.implicits._
+    val payload = vp8PayloadOf("photo_16x16_q75")
+    val direct = Multimodal.decodeWebpLossy(
+      fixtureWebp("photo_16x16_q75")).get
+    assert(direct.channels === 3)
+    // 3 key frames at 0/40/80 ms (1 ms ticks), plus one NON-key block
+    // and one LACED block of garbage that must be skipped, not decoded
+    val junk = Array.tabulate[Byte](40)(i => (i * 13).toByte)
+    val webm = webmBytes(16, 16, 1000000L, 0L, Seq(
+      (0, 0x80, payload),
+      (20, 0x00, junk),      // inter frame: skipped (no keyframe flag)
+      (40, 0x80, payload),
+      (60, 0x86, junk),      // EBML-laced: skipped
+      (80, 0x80, payload)))
+    val vid = Multimodal.decodeMkv(webm).get
+    assert(vid.width === 16 && vid.height === 16)
+    assert(vid.frames.map(_.timeMs) === Seq(0L, 40L, 80L))
+    vid.frames.foreach(fr =>
+      assert(fr.pixels.sameElements(direct.pixels),
+        "WebM key frame must be bit-identical to the WebP-path decode " +
+          "of the same payload"))
+    // BlockGroup spelling: Block without ReferenceBlock = key frame;
+    // with ReferenceBlock = inter frame, skipped.
+    val grouped = webmBytes(16, 16, 1000000L, 100L, Seq.empty, groups =
+      Seq((0, false, payload), (30, true, junk)))
+    val gvid = Multimodal.decodeMkv(grouped).get
+    assert(gvid.frames.map(_.timeMs) === Seq(100L))
+    assert(gvid.frames.head.pixels.sameElements(direct.pixels))
+    // TimecodeScale respected: 2 ms ticks double the timestamps.
+    val scaled = Multimodal.decodeMkv(webmBytes(16, 16, 2000000L, 5L,
+      Seq((0, 0x80, payload), (40, 0x80, payload)))).get
+    assert(scaled.frames.map(_.timeMs) === Seq(10L, 90L))
+    // embed: histogram over the DECODED first key frame's pixels.
+    val emb = Multimodal.embed(Seq(
+      Multimodal.MediaFile("v.webm", webm.length, webm)).toDS())
+      .collect().head.embedding
+    val expected = new Array[Double](8)
+    direct.pixels.foreach(b => expected((b & 0xFF) >> 5) += 1.0)
+    (0 until 8).foreach(i => expected(i) /= direct.pixels.length)
+    assert(emb.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // header-only meta still reports the container dims (no decode).
+    val meta = Multimodal.decodeMeta(Seq(
+      Multimodal.MediaFile("v.webm", webm.length, webm)).toDS())
+      .collect().head
+    assert(meta.format === "mkv" && meta.width === 16 && meta.height === 16)
+  }
+
+  test("WebM frame fan-out: re-decodable BMPs, everyMs sampling, dims guard") {
+    import spark.implicits._
+    val payload = vp8PayloadOf("photo_16x16_q75")
+    // key frames at 0/40/80/120 ms
+    val webm = webmBytes(16, 16, 1000000L, 0L,
+      Seq(0, 40, 80, 120).map(t => (t, 0x80, payload)))
+    val ds = Seq(Multimodal.MediaFile("v.webm", webm.length, webm)).toDS()
+    val all = Multimodal.mkvFramesAsBmp(ds).collect().sortBy(_.path)
+    assert(all.map(_.path).toSeq ===
+      (0 until 4).map(i => s"v.webm#frame$i"))
+    // every emitted frame is a spec-valid BMP the meta kernel re-reads
+    val metas = Multimodal.decodeMeta(Multimodal.mkvFramesAsBmp(ds)).collect()
+    assert(metas.forall(m => m.format == "bmp" && m.width == 16 &&
+      m.height == 16))
+    // 40 ms key-frame cadence, sample every 80 ms -> frames 0 and 2
+    val sampled = Multimodal.mkvFramesAsBmp(ds, everyMs = 80L)
+      .collect().map(_.path).sorted
+    assert(sampled.toSeq === Seq("v.webm#frame0", "v.webm#frame2"))
+    // track dims disagreeing with the coded frame = structure loss:
+    // the whole file drops (the AVI discipline)
+    val mismatched = webmBytes(32, 32, 1000000L, 0L,
+      Seq((0, 0x80, payload)))
+    assert(Multimodal.decodeMkv(mismatched).isEmpty)
+    assert(Multimodal.mkvFramesAsBmp(Seq(
+      Multimodal.MediaFile("m.webm", mismatched.length, mismatched))
+      .toDS()).collect().isEmpty)
+  }
+
+  test("WebM bomb guard and fuzz: hostile containers drop, never throw or allocate") {
+    import spark.implicits._
+    val payload = vp8PayloadOf("photo_16x16_q75")
+    // a container declaring a 65535x65535 canvas trips the pixel bound
+    // BEFORE any frame decode allocates
+    val bomb = webmBytes(65535, 65535, 1000000L, 0L,
+      Seq((0, 0x80, payload)))
+    val t0 = System.nanoTime()
+    assert(Multimodal.decodeMkv(bomb).isEmpty)
+    assert((System.nanoTime() - t0) < 2e9, "bomb refusal must be cheap")
+    // a torn key frame (truncated payload) drops the whole file
+    val torn = webmBytes(16, 16, 1000000L, 0L,
+      Seq((0, 0x80, payload.take(payload.length / 3))))
+    assert(Multimodal.decodeMkv(torn).isEmpty)
+    // fuzz: point mutations + truncations over the valid container
+    val base = webmBytes(16, 16, 1000000L, 0L,
+      Seq((0, 0x80, payload), (40, 0x80, payload)))
+    val rnd = new scala.util.Random(321)
+    val files = (0 until 120).map { i =>
+      val b = base.clone()
+      i % 3 match {
+        case 0 =>
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          Multimodal.MediaFile(s"m$i.webm", b.length, b)
+        case 1 =>
+          val cut = 1 + rnd.nextInt(b.length - 1)
+          Multimodal.MediaFile(s"t$i.webm", cut, b.take(cut))
+        case _ =>
+          (0 until 4).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          val cut = 8 + rnd.nextInt(b.length - 8)
+          Multimodal.MediaFile(s"mt$i.webm", cut, b.take(cut))
+      }
+    }
+    files.foreach(f => Multimodal.decodeMkv(f.content)) // never throws
+    assert(Multimodal.decodeMeta(files.toDS()).collect().length === 120)
+    assert(Multimodal.embed(files.toDS()).collect().length === 120)
+    assert(Multimodal.mkvFramesAsBmp(files.toDS()).collect().length <= 240)
+  }
 }
