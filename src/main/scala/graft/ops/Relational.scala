@@ -166,6 +166,37 @@ object Relational {
       }: _*)
   }
 
+  /** q_scan_csv's fixture tree, built ONCE per (session, dir): the
+    * documents scalar columns as a header'd CSV tree under `clean/`
+    * (Spark's own CSV sink — the write half of CAP-SRC-CSV) plus one
+    * hand-written `dirty/` part carrying, per lang, one good probe
+    * row and two rows whose n_chars is not a BIGINT. Deterministic by
+    * construction (langs sorted, fixed literals); the distinct-lang
+    * collect is bounded by the tiny language set. Swept on JVM exit
+    * like every stage temp dir. */
+  private def csvStage(s: SparkSession, d: String): String =
+    graft.SessionMemo.memo(s, s"csv_stage|$d") {
+      val root = java.nio.file.Files.createTempDirectory("graft_csv_stage")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Local.rmTree(root.toFile)))
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(2)
+        .write.option("header", "true").csv(root.resolve("clean").toString)
+      val langs = Tables.documents(s, d).select("lang").distinct()
+        .collect().map(_.getString(0)).sorted
+      val dirty = new StringBuilder("doc_id,lang,source,n_chars\n")
+      langs.foreach { l =>
+        dirty.append(s"-1,$l,probe,0\n")        // good: must pass
+        dirty.append(s"-2,$l,probe,notanumber\n") // quarantined
+        dirty.append(s"-3,$l,probe,1e\n")         // quarantined
+      }
+      java.nio.file.Files.createDirectories(root.resolve("dirty"))
+      java.nio.file.Files.writeString(
+        root.resolve("dirty").resolve("part-dirty.csv"), dirty.toString)
+      root.toString
+    }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- §2.1 scans -----------------------------------------------------
@@ -191,6 +222,53 @@ object Relational {
         .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+
+    // CSV ingest, oracle-checked END TO END (r17 verdict #4: every
+    // oracle query read parquet; CAP-SRC-CSV was tests-only until
+    // now). [[csvStage]] writes documents' scalar columns ONCE per
+    // (session, dir) as a header'd CSV tree plus a deterministic
+    // DIRTY part (per lang: one good row, two wrong-typed rows); the
+    // query then re-ingests both:
+    //  - the clean tree through Ingest.csv, where schema INFERENCE is
+    //    load-bearing (sum(n_chars) only analyzes because inference
+    //    typed the column numeric);
+    //  - the dirty part through Ingest.csvQuarantine (PERMISSIVE +
+    //    corrupt column): the good probe row passes, the wrong-typed
+    //    rows land in quarantine — both counts are hashed output, so
+    //    quarantine dropping a good row or passing a bad one fails
+    //    the driver compare, not just a unit test.
+    // The oracle recomputes the clean aggregate from the parquet
+    // truth (CSV roundtrip of BIGINTs + ASCII strings is lossless)
+    // with the injected dirty-part expectations as literals.
+    q("q_scan_csv",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc,
+        |  CAST(1 AS BIGINT) AS n_good_dirty,
+        |  CAST(2 AS BIGINT) AS n_quarantined
+        |FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+      val root = csvStage(s, d)
+      val clean = graft.sources.Ingest.csv(s, s"$root/clean")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          min("doc_id").cast("long").as("min_doc"),
+          max("doc_id").cast("long").as("max_doc"))
+      val dirty = graft.sources.Ingest.csvQuarantine(s, s"$root/dirty",
+        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .groupBy("lang").agg(
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L))
+            .as("n_good_dirty"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .as("n_quarantined"))
+      // both sides are |langs| rows; the join is trivially broadcast
+      clean.join(broadcast(dirty), "lang")
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          col("min_doc"), col("max_doc"), col("n_good_dirty"),
+          col("n_quarantined"))
+        .orderBy("lang")
     },
 
     // ---- §2.2 filter / project -----------------------------------------

@@ -82,6 +82,33 @@ class SourcesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("CAP-SRC-CSV-QUARANTINE: wrong-typed rows flag, parsed fields survive") {
+    val dir = tmpDir("graft_csvq")
+    Files.writeString(dir.resolve("t.csv"),
+      """id,lang,n
+        |1,en,10
+        |2,fr,notanumber
+        |3,en,30
+        |4,de,1e
+        |""".stripMargin)
+    val df = Ingest.csvQuarantine(spark, dir.toString + "/*.csv",
+      "id BIGINT, lang STRING, n BIGINT")
+    val clean = df.filter(col("_corrupt").isNull)
+    assert(clean.count() === 2)
+    assert(clean.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // Corrupt rows carry the raw line verbatim AND keep the fields
+    // that did parse — the quarantine stream stays groupable by lang.
+    val bad = df.filter(col("_corrupt").isNotNull)
+    assert(bad.count() === 2)
+    assert(bad.select("lang").collect().map(_.getString(0)).toSet ===
+      Set("fr", "de"))
+    assert(bad.filter(col("n").isNull).count() === 2)
+    val raw = bad.select("_corrupt").collect().map(_.getString(0))
+    assert(raw.exists(_.contains("notanumber")) && raw.exists(_.contains("1e")))
+    assert(df.count() === 4)
+    df.unpersist()
+  }
+
   test("CAP-SRC-TEXT: compression-transparent input (gzip)") {
     // FileMap pillar P8: zcat-in-the-pipeline; Spark's text source
     // decompresses by extension with no reader changes.
