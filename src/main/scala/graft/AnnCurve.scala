@@ -103,11 +103,14 @@ object AnnCurve {
     val clusters = args.lift(3).map(_.toInt).getOrElse(32)
     val s = Local.session(defaultCpus = "32")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outBase))
+    // embed-only tiers since r18: the curve reads vectors alone, and
+    // full fact replication is prohibitive at the x1000 decade
     val tiers = Seq(
       s"cl${clusters}_x$mult" -> ScaleGen.generate(s, srcDir,
-        s"$outBase/cl${clusters}_x$mult", mult, clusters = clusters),
+        s"$outBase/cl${clusters}_x$mult", mult, clusters = clusters,
+        embedOnly = true),
       s"iso_x$mult" -> ScaleGen.generate(s, srcDir,
-        s"$outBase/x$mult", mult))
+        s"$outBase/x$mult", mult, embedOnly = true))
     for ((tag, dir) <- tiers) {
       val (n, c, pts) = curve(s, dir)
       val pj = pts.map(p =>

@@ -43,10 +43,17 @@ object RouteCurve {
     // tier from sf0.1 on the fly — the contrast point for the
     // isotropic-is-worst-case claim (the AnnCurve clustered-tier
     // precedent).
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dir = dirArg.split(":") match {
       case Array("clustered", m, c) =>
-        ScaleGen.generate(s, "/root/testdata/sf0.1",
+        ScaleGen.generate(s, src,
           s"target/scale_curve/cl${c}_x$m", m.toInt, clusters = c.toInt)
+      // embeddings-only isotropic tier — the x1000 decade's spelling
+      // (r17 verdict #5): the curve reads vectors alone, so the fact
+      // tables' 1000-way replication is skipped
+      case Array("iso", m) =>
+        ScaleGen.generate(s, src,
+          s"target/scale_curve/iso_x$m", m.toInt, embedOnly = true)
       case _ => dirArg
     }
     val b = ops.Clustering.base(s, dir)

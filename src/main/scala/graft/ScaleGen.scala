@@ -205,15 +205,26 @@ object ScaleGen {
 
   /** Generate the `mult`× tier into `outDir` (idempotent: a marker
     * file records (srcDir, mult, seed); a matching marker skips the
-    * whole build). Returns outDir for chaining. */
+    * whole build). Returns outDir for chaining.
+    *
+    * `embedOnly` writes the embeddings table alone (r17 verdict #5):
+    * the x1000 curve decade only reads vectors, and replicating the
+    * fact tables at mult=1000 would be a 1000-branch union plan and
+    * ~600M lineitem rows of dead weight. An embed-only tier is marked
+    * as such (`eo=1` in the stamp), so a later full-tier request at
+    * the same path regenerates rather than serving the partial
+    * corpus; queries touching other tables fail loudly on the
+    * missing path. */
   def generate(s: SparkSession, srcDir: String, outDir: String,
       mult: Int, seed: Long = 42L, openVocab: Int = 0,
-      plantVecDups: Boolean = false, clusters: Int = 0): String = {
+      plantVecDups: Boolean = false, clusters: Int = 0,
+      embedOnly: Boolean = false): String = {
     import s.implicits._
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_META")
     val stamp = s"src=$srcDir mult=$mult seed=$seed ov=$openVocab v=3" +
       (if (plantVecDups) " pvd=1" else "") +
-      (if (clusters > 0) s" cl=$clusters" else "")
+      (if (clusters > 0) s" cl=$clusters" else "") +
+      (if (embedOnly) " eo=1" else "")
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker)) == stamp)
       return outDir
@@ -221,14 +232,18 @@ object ScaleGen {
     val bc = s.sparkContext.broadcast(p)
     val nDocs = p.nDocs * mult
     val nEmb = p.nEmb * mult
-    s.range(nDocs).repartition(s.sparkContext.defaultParallelism)
-      .map(id => docFor(bc.value, seed, id, openVocab))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(Tables.path(outDir, "documents"))
     s.range(nEmb).repartition(s.sparkContext.defaultParallelism)
       .map(id => embFor(bc.value, seed, id, plantVecDups, clusters))
       .write.mode(SaveMode.Overwrite)
       .parquet(Tables.path(outDir, "embeddings"))
+    if (embedOnly) {
+      java.nio.file.Files.write(marker, stamp.getBytes)
+      return outDir
+    }
+    s.range(nDocs).repartition(s.sparkContext.defaultParallelism)
+      .map(id => docFor(bc.value, seed, id, openVocab))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(Tables.path(outDir, "documents"))
     // fact tables: fixture replicated with disjoint order-key ranges
     val off = 1000000000L
     def replicate(name: String, keys: Seq[String]): Unit = {

@@ -37,14 +37,21 @@ object StateBench {
     // _SCALE_META marker, which also catches a partial previous write
     // or a stale recipe — an embeddings-dir existence check would
     // accept both and measure a corrupt corpus.
-    if (tier == "target/scale_r15/ov64_x100") {
-      System.err.println(
-        s"statebench: ensuring tier $tier (ScaleGen x100; no-op when current)")
-      // source corpus resolved like the sibling bench mains (Bench,
-      // QTime, BpeProbe) so the main runs anywhere (r17 advice #4)
-      ScaleGen.generate(s,
-        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-        tier, 100, openVocab = 64)
+    // source corpus resolved like the sibling bench mains (Bench,
+    // QTime, BpeProbe) so the main runs anywhere (r17 advice #4)
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val IsoTier = "target/scale_r18/iso_x(\\d+)".r
+    tier match {
+      case "target/scale_r15/ov64_x100" =>
+        System.err.println(
+          s"statebench: ensuring tier $tier (ScaleGen x100; no-op when current)")
+        ScaleGen.generate(s, src, tier, 100, openVocab = 64)
+      case IsoTier(m) =>
+        // the x1000 decade's embeddings-only spelling (r17 verdict #5)
+        System.err.println(
+          s"statebench: ensuring tier $tier (ScaleGen x$m embed-only)")
+        ScaleGen.generate(s, src, tier, m.toInt, embedOnly = true)
+      case _ => ()
     }
     val b = ops.Clustering.base(s, tier).localCheckpoint(true)
     val n = b.count()

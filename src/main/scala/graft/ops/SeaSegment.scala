@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   * < 2 MB) ships once per executor inside the udf closure; the
   * tokenize+segment pass is narrow per-row work — no new shuffle at
   * any corpus size.
+  *
+  * Lexicons are pluggable since r18 ([[lexiconFor]]): the registry
+  * query defaults to the 4-word golden-pinned demo, a hand-curated
+  * ~190-word Thai STARTER ships as `builtin:thai`, and a user brings
+  * a full dictionary via `file:<path>`. Lao, Khmer and Myanmar ship
+  * no builtin — those scripts keep the documented run-tokenization
+  * fallback until a lexicon is supplied (the honest boundary: a
+  * fabricated word list would be worse than an explicit gap).
   */
 object SeaSegment {
 
@@ -130,14 +138,58 @@ object SeaSegment {
     }
   }
 
-  /** The built-in demo lexicon the registry query segments with — four
-    * common Thai words, enough to show maximal matching, unknown-chunk
-    * merging, and the fallback's mark-deletion contrast. A real user
-    * brings a real lexicon (~60k words) through the same API. */
+  /** The built-in demo lexicon the registry query segments with BY
+    * DEFAULT — four common Thai words, enough to show maximal
+    * matching, unknown-chunk merging, and the fallback's
+    * mark-deletion contrast (and small enough that the golden pin is
+    * readable). */
   val DemoLexicon: Seq[String] = Seq("สวัสดี", // สวัสดี
     "ครับ", // ครับ
     "ภาษา", // ภาษา
     "ไทย") // ไทย
+
+  /** Pluggable lexicon loading (r17 verdict #7 — the demo was the
+    * only lexicon; now the provider is an API and Thai ships a
+    * ~190-word hand-curated STARTER as a classpath resource). One
+    * word per line, `#` comments and blank lines ignored, entries
+    * deduplicated; the tokenizer NFC-lowercases entries on use, so a
+    * file in any normalization form works. Lao/Khmer/Myanmar still
+    * have no built-in — they keep the documented run-tokenization
+    * fallback until a user brings a lexicon file (the honest
+    * boundary, SURVEY §2.11g). */
+  def builtinLexicon(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/graft/lexicons/$name.txt")
+    require(in != null, s"no builtin lexicon '$name' " +
+      s"(shipped: thai); bring a file via file:<path>")
+    try parseLexicon(scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines())
+    finally in.close()
+  }
+
+  /** A user-supplied lexicon file, same line format as the builtins. */
+  def lexiconFromFile(path: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseLexicon(src.getLines()) finally src.close()
+  }
+
+  private def parseLexicon(lines: Iterator[String]): Seq[String] =
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .toSeq.distinct
+
+  /** Session-knob resolution for the registry query's lexicon:
+    * `spark.graft.sea.lexicon` = `demo` (default — golden-pinned) |
+    * `builtin:<name>` | `file:<path>`. */
+  def lexiconFor(s: SparkSession): Seq[String] =
+    s.conf.getOption("spark.graft.sea.lexicon").getOrElse("demo") match {
+      case "demo" => DemoLexicon
+      case v if v.startsWith("builtin:") =>
+        builtinLexicon(v.stripPrefix("builtin:"))
+      case v if v.startsWith("file:") =>
+        lexiconFromFile(v.stripPrefix("file:"))
+      case v => throw new IllegalArgumentException(
+        s"spark.graft.sea.lexicon='$v': expected demo | builtin:<name> " +
+          "| file:<path>")
+    }
 
   /** Driver-visible registry entry (no-oracle: lexicon segmentation is
     * not DuckDB-expressible; the Golden layer pins its exact output).
@@ -160,7 +212,7 @@ object SeaSegment {
           concat(col("text"), lit(" " + phrase)))
           .otherwise(col("text")).as("text"))
       val dict = docs.select(explode(
-          seaDictTokens(s, DemoLexicon)(col("text"))).as("tok"))
+          seaDictTokens(s, lexiconFor(s))(col("text"))).as("tok"))
         .withColumn("side", lit("dict"))
       val fb = docs.select(explode(
           graft.functions.VectorFunctions.normTokens(col("text"))).as("tok"))

@@ -93,4 +93,67 @@ class SeaSegmentSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts === Map(Sawasdee -> 2L, Khrap -> 1L, Thai -> 1L))
   }
+
+  // ---- pluggable lexicons + the shipped Thai starter (r18) ------------
+
+  test("builtin Thai lexicon: loads, NFC, SEA-only, no comments or dups") {
+    val lex = SeaSegment.builtinLexicon("thai")
+    assert(lex.size >= 150, s"starter lexicon too small: ${lex.size}")
+    assert(lex.distinct.size === lex.size)
+    lex.foreach { w =>
+      assert(!w.startsWith("#") && w.trim == w && w.nonEmpty)
+      assert(java.text.Normalizer.isNormalized(w,
+        java.text.Normalizer.Form.NFC), s"not NFC: $w")
+      assert(SeaSegment.isSeaRun(w), s"non-SEA entry: $w")
+    }
+    // The demo's four words are all in the starter.
+    SeaSegment.DemoLexicon.foreach(w => assert(lex.contains(w), w))
+    assert(intercept[IllegalArgumentException] {
+      SeaSegment.builtinLexicon("klingon")
+    }.getMessage.contains("no builtin lexicon"))
+  }
+
+  test("Thai starter segments real spaceless sentences into real words") {
+    val lex = SeaSegment.builtinLexicon("thai")
+    // "hello (polite), I like to eat rice" — spaceless, as Thai is
+    // written; every word is a lexicon entry, so the segmentation is
+    // the exact word sequence, marks intact.
+    val s1 = "สวัสดีครับผมชอบกินข้าว"
+    assert(tokensOf(s1, lex) ===
+      Seq("สวัสดี", "ครับ", "ผม", "ชอบ", "กิน", "ข้าว"))
+    // Mixed known/unknown: unknown spans chunk, neighbors still match.
+    val s2 = "ขอบคุณมากๆครับ" // ๆ (repetition mark) is not an entry
+    val got = tokensOf(s2, lex)
+    assert(got.head === "ขอบคุณ" && got.contains("ครับ"), got.toString)
+    // The fallback tokenizer cannot produce these words (mark loss).
+    assert(!fallbackOf(s1).contains("สวัสดี"))
+  }
+
+  test("lexiconFor: session knob routes demo | builtin | file") {
+    val s2 = spark.newSession()
+    assert(SeaSegment.lexiconFor(s2) === SeaSegment.DemoLexicon)
+    s2.conf.set("spark.graft.sea.lexicon", "builtin:thai")
+    assert(SeaSegment.lexiconFor(s2).size >= 150)
+    val f = java.nio.file.Files.createTempFile("graft_lex", ".txt")
+    java.nio.file.Files.writeString(f,
+      s"# user lexicon\n$Sawasdee\n\n$Khrap\n$Sawasdee\n")
+    s2.conf.set("spark.graft.sea.lexicon", s"file:$f")
+    assert(SeaSegment.lexiconFor(s2) === Seq(Sawasdee, Khrap))
+    s2.conf.set("spark.graft.sea.lexicon", "bogus")
+    intercept[IllegalArgumentException] { SeaSegment.lexiconFor(s2) }
+    // And the registry query runs under the builtin without drift on
+    // non-SEA scripts: latin/digit rows must equal the demo run's
+    // (the lexicon only changes SEA segmentation).
+    s2.conf.set("spark.graft.sea.lexicon", "builtin:thai")
+    def rows(s: org.apache.spark.sql.SparkSession) =
+      Registry.byName("q_text_sea_segment").df(s, sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val demo = rows(spark)
+    val thai = rows(s2)
+    assert(demo.contains("latin") && demo.keySet === thai.keySet)
+    for (script <- demo.keySet if script != "sea")
+      assert(demo(script) === thai(script), script)
+    // SEA dict tokenization must differ from the fallback on both.
+    assert(thai("sea")._1 != thai("sea")._2)
+  }
 }
