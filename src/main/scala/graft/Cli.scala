@@ -150,6 +150,37 @@ object Cli {
         .as("line"))
       .write.mode("overwrite").text(outDir)
 
+  /** `frames <glob> <out-dir> [everyMs]`: the multimodal FRAME-SAMPLE
+    * verb — every animation/video container the library decodes (GIF,
+    * APNG, animated WebP, AVI, and since r18 WebM/Matroska VP8 key
+    * frames) fans out to per-frame 24-bpp BMPs on its presentation
+    * timeline (`everyMs` sampling; 0 = every frame), one spec-valid
+    * .bmp file per frame under out-dir. Frames are written from the
+    * executors — FileMap's shared-POSIX-filesystem model (P5), so the
+    * verb needs no driver-side collect at any corpus size. Returns
+    * the frame count. */
+  def mediaFrames(spark: SparkSession, glob: String, outDir: String,
+      everyMs: Long = 0L): Long = {
+    val files = ops.Multimodal.media(spark, glob)
+    val all = ops.Multimodal.gifFramesAsBmp(files, everyMs)
+      .union(ops.Multimodal.apngFramesAsBmp(files, everyMs))
+      .union(ops.Multimodal.webpFramesAsBmp(files, everyMs))
+      .union(ops.Multimodal.aviFramesAsBmp(files, everyMs))
+      .union(ops.Multimodal.mkvFramesAsBmp(files, everyMs))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val n = spark.sparkContext.longAccumulator("frames_written")
+    all.foreachPartition { (it: Iterator[ops.Multimodal.MediaFile]) =>
+      it.foreach { f =>
+        val name = f.path.replaceAll("[/\\\\:#]", "_") +
+          (if (f.path.endsWith(".bmp")) "" else ".bmp")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, name), f.content)
+        n.add(1)
+      }
+    }
+    n.value
+  }
+
   /** `query <name> <sf-dir> <out-dir>`: any registry query from the
     * shell — results as TSV part files with a header line per part,
     * columns in the query's own order, NULLs spelled literally. `query
@@ -332,6 +363,7 @@ object Cli {
       |       graft.Cli put <input-glob> <tree-dir> [buckets]
       |       graft.Cli get <tree-dir> <out-dir> [bucket ...]
       |       graft.Cli media <input-glob> <out-dir>
+      |       graft.Cli frames <input-glob> <out-dir> [everyMs]
       |       graft.Cli query <name>|list <sf-dir> <out-dir>
       |       graft.Cli sql <statement> <sf-dir> <out-dir>
       |       graft.Cli cluster-train|cluster-retrain <sf-dir> <store-dir> [k]
@@ -365,6 +397,9 @@ object Cli {
           .select("line").write.mode("overwrite").text(args(2))
       case "media" =>
         mediaMeta(spark, args(1), args(2))
+      case "frames" =>
+        println(s"frames=${mediaFrames(spark, args(1), args(2),
+          if (args.length > 3) args(3).toLong else 0L)}")
       case "query" if args(1) == "list" =>
         Registry.byName.keys.toSeq.sorted.foreach(println)
       case "query" =>

@@ -383,4 +383,35 @@ class CliSpec extends AnyFunSuite {
     // and the listing is live: the views it names are queryable now
     assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
   }
+
+  test("frames verb: animation containers fan out to re-decodable BMP files") {
+    val in = tmp("graft_frames_in")
+    val out = tmp("graft_frames_out")
+    // a real multi-frame GIF fixture (libgif-pinned in GifSpec)
+    val gif = {
+      val s = getClass.getResourceAsStream("/gif_ref/anim.gif")
+      try s.readAllBytes() finally s.close()
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in, "anim.gif"), gif)
+    // a still BMP must NOT fan out (no animation container sniffs it)
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "noise.bin"),
+      Array.tabulate[Byte](64)(i => (i * 7).toByte))
+    val n = Cli.mediaFrames(spark, s"$in/*", out)
+    assert(n > 1, s"expected multiple frames, got $n")
+    val files = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(files.length.toLong === n)
+    assert(files.forall(f => f.startsWith("file_") && f.endsWith(".bmp")),
+      files.mkString(","))
+    // every written frame is a spec-valid BMP the meta kernel re-reads
+    import spark.implicits._
+    val metas = ops.Multimodal.decodeMeta(
+      ops.Multimodal.media(spark, s"$out/*")).collect()
+    assert(metas.length.toLong === n)
+    assert(metas.forall(_.format == "bmp"), metas.map(_.format).toSet.toString)
+    // everyMs sampling reduces the count through the CLI surface too
+    val out2 = tmp("graft_frames_out2")
+    val n2 = Cli.mediaFrames(spark, s"$in/*", out2, everyMs = 100000L)
+    assert(n2 >= 1 && n2 < n, s"sampled $n2 of $n")
+  }
 }
