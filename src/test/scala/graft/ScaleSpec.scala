@@ -454,7 +454,11 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val files = Seq("route_curve_iso_join_x10_r16.jsonl",
       "route_curve_iso_routed_x10_r16.jsonl",
       "route_curve_clustered16_x10_r16.jsonl",
-      "route_curve_iso_routed_x100_r16.jsonl")
+      "route_curve_iso_routed_x100_r16.jsonl",
+      // r18 (verdict #5): one more decade — n=2,000,000 (x1000,
+      // embed-only tier) at the SAME K=1600, so the pair of artifacts
+      // isolates pure corpus growth at fixed model size
+      "route_curve_iso_routed_x1000_r18.jsonl")
     val curves = files.map(f => f -> pts(f)).toMap
     curves.foreach { case (f, c) =>
       assert(c.nonEmpty, s"$f is empty")
@@ -484,13 +488,23 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // silently loses approximation quality (fixed P=3 measured
     // 0.877 → 0.817 across the same decades at r15).
     for (f <- Seq("route_curve_iso_routed_x10_r16.jsonl",
-        "route_curve_iso_routed_x100_r16.jsonl")) {
+        "route_curve_iso_routed_x100_r16.jsonl",
+        "route_curve_iso_routed_x1000_r18.jsonl")) {
       val c = curves(f)
       val auto = c.find(p => p("rprobe") == p("p_auto")).getOrElse(
         fail(s"$f has no point at the adaptive default"))
       assert(auto("agree") >= 0.85,
         s"$f adaptive-default agreement ${auto("agree")} < 0.85")
     }
+    // and the n-decade is real: x1000 measures 10x the x100 corpus at
+    // the same K, with the routed evals still >= 4x below flat at the
+    // adaptive default (agreement held: 0.898 -> 0.873 across the
+    // decade — stable, not decaying with n)
+    val x1000 = curves("route_curve_iso_routed_x1000_r18.jsonl")
+    val x100 = curves("route_curve_iso_routed_x100_r16.jsonl")
+    assert(x1000.head("evals_flat") === 10 * x100.head("evals_flat"))
+    val a1000 = x1000.find(p => p("rprobe") == p("p_auto")).get
+    assert(a1000("evals") * 4 <= a1000("evals_flat"))
   }
 
   test("frame-state artifacts: driver rows grow ~√K, decisively below the array path") {
