@@ -2201,6 +2201,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.format === "mkv" && meta.width === 16 && meta.height === 16)
   }
 
+  test("WebM: unknown-size Segment (live-stream shape) and multiple clusters") {
+    val payload = vp8PayloadOf("photo_16x16_q75")
+    // Two clusters at timestamps 0 and 1000 ms, inside a Segment with
+    // the UNKNOWN size marker (all-ones vint) — the live-stream
+    // convention: the element runs to the parent's end.
+    def cluster(ts: Long, rel: Int): Array[Byte] =
+      ebmlEl(0x1F43B675L, ebmlEl(0xE7L, ebmlUint(ts)) ++
+        ebmlEl(0xA3L, Array[Byte](0x81.toByte, ((rel >> 8) & 0xFF).toByte,
+          (rel & 0xFF).toByte, 0x80.toByte) ++ payload))
+    val hdr = ebmlEl(0x1A45DFA3L,
+      ebmlEl(0x4282L, "webm".getBytes("US-ASCII")))
+    val info = ebmlEl(0x1549A966L, ebmlEl(0x2AD7B1L, ebmlUint(1000000L)))
+    val video = ebmlEl(0xE0L,
+      ebmlEl(0xB0L, ebmlUint(16)) ++ ebmlEl(0xBAL, ebmlUint(16)))
+    val entry = ebmlEl(0xAEL,
+      ebmlEl(0xD7L, ebmlUint(1)) ++ ebmlEl(0x83L, ebmlUint(1)) ++
+        ebmlEl(0x86L, "V_VP8".getBytes("US-ASCII")) ++ video)
+    val segBody = info ++ ebmlEl(0x1654AE6BL, entry) ++
+      cluster(0L, 0) ++ cluster(1000L, 17)
+    val unknownSize = Array[Byte](0x01) ++ Array.fill[Byte](7)(0xFF.toByte)
+    val segId = Array[Byte](0x18, 0x53.toByte, 0x80.toByte, 0x67)
+    val webm = hdr ++ segId ++ unknownSize ++ segBody
+    val vid = Multimodal.decodeMkv(webm).get
+    assert(vid.frames.map(_.timeMs) === Seq(0L, 1017L),
+      "cluster timestamps + block relatives must compose across clusters")
+    assert(vid.frames.forall(_.pixels.length === 16 * 16 * 3))
+  }
+
   test("WebM frame fan-out: re-decodable BMPs, everyMs sampling, dims guard") {
     import spark.implicits._
     val payload = vp8PayloadOf("photo_16x16_q75")
