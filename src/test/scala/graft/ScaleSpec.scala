@@ -584,4 +584,40 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(at8.scanFrac <= 0.45,
       s"nprobe-8 scan fraction too high (cells too few?): $pts")
   }
+
+  test("ANN x1000 artifacts: recall monotone, saturated at sub-1% scan") {
+    // The committed x1000-decade curves (bench/ann_curve_*_x1000_r18
+    // .json; regenerate with `runMain graft.AnnCurve 1000 <src>
+    // <outBase> 32`): at n=2,000,000 / 1415 cells BOTH regimes
+    // saturate by nprobe 8 while scanning < 1% of the corpus — the
+    // clustered tier by structure, and the ISOTROPIC tier by a real
+    // concentration effect (the nearest neighbor's cosine grows like
+    // sqrt(2 ln n / d), so at 2M points the true neighbors sit deep
+    // inside the query's own Voronoi cell — the x10 artifact's
+    // "isotropic needs wide probes" regime weakens with n, measured
+    // not asserted). Pins are form-identical to the live x-tier test:
+    // monotone recall, saturation bar, scan-fraction bound.
+    for (f <- Seq("ann_curve_cl32_x1000_r18.json",
+        "ann_curve_iso_x1000_r18.json")) {
+      val line = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"bench/$f")))
+      val n = "\"n\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
+      assert(n === 2000000L, s"$f n=$n")
+      val pts = ("\\{\"nprobe\":(\\d+),\"recall_ivf\":([0-9.]+)," +
+        "\"recall_ivfpq\":([0-9.]+),\"scan_frac\":([0-9.]+)\\}").r
+        .findAllMatchIn(line)
+        .map(m => (m.group(1).toInt, m.group(2).toDouble,
+          m.group(3).toDouble, m.group(4).toDouble)).toSeq
+      assert(pts.nonEmpty, f)
+      pts.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._1 > a._1 && b._2 >= a._2 - 1e-9 && b._4 >= a._4,
+            s"$f not monotone: $a -> $b")
+        case _ => ()
+      }
+      val at8 = pts.find(_._1 == 8).get
+      assert(at8._2 >= 0.95, s"$f recall@8 ${at8._2}")
+      assert(at8._4 <= 0.01, s"$f scan_frac@8 ${at8._4} not sub-1%")
+    }
+  }
 }
