@@ -555,6 +555,32 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(m("cells") >= m("k") / 2,
         s"k=${m("k")} produced only ${m("cells")} cells")
     }
+    // r18 (verdict #5), the n-decade: the x1000 artifact (bench/
+    // state_frame_x1000_r18.jsonl; regenerate with `runMain
+    // graft.StateBench target/scale_r18/iso_x1000 10000 1`) measures
+    // the SAME K=10⁴ at n=2,000,000 — driver-held frame rows must be
+    // INDEPENDENT of n (the K-side law above is the other axis), the
+    // seed-rank work unit must keep tracking the ~n/256 bucket (so it
+    // GROWS with n — Θ(n/256), never Θ(k)), and the run must still
+    // populate every cell.
+    val x1000 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench/state_frame_x1000_r18.jsonl")))
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        ("\"(k|frame_driver_rows|array_driver_rows|cells|n|" +
+          "seed_max_bucket_rows)\":(\\d+)").r
+          .findAllMatchIn(l)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      }.toSeq
+    val f1000 = x1000.find(_("k") == 10000L).getOrElse(
+      fail("x1000 artifact missing the k=10^4 row"))
+    assert(f1000("n") === 10 * k4("n"), "not a decade apart")
+    assert(f1000("frame_driver_rows") === k4("frame_driver_rows"),
+      s"frame driver rows moved with n: ${f1000("frame_driver_rows")} " +
+        s"vs ${k4("frame_driver_rows")} at 10x the corpus")
+    assert(f1000("seed_max_bucket_rows") <= f1000("n") / 64L &&
+      f1000("seed_max_bucket_rows") >= k4("seed_max_bucket_rows"),
+      s"seed bucket ${f1000("seed_max_bucket_rows")} not tracking n/256")
+    assert(f1000("cells") >= f1000("k") / 2)
   }
 
   test("IVF recall/nprobe curve: clustered corpora saturate at narrow probes") {
