@@ -161,20 +161,28 @@ object Cli {
     * the frame count. */
   def mediaFrames(spark: SparkSession, glob: String, outDir: String,
       everyMs: Long = 0L): Long = {
-    val files = ops.Multimodal.media(spark, glob)
-    val all = ops.Multimodal.gifFramesAsBmp(files, everyMs)
-      .union(ops.Multimodal.apngFramesAsBmp(files, everyMs))
-      .union(ops.Multimodal.webpFramesAsBmp(files, everyMs))
-      .union(ops.Multimodal.aviFramesAsBmp(files, everyMs))
-      .union(ops.Multimodal.mkvFramesAsBmp(files, everyMs))
+    // one scan, per-file container dispatch (a union of the five
+    // fan-outs read every file's bytes five times — r18 review #3)
+    val all = ops.Multimodal.framesAsBmp(
+      ops.Multimodal.media(spark, glob), everyMs)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val n = spark.sparkContext.longAccumulator("frames_written")
     all.foreachPartition { (it: Iterator[ops.Multimodal.MediaFile]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.foreach { f =>
-        val name = f.path.replaceAll("[/\\\\:#]", "_") +
-          (if (f.path.endsWith(".bmp")) "" else ".bmp")
+        // flattening 'dir/a_b.gif' and 'dir/a/b.gif' into one name
+        // would silently clobber (r18 review #1): a path-digest prefix
+        // keeps names unique per SOURCE FILE, the readable tail keeps
+        // them greppable; the #frameN suffix separates frames within
+        // one source
+        val base = f.path.substring(0, f.path.lastIndexOf('#'))
+        md.reset()
+        val dig = md.digest(base.getBytes("UTF-8")).take(4)
+          .map("%02x".format(_)).mkString
+        val tail = f.path.substring(
+          math.max(0, f.path.length - 80)).replaceAll("[/\\\\:#]", "_")
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(outDir, name), f.content)
+          java.nio.file.Paths.get(outDir, s"${dig}_$tail.bmp"), f.content)
         n.add(1)
       }
     }

@@ -237,6 +237,14 @@ object ScaleGen {
       .write.mode(SaveMode.Overwrite)
       .parquet(Tables.path(outDir, "embeddings"))
     if (embedOnly) {
+      // a previous DIFFERENT-recipe tier at this path may have left
+      // full tables behind; "queries touching other tables fail
+      // loudly" is only true if they are actually gone (r18 review #4)
+      for (t <- Seq("documents", "lineitem", "orders", "events",
+          "region", "nation", "customer", "supplier", "part")) {
+        val p = java.nio.file.Paths.get(Tables.path(outDir, t))
+        if (java.nio.file.Files.exists(p)) graft.Local.rmTree(p.toFile)
+      }
       java.nio.file.Files.write(marker, stamp.getBytes)
       return outDir
     }

@@ -1459,19 +1459,19 @@ object Multimodal {
   def apngFramesAsBmp(ds: Dataset[MediaFile],
       everyMs: Long = 0L): Dataset[MediaFile] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
-    ds.mapPartitions { files =>
-      files.flatMap { f =>
-        if (!isPng(f.content)) Iterator.empty
-        else decodeApng(f.content).iterator.flatMap { anim =>
-          sampleTimeline(anim.frames.iterator, (fr: WebpFrame) =>
-            fr.delayMs, everyMs).flatMap { case (fr, i) =>
-            pixelsAsBmp(s"${f.path}#frame$i", anim.width,
-              anim.height, 4, fr.pixels)
-          }
-        }
+    ds.mapPartitions(_.flatMap(apngFileFrames(_, everyMs)))
+  }
+
+  private def apngFileFrames(f: MediaFile,
+      everyMs: Long): Iterator[MediaFile] =
+    if (!isPng(f.content)) Iterator.empty
+    else decodeApng(f.content).iterator.flatMap { anim =>
+      sampleTimeline(anim.frames.iterator, (fr: WebpFrame) =>
+        fr.delayMs, everyMs).flatMap { case (fr, i) =>
+        pixelsAsBmp(s"${f.path}#frame$i", anim.width,
+          anim.height, 4, fr.pixels)
       }
     }
-  }
 
   /** BITMAPINFOHEADER fields: width @18, height @22 (negative =
     * top-down), bits-per-pixel @28. A still image: duration 0. */
@@ -1819,6 +1819,48 @@ object Multimodal {
   private def isMkv(c: Array[Byte]): Boolean =
     c.length >= 8 && be32(c, 0) == 0x1A45DFA3 // EBML header magic
 
+  /** Shared EBML primitives — ONE spelling for the header walk and
+    * the cluster walk (r18 review #5: two parallel parsers invited
+    * divergence): vint length from the lead byte, big-endian uint
+    * read, and one element-header parse at `off` within [off, end) →
+    * (id, bodyStart, bodyEnd, declaredSize), the all-ones unknown
+    * size resolving to the parent's end. None = malformed/truncated
+    * header (callers stop the level). */
+  private def ebmlVintLen(b: Int): Int = {
+    var m = 0x80; var n = 1
+    while (n <= 8 && (b & m) == 0) { m >>= 1; n += 1 }
+    n
+  }
+
+  private def ebmlUintAt(c: Array[Byte], o: Int, len: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < len) { v = (v << 8) | (c(o + i) & 0xFF); i += 1 }
+    v
+  }
+
+  private def ebmlElement(c: Array[Byte], off: Long,
+      end: Long): Option[(Long, Long, Long, Long)] = {
+    if (off + 2 > end) return None
+    val idLen = ebmlVintLen(c(off.toInt) & 0xFF)
+    if (idLen > 4 || off + idLen >= end) return None
+    val id = ebmlUintAt(c, off.toInt, idLen)
+    val szB0 = c((off + idLen).toInt) & 0xFF
+    val szLen = ebmlVintLen(szB0)
+    if (szLen > 8 || off + idLen + szLen > end) return None
+    var size = (szB0 & (0xFF >>> szLen)).toLong
+    var allOnes = (szB0 & (0xFF >>> szLen)) == (0xFF >>> szLen)
+    var i = 1
+    while (i < szLen) {
+      val b = c((off + idLen + i).toInt) & 0xFF
+      size = (size << 8) | b
+      allOnes &&= b == 0xFF
+      i += 1
+    }
+    val body = off + idLen + szLen
+    val bodyEnd = if (allOnes) end else math.min(end, body + size)
+    if (bodyEnd < body) None else Some((id, body, bodyEnd, size))
+  }
+
   /** EBML element walk for Matroska/WebM metadata: variable-length IDs
     * (marker bit kept) and sizes (marker bit stripped; all-ones =
     * unknown → element runs to the parent's end, the live-stream
@@ -1831,58 +1873,35 @@ object Multimodal {
     var w = 0; var h = 0
     var tcScale = 1000000L // ns per tick, spec default
     var durTicks = Double.NaN
-    def vintLen(b: Int): Int = {
-      var m = 0x80; var n = 1
-      while (n <= 8 && (b & m) == 0) { m >>= 1; n += 1 }
-      n
-    }
-    def readUint(o: Int, len: Int): Long = {
-      var v = 0L; var i = 0
-      while (i < len) { v = (v << 8) | (c(o + i) & 0xFF); i += 1 }
-      v
-    }
     def walk(start: Long, end: Long, depth: Int): Unit = {
       var off = start
-      while (off + 2 <= end) {
-        val idLen = vintLen(c(off.toInt) & 0xFF)
-        if (idLen > 4 || off + idLen >= end) return
-        val id = readUint(off.toInt, idLen)
-        val szB0 = c((off + idLen).toInt) & 0xFF
-        val szLen = vintLen(szB0)
-        if (szLen > 8 || off + idLen + szLen > end) return
-        var size = (szB0 & (0xFF >>> szLen)).toLong
-        var allOnes = (szB0 & (0xFF >>> szLen)) == (0xFF >>> szLen)
-        var i = 1
-        while (i < szLen) {
-          val b = c((off + idLen + i).toInt) & 0xFF
-          size = (size << 8) | b
-          allOnes &&= b == 0xFF
-          i += 1
+      var ok = true
+      while (ok && off + 2 <= end) {
+        ebmlElement(c, off, end) match {
+          case None => ok = false
+          case Some((id, body, bodyEnd, size)) =>
+            id match {
+              case 0x18538067 | 0x1549A966 | 0x1654AE6B if depth < 4 =>
+                walk(body, bodyEnd, depth + 1) // Segment / Info / Tracks
+              case 0xAE | 0xE0 if depth < 6 =>
+                walk(body, bodyEnd, depth + 1) // TrackEntry / Video
+              case 0x2AD7B1 if size <= 8 => // TimecodeScale
+                tcScale = ebmlUintAt(c, body.toInt, size.toInt)
+              case 0x4489 if size == 4 => // Duration, float32
+                durTicks = java.lang.Float
+                  .intBitsToFloat(be32(c, body.toInt)).toDouble
+              case 0x4489 if size == 8 => // Duration, float64
+                durTicks = java.lang.Double.longBitsToDouble(
+                  ((be32(c, body.toInt).toLong & 0xFFFFFFFFL) << 32) |
+                    (be32(c, body.toInt + 4).toLong & 0xFFFFFFFFL))
+              case 0xB0 if w == 0 && size <= 8 => // PixelWidth
+                w = ebmlUintAt(c, body.toInt, size.toInt).toInt
+              case 0xBA if h == 0 && size <= 8 => // PixelHeight
+                h = ebmlUintAt(c, body.toInt, size.toInt).toInt
+              case _ => () // skip (incl. Clusters — never entered)
+            }
+            off = bodyEnd
         }
-        val body = off + idLen + szLen
-        val bodyEnd = if (allOnes) end else math.min(end, body + size)
-        if (bodyEnd < body) return
-        id match {
-          case 0x18538067 | 0x1549A966 | 0x1654AE6B if depth < 4 =>
-            walk(body, bodyEnd, depth + 1) // Segment / Info / Tracks
-          case 0xAE | 0xE0 if depth < 6 =>
-            walk(body, bodyEnd, depth + 1) // TrackEntry / Video
-          case 0x2AD7B1 if size <= 8 => // TimecodeScale
-            tcScale = readUint(body.toInt, size.toInt)
-          case 0x4489 if size == 4 => // Duration, float32
-            durTicks = java.lang.Float.intBitsToFloat(be32(c, body.toInt))
-              .toDouble
-          case 0x4489 if size == 8 => // Duration, float64
-            durTicks = java.lang.Double.longBitsToDouble(
-              ((be32(c, body.toInt).toLong & 0xFFFFFFFFL) << 32) |
-                (be32(c, body.toInt + 4).toLong & 0xFFFFFFFFL))
-          case 0xB0 if w == 0 && size <= 8 => // PixelWidth
-            w = readUint(body.toInt, size.toInt).toInt
-          case 0xBA if h == 0 && size <= 8 => // PixelHeight
-            h = readUint(body.toInt, size.toInt).toInt
-          case _ => () // skip (incl. Clusters — never entered)
-        }
-        off = bodyEnd
       }
     }
     try walk(0L, c.length.toLong, 0)
@@ -1941,29 +1960,24 @@ object Multimodal {
     // TrackEntry scratch, committed when the entry's subtree closes
     var teNo = -1L; var teType = -1L; var teCodec = ""
     var teW = 0; var teH = 0
-    var clusterTs = 0L
+    // -1 = no Timestamp seen in the current Cluster yet: a block
+    // before its cluster's (spec-mandatory) Timestamp is structure
+    // loss — drop the file rather than inherit the PREVIOUS cluster's
+    // time and emit silently mis-timed frames (r18 review #6)
+    var clusterTs = -1L
+    var malformed = false
     // BlockGroup scratch (groups never nest)
     var grpOff = -1; var grpLen = 0; var grpTrack = -1L; var grpTs = 0L
     var grpRef = false
     // (trackNo, timeTicks, payloadOff, payloadLen) per key candidate
     val keys = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Int, Int)]
-    def vintLen(b: Int): Int = {
-      var m = 0x80; var n = 1
-      while (n <= 8 && (b & m) == 0) { m >>= 1; n += 1 }
-      n
-    }
-    def readUint(o: Int, len: Int): Long = {
-      var v = 0L; var i = 0
-      while (i < len) { v = (v << 8) | (c(o + i) & 0xFF); i += 1 }
-      v
-    }
     // (Simple)Block header at o: (trackNo, relTicks, flags, payloadOff)
     def blockHdr(o: Int, end: Long): Option[(Long, Int, Int, Int)] = {
       if (o >= end) return None
-      val tnLen = vintLen(c(o) & 0xFF)
+      val tnLen = ebmlVintLen(c(o) & 0xFF)
       if (tnLen > 8 || o + tnLen + 3 > end) return None
-      val tn = readUint(o, tnLen) - (1L << (8 * tnLen - tnLen))
+      val tn = ebmlUintAt(c, o, tnLen) - (1L << (8 * tnLen - tnLen))
       val rel = (((c(o + tnLen) & 0xFF) << 8) |
         (c(o + tnLen + 1) & 0xFF)).toShort.toInt
       val flags = c(o + tnLen + 2) & 0xFF
@@ -1971,82 +1985,78 @@ object Multimodal {
     }
     def walk(start: Long, end: Long, depth: Int): Unit = {
       var off = start
-      while (off + 2 <= end) {
-        val idLen = vintLen(c(off.toInt) & 0xFF)
-        if (idLen > 4 || off + idLen >= end) return
-        val id = readUint(off.toInt, idLen)
-        val szB0 = c((off + idLen).toInt) & 0xFF
-        val szLen = vintLen(szB0)
-        if (szLen > 8 || off + idLen + szLen > end) return
-        var size = (szB0 & (0xFF >>> szLen)).toLong
-        var allOnes = (szB0 & (0xFF >>> szLen)) == (0xFF >>> szLen)
-        var i = 1
-        while (i < szLen) {
-          val b = c((off + idLen + i).toInt) & 0xFF
-          size = (size << 8) | b
-          allOnes &&= b == 0xFF
-          i += 1
-        }
-        val body = off + idLen + szLen
-        val bodyEnd = if (allOnes) end else math.min(end, body + size)
-        if (bodyEnd < body) return
-        id match {
-          case 0x18538067 | 0x1549A966 | 0x1654AE6B | 0x1F43B675
-              if depth < 4 => // Segment / Info / Tracks / Cluster
-            walk(body, bodyEnd, depth + 1)
-          case 0xAE if depth < 6 => // TrackEntry
-            teNo = -1L; teType = -1L; teCodec = ""; teW = 0; teH = 0
-            walk(body, bodyEnd, depth + 1)
-            if (vTrack < 0 && teType == 1 && teCodec == "V_VP8" &&
-              teNo > 0 && teW > 0 && teH > 0) {
-              vTrack = teNo; w = teW; h = teH
-            }
-          case 0xE0 if depth < 7 => // Video
-            walk(body, bodyEnd, depth + 1)
-          case 0xD7 if size <= 8 => // TrackNumber
-            teNo = readUint(body.toInt, size.toInt)
-          case 0x83 if size <= 8 => // TrackType
-            teType = readUint(body.toInt, size.toInt)
-          case 0x86 if size <= 32 && body + size <= c.length => // CodecID
-            teCodec = new String(c, body.toInt, size.toInt,
-              java.nio.charset.StandardCharsets.US_ASCII)
-          case 0xB0 if size <= 8 => // PixelWidth
-            teW = readUint(body.toInt, size.toInt).toInt
-          case 0xBA if size <= 8 => // PixelHeight
-            teH = readUint(body.toInt, size.toInt).toInt
-          case 0x2AD7B1 if size <= 8 => // TimecodeScale
-            tcScale = readUint(body.toInt, size.toInt)
-          case 0xE7 if size <= 8 => // Cluster Timestamp
-            clusterTs = readUint(body.toInt, size.toInt)
-          case 0xA3 => // SimpleBlock
-            blockHdr(body.toInt, bodyEnd).foreach {
-              case (tn, rel, flags, po) =>
-                if ((flags & 0x06) == 0 && (flags & 0x80) != 0 &&
-                  po < bodyEnd)
-                  keys += ((tn, clusterTs + rel, po, (bodyEnd - po).toInt))
-            }
-          case 0xA0 if depth < 6 => // BlockGroup
-            grpOff = -1; grpLen = 0; grpTrack = -1L; grpTs = 0L
-            grpRef = false
-            walk(body, bodyEnd, depth + 1)
-            if (!grpRef && grpOff >= 0)
-              keys += ((grpTrack, grpTs, grpOff, grpLen))
-          case 0xA1 => // Block (keyframe-ness from the group)
-            blockHdr(body.toInt, bodyEnd).foreach {
-              case (tn, rel, flags, po) =>
-                if ((flags & 0x06) == 0 && po < bodyEnd) {
-                  grpTrack = tn; grpTs = clusterTs + rel
-                  grpOff = po; grpLen = (bodyEnd - po).toInt
+      var ok = true
+      while (ok && !malformed && off + 2 <= end) {
+        ebmlElement(c, off, end) match {
+          case None => ok = false
+          case Some((id, body, bodyEnd, size)) =>
+            id match {
+              case 0x18538067 | 0x1549A966 | 0x1654AE6B
+                  if depth < 4 => // Segment / Info / Tracks
+                walk(body, bodyEnd, depth + 1)
+              case 0x1F43B675 if depth < 4 => // Cluster
+                clusterTs = -1L // each cluster must declare its own ts
+                walk(body, bodyEnd, depth + 1)
+              case 0xAE if depth < 6 => // TrackEntry
+                teNo = -1L; teType = -1L; teCodec = ""; teW = 0; teH = 0
+                walk(body, bodyEnd, depth + 1)
+                if (vTrack < 0 && teType == 1 && teCodec == "V_VP8" &&
+                  teNo > 0 && teW > 0 && teH > 0) {
+                  vTrack = teNo; w = teW; h = teH
                 }
+              case 0xE0 if depth < 7 => // Video
+                walk(body, bodyEnd, depth + 1)
+              case 0xD7 if size <= 8 => // TrackNumber
+                teNo = ebmlUintAt(c, body.toInt, size.toInt)
+              case 0x83 if size <= 8 => // TrackType
+                teType = ebmlUintAt(c, body.toInt, size.toInt)
+              case 0x86 if size <= 32 && body + size <= c.length =>
+                teCodec = new String(c, body.toInt, size.toInt,
+                  java.nio.charset.StandardCharsets.US_ASCII) // CodecID
+              case 0xB0 if size <= 8 => // PixelWidth
+                teW = ebmlUintAt(c, body.toInt, size.toInt).toInt
+              case 0xBA if size <= 8 => // PixelHeight
+                teH = ebmlUintAt(c, body.toInt, size.toInt).toInt
+              case 0x2AD7B1 if size <= 8 => // TimecodeScale
+                tcScale = ebmlUintAt(c, body.toInt, size.toInt)
+              case 0xE7 if size <= 8 => // Cluster Timestamp
+                clusterTs = ebmlUintAt(c, body.toInt, size.toInt)
+              case 0xA3 => // SimpleBlock
+                blockHdr(body.toInt, bodyEnd).foreach {
+                  case (tn, rel, flags, po) =>
+                    if ((flags & 0x06) == 0 && (flags & 0x80) != 0 &&
+                      po < bodyEnd) {
+                      if (clusterTs < 0) malformed = true
+                      else keys += ((tn, clusterTs + rel, po,
+                        (bodyEnd - po).toInt))
+                    }
+                }
+              case 0xA0 if depth < 6 => // BlockGroup
+                grpOff = -1; grpLen = 0; grpTrack = -1L; grpTs = 0L
+                grpRef = false
+                walk(body, bodyEnd, depth + 1)
+                if (!grpRef && grpOff >= 0)
+                  keys += ((grpTrack, grpTs, grpOff, grpLen))
+              case 0xA1 => // Block (keyframe-ness from the group)
+                blockHdr(body.toInt, bodyEnd).foreach {
+                  case (tn, rel, flags, po) =>
+                    if ((flags & 0x06) == 0 && po < bodyEnd) {
+                      if (clusterTs < 0) malformed = true
+                      else {
+                        grpTrack = tn; grpTs = clusterTs + rel
+                        grpOff = po; grpLen = (bodyEnd - po).toInt
+                      }
+                    }
+                }
+              case 0xFB => grpRef = true // ReferenceBlock: inter frame
+              case _ => () // skip
             }
-          case 0xFB => grpRef = true // ReferenceBlock: not a key frame
-          case _ => () // skip
+            off = bodyEnd
         }
-        off = bodyEnd
       }
     }
     walk(0L, c.length.toLong, 0)
-    if (vTrack < 0 || w <= 0 || h <= 0) return None
+    if (malformed || vTrack < 0 || w <= 0 || h <= 0) return None
     val frames = scala.collection.mutable.ArrayBuffer.empty[MkvFrame]
     var ki = 0
     var bad = false
@@ -2080,24 +2090,24 @@ object Multimodal {
   def mkvFramesAsBmp(ds: Dataset[MediaFile],
       everyMs: Long = 0L): Dataset[MediaFile] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
-    ds.mapPartitions { files =>
-      files.flatMap { f =>
-        if (!isMkv(f.content)) Iterator.empty
-        else decodeMkv(f.content).iterator.flatMap { vid =>
-          val ts = vid.frames.map(_.timeMs)
-          val dwell = Array.tabulate(vid.frames.length) { i =>
-            if (i + 1 < ts.length) math.max(ts(i + 1) - ts(i), 1L) else 1L
-          }
-          sampleTimeline(vid.frames.iterator.zipWithIndex,
-            (p: (MkvFrame, Int)) => dwell(p._2), everyMs)
-            .flatMap { case ((fr, _), i) =>
-              pixelsAsBmp(s"${f.path}#frame$i", vid.width, vid.height,
-                3, fr.pixels)
-            }
-        }
-      }
-    }
+    ds.mapPartitions(_.flatMap(mkvFileFrames(_, everyMs)))
   }
+
+  private def mkvFileFrames(f: MediaFile,
+      everyMs: Long): Iterator[MediaFile] =
+    if (!isMkv(f.content)) Iterator.empty
+    else decodeMkv(f.content).iterator.flatMap { vid =>
+      val ts = vid.frames.map(_.timeMs)
+      val dwell = Array.tabulate(vid.frames.length) { i =>
+        if (i + 1 < ts.length) math.max(ts(i + 1) - ts(i), 1L) else 1L
+      }
+      sampleTimeline(vid.frames.iterator.zipWithIndex,
+        (p: (MkvFrame, Int)) => dwell(p._2), everyMs)
+        .flatMap { case ((fr, _), i) =>
+          pixelsAsBmp(s"${f.path}#frame$i", vid.width, vid.height,
+            3, fr.pixels)
+        }
+    }
 
   // ---- Ogg (REAL header-only metadata: page walk + Vorbis/Opus id) ----
 
@@ -3234,19 +3244,19 @@ object Multimodal {
   def webpFramesAsBmp(ds: Dataset[MediaFile],
       everyMs: Long = 0L): Dataset[MediaFile] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
-    ds.mapPartitions { files =>
-      files.flatMap { f =>
-        if (!isWebp(f.content)) Iterator.empty
-        else decodeWebpAnim(f.content).iterator.flatMap { anim =>
-          sampleTimeline(anim.frames.iterator, (fr: WebpFrame) =>
-            fr.delayMs, everyMs).flatMap { case (fr, i) =>
-            pixelsAsBmp(s"${f.path}#frame$i", anim.width,
-              anim.height, 4, fr.pixels)
-          }
-        }
+    ds.mapPartitions(_.flatMap(webpFileFrames(_, everyMs)))
+  }
+
+  private def webpFileFrames(f: MediaFile,
+      everyMs: Long): Iterator[MediaFile] =
+    if (!isWebp(f.content)) Iterator.empty
+    else decodeWebpAnim(f.content).iterator.flatMap { anim =>
+      sampleTimeline(anim.frames.iterator, (fr: WebpFrame) =>
+        fr.delayMs, everyMs).flatMap { case (fr, i) =>
+        pixelsAsBmp(s"${f.path}#frame$i", anim.width,
+          anim.height, 4, fr.pixels)
       }
     }
-  }
 
   /** WebP metadata: VP8L header dims for lossless, the VP8 key-frame
     * header for lossy (real since r10 — no entropy decode needed),
@@ -3600,19 +3610,37 @@ object Multimodal {
     * `everyMs` samples the animation timeline (0 = every frame). */
   def gifFramesAsBmp(ds: Dataset[MediaFile], everyMs: Long = 0L): Dataset[MediaFile] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
-    ds.mapPartitions { files =>
-      files.flatMap { f =>
-        if (!isGif(f.content)) Iterator.empty
-        else decodeGif(f.content).iterator.flatMap { anim =>
-          sampleTimeline(anim.frames.iterator,
-            (fr: GifFrame) => fr.delayMs, everyMs)
-            .flatMap { case (fr, i) =>
-              pixelsAsBmp(s"${f.path}#frame$i", anim.width, anim.height,
-                3, fr.pixels)
-            }
+    ds.mapPartitions(_.flatMap(gifFileFrames(_, everyMs)))
+  }
+
+  private def gifFileFrames(f: MediaFile,
+      everyMs: Long): Iterator[MediaFile] =
+    if (!isGif(f.content)) Iterator.empty
+    else decodeGif(f.content).iterator.flatMap { anim =>
+      sampleTimeline(anim.frames.iterator,
+        (fr: GifFrame) => fr.delayMs, everyMs)
+        .flatMap { case (fr, i) =>
+          pixelsAsBmp(s"${f.path}#frame$i", anim.width, anim.height,
+            3, fr.pixels)
         }
-      }
     }
+
+  /** EVERY animation/video container in ONE scan — per-file dispatch
+    * on magic bytes to the matching fan-out (r18 review #3: the CLI
+    * verb's union of five datasets re-read each file's bytes five
+    * times; the sniffs are mutually exclusive, so this equals the
+    * union exactly at one fifth the I/O). */
+  def framesAsBmp(ds: Dataset[MediaFile],
+      everyMs: Long = 0L): Dataset[MediaFile] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
+    ds.mapPartitions(_.flatMap { f =>
+      if (isGif(f.content)) gifFileFrames(f, everyMs)
+      else if (isPng(f.content)) apngFileFrames(f, everyMs)
+      else if (isWebp(f.content)) webpFileFrames(f, everyMs)
+      else if (isAvi(f.content)) aviFileFrames(f, everyMs)
+      else if (isMkv(f.content)) mkvFileFrames(f, everyMs)
+      else Iterator.empty
+    })
   }
 
   // ---- AVI (RIFF video container: MJPG + uncompressed DIB streams) ----
@@ -3755,20 +3783,20 @@ object Multimodal {
     * flows through meta / histogram-embed / resize unchanged. */
   def aviFramesAsBmp(ds: Dataset[MediaFile], everyMs: Long = 0L): Dataset[MediaFile] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFile]
-    ds.mapPartitions { files =>
-      files.flatMap { f =>
-        if (!isAvi(f.content)) Iterator.empty
-        else decodeAvi(f.content).iterator.flatMap { vid =>
-          val frameMs = math.max(vid.usPerFrame / 1000L, 1L)
-          sampleTimeline(vid.frames.iterator, (_: Array[Byte]) => frameMs,
-            everyMs).flatMap { case (px, i) =>
-            pixelsAsBmp(s"${f.path}#frame$i", vid.width, vid.height,
-              3, px)
-          }
-        }
+    ds.mapPartitions(_.flatMap(aviFileFrames(_, everyMs)))
+  }
+
+  private def aviFileFrames(f: MediaFile,
+      everyMs: Long): Iterator[MediaFile] =
+    if (!isAvi(f.content)) Iterator.empty
+    else decodeAvi(f.content).iterator.flatMap { vid =>
+      val frameMs = math.max(vid.usPerFrame / 1000L, 1L)
+      sampleTimeline(vid.frames.iterator, (_: Array[Byte]) => frameMs,
+        everyMs).flatMap { case (px, i) =>
+        pixelsAsBmp(s"${f.path}#frame$i", vid.width, vid.height,
+          3, px)
       }
     }
-  }
 
   // ---- TIFF (baseline: gray/RGB strips, None/PackBits/LZW) -----------
 

@@ -3495,19 +3495,30 @@ object TextSim {
             else wd.map(x => x * 1000000L / nrm)
         it += 1
       }
+      // readout under the SAME exact-ops contract as the rounds (r18
+      // review #2: plain +/* here would silently wrap near the
+      // documented bound where the oracle errors loudly)
       val wq = Array.tabulate(dim) { i =>
         var w = 0L
         var j = 0
-        while (j < dim) { w += cq(i * dim + j) * v(j); j += 1 }
+        while (j < dim) {
+          w = Math.addExact(w, Math.multiplyExact(cq(i * dim + j), v(j)))
+          j += 1
+        }
         w / 1000000L
       }
       var lamAcc = 0L
       var li = 0
-      while (li < dim) { lamAcc += v(li) * wq(li); li += 1 }
+      while (li < dim) {
+        lamAcc = Math.addExact(lamAcc, Math.multiplyExact(v(li), wq(li)))
+        li += 1
+      }
       val lamq = lamAcc / 1000000L // eigenvalue at scale 1e11
       var traceq = 0L
       var ti = 0
-      while (ti < dim) { traceq += cq(ti * dim + ti); ti += 1 }
+      while (ti < dim) {
+        traceq = Math.addExact(traceq, cq(ti * dim + ti)); ti += 1
+      }
       // Deterministic sign: the largest-|component| coordinate positive.
       val piv = v.indices.maxBy(i => (math.abs(v(i)), -i))
       val sgn = if (v(piv) < 0) -1L else 1L

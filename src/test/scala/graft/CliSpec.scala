@@ -399,9 +399,12 @@ class CliSpec extends AnyFunSuite {
       Array.tabulate[Byte](64)(i => (i * 7).toByte))
     val n = Cli.mediaFrames(spark, s"$in/*", out)
     assert(n > 1, s"expected multiple frames, got $n")
+    // one file per frame (the count doubles as the no-clobber pin:
+    // colliding names would leave fewer files than frames), each named
+    // <path-digest>_<readable-tail>.bmp
     val files = new java.io.File(out).listFiles().map(_.getName).sorted
     assert(files.length.toLong === n)
-    assert(files.forall(f => f.startsWith("file_") && f.endsWith(".bmp")),
+    assert(files.forall(f => f.matches("[0-9a-f]{8}_.*\\.bmp")),
       files.mkString(","))
     // every written frame is a spec-valid BMP the meta kernel re-reads
     import spark.implicits._

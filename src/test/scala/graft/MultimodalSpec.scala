@@ -2227,6 +2227,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(vid.frames.map(_.timeMs) === Seq(0L, 1017L),
       "cluster timestamps + block relatives must compose across clusters")
     assert(vid.frames.forall(_.pixels.length === 16 * 16 * 3))
+    // a cluster MISSING its (spec-mandatory) Timestamp is structure
+    // loss: inheriting the previous cluster's time would emit
+    // silently mis-timed frames, so the file drops (r18 review #6)
+    val noTsCluster = ebmlEl(0x1F43B675L,
+      ebmlEl(0xA3L, Array[Byte](0x81.toByte, 0, 0, 0x80.toByte) ++ payload))
+    val bad = hdr ++ segId ++ unknownSize ++
+      (info ++ ebmlEl(0x1654AE6BL, entry) ++ cluster(0L, 0) ++ noTsCluster)
+    assert(Multimodal.decodeMkv(bad).isEmpty,
+      "block before its cluster's Timestamp must drop the file")
   }
 
   test("WebM frame fan-out: re-decodable BMPs, everyMs sampling, dims guard") {
