@@ -191,8 +191,62 @@ object SeaSegment {
           "| file:<path>")
     }
 
-  /** Driver-visible registry entry (no-oracle: lexicon segmentation is
-    * not DuckDB-expressible; the Golden layer pins its exact output).
+  /** The spliced phrase and its demo-lexicon segmentation, derived
+    * from [[maximalMatch]] itself at load time so the oracle constant
+    * can never drift from the engine's segmenter. */
+  private val Phrase = "ภาษาไทย" + "สวัสดี"
+  private def phraseSegmented: Seq[String] =
+    maximalMatch(Phrase, DemoLexicon.toSet, DemoLexicon.map(_.length).max)
+
+  /** q_text_sea_segment's DuckDB oracle (r18 — declared no-oracle
+    * until now). General lexicon segmentation is not SQL-expressible,
+    * but THIS query's SEA input is the one constant spliced phrase:
+    * on the ASCII corpus the dict tokenizer equals the contract
+    * kernel exactly (the SeaSegmentSpec-pinned equality), so the dict
+    * side is tokenizer(original text) plus the CONSTANT segmentation
+    * of the phrase (derived from maximalMatch above, never
+    * hand-written), while the fallback side just tokenizes the
+    * spliced text — the shared TokSql spelling handles Thai the same
+    * in both engines (NFC, lower is identity, Mn marks are
+    * boundaries under both Java regex and RE2). Pins the DEFAULT demo
+    * lexicon, the kmeans "knob rides the session" convention. */
+  private def seaOracle: String = {
+    val segs = phraseSegmented.map(w => s"'$w'").mkString(", ")
+    def tok(c: String) = graft.ops.TextSim.TokSql(c)
+    s"""WITH t AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0 THEN text || ' $Phrase'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |fb AS (SELECT unnest(${tok("text")}) AS tok, 'fallback' AS side
+      |  FROM t),
+      |dbase AS (SELECT unnest(${tok("text")}) AS tok FROM documents),
+      |dsea AS (SELECT unnest([$segs]) AS tok FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |u AS (SELECT tok, side FROM fb
+      |  UNION ALL SELECT tok, 'dict' AS side FROM dbase
+      |  UNION ALL SELECT tok, 'dict' AS side FROM dsea),
+      |c AS (SELECT CASE
+      |    WHEN regexp_matches(tok,
+      |      '^[\\p{Thai}\\p{Lao}\\p{Myanmar}\\p{Khmer}]') THEN 'sea'
+      |    WHEN regexp_matches(tok,
+      |      '^[\\p{Han}\\p{Hiragana}\\p{Katakana}]') THEN 'cjk'
+      |    WHEN regexp_matches(tok, '^[0-9]') THEN 'digit'
+      |    WHEN regexp_matches(tok, '^[a-z]') THEN 'latin'
+      |    ELSE 'other' END AS script, side, tok FROM u)
+      |SELECT script,
+      |  CAST(sum(CASE WHEN side = 'dict' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dict,
+      |  CAST(sum(CASE WHEN side = 'fallback' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_fallback,
+      |  CAST(count(DISTINCT CASE WHEN side = 'dict' THEN tok END)
+      |    AS BIGINT) AS n_dict_types,
+      |  CAST(count(DISTINCT CASE WHEN side = 'fallback' THEN tok END)
+      |    AS BIGINT) AS n_fallback_types
+      |FROM c GROUP BY script ORDER BY script"""
+  }
+
+  /** Driver-visible registry entry (ORACLE-CHECKED since r18 — see
+    * [[seaOracle]]; the Golden layer still pins the exact output).
     * Per-script token counts from the dictionary tokenizer vs the
     * contract run-tokenization fallback over the documents table. The
     * synthetic corpus is ASCII, so a constant Thai phrase (ภาษาไทยสวัสดี,
@@ -204,9 +258,8 @@ object SeaSegment {
     * pinned equality). Scale shape: two narrow tokenize passes + one
     * tiny grouped aggregation — no new shuffle family. */
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec.noOracle("q_text_sea_segment") { (s, d) =>
-      val phrase = "ภาษาไทย" +
-        "สวัสดี" // ภาษาไทยสวัสดี
+    QuerySpec.sql("q_text_sea_segment", seaOracle) { (s, d) =>
+      val phrase = Phrase // one constant shared with the oracle
       val docs = Tables.documents(s, d).select(
         when(col("doc_id") % 10 === 0,
           concat(col("text"), lit(" " + phrase)))
