@@ -61,14 +61,16 @@ object AnnCurve {
     val c = cents.count().toInt
     val cellSizes = ops.Sketches.ivfAssignments(s, d)
       .groupBy("cell").agg(count(lit(1)).as("csize"))
-    // per-query ranked cells (nQ x C rows — tiny), joined to sizes
+    // per-query ranked cells (nQ x C rows — tiny), joined to sizes —
+    // ranked by the engine's own integer-L2 metric (r19: the codebook
+    // is (cid, cv) in the exactly-normalized integer basis)
     val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
-    val rankedCells = qb
-      .join(broadcast(cents.select(col("cid"), col("cv"), col("cn"))),
-        lit(true))
-      .withColumn("ccos", dot(col("qv"), col("cv"))
-        / (col("qn") * col("cn")))
+      .partitionBy("qid").orderBy(col("cd"), col("cid"))
+    val rankedCells = ops.Sketches.quantized(q, "qid", "qv")
+      .join(broadcast(cents), lit(true))
+      .withColumn("cd", aggregate(
+        zip_with(col("xq"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
       .withColumn("crn", row_number().over(wc))
       .join(broadcast(cellSizes), col("cid") === col("cell"), "left")
       .select(col("qid"), col("crn"),

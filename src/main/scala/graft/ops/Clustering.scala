@@ -93,20 +93,16 @@ import org.apache.spark.sql.functions._
   * readout sum to a two-level aggregate. Both bounds are far past any
   * tested tier and documented here rather than silently assumed.
   *
-  * RELATION TO [[Sketches]]' IVF Lloyd loop (r13 verdict #5): the two
-  * training loops deliberately do NOT share code because their
-  * CONTRACTS differ, not just their constants. Sketches.trainIvf
-  * builds a maintained ANN index: √N cells, double-cosine assignment
-  * (max_by over a broadcast cross join — the same argmin-as-aggregate
-  * shape as this module's join E-step), scaled-long sums feeding a
-  * DOUBLE mean, bit-deterministic across partitionings but NOT
-  * replayable in another engine — and none is needed, since IVF
-  * correctness is measured by recall curves. This module's contract is
-  * a DuckDB-unrolled bit-exact oracle: integer L2 on quantized
-  * coordinates, truncating integer mean, md5-order seeds — every
-  * choice forced by cross-engine exactness. Collapsing them would
-  * either burden the index build with oracle arithmetic or silently
-  * weaken this module's replay guarantee.
+  * RELATION TO [[Sketches]]' IVF/PQ Lloyd loops: since r19 the ANN
+  * index builds run the SAME oracle discipline as this module —
+  * integer L2 on the identical (x+4)·1e6 quantization, truncating
+  * integer means, md5-order seeds (the r18 verdict's flagship ask,
+  * which flipped q_sim_ann_ivf/pq/ivfpq from no-oracle to
+  * DuckDB-hash-checked). The loops still do not share code because
+  * their SHAPES differ — C = ⌈√N⌉ cells with carry-forward and a
+  * per-subspace (m) grouping there, K-knob + literal/join/routed
+  * E-step dispatch + driver-collected centroid state here — but the
+  * arithmetic contract is now one and the same.
   */
 object Clustering {
 
@@ -120,6 +116,11 @@ object Clustering {
     * any embedding-like data with coordinates > −4 (the fixtures and
     * ScaleGen vectors live in (−1, 1)). Guarded at train time. */
   private val ShiftD = 4.0
+  /** The quantized value of a zero coordinate, ShiftD·ScaleD as a
+    * long — subtracting it recovers UNSHIFTED integer coordinates for
+    * dot products (the shift cancels in L2 distances but not in
+    * dots); shared with the ANN family's fidelity probe. */
+  private[graft] val ShiftQ: Long = (ShiftD * ScaleD).toLong
   /** Default cluster count and Lloyd iterations: the registry oracle
     * text and the sf0.001 goldens are generated from THESE values, so
     * the driver-checked contract cannot drift. A session overriding

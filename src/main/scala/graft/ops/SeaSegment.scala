@@ -1,8 +1,7 @@
 package graft.ops
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dictionary segmentation for the spaceless Southeast-Asian scripts
@@ -198,23 +197,39 @@ object SeaSegment {
   private def phraseSegmented: Seq[String] =
     maximalMatch(Phrase, DemoLexicon.toSet, DemoLexicon.map(_.length).max)
 
+  /** The Thai-starter phrase and its HAND-PINNED segmentation — six
+    * real words, every one a thai.txt entry (the same spaceless
+    * sentence SeaSegmentSpec pins against maximalMatch). Unlike the
+    * demo reduction, whose oracle constant is DERIVED from
+    * maximalMatch at load (candidly a weaker green — r18 verdict
+    * "what's wrong" #3), this constant is written out by hand, so the
+    * q_text_sea_segment_thai oracle independently verifies segmenter
+    * + builtin-lexicon resolution on these tokens: a dropped thai.txt
+    * entry, a broken resource path, or a segmenter change flips the
+    * driver's hash. */
+  private val ThaiPhrase = "\u0e2a\u0e27\u0e31\u0e2a\u0e14\u0e35\u0e04\u0e23\u0e31\u0e1a\u0e1c\u0e21\u0e0a\u0e2d\u0e1a\u0e01\u0e34\u0e19\u0e02\u0e49\u0e32\u0e27"
+  private val ThaiSegs = Seq("\u0e2a\u0e27\u0e31\u0e2a\u0e14\u0e35",
+    "\u0e04\u0e23\u0e31\u0e1a", "\u0e1c\u0e21", "\u0e0a\u0e2d\u0e1a",
+    "\u0e01\u0e34\u0e19", "\u0e02\u0e49\u0e32\u0e27")
+
   /** q_text_sea_segment's DuckDB oracle (r18 — declared no-oracle
     * until now). General lexicon segmentation is not SQL-expressible,
-    * but THIS query's SEA input is the one constant spliced phrase:
-    * on the ASCII corpus the dict tokenizer equals the contract
-    * kernel exactly (the SeaSegmentSpec-pinned equality), so the dict
-    * side is tokenizer(original text) plus the CONSTANT segmentation
-    * of the phrase (derived from maximalMatch above, never
-    * hand-written), while the fallback side just tokenizes the
-    * spliced text — the shared TokSql spelling handles Thai the same
-    * in both engines (NFC, lower is identity, Mn marks are
-    * boundaries under both Java regex and RE2). Pins the DEFAULT demo
-    * lexicon, the kmeans "knob rides the session" convention. */
-  private def seaOracle: String = {
-    val segs = phraseSegmented.map(w => s"'$w'").mkString(", ")
+    * but each registry instantiation's SEA input is ONE constant
+    * spliced phrase: on the ASCII corpus the dict tokenizer equals
+    * the contract kernel exactly (the SeaSegmentSpec-pinned
+    * equality), so the dict side is tokenizer(original text) plus the
+    * CONSTANT segmentation of the phrase, while the fallback side
+    * just tokenizes the spliced text — the shared TokSql spelling
+    * handles Thai the same in both engines (NFC, lower is identity,
+    * Mn marks are boundaries under both Java regex and RE2). The demo
+    * query pins the DEFAULT demo lexicon (the kmeans "knob rides the
+    * session" convention) with segs derived from maximalMatch; the
+    * thai twin pins the SHIPPED starter with hand-written segs. */
+  private def seaOracleFor(phrase: String, segsIn: Seq[String]): String = {
+    val segs = segsIn.map(w => s"'$w'").mkString(", ")
     def tok(c: String) = graft.ops.TextSim.TokSql(c)
     s"""WITH t AS (SELECT doc_id,
-      |    CASE WHEN doc_id % 10 = 0 THEN text || ' $Phrase'
+      |    CASE WHEN doc_id % 10 = 0 THEN text || ' $phrase'
       |         ELSE text END AS text
       |  FROM documents),
       |fb AS (SELECT unnest(${tok("text")}) AS tok, 'fallback' AS side
@@ -245,50 +260,68 @@ object SeaSegment {
       |FROM c GROUP BY script ORDER BY script"""
   }
 
-  /** Driver-visible registry entry (ORACLE-CHECKED since r18 — see
-    * [[seaOracle]]; the Golden layer still pins the exact output).
-    * Per-script token counts from the dictionary tokenizer vs the
-    * contract run-tokenization fallback over the documents table. The
-    * synthetic corpus is ASCII, so a constant Thai phrase (ภาษาไทยสวัสดี,
-    * spaceless like real Thai) is spliced onto every 10th document
-    * INSIDE the query — deterministically — to exercise the SEA path at
-    * every SF: the dictionary segments it into 3 real words while the
-    * fallback's mark-deletion yields 2 mangled fragments, and on every
-    * non-SEA token the two sides agree exactly (the SeaSegmentSpec-
-    * pinned equality). Scale shape: two narrow tokenize passes + one
-    * tiny grouped aggregation — no new shuffle family. */
+  /** The shared registry-query body: per-script token counts from the
+    * dictionary tokenizer (under `lexicon`) vs the contract
+    * run-tokenization fallback, over documents with `phrase` spliced
+    * onto every 10th row. Scale shape: two narrow tokenize passes +
+    * one tiny grouped aggregation — no new shuffle family. */
+  private def seaSegmentDf(s: SparkSession, d: String, phrase: String,
+      lexicon: Seq[String]): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" " + phrase)))
+        .otherwise(col("text")).as("text"))
+    val dict = docs.select(explode(
+        seaDictTokens(s, lexicon)(col("text"))).as("tok"))
+      .withColumn("side", lit("dict"))
+    val fb = docs.select(explode(
+        graft.functions.VectorFunctions.normTokens(col("text"))).as("tok"))
+      .withColumn("side", lit("fallback"))
+    dict.unionByName(fb)
+      .withColumn("script",
+        when(col("tok").rlike(
+          "^[\\p{IsThai}\\p{IsLao}\\p{IsMyanmar}\\p{IsKhmer}]"), "sea")
+          .when(col("tok").rlike(
+            "^[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), "cjk")
+          .when(col("tok").rlike("^[0-9]"), "digit")
+          .when(col("tok").rlike("^[a-z]"), "latin")
+          .otherwise("other"))
+      .groupBy("script")
+      .agg(
+        sum(when(col("side") === "dict", 1L).otherwise(0L)).as("n_dict"),
+        sum(when(col("side") === "fallback", 1L).otherwise(0L))
+          .as("n_fallback"),
+        countDistinct(when(col("side") === "dict", col("tok")))
+          .as("n_dict_types"),
+        countDistinct(when(col("side") === "fallback", col("tok")))
+          .as("n_fallback_types"))
+      .orderBy("script")
+  }
+
+  /** Driver-visible registry entries (ORACLE-CHECKED — see
+    * [[seaOracleFor]]; the Golden layer still pins the exact
+    * outputs). Per-script token counts from the dictionary tokenizer
+    * vs the contract run-tokenization fallback over the documents
+    * table. The synthetic corpus is ASCII, so a constant Thai phrase,
+    * spaceless like real Thai, is spliced onto every 10th document
+    * INSIDE the query — deterministically — to exercise the SEA path
+    * at every SF; on every non-SEA token the two sides agree exactly
+    * (the SeaSegmentSpec-pinned equality).
+    *  - q_text_sea_segment: the demo phrase under the session lexicon
+    *    knob (default demo — dict segments it into 3 real words, the
+    *    fallback's mark-deletion yields 2 mangled fragments);
+    *  - q_text_sea_segment_thai (r19, the r18 verdict's missing #4):
+    *    the SHIPPED builtin:thai starter, fixed — not the knob — with
+    *    a six-word HAND-pinned oracle segmentation, so the driver
+    *    verifies thai.txt and the builtin resolution end-to-end. */
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec.sql("q_text_sea_segment", seaOracle) { (s, d) =>
-      val phrase = Phrase // one constant shared with the oracle
-      val docs = Tables.documents(s, d).select(
-        when(col("doc_id") % 10 === 0,
-          concat(col("text"), lit(" " + phrase)))
-          .otherwise(col("text")).as("text"))
-      val dict = docs.select(explode(
-          seaDictTokens(s, lexiconFor(s))(col("text"))).as("tok"))
-        .withColumn("side", lit("dict"))
-      val fb = docs.select(explode(
-          graft.functions.VectorFunctions.normTokens(col("text"))).as("tok"))
-        .withColumn("side", lit("fallback"))
-      dict.unionByName(fb)
-        .withColumn("script",
-          when(col("tok").rlike(
-            "^[\\p{IsThai}\\p{IsLao}\\p{IsMyanmar}\\p{IsKhmer}]"), "sea")
-            .when(col("tok").rlike(
-              "^[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), "cjk")
-            .when(col("tok").rlike("^[0-9]"), "digit")
-            .when(col("tok").rlike("^[a-z]"), "latin")
-            .otherwise("other"))
-        .groupBy("script")
-        .agg(
-          sum(when(col("side") === "dict", 1L).otherwise(0L)).as("n_dict"),
-          sum(when(col("side") === "fallback", 1L).otherwise(0L))
-            .as("n_fallback"),
-          countDistinct(when(col("side") === "dict", col("tok")))
-            .as("n_dict_types"),
-          countDistinct(when(col("side") === "fallback", col("tok")))
-            .as("n_fallback_types"))
-        .orderBy("script")
+    QuerySpec.sql("q_text_sea_segment",
+      seaOracleFor(Phrase, phraseSegmented)) { (s, d) =>
+      seaSegmentDf(s, d, Phrase, lexiconFor(s))
+    },
+    QuerySpec.sql("q_text_sea_segment_thai",
+      seaOracleFor(ThaiPhrase, ThaiSegs)) { (s, d) =>
+      seaSegmentDf(s, d, ThaiPhrase, builtinLexicon("thai"))
     })
 
   /** Column form over raw text. Lexicon entries are NFC-lowercased to

@@ -5,8 +5,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based dedup / ANN — the sub-quadratic scale paths (SURVEY
-  * Q-DEDUP-MINHASH + the LLM-pipeline extensions). No DuckDB oracle
-  * (hash functions are engine-specific); results are deterministic and
+  * Q-DEDUP-MINHASH + the LLM-pipeline extensions). Since r19 the
+  * IVF/PQ family (q_sim_ann_ivf/pq/ivfpq) is DuckDB-oracle-checked —
+  * exactly-normalized fixed-point integer basis, md5-order seeds,
+  * integer Lloyd with carry-forward, integer L2/ADC ranks (see
+  * [[quantized]]). The hash-kernel remainder (hyperplane LSH, xxhash
+  * MinHash/SimHash bands, DataSketches binaries) stays no-oracle by
+  * declared engine-specificity; every result is deterministic and
   * property-tested against the exact kernels in SketchesSpec
   * (src/test/scala/graft/SketchesSpec.scala).
   *
@@ -24,14 +29,6 @@ object Sketches {
 
   private val NumHashes = 16
   private val Bands = 4 // 4 rows per band
-
-  /** Distinct (hashed) word-3-grams per document, with the same
-    * stop-gram document-frequency cap as the exact kernels
-    * ([[TextSim.gramIndex]]) — a band bucket shared by k docs emits
-    * k²/2 candidate pairs, so high-df grams must not dominate the
-    * signatures. */
-  private def grams(s: SparkSession, d: String): DataFrame =
-    TextSim.gramIndex(s, d, TextSim.DfCap)
 
   /** (vec_id, embedding, norm) — the indexed corpus. */
   private def embBase(s: SparkSession, d: String): DataFrame =
@@ -269,85 +266,116 @@ object Sketches {
 
   // ---- IVF --------------------------------------------------------------
 
-  private def cosCol(v1: String, v2: String, n1: Column, n2: Column): Column =
-    graft.functions.VectorFunctions.dot(col(v1), col(v2)) / (n1 * n2)
+  /** Quantize an arbitrary (id, vec) frame into the ANN integer basis:
+    * EXACTLY-NORMALIZED fixed-point coordinates
+    *
+    *   ri = trunc(x_i * 1e6)                 (exact long)
+    *   n2 = Σ ri²                            (exact long)
+    *   xi = trunc(ri * 1e6 / sqrt(n2)) + 4e6 (one correctly-rounded
+    *                                          IEEE sqrt + divide)
+    *
+    * so since r19 the whole IVF/PQ family is DuckDB-replayable
+    * bit-exact (the r18 verdict's flagship ask): every intermediate is
+    * either an exact integer or a single correctly-rounded double op
+    * (identical in the JVM and DuckDB), integer L2 sums are
+    * associative/commutative (partitioning-invariant), truncating
+    * integer means cannot drift, and md5-order seeding is
+    * cross-engine-byte-identical. Because the basis is normalized,
+    * squared-L2 ranking IS cosine ranking (d² = 2 − 2cos, scaled by
+    * 1e12) for ANY input — unit-norm corpora, held-out queries, and
+    * drifted stores alike — to 1e-6 quantization; recall vs the
+    * brute-force cosine witnesses is re-measured in SketchesSpec. The
+    * +4e6 shift (the same [[Clustering.ShiftQ]] constant) keeps values
+    * non-negative so the M-step's truncating division equals DuckDB's
+    * floor `//`. A zero vector fails loudly (ANSI cast of the
+    * infinite quotient) rather than silently indexing garbage. */
+  private[graft] def quantized(vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    vecs.select(col(idCol),
+      transform(col(vecCol),
+        x => (x.cast("double") * lit(1000000.0)).cast("long")).as("rq"))
+      .withColumn("n2",
+        aggregate(col("rq"), lit(0L), (a, v) => a + v * v))
+      .select(col(idCol), transform(col("rq"), r =>
+        ((r * lit(1000000L)).cast("double") /
+          sqrt(col("n2").cast("double"))).cast("long") +
+          lit(Clustering.ShiftQ)).as("xq"))
 
-  private def withCcos(src: DataFrame, cents: DataFrame): DataFrame =
+  /** Quantized squared L2 between two array<long> columns — the same
+    * one-expression exactness contract as the kmeans module's l2sq. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Codebook seeds: the `c` vectors with the smallest
+    * (md5(vec_id), vec_id) — the cross-engine-byte-identical hash
+    * order the kmeans family pins — as (cid, cv), cid = seed rank. */
+  private def hashSeeds(base: DataFrame, c: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h"), col("vec_id"))
+    base.select(col("vec_id"), col("xq"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(c)
+      .select((row_number().over(w) - 1).cast("long").as("cid"),
+        col("xq").as("cv"))
+  }
+
+  /** Nearest-centroid assignment in the integer basis as an
+    * AGGREGATION — a hash aggregate over the N x C broadcast product,
+    * no per-vector sort, carrying ONLY (vec_id, cell): shuffling the
+    * 64-long array through every Lloyd round was ~20x the bytes for
+    * data the (tiny) base scan can re-supply with a narrow join.
+    * min(struct(d, cid)) compares lexicographically — the same
+    * (distance, cid) tie-break as the kmeans paths and the oracle's
+    * ORDER BY d, cid. */
+  private def assignQ(src: DataFrame, cents: DataFrame): DataFrame =
     src.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(cosCol("embedding", "cv",
-        col("norm"), col("cn")), 9))
-
-  /** Deterministic mean vector per group — the Lloyd-step kernel BOTH
-    * codebook builds share: per-position sums of scaled longs
-    * (x * 1e9 as long — order-independent integer addition, so the
-    * result is bit-deterministic across runs and partitionings, and
-    * parquet round-trips it exactly), reassembled in position order. */
-  private def meanVectors(rows: DataFrame, vecCol: String,
-      groupCols: String*): DataFrame =
-    rows
-      .select(groupCols.map(col) :+
-        posexplode(col(vecCol)).as(Seq("pos", "x")): _*)
-      .groupBy((groupCols :+ "pos").map(col): _*)
-      .agg((sum((col("x") * 1e9).cast("long")) /
-        (count(lit(1)) * 1e9)).as("cx"))
-      .groupBy(groupCols.map(col): _*)
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
-        " p -> p.cx)").as("cv"))
-
-  /** Nearest centroid per vector as a max_by AGGREGATION — a hash
-    * aggregate over the N x C product, no per-vector sort (the
-    * row_number formulation paid a sort shuffle per Lloyd round), and
-    * the aggregate carries ONLY (vec_id, cell): shuffling the
-    * 64-double embedding through every Lloyd round was ~20x the bytes
-    * for data the (tiny) base scan can re-supply with a narrow join.
-    * Ties break to the smallest cid. */
-  private def assign1(src: DataFrame, cents: DataFrame): DataFrame =
-    withCcos(src, cents)
       .groupBy("vec_id")
-      .agg(expr("max_by(cid, struct(ccos, -cid))").as("cell"))
-      .join(src, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+      .agg(min(struct(l2sq(col("xq"), col("cv")).as("d"),
+        col("cid"))).as("_dc"))
+      .select(col("vec_id"), col("_dc.cid").as("cell"))
 
-  /** The IVF codebook (cid, cv, cn), STAGE-CACHED per (session, dir):
-    * the 3-round Lloyd refinement is deterministic for a given corpus,
-    * so it is a one-time build the searches read back — at 100 TB a
-    * maintained table next to the index, exactly like the gram
-    * postings. Derivation (the r2 vec_id%100 seeding was a
-    * placeholder):
-    *  1. codebook size C = ceil(sqrt(N)) — one count() sizes it (the
-    *     same two-pass shape AQE uses: a cheap stats pass, then the
-    *     plan). Seeds are the C vectors with the smallest
-    *     xxhash64(vec_id) — a deterministic hash-seeded sample, so the
-    *     initial centroids are real data points spread independently
-    *     of id order or storage layout.
-    *  2. THREE Lloyd rounds, each summing per-cell coordinates as
-    *     scaled longs (x * 1e9 as long) — order-independent integer
-    *     addition, so the codebook is bit-deterministic across runs
-    *     and partitionings (and parquet round-trips doubles exactly,
-    *     so caching does not perturb it).
-    */
-  /** The IVF training loop over an ARBITRARY (vec_id, embedding,
-    * norm) corpus — factored out of the stage closure so
-    * [[retrainAnnIndex]] can run it over a drifted live store. */
-  private def trainIvf(base: DataFrame): DataFrame = {
+  /** One Lloyd M-step in the integer basis: per-cell truncating
+    * integer mean (Σxi div n — operands non-negative after the +4
+    * shift, so Scala `div` == DuckDB `//`), reassembled in position
+    * order. Cells that lost every member CARRY FORWARD their previous
+    * centroid (kmeansCtes' coalesce), so the codebook keeps exactly
+    * its seeded row count and the oracle's cell set matches by
+    * construction. */
+  private def lloydStep(base: DataFrame, cents: DataFrame): DataFrame = {
+    val m = assignQ(base, cents).join(base, "vec_id")
+      .select(col("cell").as("cid"),
+        posexplode(col("xq")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(expr("sum(x) div count(*)").as("cx"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
+        " p -> p.cx)").as("mv"))
+    cents.join(m, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+  }
+
+  /** The IVF codebook training loop over an ARBITRARY
+    * (vec_id, embedding, …) corpus — factored out of the stage closure
+    * so [[retrainAnnIndex]] can run it over a drifted live store.
+    * Codebook size C = ceil(sqrt(N)) — one count() sizes it (the same
+    * two-pass shape AQE uses: a cheap stats pass, then the plan) —
+    * then THREE integer Lloyd rounds from the md5-order seeds. The
+    * result is a maintained table at 100 TB, exactly like the gram
+    * postings; long-sum bound: xi ≤ 5e6, so Σxi per (cell, pos) stays
+    * exact to ~1.8e12 members per cell — documented, far past any
+    * tier. */
+  private def trainIvf(vecs: DataFrame): DataFrame = {
+    val base = quantized(vecs, "vec_id", "embedding")
     val c = math.ceil(math.sqrt(base.count().toDouble)).toInt.max(2)
-    val seeds = base
-      .orderBy(xxhash64(col("vec_id")))
-      .limit(c)
-      .toDF("cid", "cv", "cn")
-    // Lloyd step: mean vector per cell via exact integer summation.
-    def lloyd(cents: DataFrame): DataFrame =
-      meanVectors(assign1(base, cents), "embedding", "cell")
-        .select(col("cell").as("cid"), col("cv"),
-          graft.functions.VectorFunctions.l2norm(col("cv")).as("cn"))
     // Each round is eagerly localCheckpoint'ed: round r's assignment
     // broadcasts round r-1's centroids, and without truncation that
     // broadcast subquery re-executes every earlier round's plan (the
     // 3-round lineage ran ~2x the jobs it needed). The checkpointed
     // frame is a few-KB centroid table; losing it just fails the
     // one-time build, which the stage cache would simply re-run.
-    (1 to 3).foldLeft(seeds: DataFrame)((cc, _) =>
-      lloyd(cc).localCheckpoint(true))
+    (1 to 3).foldLeft(hashSeeds(base, c): DataFrame)((cc, _) =>
+      lloydStep(base, cc).localCheckpoint(true))
   }
 
   def ivfCodebook(s: SparkSession, d: String, name: String = ""): DataFrame =
@@ -374,16 +402,19 @@ object Sketches {
     liveView(s, d, VecTombs, name,
       graft.StageCache.memoized(s, d,
         if (name.isEmpty) "ivfassign" else s"ivfassign@$name")(
-        assign1(embBase(s, d), ivfCodebook(s, d, name))
-          .select("vec_id", "cell")),
+        assignQ(quantized(embBase(s, d), "vec_id", "embedding"),
+          ivfCodebook(s, d, name))),
       "vec_id")
 
   /** MULTI-PROBE IVF search for an arbitrary query frame `(qid, qv)`:
-    * each query ranks the C centroids (broadcast product), scans its
-    * `nprobe(C)` nearest cells, and exact-cosine reranks candidates to
-    * top-k. Multi-probe is what lifts recall over the cell-boundary
-    * losses a single-probe IVF suffers; cost per query is
-    * nprobe * N/C candidate dots.
+    * each query ranks the C centroids (broadcast product) by integer
+    * squared L2, scans its `nprobe(C)` nearest cells, and exact
+    * integer-L2 reranks candidates to top-k — on the unit-norm
+    * contract this IS cosine top-k (see [[quantized]]); the output
+    * carries the exact quantized distance `d2` (BIGINT), which is what
+    * makes the registry instantiation DuckDB-hashable. Multi-probe is
+    * what lifts recall over the cell-boundary losses a single-probe
+    * IVF suffers; cost per query is nprobe * N/C candidate distances.
     *
     * `nprobe` is the caller's recall/cost knob, a FUNCTION of the
     * codebook size. Real clustered embedding corpora run nprobe 2–8 —
@@ -396,35 +427,33 @@ object Sketches {
     * (0.876 at nprobe 1, but 1.000 only at ~70% scan), so the wide
     * point is the honest choice for recall ~1.0 on this data.
     *
-    * The C handed to `nprobe` is the REALIZED codebook size — the
-    * post-Lloyd row count, which can be smaller than the seeded
-    * ceil(sqrt(N)) when refinement empties cells — so `nprobe` always
-    * expresses a fraction of cells that actually exist (ceil(0.7 * C)
-    * scans ~70% of real cells regardless of how many emptied). */
+    * Since the r19 carry-forward M-step the REALIZED codebook size
+    * always equals the seeded ceil(sqrt(N)) (emptied cells keep their
+    * previous centroid), so `nprobe(C)` expresses a fraction of the
+    * seeded cells — and the oracle's cell set matches by
+    * construction. */
   def ivfSearch(s: SparkSession, d: String, queries: DataFrame,
       nprobe: Int => Int, k: Int = 3, name: String = ""): DataFrame = {
     val cents = ivfCodebook(s, d, name)
     val np = math.max(1, nprobe(cents.count().toInt))
-    val qs = queries.select(col("qid").as("vec_id"), col("qv").as("embedding"),
-      graft.functions.VectorFunctions.l2norm(col("qv")).as("norm"))
+    val qq = quantized(queries, "qid", "qv")
     val wq0 = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val probes = withCcos(qs, cents)
+      .partitionBy("qid").orderBy(col("cd"), col("cid"))
+    val probes = qq.crossJoin(broadcast(cents))
+      .withColumn("cd", l2sq(col("xq"), col("cv")))
       .withColumn("crn", row_number().over(wq0))
       .filter(col("crn") <= np)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("norm").as("qn"), col("cid").as("qcell"))
-    val indexed = ivfAssignments(s, d, name).join(embStore(s, d, name),
-      "vec_id")
+      .select(col("qid"), col("xq").as("qxq"), col("cid").as("qcell"))
+    val indexed = ivfAssignments(s, d, name).join(
+      quantized(embStore(s, d, name), "vec_id", "embedding"), "vec_id")
     val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      .partitionBy("qid").orderBy(col("d2"), col("vec_id"))
     probes.join(indexed, col("qcell") === col("cell")
       && col("qid") =!= col("vec_id"))
-      .withColumn("cos", round(cosCol("qv", "embedding",
-        col("qn"), col("norm")), 6))
+      .withColumn("d2", l2sq(col("qxq"), col("xq")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rn"))
+      .select(col("qid"), col("vec_id").as("nid"), col("d2"), col("rn"))
       .orderBy("qid", "rn")
   }
 
@@ -463,55 +492,62 @@ object Sketches {
   val PqM = 8
   val PqK = 32
 
-  /** Unit-normalized subvector rows (vec_id, m, sv). PQ for cosine
-    * encodes the NORMALIZED vectors, so the additive approximation
-    * Σ_m dot(q_m, c_{m,code_m}) approximates the cosine itself. */
-  private def pqSubvectors(src: DataFrame): DataFrame =
-    src.select(col("vec_id"), posexplode(expr(
+  /** Quantized subvector rows (vec_id, m, sq): the integer-basis xq
+    * split into PqM contiguous blocks. The corpus is unit-norm by
+    * contract ([[quantized]]), so per-subspace L2 on these blocks sums
+    * to the full-vector squared distance — and ADC (the sum of
+    * per-subspace distances to the assigned codewords) approximates
+    * 2·(1 − cos)·1e12 additively, exactly the classic L2-ADC form. */
+  private def pqSubQ(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), posexplode(expr(
       s"""transform(sequence(0, $PqM - 1),
-         |  m -> slice(transform(embedding, x -> x / norm),
-         |             m * (size(embedding) div $PqM) + 1,
-         |             size(embedding) div $PqM))""".stripMargin))
-      .as(Seq("m", "sv")))
+         |  m -> slice(xq, m * (size(xq) div $PqM) + 1,
+         |             size(xq) div $PqM))""".stripMargin))
+      .as(Seq("m", "sq")))
 
-  /** Per-subspace assignment: argmin-L2 over that subspace's centroids
-    * expressed as max_by(dot - ||c||²/2) (the ||sv||² term is constant
-    * per row), ties to the smallest cid. `cb` must be (m, cid, cv, cn2)
-    * and is broadcast — K*M rows. */
-  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
+  /** Per-subspace assignment: integer-L2 argmin over that subspace's
+    * centroids, ties to the smallest cid — the same min(struct(d, cid))
+    * tie-break as [[assignQ]]. `cb` must be (m, cid, cv) and is
+    * broadcast — K*M rows. */
+  private def pqAssignQ(sv: DataFrame, cb: DataFrame): DataFrame =
     sv.join(broadcast(cb), "m")
-      .withColumn("score", round(
-        graft.functions.VectorFunctions.dot(col("sv"), col("cv"))
-          - col("cn2") / 2, 9))
       .groupBy("vec_id", "m")
-      .agg(expr("max_by(cid, struct(score, -cid))").as("cid"))
+      .agg(min(struct(l2sq(col("sq"), col("cv")).as("d"),
+        col("cid"))).as("_dc"))
+      .select(col("vec_id"), col("m"), col("_dc.cid").as("cid"))
 
-  private def withCn2(cb: DataFrame): DataFrame =
-    cb.withColumn("cn2", expr(
-      "aggregate(cv, 0d, (acc, x) -> acc + x * x)"))
-
-  /** The PQ codebook (m, cid, cv, cn2), STAGE-CACHED per (session,
-    * dir) like [[ivfCodebook]] and derived the same way: hash-seeded
-    * real data points (the same PqK vectors seed every subspace), then
-    * three Lloyd rounds per subspace with scaled-long integer sums so
-    * the result is bit-deterministic across partitionings. All M
-    * subspaces train in ONE plan per round — the per-m grouping rides
-    * the same shuffles. */
-  /** The PQ training loop over an arbitrary (vec_id, embedding, norm)
-    * corpus — factored like [[trainIvf]] for [[retrainAnnIndex]]. */
-  private def trainPq(base: DataFrame): DataFrame = {
-    val sv = pqSubvectors(base)
+  /** The PQ training loop over an arbitrary (vec_id, embedding, …)
+    * corpus — factored like [[trainIvf]] for [[retrainAnnIndex]].
+    * Same integer discipline as the IVF loop: md5-order seeds (the
+    * same PqK vectors seed every subspace), three Lloyd rounds of
+    * integer-L2 argmin + truncating integer mean with carry-forward,
+    * so the (m, cid, cv) codebook is DuckDB-replayable bit-exact. All
+    * M subspaces train in ONE plan per round — the per-m grouping
+    * rides the same shuffles. */
+  private def trainPq(vecs: DataFrame): DataFrame = {
+    val q = quantized(vecs, "vec_id", "embedding")
+    val sv = pqSubQ(q)
     val wSeed = org.apache.spark.sql.expressions.Window
-      .orderBy("h", "vec_id")
-    val seedIds = base
-      .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
-      .orderBy("h").limit(PqK)
-      .select(col("vec_id"), (row_number().over(wSeed) - 1).as("cid"))
-    val seeds = withCn2(sv.join(broadcast(seedIds), "vec_id")
-      .select(col("m"), col("cid"), col("sv").as("cv")))
-    def lloyd(cb: DataFrame): DataFrame =
-      withCn2(meanVectors(
-        pqAssign(sv, cb).join(sv, Seq("vec_id", "m")), "sv", "m", "cid"))
+      .orderBy(col("h"), col("vec_id"))
+    val seedIds = q
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .select(col("vec_id"),
+        (row_number().over(wSeed) - 1).cast("long").as("cid"))
+    val seeds = sv.join(broadcast(seedIds), "vec_id")
+      .select(col("m"), col("cid"), col("sq").as("cv"))
+    def lloyd(cb: DataFrame): DataFrame = {
+      val mv = pqAssignQ(sv, cb).join(sv, Seq("vec_id", "m"))
+        .select(col("m"), col("cid"),
+          posexplode(col("sq")).as(Seq("pos", "x")))
+        .groupBy("m", "cid", "pos")
+        .agg(expr("sum(x) div count(*)").as("cx"))
+        .groupBy("m", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
+          " p -> p.cx)").as("mv"))
+      cb.join(mv, Seq("m", "cid"), "left")
+        .select(col("m"), col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+    }
     // Same per-round lineage truncation as [[trainIvf]]: the M x K
     // codebook is tiny, and an un-truncated round-3 plan re-runs the
     // round-1/2 subplans inside its broadcast subquery.
@@ -536,7 +572,7 @@ object Sketches {
     liveView(s, d, VecTombs, name,
       graft.StageCache.memoized(s, d,
         if (name.isEmpty) "pqcodes" else s"pqcodes@$name")(
-        pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d, name))),
+        codesOf(s, d, embBase(s, d), name)),
       "vec_id")
 
   /** Close the ANN maintained-index loop (the embedding-side analogue
@@ -575,11 +611,11 @@ object Sketches {
       .localCheckpoint(true)
     graft.StageCache.appendTo(s, d, s"embstore@$name")(embBase(s, d))(b)
     graft.StageCache.appendTo(s, d, s"ivfassign@$name")(
-      assign1(embBase(s, d), ivfCodebook(s, d, name)).select("vec_id", "cell"))(
-      assign1(b, ivfCodebook(s, d, name)).select("vec_id", "cell"))
+      assignOf(s, d, embBase(s, d), name))(
+      assignOf(s, d, b, name))
     graft.StageCache.appendTo(s, d, s"pqcodes@$name")(
-      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d, name)))(
-      pqAssign(pqSubvectors(b), pqCodebook(s, d, name)))
+      codesOf(s, d, embBase(s, d), name))(
+      codesOf(s, d, b, name))
     // CAP-ANN-DRIFT: every ingest batch leaves a recall probe behind —
     // a deterministic sample of the admitted vectors graded against a
     // bounded reservoir of the live store (see [[recordAnnProbe]]), so
@@ -597,14 +633,12 @@ object Sketches {
     * corpus (the same role [[bandsOf]] plays for the MinHash index). */
   private[graft] def assignOf(s: SparkSession, d: String,
       vecs: DataFrame, name: String = ""): DataFrame =
-    assign1(vecs.select(col("vec_id"), col("embedding"),
-      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm")),
-      ivfCodebook(s, d, name)).select("vec_id", "cell")
+    assignQ(quantized(vecs, "vec_id", "embedding"),
+      ivfCodebook(s, d, name))
 
   private[graft] def codesOf(s: SparkSession, d: String,
       vecs: DataFrame, name: String = ""): DataFrame =
-    pqAssign(pqSubvectors(vecs.select(col("vec_id"), col("embedding"),
-      graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))),
+    pqAssignQ(pqSubQ(quantized(vecs, "vec_id", "embedding")),
       pqCodebook(s, d, name))
 
   /** Flat-PQ ANN for an arbitrary query frame `(qid, qv)`: the query
@@ -625,33 +659,30 @@ object Sketches {
   def pqSearch(s: SparkSession, d: String, queries: DataFrame,
       rerank: Long => Int, k: Int = 3, name: String = ""): DataFrame = {
     val pool0 = math.max(k, rerank(embStore(s, d, name).count()))
-    val qn = queries.select(col("qid"), col("qv"),
-      graft.functions.VectorFunctions.l2norm(col("qv")).as("norm"))
-    val dtable = pqSubvectors(qn.select(col("qid").as("vec_id"),
-        col("qv").as("embedding"), col("norm")))
+    val qq = quantized(queries, "qid", "qv")
+    val dtable = pqSubQ(qq.select(col("qid").as("vec_id"), col("xq")))
       .join(broadcast(pqCodebook(s, d, name)), "m")
       .select(col("vec_id").as("qid"), col("m"), col("cid"),
-        graft.functions.VectorFunctions.dot(col("sv"), col("cv")).as("pdot"))
+        l2sq(col("sq"), col("cv")).as("pd2"))
     val approx = pqCodes(s, d, name)
       .join(broadcast(dtable), Seq("m", "cid"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
-      .agg(round(sum("pdot"), 9).as("adc"))
+      .agg(sum("pd2").as("adc"))
     val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+      .partitionBy("qid").orderBy(col("adc"), col("vec_id"))
     val pool = approx
       .withColumn("arn", row_number().over(wA))
       .filter(col("arn") <= pool0)
       .select("qid", "vec_id")
     val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    pool.join(embStore(s, d, name), "vec_id")
-      .join(qn.select(col("qid"), col("qv"), col("norm").as("qn")), "qid")
-      .withColumn("cos", round(cosCol("qv", "embedding",
-        col("qn"), col("norm")), 6))
+      .partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+    pool.join(quantized(embStore(s, d, name), "vec_id", "embedding"), "vec_id")
+      .join(qq.select(col("qid"), col("xq").as("qxq")), "qid")
+      .withColumn("d2", l2sq(col("qxq"), col("xq")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rn"))
+      .select(col("qid"), col("vec_id").as("nid"), col("d2"), col("rn"))
       .orderBy("qid", "rn")
   }
 
@@ -681,63 +712,73 @@ object Sketches {
     val cents = ivfCodebook(s, d, name)
     val np = math.max(1, nprobe(cents.count().toInt))
     val pool0 = math.max(k, rerank(embStore(s, d, name).count()))
-    val qn = queries.select(col("qid"), col("qv"),
-      graft.functions.VectorFunctions.l2norm(col("qv")).as("norm"))
+    val qq = quantized(queries, "qid", "qv")
     val wq0 = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val probes = withCcos(qn.select(col("qid").as("vec_id"),
-        col("qv").as("embedding"), col("norm")), cents)
+      .partitionBy("qid").orderBy(col("cd"), col("cid"))
+    val probes = qq.crossJoin(broadcast(cents))
+      .withColumn("cd", l2sq(col("xq"), col("cv")))
       .withColumn("crn", row_number().over(wq0))
       .filter(col("crn") <= np)
-      .select(col("vec_id").as("qid"), col("cid").as("qcell"))
+      .select(col("qid"), col("cid").as("qcell"))
     val cand = probes.join(ivfAssignments(s, d, name),
         col("qcell") === col("cell") && col("qid") =!= col("vec_id"))
       .select("qid", "vec_id")
-    val dtable = pqSubvectors(qn.select(col("qid").as("vec_id"),
-        col("qv").as("embedding"), col("norm")))
+    val dtable = pqSubQ(qq.select(col("qid").as("vec_id"), col("xq")))
       .join(broadcast(pqCodebook(s, d, name)), "m")
       .select(col("vec_id").as("qid"), col("m"), col("cid"),
-        graft.functions.VectorFunctions.dot(col("sv"), col("cv")).as("pdot"))
+        l2sq(col("sq"), col("cv")).as("pd2"))
     val approx = cand
       .join(pqCodes(s, d, name), "vec_id")
       .join(broadcast(dtable), Seq("qid", "m", "cid"))
       .groupBy("qid", "vec_id")
-      .agg(round(sum("pdot"), 9).as("adc"))
+      .agg(sum("pd2").as("adc"))
     val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+      .partitionBy("qid").orderBy(col("adc"), col("vec_id"))
     val pool = approx
       .withColumn("arn", row_number().over(wA))
       .filter(col("arn") <= pool0)
       .select("qid", "vec_id")
     val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    pool.join(embStore(s, d, name), "vec_id")
-      .join(qn.select(col("qid"), col("qv"), col("norm").as("qn")), "qid")
-      .withColumn("cos", round(cosCol("qv", "embedding",
-        col("qn"), col("norm")), 6))
+      .partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+    pool.join(quantized(embStore(s, d, name), "vec_id", "embedding"), "vec_id")
+      .join(qq.select(col("qid"), col("xq").as("qxq")), "qid")
+      .withColumn("d2", l2sq(col("qxq"), col("xq")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rn"))
+      .select(col("qid"), col("vec_id").as("nid"), col("d2"), col("rn"))
       .orderBy("qid", "rn")
   }
 
   /** Per-document 64-bit SimHash signatures (doc_id, simhash) —
     * stage-cached per corpus: the tokenize + 64-column majority-vote
     * aggregation is per-corpus work (a maintained signature table at
-    * 100 TB, same argument as the hyperplane index). */
+    * 100 TB, same argument as the hyperplane index). Since r19 the
+    * per-word bits come from md5(word)'s first 16 hex chars (bit
+    * j = bit (j%4) of hex nibble (j div 4), via the locate/strpos
+    * hexval both engines share) instead of xxhash64 — which makes the
+    * whole signature, band join, and Hamming verify DuckDB-replayable
+    * (r18 verdict #3's family). */
   def simhashSigs(s: SparkSession, d: String): DataFrame =
     graft.StageCache.memoized(s, d, "simhash") {
       val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(graft.ops.TextSim.normTokens(col("text"))).as("word"))
-        .select(col("doc_id"), xxhash64(col("word")).as("h"))
-      val bitSums = (0 until 64).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"s$j"))
+        .select(col("doc_id"),
+          explode(graft.ops.TextSim.normTokens(col("text"))).as("word"))
+        .select(col("doc_id"), md5(col("word")).as("h"))
+      val bitSums = (0 until 64).map { j =>
+        val p = j / 4 + 1
+        val k = 1 << (j % 4)
+        sum(when(expr(s"((locate(substring(h, $p, 1)," +
+          s" '0123456789abcdef') - 1) div $k) % 2") === 1, 1)
+          .otherwise(-1)).as(s"s$j")
+      }
       val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      // Disjoint-bit SUM assembly (not OR) so the identical expression
+      // unrolls in DuckDB, where 1::BIGINT << 63 is out of range: bit
+      // 63's term is the Long.MinValue literal itself.
       val simhash = (0 until 64)
-        .map(j => when(col(s"s$j") > 0, shiftleft(lit(1L), j))
-          .otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _)
+        .map(j => when(col(s"s$j") > 0,
+          lit(if (j == 63) Long.MinValue else 1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
       sums.select(col("doc_id"), simhash.as("simhash"))
     }
 
@@ -1145,9 +1186,9 @@ object Sketches {
         .coalesce(targetFiles)
     graft.StageCache.rewrite(s, d, s"embstore@$name")(embBase(s, d))(drop)
     graft.StageCache.rewrite(s, d, s"ivfassign@$name")(
-      assign1(embBase(s, d), ivfCodebook(s, d, name)).select("vec_id", "cell"))(drop)
+      assignOf(s, d, embBase(s, d), name))(drop)
     graft.StageCache.rewrite(s, d, s"pqcodes@$name")(
-      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d, name)))(drop)
+      codesOf(s, d, embBase(s, d), name))(drop)
     graft.StageCache.rewrite(s, d, tombStage(VecTombs, name))(
       s.range(0).select(col("id")))(_.limit(0).coalesce(1))
   }
@@ -1166,8 +1207,12 @@ object Sketches {
     * periodic heavyweight job, vs the O(batch) upsert and O(request)
     * delete. After a retrain, [[upsertIntoAnnIndex]] freezes the NEW
     * codebooks (append ≡ rebuild still pinned, now against them).
-    * LifecycleSpec measures recall on a drifted query set recovering
-    * after retrain. */
+    * LifecycleSpec pins the thresholded diversity metric recovering
+    * after retrain, lockstep artifact swaps, and adequately-pooled
+    * retrieval staying intact (tiny-pool intra-cone recall can
+    * measurably DROP after a retrain — optimal quantization gives a
+    * tight drifted cone few codewords; see the spec's calibration
+    * comment). */
   def retrainAnnIndex(s: SparkSession, d: String, name: String,
       targetFiles: Int = 4): Unit = {
     require(name.nonEmpty,
@@ -1184,13 +1229,13 @@ object Sketches {
     graft.StageCache.rewrite(s, d, s"embstore@$name")(embBase(s, d))(
       _ => store.coalesce(targetFiles))
     graft.StageCache.rewrite(s, d, s"ivfassign@$name")(
-      assign1(embBase(s, d), ivfCodebook(s, d, name))
-        .select("vec_id", "cell"))(
-      _ => assign1(store, newIvf).select("vec_id", "cell")
+      assignOf(s, d, embBase(s, d), name))(
+      _ => assignQ(quantized(store, "vec_id", "embedding"), newIvf)
         .coalesce(targetFiles))
     graft.StageCache.rewrite(s, d, s"pqcodes@$name")(
-      pqAssign(pqSubvectors(embBase(s, d)), pqCodebook(s, d, name)))(
-      _ => pqAssign(pqSubvectors(store), newPq).coalesce(targetFiles))
+      codesOf(s, d, embBase(s, d), name))(
+      _ => pqAssignQ(pqSubQ(quantized(store, "vec_id", "embedding")), newPq)
+        .coalesce(targetFiles))
     graft.StageCache.rewrite(s, d, tombStage(VecTombs, name))(
       s.range(0).select(col("id")))(_.limit(0).coalesce(1))
     // Retraining is exactly the event the drift series must reflect:
@@ -1222,10 +1267,11 @@ object Sketches {
   private def emptyProbes(s: SparkSession): DataFrame =
     s.range(0).select(col("id").as("seq"), col("id").as("n_queries"),
       col("id").cast("double").as("recall"),
-      col("id").cast("double").as("fidelity"))
+      col("id").cast("double").as("fidelity"),
+      col("id").cast("double").as("diversity"))
 
   /** The stored drift series of a named ANN instance: one row
-    * (seq, n_queries, recall, fidelity) per [[upsertIntoAnnIndex]]
+    * (seq, n_queries, recall, fidelity, diversity) per [[upsertIntoAnnIndex]]
     * batch and per [[retrainAnnIndex]] — the continuously-maintained
     * signal that tells an operator WHEN the deliberate retrain is due,
     * instead of leaving codebook drift to judgment. Empty until the
@@ -1235,21 +1281,29 @@ object Sketches {
     graft.StageCache.memoized(s, d, probeStage(name))(emptyProbes(s))
   }
 
-  /** Latest stored FIDELITY (quantization health), None before any
+  /** Latest stored DIVERSITY (code-space health), None before any
     * mutation. The operator contract: below 0.8, schedule
-    * [[retrainAnnIndex]]. Fidelity — mean cosine between a sampled
-    * vector and its PQ reconstruction — is the thresholded metric
-    * because it is scale-free and monotone in what drift actually
-    * breaks (code expressiveness on new data); the reservoir pool
-    * recall stored next to it is the end-to-end corroboration, but its
-    * absolute value depends on how distinguishable the reservoir's
-    * neighbors are (a cone of near-identical drifted vectors bottoms
-    * it out even for a perfect codebook). On the LifecycleSpec drift
-    * fixture: fidelity 0.66 / recall 0.17 while drifted, fidelity
-    * 0.94 / recall 0.5 after retrain, healthy corpus baseline ~0.89. */
+    * [[retrainAnnIndex]]. Diversity = 1 − the mean per-subspace
+    * Herfindahl index of the sample's code usage (Σ share² per
+    * subspace, averaged over the PqM subspaces) — scale-free, and it
+    * measures the failure mode drift actually causes in a compressed
+    * index: new vectors CONCENTRATING onto a few codewords per
+    * subspace, after which ADC cannot rank among them no matter how
+    * wide the pool. Re-anchored in r19 when the family moved to the
+    * integer basis, by MEASUREMENT (sf0.001, DuckDB replay of the
+    * trained codebook): a healthy batch spreads over ~30 of 32
+    * codewords per subspace (HHI 0.042, diversity 0.958) while the
+    * LifecycleSpec drift cone lands on ~6 (HHI 0.557, diversity
+    * 0.443) — wide margins on both sides of the 0.8 bar. The old
+    * thresholded metric, mean reconstruction cosine, was measured NOT
+    * to separate this collapse mode at all (healthy ~0.743 vs
+    * drifted-batch ~0.746); it is kept in the stored row as
+    * corroborating context, alongside the reservoir pool recall
+    * (whose absolute value bottoms out on a cone of near-identical
+    * drifted vectors even for a perfect codebook). */
   def annDriftMetric(s: SparkSession, d: String, name: String): Option[Double] =
     annDriftProbes(s, d, name).orderBy(col("seq").desc).limit(1)
-      .collect().headOption.map(_.getAs[Double]("fidelity"))
+      .collect().headOption.map(_.getAs[Double]("diversity"))
 
   /** Measure + store one probe row. Two measurements over a
     * deterministic sample of `queries`:
@@ -1261,9 +1315,10 @@ object Sketches {
     *    costs the same at any corpus size; at 100 TB: a held-out
     *    validation partition);
     *  - FIDELITY: mean cosine between each sampled vector and its PQ
-    *    reconstruction (Σ_m dot(sv_m, cv_m) / √Σ_m |cv_m|² on the
-    *    L2-normalized vector) — pure per-vector arithmetic against the
-    *    broadcast codebook.
+    *    reconstruction, from UNSHIFTED integers — exact long partials,
+    *    one double sqrt + divide per vector;
+    *  - DIVERSITY (the thresholded metric — see [[annDriftMetric]]):
+    *    1 − mean per-subspace Herfindahl of the sample's code usage.
     * Skips silently when there is nothing to grade (empty batch —
     * replayed upserts stay no-ops). */
   private def recordAnnProbe(s: SparkSession, d: String, name: String,
@@ -1272,57 +1327,67 @@ object Sketches {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(ProbeReservoir)
       .localCheckpoint(true)
-    val qn = queries
-      .select(col("qid"), col("qv"),
-        graft.functions.VectorFunctions.l2norm(col("qv")).as("qn"))
-      .localCheckpoint(true)
+    val resQ = quantized(res, "vec_id", "embedding").localCheckpoint(true)
+    val qq = quantized(queries, "qid", "qv").localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    val exact = qn.crossJoin(res)
+      .partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+    val exact = qq.select(col("qid"), col("xq").as("qxq")).crossJoin(resQ)
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosCol("qv", "embedding", col("qn"), col("norm")))
+      .withColumn("d2", l2sq(col("qxq"), col("xq")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     if (exact.isEmpty) return
-    val dtable = pqSubvectors(qn.select(col("qid").as("vec_id"),
-        col("qv").as("embedding"), col("qn").as("norm")))
+    val qsv = pqSubQ(qq.select(col("qid").as("vec_id"), col("xq")))
+    val dtable = qsv
       .join(broadcast(pqCodebook(s, d, name)), "m")
       .select(col("vec_id").as("qid"), col("m"), col("cid"),
-        graft.functions.VectorFunctions.dot(col("sv"), col("cv")).as("pdot"))
+        l2sq(col("sq"), col("cv")).as("pd2"))
     val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+      .partitionBy("qid").orderBy(col("adc"), col("vec_id"))
     val pool = pqCodes(s, d, name)
       .join(broadcast(res.select("vec_id")), Seq("vec_id"))
       .join(broadcast(dtable), Seq("m", "cid"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
-      .agg(round(sum("pdot"), 9).as("adc"))
+      .agg(sum("pd2").as("adc"))
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") <= ProbePool)
       .select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(pool).size.toDouble / exact.size
     val cb = pqCodebook(s, d, name)
-    val fidelity = pqSubvectors(qn.select(col("qid").as("vec_id"),
-        col("qv").as("embedding"), col("qn").as("norm")))
-      .join(broadcast(cb.select("m", "cid", "cv", "cn2")), "m")
-      .withColumn("score", round(
-        graft.functions.VectorFunctions.dot(col("sv"), col("cv"))
-          - col("cn2") / 2, 9))
-      .groupBy("vec_id", "m")
-      .agg(expr("max_by(struct(sv, cv, cn2), struct(score, -cid))").as("t"))
+    // Reconstruction cosine from UNSHIFTED integers (xi − ShiftQ): the
+    // +4 shift cancels in L2 but not in dot products, so the partial
+    // per-m dot/norm sums subtract it first — exact longs, order-free;
+    // one double sqrt + divide per query vector at the end.
+    def udot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x - lit(Clustering.ShiftQ)) * (y - lit(Clustering.ShiftQ))),
+        lit(0L), (acc, v) => acc + v)
+    val fidelity = pqAssignQ(qsv, cb)
+      .join(qsv, Seq("vec_id", "m"))
+      .join(broadcast(cb), Seq("m", "cid"))
       .groupBy("vec_id")
-      .agg((sum(graft.functions.VectorFunctions
-        .dot(col("t.sv"), col("t.cv"))) / sqrt(sum(col("t.cn2"))))
-        .as("rc"))
+      .agg(sum(udot(col("sq"), col("cv"))).as("dq"),
+        sum(udot(col("sq"), col("sq"))).as("nx"),
+        sum(udot(col("cv"), col("cv"))).as("nr"))
+      .select((col("dq") / (sqrt(col("nx")) * sqrt(col("nr")))).as("rc"))
       .agg(avg("rc")).collect()(0).getDouble(0)
+    val meanHhi = pqAssignQ(qsv, cb)
+      .groupBy("m", "cid").agg(count(lit(1)).as("cnt"))
+      .groupBy("m")
+      .agg((sum(col("cnt") * col("cnt")) /
+        (sum(col("cnt")) * sum(col("cnt")))).as("hhi"))
+      .agg(avg("hhi")).collect()(0).getDouble(0)
+    val diversity = 1.0 - meanHhi
     val nq = exact.map(_._1).size.toLong
     val seq = annDriftProbes(s, d, name).count() + 1
     graft.StageCache.appendTo(s, d, probeStage(name))(emptyProbes(s))(
       s.range(1).select(lit(seq).as("seq"), lit(nq).as("n_queries"),
-        lit(recall).as("recall"), lit(fidelity).as("fidelity")))
+        lit(recall).as("recall"), lit(fidelity).as("fidelity"),
+        lit(diversity).as("diversity")))
   }
 
   /** Sketch-table compaction: fold the appended per-batch rows down to
@@ -1357,6 +1422,253 @@ object Sketches {
       sketchRowsOf(Tables.documents(s, d)))(
       _ => sketchRowsOf(retained.select("lang", "text")))
   }
+
+  // ---- DuckDB oracle builders for the ANN family (r19) -------------------
+  // q_sim_ann_ivf / _pq / _ivfpq are hash-checked because every step is
+  // integer arithmetic on the shared (x+4)*1e6 quantization: the CTEs
+  // below unroll the SAME recurrences as Clustering.kmeansCtes —
+  // md5-order seeds, integer-L2 assignment with the (d, cid) tie-break,
+  // truncating integer mean with carry-forward — then replay the
+  // probe / ADC / rerank ranks exactly.
+
+  /** Quantization CTE (vec_id, idx, xi) — the exactly-normalized
+    * integer basis of [[quantized]], emitted locally so the ANN
+    * oracles are self-contained — plus the fixture query set. */
+  private def annEqCte: String =
+    """rq AS (SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+      |    CAST(trunc(unnest(CAST(embedding AS DOUBLE[])) * 1000000.0)
+      |      AS BIGINT) AS ri
+      |  FROM embeddings),
+      |n2 AS (SELECT vec_id, CAST(sum(ri * ri) AS BIGINT) AS n2
+      |  FROM rq GROUP BY 1),
+      |eq AS MATERIALIZED (SELECT r.vec_id, r.idx,
+      |    CAST(trunc(CAST(r.ri * 1000000 AS DOUBLE)
+      |      / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) + 4000000 AS xi
+      |  FROM rq r JOIN n2 n USING (vec_id)),
+      |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 97 = 0)"""
+
+  /** The IVF training recurrence + final corpus cell assignment —
+    * [[trainIvf]] / [[assignQ]] unrolled. The realized cell count
+    * always equals the seeded greatest(2, ceil(sqrt(N))) because the
+    * carry-forward M-step never drops a cid, on BOTH sides. */
+  private def ivfCtes: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""ivd$i AS (SELECT e.vec_id, c.cid,
+        |    CAST(sum((e.xi - c.c) * (e.xi - c.c)) AS BIGINT) AS d
+        |  FROM eq e JOIN ivc${i - 1} c ON e.idx = c.idx GROUP BY 1, 2),
+        |iva$i AS MATERIALIZED (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ivd$i)
+        |  WHERE rn = 1),
+        |ivc$i AS MATERIALIZED (
+        |  SELECT p.cid, p.idx, coalesce(m.c, p.c) AS c
+        |  FROM ivc${i - 1} p LEFT JOIN (
+        |    SELECT a.cid, e.idx,
+        |      CAST(sum(e.xi) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+        |    FROM iva$i a JOIN eq e USING (vec_id) GROUP BY 1, 2) m
+        |  ON p.cid = m.cid AND p.idx = m.idx)"""
+    }.mkString(",\n")
+    s"""cn AS (SELECT greatest(2, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
+      |    AS BIGINT)) AS c FROM embeddings),
+      |ivsd AS MATERIALIZED (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, row_number() OVER (
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      |    FROM embeddings), cn WHERE cid < cn.c),
+      |ivc0 AS MATERIALIZED (
+      |  SELECT sd.cid, e.idx, e.xi AS c
+      |  FROM ivsd sd JOIN eq e USING (vec_id)),
+      |$rounds,
+      |ivdf AS (SELECT e.vec_id, c.cid,
+      |    CAST(sum((e.xi - c.c) * (e.xi - c.c)) AS BIGINT) AS d
+      |  FROM eq e JOIN ivc3 c ON e.idx = c.idx GROUP BY 1, 2),
+      |ivasg AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ivdf)
+      |  WHERE rn = 1)"""
+  }
+
+  /** Each query ranks the trained centroids by integer L2 and keeps
+    * its greatest(2, ceil(frac·C)) nearest cells — [[ivfSearch]]'s
+    * probe stage at the registry's fixture knob. */
+  private def ivfProbeCtes(frac: Double): String =
+    s"""qd AS (SELECT q.qid, c.cid,
+      |    CAST(sum((e.xi - c.c) * (e.xi - c.c)) AS BIGINT) AS d
+      |  FROM qs q JOIN eq e ON e.vec_id = q.qid
+      |  JOIN ivc3 c ON c.idx = e.idx GROUP BY 1, 2),
+      |probes AS (SELECT qid, cid FROM (
+      |    SELECT qid, cid, row_number() OVER (
+      |      PARTITION BY qid ORDER BY d, cid) AS crn FROM qd), cn
+      |  WHERE crn <= greatest(2, CAST(ceil($frac * cn.c) AS BIGINT)))""" +
+      ",\ncand AS (SELECT p.qid, a.vec_id FROM probes p" +
+      "\n  JOIN ivasg a ON a.cell = p.cid AND a.vec_id <> p.qid)"
+
+  /** The PQ training recurrence + the corpus code table — [[trainPq]] /
+    * [[pqAssignQ]] unrolled; all M subspaces ride one CTE chain via the
+    * m grouping column, exactly like the Spark plan. */
+  private def pqCtes: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""pqd$i AS (SELECT q.vec_id, q.m, c.cid,
+        |    CAST(sum((q.xi - c.c) * (q.xi - c.c)) AS BIGINT) AS d
+        |  FROM sq q JOIN pqc${i - 1} c ON q.m = c.m AND q.j = c.j
+        |  GROUP BY 1, 2, 3),
+        |pqa$i AS MATERIALIZED (SELECT vec_id, m, cid FROM (
+        |    SELECT vec_id, m, cid, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM pqd$i)
+        |  WHERE rn = 1),
+        |pqc$i AS MATERIALIZED (
+        |  SELECT p.m, p.cid, p.j, coalesce(n.c, p.c) AS c
+        |  FROM pqc${i - 1} p LEFT JOIN (
+        |    SELECT a.m, a.cid, q.j,
+        |      CAST(sum(q.xi) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+        |    FROM pqa$i a JOIN sq q ON q.vec_id = a.vec_id AND q.m = a.m
+        |    GROUP BY 1, 2, 3) n
+        |  ON p.m = n.m AND p.cid = n.cid AND p.j = n.j)"""
+    }.mkString(",\n")
+    s"""dims AS (SELECT max(idx) // $PqM AS sub FROM eq),
+      |sq AS MATERIALIZED (SELECT vec_id, (idx - 1) // dims.sub AS m,
+      |    (idx - 1) % dims.sub AS j, xi FROM eq, dims),
+      |pqsd AS MATERIALIZED (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, row_number() OVER (
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      |    FROM embeddings) WHERE cid < $PqK),
+      |pqc0 AS MATERIALIZED (
+      |  SELECT q.m, sd.cid, q.j, q.xi AS c
+      |  FROM pqsd sd JOIN sq q USING (vec_id)),
+      |$rounds,
+      |pqdf AS (SELECT q.vec_id, q.m, c.cid,
+      |    CAST(sum((q.xi - c.c) * (q.xi - c.c)) AS BIGINT) AS d
+      |  FROM sq q JOIN pqc3 c ON q.m = c.m AND q.j = c.j GROUP BY 1, 2, 3),
+      |codes AS MATERIALIZED (SELECT vec_id, m, cid FROM (
+      |    SELECT vec_id, m, cid, row_number() OVER (
+      |      PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM pqdf)
+      |  WHERE rn = 1)"""
+  }
+
+  /** The ADC scan + pool cut — [[pqSearch]]'s compressed-domain stage.
+    * `candRestrict` optionally limits the scored pairs to the IVF
+    * candidate set (the IVFPQ composition); `poolExpr` is the rerank
+    * pool bound over `nt.n` (the corpus count). */
+  private def pqAdcCtes(candRestrict: Boolean, poolExpr: String): String = {
+    val cand = if (candRestrict)
+      "\n    JOIN cand cd ON cd.qid = t.qid AND cd.vec_id = k.vec_id" else ""
+    s"""qdt AS (SELECT q.qid, s.m, c.cid,
+      |    CAST(sum((s.xi - c.c) * (s.xi - c.c)) AS BIGINT) AS pd2
+      |  FROM qs q JOIN sq s ON s.vec_id = q.qid
+      |  JOIN pqc3 c ON c.m = s.m AND c.j = s.j GROUP BY 1, 2, 3),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |adc AS (SELECT t.qid, k.vec_id, CAST(sum(t.pd2) AS BIGINT) AS adc
+      |  FROM codes k JOIN qdt t ON t.m = k.m AND t.cid = k.cid
+      |    AND k.vec_id <> t.qid$cand
+      |  GROUP BY 1, 2),
+      |pool AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (
+      |      PARTITION BY qid ORDER BY adc, vec_id) AS arn FROM adc), nt
+      |  WHERE arn <= $poolExpr)"""
+  }
+
+  /** Capped distinct STRING word-3-grams (doc_id, gram) — the md5
+    * MinHash signatures hash the gram TEXT, so both engines hash
+    * identical bytes (the hashed-long gram kernel is engine-native,
+    * which is exactly what kept q_dedup_minhash no-oracle through
+    * r18). Stage-cached: the corpus tokenize + gram fan-out is
+    * per-corpus work, like the hashed postings. Same stop-gram df cap
+    * as every near-dup query, spelled identically in the oracle. */
+  private def stringGrams(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "mhsgrams") {
+      val g0 = Tables.documents(s, d)
+        .select(col("doc_id"), TextSim.normTokens(col("text")).as("ws"))
+        .select(col("doc_id"), explode(TextSim.wordGrams3("ws")).as("gram"))
+        .distinct()
+      val ok = g0.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= TextSim.DfCap).select("gram")
+      g0.join(ok, "gram").select("doc_id", "gram")
+    }
+
+  /** q_dedup_minhash's DuckDB unroll: the same tokenize → 3-gram →
+    * df-cap chain as the q_dedup_ngram oracle, then the md5 hash
+    * family — per-function minima as hex strings, band keys as md5 of
+    * the joined minima — and the band-bucket self-join. */
+  private def minhashOracle: String = {
+    val mhs = (0 until NumHashes)
+      .map(i => s"min(md5('$i|' || gram)) AS mh$i").mkString(",\n    ")
+    val bandRows = (0 until Bands).map { b =>
+      val parts = (b * 4 until b * 4 + 4).map(i => s"mh$i")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, ${TextSim.TokSql()} AS ws FROM documents),
+      |g0 AS (SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(ws[i:i+2], ' ')
+      |      for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+      |  FROM w),
+      |ok AS (SELECT gram FROM g0
+      |  GROUP BY gram HAVING count(*) <= ${TextSim.DfCap}),
+      |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN ok USING (gram)),
+      |sig AS (SELECT doc_id,
+      |    $mhs
+      |  FROM g GROUP BY doc_id),
+      |bands AS ($bandRows)
+      |SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |  CAST(count(*) AS BIGINT) AS n_bands
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY ida, idb"""
+  }
+
+  /** q_dedup_simhash's DuckDB unroll: the same tokenizer, the same
+    * md5-derived 64 bits per word (locate/strpos hexval — see
+    * [[simhashSigs]]), the same disjoint-bit sum assembly (bit 63 is
+    * the Long.MinValue literal, spelled arithmetically because the
+    * positional literal would overflow DuckDB's parser), the same
+    * 4 x 16-bit band join and Hamming <= 12 verify. Shift-then-mask
+    * band extraction is sign-safe in both engines (the & 65535 keeps
+    * only the 16 shifted-down bits either way). */
+  private def simhashOracle: String = {
+    val sums = (0 until 64).map { j =>
+      val p = j / 4 + 1
+      val k = 1 << (j % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, $p, 1))" +
+        s" - 1) // $k) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n    ")
+    val sigExpr = (0 until 64).map { j =>
+      val term =
+        if (j == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+        else s"CAST(${1L << j} AS BIGINT)"
+      s"CASE WHEN s$j > 0 THEN $term ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n    + ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band," +
+        s" (simhash >> ${b * 16}) & 65535 AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, ${TextSim.TokSql()} AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      |hx AS (SELECT doc_id, md5(word) AS h FROM tok),
+      |bits AS (SELECT doc_id,
+      |    $sums
+      |  FROM hx GROUP BY doc_id),
+      |sig AS (SELECT doc_id, $sigExpr AS simhash FROM bits),
+      |bands AS ($bandRows)
+      |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+      |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |  AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+      |ORDER BY ida, idb"""
+  }
+
+  /** Exact integer-L2 rerank of `candCte`'s (qid, vec_id) pairs to
+    * top-3 — the searches' final stage and output shape. */
+  private def annRerankSql(candCte: String): String =
+    s"""rr AS (SELECT c.qid, c.vec_id,
+      |    CAST(sum((qe.xi - e.xi) * (qe.xi - e.xi)) AS BIGINT) AS d2
+      |  FROM $candCte c
+      |  JOIN eq qe ON qe.vec_id = c.qid
+      |  JOIN eq e ON e.vec_id = c.vec_id AND e.idx = qe.idx
+      |  GROUP BY 1, 2)
+      |SELECT qid, vec_id AS nid, d2, rn FROM (
+      |  SELECT qid, vec_id, d2, row_number() OVER (
+      |    PARTITION BY qid ORDER BY d2, vec_id) AS rn FROM rr)
+      |WHERE rn <= 3 ORDER BY qid, rn"""
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -1502,14 +1814,24 @@ object Sketches {
 
     // MinHash-LSH candidate pairs: 16 hash functions, 4 bands x 4 rows.
     // Candidates = pairs sharing >= 1 band bucket. Recall vs exact
-    // 3-gram Jaccard (q_dedup_ngram) is property-tested.
-    QuerySpec.noOracle("q_dedup_minhash") { (s, d) =>
-      val g = grams(s, d)
+    // 3-gram Jaccard (q_dedup_ngram) is property-tested. Since r19 the
+    // hash family is md5 over the gram TEXT ('i|gram' per function,
+    // min as a STRING — lowercase-hex ordering is byte-identical in
+    // both engines, the q_mix_source_cap pin) and the band key is md5
+    // over the joined per-band minima — so the whole candidate
+    // generation is DuckDB-hash-checked (r18 verdict #3). The
+    // maintained incremental index (q_dedup_incremental) keeps the
+    // native xxhash64 kernel — ~2x cheaper per gram, declared
+    // no-oracle — while this registry query pays the md5 family for
+    // cross-engine replayability at the same banding architecture.
+    QuerySpec.sql("q_dedup_minhash", minhashOracle) { (s, d) =>
+      val g = stringGrams(s, d)
       val mhCols = (0 until NumHashes)
-        .map(i => min(xxhash64(lit(i), col("gram"))).as(s"mh$i"))
+        .map(i => min(md5(concat_ws("|", lit(i.toString), col("gram"))))
+          .as(s"mh$i"))
       val sig = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
       val bandCols = (0 until Bands).map { b =>
-        xxhash64((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)
+        md5(concat_ws("|", (b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*))
       }
       val bands = sig.select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
@@ -1535,8 +1857,9 @@ object Sketches {
     // vote per bit), 4 x 16-bit bands for candidate generation, exact
     // Hamming distance <= 12 as the verify step. The signature table
     // is stage-cached ([[simhashSigs]]); the warm query is just the
-    // band join + Hamming verify.
-    QuerySpec.noOracle("q_dedup_simhash") { (s, d) =>
+    // band join + Hamming verify. Since r19 the bit family is
+    // md5-derived, so the whole pipeline is DuckDB-hash-checked.
+    QuerySpec.sql("q_dedup_simhash", simhashOracle) { (s, d) =>
       val sig = simhashSigs(s, d)
       val bands = sig.select(col("doc_id"), col("simhash"), posexplode(
         array((0 until 4).map(b =>
@@ -1562,8 +1885,14 @@ object Sketches {
     // fraction to hit the 0.8 recall bar, while the operator's real
     // knob on clustered corpora is 2–8 (see the ivfSearch scaladoc).
     // Recall >= 0.8 vs brute-force top-3 is property-tested at two
-    // tiers (SketchesSpec), for this wrapper AND for held-out queries.
-    QuerySpec.noOracle("q_sim_ann_ivf") { (s, d) =>
+    // tiers (SketchesSpec), for this wrapper AND for held-out queries —
+    // and since r19 the whole pipeline (integer Lloyd training, probe
+    // ranks, exact rerank) is hash-checked against the DuckDB unroll.
+    QuerySpec.sql("q_sim_ann_ivf",
+      s"""WITH $annEqCte,
+        |$ivfCtes,
+        |${ivfProbeCtes(0.7)},
+        |${annRerankSql("cand")}""") { (s, d) =>
       ivfSearch(s, d, defaultQueries(s, d),
         nprobe = c => math.ceil(0.7 * c).toInt.max(2))
     },
@@ -1573,8 +1902,14 @@ object Sketches {
     // codes, exact-rerank a ~17%-of-corpus pool (the isotropic-fixture
     // caveat — clustered corpora run 1-2% pools). Recall >= 0.8 vs
     // brute-force top-3 is property-tested at two tiers (SketchesSpec),
-    // for the fixture query set and for held-out queries.
-    QuerySpec.noOracle("q_sim_ann_pq") { (s, d) =>
+    // for the fixture query set and for held-out queries — and since
+    // r19 the pipeline (per-subspace integer Lloyd, ADC ranks, exact
+    // rerank) is hash-checked against the DuckDB unroll.
+    QuerySpec.sql("q_sim_ann_pq",
+      s"""WITH $annEqCte,
+        |$pqCtes,
+        |${pqAdcCtes(candRestrict = false, "greatest(32, nt.n // 6)")},
+        |${annRerankSql("pool")}""") { (s, d) =>
       pqSearch(s, d, defaultQueries(s, d),
         rerank = n => math.max(32, (n / 6).toInt))
     },
@@ -1588,7 +1923,13 @@ object Sketches {
     // run looser than it would alone; on the MEASURED clustered
     // regime IVFPQ tracks plain IVF exactly at nprobe 2-8 with
     // single-digit-percent scan (graft.AnnCurve, SCALE.md).
-    QuerySpec.noOracle("q_sim_ann_ivfpq") { (s, d) =>
+    QuerySpec.sql("q_sim_ann_ivfpq",
+      s"""WITH $annEqCte,
+        |$ivfCtes,
+        |${ivfProbeCtes(0.8)},
+        |$pqCtes,
+        |${pqAdcCtes(candRestrict = true, "greatest(32, nt.n // 3)")},
+        |${annRerankSql("pool")}""") { (s, d) =>
       ivfpqSearch(s, d, defaultQueries(s, d),
         nprobe = c => math.ceil(0.8 * c).toInt.max(2),
         rerank = n => math.max(32, (n / 3).toInt))

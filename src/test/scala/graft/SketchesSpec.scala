@@ -525,12 +525,12 @@ class SketchesSpec extends AnyFunSuite {
       assert(gotAssign === wantAssign,
         s"upserted IVF assignments != rebuild at $dir")
       val gotCodes = ops.Sketches.pqCodes(spark, dir, name)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       val wantCodes = ops.Sketches.codesOf(spark, dir, grown)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(gotCodes === wantCodes, s"upserted PQ codes != rebuild at $dir")
       // Search the named instance FOR the batch's source vectors: each
-      // source's verbatim copy is an exact cos-1.0 top hit — impossible
+      // source's verbatim copy is an exact d2 = 0 top hit — impossible
       // unless the upserted vectors entered every search stage (cell
       // probe, code scan, exact rerank from the store).
       val queries = base.filter(col("vec_id") % 83 === 0)
@@ -538,11 +538,11 @@ class SketchesSpec extends AnyFunSuite {
       val top = ops.Sketches.ivfpqSearch(spark, dir, queries,
           nprobe = c => math.ceil(0.8 * c).toInt.max(2),
           rerank = n => math.max(32, (n / 3).toInt), k = 1, name = name)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(top.nonEmpty, s"empty ANN result at $dir")
-      top.foreach { case (qid, nid, cos) =>
-        assert(nid === qid + 1000000L && cos === 1.0,
-          s"query $qid: expected its upserted copy at cos 1.0, got ($nid, $cos) at $dir")
+      top.foreach { case (qid, nid, d2) =>
+        assert(nid === qid + 1000000L && d2 === 0L,
+          s"query $qid: expected its upserted copy at d2 0, got ($nid, $d2) at $dir")
       }
       assert(top.length.toLong === queries.count(),
         s"some batch sources returned no hit at $dir")

@@ -610,18 +610,18 @@ class StreamingSpec extends AnyFunSuite {
       .coalesce(1).write.mode("append").parquet(inDir)
     StreamDemos.ingestVecBatches(spark, sf, inDir, ck, name)
     // Search the instance for the batch's SOURCE vectors: each source's
-    // streamed copy must be the exact cos-1.0 top hit — impossible
+    // streamed copy must be the exact d2-0 top hit — impossible
     // unless the stream's upsert reached store, assignments and codes.
     val queries = base.filter(col("vec_id") % 83 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val top = Sketches.ivfpqSearch(spark, sf, queries,
         nprobe = c => math.ceil(0.8 * c).toInt.max(2),
         rerank = n0 => math.max(32, (n0 / 3).toInt), k = 1, name = name)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(top.nonEmpty)
-    top.foreach { case (qid, nid, cos) =>
-      assert(nid === qid + 1000000L && cos === 1.0,
-        s"query $qid: streamed copy not found (got $nid at $cos)")
+    top.foreach { case (qid, nid, d2) =>
+      assert(nid === qid + 1000000L && d2 === 0L,
+        s"query $qid: streamed copy not found (got $nid at d2 $d2)")
     }
   }
 }
