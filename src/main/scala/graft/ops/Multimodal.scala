@@ -1933,8 +1933,11 @@ object Multimodal {
     *
     *  - SimpleBlock (0xA3): vint track number, int16 BE relative
     *    timestamp, flags — bit 0x80 is the keyframe flag; LACED
-    *    blocks (flags bits 0x06 != 0, the audio-packing convention)
-    *    are skipped, never mis-parsed as one frame;
+    *    blocks (flags bits 0x06: Xiph / fixed-size / EBML lacing)
+    *    decode every frame in the lace since r19 (the keyframe flag
+    *    is only legal when ALL laced frames are keys) — an
+    *    unparseable lacing table on the video track drops the FILE,
+    *    never mis-slices;
     *  - BlockGroup (0xA0) → Block (0xA1): same layout without the
     *    keyframe bit; the group is a key frame iff it carries no
     *    ReferenceBlock (0xFB), per the Matroska spec.
@@ -1967,7 +1970,8 @@ object Multimodal {
     var clusterTs = -1L
     var malformed = false
     // BlockGroup scratch (groups never nest)
-    var grpOff = -1; var grpLen = 0; var grpTrack = -1L; var grpTs = 0L
+    var grpSegs: Seq[(Int, Int)] = Nil
+    var grpTrack = -1L; var grpTs = 0L
     var grpRef = false
     // (trackNo, timeTicks, payloadOff, payloadLen) per key candidate
     val keys = scala.collection.mutable.ArrayBuffer
@@ -1982,6 +1986,75 @@ object Multimodal {
         (c(o + tnLen + 1) & 0xFF)).toShort.toInt
       val flags = c(o + tnLen + 2) & 0xFF
       Some((tn, rel, flags, o + tnLen + 3))
+    }
+    // LACING (r19, the r18 verdict's missing #2 — laced VIDEO key
+    // blocks used to be SKIPPED, silently dropping frames from
+    // sampling): flags bits 0x06 select none (0x00), Xiph (0x02),
+    // fixed-size (0x04) or EBML (0x06) lacing; a laced block carries
+    // (frameCount−1), a size table (Xiph: 255-run bytes; EBML: one
+    // unsigned vint then SIGNED vint deltas; fixed: nothing — the
+    // payload must divide evenly), and the frames back to back, the
+    // last one sized by the remainder. Returns one (off, len) per
+    // frame, or None for a table that does not parse / does not fit —
+    // declared structure we failed to honor, so the CALLER drops the
+    // FILE (the cluster-timestamp discipline), never mis-slices. */
+    def laceSegs(flags: Int, po: Int, end: Long): Option[Seq[(Int, Int)]] = {
+      val mode = flags & 0x06
+      if (mode == 0) return Some(Seq((po, (end - po).toInt)))
+      if (po >= end) return None
+      val n = (c(po) & 0xFF) + 1
+      var o = po + 1
+      val sizes = new Array[Long](n)
+      mode match {
+        case 0x02 => // Xiph: sizes as runs of 255s + terminator byte
+          var k = 0
+          while (k < n - 1) {
+            var sz = 0L
+            var cont = true
+            while (cont) {
+              if (o >= end) return None
+              val b = c(o) & 0xFF; o += 1; sz += b
+              cont = b == 255
+            }
+            sizes(k) = sz; k += 1
+          }
+        case 0x04 => // fixed-size: payload must divide evenly
+          val total = end - o
+          if (total <= 0 || total % n != 0) return None
+          java.util.Arrays.fill(sizes, total / n)
+        case _ => // 0x06 EBML: unsigned first, signed deltas after
+          var k = 0
+          var prev = 0L
+          while (k < n - 1) {
+            if (o >= end) return None
+            val lk = ebmlVintLen(c(o) & 0xFF)
+            if (lk > 8 || o + lk > end) return None
+            val raw = ebmlUintAt(c, o, lk) - (1L << (8 * lk - lk))
+            o += lk
+            prev =
+              if (k == 0) raw
+              else prev + (raw - ((1L << (7 * lk - 1)) - 1))
+            if (prev < 0) return None
+            sizes(k) = prev; k += 1
+          }
+      }
+      if (mode != 0x04) {
+        var sum = 0L
+        var k = 0
+        while (k < n - 1) { sum += sizes(k); k += 1 }
+        val last = end - o - sum
+        if (last < 0) return None
+        sizes(n - 1) = last
+      }
+      val segs = Seq.newBuilder[(Int, Int)]
+      var oo = o.toLong
+      var k = 0
+      while (k < n) {
+        if (sizes(k) < 0 || sizes(k) > Int.MaxValue ||
+          oo + sizes(k) > end) return None
+        segs += ((oo.toInt, sizes(k).toInt)); oo += sizes(k); k += 1
+      }
+      Some(segs.result())
     }
     def walk(start: Long, end: Long, depth: Int): Unit = {
       var off = start
@@ -2022,30 +2095,58 @@ object Multimodal {
               case 0xE7 if size <= 8 => // Cluster Timestamp
                 clusterTs = ebmlUintAt(c, body.toInt, size.toInt)
               case 0xA3 => // SimpleBlock
+                // the keyframe flag is only legal when EVERY frame in
+                // the lace is a key (Matroska spec), so a laced key
+                // SimpleBlock decodes ALL its frames; laced frames
+                // share the block's timestamp (per-frame times are an
+                // audio concern lacing never carries for video).
+                // Lacing is only interpreted for the SELECTED video
+                // track — an alien track's exotic lacing must not
+                // drop a file whose video is fine.
                 blockHdr(body.toInt, bodyEnd).foreach {
                   case (tn, rel, flags, po) =>
-                    if ((flags & 0x06) == 0 && (flags & 0x80) != 0 &&
-                      po < bodyEnd) {
+                    if ((flags & 0x80) != 0 && po < bodyEnd) {
                       if (clusterTs < 0) malformed = true
-                      else keys += ((tn, clusterTs + rel, po,
-                        (bodyEnd - po).toInt))
+                      else if ((flags & 0x06) == 0)
+                        // unlaced: any track (filtered at decode, so
+                        // the legal Tracks-after-Clusters ordering
+                        // still works)
+                        keys += ((tn, clusterTs + rel, po,
+                          (bodyEnd - po).toInt))
+                      else if (tn == vTrack)
+                        laceSegs(flags, po, bodyEnd) match {
+                          case None => malformed = true
+                          case Some(segs) =>
+                            segs.foreach { case (so, sl) =>
+                              keys += ((tn, clusterTs + rel, so, sl))
+                            }
+                        }
+                      // laced block of an unknown/other track: skip
                     }
                 }
               case 0xA0 if depth < 6 => // BlockGroup
-                grpOff = -1; grpLen = 0; grpTrack = -1L; grpTs = 0L
+                grpSegs = Nil; grpTrack = -1L; grpTs = 0L
                 grpRef = false
                 walk(body, bodyEnd, depth + 1)
-                if (!grpRef && grpOff >= 0)
-                  keys += ((grpTrack, grpTs, grpOff, grpLen))
+                if (!grpRef && grpSegs.nonEmpty)
+                  grpSegs.foreach { case (so, sl) =>
+                    keys += ((grpTrack, grpTs, so, sl))
+                  }
               case 0xA1 => // Block (keyframe-ness from the group)
                 blockHdr(body.toInt, bodyEnd).foreach {
                   case (tn, rel, flags, po) =>
-                    if ((flags & 0x06) == 0 && po < bodyEnd) {
+                    if (po < bodyEnd) {
                       if (clusterTs < 0) malformed = true
-                      else {
+                      else if ((flags & 0x06) == 0) {
                         grpTrack = tn; grpTs = clusterTs + rel
-                        grpOff = po; grpLen = (bodyEnd - po).toInt
-                      }
+                        grpSegs = Seq((po, (bodyEnd - po).toInt))
+                      } else if (tn == vTrack)
+                        laceSegs(flags, po, bodyEnd) match {
+                          case None => malformed = true
+                          case Some(segs) =>
+                            grpTrack = tn; grpTs = clusterTs + rel
+                            grpSegs = segs
+                        }
                     }
                 }
               case 0xFB => grpRef = true // ReferenceBlock: inter frame
@@ -2066,7 +2167,15 @@ object Multimodal {
         if (w.toLong * h * (frames.length + 1) > MaxMkvPixels) bad = true
         else decodeVp8Payload(c, off, len, None) match {
           case Some(img) if img.width == w && img.height == h =>
-            frames += MkvFrame(ticks * tcScale / 1000000L, img.pixels)
+            // multiplyExact (r18 advice): a hostile 8-byte
+            // TimecodeScale or huge cluster Timestamp would WRAP the
+            // plain multiply to garbage/negative times — silently
+            // mis-timing everyMs sampling instead of dropping the
+            // file, which is the discipline every other structural
+            // defect here gets. ArithmeticException lands in the
+            // refusal catch below.
+            frames += MkvFrame(
+              Math.multiplyExact(ticks, tcScale) / 1000000L, img.pixels)
           case _ => bad = true // torn/mismatched key frame: drop file
         }
       }
@@ -2076,7 +2185,7 @@ object Multimodal {
     else Some(MkvVideo(w, h, frames.toSeq))
   } catch {
     case _: IllegalArgumentException | _: IndexOutOfBoundsException |
-        _: NegativeArraySizeException =>
+        _: NegativeArraySizeException | _: ArithmeticException =>
       None // corrupt/truncated/hostile input: drop, don't crash
   }
 

@@ -2104,7 +2104,8 @@ class MultimodalSpec extends AnyFunSuite {
   private def webmBytes(w: Int, h: Int, tcScaleNs: Long,
       clusterTicks: Long,
       blocks: Seq[(Int, Int, Array[Byte])],
-      groups: Seq[(Int, Boolean, Array[Byte])] = Seq.empty): Array[Byte] = {
+      groups: Seq[(Int, Boolean, Array[Byte])] = Seq.empty,
+      groupFlags: Int = 0): Array[Byte] = {
     val hdr = ebmlEl(0x1A45DFA3L,
       ebmlEl(0x4282L, "webm".getBytes("US-ASCII"))) // DocType
     val info = ebmlEl(0x1549A966L,
@@ -2121,8 +2122,8 @@ class MultimodalSpec extends AnyFunSuite {
     }
     val groupEls = groups.map { case (rel, ref, payload) =>
       val block = ebmlEl(0xA1L, Array[Byte](0x81.toByte,
-        ((rel >> 8) & 0xFF).toByte, (rel & 0xFF).toByte, 0.toByte) ++
-        payload)
+        ((rel >> 8) & 0xFF).toByte, (rel & 0xFF).toByte,
+        groupFlags.toByte) ++ payload)
       val refEl = if (ref) ebmlEl(0xFBL, ebmlUint(0)) else Array.empty[Byte]
       ebmlEl(0xA0L, block ++ refEl)
     }
@@ -2166,7 +2167,7 @@ class MultimodalSpec extends AnyFunSuite {
       (0, 0x80, payload),
       (20, 0x00, junk),      // inter frame: skipped (no keyframe flag)
       (40, 0x80, payload),
-      (60, 0x86, junk),      // EBML-laced: skipped
+      (60, 0x06, junk),      // EBML-laced NON-key (inter) frames: skipped
       (80, 0x80, payload)))
     val vid = Multimodal.decodeMkv(webm).get
     assert(vid.width === 16 && vid.height === 16)
@@ -2236,6 +2237,70 @@ class MultimodalSpec extends AnyFunSuite {
       (info ++ ebmlEl(0x1654AE6BL, entry) ++ cluster(0L, 0) ++ noTsCluster)
     assert(Multimodal.decodeMkv(bad).isEmpty,
       "block before its cluster's Timestamp must drop the file")
+  }
+
+  test("WebM lacing: Xiph/fixed/EBML key laces decode every frame; a bad table drops the file") {
+    val payload = vp8PayloadOf("photo_16x16_q75")
+    val L = payload.length
+    // Xiph size table for the FIRST of two frames: runs of 255 + rest.
+    val xiphSizes =
+      Array.fill[Byte](L / 255)(0xFF.toByte) :+ (L % 255).toByte
+    val xiph = Array[Byte](1) ++ xiphSizes ++ payload ++ payload
+    // EBML size table: one unsigned 2-byte vint (0x40xx) for frame 0.
+    require(L < 0x3FFF)
+    val ebmlSizes = Array[Byte]((0x40 | (L >> 8)).toByte, (L & 0xFF).toByte)
+    val ebml = Array[Byte](1) ++ ebmlSizes ++ payload ++ payload
+    // Fixed-size lacing: count byte only; two equal frames divide.
+    val fixed = Array[Byte](1) ++ payload ++ payload
+    for ((flags, laced, name) <- Seq((0x82, xiph, "Xiph"),
+        (0x86, ebml, "EBML"), (0x84, fixed, "fixed"))) {
+      val webm = webmBytes(16, 16, 1000000L, 0L, Seq((0, flags, laced)))
+      val vid = Multimodal.decodeMkv(webm).getOrElse(
+        fail(s"$name-laced key block did not decode"))
+      assert(vid.frames.length === 2, s"$name lace frame count")
+      // laced frames share the block timestamp (video lacing carries
+      // no per-frame times) and are bit-identical to the single-frame
+      // decode of the same payload
+      assert(vid.frames.map(_.timeMs) === Seq(0L, 0L), name)
+      val direct = Multimodal.decodeMkv(webmBytes(16, 16, 1000000L, 0L,
+        Seq((0, 0x80, payload)))).get.frames.head.pixels
+      vid.frames.foreach(fr => assert(fr.pixels.sameElements(direct),
+        s"$name-laced frame not bit-identical"))
+    }
+    // BlockGroup spelling: a laced keyframe group decodes both frames.
+    val grouped = webmBytes(16, 16, 1000000L, 7L, Seq.empty,
+      groups = Seq((0, false, fixed)), groupFlags = 0x04)
+    val gvid = Multimodal.decodeMkv(grouped).get
+    assert(gvid.frames.length === 2 &&
+      gvid.frames.map(_.timeMs) === Seq(7L, 7L))
+    // An unparseable lacing table on the video track is declared
+    // structure we failed to honor: the FILE drops (the
+    // cluster-timestamp discipline), it is never mis-sliced. Xiph
+    // table claiming more bytes than the payload holds:
+    val badXiph = Array[Byte](1, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 200.toByte) ++ payload.take(64)
+    assert(Multimodal.decodeMkv(webmBytes(16, 16, 1000000L, 0L,
+      Seq((0, 0x82, badXiph)))).isEmpty, "bad Xiph table must drop")
+    // fixed-size lacing whose payload does not divide evenly:
+    val badFixed = Array[Byte](2) ++ payload ++ payload // 3 frames, 2L bytes
+    assert(Multimodal.decodeMkv(webmBytes(16, 16, 1000000L, 0L,
+      Seq((0, 0x84, badFixed)))).isEmpty, "uneven fixed lace must drop")
+    // lacing fuzz: point mutations + truncations over a valid laced
+    // container never throw and never emit a non-16x16 frame
+    val base = webmBytes(16, 16, 1000000L, 0L, Seq((0, 0x82, xiph)))
+    val rnd = new scala.util.Random(654)
+    (0 until 120).foreach { i =>
+      val b = base.clone()
+      val f =
+        if (i % 2 == 0) {
+          (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          b
+        } else b.take(8 + rnd.nextInt(b.length - 8))
+      Multimodal.decodeMkv(f).foreach(v =>
+        assert(v.width === 16 && v.height === 16))
+    }
   }
 
   test("WebM frame fan-out: re-decodable BMPs, everyMs sampling, dims guard") {
