@@ -174,10 +174,13 @@ object Cli {
         // would silently clobber (r18 review #1): a path-digest prefix
         // keeps names unique per SOURCE FILE, the readable tail keeps
         // them greppable; the #frameN suffix separates frames within
-        // one source
+        // one source. FULL 16-byte digest (r18 advice): distinct deep
+        // trees often share an 80-char tail (repeated part-00000.gif
+        // basenames), and a 32-bit prefix birthday-collides — and so
+        // silently overwrites frames — at ~77k such files.
         val base = f.path.substring(0, f.path.lastIndexOf('#'))
         md.reset()
-        val dig = md.digest(base.getBytes("UTF-8")).take(4)
+        val dig = md.digest(base.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
         val tail = f.path.substring(
           math.max(0, f.path.length - 80)).replaceAll("[/\\\\:#]", "_")

@@ -3410,6 +3410,16 @@ object TextSim {
     // q_embed_sample machinery — direction estimates converge at
     // sqrt(n), so 10^6 vectors already saturate a 6-decimal readout),
     // not on 10^11 rows.
+    //
+    // Refuse-vs-pass ASYMMETRY near the bound (r18 advice): this side
+    // refuses the moment any Long PARTIAL would overflow, while the
+    // DuckDB oracle sums in HUGEINT and only errors casting the final
+    // total to BIGINT — so within a narrow band around ~4e6 vectors
+    // (or under heavy cancellation across partitions) Spark can
+    // refuse while DuckDB passes. The divergence is only ever in
+    // refuse-vs-pass behavior, never in emitted values; every fixture
+    // tier sits orders of magnitude inside the bound, and a corpus
+    // near it should run this verb on the documented sample anyway.
     q("q_embed_pca", pcaOracle) { (s, d) =>
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._

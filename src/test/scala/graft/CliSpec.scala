@@ -404,7 +404,7 @@ class CliSpec extends AnyFunSuite {
     // <path-digest>_<readable-tail>.bmp
     val files = new java.io.File(out).listFiles().map(_.getName).sorted
     assert(files.length.toLong === n)
-    assert(files.forall(f => f.matches("[0-9a-f]{8}_.*\\.bmp")),
+    assert(files.forall(f => f.matches("[0-9a-f]{32}_.*\\.bmp")),
       files.mkString(","))
     // every written frame is a spec-valid BMP the meta kernel re-reads
     import spark.implicits._
