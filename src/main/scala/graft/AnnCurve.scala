@@ -68,9 +68,7 @@ object AnnCurve {
       .partitionBy("qid").orderBy(col("cd"), col("cid"))
     val rankedCells = ops.Sketches.quantized(q, "qid", "qv")
       .join(broadcast(cents), lit(true))
-      .withColumn("cd", aggregate(
-        zip_with(col("xq"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("cd", ops.Sketches.l2sq(col("xq"), col("cv")))
       .withColumn("crn", row_number().over(wc))
       .join(broadcast(cellSizes), col("cid") === col("cell"), "left")
       .select(col("qid"), col("crn"),

@@ -1970,12 +1970,18 @@ object Multimodal {
     var clusterTs = -1L
     var malformed = false
     // BlockGroup scratch (groups never nest)
-    var grpSegs: Seq[(Int, Int)] = Nil
-    var grpTrack = -1L; var grpTs = 0L
-    var grpRef = false
-    // (trackNo, timeTicks, payloadOff, payloadLen) per key candidate
-    val keys = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Int, Int)]
+    var grpTrack = -1L; var grpTs = 0L; var grpPo = -1; var grpEnd = 0L
+    var grpFlags = 0; var grpRef = false
+    // (trackNo, timeTicks, payloadOff, payloadEnd, flags) per key
+    // block, lacing UNPARSED: vTrack may not be known yet (Tracks
+    // after Clusters is legal), and a BlockGroup's key-ness is only
+    // known once its whole subtree has been walked — so lace tables
+    // are expanded AFTER the walk, for the selected video track only
+    // (r19 review: parsing inline either dropped laced key frames in
+    // the Tracks-after-Clusters ordering or let a corrupt INTER
+    // group's table drop a file whose key frames were fine).
+    val blocks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Long, Int)]
     // (Simple)Block header at o: (trackNo, relTicks, flags, payloadOff)
     def blockHdr(o: Int, end: Long): Option[(Long, Int, Int, Int)] = {
       if (o >= end) return None
@@ -2096,57 +2102,32 @@ object Multimodal {
                 clusterTs = ebmlUintAt(c, body.toInt, size.toInt)
               case 0xA3 => // SimpleBlock
                 // the keyframe flag is only legal when EVERY frame in
-                // the lace is a key (Matroska spec), so a laced key
-                // SimpleBlock decodes ALL its frames; laced frames
-                // share the block's timestamp (per-frame times are an
-                // audio concern lacing never carries for video).
-                // Lacing is only interpreted for the SELECTED video
-                // track — an alien track's exotic lacing must not
-                // drop a file whose video is fine.
+                // the lace is a key (Matroska spec); the (possibly
+                // laced) payload range is recorded for ALL tracks and
+                // expanded after the walk.
                 blockHdr(body.toInt, bodyEnd).foreach {
                   case (tn, rel, flags, po) =>
                     if ((flags & 0x80) != 0 && po < bodyEnd) {
                       if (clusterTs < 0) malformed = true
-                      else if ((flags & 0x06) == 0)
-                        // unlaced: any track (filtered at decode, so
-                        // the legal Tracks-after-Clusters ordering
-                        // still works)
-                        keys += ((tn, clusterTs + rel, po,
-                          (bodyEnd - po).toInt))
-                      else if (tn == vTrack)
-                        laceSegs(flags, po, bodyEnd) match {
-                          case None => malformed = true
-                          case Some(segs) =>
-                            segs.foreach { case (so, sl) =>
-                              keys += ((tn, clusterTs + rel, so, sl))
-                            }
-                        }
-                      // laced block of an unknown/other track: skip
+                      else blocks += ((tn, clusterTs + rel, po,
+                        bodyEnd, flags))
                     }
                 }
               case 0xA0 if depth < 6 => // BlockGroup
-                grpSegs = Nil; grpTrack = -1L; grpTs = 0L
-                grpRef = false
+                grpPo = -1; grpEnd = 0L; grpFlags = 0
+                grpTrack = -1L; grpTs = 0L; grpRef = false
                 walk(body, bodyEnd, depth + 1)
-                if (!grpRef && grpSegs.nonEmpty)
-                  grpSegs.foreach { case (so, sl) =>
-                    keys += ((grpTrack, grpTs, so, sl))
-                  }
+                if (!grpRef && grpPo >= 0)
+                  blocks += ((grpTrack, grpTs, grpPo, grpEnd, grpFlags))
               case 0xA1 => // Block (keyframe-ness from the group)
                 blockHdr(body.toInt, bodyEnd).foreach {
                   case (tn, rel, flags, po) =>
                     if (po < bodyEnd) {
                       if (clusterTs < 0) malformed = true
-                      else if ((flags & 0x06) == 0) {
+                      else {
                         grpTrack = tn; grpTs = clusterTs + rel
-                        grpSegs = Seq((po, (bodyEnd - po).toInt))
-                      } else if (tn == vTrack)
-                        laceSegs(flags, po, bodyEnd) match {
-                          case None => malformed = true
-                          case Some(segs) =>
-                            grpTrack = tn; grpTs = clusterTs + rel
-                            grpSegs = segs
-                        }
+                        grpPo = po; grpEnd = bodyEnd; grpFlags = flags
+                      }
                     }
                 }
               case 0xFB => grpRef = true // ReferenceBlock: inter frame
@@ -2158,6 +2139,22 @@ object Multimodal {
     }
     walk(0L, c.length.toLong, 0)
     if (malformed || vTrack < 0 || w <= 0 || h <= 0) return None
+    // Expand lace tables now that the video track is known: every
+    // frame in a key lace becomes its own key candidate sharing the
+    // block's timestamp (per-frame times are an audio concern video
+    // lacing never carries); an unparseable table on the VIDEO track
+    // is declared structure we failed to honor — drop the file, never
+    // mis-slice. Other tracks' lacing is never interpreted.
+    val keys = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Int)]
+    blocks.foreach { case (tn, ts, po, end, flags) =>
+      if (tn == vTrack && !malformed) laceSegs(flags, po, end) match {
+        case None => malformed = true
+        case Some(segs) =>
+          segs.foreach { case (so, sl) => keys += ((tn, ts, so, sl)) }
+      }
+    }
+    if (malformed) return None
     val frames = scala.collection.mutable.ArrayBuffer.empty[MkvFrame]
     var ki = 0
     var bad = false

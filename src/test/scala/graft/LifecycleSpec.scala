@@ -165,9 +165,7 @@ class LifecycleSpec extends AnyFunSuite {
     val exact = ops.Sketches.quantized(queries, "qid", "qv")
       .select(col("qid"), col("xq").as("qxq"))
       .crossJoin(ops.Sketches.quantized(store, "vec_id", "embedding"))
-      .withColumn("d2", aggregate(
-        zip_with(col("qxq"), col("xq"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("d2", ops.Sketches.l2sq(col("qxq"), col("xq")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("qid", "vec_id").collect()
