@@ -51,6 +51,12 @@ object AnnCurve {
         col("qid") =!= col("vec_id"))
       .withColumn("cos", dot(col("qv"), col("embedding"))
         / (col("qn") * col("nn")))
+      // project the two 64-double arrays away BEFORE the per-qid
+      // window sort: at the x1000 tier the nQ x n product is 256M
+      // rows, and sorting them WITH the vectors spilled ~40x the
+      // bytes (the r19 campaign's disk-full) for columns row_number
+      // never reads
+      .select("qid", "vec_id", "cos")
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= k)
       .select("qid", "vec_id").collect()
