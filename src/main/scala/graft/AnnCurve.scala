@@ -97,6 +97,10 @@ object AnnCurve {
         k = k))
       val scanned = rankedCells.filter(col("crn") <= np)
         .agg(sum("csize")).head().getLong(0)
+      // each point's search jobs leave app-lifetime shuffle files
+      // behind; nudge ContextCleaner so a big-tier sweep does not
+      // accumulate them into a full disk (the r19 campaign's failure)
+      System.gc()
       Point(np, rIvf, rPq, scanned.toDouble / (truth.size.toLong * n))
     }
     (n, c, points)
@@ -117,8 +121,19 @@ object AnnCurve {
         embedOnly = true),
       s"iso_x$mult" -> ScaleGen.generate(s, srcDir,
         s"$outBase/x$mult", mult, embedOnly = true))
+    // The x1000 decade caps the point list at nprobe 32: the two
+    // widest points (64, 100) scan 5-10% of 2M vectors per search and
+    // their accumulated shuffle files (kept for the app's lifetime)
+    // filled the disk in the r19 campaign, while every ScaleSpec pin
+    // reads the curve only up to nprobe 8 — the wide tail is the x10
+    // artifact's regime, measured there.
+    val nps = if (mult >= 1000) Seq(1, 2, 4, 8, 16, 32)
+      else Seq(1, 2, 4, 8, 16, 32, 64, 100)
     for ((tag, dir) <- tiers) {
-      val (n, c, pts) = curve(s, dir)
+      val (n, c, pts) = curve(s, dir, nprobes = nps)
+      // nudge ContextCleaner between tiers so the previous tier's
+      // shuffle files are reclaimed instead of accumulating
+      System.gc()
       val pj = pts.map(p =>
         f"""{"nprobe":${p.nprobe},"recall_ivf":${p.recallIvf}%.3f,""" +
           f""""recall_ivfpq":${p.recallIvfpq}%.3f,""" +

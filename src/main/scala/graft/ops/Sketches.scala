@@ -334,20 +334,34 @@ object Sketches {
         col("xq").as("cv"))
   }
 
+  /** Packed argmin key — (d << 20) | cid as ONE long — so the
+    * nearest-centroid aggregate is a PRIMITIVE min: hash-aggregable
+    * with map-side partials inside whole-stage codegen.
+    * min(struct(d, cid)) fell back to SortAggregate (struct buffers
+    * are not hash-mutable), and at the x1000 tier the partial SORT of
+    * the N x C product spilled ~100 GB and filled the disk (the r19
+    * recall campaign's failure). Bit budget: [[quantized]] normalizes
+    * every vector into the 1e6-ball, so d = |a−b|² ≤ ~4.0e12 < 2^43,
+    * and 20 cid bits cover codebooks to a MILLION cells (corpora to
+    * ~10^12 vectors at C = √N) — 63 bits total, and the packing
+    * preserves lexicographic (d, cid) order EXACTLY, which is the
+    * oracle's ORDER BY d, cid tie-break. */
+  private val ArgminCidBits = 20
+  private def argminPacked(d: Column, cid: Column): Column =
+    min(d * lit(1L << ArgminCidBits) + cid)
+  private def packedCid(p: Column): Column =
+    p.bitwiseAND(lit((1L << ArgminCidBits) - 1))
+
   /** Nearest-centroid assignment in the integer basis as an
     * AGGREGATION — a hash aggregate over the N x C broadcast product,
     * no per-vector sort, carrying ONLY (vec_id, cell): shuffling the
     * 64-long array through every Lloyd round was ~20x the bytes for
-    * data the (tiny) base scan can re-supply with a narrow join.
-    * min(struct(d, cid)) compares lexicographically — the same
-    * (distance, cid) tie-break as the kmeans paths and the oracle's
-    * ORDER BY d, cid. */
+    * data the (tiny) base scan can re-supply with a narrow join. */
   private def assignQ(src: DataFrame, cents: DataFrame): DataFrame =
     src.crossJoin(broadcast(cents))
       .groupBy("vec_id")
-      .agg(min(struct(l2sq(col("xq"), col("cv")).as("d"),
-        col("cid"))).as("_dc"))
-      .select(col("vec_id"), col("_dc.cid").as("cell"))
+      .agg(argminPacked(l2sq(col("xq"), col("cv")), col("cid")).as("_p"))
+      .select(col("vec_id"), packedCid(col("_p")).as("cell"))
 
   /** One Lloyd M-step in the integer basis: per-cell truncating
     * integer mean (Σxi div n — operands non-negative after the +4
@@ -519,15 +533,15 @@ object Sketches {
       .as(Seq("m", "sq")))
 
   /** Per-subspace assignment: integer-L2 argmin over that subspace's
-    * centroids, ties to the smallest cid — the same min(struct(d, cid))
-    * tie-break as [[assignQ]]. `cb` must be (m, cid, cv) and is
-    * broadcast — K*M rows. */
+    * centroids, ties to the smallest cid — the same packed-long
+    * hash-aggregable argmin as [[assignQ]] (per-subspace d is bounded
+    * by the full-vector d, so the same bit budget holds). `cb` must
+    * be (m, cid, cv) and is broadcast — K*M rows. */
   private def pqAssignQ(sv: DataFrame, cb: DataFrame): DataFrame =
     sv.join(broadcast(cb), "m")
       .groupBy("vec_id", "m")
-      .agg(min(struct(l2sq(col("sq"), col("cv")).as("d"),
-        col("cid"))).as("_dc"))
-      .select(col("vec_id"), col("m"), col("_dc.cid").as("cid"))
+      .agg(argminPacked(l2sq(col("sq"), col("cv")), col("cid")).as("_p"))
+      .select(col("vec_id"), col("m"), packedCid(col("_p")).as("cid"))
 
   /** The PQ training loop over an arbitrary (vec_id, embedding, …)
     * corpus — factored like [[trainIvf]] for [[retrainAnnIndex]].
