@@ -363,13 +363,36 @@ object Sketches {
       .agg(argminPacked(l2sq(col("xq"), col("cv")), col("cid")).as("_p"))
       .select(col("vec_id"), packedCid(col("_p")).as("cell"))
 
-  /** One Lloyd M-step in the integer basis: per-cell truncating
-    * integer mean (Σxi div n — operands non-negative after the +4
-    * shift, so Scala `div` == DuckDB `//`), reassembled in position
-    * order. Cells that lost every member CARRY FORWARD their previous
+  /** Re-project a (shifted) integer centroid onto the unit sphere —
+    * the SPHERICAL k-means M-step tail, in the same
+    * one-correctly-rounded-sqrt exactness discipline as [[quantized]].
+    * WHY this exists (measured, the r19 x1000 campaign): a plain MEAN
+    * centroid has norm < 1e6 that VARIES with cell tightness, and
+    * ranking cells by L2 against varying-norm centroids diverges from
+    * directional (cosine) ranking — on the clustered 2M-vector tier
+    * the probe-top-1 recall collapsed 0.965 → 0.130. With every
+    * centroid re-projected to the sphere, L2 ranking IS cosine
+    * ranking for centroids exactly as it is for vectors. A zero mean
+    * (perfect cancellation) keeps its unnormalized value rather than
+    * dividing by zero — spelled identically in the oracle. */
+  private def sphered(cv: Column): Column = {
+    val S = lit(Clustering.ShiftQ)
+    val n2 = aggregate(transform(cv, x => (x - S) * (x - S)),
+      lit(0L), (a, v) => a + v)
+    when(n2 === 0L, cv).otherwise(transform(cv, x =>
+      (((x - S) * lit(1000000L)).cast("double") /
+        sqrt(n2.cast("double"))).cast("long") + S))
+  }
+
+  /** One spherical-Lloyd M-step in the integer basis: per-cell
+    * truncating integer mean (Σxi div n — operands non-negative after
+    * the +4 shift, so Scala `div` == DuckDB `//`), reassembled in
+    * position order, then re-projected onto the sphere ([[sphered]]).
+    * Cells that lost every member CARRY FORWARD their previous
     * centroid (kmeansCtes' coalesce), so the codebook keeps exactly
     * its seeded row count and the oracle's cell set matches by
-    * construction. */
+    * construction; the carried value re-projects too (not a no-op at
+    * integer precision — the oracle applies the identical step). */
   private def lloydStep(base: DataFrame, cents: DataFrame): DataFrame = {
     val m = assignQ(base, cents).join(base, "vec_id")
       .select(col("cell").as("cid"),
@@ -380,7 +403,7 @@ object Sketches {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
         " p -> p.cx)").as("mv"))
     cents.join(m, Seq("cid"), "left")
-      .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+      .select(col("cid"), sphered(coalesce(col("mv"), col("cv"))).as("cv"))
   }
 
   /** The IVF codebook training loop over an ARBITRARY
@@ -1502,13 +1525,22 @@ object Sketches {
         |    SELECT vec_id, cid, row_number() OVER (
         |      PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ivd$i)
         |  WHERE rn = 1),
-        |ivc$i AS MATERIALIZED (
+        |ivm$i AS MATERIALIZED (
         |  SELECT p.cid, p.idx, coalesce(m.c, p.c) AS c
         |  FROM ivc${i - 1} p LEFT JOIN (
         |    SELECT a.cid, e.idx,
         |      CAST(sum(e.xi) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
         |    FROM iva$i a JOIN eq e USING (vec_id) GROUP BY 1, 2) m
-        |  ON p.cid = m.cid AND p.idx = m.idx)"""
+        |  ON p.cid = m.cid AND p.idx = m.idx),
+        |ivc$i AS MATERIALIZED (
+        |  SELECT v.cid, v.idx, CASE WHEN t.n2 = 0 THEN v.c
+        |      ELSE CAST(trunc(CAST((v.c - 4000000) * 1000000 AS DOUBLE)
+        |        / sqrt(CAST(t.n2 AS DOUBLE))) AS BIGINT) + 4000000
+        |    END AS c
+        |  FROM ivm$i v JOIN (
+        |    SELECT cid, CAST(sum((c - 4000000) * (c - 4000000))
+        |        AS BIGINT) AS n2
+        |    FROM ivm$i GROUP BY 1) t USING (cid))"""
     }.mkString(",\n")
     s"""cn AS (SELECT greatest(2, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
       |    AS BIGINT)) AS c FROM embeddings),
