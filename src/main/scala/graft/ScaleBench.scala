@@ -129,6 +129,20 @@ object ScaleBench {
     // falls back to the literal path by construction. The K-row cell
     // table is checkpointed so the three counts don't re-run the
     // E-step.
+    // The kmeans/routed chain stops at the x100 decade (LOUD cap, not
+    // silent: the artifact simply lacks the kmeans_*/estep_* keys and
+    // this note is the contract): with K = n/125 the single
+    // flat-assignment agreement pass is n²·dim/125 work — ~2e12
+    // integer ops at the n = 2M x1000 tier — and that chain's x1000
+    // evidence already exists in the dedicated route-curve campaign
+    // (bench/route_curve_iso_routed_x1000_r18.jsonl, ScaleSpec-pinned),
+    // measured at fixed K to isolate corpus growth. The x1000
+    // counts-only campaign is for the TEXT families.
+    if (countsOnly && nVec > 500000) {
+      System.err.println(s"scalebench: kmeans chain capped at x100 " +
+        s"(nVec=$nVec) — see the contract note above")
+      return (walls.toSeq, counts.toSeq)
+    }
     val kmK = math.max(2, (nVec / 125).toInt)
     val estepPrev = s.conf.get("spark.graft.kmeans.estep", "auto")
     s.conf.set("spark.graft.kmeans.estep", "routed")
