@@ -240,8 +240,11 @@ object ScaleBench {
       if (countsOnly && openVocab > 0) {
         Seq(1, 10, mult).distinct.map { m =>
           val dir = s"$outBase/ov${openVocab}_x$m"
+          // counts mode reads only documents + embeddings — skip the
+          // mult-branch fact-table replication (at mult=1000 it would
+          // be ~600M dead lineitem rows; see ScaleGen.textOnly)
           val (_, g) = timed(ScaleGen.generate(s, srcDir, dir, m,
-            openVocab = openVocab))
+            openVocab = openVocab, textOnly = true))
           System.err.println(f"scalebench: generation x$m $g%.1f s")
           s"ov${openVocab}_x${m}_counts" -> dir
         }

@@ -214,17 +214,24 @@ object ScaleGen {
     * as such (`eo=1` in the stamp), so a later full-tier request at
     * the same path regenerates rather than serving the partial
     * corpus; queries touching other tables fail loudly on the
-    * missing path. */
+    * missing path.
+    *
+    * `textOnly` (r20) is the same contract for the TEXT-family x1000
+    * counts campaign: documents + embeddings only (`to=1` in the
+    * stamp) — every counted chain in ScaleBench's counts mode reads
+    * exactly those two tables, and the replicated fact tables would
+    * again be mult-branch dead weight. */
   def generate(s: SparkSession, srcDir: String, outDir: String,
       mult: Int, seed: Long = 42L, openVocab: Int = 0,
       plantVecDups: Boolean = false, clusters: Int = 0,
-      embedOnly: Boolean = false): String = {
+      embedOnly: Boolean = false, textOnly: Boolean = false): String = {
     import s.implicits._
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_META")
     val stamp = s"src=$srcDir mult=$mult seed=$seed ov=$openVocab v=3" +
       (if (plantVecDups) " pvd=1" else "") +
       (if (clusters > 0) s" cl=$clusters" else "") +
-      (if (embedOnly) " eo=1" else "")
+      (if (embedOnly) " eo=1" else "") +
+      (if (textOnly) " to=1" else "")
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker)) == stamp)
       return outDir
@@ -252,6 +259,17 @@ object ScaleGen {
       .map(id => docFor(bc.value, seed, id, openVocab))
       .write.mode(SaveMode.Overwrite)
       .parquet(Tables.path(outDir, "documents"))
+    if (textOnly) {
+      // same loud-failure contract as embedOnly: drop any stale full
+      // tables a previous different-recipe tier left at this path
+      for (t <- Seq("lineitem", "orders", "events",
+          "region", "nation", "customer", "supplier", "part")) {
+        val p = java.nio.file.Paths.get(Tables.path(outDir, t))
+        if (java.nio.file.Files.exists(p)) graft.Local.rmTree(p.toFile)
+      }
+      java.nio.file.Files.write(marker, stamp.getBytes)
+      return outDir
+    }
     // fact tables: fixture replicated with disjoint order-key ranges
     val off = 1000000000L
     def replicate(name: String, keys: Seq[String]): Unit = {

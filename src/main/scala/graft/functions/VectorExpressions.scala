@@ -15,17 +15,15 @@ object VectorFunctions {
   /** L2 norm of an array<double> column (codegen'd self-dot). */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** `bits`-bit random-hyperplane LSH signature (cosine family) of an
-    * array<double> column; `seed` selects the hyperplane table. */
-  def lshSig(a: Column, bits: Int, seed: Int): Column =
-    VectorNative.lshSig(a, bits, seed)
-
-  /** ALL `tables` signatures at once as array<long> (element t ==
-    * lshSig with seed seedBase + t) — one kernel call per row, one
-    * narrow expression instead of a `tables`-wide projection (see
-    * graftnative.HyperplaneSigs). */
-  def lshSigs(a: Column, bits: Int, tables: Int, seedBase: Int): Column =
-    VectorNative.lshSigs(a, bits, tables, seedBase)
+  /** ALL `tables` hyperplane-LSH signatures of a QUANTIZED integer
+    * vector (array<long>, see Sketches.quantized) at once as
+    * array<long> — md5-derived integer planes, sign-of-integer-dot
+    * bits, so the whole family replays bit-exactly in DuckDB (see
+    * graftnative.IntPlaneSigs). `shift` is the basis' non-negativity
+    * offset (Clustering.ShiftQ). */
+  def intPlaneSigs(a: Column, bits: Int, tables: Int, seedBase: Int,
+      shift: Long): Column =
+    VectorNative.intPlaneSigs(a, bits, tables, seedBase, shift)
 
   /** Hashed word-3-grams of an array<string> column, one pass, no
     * string materialization (see graftnative.WordGramHashes). */

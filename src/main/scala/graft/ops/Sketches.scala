@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * IVF/PQ family (q_sim_ann_ivf/pq/ivfpq) is DuckDB-oracle-checked —
   * exactly-normalized fixed-point integer basis, md5-order seeds,
   * integer Lloyd with carry-forward, integer L2/ADC ranks (see
-  * [[quantized]]). The hash-kernel remainder (hyperplane LSH, xxhash
-  * MinHash/SimHash bands, DataSketches binaries) stays no-oracle by
-  * declared engine-specificity; every result is deterministic and
-  * property-tested against the exact kernels in SketchesSpec
-  * (src/test/scala/graft/SketchesSpec.scala).
+  * [[quantized]]); since r20 the hyperplane-LSH trio (q_sim_ann_lsh /
+  * q_sim_lsh_points / q_dedup_cosine_lsh) is too — md5-derived integer
+  * planes over the same basis ([[planeSigCtes]]). The remainder
+  * (xxhash MinHash band index for incremental dedup, DataSketches
+  * binaries) stays no-oracle by declared engine-specificity; every
+  * result is deterministic and property-tested against the exact
+  * kernels in SketchesSpec (src/test/scala/graft/SketchesSpec.scala).
   *
   * At 100 TB these are the operators that replace the blocked/brute
   * kernels in TextSim: candidate generation is groupBy-on-signature —
@@ -64,7 +66,8 @@ object Sketches {
 
   /** LSH-bucketed ANN candidates: 48 tables of 10-bit random-hyperplane
     * signatures (the native codegen
-    * [[graft.functions.VectorFunctions.lshSig]]), with 1-BIT MULTIPROBE
+    * [[graft.functions.VectorFunctions.intPlaneSigs]] — md5-derived
+    * integer planes over the quantized basis, r20), with 1-BIT MULTIPROBE
     * on the query side — each query probes its own bucket plus the b
     * one-bit-flip buckets per table, the standard trick that buys the
     * recall of many more tables for b extra probes of existing ones.
@@ -97,11 +100,16 @@ object Sketches {
     * computation is per-corpus work (at 100 TB, a maintained signature
     * index next to the embeddings; new vectors sign themselves on
     * ingest). Queries sign themselves fresh — signatures are pure
-    * functions of the vector. */
+    * functions of the vector. Built from the shared stage-cached
+    * quantized basis ([[storeQ]]) — since r20 the hyperplane family is
+    * md5-derived INTEGER planes over that basis (graftnative
+    * .IntPlaneSigs), which is what made the whole trio
+    * (q_sim_ann_lsh / q_sim_lsh_points / q_dedup_cosine_lsh)
+    * DuckDB-oracle-checkable; stage key bumped so no pre-r20
+    * xxhash-family table is ever served. */
   private def sigTable(s: SparkSession, d: String): DataFrame =
-    graft.StageCache.memoized(s, d, "lshsigs") {
-      sigRowsOf(Tables.embeddings(s, d).select("vec_id", "embedding"),
-        LshBits, LshTables, seedBase = 0)
+    graft.StageCache.memoized(s, d, "lshsigs_md5") {
+      sigRowsOfQ(storeQ(s, d, ""), LshBits, LshTables, seedBase = 0)
     }
 
   /** The 1-bit-multiprobe fan-out of a narrow (…, t, sig0) signature
@@ -119,14 +127,23 @@ object Sketches {
     * operating-point report (which signs a pinned vector SAMPLE, so it
     * cannot read a maintained full-corpus index). `seedBase` selects
     * the hyperplane family: 0 reproduces the registry ANN index's
-    * planes, 7000 is the tuned-point family. */
+    * planes, 7000 is the tuned-point family. Signing happens in the
+    * quantized integer basis ([[quantized]]) with md5-derived integer
+    * planes — bit-replayable cross-engine (r20). */
   private def sigRowsOf(vecs: DataFrame, bits: Int, tables: Int,
+      seedBase: Int): DataFrame =
+    sigRowsOfQ(quantized(vecs, "vec_id", "embedding"), bits, tables, seedBase)
+
+  /** [[sigRowsOf]] over an ALREADY-QUANTIZED (vec_id, xq) frame — the
+    * corpus paths reuse the shared stage-cached basis this way instead
+    * of re-quantizing per signature family. */
+  private def sigRowsOfQ(vecsQ: DataFrame, bits: Int, tables: Int,
       seedBase: Int): DataFrame = {
-    import graft.functions.VectorFunctions.lshSigs
+    import graft.functions.VectorFunctions.intPlaneSigs
     require(bits >= 1 && bits <= 63 && tables >= 1)
-    vecs.select(col("vec_id"),
-      posexplode(lshSigs(col("embedding"), bits, tables, seedBase))
-        .as(Seq("t", "sig")))
+    vecsQ.select(col("vec_id"),
+      posexplode(intPlaneSigs(col("xq"), bits, tables, seedBase,
+        Clustering.ShiftQ)).as(Seq("t", "sig")))
   }
 
   /** The 1-bit-multiprobe fan-out of narrow signature rows at a given
@@ -205,9 +222,8 @@ object Sketches {
     * cos-0.4 threshold (scaladoc above). */
   private def dedupSigTable(s: SparkSession, d: String): DataFrame =
     graft.StageCache.memoized(s, d,
-      s"lshsigs_dedup_${DedupLshBits}x$DedupLshTables") {
-      sigRowsOf(Tables.embeddings(s, d).select("vec_id", "embedding"),
-        DedupLshBits, DedupLshTables, 7000)
+      s"lshsigs_dedup_md5_${DedupLshBits}x$DedupLshTables") {
+      sigRowsOfQ(storeQ(s, d, ""), DedupLshBits, DedupLshTables, 7000)
     }
 
   /** All-pairs candidates at the measured dedup point, from the
@@ -225,10 +241,10 @@ object Sketches {
     * `(qid, qv)`. A query whose qid equals a corpus vec_id is treated
     * as that vector querying the rest (self-match excluded). */
   def lshCandidates(s: SparkSession, d: String, queries: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions.lshSigs
-    val qnarrow = queries.select(col("qid"),
-      posexplode(lshSigs(col("qv"), LshBits, LshTables, seedBase = 0))
-        .as(Seq("t", "sig0")))
+    val qnarrow = sigRowsOf(
+      queries.select(col("qid").as("vec_id"), col("qv").as("embedding")),
+      LshBits, LshTables, seedBase = 0)
+      .toDF("qid", "t", "sig0")
     val qprobes = qnarrow
       .select(col("qid"), col("t"), multiprobe(col("sig0")).as("sig"))
     qprobes.join(sigTable(s, d), Seq("t", "sig"))
@@ -1745,6 +1761,108 @@ object Sketches {
       |    PARTITION BY qid ORDER BY d2, vec_id) AS rn FROM rr)
       |WHERE rn <= 3 ORDER BY qid, rn"""
 
+  /** Integer-plane hyperplane CTEs for ONE md5 family (r20 — the
+    * discipline that flipped the LSH trio): plane table `$f`
+    * (t, b, idx, p) with p = 2·byte0(md5('seedBase|t|b|idx')) − 255,
+    * per-vector per-table signatures `${f}s` (vec_id, t, sig) over a
+    * source CTE shaped (vec_id, idx, xi), and — when `probe` — the
+    * 1-bit multiprobe fan-out `${f}pr`. [[sigRowsOfQ]] +
+    * [[probeRowsOf]] unrolled; byte 0 of md5 is its first two
+    * lowercase-hex chars on both engines. */
+  private def planeSigCtes(f: String, src: String, bits: Int, tables: Int,
+      seedBase: Int, probe: Boolean): String = {
+    val base =
+      s"""$f AS MATERIALIZED (
+        |  SELECT t, b, idx,
+        |    2 * ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) - 255 AS p
+        |  FROM (
+        |    SELECT tt.range AS t, bb.range AS b, ii.idx,
+        |      md5('$seedBase|' || CAST(tt.range AS VARCHAR) || '|'
+        |        || CAST(bb.range AS VARCHAR) || '|'
+        |        || CAST(ii.idx AS VARCHAR)) AS h
+        |    FROM range(0, $tables) tt, range(0, $bits) bb,
+        |      (SELECT DISTINCT idx FROM $src) ii)),
+        |${f}d AS (SELECT e.vec_id, p.t, p.b,
+        |    CAST(sum((e.xi - 4000000) * p.p) AS BIGINT) AS dot
+        |  FROM $src e JOIN $f p USING (idx) GROUP BY 1, 2, 3),
+        |${f}s AS MATERIALIZED (SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b)
+        |      ELSE 0 END) AS BIGINT) AS sig
+        |  FROM ${f}d GROUP BY 1, 2)"""
+    if (!probe) base
+    else base + s""",
+      |${f}pr AS (SELECT vec_id, t, sig FROM ${f}s
+      |  UNION ALL
+      |  SELECT vec_id, t, xor(sig, (CAST(1 AS BIGINT) << jj.range)) AS sig
+      |  FROM ${f}s, range(0, $bits) jj)"""
+  }
+
+  /** The quantized-basis pair dot: Σ (xa−S)(xb−S) over matched idx —
+    * cosine × 1e12 to quantization precision, exact and identical on
+    * both engines; the verify thresholds below compare against
+    * `cos_bar × 1e12` directly. */
+  private def pairDotCte(name: String, pairs: String, src: String): String =
+    s"""$name AS (SELECT p.ida, p.idb,
+      |    CAST(sum((ea.xi - 4000000) * (eb.xi - 4000000)) AS BIGINT) AS dot
+      |  FROM $pairs p JOIN $src ea ON ea.vec_id = p.ida
+      |  JOIN $src eb ON eb.vec_id = p.idb AND eb.idx = ea.idx
+      |  GROUP BY 1, 2)"""
+
+  /** q_sim_lsh_points' DuckDB unroll (r20): md5-order sample of
+    * [[LshSampleN]] vectors, the three operating-point families as
+    * [[planeSigCtes]] instances over the sample's quantized rows,
+    * bucket self-joins per family, the integer-dot cos-0.9 verify, and
+    * the integer-division ppb — every stage exact on both engines. */
+  private def lshPointsOracle: String = {
+    def candOf(f: String, probed: Boolean): String = {
+      val left = if (probed) s"${f}pr" else s"${f}s"
+      s"""${f}c AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM $left a JOIN ${f}s b ON b.t = a.t AND b.sig = a.sig
+        |    AND a.vec_id < b.vec_id)"""
+    }
+    s"""WITH $annEqCte,
+      |smp AS MATERIALIZED (SELECT vec_id FROM (
+      |    SELECT vec_id, row_number() OVER (
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      |    FROM embeddings) WHERE rn <= $LshSampleN),
+      |seq AS MATERIALIZED (
+      |  SELECT e.vec_id, e.idx, e.xi FROM eq e JOIN smp USING (vec_id)),
+      |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM smp),
+      |${planeSigCtes("f1", "seq", LshBits, LshTables, 0, probe = true)},
+      |${candOf("f1", probed = true)},
+      |${planeSigCtes("f2", "seq", DedupLshBits, DedupLshTables, 7000,
+        probe = true)},
+      |${candOf("f2", probed = true)},
+      |${planeSigCtes("f3", "seq", 16, 24, 7000, probe = false)},
+      |${candOf("f3", probed = false)},
+      |allc AS (
+      |  SELECT 'registry_${LshBits}x${LshTables}_probe' AS point, ida, idb
+      |    FROM f1c
+      |  UNION ALL SELECT 'dedup_${DedupLshBits}x$DedupLshTables', ida, idb
+      |    FROM f2c
+      |  UNION ALL SELECT 'tuned_16x24', ida, idb FROM f3c),
+      |vd AS (SELECT c.point, c.ida, c.idb,
+      |    CAST(sum((ea.xi - 4000000) * (eb.xi - 4000000)) AS BIGINT) AS dot
+      |  FROM allc c JOIN seq ea ON ea.vec_id = c.ida
+      |  JOIN seq eb ON eb.vec_id = c.idb AND eb.idx = ea.idx
+      |  GROUP BY 1, 2, 3),
+      |st AS (SELECT point, CAST(count(*) AS BIGINT) AS n_candidates,
+      |    CAST(sum(CASE WHEN dot >= 900000000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_verified
+      |  FROM vd GROUP BY 1)
+      |SELECT p.point, nv.n_vec AS n_sample,
+      |  CAST(coalesce(st.n_candidates, 0) AS BIGINT) AS n_candidates,
+      |  CAST(coalesce(st.n_verified, 0) AS BIGINT) AS n_verified,
+      |  CAST(coalesce(st.n_candidates, 0) * 2000000000
+      |    // (nv.n_vec * (nv.n_vec - 1)) AS BIGINT) AS cand_ppb
+      |FROM (VALUES ('registry_${LshBits}x${LshTables}_probe'),
+      |    ('dedup_${DedupLshBits}x$DedupLshTables'), ('tuned_16x24'))
+      |  p(point)
+      |LEFT JOIN st USING (point) CROSS JOIN nv
+      |ORDER BY point"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Embedding-cosine near-dup, LSH SCALE PATH: the same keep-id
@@ -1756,20 +1874,38 @@ object Sketches {
     // tables x 1-bit probe — see the [[DedupLshBits]] scaladoc for the
     // grid: ~1.8x fewer candidates than the registry ANN point at
     // keep-id agreement 0.98/0.955, and why the 579x-selective cos-0.9
-    // point is NOT usable here). Property-tested against the exact
-    // output (SketchesSpec): candidate recall makes the keep-id map
-    // agree on >= 90% of flagged duplicates on the fixtures.
-    QuerySpec.noOracle("q_dedup_cosine_lsh") { (s, d) =>
-      val base = embBase(s, d)
+    // point is NOT usable here). Since r20 the verify threshold lives
+    // in the quantized integer basis (dot >= 0.4e12 ≡ cos >= 0.4 to
+    // 1e-6 quantization — exact, identical on both engines), and the
+    // md5 plane family makes the whole pipeline DuckDB-hash-checked.
+    // Property-tested against the exact output (SketchesSpec):
+    // candidate recall makes the keep-id map agree on >= 90% of
+    // flagged duplicates on the fixtures.
+    QuerySpec.sql("q_dedup_cosine_lsh",
+      s"""WITH $annEqCte,
+        |${planeSigCtes("dp", "eq", DedupLshBits, DedupLshTables, 7000,
+          probe = true)},
+        |dpair AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM dppr a JOIN dps b ON b.t = a.t AND b.sig = a.sig
+        |    AND a.vec_id < b.vec_id),
+        |${pairDotCte("vdot", "dpair", "eq")},
+        |nbrs AS (SELECT ida, idb FROM vdot WHERE dot >= 400000000000)
+        |SELECT e.vec_id, coalesce(min(n.ida), e.vec_id) AS keep_id,
+        |  count(n.ida) AS n_nbrs
+        |FROM (SELECT vec_id FROM embeddings) e
+        |LEFT JOIN nbrs n ON n.idb = e.vec_id
+        |GROUP BY e.vec_id ORDER BY vec_id""") { (s, d) =>
+      val eq = storeQ(s, d, "")
+      val S = lit(Clustering.ShiftQ)
       val nbrs = dedupPairCandidates(s, d)
-        .join(base.toDF("ida", "va", "na"), "ida")
-        .join(base.toDF("idb", "vb", "nb"), "idb")
-        .withColumn("cos", round(
-          graft.functions.VectorFunctions.dot(col("va"), col("vb"))
-            / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= 0.4)
+        .join(eq.toDF("ida", "xa"), "ida")
+        .join(eq.toDF("idb", "xb"), "idb")
+        .withColumn("dot", aggregate(
+          zip_with(col("xa"), col("xb"), (a, b) => (a - S) * (b - S)),
+          lit(0L), (acc, v) => acc + v))
+        .filter(col("dot") >= 400000000000L)
         .select("ida", "idb")
-      base.select(col("vec_id"))
+      eq.select(col("vec_id"))
         .join(nbrs, col("vec_id") === col("idb"), "left")
         .groupBy("vec_id")
         .agg(coalesce(min("ida"), col("vec_id")).as("keep_id"),
@@ -1789,12 +1925,14 @@ object Sketches {
     // linear TakeOrdered scan at any corpus size, then O(sample²)
     // bounded work per point. Reported per operating point: in-sample
     // candidate count, verified cos >= 0.9 pairs among them, and
-    // cand_ppm. Points: the registry ANN index (10x48x1-bit probe,
+    // cand_ppb. Points: the registry ANN index (10x48x1-bit probe,
     // seed family 0), the measured cos-0.4 dedup point (13x128xprobe),
-    // and the cos-0.9 tuned point (16x24). Not SQL-expressible
-    // (signature kernels); golden-pinned; boundedness pinned in
+    // and the cos-0.9 tuned point (16x24). Since r20 fully
+    // SQL-expressible: md5-order sample selection, md5 integer planes,
+    // integer-dot verify (>= 0.9e12), integer-division ppb — the whole
+    // report is DuckDB-hash-checked; boundedness stays pinned in
     // ScaleSpec (sample size constant across tiers).
-    QuerySpec.noOracle("q_sim_lsh_points") { (s, d) =>
+    QuerySpec.sql("q_sim_lsh_points", lshPointsOracle) { (s, d) =>
       // The pinned sample is memoized as a stage: it appears on ~16
       // plan leaves across the three points (both candidate sides +
       // both verify sides + the count singleton), and re-running the
@@ -1802,18 +1940,17 @@ object Sketches {
       // candidate work combined. A parquet leaf also gives the
       // optimizer real size stats, so every verify join broadcasts.
       val sample = graft.StageCache.memoized(s, d,
-        s"lsh_sample_$LshSampleN") {
+        s"lsh_sample_md5_$LshSampleN") {
         Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"))
-          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(LshSampleN)
           // limit() lands on ONE partition; spread the sample so the
           // signature fan-out parallelizes instead of running one task
           .repartition(8)
       }
-      val base = sample.select(col("vec_id"), col("embedding"),
-        graft.functions.VectorFunctions.l2norm(col("embedding")).as("norm"))
-      val tot = base.agg(count(lit(1)).as("n_vec"))
+      val sq = quantized(sample, "vec_id", "embedding")
+      val tot = sample.agg(count(lit(1)).as("n_vec"))
       // All three points run through ONE join → distinct → verify →
       // aggregate pipeline keyed by `point`: the per-point spelling was
       // 3 x ~6 stages of pure scheduling floor on sample-sized data —
@@ -1830,7 +1967,7 @@ object Sketches {
       // signing kernel subtree appears once per family in the plan,
       // not once per union branch
       val famSigs = fams.map { case (l, b, t, p, sb) =>
-        (l, b, p, sigRowsOf(sample, b, t, sb)) }
+        (l, b, p, sigRowsOfQ(sq, b, t, sb)) }
       val sigs = famSigs.map { case (l, _, _, sg) =>
         labeled(sg, l) }.reduce(_ unionByName _)
       val probes = famSigs.map { case (l, b, p, sg) =>
@@ -1841,15 +1978,17 @@ object Sketches {
         .filter(col("ida") < col("idb"))
         .select("point", "ida", "idb")
         .distinct()
+      val S = lit(Clustering.ShiftQ)
       val stats = cand
-        .join(broadcast(base.toDF("ida", "va", "na")), "ida")
-        .join(broadcast(base.toDF("idb", "vb", "nb")), "idb")
-        .withColumn("cos",
-          graft.functions.VectorFunctions.dot(col("va"), col("vb"))
-            / (col("na") * col("nb")))
+        .join(broadcast(sq.toDF("ida", "xa")), "ida")
+        .join(broadcast(sq.toDF("idb", "xb")), "idb")
+        .withColumn("dot", aggregate(
+          zip_with(col("xa"), col("xb"), (a, b) => (a - S) * (b - S)),
+          lit(0L), (acc, v) => acc + v))
         .groupBy("point")
         .agg(count(lit(1)).as("n_candidates"),
-          sum(when(col("cos") >= 0.9, 1).otherwise(0)).as("n_verified"))
+          sum(when(col("dot") >= 900000000000L, 1L).otherwise(0L))
+            .as("n_verified"))
       // left-join from the literal point list so a zero-candidate
       // point still reports a row (with zeros) instead of vanishing
       s.range(1)
@@ -1860,30 +1999,38 @@ object Sketches {
           col("n_vec").as("n_sample"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           coalesce(col("n_verified"), lit(0L)).as("n_verified"),
-          round(coalesce(col("n_candidates"), lit(0L)) * lit(2000000.0)
-            / (col("n_vec") * (col("n_vec") - 1)), 3).as("cand_ppm"))
+          expr("coalesce(n_candidates, 0L) * 2000000000L" +
+            " div (n_vec * (n_vec - 1))").as("cand_ppb"))
         .orderBy("point")
     },
 
     // LSH ANN: hyperplane-signature buckets + multiprobe generate the
-    // candidates (see lshCandidates), then the exact codegen cosine
-    // reranks candidates to top-3 per query — the second scale path
-    // for similarity search next to IVF, and the better one on
-    // unclustered data. Thin wrapper: fixture query set over the
-    // general (qid, qv) API.
-    QuerySpec.noOracle("q_sim_ann_lsh") { (s, d) =>
-      val base = embBase(s, d)
+    // candidates (see lshCandidates), then the exact integer-L2 rerank
+    // in the quantized basis (== cosine ranking — see [[quantized]])
+    // cuts candidates to top-3 per query — the second scale path for
+    // similarity search next to IVF, and the better one on unclustered
+    // data. Thin wrapper: fixture query set over the general (qid, qv)
+    // API. Since r20 DuckDB-hash-checked end to end: md5 integer
+    // planes, integer signatures, integer rerank — same output shape
+    // as the IVF/PQ family (qid, nid, d2, rn).
+    QuerySpec.sql("q_sim_ann_lsh",
+      s"""WITH $annEqCte,
+        |${planeSigCtes("hp", "eq", LshBits, LshTables, 0, probe = true)},
+        |lcand AS (SELECT DISTINCT q.qid, c.vec_id
+        |  FROM qs q JOIN hppr p ON p.vec_id = q.qid
+        |  JOIN hps c ON c.t = p.t AND c.sig = p.sig
+        |    AND c.vec_id <> q.qid),
+        |${annRerankSql("lcand")}""") { (s, d) =>
+      val eq = storeQ(s, d, "")
       val wq = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        .partitionBy("qid").orderBy(col("d2"), col("vec_id"))
       lshCandidates(s, d, defaultQueries(s, d))
-        .join(base.toDF("qid", "qv", "qn"), "qid")
-        .join(base.toDF("vec_id", "v", "n"), "vec_id")
-        .withColumn("cos", round(
-          graft.functions.VectorFunctions.dot(col("qv"), col("v"))
-            / (col("qn") * col("n")), 6))
+        .join(eq.toDF("qid", "qx"), "qid")
+        .join(eq.toDF("vec_id", "vx"), "vec_id")
+        .withColumn("d2", l2sq(col("qx"), col("vx")))
         .withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= 3)
-        .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rn"))
+        .select(col("qid"), col("vec_id").as("nid"), col("d2"), col("rn"))
         .orderBy("qid", "rn")
     },
 

@@ -85,150 +85,107 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Random-hyperplane LSH signature of an `array<double>` vector: bit j
-  * of the result is the sign of the vector's projection onto a
-  * Rademacher (+1/-1) hyperplane derived deterministically from
-  * (seed, j, element index) by an integer mixer — no stored
-  * hyperplane matrix, so the expression is a pure function usable on
-  * any executor with zero broadcast state. sign-of-projection is the
-  * classic cosine-LSH family: P[bit match] = 1 - angle/pi, so vectors
-  * at small angles collide in b-bit signatures with probability
-  * (1 - angle/pi)^b. Used by q_sim_ann_lsh with one signature per
-  * table (seed = table index) and 1-bit multiprobe on the query side.
+/** All `tables` hyperplane-LSH signatures of an `array<long>` vector
+  * in the quantized integer basis (see graft.ops.Sketches.quantized),
+  * as array<long> — bit j of element t is the sign of the integer dot
+  * product between the de-shifted vector and an INTEGER plane whose
+  * component for (t, j, coordinate i) is derived from md5:
   *
-  * Codegen delegates to [[sigOf]] (a reference call, one virtual
-  * dispatch per ROW): the hot loop is bits x dim multiply-adds in
-  * compiled Scala, which beats inlining a 640-step unrolled loop into
-  * generated Java.
+  *   p(t, j, i) = 2 * byte0(md5("seedBase|t|j|i")) - 255   (i 1-based)
+  *
+  * — an odd symmetric zero-mean integer in [-255, 255], i.e. a
+  * discretized uniform projection: a valid sign-projection cosine-LSH
+  * family (any symmetric finite-variance component distribution gives
+  * P[bit match] monotone-decreasing in the angle; the Rademacher and
+  * Gaussian families differ from it only in the constant of the
+  * collision curve, and every operating point is re-measured — see
+  * the Sketches operating-point scaladocs).
+  *
+  * WHY md5 (r20): the previous family derived signs from a private
+  * integer mixer, which made the whole hyperplane pipeline
+  * engine-specific and kept q_sim_ann_lsh / q_sim_lsh_points /
+  * q_dedup_cosine_lsh no-oracle. With md5-derived INTEGER planes over
+  * the exactly-normalized integer basis, the signature — and therefore
+  * the candidate sets and integer-L2 reranks built on it — is
+  * bit-replayable in DuckDB SQL (the same discipline that flipped the
+  * IVF/PQ family in r19). Every intermediate is an exact long: per
+  * term |x - shift| <= ~1e6 and |p| <= 255, so a 64-dim dot is
+  * <= ~1.6e10 — nowhere near overflow on either engine.
+  *
+  * The plane matrix is materialized ONCE per expression instance and
+  * grown lazily to the widest vector seen (md5 per row would dwarf the
+  * projection arithmetic); benign-race init with a volatile publish,
+  * like the rest of this file's cached kernels. Codegen delegates to
+  * [[sigsOf]] — one virtual dispatch per row, a tight primitive loop
+  * inside.
   */
-case class HyperplaneSig(child: Expression, bits: Int, seed: Int)
-    extends UnaryExpression with ExpectsInputTypes {
-
-  require(bits > 0 && bits <= 63, "bits must be in [1, 63]")
-
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_lsh_sig"
-
-  /** Final-avalanche integer mixer (murmur3 fmix32 shape) — the sign
-    * source for hyperplane element (j, i) under this seed. */
-  private def mix(j: Int, i: Int): Int = {
-    var h = seed * 0x9E3779B9 + j * 0x85EBCA6B + i * 0xC2B2AE35
-    h ^= h >>> 16; h *= 0x85EBCA6B
-    h ^= h >>> 13; h *= 0xC2B2AE35
-    h ^= h >>> 16
-    h
-  }
-
-  /** The Rademacher sign matrix, materialized ONCE per expression
-    * instance and grown lazily to the widest vector seen: the signs
-    * are a pure function of (seed, j, i), and re-running the mixer per
-    * ROW was measured at ~8x the arithmetic of the projection itself
-    * (bits x dim mixes vs bits x dim adds — dominant in the 128-table
-    * dedup signature build). Benign-race init: concurrent tasks
-    * compute the same matrix; the volatile publish keeps readers from
-    * seeing a half-built array. */
-  @transient @volatile private var signsCache: Array[Array[Boolean]] = _
-  private def signsFor(d: Int): Array[Array[Boolean]] = {
-    var s = signsCache
-    if (s == null || s(0).length < d) {
-      s = Array.tabulate(bits, d)((j, i) => (mix(j, i) & 1) != 0)
-      signsCache = s
-    }
-    s
-  }
-
-  def sigOf(a: ArrayData): Long = {
-    val d = a.numElements()
-    val neg = signsFor(d)
-    var sig = 0L
-    var j = 0
-    while (j < bits) {
-      val nj = neg(j)
-      var acc = 0.0
-      var i = 0
-      while (i < d) {
-        val x = a.getDouble(i)
-        acc += (if (nj(i)) -x else x)
-        i += 1
-      }
-      if (acc > 0) sig |= (1L << j)
-      j += 1
-    }
-    sig
-  }
-
-  override def nullSafeEval(a: Any): Any = sigOf(a.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("lshSig", this, classOf[HyperplaneSig].getName)
-    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.sigOf($x);")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
-    copy(child = newChild)
-}
-
-/** ALL `tables` hyperplane signatures of a vector in ONE expression,
-  * as array<long> — element t is bit-identical to
-  * [[HyperplaneSig]](bits, seedBase + t). The wide form (one
-  * HyperplaneSig column per table, then array(...) + posexplode)
-  * carried a 128-expression projection through every analyzer/
-  * optimizer pass of every execution — measured at ~1 s of DRIVER
-  * time per run for the 128-table dedup point, an order more than
-  * the executor-side signing itself. One kernel call per row also
-  * reads the vector once for all tables. */
-case class HyperplaneSigs(child: Expression, bits: Int, tables: Int,
-    seedBase: Int) extends UnaryExpression with ExpectsInputTypes {
+case class IntPlaneSigs(child: Expression, bits: Int, tables: Int,
+    seedBase: Int, shift: Long) extends UnaryExpression with ExpectsInputTypes {
 
   require(bits > 0 && bits <= 63, "bits must be in [1, 63]")
   require(tables > 0, "tables must be positive")
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_lsh_sigs"
+  override def prettyName: String = "graft_int_plane_sigs"
 
-  /** Identical plane derivation to [[HyperplaneSig]] with
-    * seed = seedBase + t — the single-table and multi-table forms
-    * MUST agree bit-for-bit (goldens and the maintained signature
-    * index depend on it; SketchesSpec pins the equality). */
-  private def mixFor(t: Int, j: Int, i: Int): Int = {
-    var h = (seedBase + t) * 0x9E3779B9 + j * 0x85EBCA6B + i * 0xC2B2AE35
-    h ^= h >>> 16; h *= 0x85EBCA6B
-    h ^= h >>> 13; h *= 0xC2B2AE35
-    h ^= h >>> 16
-    h
+  /** Integer plane component for (t, j, 1-based coordinate i): the
+    * first md5 byte of the key "seedBase|t|j|i" mapped to the odd
+    * symmetric range {-255, -253, ..., 253, 255}. Byte 0 is the first
+    * TWO lowercase-hex chars of DuckDB's md5() — the oracle spells
+    * exactly this. */
+  private def planeOf(t: Int, j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(
+      s"$seedBase|$t|$j|$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    2 * (h(0) & 0xFF) - 255
   }
 
-  /** Rademacher signs for plane (t, j), row-major [t * bits + j][i] —
-    * built once per instance, grown to the widest vector seen (benign
-    * race, volatile publish; see [[HyperplaneSig.signsFor]]). */
-  @transient @volatile private var signsCache: Array[Array[Boolean]] = _
-  private def signsFor(d: Int): Array[Array[Boolean]] = {
-    var s = signsCache
-    if (s == null || s(0).length < d) {
-      s = Array.tabulate(tables * bits, d)((p, i) =>
-        (mixFor(p / bits, p % bits, i) & 1) != 0)
-      signsCache = s
+  /** Plane matrix, row-major [(t * bits + j) * d + (i - 1)] — built
+    * once per instance, grown to the widest vector seen (benign race,
+    * volatile publish). */
+  @transient @volatile private var planesCache: Array[Int] = _
+  @transient @volatile private var planesDim: Int = 0
+  private def planesFor(d: Int): Array[Int] = {
+    var pl = planesCache
+    if (pl == null || planesDim < d) {
+      pl = new Array[Int](tables * bits * d)
+      var t = 0
+      while (t < tables) {
+        var j = 0
+        while (j < bits) {
+          var i = 0
+          while (i < d) {
+            pl((t * bits + j) * d + i) = planeOf(t, j, i + 1)
+            i += 1
+          }
+          j += 1
+        }
+        t += 1
+      }
+      planesDim = d
+      planesCache = pl
     }
-    s
+    pl
   }
 
   def sigsOf(a: ArrayData): ArrayData = {
     val d = a.numElements()
-    val neg = signsFor(d)
+    val pl = planesFor(d)
+    val x = new Array[Long](d)
+    var i = 0
+    while (i < d) { x(i) = a.getLong(i) - shift; i += 1 }
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var sig = 0L
       var j = 0
       while (j < bits) {
-        val nj = neg(t * bits + j)
-        var acc = 0.0
-        var i = 0
+        val base = (t * bits + j) * d
+        var acc = 0L
+        i = 0
         while (i < d) {
-          val x = a.getDouble(i)
-          acc += (if (nj(i)) -x else x)
+          acc += x(i) * pl(base + i)
           i += 1
         }
         if (acc > 0) sig |= (1L << j)
@@ -243,11 +200,11 @@ case class HyperplaneSigs(child: Expression, bits: Int, tables: Int,
   override def nullSafeEval(a: Any): Any = sigsOf(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("lshSigs", this, classOf[HyperplaneSigs].getName)
+    val ref = ctx.addReferenceObj("intPlaneSigs", this, classOf[IntPlaneSigs].getName)
     nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.sigsOf($x);")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+  override protected def withNewChildInternal(newChild: Expression): IntPlaneSigs =
     copy(child = newChild)
 }
 
@@ -857,13 +814,10 @@ object VectorNative {
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  def lshSig(a: Column, bits: Int, seed: Int): Column =
+  def intPlaneSigs(a: Column, bits: Int, tables: Int, seedBase: Int,
+      shift: Long): Column =
     ExpressionUtils.column(
-      HyperplaneSig(ExpressionUtils.expression(a), bits, seed))
-
-  def lshSigs(a: Column, bits: Int, tables: Int, seedBase: Int): Column =
-    ExpressionUtils.column(
-      HyperplaneSigs(ExpressionUtils.expression(a), bits, tables, seedBase))
+      IntPlaneSigs(ExpressionUtils.expression(a), bits, tables, seedBase, shift))
 
   def wordGramHashes(ws: Column): Column =
     ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(ws)))

@@ -333,21 +333,44 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
-  test("multi-table LSH signatures agree bit-for-bit with the single-table kernel") {
-    // HyperplaneSigs element t MUST equal HyperplaneSig(seed = base+t):
-    // the maintained signature index and every golden depend on the
-    // narrow multi-sig form being a pure re-spelling of the wide form.
-    import graft.functions.VectorFunctions.{lshSig, lshSigs}
-    for ((bits, tables, base) <- Seq((10, 48, 0), (13, 16, 7000))) {
-      val bad = Tables.embeddings(spark, sf).limit(64)
-        .select(
-          lshSigs(col("embedding"), bits, tables, base).as("multi"),
-          array((0 until tables)
-            .map(t => lshSig(col("embedding"), bits, base + t)): _*)
-            .as("wide"))
-        .filter(not(col("multi") === col("wide")))
-        .count()
-      assert(bad === 0, s"multi/single sig mismatch at ${bits}x$tables+$base")
+  test("IntPlaneSigs agrees bit-for-bit with the declarative md5-plane spelling") {
+    // The codegen kernel's plane matrix (first md5 byte of
+    // 'seedBase|t|j|i' mapped to 2*b0-255) and sign-of-integer-dot
+    // bits MUST equal the explode-join formulation the DuckDB oracles
+    // unroll — this pins the kernel to the oracle's exact semantics
+    // inside Spark itself, for 64 vectors per operating point.
+    import graft.functions.VectorFunctions.intPlaneSigs
+    val S = graft.ops.Clustering.ShiftQ
+    for ((bits, tables, base) <- Seq((10, 8, 0), (13, 6, 7000))) {
+      val vq = graft.ops.Sketches.quantized(
+        Tables.embeddings(spark, sf).limit(64)
+          .select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+      val fast = vq.select(col("vec_id"),
+        posexplode(intPlaneSigs(col("xq"), bits, tables, base, S))
+          .as(Seq("t", "sig")))
+      // declarative twin: planes from md5 via conv(hex, 16, 10), dot
+      // via explode + join, bit assembly via sum of shifted flags
+      val planes = spark.range(tables).select(col("id").as("t"))
+        .crossJoin(spark.range(bits).select(col("id").as("b")))
+        .crossJoin(spark.range(64).select((col("id") + 1).as("idx")))
+        .withColumn("h", md5(concat_ws("|",
+          lit(base.toString), col("t"), col("b"), col("idx"))))
+        .withColumn("p",
+          (conv(substring(col("h"), 1, 2), 16, 10).cast("long") * 2 - 255)
+            .cast("long"))
+      val slow = vq.select(col("vec_id"),
+          posexplode(col("xq")).as(Seq("pos", "x")))
+        .withColumn("idx", col("pos") + 1)
+        .join(planes, "idx")
+        .groupBy("vec_id", "t", "b")
+        .agg(sum((col("x") - S) * col("p")).as("dot"))
+        .groupBy("vec_id", "t")
+        .agg(sum(when(col("dot") > 0,
+          expr("shiftleft(1L, cast(b as int))")).otherwise(0L)).as("sig"))
+      val mism = fast.join(slow.toDF("vec_id", "t", "sig2"), Seq("vec_id", "t"))
+        .filter(col("sig") =!= col("sig2")).count()
+      assert(mism === 0, s"kernel/declarative sig mismatch at ${bits}x$tables+$base")
+      assert(fast.count() === 64L * tables)
     }
   }
 
