@@ -1061,31 +1061,26 @@ object Sketches {
   val CmsConf = 0.99
   val CmsSeed = 42
 
+  /** The same sketch GEOMETRY as the Spark-native aggregate derives
+    * from (eps, conf) — width = ceil(2/eps), depth =
+    * ceil(-ln(1-conf)/ln 2) — spelled as constants because the r20
+    * md5-family registry query and its DuckDB oracle build the counter
+    * matrix from these directly. */
+  val CmsWidth = 2000
+  val CmsDepth = 7
+
   /** Fixed probe vocabulary for the CMS lookups: frequent fixture
     * words + one never-present word (its estimate shows the pure
     * collision overcount, bounded by eps * total tokens). */
   val CmsProbes: Seq[String] =
     Seq("scan", "column", "window", "join", "spark", "zzz_absent")
 
-  /** Per-language Count-Min FREQUENCY sketch table over word tokens —
-    * the how-many-times companion to [[hllSketchTable]]'s how-many-
-    * distinct: one ~112 KB binary row per language summarizes every
-    * token occurrence, and any word's frequency is answered from the
-    * sketch row alone (estimate >= exact, overcount <= eps * tokens
-    * with probability >= confidence). Built by Spark's native
-    * `count_min_sketch` aggregate — one shuffle of K sketch buffers,
-    * never a words table. Unlike HLL, CMS rows merge by EXACT counter
-    * addition ([[org.apache.spark.sql.graftnative.CmsMergeAgg]]), so
-    * per-partition sketch rows roll up deterministically — the
-    * maintained-table shape at 100 TB (sketch new partitions, add). */
-  def cmsSketchTable(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("lang"), explode(graft.ops.TextSim.normTokens(col("text"))).as("word"))
-      .groupBy("lang")
-      .agg(count_min_sketch(col("word"),
-        lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("cms"))
-
   // ---- Maintained sketch tables (upsertable, name-scoped) ----------------
+  // (the standalone per-corpus CMS table builder was folded into the
+  // r20 md5-family registry query below; the binary-sketch CMS lives
+  // on in [[sketchRowsOf]] — one ~112 KB count_min_sketch row per
+  // language, merged by EXACT counter addition, the maintained-table
+  // shape at 100 TB)
 
   /** Combined per-lang sketch row (lang, hll, cms) of ANY (lang, text)
     * frame — the unit every maintained sketch table appends: HLL over
@@ -2175,29 +2170,90 @@ object Sketches {
         .orderBy("lang")
     },
 
-    // Word-frequency estimates from the CMS table: per-lang rows plus
-    // the *all* rollup merged by exact counter addition — documents are
-    // never re-touched for probes OR rollup. No DuckDB oracle (the
-    // sketch binary is Spark's format); SketchTableSpec pins
-    // estimate >= exact for every probe, overcount <= eps * tokens,
-    // the absent word's estimate within the same envelope, and
-    // merge == monolithic rebuild EXACTLY (CMS, unlike HLL, is
-    // merge-order-invariant bit-for-bit).
-    QuerySpec.noOracle("q_sketch_cms") { (s, d) =>
-      val probes = array(CmsProbes.map(lit): _*)
-      val per = cmsSketchTable(s, d)
-      val all = per
-        .agg(graft.functions.SketchFunctions
-          .cmsMerge(col("cms"), CmsEps, CmsConf, CmsSeed).as("cms"))
-        .select(lit("*all*").as("lang"), col("cms"))
-      per.unionByName(all)
-        .select(col("lang"), explode(arrays_zip(
-          probes.as("word"),
-          graft.functions.SketchFunctions.cmsEstimates(col("cms"), probes)
-            .as("est_count"))).as("z"))
-        .select(col("lang"), col("z.word").as("word"),
-          col("z.est_count").as("est_count"))
+    // Word-frequency estimates from a Count-Min counter table: per-lang
+    // rows plus the *all* rollup merged by exact counter addition —
+    // documents are never re-touched for probes OR rollup. Since r20
+    // the REGISTRY query builds the counters with md5-derived row
+    // hashes (bucket = hexval8(md5('r|word')) mod width, estimate =
+    // min over the depth rows) — pure integer counting, so the whole
+    // sketch (build, rollup, probe) is DuckDB-hash-checked; the
+    // MAINTAINED sketch-table family ([[sketchTable]], [[CmsSeed]])
+    // keeps Spark's native count_min_sketch binary — the ~112 KB
+    // fixed-size row the 100 TB maintenance story needs — declared
+    // engine-specific, exactly the q_dedup_minhash precedent.
+    // SketchTableSpec pins estimate >= exact for every probe,
+    // overcount <= eps * tokens, and the absent word's estimate within
+    // the same envelope, for THIS query; the binary table keeps its
+    // merge == rebuild bit-for-bit pins.
+    QuerySpec.sql("q_sketch_cms", cmsOracle) { (s, d) =>
+      def bucket(r: Column, word: Column): Column =
+        conv(substring(md5(concat_ws("|", r, word)), 1, 8), 16, 10)
+          .cast("long") % CmsWidth
+      val toks = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(graft.ops.TextSim.normTokens(col("text"))).as("word"))
+      val perLang = toks.select(col("lang"), col("word"),
+          explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+        .withColumn("j", bucket(col("r"), col("word")))
+        .groupBy("lang", "r", "j").agg(count(lit(1)).as("c"))
+      val all = perLang.groupBy("r", "j").agg(sum("c").as("c"))
+        .select(lit("*all*").as("lang"), col("r"), col("j"), col("c"))
+      val counters = perLang.unionByName(all)
+      val langs = counters.select("lang").distinct()
+      val probes = s.range(1)
+        .select(explode(array(CmsProbes.map(lit): _*)).as("word"))
+        .select(col("word"),
+          explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+        .withColumn("j", bucket(col("r"), col("word")))
+      // |langs| x (|probes| x depth) product of two singleton-ish
+      // frames (declared in PlanShapeSpec), then one narrow left join
+      // against the counter table; a missing counter row is a zero
+      // bucket.
+      langs.crossJoin(broadcast(probes))
+        .join(counters, Seq("lang", "r", "j"), "left")
+        .groupBy("lang", "word")
+        .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
         .orderBy("lang", "word")
     }
   )
+
+  /** Hex value of the first 8 lowercase-hex chars of column/expr `x` —
+    * the shared bucket-hash spelling of the md5 CMS family, emitted as
+    * a strpos polynomial (DuckDB-portable). */
+  private def hexVal8(x: String): String =
+    (1 to 8).map(k =>
+      s"(strpos('0123456789abcdef', substr($x, $k, 1)) - 1) * " +
+        s"${1L << (4 * (8 - k))}")
+      .mkString("(", " + ", ")")
+
+  /** q_sketch_cms's DuckDB unroll: the same tokenizer, the same
+    * md5-row-hash counter matrix, exact-addition *all* rollup, and the
+    * min-over-depth probe — every value an exact integer. */
+  private def cmsOracle: String = {
+    val probeVals = CmsProbes.map(w => s"('$w')").mkString(", ")
+    val hv = hexVal8("h")
+    s"""WITH w AS (SELECT lang, ${TextSim.TokSql()} AS ws FROM documents),
+      |tok AS (SELECT lang, unnest(ws) AS word FROM w),
+      |th AS (SELECT lang, r.range AS r,
+      |    md5(CAST(r.range AS VARCHAR) || '|' || word) AS h
+      |  FROM tok, range(0, $CmsDepth) r),
+      |tj AS (SELECT lang, r, $hv % $CmsWidth AS j FROM th),
+      |cnt AS MATERIALIZED (SELECT lang, r, j,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM tj GROUP BY 1, 2, 3),
+      |calla AS (SELECT '*all*' AS lang, r, j, CAST(sum(c) AS BIGINT) AS c
+      |  FROM cnt GROUP BY 2, 3),
+      |counters AS (SELECT lang, r, j, c FROM cnt
+      |  UNION ALL SELECT lang, r, j, c FROM calla),
+      |langs AS (SELECT DISTINCT lang FROM counters),
+      |ph AS (SELECT p.word, r.range AS r,
+      |    md5(CAST(r.range AS VARCHAR) || '|' || p.word) AS h
+      |  FROM (VALUES $probeVals) p(word), range(0, $CmsDepth) r),
+      |pj AS (SELECT word, r, $hv % $CmsWidth AS j FROM ph)
+      |SELECT l.lang, p.word,
+      |  CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_count
+      |FROM langs l CROSS JOIN pj p
+      |LEFT JOIN counters c ON c.lang = l.lang AND c.r = p.r AND c.j = p.j
+      |GROUP BY 1, 2 ORDER BY l.lang, p.word"""
+  }
 }

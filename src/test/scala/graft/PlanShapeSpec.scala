@@ -415,6 +415,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_text_vocab_prune",
       // one-row sample-count singleton joined onto the 3-row report
       "q_sim_lsh_points",
+      // |langs|-row x 42-row (probe x depth) literal product feeding
+      // the narrow counter left join — the md5-CMS probe plan (r20)
+      "q_sketch_cms",
       // MI/H(C)/H(L)/total are each ONE-row aggregates of the
       // K x |labels| contingency table, composed by singleton
       // cross joins — q_mix_weights' shape on k-means output
