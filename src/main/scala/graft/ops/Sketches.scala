@@ -897,13 +897,27 @@ object Sketches {
     val g = docs
       .select(col(idCol), graft.ops.TextSim.normTokens(col("text")).as("ws"))
       .select(col(idCol),
-        explode(graft.functions.VectorFunctions.wordGramHashes(col("ws")))
-          .as("gram"))
+        explode(graft.ops.TextSim.wordGrams3("ws")).as("gram"))
+    sigBands(g, idCol)
+  }
+
+  /** md5 MinHash signatures → band keys of a (id, gram) frame — the
+    * ONE hash-family spelling every banded path shares since r20:
+    * per-function minima over md5('i|'||gram) hex strings, band key =
+    * md5 of the 4 joined minima. min over a multiset equals min over
+    * its distinct set, so capped (distinct + df-capped) and uncapped
+    * gram frames ride the same kernel. Replacing the xxhash kernel
+    * here is what made q_dedup_incremental oracle-checkable — the
+    * ~2x-cheaper-per-gram xxhash family was the r18/r19 trade, paid
+    * back by moving ALL md5 work into maintained stages (queries now
+    * hash nothing — see [[minhashBandTableCapped]]). */
+  private def sigBands(g: DataFrame, idCol: String): DataFrame = {
     val mhCols = (0 until NumHashes)
-      .map(i => min(xxhash64(lit(i), col("gram"))).as(s"mh$i"))
+      .map(i => min(md5(concat_ws("|", lit(i.toString), col("gram"))))
+        .as(s"mh$i"))
     val sig = g.groupBy(idCol).agg(mhCols.head, mhCols.tail: _*)
     val bandCols = (0 until Bands).map { b =>
-      xxhash64((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)
+      md5(concat_ws("|", (b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*))
     }
     sig.select(col(idCol), posexplode(array(bandCols: _*))
       .as(Seq("band", "bh")))
@@ -921,7 +935,7 @@ object Sketches {
     * tests and multi-tenant pipelines upsert into their OWN instance so
     * mutation never leaks into the shared one. */
   private def bandStage(name: String): String =
-    if (name.isEmpty) "mhbands" else s"mhbands@$name"
+    if (name.isEmpty) "mhbands_md5" else s"mhbands_md5@$name"
 
   /** The corpus's MinHash band table (doc_id, band, bh), STAGE-CACHED:
     * at 100 TB this IS the dedup index — a maintained (band, bh) →
@@ -1670,6 +1684,18 @@ object Sketches {
       g0.join(ok, "gram").select("doc_id", "gram")
     }
 
+  /** The df-CAPPED md5 band table q_dedup_minhash rides — STAGE-CACHED
+    * (r20, the r19 double-hash fix): the registry query used to
+    * re-derive signatures from [[stringGrams]] on every run, paying
+    * the md5 family a second time next to the maintained index build;
+    * now both the capped (all-pairs query) and uncapped (incremental
+    * index) band tables are one-time maintained stages and the query
+    * path hashes NOTHING — it is a pure (band, bh) self-join. */
+  private def minhashBandTableCapped(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "mhbands_md5c") {
+      sigBands(stringGrams(s, d), "doc_id")
+    }
+
   /** q_dedup_minhash's DuckDB unroll: the same tokenize → 3-gram →
     * df-cap chain as the q_dedup_ngram oracle, then the md5 hash
     * family — per-function minima as hex strings, band keys as md5 of
@@ -1700,6 +1726,57 @@ object Sketches {
       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 ORDER BY ida, idb"""
   }
+
+  /** UNCAPPED md5 MinHash band CTEs over a (doc_id, text) source CTE —
+    * [[minhashBands]]/[[sigBands]] unrolled (no distinct, no df cap:
+    * min over a multiset equals min over its set, and the index keeps
+    * full-fidelity signatures — see the [[minhashBands]] scaladoc).
+    * Emits `${p}b` (doc_id, band, bh); shared by the corpus and batch
+    * sides of the q_dedup_incremental oracle. */
+  private def mhBandsCte(p: String, src: String): String = {
+    val mhs = (0 until NumHashes)
+      .map(i => s"min(md5('$i|' || gram)) AS mh$i").mkString(",\n    ")
+    val bandRows = (0 until Bands).map { b =>
+      val parts = (b * 4 until b * 4 + 4).map(i => s"mh$i")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM ${p}sig"
+    }.mkString("\n  UNION ALL ")
+    s"""${p}w AS (SELECT doc_id, ${TextSim.TokSql()} AS ws FROM $src),
+      |${p}g AS (SELECT doc_id,
+      |    unnest([array_to_string(ws[i:i+2], ' ')
+      |      for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS gram
+      |  FROM ${p}w),
+      |${p}sig AS (SELECT doc_id, $mhs FROM ${p}g GROUP BY doc_id),
+      |${p}b AS MATERIALIZED ($bandRows)"""
+  }
+
+  /** q_dedup_incremental's DuckDB unroll (r20): the registry row probes
+    * the maintained index WITHOUT upserting, so it is a pure function
+    * of the corpus — corpus bands, the deterministic fixture batch
+    * (every 7th doc re-submitted under id+1e6, even ids verbatim, odd
+    * ids word-reversed), batch bands, the (band, bh) hash join, and
+    * the min/count admission verdicts. The STATEFUL upsert sequence
+    * (ingestBatch day-2 probes seeing day-1 admissions) remains
+    * pinned by SketchesSpec's incremental ≡ full-recompute equality —
+    * cross-run state is the one part DuckDB cannot replay. */
+  private def incrementalOracle: String =
+    s"""WITH ${mhBandsCte("c", "documents")},
+      |batch AS (SELECT doc_id + 1000000 AS doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN text
+      |      ELSE array_to_string(list_reverse(str_split(text, ' ')), ' ')
+      |    END AS text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |${mhBandsCte("q", "batch")},
+      |ihits AS (SELECT DISTINCT b.doc_id, c.doc_id AS corpus_id
+      |  FROM qb b JOIN cb c ON c.band = b.band AND c.bh = b.bh
+      |    AND b.doc_id <> c.doc_id),
+      |iagg AS (SELECT doc_id, min(corpus_id) AS dup_of,
+      |    CAST(count(*) AS BIGINT) AS n_dups
+      |  FROM ihits GROUP BY 1)
+      |SELECT b.doc_id, a.dup_of, coalesce(a.n_dups, 0) AS n_dups,
+      |  a.dup_of IS NOT NULL AS is_dup
+      |FROM batch b LEFT JOIN iagg a USING (doc_id)
+      |ORDER BY b.doc_id"""
 
   /** q_dedup_simhash's DuckDB unroll: the same tokenizer, the same
     * md5-derived 64 bits per word (locate/strpos hexval — see
@@ -2036,22 +2113,15 @@ object Sketches {
     // min as a STRING — lowercase-hex ordering is byte-identical in
     // both engines, the q_mix_source_cap pin) and the band key is md5
     // over the joined per-band minima — so the whole candidate
-    // generation is DuckDB-hash-checked (r18 verdict #3). The
-    // maintained incremental index (q_dedup_incremental) keeps the
-    // native xxhash64 kernel — ~2x cheaper per gram, declared
-    // no-oracle — while this registry query pays the md5 family for
-    // cross-engine replayability at the same banding architecture.
+    // generation is DuckDB-hash-checked (r18 verdict #3). Since r20
+    // the signatures live in the stage-cached capped band table
+    // ([[minhashBandTableCapped]]) — the query itself hashes nothing
+    // (the r19 clean-bench regression was this query re-paying the md5
+    // family the stage had already paid), and the maintained
+    // incremental index rides the SAME md5 kernel (uncapped), which is
+    // what flipped q_dedup_incremental to oracle-checked.
     QuerySpec.sql("q_dedup_minhash", minhashOracle) { (s, d) =>
-      val g = stringGrams(s, d)
-      val mhCols = (0 until NumHashes)
-        .map(i => min(md5(concat_ws("|", lit(i.toString), col("gram"))))
-          .as(s"mh$i"))
-      val sig = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-      val bandCols = (0 until Bands).map { b =>
-        md5(concat_ws("|", (b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*))
-      }
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      val bands = minhashBandTableCapped(s, d)
       bands.toDF("ida", "band_a", "bh_a")
         .join(bands.toDF("idb", "band_b", "bh_b"),
           col("band_a") === col("band_b") && col("bh_a") === col("bh_b")
@@ -2065,8 +2135,13 @@ object Sketches {
     // dedupAgainstIndex): the fixture re-submits every 7th corpus doc
     // under a fresh id — verbatim copies are deterministically flagged,
     // word-reversed ones admitted. The daily-crawl shape: O(batch)
-    // probe work against a stage-cached index, no corpus rescan.
-    QuerySpec.noOracle("q_dedup_incremental") { (s, d) =>
+    // probe work against a stage-cached index, no corpus rescan. Since
+    // r20 the index rides the md5 kernel, and this probe-only registry
+    // row (no upsert → a pure corpus function) is DuckDB-hash-checked;
+    // the genuinely stateful part (day-2 probes seeing day-1
+    // admissions) stays pinned by SketchesSpec's incremental ≡
+    // full-recompute equality.
+    QuerySpec.sql("q_dedup_incremental", incrementalOracle) { (s, d) =>
       dedupAgainstIndex(s, d, defaultBatch(s, d))
     },
 

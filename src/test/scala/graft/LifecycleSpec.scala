@@ -19,7 +19,7 @@ class LifecycleSpec extends AnyFunSuite {
     val name = "lcband"
     val d = sf
     // Seed the named instance and record its physical stage key.
-    val stage = s"mhbands@$name"
+    val stage = s"mhbands_md5@$name"
     ops.Sketches.minhashBandTable(spark, d, name).count()
     // Probe: corpus docs re-submitted VERBATIM under fresh ids — each
     // matches (at least) its own source deterministically.
@@ -52,12 +52,12 @@ class LifecycleSpec extends AnyFunSuite {
 
     val dummy = spark.range(0).toDF // by-name build, never evaluated: stage exists
     val live = ops.Sketches.minhashBandTable(spark, d, name)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     val filesBefore = StageCache.fileCount(spark, d, stage)(dummy)
     ops.Sketches.compactBandIndex(spark, d, name, targetFiles = 2)
     val filesAfter = StageCache.fileCount(spark, d, stage)(dummy)
     val liveAfter = ops.Sketches.minhashBandTable(spark, d, name)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(liveAfter === live, "compaction changed read results")
     assert(filesAfter < filesBefore && filesAfter <= 2,
       s"compaction did not shrink the file listing: $filesBefore -> $filesAfter")
