@@ -111,7 +111,7 @@ object AnnCurve {
     val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val outBase = args.lift(2).getOrElse("target/scale")
     val clusters = args.lift(3).map(_.toInt).getOrElse(32)
-    val s = Local.session(defaultCpus = "32")
+    val s = Local.session(defaultCpus = "32", periodicGcMin = 2)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outBase))
     // embed-only tiers since r18: the curve reads vectors alone, and
     // full fact replication is prohibitive at the x1000 decade

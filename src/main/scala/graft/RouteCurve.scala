@@ -38,7 +38,7 @@ object RouteCurve {
       case "auto" => ops.Clustering.adaptiveProbes(k)
       case i => i.toInt
     }.distinct.sorted
-    val s = Local.session(defaultCpus = "32")
+    val s = Local.session(defaultCpus = "32", periodicGcMin = 2)
     // "clustered:<mult>:<nclusters>" generates a ScaleGen clustered
     // tier from sf0.1 on the fly — the contrast point for the
     // isotropic-is-worst-case claim (the AnnCurve clustered-tier

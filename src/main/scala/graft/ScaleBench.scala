@@ -235,7 +235,7 @@ object ScaleBench {
     // NOTE: heap must come from the launcher (SPARK_DRIVER_MEM env ->
     // build.sbt's forked -Xmx): spark.driver.memory set in the builder
     // is a silent no-op in local mode (the JVM is already running).
-    val s = Local.session(defaultCpus = "32")
+    val s = Local.session(defaultCpus = "32", periodicGcMin = 2)
     val tiers: Seq[(String, String)] =
       if (countsOnly && openVocab > 0) {
         Seq(1, 10, mult).distinct.map { m =>

@@ -29,7 +29,7 @@ object StateBench {
     val ks = args.lift(1).getOrElse("10000,100000")
       .split(",").map(_.trim.toInt).toSeq
     val iters = args.lift(2).map(_.toInt).getOrElse(1)
-    val s = Local.session(defaultCpus = "32")
+    val s = Local.session(defaultCpus = "32", periodicGcMin = 2)
     // Self-bootstrapping: the default tier is a DETERMINISTIC ScaleGen
     // corpus (byte-identical across regenerations), so a cleaned
     // target/ never orphans the artifact recipe. Call generate

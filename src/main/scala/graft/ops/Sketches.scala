@@ -341,6 +341,7 @@ object Sketches {
     * (md5(vec_id), vec_id) — the cross-engine-byte-identical hash
     * order the kmeans family pins — as (cid, cv), cid = seed rank. */
   private def hashSeeds(base: DataFrame, c: Int): DataFrame = {
+    requireCidFits(c) // every codebook is seeded here — the one chokepoint
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("h"), col("vec_id"))
     base.select(col("vec_id"), col("xq"),
@@ -367,6 +368,17 @@ object Sketches {
     min(d * lit(1L << ArgminCidBits) + cid)
   private def packedCid(p: Column): Column =
     p.bitwiseAND(lit((1L << ArgminCidBits) - 1))
+
+  /** The documented cid bit budget as a LOUD train-time failure (r19
+    * advice): a codebook at or past 2^20 rows would silently corrupt
+    * the packed (d, cid) tie-break, so every codebook-sizing site
+    * refuses first. C = ceil(sqrt(N)) crosses this at N ~ 1.1e12
+    * vectors — raise ArgminCidBits (d fits 43 bits; 63 total) before
+    * any such corpus. */
+  private def requireCidFits(c: Long): Unit =
+    require(c < (1L << ArgminCidBits),
+      s"codebook size $c >= 2^$ArgminCidBits corrupts the packed argmin " +
+        "tie-break; raise ArgminCidBits")
 
   /** Nearest-centroid assignment in the integer basis as an
     * AGGREGATION — a hash aggregate over the N x C broadcast product,

@@ -2239,6 +2239,49 @@ class MultimodalSpec extends AnyFunSuite {
       "block before its cluster's Timestamp must drop the file")
   }
 
+  test("EBML lacing: 3-frame laces exercise the signed-delta branch; lying deltas drop") {
+    // The 2-frame cases below never reach the k>=1 delta arithmetic
+    // (one unsigned vint sizes frame 0; frame 1 is the remainder), so
+    // this lace holds THREE frames of two different 16x16 fixtures:
+    // frame sizes 54, 20, 54 — the first delta is NEGATIVE (-34) and
+    // deliberately encoded as an over-long TWO-byte signed vint
+    // (marker 0x40, bias 2^13-1), covering both the multi-byte vint
+    // path and the raw - (2^(7*lk-1) - 1) bias arithmetic.
+    val big = vp8PayloadOf("photo_16x16_q75") // 54 bytes
+    val small = vp8PayloadOf("mag0001")       // 20 bytes
+    assert(big.length === 54 && small.length === 20, "fixture drift")
+    val delta = small.length - big.length + 8191 // -34 biased into 14 bits
+    val sizes = Array[Byte]((0x80 | big.length).toByte,
+      (0x40 | (delta >> 8)).toByte, (delta & 0xFF).toByte)
+    val lace = Array[Byte](2) ++ sizes ++ big ++ small ++ big
+    val vid = Multimodal.decodeMkv(
+      webmBytes(16, 16, 1000000L, 0L, Seq((0, 0x86, lace)))).getOrElse(
+      fail("3-frame EBML lace did not decode"))
+    assert(vid.frames.length === 3, "EBML 3-lace frame count")
+    assert(vid.frames.map(_.timeMs) === Seq(0L, 0L, 0L))
+    def direct(p: Array[Byte]): Array[Byte] =
+      Multimodal.decodeMkv(webmBytes(16, 16, 1000000L, 0L,
+        Seq((0, 0x80, p)))).get.frames.head.pixels
+    val (db, ds) = (direct(big), direct(small))
+    assert(vid.frames(0).pixels.sameElements(db), "laced frame 0")
+    assert(vid.frames(1).pixels.sameElements(ds), "laced frame 1")
+    assert(vid.frames(2).pixels.sameElements(db), "laced frame 2")
+    // A delta that drives a frame size NEGATIVE is a lying table: the
+    // file drops (never mis-slices). s0 = 5, delta = -10 (1-byte
+    // signed vint, bias 63).
+    val lying = Array[Byte](2, (0x80 | 5).toByte, (0x80 | 53).toByte) ++
+      big ++ small ++ big
+    assert(Multimodal.decodeMkv(webmBytes(16, 16, 1000000L, 0L,
+      Seq((0, 0x86, lying)))).isEmpty, "negative-size delta must drop")
+    // And a delta whose sizes overrun the payload (remainder < 0).
+    val over = delta + 500 // claims frame 1 is 466 bytes larger
+    val overSizes = Array[Byte]((0x80 | big.length).toByte,
+      (0x40 | (over >> 8)).toByte, (over & 0xFF).toByte)
+    assert(Multimodal.decodeMkv(webmBytes(16, 16, 1000000L, 0L,
+      Seq((0, 0x86, Array[Byte](2) ++ overSizes ++ big ++ small ++ big))))
+      .isEmpty, "overrunning delta must drop")
+  }
+
   test("WebM lacing: Xiph/fixed/EBML key laces decode every frame; a bad table drops the file") {
     val payload = vp8PayloadOf("photo_16x16_q75")
     val L = payload.length
