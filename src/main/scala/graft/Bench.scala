@@ -30,8 +30,26 @@ object Bench {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  /** Bench-window discipline (r19 What's-wrong #2): the r19 record was
+    * measured at load_avg 33 under a co-resident campaign main and
+    * read as a phantom 36% regression. A bench that STARTS on a busy
+    * host cannot produce a comparable record, so the record carries a
+    * contamination verdict the harness computes itself instead of
+    * trusting whoever launched it: load_avg at start above this bar →
+    * `"contaminated":true` in both JSON lines and a loud stderr
+    * banner. Idle rounds start at ~0-3 (the JVM's own warmup); 6 is
+    * 2x the highest clean round on record. */
+  private val CleanLoadBar = 6.0
+
   def main(args: Array[String]): Unit = {
     val spinStart = spinCal()
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val contaminated = loadStart > CleanLoadBar
+    if (contaminated)
+      System.err.println(f"bench: WARNING load_avg $loadStart%.2f > " +
+        f"$CleanLoadBar%.1f at start — record marked contaminated; " +
+        "stop campaign mains before benching")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // FAIR job scheduling, for the stage-build pre-pass only: the six
     // artifact chains submit jobs from six threads, and under FIFO a
@@ -194,7 +212,9 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val sentinel =
-      f""""spin_cal":{"start_s":$spinStart%.3f,"end_s":$spinEnd%.3f},"load_avg":$loadAvg%.2f"""
+      f""""spin_cal":{"start_s":$spinStart%.3f,"end_s":$spinEnd%.3f},""" +
+        f""""load_avg":$loadAvg%.2f,"load_avg_start":$loadStart%.2f,""" +
+        s""""contaminated":$contaminated"""
     val nErr = results.count(!_._4)
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"stage_build_detail":$stageJson,"warm":$warm,"runs":$Runs,$sentinel,"gc_total_ms":$gcTotal,"probe_max_s":$probeMax%.3f,"n_errors":$nErr,"queries":$qs,"query_noise":$qnoise,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     println(json)
