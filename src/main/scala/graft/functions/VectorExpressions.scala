@@ -25,6 +25,18 @@ object VectorFunctions {
       shift: Long): Column =
     VectorNative.intPlaneSigs(a, bits, tables, seedBase, shift)
 
+  /** Integer squared L2 between two array<long> columns (the quantized
+    * ANN/k-means basis) as whole-stage codegen — bit-identical to the
+    * zip_with HOF spelling, minus its per-element interpreted lambda
+    * (see graftnative.LongL2Sq). */
+  def longL2Sq(a: Column, b: Column): Column = VectorNative.longL2Sq(a, b)
+
+  /** Integer dot of two array<long> columns with both sides de-shifted
+    * by `shift` — the quantized-basis cosine numerator (see
+    * graftnative.LongShiftedDot). */
+  def longShiftedDot(a: Column, b: Column, shift: Long): Column =
+    VectorNative.longShiftedDot(a, b, shift)
+
   /** Hashed word-3-grams of an array<string> column, one pass, no
     * string materialization (see graftnative.WordGramHashes). */
   def wordGramHashes(ws: Column): Column = VectorNative.wordGramHashes(ws)

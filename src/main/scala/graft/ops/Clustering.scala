@@ -176,10 +176,11 @@ object Clustering {
 
   /** Quantized squared L2 between two array<long> columns — the
     * module's ONE distance expression (the bit-exactness contract
-    * lives here; every path and query composes this). */
+    * lives here; every path and query composes this). Native codegen
+    * since r20 (graftnative.LongL2Sq) — same exact long arithmetic,
+    * no per-element interpreted lambda on the N x K products. */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.longL2Sq(a, b)
 
   /** Squared integer distance from xq to the literal centroid `c`. */
   private def dist2(c: Array[Long]): Column =

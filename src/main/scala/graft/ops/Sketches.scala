@@ -320,10 +320,12 @@ object Sketches {
   /** Quantized squared L2 between two array<long> columns — the same
     * one-expression exactness contract as the kmeans module's l2sq.
     * private[graft] so AnnCurve and the specs grade with the SAME
-    * expression instead of hand-copied spellings (r19 review). */
+    * expression instead of hand-copied spellings (r19 review). Since
+    * r20 the native codegen kernel (bit-identical long arithmetic —
+    * see graftnative.LongL2Sq): the interpreted HOF sat on every
+    * N x C assignment product and dominated stage build. */
   private[graft] def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.longL2Sq(a, b)
 
   /** The quantized-basis view of a named instance's live store —
     * STAGE-CACHED for the shared registry instance (the searches'
@@ -1454,9 +1456,7 @@ object Sketches {
     // per-m dot/norm sums subtract it first — exact longs, order-free;
     // one double sqrt + divide per query vector at the end.
     def udot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) =>
-        (x - lit(Clustering.ShiftQ)) * (y - lit(Clustering.ShiftQ))),
-        lit(0L), (acc, v) => acc + v)
+      graft.functions.VectorFunctions.longShiftedDot(a, b, Clustering.ShiftQ)
     val fidelity = pqAssignQ(qsv, cb)
       .join(qsv, Seq("vec_id", "m"))
       .join(broadcast(cb), Seq("m", "cid"))
@@ -1980,13 +1980,11 @@ object Sketches {
         |LEFT JOIN nbrs n ON n.idb = e.vec_id
         |GROUP BY e.vec_id ORDER BY vec_id""") { (s, d) =>
       val eq = storeQ(s, d, "")
-      val S = lit(Clustering.ShiftQ)
       val nbrs = dedupPairCandidates(s, d)
         .join(eq.toDF("ida", "xa"), "ida")
         .join(eq.toDF("idb", "xb"), "idb")
-        .withColumn("dot", aggregate(
-          zip_with(col("xa"), col("xb"), (a, b) => (a - S) * (b - S)),
-          lit(0L), (acc, v) => acc + v))
+        .withColumn("dot", graft.functions.VectorFunctions
+          .longShiftedDot(col("xa"), col("xb"), Clustering.ShiftQ))
         .filter(col("dot") >= 400000000000L)
         .select("ida", "idb")
       eq.select(col("vec_id"))
@@ -2062,13 +2060,11 @@ object Sketches {
         .filter(col("ida") < col("idb"))
         .select("point", "ida", "idb")
         .distinct()
-      val S = lit(Clustering.ShiftQ)
       val stats = cand
         .join(broadcast(sq.toDF("ida", "xa")), "ida")
         .join(broadcast(sq.toDF("idb", "xb")), "idb")
-        .withColumn("dot", aggregate(
-          zip_with(col("xa"), col("xb"), (a, b) => (a - S) * (b - S)),
-          lit(0L), (acc, v) => acc + v))
+        .withColumn("dot", graft.functions.VectorFunctions
+          .longShiftedDot(col("xa"), col("xb"), Clustering.ShiftQ))
         .groupBy("point")
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("dot") >= 900000000000L, 1L).otherwise(0L))
