@@ -491,6 +491,42 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1000("ivf_cells") === 1415L) // ceil(sqrt(2e6))
   }
 
+  test("x1000 md5-family rerun (r20b): text chains byte-stable, ivf bit-identical, constants hold") {
+    // The same campaign re-run on the shipped md5 minhash/LSH families
+    // + the LongL2Sq codegen kernel (bench/scale_ov64_x*_counts_r20b
+    // .json) — closes SCALE.md's family caveat. Three distinct claims:
+    def counts(tag: String, round: String): Map[String, Long] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"bench/scale_ov64_${tag}_counts_$round.json")))
+      val body = txt.substring(txt.indexOf("\"counts\":"))
+      "\"([a-z0-9_]+)\":(\\d+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+    for (tag <- Seq("x1", "x10", "x1000")) {
+      val (a, b) = (counts(tag, "r20"), counts(tag, "r20b"))
+      // 1. the TEXT chains are hash-family-independent — measured, not
+      //    assumed: gram/postings/near-dup counts identical per tier;
+      for (k <- Seq("n_docs", "n_tokens", "gram_pair_rows",
+        "neardup_edges", "minhash_band_rows"))
+        assert(a(k) === b(k), s"$k moved under the md5 family at $tag")
+      // 2. the IVF chain is BIT-IDENTICAL under the codegen kernel —
+      //    LongL2Sq replaced the interpreted zip_with HOF and every
+      //    cell statistic reproduced exactly, four decades deep;
+      for (k <- Seq("ivf_cells", "ivf_max_cell", "ivf_cell_sumsq"))
+        assert(a(k) === b(k), s"$k drifted under the codegen kernel at $tag")
+    }
+    // 3. the md5-family constants obey the same laws: banded candidate
+    //    growth linear across x10 -> x1000 (two decades), and the
+    //    24x18 high-threshold background constant stays ~5e-6 of pairs.
+    val (b10, b1000) = (counts("x10", "r20b"), counts("x1000", "r20b"))
+    val mh = math.log(b1000("minhash_bucket_pairs").toDouble /
+      b10("minhash_bucket_pairs")) / math.log(10.0) / 2
+    assert(mh >= 0.95 && mh <= 1.1, f"md5 minhash family superlinear: $mh%.3f")
+    val n = b1000("n_vectors").toDouble
+    val hi = b1000("lsh_pair_candidates_hi24x18") / (n * (n - 1) / 2)
+    assert(hi >= 3e-6 && hi <= 8e-6, f"md5 hi24x18 constant moved: $hi%.2e")
+  }
+
   test("route-curve artifacts: agreement/work monotone in probes, clustered above isotropic") {
     // The committed agreement-vs-probes operating curves
     // (bench/route_curve_*_r15.jsonl; regenerate with `runMain

@@ -129,6 +129,42 @@ class SeaSegmentSpec extends AnyFunSuite {
     assert(!fallbackOf(s1).contains("สวัสดี"))
   }
 
+  test("builtin Lao lexicon: loads, NFC, SEA-only, no comments or dups") {
+    val lex = SeaSegment.builtinLexicon("lao")
+    assert(lex.size >= 150, s"starter lexicon too small: ${lex.size}")
+    assert(lex.distinct.size === lex.size)
+    lex.foreach { w =>
+      assert(!w.startsWith("#") && w.trim == w && w.nonEmpty)
+      assert(java.text.Normalizer.isNormalized(w,
+        java.text.Normalizer.Form.NFC), s"not NFC: $w")
+      assert(SeaSegment.isSeaRun(w), s"non-SEA entry: $w")
+      // Lao entries sit in the LAO block specifically (U+0E80-0EFF),
+      // not merely somewhere in the SEA superset — a Thai word pasted
+      // into lao.txt fails here.
+      w.codePoints().forEach(cp =>
+        assert(cp >= 0x0E80 && cp <= 0x0EFF, f"non-Lao cp U+$cp%04X in $w"))
+    }
+  }
+
+  test("Lao starter segments real spaceless sentences into real words") {
+    val lex = SeaSegment.builtinLexicon("lao")
+    // "hello, I like to eat rice" — spaceless, as Lao is written; the
+    // SAME sentence whose hand-pinned segmentation backs the
+    // q_text_sea_segment_lao oracle, so this pin and the driver's
+    // hash check witness each other.
+    val s1 = "ສະບາຍດີຂ້ອຍມັກກິນເຂົ້າ"
+    assert(tokensOf(s1, lex) ===
+      Seq("ສະບາຍດີ", "ຂ້ອຍ", "ມັກ", "ກິນ", "ເຂົ້າ"))
+    // Mixed known/unknown: the repetition mark U+0EC6 is a letter
+    // (Lm) inside the SEA run but no lexicon entry — it chunks.
+    val s2 = "ຂອບໃຈຫຼາຍໆ"
+    val got = tokensOf(s2, lex)
+    assert(got.head === "ຂອບໃຈ" && got.contains("ຫຼາຍ"), got.toString)
+    // The fallback tokenizer cannot produce the tone-marked words.
+    assert(!fallbackOf(s1).contains("ສະບາຍດີ"))
+    assert(!fallbackOf(s1).contains("ເຂົ້າ"))
+  }
+
   test("lexiconFor: session knob routes demo | builtin | file") {
     val s2 = spark.newSession()
     assert(SeaSegment.lexiconFor(s2) === SeaSegment.DemoLexicon)
