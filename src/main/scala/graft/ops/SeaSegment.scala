@@ -37,12 +37,13 @@ import org.apache.spark.sql.functions._
   *
   * Lexicons are pluggable since r18 ([[lexiconFor]]): the registry
   * query defaults to the 4-word golden-pinned demo, hand-curated
-  * STARTERS ship as `builtin:thai` (~190 words, r18) and
-  * `builtin:lao` (~210 words, r20), and a user brings a full
-  * dictionary via `file:<path>`. Khmer and Myanmar ship no builtin —
-  * those scripts keep the documented run-tokenization fallback until
-  * a lexicon is supplied (the honest boundary: a fabricated word
-  * list would be worse than an explicit gap).
+  * STARTERS ship as `builtin:thai` (~190 words, r18), `builtin:lao`
+  * (~210 words, r20) and `builtin:khmer` (~160 words, r20), and a
+  * user brings a full dictionary via `file:<path>`. Myanmar ships no
+  * builtin — that script keeps the documented run-tokenization
+  * fallback until a lexicon is supplied (the honest boundary: its
+  * kinzi/stacking orthography makes a hand-written word list too
+  * error-prone; a fabricated list would be worse than the gap).
   */
 object SeaSegment {
 
@@ -69,10 +70,19 @@ object SeaSegment {
   /** Token characters: letters, numbers, and — unlike the contract
     * kernel — combining marks WITHIN the SEA blocks (tone marks,
     * dependent vowels, coeng/virama), so dictionary words keep their
-    * real spelling. */
+    * real spelling. Both mark categories: Thai/Lao marks are all Mn,
+    * but Khmer and Myanmar dependent vowels are frequently SPACING
+    * combining marks (Mc — ា U+17B6, ា U+102C, ေ U+1031, း U+1038),
+    * and excluding them would split every Khmer/Myanmar word at its
+    * vowels (r20, found shipping builtin:khmer). Thai/Lao blocks
+    * contain no Mc, so this widening cannot change their runs. */
   private def isTokenChar(cp: Int): Boolean =
     Character.isLetter(cp) || isNum(cp) ||
-      (isSea(cp) && Character.getType(cp) == Character.NON_SPACING_MARK)
+      (isSea(cp) && {
+        val t = Character.getType(cp)
+        t == Character.NON_SPACING_MARK ||
+          t == Character.COMBINING_SPACING_MARK
+      })
 
   /** True when every codepoint of `tok` is SEA-script. */
   def isSeaRun(tok: String): Boolean =
@@ -153,14 +163,14 @@ object SeaSegment {
     * ~190-word hand-curated STARTER as a classpath resource). One
     * word per line, `#` comments and blank lines ignored, entries
     * deduplicated; the tokenizer NFC-lowercases entries on use, so a
-    * file in any normalization form works. Khmer/Myanmar still have
-    * no built-in — they keep the documented run-tokenization
-    * fallback until a user brings a lexicon file (the honest
-    * boundary, SURVEY §2.11g; Lao shipped its starter in r20). */
+    * file in any normalization form works. Myanmar still has no
+    * built-in — it keeps the documented run-tokenization fallback
+    * until a user brings a lexicon file (the honest boundary, SURVEY
+    * §2.11g; Lao and Khmer shipped their starters in r20). */
   def builtinLexicon(name: String): Seq[String] = {
     val in = getClass.getResourceAsStream(s"/graft/lexicons/$name.txt")
     require(in != null, s"no builtin lexicon '$name' " +
-      s"(shipped: thai, lao); bring a file via file:<path>")
+      s"(shipped: thai, lao, khmer); bring a file via file:<path>")
     try parseLexicon(scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines())
     finally in.close()
@@ -228,6 +238,19 @@ object SeaSegment {
     "\u0ea1\u0eb1\u0e81", // mak (like)
     "\u0e81\u0eb4\u0e99", // kin (eat)
     "\u0ec0\u0e82\u0ebb\u0ec9\u0eb2") // khao (rice)
+
+  /** The Khmer-starter phrase and its HAND-PINNED segmentation (r20):
+    * "hello, I like to eat rice" \u2014 five real words, every one a
+    * khmer.txt entry. Khmer is the script that motivated the Mc
+    * widening in [[isTokenChar]]: \u17b6 (U+17B6) is a SPACING combining
+    * mark, so without it \u1794\u17b6\u1799 would split at its own vowel. */
+  private val KhmerPhrase = "\u179f\u17bd\u179f\u17d2\u178f\u17b8\u1781\u17d2\u1789\u17bb\u17c6\u1785\u17bc\u179b\u1785\u17b7\u178f\u17d2\u178f\u1789\u17c9\u17b6\u17c6\u1794\u17b6\u1799"
+  private val KhmerSegs = Seq(
+    "\u179f\u17bd\u179f\u17d2\u178f\u17b8", // suostei (hello)
+    "\u1781\u17d2\u1789\u17bb\u17c6", // khnhom (I)
+    "\u1785\u17bc\u179b\u1785\u17b7\u178f\u17d2\u178f", // chaul chett (like)
+    "\u1789\u17c9\u17b6\u17c6", // nham (eat)
+    "\u1794\u17b6\u1799") // bay (rice)
 
   /** q_text_sea_segment's DuckDB oracle (r18 — declared no-oracle
     * until now). General lexicon segmentation is not SQL-expressible,
@@ -333,7 +356,10 @@ object SeaSegment {
     *    verifies thai.txt and the builtin resolution end-to-end;
     *  - q_text_sea_segment_lao (r20, the r19 verdict's missing #4):
     *    the same contract for the SHIPPED builtin:lao starter with a
-    *    five-word hand-pinned Lao segmentation. */
+    *    five-word hand-pinned Lao segmentation;
+    *  - q_text_sea_segment_khmer (r20): the same contract for the
+    *    SHIPPED builtin:khmer starter — additionally witnesses the
+    *    Mc (spacing combining mark) handling end-to-end. */
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec.sql("q_text_sea_segment",
       seaOracleFor(Phrase, phraseSegmented)) { (s, d) =>
@@ -346,6 +372,10 @@ object SeaSegment {
     QuerySpec.sql("q_text_sea_segment_lao",
       seaOracleFor(LaoPhrase, LaoSegs)) { (s, d) =>
       seaSegmentDf(s, d, LaoPhrase, builtinLexicon("lao"))
+    },
+    QuerySpec.sql("q_text_sea_segment_khmer",
+      seaOracleFor(KhmerPhrase, KhmerSegs)) { (s, d) =>
+      seaSegmentDf(s, d, KhmerPhrase, builtinLexicon("khmer"))
     })
 
   /** Column form over raw text. Lexicon entries are NFC-lowercased to

@@ -165,6 +165,44 @@ class SeaSegmentSpec extends AnyFunSuite {
     assert(!fallbackOf(s1).contains("ເຂົ້າ"))
   }
 
+  test("builtin Khmer lexicon: loads, NFC, Khmer-block-only, Mc vowels intact") {
+    val lex = SeaSegment.builtinLexicon("khmer")
+    assert(lex.size >= 120, s"starter lexicon too small: ${lex.size}")
+    assert(lex.distinct.size === lex.size)
+    lex.foreach { w =>
+      assert(!w.startsWith("#") && w.trim == w && w.nonEmpty)
+      assert(java.text.Normalizer.isNormalized(w,
+        java.text.Normalizer.Form.NFC), s"not NFC: $w")
+      w.codePoints().forEach(cp =>
+        assert(cp >= 0x1780 && cp <= 0x17FF, f"non-Khmer cp U+$cp%04X in $w"))
+    }
+    // The starter genuinely contains SPACING combining marks (Mc) —
+    // the category the r20 isTokenChar widening admits; if a future
+    // cleanup reverts it, this assertion plus the segmentation test
+    // below fail together.
+    assert(lex.exists(_.codePoints().anyMatch(cp =>
+      Character.getType(cp) == Character.COMBINING_SPACING_MARK)))
+  }
+
+  test("Khmer starter segments real spaceless sentences into real words") {
+    val lex = SeaSegment.builtinLexicon("khmer")
+    // "hello, I like to eat rice" — the same sentence whose hand-pinned
+    // segmentation backs the q_text_sea_segment_khmer oracle. បាយ and
+    // ញ៉ាំ carry the Mc vowel ា (U+17B6): under the pre-r20 Mn-only
+    // rule the run split at every ា and none of these words could match.
+    val s1 = "សួស្តីខ្ញុំចូលចិត្តញ៉ាំបាយ"
+    assert(tokensOf(s1, lex) ===
+      Seq("សួស្តី", "ខ្ញុំ", "ចូលចិត្ត", "ញ៉ាំ", "បាយ"))
+    // Mixed known/unknown: ៗ (U+17D7 repetition) is Lm, joins the run,
+    // matches nothing — chunks between hits.
+    val got = tokensOf("អរគុណច្រើនៗ", lex)
+    assert(got.head === "អរគុណ" && got.contains("ច្រើន"), got.toString)
+    // The fallback cannot produce the vowel-bearing words: ា is a
+    // token boundary under the contract kernel in BOTH engines.
+    assert(!fallbackOf(s1).contains("បាយ"))
+    assert(!fallbackOf(s1).contains("ខ្ញុំ"))
+  }
+
   test("lexiconFor: session knob routes demo | builtin | file") {
     val s2 = spark.newSession()
     assert(SeaSegment.lexiconFor(s2) === SeaSegment.DemoLexicon)
