@@ -37,13 +37,14 @@ import org.apache.spark.sql.functions._
   *
   * Lexicons are pluggable since r18 ([[lexiconFor]]): the registry
   * query defaults to the 4-word golden-pinned demo, hand-curated
-  * STARTERS ship as `builtin:thai` (~190 words, r18), `builtin:lao`
-  * (~210 words, r20) and `builtin:khmer` (~160 words, r20), and a
-  * user brings a full dictionary via `file:<path>`. Myanmar ships no
-  * builtin — that script keeps the documented run-tokenization
-  * fallback until a lexicon is supplied (the honest boundary: its
-  * kinzi/stacking orthography makes a hand-written word list too
-  * error-prone; a fabricated list would be worse than the gap).
+  * STARTERS ship for all four scripts — `builtin:thai` (~190 words,
+  * r18), `builtin:lao` (~210), `builtin:khmer` (~160) and
+  * `builtin:myanmar` (~120, all r20) — and a user brings a full
+  * dictionary via `file:<path>`. The honest boundary moved INSIDE
+  * the Myanmar starter: spellings needing the kinzi ligature
+  * (U+1039 stacking) are excluded rather than risked — the lexicon
+  * file documents it; a fabricated spelling would be worse than the
+  * bounded gap.
   */
 object SeaSegment {
 
@@ -163,14 +164,14 @@ object SeaSegment {
     * ~190-word hand-curated STARTER as a classpath resource). One
     * word per line, `#` comments and blank lines ignored, entries
     * deduplicated; the tokenizer NFC-lowercases entries on use, so a
-    * file in any normalization form works. Myanmar still has no
-    * built-in — it keeps the documented run-tokenization fallback
-    * until a user brings a lexicon file (the honest boundary, SURVEY
-    * §2.11g; Lao and Khmer shipped their starters in r20). */
+    * file in any normalization form works. All four SEA scripts ship
+    * a starter since r20 (thai r18; lao/khmer/myanmar r20 — the
+    * myanmar one conservatively excludes kinzi spellings, see the
+    * lexicon file's header). */
   def builtinLexicon(name: String): Seq[String] = {
     val in = getClass.getResourceAsStream(s"/graft/lexicons/$name.txt")
     require(in != null, s"no builtin lexicon '$name' " +
-      s"(shipped: thai, lao, khmer); bring a file via file:<path>")
+      s"(shipped: thai, lao, khmer, myanmar); bring a file via file:<path>")
     try parseLexicon(scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines())
     finally in.close()
@@ -251,6 +252,19 @@ object SeaSegment {
     "\u1785\u17bc\u179b\u1785\u17b7\u178f\u17d2\u178f", // chaul chett (like)
     "\u1789\u17c9\u17b6\u17c6", // nham (eat)
     "\u1794\u17b6\u1799") // bay (rice)
+
+  /** The Myanmar-starter phrase and its HAND-PINNED segmentation
+    * (r20): "I eat rice" \u2014 four real words in logical order (U+1031
+    * stored after its consonant), every one a myanmar.txt entry. The
+    * starter is deliberately conservative: kinzi-ligature spellings
+    * (U+1039 stacking) are EXCLUDED and the lexicon file documents
+    * that boundary. */
+  private val MyanmarPhrase = "\u1000\u103b\u103d\u1014\u103a\u1010\u1031\u102c\u103a\u1011\u1019\u1004\u103a\u1038\u1005\u102c\u1038\u101e\u100a\u103a"
+  private val MyanmarSegs = Seq(
+    "\u1000\u103b\u103d\u1014\u103a\u1010\u1031\u102c\u103a", // kyundaw (I)
+    "\u1011\u1019\u1004\u103a\u1038", // htamin (cooked rice)
+    "\u1005\u102c\u1038", // sa (eat)
+    "\u101e\u100a\u103a") // thi (sentence-final particle)
 
   /** q_text_sea_segment's DuckDB oracle (r18 — declared no-oracle
     * until now). General lexicon segmentation is not SQL-expressible,
@@ -359,7 +373,10 @@ object SeaSegment {
     *    five-word hand-pinned Lao segmentation;
     *  - q_text_sea_segment_khmer (r20): the same contract for the
     *    SHIPPED builtin:khmer starter — additionally witnesses the
-    *    Mc (spacing combining mark) handling end-to-end. */
+    *    Mc (spacing combining mark) handling end-to-end;
+    *  - q_text_sea_segment_myanmar (r20): the same contract for the
+    *    SHIPPED builtin:myanmar starter (logical-order U+1031,
+    *    asat/visarga finals, medial-consonant Mc marks). */
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec.sql("q_text_sea_segment",
       seaOracleFor(Phrase, phraseSegmented)) { (s, d) =>
@@ -376,6 +393,10 @@ object SeaSegment {
     QuerySpec.sql("q_text_sea_segment_khmer",
       seaOracleFor(KhmerPhrase, KhmerSegs)) { (s, d) =>
       seaSegmentDf(s, d, KhmerPhrase, builtinLexicon("khmer"))
+    },
+    QuerySpec.sql("q_text_sea_segment_myanmar",
+      seaOracleFor(MyanmarPhrase, MyanmarSegs)) { (s, d) =>
+      seaSegmentDf(s, d, MyanmarPhrase, builtinLexicon("myanmar"))
     })
 
   /** Column form over raw text. Lexicon entries are NFC-lowercased to

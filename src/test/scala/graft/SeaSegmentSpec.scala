@@ -203,6 +203,43 @@ class SeaSegmentSpec extends AnyFunSuite {
     assert(!fallbackOf(s1).contains("ខ្ញុំ"))
   }
 
+  test("builtin Myanmar lexicon: loads, NFC, Myanmar-block-only, no kinzi") {
+    val lex = SeaSegment.builtinLexicon("myanmar")
+    assert(lex.size >= 100, s"starter lexicon too small: ${lex.size}")
+    assert(lex.distinct.size === lex.size)
+    lex.foreach { w =>
+      assert(!w.startsWith("#") && w.trim == w && w.nonEmpty)
+      assert(java.text.Normalizer.isNormalized(w,
+        java.text.Normalizer.Form.NFC), s"not NFC: $w")
+      w.codePoints().forEach(cp =>
+        assert(cp >= 0x1000 && cp <= 0x109F, f"non-Myanmar cp U+$cp%04X in $w"))
+      // The starter's documented boundary: kinzi/stacking spellings
+      // (U+1039) are excluded, deliberately — entries must not sneak
+      // one in, or the lexicon header's claim goes stale.
+      assert(!w.contains('္'), s"kinzi/stack spelling slipped in: $w")
+    }
+    // Mc marks present here too (U+1031 E, U+102C AA, U+1038 visarga).
+    assert(lex.exists(_.codePoints().anyMatch(cp =>
+      Character.getType(cp) == Character.COMBINING_SPACING_MARK)))
+  }
+
+  test("Myanmar starter segments real spaceless sentences into real words") {
+    val lex = SeaSegment.builtinLexicon("myanmar")
+    // "I eat rice" — the sentence whose hand-pinned segmentation backs
+    // the q_text_sea_segment_myanmar oracle; logical-order U+1031.
+    val s1 = "ကျွန်တော်ထမင်းစားသည်"
+    assert(tokensOf(s1, lex) ===
+      Seq("ကျွန်တော်", "ထမင်း", "စား", "သည်"))
+    // Prefix trap, the Burmese instance: the lexicon holds both စား
+    // (eat) and longer စ-initial entries; at this position only စား
+    // matches and the boundary before သည် holds.
+    val got = tokensOf("ရေသောက်သည်", lex) // "(I) drink water"
+    assert(got === Seq("ရေ", "သောက်", "သည်"), got.toString)
+    // The fallback cannot produce the vowel/asat-bearing words.
+    assert(!fallbackOf(s1).contains("ကျွန်တော်"))
+    assert(!fallbackOf(s1).contains("ထမင်း"))
+  }
+
   test("lexiconFor: session knob routes demo | builtin | file") {
     val s2 = spark.newSession()
     assert(SeaSegment.lexiconFor(s2) === SeaSegment.DemoLexicon)
