@@ -202,12 +202,24 @@ object SeaSegment {
           "| file:<path>")
     }
 
-  /** The spliced phrase and its demo-lexicon segmentation, derived
-    * from [[maximalMatch]] itself at load time so the oracle constant
-    * can never drift from the engine's segmenter. */
+  /** The spliced phrase and its demo-lexicon segmentation. Until r20
+    * the constant was DERIVED from [[maximalMatch]] at load — candid
+    * but self-referential (the r18 verdict's "weaker green"): a
+    * segmenter bug would flow into its own oracle. The demo lexicon
+    * is four words, so the segmentation is trivially hand-derivable;
+    * it is now HAND-PINNED like the thai/lao/khmer/myanmar twins,
+    * and a require keeps the independent spelling in agreement with
+    * the engine (a mismatch fails at class load, not with a silently
+    * matching wrong oracle). */
   private val Phrase = "ภาษาไทย" + "สวัสดี"
-  private def phraseSegmented: Seq[String] =
-    maximalMatch(Phrase, DemoLexicon.toSet, DemoLexicon.map(_.length).max)
+  private val phraseSegmented: Seq[String] = {
+    val hand = Seq("ภาษา", "ไทย", "สวัสดี")
+    val derived =
+      maximalMatch(Phrase, DemoLexicon.toSet, DemoLexicon.map(_.length).max)
+    require(hand == derived,
+      s"demo segmentation drifted: hand=$hand engine=$derived")
+    hand
+  }
 
   /** The Thai-starter phrase and its HAND-PINNED segmentation — six
     * real words, every one a thai.txt entry (the same spaceless

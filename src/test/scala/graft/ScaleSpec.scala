@@ -443,7 +443,8 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // xxhash minhash/LSH families (it launched before the md5-family
     // switch landed); the pinned constants are family-specific but the
     // exponent laws are collision-rate statistics of the same banding
-    // geometry — re-measured constants belong to the next full rerun.
+    // geometry — the md5-family rerun (r20b artifacts, next test)
+    // re-measured them and both constants held.
     def counts(tag: String, round: String): Map[String, Long] = {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"bench/scale_ov64_${tag}_counts_$round.json")))
