@@ -621,6 +621,23 @@ object TextSim {
       "|\\b\\d{3}-\\d{2}-\\d{4}\\b" +
       "|\\b\\d{13,19}\\b"
 
+  /** Encoding-damage signatures (q_text_encoding, r20) — spelled with
+    * ASCII-only \x{hhhh} escapes, which Java regex and DuckDB's RE2
+    * interpret identically (the PiiRegex shared-subset discipline).
+    *  - [[FffdRegex]]: U+FFFD, the replacement character a lossy
+    *    transcode leaves behind;
+    *  - [[MojiRegex]]: U+00C3 then a UTF-8-continuation-range
+    *    codepoint (U+0080-00BF) — the classic UTF-8-decoded-as-
+    *    Latin-1 signature (every Latin-1 accented char mangles to
+    *    such a pair);
+    *  - [[CtrlRegex]]: bare control characters — C0 minus tab/LF/CR,
+    *    DEL, and the C1 block. */
+  val FffdRegex: String = "\\x{FFFD}"
+  val MojiRegex: String = "\\x{00C3}[\\x{0080}-\\x{00BF}]"
+  val CtrlRegex: String =
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}" +
+      "\\x{007F}-\\x{009F}]"
+
   /** The fast-path alphabet of the char-set mask: space + a..z + 0..9
     * + A..Z — 63 members, one bit each in a single long. The r10 mask
     * covered only {space, a-z} (the fixture corpus), which made the
@@ -2431,6 +2448,61 @@ object TextSim {
           .as("n_pii"),
         md5(regexp_replace(col("text"), PiiRegex, "<pii>")).as("clean_md5"))
         .orderBy("doc_id")
+    },
+
+    // Encoding-damage detection (r20) — the crawl-hygiene scan (the
+    // ftfy problem class) that runs before any text op: per-source
+    // counts of (1) U+FFFD replacement characters (lossy transcode
+    // happened upstream), (2) the UTF-8-read-as-Latin-1 mojibake
+    // signature (U+00C3 followed by a codepoint in the continuation
+    // range U+0080-00BF — 'cafÃ©'), and (3) bare control characters
+    // (C0 minus tab/newline/CR, DEL, C1). The fixture corpus is
+    // ASCII, so like the SEA-segmentation family the query splices
+    // CONSTANT artifacts onto deterministic doc_id classes INSIDE the
+    // query (1/7 of docs each) — non-vacuous at every SF, and the
+    // oracle replays the same splice with chr(). All three patterns
+    // are spelled with ASCII-only \x{hhhh} escapes, which Java regex
+    // and DuckDB's RE2 interpret identically. Scale shape: a narrow
+    // per-row regexp-count map + one tiny per-source rollup — no
+    // shuffle of document text at any corpus size.
+    q("q_text_encoding",
+      s"""WITH t AS (SELECT source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(65533) || 's'
+        |         WHEN doc_id % 7 = 1 THEN text || ' caf' || chr(195) || chr(169)
+        |         WHEN doc_id % 7 = 2 THEN text || ' bad' || chr(7) || 'text'
+        |         ELSE text END AS t2 FROM documents),
+        |c AS (SELECT source,
+        |    len(regexp_extract_all(t2, '$FffdRegex')) AS f,
+        |    len(regexp_extract_all(t2, '$MojiRegex')) AS m,
+        |    len(regexp_extract_all(t2, '$CtrlRegex')) AS k
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN f + m + k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_damaged,
+        |  CAST(sum(f) AS BIGINT) AS n_fffd,
+        |  CAST(sum(m) AS BIGINT) AS n_moji,
+        |  CAST(sum(k) AS BIGINT) AS n_ctrl
+        |FROM c GROUP BY source ORDER BY source""") { (s, d) =>
+      val spliced = Tables.documents(s, d).withColumn("t2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" caf\uFFFDs")))
+          .when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" caf\u00C3\u00A9")))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" bad\u0007text")))
+          .otherwise(col("text")))
+      def cnt(pat: String): Column =
+        size(regexp_extract_all(col("t2"), lit(pat), lit(0))).cast("long")
+      spliced
+        .select(col("source"), cnt(FffdRegex).as("f"),
+          cnt(MojiRegex).as("m"), cnt(CtrlRegex).as("k"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("f") + col("m") + col("k") > 0, 1L).otherwise(0L))
+            .as("n_damaged"),
+          sum("f").as("n_fffd"), sum("m").as("n_moji"),
+          sum("k").as("n_ctrl"))
+        .orderBy("source")
     },
 
     // Chunk-level dedup — line/paragraph dedup for a corpus whose docs

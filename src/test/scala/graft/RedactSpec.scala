@@ -40,6 +40,30 @@ class RedactSpec extends AnyFunSuite {
     assert(redact("order 1234567890123 ok") === ("order <pii> ok", 1))
   }
 
+  test("encoding-damage signatures: fffd / mojibake / control classes fire and stay disjoint") {
+    import spark.implicits._
+    def counts(text: String): (Int, Int, Int) =
+      Seq(text).toDF("text").select(
+        size(regexp_extract_all(col("text"), lit(TextSim.FffdRegex), lit(0))),
+        size(regexp_extract_all(col("text"), lit(TextSim.MojiRegex), lit(0))),
+        size(regexp_extract_all(col("text"), lit(TextSim.CtrlRegex), lit(0))))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).head
+    // Each signature fires on its artifact and ONLY its artifact.
+    assert(counts("lossy caf�s here") === ((1, 0, 0)))
+    // 'cafÃ©' — é's UTF-8 bytes decoded as Latin-1 (C3 A9 -> Ã©).
+    assert(counts("cafÃ© menu") === ((0, 1, 0)))
+    // 'â€™' — curly quote mojibake: â is NOT U+00C3, only the Ã-pair
+    // class is claimed (documented narrowness, zero false positives).
+    assert(counts("donâ€™t") === ((0, 0, 0)))
+    assert(counts("bell\u0007 and c1\u0085 and del\u007F") === ((0, 0, 3)))
+    // Clean text — including the chars NEAR every boundary: tab, LF,
+    // CR (excluded from the control class), plain é (U+00E9), Ã alone
+    // before ASCII (not a continuation char).
+    assert(counts("café\tok\nnew\rline Ã x") === ((0, 0, 0)))
+    // A doc carrying all three classes counts each independently.
+    assert(counts("\uFFFD\u00C3\u00A9\u0007") === ((1, 1, 1)))
+  }
+
   test("q_text_redact is a verified pass-through on the clean fixture corpus") {
     val joined = q("q_text_redact")
       .join(Tables.documents(spark, sf), "doc_id")
