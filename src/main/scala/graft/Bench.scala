@@ -46,6 +46,11 @@ object Bench {
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val contaminated = loadStart > CleanLoadBar
+    // getSystemLoadAverage returns -1.0 on platforms without load
+    // support; that is an UNVERIFIABLE verdict, not a clean one
+    // (r20 advice) — the JSON then says "unknown" instead of false.
+    val contaminatedJson =
+      if (loadStart < 0) "\"unknown\"" else contaminated.toString
     if (contaminated)
       System.err.println(f"bench: WARNING load_avg $loadStart%.2f > " +
         f"$CleanLoadBar%.1f at start — record marked contaminated; " +
@@ -83,7 +88,8 @@ object Bench {
     // name even when that one query doesn't strictly need every stage.)
     val needsStages = only.forall(_.exists(n =>
       n.startsWith("q_dedup_") || n.startsWith("q_sim_ann_") ||
-        n.startsWith("q_graph_") ||
+        n.startsWith("q_graph_") || n.startsWith("q_embed_") ||
+        n.startsWith("q_quality_") ||
         n == "q_curate" || n == "q_text_bigram_nll" || n == "q_text_pmi" ||
         n == "q_text_decontaminate" || n == "q_text_decontam_bloom" ||
         n == "q_mix_decontam_split"))
@@ -105,27 +111,47 @@ object Bench {
     // attributable in one read of the bench line.
     val stageDetail = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val tStage0 = System.nanoTime()
+    // Chain concurrency is BOUNDED (r21, guide §2.6 "2-3 jobs in flight
+    // is plenty"): the old unbounded 10-thread fan-out was measured
+    // 2.4-8x SLOWER than a serial build on the r21 host (56.6 s serial
+    // vs 137/204/461 s concurrent — StageWarmProbe), where concurrent
+    // task dispatch burns ~10x more system than user CPU
+    // (futex/park syscalls are expensive under that hypervisor). A
+    // width-4 pool keeps the fast-host overlap win — the envelope is
+    // max(longest chain, sum/width), and the longest chain (ivf)
+    // already dominates at width 4 — without the 10-way pileup.
+    // Parameterized for other hosts: SPARK_GRAFT_STAGE_THREADS.
+    val stageThreads = sys.env.get("SPARK_GRAFT_STAGE_THREADS")
+      .map(_.toInt).getOrElse(4)
     val stageBuild = if (!needsStages) 0.0 else try {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.DurationInt
-      import scala.concurrent.ExecutionContext.Implicits.global
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.max(1, stageThreads))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       def timed(name: String)(body: => Unit): Future[Unit] = Future {
         val t0 = System.nanoTime()
         body
         stageDetail.put(name, (System.nanoTime() - t0) / 1e9)
       }
+      // Longest chains first so the pool's tail is short ones.
       Await.result(Future.sequence(Seq(
-        timed("text_postings") { ops.TextSim.warmStages(spark, sfDir) },
-        timed("docgrams") { ops.TextSim.warmDocGramStage(spark, sfDir) },
-        timed("bigrams") { ops.TextSim.warmBigramStage(spark, sfDir) },
-        timed("mask") { ops.TextSim.warmMaskStage(spark, sfDir) },
+        timed("kmeans") { ops.Clustering.warmKmeansStages(spark, sfDir) },
         timed("ivf") { ops.Sketches.warmIvfStage(spark, sfDir) },
         timed("pq") { ops.Sketches.warmPqStage(spark, sfDir) },
-        timed("lsh_sigs") { ops.Sketches.warmLshSigStage(spark, sfDir) },
-        timed("dedup_lsh_sigs") { ops.Sketches.warmDedupLshStage(spark, sfDir) },
+        timed("minhash_sigs") { ops.Sketches.warmMinhashStage(spark, sfDir) },
+        timed("text_postings") { ops.TextSim.warmStages(spark, sfDir) },
         timed("simhash_sigs") { ops.Sketches.warmSimhashStage(spark, sfDir) },
-        timed("minhash_sigs") { ops.Sketches.warmMinhashStage(spark, sfDir) })),
+        timed("minhash_capped") { ops.Sketches.warmMinhashCappedStage(spark, sfDir) },
+        timed("dedup_lsh_sigs") { ops.Sketches.warmDedupLshStage(spark, sfDir) },
+        timed("lsh_sigs") { ops.Sketches.warmLshSigStage(spark, sfDir) },
+        timed("bigrams") { ops.TextSim.warmBigramStage(spark, sfDir) },
+        timed("docgrams") { ops.TextSim.warmDocGramStage(spark, sfDir) },
+        timed("graph") { ops.Graph.warmGraphStages(spark, sfDir) },
+        timed("learn") { ops.Learn.warmLearnStages(spark, sfDir) },
+        timed("mask") { ops.TextSim.warmMaskStage(spark, sfDir) })),
         30.minutes)
+      pool.shutdown()
       (System.nanoTime() - tStage0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"bench: stage build failed: ${e.getMessage}"); -1.0 }
@@ -214,7 +240,7 @@ object Bench {
     val sentinel =
       f""""spin_cal":{"start_s":$spinStart%.3f,"end_s":$spinEnd%.3f},""" +
         f""""load_avg":$loadAvg%.2f,"load_avg_start":$loadStart%.2f,""" +
-        s""""contaminated":$contaminated"""
+        s""""contaminated":$contaminatedJson"""
     val nErr = results.count(!_._4)
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"stage_build_detail":$stageJson,"warm":$warm,"runs":$Runs,$sentinel,"gc_total_ms":$gcTotal,"probe_max_s":$probeMax%.3f,"n_errors":$nErr,"queries":$qs,"query_noise":$qnoise,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     println(json)

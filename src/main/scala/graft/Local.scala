@@ -35,6 +35,16 @@ object Local {
     if (fair) b = b.config("spark.scheduler.mode", "FAIR")
     if (periodicGcMin > 0)
       b = b.config("spark.cleaner.periodicGC.interval", s"${periodicGcMin}min")
+    // Ad-hoc config overrides for A/B profiling (r21):
+    // SPARK_GRAFT_CONF="spark.k=v;spark.k2=v2". Overrides apply LAST so
+    // an experiment can flip any of the defaults above without a
+    // recompile; production values stay in code, never in the env.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
+      kvs.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b = b.config(k, v)
+      }
+    }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

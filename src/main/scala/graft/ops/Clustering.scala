@@ -971,6 +971,20 @@ object Clustering {
       k: Int): Array[Array[Long]] =
     centroidHistory(s, d, k).last
 
+  /** Force-build the kmeans-family artifacts at the session's default
+    * K: the quantized base stage, the driver-state centroid history
+    * (q_embed_kmeans / elbow / medoid / semantic ride it), and the
+    * frame-state centroid stage + its assignment shape
+    * (q_embed_kmeans_frame — measured 221 Spark jobs / ~16 s when paid
+    * lazily inside the first timed run, r21). All three are maintained
+    * tables at 100 TB, the same family as the IVF codebook warm. */
+  def warmKmeansStages(s: SparkSession, d: String): Unit = {
+    val k = kOf(s)
+    centroidHistory(s, d, k)
+    kmeansAssignFrame(s, d, k).count()
+    ()
+  }
+
   /** Training invocations this JVM — the persistence spec's observable
     * ("second session reads, doesn't retrain" is a claim about work,
     * not just results, so the counter is the evidence). */

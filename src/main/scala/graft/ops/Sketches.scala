@@ -1093,9 +1093,17 @@ object Sketches {
     * from (eps, conf) — width = ceil(2/eps), depth =
     * ceil(-ln(1-conf)/ln 2) — spelled as constants because the r20
     * md5-family registry query and its DuckDB oracle build the counter
-    * matrix from these directly. */
+    * matrix from these directly. The requires pin the derivation so a
+    * future eps/conf tweak cannot silently split the md5-CMS registry
+    * family's geometry from the binary count_min_sketch family's
+    * (r20 advice). */
   val CmsWidth = 2000
   val CmsDepth = 7
+  require(CmsWidth == math.ceil(2.0 / CmsEps).toInt,
+    s"CmsWidth $CmsWidth != ceil(2/CmsEps) ${math.ceil(2.0 / CmsEps).toInt}")
+  require(CmsDepth == math.ceil(-math.log(1.0 - CmsConf) / math.log(2.0)).toInt,
+    s"CmsDepth $CmsDepth != ceil(-ln(1-CmsConf)/ln2) " +
+      s"${math.ceil(-math.log(1.0 - CmsConf) / math.log(2.0)).toInt}")
 
   /** Fixed probe vocabulary for the CMS lookups: frequent fixture
     * words + one never-present word (its estimate shows the pure
@@ -1532,6 +1540,13 @@ object Sketches {
   // md5-order seeds, integer-L2 assignment with the (d, cid) tie-break,
   // truncating integer mean with carry-forward — then replay the
   // probe / ADC / rerank ranks exactly.
+  // The oracle SQL strings below hard-spell the quantization shift
+  // 4000000 (= Clustering.ShiftQ) and scale 1000000; this require makes
+  // a future ShiftD/ScaleD change fail LOUDLY at class init instead of
+  // silently desynchronizing every ANN/LSH oracle (r20 advice).
+  require(graft.ops.Clustering.ShiftQ == 4000000L,
+    s"ANN oracle SQL hard-codes shift 4000000 but Clustering.ShiftQ = " +
+      s"${graft.ops.Clustering.ShiftQ}; update the oracle CTE literals")
 
   /** Quantization CTE (vec_id, idx, xi) — the exactly-normalized
     * integer basis of [[quantized]], emitted locally so the ANN
@@ -1707,6 +1722,16 @@ object Sketches {
     graft.StageCache.memoized(s, d, "mhbands_md5c") {
       sigBands(stringGrams(s, d), "doc_id")
     }
+
+  /** Force-build the df-capped band table (and the stringGrams stage it
+    * chains through) — q_dedup_minhash's artifacts. Without this the
+    * query's FIRST bench run paid the build lazily (r20 What's-wrong
+    * #2: a 2.57 s first-run spread), while every sibling family had its
+    * stages pre-built; now it is one more pre-timed chain. */
+  def warmMinhashCappedStage(s: SparkSession, d: String): Unit = {
+    minhashBandTableCapped(s, d).count()
+    ()
+  }
 
   /** q_dedup_minhash's DuckDB unroll: the same tokenize → 3-gram →
     * df-cap chain as the q_dedup_ngram oracle, then the md5 hash

@@ -264,15 +264,21 @@ case class IntPlaneSigs(child: Expression, bits: Int, tables: Int,
     2 * (h(0) & 0xFF) - 255
   }
 
-  /** Plane matrix, row-major [(t * bits + j) * d + (i - 1)] — built
-    * once per instance, grown to the widest vector seen (benign race,
-    * volatile publish). */
-  @transient @volatile private var planesCache: Array[Int] = _
-  @transient @volatile private var planesDim: Int = 0
-  private def planesFor(d: Int): Array[Int] = {
-    var pl = planesCache
-    if (pl == null || planesDim < d) {
-      pl = new Array[Int](tables * bits * d)
+  /** Plane matrix + the stride it was built with, published together
+    * in ONE volatile (a torn pair of separate volatiles could hand a
+    * reader a narrow array with a wide dim check). Row-major
+    * [(t * bits + j) * dim + (i - 1)], grown to the widest vector
+    * seen (benign race: a lost concurrent grow only rebuilds). A
+    * vector NARROWER than the cached stride reuses the wide matrix by
+    * indexing with the STORED stride — plane component (t, j, i)
+    * depends only on those indices, so the wide matrix contains every
+    * narrower one as a prefix of each row. */
+  private final class Planes(val dim: Int, val pl: Array[Int])
+  @transient @volatile private var planesCache: Planes = _
+  private def planesFor(d: Int): Planes = {
+    var ph = planesCache
+    if (ph == null || ph.dim < d) {
+      val pl = new Array[Int](tables * bits * d)
       var t = 0
       while (t < tables) {
         var j = 0
@@ -286,15 +292,17 @@ case class IntPlaneSigs(child: Expression, bits: Int, tables: Int,
         }
         t += 1
       }
-      planesDim = d
-      planesCache = pl
+      ph = new Planes(d, pl)
+      planesCache = ph
     }
-    pl
+    ph
   }
 
   def sigsOf(a: ArrayData): ArrayData = {
     val d = a.numElements()
-    val pl = planesFor(d)
+    val ph = planesFor(d)
+    val stride = ph.dim
+    val pl = ph.pl
     val x = new Array[Long](d)
     var i = 0
     while (i < d) { x(i) = a.getLong(i) - shift; i += 1 }
@@ -304,7 +312,7 @@ case class IntPlaneSigs(child: Expression, bits: Int, tables: Int,
       var sig = 0L
       var j = 0
       while (j < bits) {
-        val base = (t * bits + j) * d
+        val base = (t * bits + j) * stride
         var acc = 0L
         i = 0
         while (i < d) {
