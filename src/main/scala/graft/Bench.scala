@@ -148,6 +148,7 @@ object Bench {
         timed("bigrams") { ops.TextSim.warmBigramStage(spark, sfDir) },
         timed("docgrams") { ops.TextSim.warmDocGramStage(spark, sfDir) },
         timed("graph") { ops.Graph.warmGraphStages(spark, sfDir) },
+        timed("text_stats") { ops.TextSim.warmTextStatStages(spark, sfDir) },
         timed("learn") { ops.Learn.warmLearnStages(spark, sfDir) },
         timed("mask") { ops.TextSim.warmMaskStage(spark, sfDir) })),
         30.minutes)

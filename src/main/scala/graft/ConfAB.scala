@@ -40,6 +40,7 @@ object ConfAB {
       ops.TextSim.warmDocGramStage(spark, sfDir)
       ops.TextSim.warmMaskStage(spark, sfDir)
       ops.Graph.warmGraphStages(spark, sfDir)
+      ops.TextSim.warmTextStatStages(spark, sfDir)
       ops.Learn.warmLearnStages(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"confab: warm failed: ${e.getMessage}") }

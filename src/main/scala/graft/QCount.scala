@@ -62,6 +62,7 @@ object QCount {
       () => ops.TextSim.warmDocGramStage(spark, sfDir),
       () => ops.TextSim.warmMaskStage(spark, sfDir),
       () => ops.Graph.warmGraphStages(spark, sfDir),
+      () => ops.TextSim.warmTextStatStages(spark, sfDir),
       () => ops.Learn.warmLearnStages(spark, sfDir)
     ).foreach(f => try f() catch { case e: Throwable =>
       System.err.println(s"qcount: warm failed: ${e.getMessage}") })

@@ -41,6 +41,12 @@ object VectorFunctions {
     * string materialization (see graftnative.WordGramHashes). */
   def wordGramHashes(ws: Column): Column = VectorNative.wordGramHashes(ws)
 
+  /** Hashed word-k-grams — [[wordGramHashes]] generalized; the k=8
+    * window-hash kernel of the substring/span/boilerplate family (see
+    * graftnative.WordKGramHashes). */
+  def wordKGramHashes(ws: Column, k: Int): Column =
+    VectorNative.wordKGramHashes(ws, k)
+
   /** All (lo, hi) pairs from an array<long> of ids (see
     * graftnative.SortedIdPairs) — the pair-expansion kernel. */
   def sortedIdPairs(ids: Column): Column = VectorNative.sortedIdPairs(ids)

@@ -1911,8 +1911,16 @@ object Clustering {
         |  CASE WHEN hc.h > 0 AND hl.h > 0
         |    THEN round(mi.mi / sqrt(hc.h * hl.h), 6) END AS nmi
         |FROM mi CROSS JOIN hc CROSS JOIN hl""") { (s, d) =>
+      // The K×|labels| contingency table is referenced by FIVE
+      // downstream terms (tot/mc/ml/mi and the entropies) with no
+      // cross-plan subtree sharing — un-anchored, the whole
+      // assignment-aggregate subtree re-planned and re-ran per
+      // reference (measured 18 parquet scans / 56 exchanges in the
+      // executed plan, r21). It is ≤ K·|labels| rows by construction,
+      // so the eager checkpoint is a one-job, few-hundred-byte anchor.
       val cl = assign(base(s, d), centroids(s, d, kOf(s)))
         .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val tot = cl.agg(sum("n").cast("double").as("nn"))
       val mc = cl.groupBy("cid").agg(sum("n").cast("double").as("nc"))
       val ml = cl.groupBy("label").agg(sum("n").cast("double").as("nl"))

@@ -91,7 +91,14 @@ object Graph {
     * of every warm run. */
   private def anchored(stage: Option[(SparkSession, String)], name: String)(
       df: => DataFrame): DataFrame = stage match {
-    case Some((s, d)) => graft.StageCache.memoized(s, d, name)(df)
+    // The stage read is additionally PINNED (one eager checkpoint of
+    // the tiny frame per construction): the unrolled rounds reference
+    // these anchors up to ~48 times per run (one per broadcast
+    // build), and each un-pinned reference re-opened the stage
+    // parquet — the pin trades one ~tiny job for all of those reads
+    // while the derivation itself stays amortized in the stage.
+    case Some((s, d)) =>
+      graft.StageCache.memoized(s, d, name)(df).localCheckpoint(true)
     case None => df.localCheckpoint(true)
   }
 

@@ -121,6 +121,20 @@ object Sketches {
     explode(array(sig0 +: (0 until LshBits)
       .map(j => sig0.bitwiseXOR(lit(1L << j))): _*))
 
+  /** Sizing count of a SHARED ("" name = immutable-per-session)
+    * artifact, session-memoized (r21): the nprobe/rerank knobs are
+    * functions of the corpus size, and the one-row stats pass was a
+    * full Spark job on EVERY query construction (two per bench run per
+    * ANN query). NAMED instances mutate via upserts/tombstones, so
+    * they keep the live count — memoizing them would serve a stale
+    * size after an ingest batch. */
+  private def sizedCount(s: SparkSession, key: String, name: String)(
+      df: => DataFrame): Long =
+    if (name.isEmpty)
+      graft.SessionMemo.memo(s, s"szcnt|$key")(
+        java.lang.Long.valueOf(df.count())).longValue()
+    else df.count()
+
   /** Narrow per-table signature rows (vec_id, t, sig) of an ARBITRARY
     * (vec_id, embedding) frame at an explicit operating point — the
     * shared kernel under every tuned candidate path AND the sampled
@@ -515,7 +529,8 @@ object Sketches {
   def ivfSearch(s: SparkSession, d: String, queries: DataFrame,
       nprobe: Int => Int, k: Int = 3, name: String = ""): DataFrame = {
     val cents = ivfCodebook(s, d, name)
-    val np = math.max(1, nprobe(cents.count().toInt))
+    val np = math.max(1, nprobe(
+      sizedCount(s, s"ivfcb|$d", name)(cents).toInt))
     val qq = quantized(queries, "qid", "qv")
     val wq0 = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cd"), col("cid"))
@@ -738,7 +753,8 @@ object Sketches {
     * caveat, see [[ivfSearch]]). */
   def pqSearch(s: SparkSession, d: String, queries: DataFrame,
       rerank: Long => Int, k: Int = 3, name: String = ""): DataFrame = {
-    val pool0 = math.max(k, rerank(embStore(s, d, name).count()))
+    val pool0 = math.max(k, rerank(
+      sizedCount(s, s"embstore|$d", name)(embStore(s, d, name))))
     val qq = quantized(queries, "qid", "qv")
     val dtable = pqSubQ(qq.select(col("qid").as("vec_id"), col("xq")))
       .join(broadcast(pqCodebook(s, d, name)), "m")
@@ -790,8 +806,10 @@ object Sketches {
       nprobe: Int => Int, rerank: Long => Int, k: Int = 3,
       name: String = ""): DataFrame = {
     val cents = ivfCodebook(s, d, name)
-    val np = math.max(1, nprobe(cents.count().toInt))
-    val pool0 = math.max(k, rerank(embStore(s, d, name).count()))
+    val np = math.max(1, nprobe(
+      sizedCount(s, s"ivfcb|$d", name)(cents).toInt))
+    val pool0 = math.max(k, rerank(
+      sizedCount(s, s"embstore|$d", name)(embStore(s, d, name))))
     val qq = quantized(queries, "qid", "qv")
     val wq0 = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cd"), col("cid"))

@@ -697,6 +697,23 @@ object TextSim {
     ()
   }
 
+  /** Force-build the r21 corpus-statistics stages (per-source/lang
+    * token counts, doc lengths, the TF table, the 8-gram and
+    * source-gram distinct tables) — the derived tables the mix /
+    * bm25 / tfidf / boilerplate / overlap queries read instead of
+    * re-deriving per reference (see each stage's comment). Maintained
+    * tables at 100 TB, so they belong to the stage-build pre-pass
+    * like every other artifact. */
+  def warmTextStatStages(s: SparkSession, d: String): Unit = {
+    sourceTokenStats(s, d).count()
+    langTokenStats(s, d).count()
+    docLens(s, d).count()
+    tfTable(s, d).count()
+    grams8(s, d).count()
+    srcGrams(s, d).count()
+    ()
+  }
+
   /** Shared-gram pair STATS (ida < idb, c = number of shared capped
     * grams, jac = word-3-gram Jaccard over the capped gram space,
     * rounded to 6) — the single candidate-generation artifact behind
@@ -750,6 +767,57 @@ object TextSim {
         .select(col("doc_id"), col("t.w1").as("w1"),
           col("t.w2").as("w2"), col("t.bg").as("bg"))
     }
+
+  /** Per-source and per-language token-count statistics, stage-cached
+    * (r21): the mix family's normalizer tables (q_mix_weights /
+    * q_mix_epochs / q_mix_temperature) each referenced their
+    * corpus-tokenize aggregate 3-4 times with no subtree sharing, so
+    * ONE ≤|sources|-row table cost 3-4 full tokenize passes per run.
+    * At 100 TB these are maintained corpus-statistics tables next to
+    * the postings; here one build per session, then tiny parquet
+    * reads. */
+  private def sourceTokenStats(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "srctokens")(
+      Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(size(words)).as("n_tokens")))
+
+  private def langTokenStats(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "langtokens")(
+      Tables.documents(s, d).groupBy("lang")
+        .agg(sum(size(words)).as("n_tokens")))
+
+  /** Doc-length table (BM25's length normalizer) — see bm25Scores. */
+  private def docLens(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "doclens")(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(words).as("w"))
+        .groupBy("doc_id").agg(count(lit(1)).as("len")))
+
+  /** Per-(doc, word) term frequencies — q_text_tfidf's base table. */
+  private def tfTable(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "tftable")(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(words).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+
+  /** Distinct hashed word-8-grams per doc — q_text_boilerplate's base
+    * table (WordKGramHashes kernel; internal grouping keys only). */
+  private def grams8(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "grams8")(
+      Tables.documents(s, d)
+        .select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), explode(
+          graft.functions.VectorFunctions.wordKGramHashes(col("ws"), 8))
+          .as("gram"))
+        .distinct())
+
+  /** Distinct (source, gram) projection of the capped gram index —
+    * q_source_overlap's base table. */
+  private def srcGrams(s: SparkSession, d: String): DataFrame =
+    graft.StageCache.memoized(s, d, "srcgrams")(
+      gramIndex(s, d, DfCap)
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .select("source", "gram").distinct())
 
   private def ngramJaccardPairs(s: SparkSession, d: String,
       minJac: Double): DataFrame =
@@ -1030,7 +1098,12 @@ object TextSim {
       terms: Seq[String]): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(words).as("w"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // Doc-length table stage-cached (r21): it is per-corpus derived
+    // data (the BM25 length normalizer — a maintained stat at 100 TB)
+    // referenced twice per score call (global stats + the score join),
+    // and each un-anchored reference re-ran the corpus tokenize;
+    // shared by q_text_bm25 and q_sim_hybrid_rrf.
+    val dl = docLens(s, d)
     val st = dl.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
     val tf = tok.filter(col("w").isin(terms: _*))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
@@ -1077,8 +1150,12 @@ object TextSim {
         |ORDER BY tfidf DESC, tf.doc_id, tf.word
         |LIMIT 1000""") { (s, d) =>
       val docs = Tables.documents(s, d)
-      val tok = docs.select(col("doc_id"), explode(words).as("word"))
-      val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      // The TF table is per-corpus derived data referenced TWICE in
+      // this plan (the df aggregate + the score join) with no subtree
+      // sharing — stage-cached (r21), so the tokenize + (doc, word)
+      // aggregate runs once per session instead of twice per run (at
+      // 100 TB the TF table is the maintained inverted-index stat).
+      val tf = tfTable(s, d)
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(df, "word")
@@ -2251,9 +2328,7 @@ object TextSim {
         |  round(n_tokens / CAST(total AS DOUBLE), 6) AS weight
         |FROM t CROSS JOIN tot
         |ORDER BY source""") { (s, d) =>
-      val t = Tables.documents(s, d)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum(size(words)).as("n_tokens"))
+      val t = sourceTokenStats(s, d)
       t.crossJoin(broadcast(t.agg(sum("n_tokens").as("total"))))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           round(col("n_tokens") / col("total"), 6).as("weight"))
@@ -2281,9 +2356,7 @@ object TextSim {
         |  round(pow(p, 0.3) / z, 6) AS w
         |FROM p CROSS JOIN z
         |ORDER BY lang""") { (s, d) =>
-      val t = Tables.documents(s, d)
-        .groupBy("lang")
-        .agg(sum(size(words)).as("n_tokens"))
+      val t = langTokenStats(s, d)
       val p = t.crossJoin(broadcast(t.agg(
           sum("n_tokens").cast("double").as("total"))))
         .select(col("lang"), col("n_tokens"),
@@ -2324,9 +2397,7 @@ object TextSim {
         |  round(eff_tokens / et, 6) AS realized
         |FROM eff CROSS JOIN efft
         |ORDER BY source""") { (s, d) =>
-      val t = Tables.documents(s, d)
-        .groupBy("source")
-        .agg(sum(size(words)).as("n_tokens"))
+      val t = sourceTokenStats(s, d).select("source", "n_tokens")
       val p = t.crossJoin(broadcast(
           t.agg(sum("n_tokens").cast("double").as("total"))))
         .select(col("source"), col("n_tokens"),
@@ -2373,13 +2444,18 @@ object TextSim {
         |    AS boilerplate_frac
         |FROM n LEFT JOIN h ON n.doc_id = h.doc_id
         |ORDER BY n.doc_id""") { (s, d) =>
-      val g = Tables.documents(s, d)
-        .select(col("doc_id"), words.as("ws"))
-        .select(col("doc_id"), explode(when(size(col("ws")) >= 8, expr(
-            "transform(sequence(1, size(ws) - 7)," +
-              " i -> array_join(slice(ws, i, 8), ' '))"))
-          .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
-        .distinct()
+      // Hashed 8-grams via the codegen kernel (r21): `gram` is an
+      // internal grouping/distinct key only — n_grams/n_hot count
+      // equal-classes, which match the oracle's string grams up to the
+      // ~n²/2^64 collision odds every hashed-gram query declares. The
+      // per-run string-gram fan-out this replaces allocated an
+      // 8-element array + joined string per window AND, referenced by
+      // three consumers with no subtree sharing, ran the whole
+      // tokenize+explode+distinct three times per run — the distinct
+      // gram table is per-corpus derived data, so it is stage-cached
+      // like the bigram table (one build per session, then three
+      // column-pruned parquet reads).
+      val g = grams8(s, d)
       val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 5).select("gram")
       val n = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
@@ -2634,12 +2710,18 @@ object TextSim {
         |GROUP BY wn.doc_id
         |ORDER BY doc_id""") { (s, d) =>
       val k = 8
+      // Window hashes via the one-pass codegen kernel (r21): equal
+      // windows hash equal, distinct windows collide at ~n²/2^64 —
+      // the same internal-key contract as the 3-gram postings; the
+      // interpreted transform+slice+array_join+xxhash64 HOF it
+      // replaces allocated an 8-element array and a joined string per
+      // window (oracle-checked unchanged at both tiers).
       val win = Tables.documents(s, d)
         .select(col("doc_id"), normTokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= k)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(ws) - ${k - 1})," +
-            s" i -> xxhash64(array_join(slice(ws, i, $k), ' ')))")).as("wh"))
+        .select(col("doc_id"), explode(
+          graft.functions.VectorFunctions.wordKGramHashes(col("ws"), k))
+          .as("wh"))
       val byWh = org.apache.spark.sql.expressions.Window.partitionBy("wh")
       win.withColumn("c", count(lit(1)).over(byWh))
         .groupBy("doc_id")
@@ -2686,9 +2768,11 @@ object TextSim {
         .select(col("doc_id"), normTokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= k)
       val lens = ws.select(col("doc_id"), size(col("ws")).as("n_tokens"))
-      val win = ws.select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, size(ws) - ${k - 1})," +
-            s" i -> xxhash64(array_join(slice(ws, i, $k), ' ')))"))
+      // Same codegen window-hash kernel as the detect query (r21) —
+      // the two reports must agree window for window, so they share
+      // the hash function by construction.
+      val win = ws.select(col("doc_id"), posexplode(
+          graft.functions.VectorFunctions.wordKGramHashes(col("ws"), k))
           .as(Seq("idx", "wh")))
         .select(col("doc_id"), (col("idx") + 1).as("i"), col("wh"))
       // Same no-self-join spelling as the detect query: occurrence
@@ -3143,9 +3227,12 @@ object TextSim {
         |FROM pr JOIN ns na ON na.source = pr.source_a
         |        JOIN ns nb ON nb.source = pr.source_b
         |ORDER BY source_a, source_b""") { (s, d) =>
-      val sg = gramIndex(s, d, DfCap)
-        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-        .select("source", "gram").distinct()
+      // The distinct (source, gram) projection is per-corpus derived
+      // data referenced THREE times in this plan (both self-join sides
+      // + the size table) with no subtree sharing — stage-cached (r21)
+      // like the bigram table, so the fact-scale distinct runs once
+      // per session instead of three times per run.
+      val sg = srcGrams(s, d)
       val ns = sg.groupBy("source").agg(count(lit(1)).as("n"))
       val pr = sg.as("a").join(sg.as("b"),
           col("a.gram") === col("b.gram") &&

@@ -397,6 +397,68 @@ case class WordGramHashes(child: Expression)
     copy(child = newChild)
 }
 
+/** [[WordGramHashes]] generalized to word k-grams (r21): gram i is the
+  * seed-chained combination of word hashes i..i+k-1 — for k = 3 this
+  * is bit-identical to [[WordGramHashes]]. Replaces the interpreted
+  * `transform(sequence, i -> xxhash64(array_join(slice(ws, i, k))))`
+  * window-hash pipeline of the k=8 substring/span/boilerplate family,
+  * which allocated a k-element array AND a joined string per window
+  * inside a non-codegen HOF lambda. Same output contract as the
+  * 3-gram kernel: the hash never appears in any query OUTPUT (it is a
+  * grouping/window key whose equal-classes match the oracle's string
+  * grams), so it only has to be deterministic and collision-sparse
+  * (~n²/2^64 on any real window count), not string-equal.
+  *
+  * < k words → empty array. Null ELEMENTS hash as empty strings (the
+  * loader contract never produces them).
+  */
+case class WordKGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"graft_word${k}gram_hashes"
+
+  private def wordHash(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    if (s == null) 42L
+    else org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+
+  def gramsOf(a: ArrayData): ArrayData = {
+    val d = a.numElements()
+    if (d < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val wh = new Array[Long](d)
+    var i = 0
+    while (i < d) { wh(i) = wordHash(a.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](d - k + 1)
+    i = 0
+    while (i < d - k + 1) {
+      var h = wh(i)
+      var j = 1
+      while (j < k) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(wh(i + j), h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = gramsOf(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordKGrams", this, classOf[WordKGramHashes].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.gramsOf($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordKGramHashes =
+    copy(child = newChild)
+}
+
 /** All ordered pairs (ida < idb) from an `array<long>` of ids — the
   * pair-expansion kernel behind the shared-gram candidate generator.
   * Replaces the gram-index SELF-JOIN: `groupBy(gram).collect_list` +
@@ -960,6 +1022,9 @@ object VectorNative {
 
   def wordGramHashes(ws: Column): Column =
     ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(ws)))
+
+  def wordKGramHashes(ws: Column, k: Int): Column =
+    ExpressionUtils.column(WordKGramHashes(ExpressionUtils.expression(ws), k))
 
   /** Spark's own runtime-filter probe as a Column (see the
     * graft_might_contain registration): hand-planted bloom pruning for

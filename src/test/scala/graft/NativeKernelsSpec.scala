@@ -38,6 +38,42 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(tiny === 0)
   }
 
+  test("WordKGramHashes: k=3 is bit-identical to WordGramHashes; k=8 " +
+      "window classes match the string formulation (r21)") {
+    // k=3 must reproduce the existing kernel exactly — same seed chain.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    assert(docs.select(
+        VectorFunctions.wordGramHashes(col("ws")).as("a"),
+        VectorFunctions.wordKGramHashes(col("ws"), 3).as("b"))
+      .filter(col("a") =!= col("b")).count() === 0L)
+    // k=8: per-doc counts (total and distinct) must agree with the
+    // interpreted string-window formulation it replaced in
+    // q_dedup_substring / q_dedup_spans / q_text_boilerplate —
+    // a collision or off-by-one window would show as a difference.
+    val hashed = docs.select(col("doc_id"),
+        explode(VectorFunctions.wordKGramHashes(col("ws"), 8)).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("g")).as("nd"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val strings = docs
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 7)," +
+          " i -> array_join(slice(ws, i, 8), ' '))")).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("g")).as("nd"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(hashed === strings)
+    assert(hashed.nonEmpty)
+    // < k words → zero windows, not an error.
+    import spark.implicits._
+    val tiny = Seq(Seq("a", "b", "c", "d", "e", "f", "g")).toDF("ws")
+      .select(size(VectorFunctions.wordKGramHashes(col("ws"), 8)).as("n"))
+      .head().getInt(0)
+    assert(tiny === 0)
+  }
+
   test("SortedIdPairs emits each unordered pair once, as (lo, hi)") {
     import spark.implicits._
     val got = Seq(Seq(3L, 1L, 2L)).toDF("ids")

@@ -184,7 +184,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val whShuffles = "hashpartitioning\\(wh".r.findAllIn(p).size
     assert(whShuffles == 1,
       s"expected exactly one wh-keyed exchange, got $whShuffles:\n$p")
-    assert(p.contains("xxhash64"),
+    // r21: the window hashes come from the one-pass codegen kernel
+    // (graft_word8gram_hashes) instead of the interpreted
+    // transform+slice+array_join+xxhash64 HOF — still 64-bit longs,
+    // never strings, on the exchange.
+    assert(p.contains("graft_word8gram_hashes"),
       s"shuffle keys must be the 64-bit window hashes, not strings:\n$p")
   }
 
