@@ -123,39 +123,45 @@ object Bench {
     // Parameterized for other hosts: SPARK_GRAFT_STAGE_THREADS.
     val stageThreads = sys.env.get("SPARK_GRAFT_STAGE_THREADS")
       .map(_.toInt).getOrElse(4)
-    val stageBuild = if (!needsStages) 0.0 else try {
+    val stageBuild = if (!needsStages) 0.0 else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.DurationInt
+      // Non-daemon pool: shutdown MUST be on the finally path — a failed
+      // or timed-out Await otherwise leaves idle non-daemon threads
+      // keeping the JVM alive after main returns, and Bench hangs
+      // instead of exiting with the warm=false record (r21 advice).
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(math.max(1, stageThreads))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      def timed(name: String)(body: => Unit): Future[Unit] = Future {
-        val t0 = System.nanoTime()
-        body
-        stageDetail.put(name, (System.nanoTime() - t0) / 1e9)
-      }
-      // Longest chains first so the pool's tail is short ones.
-      Await.result(Future.sequence(Seq(
-        timed("kmeans") { ops.Clustering.warmKmeansStages(spark, sfDir) },
-        timed("ivf") { ops.Sketches.warmIvfStage(spark, sfDir) },
-        timed("pq") { ops.Sketches.warmPqStage(spark, sfDir) },
-        timed("minhash_sigs") { ops.Sketches.warmMinhashStage(spark, sfDir) },
-        timed("text_postings") { ops.TextSim.warmStages(spark, sfDir) },
-        timed("simhash_sigs") { ops.Sketches.warmSimhashStage(spark, sfDir) },
-        timed("minhash_capped") { ops.Sketches.warmMinhashCappedStage(spark, sfDir) },
-        timed("dedup_lsh_sigs") { ops.Sketches.warmDedupLshStage(spark, sfDir) },
-        timed("lsh_sigs") { ops.Sketches.warmLshSigStage(spark, sfDir) },
-        timed("bigrams") { ops.TextSim.warmBigramStage(spark, sfDir) },
-        timed("docgrams") { ops.TextSim.warmDocGramStage(spark, sfDir) },
-        timed("graph") { ops.Graph.warmGraphStages(spark, sfDir) },
-        timed("text_stats") { ops.TextSim.warmTextStatStages(spark, sfDir) },
-        timed("learn") { ops.Learn.warmLearnStages(spark, sfDir) },
-        timed("mask") { ops.TextSim.warmMaskStage(spark, sfDir) })),
-        30.minutes)
-      pool.shutdown()
-      (System.nanoTime() - tStage0) / 1e9
-    } catch { case e: Throwable =>
-      System.err.println(s"bench: stage build failed: ${e.getMessage}"); -1.0 }
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        def timed(name: String)(body: => Unit): Future[Unit] = Future {
+          val t0 = System.nanoTime()
+          body
+          stageDetail.put(name, (System.nanoTime() - t0) / 1e9)
+        }
+        // Longest chains first so the pool's tail is short ones.
+        Await.result(Future.sequence(Seq(
+          timed("kmeans") { ops.Clustering.warmKmeansStages(spark, sfDir) },
+          timed("ivf") { ops.Sketches.warmIvfStage(spark, sfDir) },
+          timed("pq") { ops.Sketches.warmPqStage(spark, sfDir) },
+          timed("minhash_sigs") { ops.Sketches.warmMinhashStage(spark, sfDir) },
+          timed("text_postings") { ops.TextSim.warmStages(spark, sfDir) },
+          timed("simhash_sigs") { ops.Sketches.warmSimhashStage(spark, sfDir) },
+          timed("minhash_capped") { ops.Sketches.warmMinhashCappedStage(spark, sfDir) },
+          timed("dedup_lsh_sigs") { ops.Sketches.warmDedupLshStage(spark, sfDir) },
+          timed("lsh_sigs") { ops.Sketches.warmLshSigStage(spark, sfDir) },
+          timed("bigrams") { ops.TextSim.warmBigramStage(spark, sfDir) },
+          timed("docgrams") { ops.TextSim.warmDocGramStage(spark, sfDir) },
+          timed("graph") { ops.Graph.warmGraphStages(spark, sfDir) },
+          timed("text_stats") { ops.TextSim.warmTextStatStages(spark, sfDir) },
+          timed("learn") { ops.Learn.warmLearnStages(spark, sfDir) },
+          timed("mask") { ops.TextSim.warmMaskStage(spark, sfDir) })),
+          30.minutes)
+        (System.nanoTime() - tStage0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: stage build failed: ${e.getMessage}"); -1.0
+      } finally pool.shutdown()
+    }
     // warm=false flags that the stage build FAILED: the per-query times
     // below then include whichever query first rebuilt the cold stages,
     // so they are not comparable to a warm run's.
@@ -243,13 +249,25 @@ object Bench {
         f""""load_avg":$loadAvg%.2f,"load_avg_start":$loadStart%.2f,""" +
         s""""contaminated":$contaminatedJson"""
     val nErr = results.count(!_._4)
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"stage_build_detail":$stageJson,"warm":$warm,"runs":$Runs,$sentinel,"gc_total_ms":$gcTotal,"probe_max_s":$probeMax%.3f,"n_errors":$nErr,"queries":$qs,"query_noise":$qnoise,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
-    println(json)
-    // A second, TINY summary line AFTER the full one: the driver keeps only
-    // a fixed-size tail of stdout, and the full line (100+ queries) can
-    // overflow it — losing exactly the leading headline fields. The tail
-    // always retains this last line.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,$sentinel,"gc_total_ms":$gcTotal,"probe_max_s":$probeMax%.3f,"n_queries":${results.length},"n_errors":$nErr,"sf":"$sfDir"}""")
+    // Record layout (r21 verdict #1 — the driver parsed NEITHER round's
+    // bench record; BENCH_r01..r21 all show parsed:null):
+    //  * headline fields FIRST, per-query map LAST, so a fixed-size tail
+    //    capture that cuts the line keeps per-query times (recoverable
+    //    by regex) instead of the noise triples;
+    //  * the per-run noise map lives ONLY in the file copies —
+    //    bench/bench_full.json is the canonical full artifact, named by
+    //    the "bench_full" pointer field in every record;
+    //  * the SAME full record prints as both the FIRST and the LAST
+    //    stdout line, so a line-oriented parser keeping either the first
+    //    or the last parseable JSON line gets the complete record. The
+    //    lines themselves are parseable at all only because build.sbt
+    //    now forks the run with OutputStrategy.StdoutOutput (no sbt
+    //    "[info] " prefix) and showSuccess:=false (no trailing
+    //    "[success] Total time" line after the record).
+    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"stage_build_detail":$stageJson,"warm":$warm,"runs":$Runs,$sentinel,"gc_total_ms":$gcTotal,"probe_max_s":$probeMax%.3f,"n_queries":${results.length},"n_errors":$nErr,"errors":$errs,"flaky":$flaky,"sf":"$sfDir","bench_full":"bench/bench_full.json""""
+    val jsonStdout = s"""{$head,"queries":$qs}"""
+    val json = s"""{$head,"query_noise":$qnoise,"queries":$qs}"""
+    println(jsonStdout)
     // Also persist to files: a fixed-size tail capture of stdout
     // truncated BENCH_r05 mid-line and lost the headline totals — the
     // file copy makes the stdout capture redundant. Two copies: the
@@ -282,5 +300,9 @@ object Bench {
         System.err.println(s"bench: could not write $p: ${e.getMessage}") }
     }
     spark.stop()
+    // Final stdout line == the full record (see layout comment above).
+    // Printed after spark.stop() so no late Spark/log4j stdout chatter
+    // can land between it and process exit.
+    println(jsonStdout)
   }
 }

@@ -43,7 +43,14 @@ object StageWarmProbe {
       "lsh_sigs" -> (() => ops.Sketches.warmLshSigStage(spark, sfDir)),
       "dedup_lsh_sigs" -> (() => ops.Sketches.warmDedupLshStage(spark, sfDir)),
       "simhash_sigs" -> (() => ops.Sketches.warmSimhashStage(spark, sfDir)),
-      "minhash_sigs" -> (() => ops.Sketches.warmMinhashStage(spark, sfDir)))
+      "minhash_sigs" -> (() => ops.Sketches.warmMinhashStage(spark, sfDir)),
+      // r21's warm additions, probed too since r22 (the Lloyd M-step
+      // fuse evidence lives in the kmeans/ivf/pq chain counts):
+      "minhash_capped" -> (() => ops.Sketches.warmMinhashCappedStage(spark, sfDir)),
+      "graph" -> (() => ops.Graph.warmGraphStages(spark, sfDir)),
+      "text_stats" -> (() => ops.TextSim.warmTextStatStages(spark, sfDir)),
+      "learn" -> (() => ops.Learn.warmLearnStages(spark, sfDir)),
+      "kmeans" -> (() => ops.Clustering.warmKmeansStages(spark, sfDir)))
     val t0 = System.nanoTime()
     if (mode == "concurrent" || mode.startsWith("pool")) {
       import scala.concurrent.{Await, ExecutionContext, Future}
@@ -52,15 +59,18 @@ object StageWarmProbe {
         if (mode == "concurrent") chains.size
         else mode.stripPrefix("pool").toInt
       val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      Await.result(Future.sequence(chains.map { case (name, body) =>
-        Future {
-          val t = System.nanoTime()
-          body()
-          println(f"STAGE $name ${(System.nanoTime() - t) / 1e9}%.3f s")
-        }
-      }), 60.minutes)
-      pool.shutdown()
+      // shutdown on the finally path: a failed/timed-out Await must not
+      // leave non-daemon pool threads keeping the JVM alive (r21 advice).
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(chains.map { case (name, body) =>
+          Future {
+            val t = System.nanoTime()
+            body()
+            println(f"STAGE $name ${(System.nanoTime() - t) / 1e9}%.3f s")
+          }
+        }), 60.minutes)
+      } finally pool.shutdown()
     } else {
       chains.foreach { case (name, body) =>
         val (j0, s0, k0) = counts()
