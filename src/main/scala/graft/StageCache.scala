@@ -125,4 +125,21 @@ object StageCache {
   def fileCount(s: SparkSession, d: String, stage: String)(
       build: => DataFrame): Int =
     s.read.parquet(pathFor(s, d, stage)(build)).inputFiles.length
+
+  /** On-disk bytes of a stage's materialization (building it if this
+    * is the first touch) — the cheap size oracle for pin-vs-read
+    * decisions (Graph's anchor pin guard): the parquet footprint is
+    * already on local disk, so this is a directory walk, not a job. */
+  def bytesOf(s: SparkSession, d: String, stage: String)(
+      build: => DataFrame): Long = {
+    val p = java.nio.file.Paths.get(pathFor(s, d, stage)(build))
+    val dir = if (java.nio.file.Files.isDirectory(p)) p else p.getParent
+    var total = 0L
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.forEach { f =>
+      if (java.nio.file.Files.isRegularFile(f))
+        total += java.nio.file.Files.size(f)
+    } finally walk.close()
+    total
+  }
 }

@@ -117,4 +117,10 @@ object VectorFunctions {
     * or array materialization (see graftnative.MinGramMd5). */
   def minGramMd5(text: Column, gramLen: Int): Column =
     VectorNative.minGramMd5(text, gramLen)
+
+  /** Aggregate: element-wise sum of array<long> rows — the fused Lloyd
+    * M-step aggregate (see graftnative.LongVecSum). One hash aggregate
+    * over unexploded vectors replaces posexplode + double groupBy. */
+  def longVecSum(a: Column): Column =
+    org.apache.spark.sql.graftnative.LongVecSum.longVecSum(a)
 }

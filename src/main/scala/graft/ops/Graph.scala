@@ -88,17 +88,34 @@ object Graph {
     * aggregates or joins, nothing reads row order (GraphSpec pins
     * bit-stability across partitionings). Measured on q_graph_pagerank
     * (SPARK_GRAFT_GRAPH_TIMING): the eIn/eDeg/conn rebuild was ~50-70%
-    * of every warm run. */
-  private def anchored(stage: Option[(SparkSession, String)], name: String)(
-      df: => DataFrame): DataFrame = stage match {
-    // The stage read is additionally PINNED (one eager checkpoint of
-    // the tiny frame per construction): the unrolled rounds reference
-    // these anchors up to ~48 times per run (one per broadcast
-    // build), and each un-pinned reference re-opened the stage
-    // parquet — the pin trades one ~tiny job for all of those reads
-    // while the derivation itself stays amortized in the stage.
+    * of every warm run.
+    *
+    * STAGE-KEY CONTRACT (r21 advice): the anchor key is
+    * (session, corpus, name, tag) and does NOT hash the edge frame, so
+    * a stage-context call whose edge/node frame is not the registry's
+    * MUST pass an `anchorTag` distinguishing it (the registry call
+    * sites tag their similarity-edge thresholds: j01 / j05 / wj) —
+    * otherwise it would silently read the first caller's anchor. */
+  private def anchored(stage: Option[(SparkSession, String)], name: String,
+      tag: String)(df: => DataFrame): DataFrame = stage match {
     case Some((s, d)) =>
-      graft.StageCache.memoized(s, d, name)(df).localCheckpoint(true)
+      val key = if (tag.isEmpty) name else s"${name}_$tag"
+      val anchor = graft.StageCache.memoized(s, d, key)(df)
+      // The stage read is additionally PINNED (one eager checkpoint
+      // per construction): the unrolled rounds reference these anchors
+      // up to ~48 times per run (one per broadcast build), and each
+      // un-pinned reference re-opened the stage parquet. The pin is
+      // SIZE-GUARDED (r21 verdict #4): localCheckpoint stores the
+      // frame in executor block-manager memory/disk, which is the
+      // right trade only while the anchor is small — past the bound
+      // (default 256 MB of parquet; spark.graft.graph.pinMaxBytes) the
+      // anchor is served as the bare column-pruned parquet read, the
+      // same at-scale story as every other maintained table.
+      val maxPin = s.conf.get("spark.graft.graph.pinMaxBytes",
+        (256L * 1024 * 1024).toString).toLong
+      if (graft.StageCache.bytesOf(s, d, key)(df) <= maxPin)
+        anchor.localCheckpoint(true)
+      else anchor
     case None => df.localCheckpoint(true)
   }
 
@@ -107,22 +124,22 @@ object Graph {
   // pass builds just the anchor without running anyone's loop, and
   // the algorithm bodies use the identical builder (no drift).
   private def bfsSymAnchor(edges: DataFrame,
-      stage: Option[(SparkSession, String)]): DataFrame =
-    anchored(stage, "gr_bfs_sym")(
+      stage: Option[(SparkSession, String)], tag: String): DataFrame =
+    anchored(stage, "gr_bfs_sym", tag)(
       edges.select(col("ida").as("a"), col("idb").as("b"))
         .unionByName(edges.select(col("idb").as("a"), col("ida").as("b")))
         .distinct())
 
   private def ccCanonAnchor(edges: DataFrame,
-      stage: Option[(SparkSession, String)]): DataFrame =
-    anchored(stage, "gr_cc_canon")(
+      stage: Option[(SparkSession, String)], tag: String): DataFrame =
+    anchored(stage, "gr_cc_canon", tag)(
       edges.select(greatest(col("ida"), col("idb")).as("hi"),
           least(col("ida"), col("idb")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct())
 
   private def kcoreEdgesAnchor(edges: DataFrame,
-      stage: Option[(SparkSession, String)]): DataFrame =
-    anchored(stage, "gr_kcore_e")(edges.select(col("ida"), col("idb"))
+      stage: Option[(SparkSession, String)], tag: String): DataFrame =
+    anchored(stage, "gr_kcore_e", tag)(edges.select(col("ida"), col("idb"))
       .filter(col("ida") =!= col("idb")).distinct())
 
   /** Force-build the graph family's stage-cached anchors (the
@@ -136,20 +153,24 @@ object Graph {
     val docs = Tables.documents(s, d).select("doc_id")
     val e01 = graft.ops.TextSim.similarityEdges(s, d, minJac = 0.1)
     val e05 = graft.ops.TextSim.similarityEdges(s, d, minJac = 0.5)
-    pagerank(docs, e01, iters = 1, stage = ctx)
+    // Tags MUST match the registry call sites' (the anchored() key
+    // contract): j01/j05 = similarity edges at that minJac, wj =
+    // the weighted edge list.
+    pagerank(docs, e01, iters = 1, stage = ctx, anchorTag = "j01")
     pagerank(docs, graft.ops.TextSim.similarityEdgesWeighted(s, d),
-      iters = 1, weightCol = Some("jac"), stage = ctx)
-    labelPropagation(docs, e01, iters = 1, stage = ctx)
-    triangleCounts(e01, stage = ctx)
-    bfsSymAnchor(e05, ctx)
-    ccCanonAnchor(e05, ctx)
-    kcoreEdgesAnchor(e01, ctx)
+      iters = 1, weightCol = Some("jac"), stage = ctx, anchorTag = "wj")
+    labelPropagation(docs, e01, iters = 1, stage = ctx, anchorTag = "j01")
+    triangleCounts(e01, stage = ctx, anchorTag = "j01")
+    bfsSymAnchor(e05, ctx, "j05")
+    ccCanonAnchor(e05, ctx, "j05")
+    kcoreEdgesAnchor(e01, ctx, "j01")
     ()
   }
 
   def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int,
       weightCol: Option[String] = None,
-      stage: Option[(SparkSession, String)] = None): DataFrame = {
+      stage: Option[(SparkSession, String)] = None,
+      anchorTag: String = ""): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // Checkpoint the caller's edge list FIRST: symmetrize + degree
     // reference it four times, and each reference would otherwise
@@ -181,7 +202,7 @@ object Graph {
     // eIn checkpoint only exists to stop sym + deg re-running the
     // upstream edge pipeline four times DURING the build, so it lives
     // inside the eDeg anchor's build closure.
-    val eDeg = phase("eDeg-checkpoint")(anchored(stage, s"gr_pr${sfx}_edeg") {
+    val eDeg = phase("eDeg-checkpoint")(anchored(stage, s"gr_pr${sfx}_edeg", anchorTag) {
       val eIn = phase("eIn-checkpoint")((weightCol match {
         case Some(wc) => edges.select(col("ida"), col("idb"),
           (col(wc) * WScale).cast("long").as("w"))
@@ -200,7 +221,7 @@ object Graph {
     // conn is referenced by EVERY round's rank rebuild (and there is no
     // cross-plan subtree sharing), so without its own anchor the
     // distinct-over-edges would inline once per round.
-    val conn = phase("conn-checkpoint")(anchored(stage, s"gr_pr${sfx}_conn")(
+    val conn = phase("conn-checkpoint")(anchored(stage, s"gr_pr${sfx}_conn", anchorTag)(
       eDeg.select(col("a").as("doc_id"), col("deg")).distinct()))
     // N is a driver-side count of the NODE table (same documented
     // stats-pass family as the codebook sizing counts); with a corpus
@@ -276,8 +297,9 @@ object Graph {
     * low-diameter graph never pays for the cap. */
   def bfsDistances(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
       maxHops: Int,
-      stage: Option[(SparkSession, String)] = None): DataFrame = {
-    val sym = bfsSymAnchor(edges, stage)
+      stage: Option[(SparkSession, String)] = None,
+      anchorTag: String = ""): DataFrame = {
+    val sym = bfsSymAnchor(edges, stage, anchorTag)
     var settled = seeds.select(col("doc_id"), lit(0L).as("dist"))
       .distinct().localCheckpoint(true)
     var frontier = settled.select("doc_id")
@@ -328,7 +350,8 @@ object Graph {
     * from the edge set are their own singleton components. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 30,
-      stage: Option[(SparkSession, String)] = None): DataFrame = {
+      stage: Option[(SparkSession, String)] = None,
+      anchorTag: String = ""): DataFrame = {
     def canon(e: DataFrame): DataFrame =
       e.select(greatest(col("a"), col("b")).as("hi"),
           least(col("a"), col("b")).as("lo"))
@@ -341,7 +364,24 @@ object Graph {
           lit(0).cast("decimal(38,0)"))).head()
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
-    var e = ccCanonAnchor(edges, stage)
+    // The per-round convergence checksum FOLDS into the round's eager
+    // checkpoint (r22, verdict #6): Dataset.observe collects the count
+    // and hash sum from the SAME pass localCheckpoint(true) runs to
+    // materialize the round — the separate one-row aggregate job per
+    // round disappears (~1 job/round; cc was the slowest graph query
+    // at 28 jobs). Identical convergence test: same count, same
+    // decimal hash sum, compared round-over-round.
+    def ckptWithChecksum(pre: DataFrame): (DataFrame, (Long, BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = pre.observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h"))
+        .localCheckpoint(true)
+      val m = obs.get // delivered by the checkpoint's execution-end event
+      (out, (m("n").asInstanceOf[Long],
+        BigDecimal(m("h").asInstanceOf[java.math.BigDecimal])))
+    }
+    var e = ccCanonAnchor(edges, stage, anchorTag)
     var sum0 = checksum(e)
     var round = 0
     var done = false
@@ -354,11 +394,10 @@ object Graph {
           .select(col("v").as("a"), col("m").as("b")))
         .localCheckpoint(true)
       val minsS = e1.groupBy("hi").agg(min("lo").as("m"))
-      val e2 = canon(e1.join(minsS, "hi")
+      val (e2, sum2) = ckptWithChecksum(
+        canon(e1.join(minsS, "hi")
           .select(col("lo").as("a"), col("m").as("b"))
-          .unionByName(minsS.select(col("hi").as("a"), col("m").as("b"))))
-        .localCheckpoint(true)
-      val sum2 = checksum(e2)
+          .unionByName(minsS.select(col("hi").as("a"), col("m").as("b")))))
       done = sum2 == sum0
       e = e2
       sum0 = sum2
@@ -387,7 +426,8 @@ object Graph {
     * the simpler ID-ordered form and GraphSpec brute-forces random
     * graphs. Nodes in no triangle are absent (count 0). */
   def triangleCounts(edges: DataFrame,
-      stage: Option[(SparkSession, String)] = None): DataFrame = {
+      stage: Option[(SparkSession, String)] = None,
+      anchorTag: String = ""): DataFrame = {
     val canon = edges.select(col("ida"), col("idb"))
     val deg = canon
       .select(explode(array(col("ida"), col("idb"))).as("id"))
@@ -396,7 +436,7 @@ object Graph {
     // pairs (v, w) can be ordered without re-joining degrees. The
     // oriented list is referenced three times (two wedge sides + the
     // closing semi-join) — checkpoint it.
-    val out = anchored(stage, "gr_tri_out")(canon
+    val out = anchored(stage, "gr_tri_out", anchorTag)(canon
       .join(deg.select(col("id").as("ida"), col("dg").as("da")), "ida")
       .join(deg.select(col("id").as("idb"), col("dg").as("db")), "idb")
       .select(
@@ -433,9 +473,10 @@ object Graph {
     * (doc_id, core_deg) — degree WITHIN the core, >= k by
     * construction. Empty result when no k-core exists. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100,
-      stage: Option[(SparkSession, String)] = None): DataFrame = {
+      stage: Option[(SparkSession, String)] = None,
+      anchorTag: String = ""): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    var e = kcoreEdgesAnchor(edges, stage)
+    var e = kcoreEdgesAnchor(edges, stage, anchorTag)
     var nPrev = -1L
     var rounds = 0
     var done = false
@@ -497,11 +538,12 @@ object Graph {
     * round references it. Returns (doc_id, community, csize). */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       iters: Int,
-      stage: Option[(SparkSession, String)] = None): DataFrame = {
+      stage: Option[(SparkSession, String)] = None,
+      anchorTag: String = ""): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // The symmetrized neighbor list is the frame EVERY round scans, so
     // it (not the raw edge list) is the anchored artifact.
-    val nb = phase("lpa-edges-checkpoint")(anchored(stage, "gr_lpa_sym") {
+    val nb = phase("lpa-edges-checkpoint")(anchored(stage, "gr_lpa_sym", anchorTag) {
       val e = edges.select(col("ida"), col("idb")).localCheckpoint(true)
       e.unionByName(e.select(col("idb").as("ida"), col("ida").as("idb")))
     })
@@ -689,7 +731,7 @@ object Graph {
       (s, d) =>
         pagerank(Tables.documents(s, d).select("doc_id"),
             graft.ops.TextSim.similarityEdges(s, d), iters = 10,
-            stage = Some((s, d)))
+            stage = Some((s, d)), anchorTag = "j01")
           .select(col("doc_id"), col("deg"),
             round(col("rank_scaled") / 1e9, 6).as("rank"))
           .orderBy(col("rank").desc, col("doc_id"))
@@ -707,7 +749,8 @@ object Graph {
       (s, d) =>
         pagerank(Tables.documents(s, d).select("doc_id"),
             graft.ops.TextSim.similarityEdgesWeighted(s, d), iters = 10,
-            weightCol = Some("jac"), stage = Some((s, d)))
+            weightCol = Some("jac"), stage = Some((s, d)),
+            anchorTag = "wj")
           .select(col("doc_id"), col("deg"),
             round(col("rank_scaled") / 1e9, 6).as("rank"))
           .orderBy(col("rank").desc, col("doc_id"))
@@ -722,7 +765,7 @@ object Graph {
     // peeling; goldens pin the fixture output.
     QuerySpec.sql("q_graph_kcore", kcoreOracleSql(k = 2)) { (s, d) =>
       kCore(graft.ops.TextSim.similarityEdges(s, d, minJac = 0.1), k = 2,
-        stage = Some((s, d)))
+        stage = Some((s, d)), anchorTag = "j01")
     },
 
     // True connected components over the jac >= 0.5 near-dup graph —
@@ -735,7 +778,7 @@ object Graph {
       (s, d) =>
         connectedComponents(Tables.documents(s, d).select("doc_id"),
             graft.ops.TextSim.similarityEdges(s, d, minJac = 0.5),
-            stage = Some((s, d)))
+            stage = Some((s, d)), anchorTag = "j05")
           .orderBy("doc_id")
     },
 
@@ -772,7 +815,7 @@ object Graph {
       bfsDistances(docs.select("doc_id"),
           graft.ops.TextSim.similarityEdges(s, d, minJac = 0.5),
           docs.filter(col("lang") === "en").select("doc_id"),
-          maxHops = 6, stage = Some((s, d)))
+          maxHops = 6, stage = Some((s, d)), anchorTag = "j05")
         .orderBy("doc_id")
     },
 
@@ -788,7 +831,7 @@ object Graph {
     QuerySpec.sql("q_graph_lpa", lpaOracleSql()) { (s, d) =>
       labelPropagation(Tables.documents(s, d).select("doc_id"),
         graft.ops.TextSim.similarityEdges(s, d, minJac = 0.1),
-        iters = LpaRounds, stage = Some((s, d)))
+        iters = LpaRounds, stage = Some((s, d)), anchorTag = "j01")
     },
 
     // Triangle participation per document on the jac >= 0.1 similarity
@@ -823,7 +866,7 @@ object Graph {
         |FROM corners GROUP BY doc_id
         |ORDER BY doc_id""") { (s, d) =>
       triangleCounts(graft.ops.TextSim.similarityEdges(s, d, minJac = 0.1),
-        stage = Some((s, d)))
+        stage = Some((s, d)), anchorTag = "j01")
     }
   )
 }

@@ -430,22 +430,29 @@ object Sketches {
 
   /** One spherical-Lloyd M-step in the integer basis: per-cell
     * truncating integer mean (Σxi div n — operands non-negative after
-    * the +4 shift, so Scala `div` == DuckDB `//`), reassembled in
-    * position order, then re-projected onto the sphere ([[sphered]]).
-    * Cells that lost every member CARRY FORWARD their previous
-    * centroid (kmeansCtes' coalesce), so the codebook keeps exactly
-    * its seeded row count and the oracle's cell set matches by
-    * construction; the carried value re-projects too (not a no-op at
-    * integer precision — the oracle applies the identical step). */
+    * the +4 shift, so Scala `div` == DuckDB `//`), then re-projected
+    * onto the sphere ([[sphered]]). Cells that lost every member CARRY
+    * FORWARD their previous centroid (kmeansCtes' coalesce), so the
+    * codebook keeps exactly its seeded row count and the oracle's cell
+    * set matches by construction; the carried value re-projects too
+    * (not a no-op at integer precision — the oracle applies the
+    * identical step).
+    *
+    * Spelled as ONE hash aggregate over unexploded vectors (r22, guide
+    * §2.3): the old posexplode → groupBy(cid, pos) → regroup shape
+    * exploded every member 64× into the exchange and paid a second
+    * (sort-buffered collect_list) aggregation. `graft_long_vec_sum`
+    * sums positions element-wise in the aggregation buffer —
+    * bit-identical longs under any partitioning — and every member
+    * carries every position, so the per-position count equals the
+    * group count and the truncating div reproduces the old
+    * per-(cid, pos) `sum div count` exactly. */
   private def lloydStep(base: DataFrame, cents: DataFrame): DataFrame = {
     val m = assignQ(base, cents).join(base, "vec_id")
-      .select(col("cell").as("cid"),
-        posexplode(col("xq")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos")
-      .agg(expr("sum(x) div count(*)").as("cx"))
-      .groupBy("cid")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
-        " p -> p.cx)").as("mv"))
+      .groupBy(col("cell").as("cid"))
+      .agg(graft.functions.VectorFunctions.longVecSum(col("xq")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("cid"), expr("transform(sv, x -> x div n)").as("mv"))
     cents.join(m, Seq("cid"), "left")
       .select(col("cid"), sphered(coalesce(col("mv"), col("cv"))).as("cv"))
   }
@@ -632,14 +639,15 @@ object Sketches {
     val seeds = sv.join(broadcast(seedIds), "vec_id")
       .select(col("m"), col("cid"), col("sq").as("cv"))
     def lloyd(cb: DataFrame): DataFrame = {
+      // One hash aggregate over unexploded subvectors (LongVecSum,
+      // r22) — same fuse and same bit-for-bit argument as [[lloydStep]]
+      // (per-position count == group count within a (m, cid) cell).
       val mv = pqAssignQ(sv, cb).join(sv, Seq("vec_id", "m"))
-        .select(col("m"), col("cid"),
-          posexplode(col("sq")).as(Seq("pos", "x")))
-        .groupBy("m", "cid", "pos")
-        .agg(expr("sum(x) div count(*)").as("cx"))
         .groupBy("m", "cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
-          " p -> p.cx)").as("mv"))
+        .agg(graft.functions.VectorFunctions.longVecSum(col("sq"))
+          .as("svs"), count(lit(1)).as("n"))
+        .select(col("m"), col("cid"),
+          expr("transform(svs, x -> x div n)").as("mv"))
       cb.join(mv, Seq("m", "cid"), "left")
         .select(col("m"), col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
     }

@@ -793,8 +793,10 @@ object TextSim {
         .select(col("doc_id"), explode(words).as("w"))
         .groupBy("doc_id").agg(count(lit(1)).as("len")))
 
-  /** Per-(doc, word) term frequencies — q_text_tfidf's base table. */
-  private def tfTable(s: SparkSession, d: String): DataFrame =
+  /** Per-(doc, word) term frequencies — q_text_tfidf's base table;
+    * private[ops] since r22: bm25's tf side and the heavy-hitter
+    * passes (Udx) read it instead of re-tokenizing the corpus. */
+  private[ops] def tfTable(s: SparkSession, d: String): DataFrame =
     graft.StageCache.memoized(s, d, "tftable")(
       Tables.documents(s, d)
         .select(col("doc_id"), explode(words).as("word"))
@@ -1096,8 +1098,6 @@ object TextSim {
     * fusion (q_sim_hybrid_rrf). */
   private def bm25Scores(s: SparkSession, d: String,
       terms: Seq[String]): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(words).as("w"))
     // Doc-length table stage-cached (r21): it is per-corpus derived
     // data (the BM25 length normalizer — a maintained stat at 100 TB)
     // referenced twice per score call (global stats + the score join),
@@ -1105,8 +1105,14 @@ object TextSim {
     // shared by q_text_bm25 and q_sim_hybrid_rrf.
     val dl = docLens(s, d)
     val st = dl.agg(count(lit(1)).as("n_docs"), avg("len").as("avg_len"))
-    val tf = tok.filter(col("w").isin(terms: _*))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // The tf side reads the SAME stage-cached TF table as q_text_tfidf
+    // (r22, the r21 "Not yet optimized" #4): per-(doc, word) counts
+    // filtered to the query terms are identical whether the filter
+    // runs before or after the count — grouping is per (doc_id, word)
+    // — and this removes the last full corpus tokenize each score
+    // call paid. The term filter prunes on the narrow parquet scan.
+    val tf = tfTable(s, d).filter(col("word").isin(terms: _*))
+      .select(col("doc_id"), col("word").as("w"), col("tf"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "w")
       .join(dl, "doc_id")
@@ -2775,13 +2781,25 @@ object TextSim {
           graft.functions.VectorFunctions.wordKGramHashes(col("ws"), k))
           .as(Seq("idx", "wh")))
         .select(col("doc_id"), (col("idx") + 1).as("i"), col("wh"))
-      // Same no-self-join spelling as the detect query: occurrence
-      // counts attach by a count-over-partition window on the one wh
-      // exchange instead of joining the instance table to an aggregate
-      // of itself (which recomputed the explode twice).
-      val byWh = org.apache.spark.sql.expressions.Window.partitionBy("wh")
-      val ncov = win.withColumn("c", count(lit(1)).over(byWh))
-        .filter(col("c") > 1)
+      // Occurrence counts attach by a count-over-partition window on
+      // the one wh exchange (no self-join re-running the explode).
+      // The r21 verdict flagged this query perf-suspect (#5), so the
+      // alternative — aggregate wh counts and join back (both sides
+      // hash-partition on wh, so the join reuses the exchange and
+      // replaces the window's partition sort with a hash aggregate) —
+      // is kept behind `spark.graft.spans.impl=selfjoin` for the
+      // interleaved within-JVM A/B; both arms filter the identical
+      // per-wh counts, so rows are identical by construction. The
+      // default is the measured winner (see OPTIMIZATION_r22.md).
+      val covered =
+        if (s.conf.get("spark.graft.spans.impl", "window") == "selfjoin") {
+          val cnt = win.groupBy("wh").agg(count(lit(1)).as("c"))
+          win.join(cnt, "wh").filter(col("c") > 1)
+        } else {
+          val byWh = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+          win.withColumn("c", count(lit(1)).over(byWh)).filter(col("c") > 1)
+        }
+      val ncov = covered
         .select(col("doc_id"),
           explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
         .distinct()

@@ -76,19 +76,60 @@ object Udx {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Misra-Gries over PRE-AGGREGATED (item, weight) rows — the same
+    * buffer, decrement rule, and merge as [[MisraGries]] (whose merge
+    * already feeds weighted counters through `add`), driven by one row
+    * per (doc, word) from the stage-cached TF table instead of one row
+    * per token. The survival guarantee is weight-blind: every
+    * decrement event destroys ≥ (k+1)·dec units of total mass, so any
+    * item with true weighted frequency > total/(k+1) keeps a positive
+    * counter regardless of arrival order or batching — the property
+    * UdxSpec checks against exact counts. */
+  private[graft] class MisraGriesW(k: Int)
+      extends Aggregator[(String, Long),
+        scala.collection.mutable.HashMap[String, Long], Map[String, Long]] {
+    private type Buf = scala.collection.mutable.HashMap[String, Long]
+    def zero: Buf = scala.collection.mutable.HashMap.empty
+
+    private def add(b: Buf, x: String, w: Long): Buf = {
+      if (b.contains(x) || b.size < k) b.update(x, b.getOrElse(x, 0L) + w)
+      else {
+        val dec = math.min(w, b.values.min)
+        b.mapValuesInPlace((_, c) => c - dec)
+        b.filterInPlace((_, c) => c > 0)
+        if (w > dec) b.update(x, w - dec)
+      }
+      b
+    }
+
+    def reduce(b: Buf, x: (String, Long)): Buf = add(b, x._1, x._2)
+    def merge(a: Buf, b: Buf): Buf =
+      b.foldLeft(a) { case (acc, (x, w)) => add(acc, x, w) }
+    def finish(r: Buf): Map[String, Long] = r.toMap
+    def bufferEncoder = Encoders.kryo[Buf]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** Counters kept by the heavy-hitters sketch; threshold = n/(K+1). */
   val HeavyHitterK = 40
 
-  /** Pass 1 of heavy hitters: one corpus scan producing BOTH the
-    * Misra-Gries sketch and the exact token total (same aggregate), as
-    * (w, total) candidate rows — the map-typed single-row sketch
-    * exploded back to rows, never collected to the driver. */
+  /** Pass 1 of heavy hitters: one pass producing BOTH the Misra-Gries
+    * sketch and the exact token total (same aggregate), as (w, total)
+    * candidate rows — the map-typed single-row sketch exploded back to
+    * rows, never collected to the driver. Since r22 the pass reads the
+    * stage-cached TF table ([[TextSim.tfTable]], the maintained
+    * inverted-index stat) via the weighted sketch ([[MisraGriesW]])
+    * instead of re-tokenizing the corpus: the exact total is Σtf, the
+    * sketch sees each (word, tf) once, and the survival guarantee —
+    * everything above total/(K+1) is a candidate — is arrival-order-
+    * and batching-independent, so the verified output is unchanged. */
   def heavyHitterCandidates(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
-    val mg = udaf(new MisraGries(HeavyHitterK))
-    Tables.documents(s, d)
-      .select(explode(graft.ops.TextSim.normTokens(col("text"))).as("w"))
-      .agg(mg(col("w")).as("sk"), count(lit(1)).as("total"))
+    import org.apache.spark.sql.functions.{col, explode, sum}
+    val mg = udaf(new MisraGriesW(HeavyHitterK),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    graft.ops.TextSim.tfTable(s, d)
+      .agg(mg(col("word"), col("tf")).as("sk"), sum(col("tf")).as("total"))
       .select(explode(col("sk")).as(Seq("w", "lb")), col("total"))
       .select("w", "total")
   }
@@ -115,10 +156,14 @@ object Udx {
         |WHERE hh.n > t.total / ${HeavyHitterK + 1}.0
         |ORDER BY n DESC, word""") { (s, d) =>
       val cand = heavyHitterCandidates(s, d)
-      Tables.documents(s, d)
-        .select(explode(graft.ops.TextSim.normTokens(col("text"))).as("w"))
-        .join(broadcast(cand), "w")
-        .groupBy("w", "total").agg(count(lit(1)).as("n"))
+      // Pass 2 (exact verify) also reads the TF table: the exact count
+      // of a candidate word is Σ its per-doc tf — identical to counting
+      // exploded tokens — and the broadcast join before the groupBy
+      // keeps the shuffle at ≤ K words either way (r22; both passes
+      // were full corpus tokenizes before).
+      graft.ops.TextSim.tfTable(s, d)
+        .join(broadcast(cand), col("word") === col("w"))
+        .groupBy("w", "total").agg(sum("tf").as("n"))
         .filter(col("n") > col("total") / (HeavyHitterK + 1).toDouble)
         .select(col("w").as("word"), col("n"))
         .orderBy(col("n").desc, col("word"))

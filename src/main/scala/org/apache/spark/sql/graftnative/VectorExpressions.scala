@@ -409,8 +409,9 @@ case class WordGramHashes(child: Expression)
   * grams), so it only has to be deterministic and collision-sparse
   * (~n²/2^64 on any real window count), not string-equal.
   *
-  * < k words → empty array. Null ELEMENTS hash as empty strings (the
-  * loader contract never produces them).
+  * < k words → empty array. Null ELEMENTS hash as the fixed seed
+  * constant 42L (matching the 3-gram kernel; the loader contract never
+  * produces them).
   */
 case class WordKGramHashes(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {

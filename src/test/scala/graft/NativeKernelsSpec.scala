@@ -481,4 +481,50 @@ class NativeKernelsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)))
     edge.foreach { case (n, i) => assert(n === i, s"minGramMd5 mismatch: $n != $i") }
   }
+
+  test("LongVecSum: fused M-step aggregate == posexplode/groupBy spelling bit-for-bit") {
+    // The fused Lloyd M-step rides this equality (r22): per-group
+    // element-wise sums and the truncating div by the group count must
+    // reproduce the per-(group, pos) `sum div count` of the exploded
+    // spelling exactly, at any partitioning.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 7
+    val rows = (0 until 500).map { i =>
+      (i.toLong % 13, Seq.fill(dim)(rnd.nextLong(10000000L)))
+    }
+    Seq(1, 7).foreach { parts =>
+      val df = rows.toDF("g", "xq").repartition(parts)
+      val fused = df.groupBy("g")
+        .agg(VectorFunctions.longVecSum(col("xq")).as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("g"), expr("transform(sv, x -> x div n)").as("mv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      val exploded = df
+        .select(col("g"), posexplode(col("xq")).as(Seq("pos", "x")))
+        .groupBy("g", "pos").agg(expr("sum(x) div count(*)").as("cx"))
+        .groupBy("g")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
+          " p -> p.cx)").as("mv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      assert(fused === exploded, s"parts=$parts")
+      assert(fused.nonEmpty && fused.head._2.length === dim)
+    }
+    // Null ARRAYS are skipped like any aggregate input; an all-null
+    // group evaluates to a null sum (nothing to divide).
+    val withNulls = Seq((1L, Option(Seq(1L, 2L))), (1L, None),
+      (2L, None)).toDF("g", "xq")
+      .groupBy("g").agg(VectorFunctions.longVecSum(col("xq")).as("sv"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(withNulls(1L).isDefined && withNulls(2L).isEmpty)
+    // Mixed lengths in one group fail loudly, never sum garbage.
+    val ex = intercept[Throwable] {
+      Seq((1L, Seq(1L)), (1L, Seq(1L, 2L))).toDF("g", "xq")
+        .groupBy("g").agg(VectorFunctions.longVecSum(col("xq")))
+        .collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("mixed array lengths"), msgs)
+  }
 }

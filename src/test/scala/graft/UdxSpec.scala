@@ -55,6 +55,47 @@ class UdxSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet === exactHH)
   }
 
+  test("weighted Misra-Gries (TF-table pass, r22) keeps every heavy hitter at any order/batching") {
+    // The r22 rewrite feeds the sketch one (word, tf) row per
+    // (doc, word) instead of one row per token; the survival guarantee
+    // must be arrival-order- and batching-independent. Seeded skewed
+    // stream: two planted heavy hitters over a long noise tail.
+    val rnd = new scala.util.Random(7)
+    val noise = (0 until 2000).map(i => (s"w$i", 1L + rnd.nextInt(3).toLong))
+    val planted = Seq(("hot1", 900L), ("hot2", 400L))
+    // split planted mass into irregular weighted chunks
+    def chunks(w: String, total: Long): Seq[(String, Long)] = {
+      var left = total
+      val out = Seq.newBuilder[(String, Long)]
+      while (left > 0) {
+        val c = math.min(left, 1L + rnd.nextInt(50).toLong)
+        out += ((w, c)); left -= c
+      }
+      out.result()
+    }
+    val rows = rnd.shuffle(noise ++ planted.flatMap { case (w, t) => chunks(w, t) })
+    val total = rows.map(_._2).sum
+    val k = graft.ops.Udx.HeavyHitterK
+    val exactHH = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 > total / (k + 1).toDouble).keySet.toSet
+    assert(exactHH === Set("hot1", "hot2"))
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val mg = udaf(new graft.ops.Udx.MisraGriesW(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+    Seq(1, 13).foreach { parts =>
+      val cand = rows.toDF("w", "tf").repartition(parts)
+        .agg(mg(col("w"), col("tf")).as("sk"))
+        .select(explode(col("sk")).as(Seq("w", "lb")))
+        .collect().map(_.getString(0)).toSet
+      assert(exactHH.subsetOf(cand),
+        s"parts=$parts lost: ${exactHH.diff(cand)}")
+      assert(cand.size <= k)
+    }
+  }
+
   test("UDTF generator fans out one row per char-3-gram position") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
       .select("doc_id", "text")
