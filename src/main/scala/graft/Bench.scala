@@ -264,7 +264,10 @@ object Bench {
     //    now forks the run with OutputStrategy.StdoutOutput (no sbt
     //    "[info] " prefix) and showSuccess:=false (no trailing
     //    "[success] Total time" line after the record).
-    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","stage_build":$stageBuild%.3f,"stage_build_detail":$stageJson,"warm":$warm,"runs":$Runs,$sentinel,"gc_total_ms":$gcTotal,"probe_max_s":$probeMax%.3f,"n_queries":${results.length},"n_errors":$nErr,"errors":$errs,"flaky":$flaky,"sf":"$sfDir","bench_full":"bench/bench_full.json""""
+    // cpus = the session's resolved core count (local[$SPARK_GRAFT_CPUS])
+    // so a c8 record is self-identifying without the caller's wrapper.
+    val cpus = spark.sparkContext.defaultParallelism
+    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"stage_build":$stageBuild%.3f,"stage_build_detail":$stageJson,"warm":$warm,"runs":$Runs,$sentinel,"gc_total_ms":$gcTotal,"probe_max_s":$probeMax%.3f,"n_queries":${results.length},"n_errors":$nErr,"errors":$errs,"flaky":$flaky,"sf":"$sfDir","bench_full":"bench/bench_full.json""""
     val jsonStdout = s"""{$head,"queries":$qs}"""
     val json = s"""{$head,"query_noise":$qnoise,"queries":$qs}"""
     println(jsonStdout)
